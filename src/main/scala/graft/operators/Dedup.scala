@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection for a training-data pipeline: MinHash + LSH,
+  * SimHash, and n-gram Jaccard — all over `documents`.
+  *
+  * Scale design: nothing here ever materializes the O(n²) pair space.
+  * - MinHash signatures are per-row array math (codegen'd, no shuffle).
+  * - LSH candidate generation shuffles on (band_id, band_key) only, so
+  *   cost is O(n·bands) and candidate pairs are confined to buckets.
+  * - Jaccard runs behind a blocking key (`source`) — the standard way to
+  *   keep pairwise comparison tractable at 100 TB.
+  *
+  * Hash functions are built from md5 (identical across engines) reduced
+  * to 60-bit ints, then universal-hash families (a·x + b) mod p — so the
+  * DuckDB oracle can reproduce every signature bit-for-bit.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val P = 1000000007L
+  /** Universal-hash coefficients for the k=8 MinHash family. */
+  private val As = Array(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private val Bs = Array(1L, 12346L, 24691L, 37036L, 49381L, 61726L, 74071L, 86416L)
+
+  /** 60-bit integer from the md5 of a string — the cross-engine shingle
+    * hash primitive. Spark: conv(hex,16,10); DuckDB: '0x…'::BIGINT. */
+  private def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  private def hex60Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Word 3-gram shingles from the canonical token array. */
+  private def shingles(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(toks) // degenerate short docs: unigram shingles
+  }
+  private val shinglesSql: String =
+    s"""CASE WHEN len(${TextOps.tokensSql}) >= 3
+       | THEN list_transform(range(1, len(${TextOps.tokensSql}) - 1), i ->
+       |   concat_ws(' ', ${TextOps.tokensSql}[i], ${TextOps.tokensSql}[i+1], ${TextOps.tokensSql}[i+2]))
+       | ELSE ${TextOps.tokensSql} END""".stripMargin.replace("\n", "")
+
+  /** doc_id + the 8 MinHash values, as columns mh0..mh7. */
+  private def minhashDf(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hs = transform(shingles(col("text")), sh => pmod(hex60(sh), lit(P)))
+    val withH = d.select(col("doc_id"), hs.as("hs"))
+    val mhCols = As.indices.map { k =>
+      coalesce(
+        array_min(transform(col("hs"), h =>
+          pmod(h * As(k) + Bs(k), lit(P)))),
+        lit(-1L)).as(s"mh$k")
+    }
+    withH.select(col("doc_id") +: mhCols: _*)
+  }
+  private def minhashSqlCols: String =
+    As.indices.map { k =>
+      s"coalesce(list_min(list_transform(hs, h -> (h * ${As(k)} + ${Bs(k)}) % $P)), -1) AS mh$k"
+    }.mkString(",\n  ")
+  private val minhashBaseSql =
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($shinglesSql, sh -> ${hex60Sql("sh")} % $P) AS hs
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id,
+       |  $minhashSqlCols
+       |  FROM hashed)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // n01 — MinHash signatures (k=8): per-row array math only.
+  // ---------------------------------------------------------------------
+  private def n01(s: SparkSession, dir: String): DataFrame =
+    minhashDf(s, dir).orderBy(col("doc_id"))
+  private val n01Sql =
+    s"""$minhashBaseSql
+       |SELECT * FROM sigs ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // n02 — LSH candidate pairs: 4 bands × 2 rows. Docs sharing any full
+  // band collide; pairs are generated inside buckets only (self-join on
+  // (band_id, band_key) → shuffle on the band key, never a cross join).
+  // ---------------------------------------------------------------------
+  private def n02(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashDf(s, dir)
+    val bands = (0 until 4).map { b =>
+      sig.select(
+        col("doc_id"),
+        lit(b).as("band_id"),
+        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = bands.as("a"); val bb = bands.as("b")
+    a.join(bb,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val n02Sql = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_id, concat_ws(':', mh${2 * b}, mh${2 * b + 1}) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$minhashBaseSql,
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_id = b.band_id AND a.band_key = b.band_key
+       | AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // n03 — SimHash (16-bit): per-token 16-bit hashes; signed bit votes;
+  // sign vector → fingerprint. Folded entirely in array expressions —
+  // per-row work, no explode, no shuffle.
+  // ---------------------------------------------------------------------
+  private def n03(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hs = transform(TextOps.tokens(col("text")), tk =>
+      conv(substring(md5(tk), 1, 4), 16, 10).cast(LongType))
+    val withH = d.select(col("doc_id"), hs.as("hs"))
+    val fp = aggregate(
+      transform(sequence(lit(0), lit(15)), i =>
+        when(
+          aggregate(col("hs"), lit(0L), (acc, h) =>
+            acc + when(
+              call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L))
+            > 0L,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    withH.select(col("doc_id"), fp.as("simhash"),
+        size(col("hs")).cast(LongType).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  private val n03Sql =
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(${TextOps.tokensSql}, tk ->
+       |      CAST(concat('0x', substr(md5(tk), 1, 4)) AS BIGINT)) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(range(0, 16), i ->
+       |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+       |           CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0) AS BIGINT) AS simhash,
+       |  CAST(len(hs) AS BIGINT) AS n_tokens
+       |FROM hashed
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // n04 — n-gram Jaccard similarity under blocking: distinct-token sets,
+  // intersection via equi-join inside the `source` block, |A∪B| by
+  // inclusion-exclusion. Blocking bounds the pair space; the join
+  // shuffles on (source, token) — no cross join anywhere.
+  // ---------------------------------------------------------------------
+  private def n04(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), col("source"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val counts = toks.groupBy(col("doc_id").as("cnt_doc"))
+      .agg(count(lit(1)).as("n_toks"))
+    val a = toks.as("a"); val b = toks.as("b")
+    val inter = a.join(b,
+        col("a.source") === col("b.source") &&
+        col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.cnt_doc"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.cnt_doc"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("ca.n_toks") + col("cb.n_toks") - col("n_common")))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val n04Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(list_distinct(${TextOps.tokensSql})) AS token
+       |  FROM documents),
+       |counts AS (
+       |  SELECT doc_id AS cnt_doc, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM toks a JOIN toks b
+       |    ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) AS jaccard
+       |FROM inter
+       |JOIN counts ca ON doc_a = ca.cnt_doc
+       |JOIN counts cb ON doc_b = cb.cnt_doc
+       |WHERE CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("n01_minhash_signatures", n01, Some(n01Sql), headline = true),
+    QueryDef("n02_minhash_lsh_pairs", n02, Some(n02Sql), headline = true),
+    QueryDef("n03_simhash", n03, Some(n03Sql)),
+    QueryDef("n04_ngram_jaccard", n04, Some(n04Sql)))
+}

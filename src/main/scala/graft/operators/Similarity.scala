@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Determinism across engines: every dot product is an explicit
+  * left-to-right fold over DOUBLE-cast elements (zip_with + aggregate in
+  * Spark, list_transform + list_sum in DuckDB), so both engines run the
+  * same IEEE-754 operations in the same order → bit-identical results.
+  *
+  * Scale design: brute-force top-k broadcasts the (tiny) query set and
+  * keeps per-partition top-k before the final merge (window over a
+  * shuffle on query id). The near-dup variant blocks on `label` (an
+  * IVF-style coarse partition) so the pair space is bounded per bucket
+  * rather than O(n²).
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Explicit l2r fold dot product of two float-array columns, in DOUBLE. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm via the same fold. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
+  private def dotS(a: String, b: String): String = dotSql.format(a, a, b)
+  private def normS(a: String): String = s"sqrt(${dotS(a, a)})"
+
+  // ---------------------------------------------------------------------
+  // v01 — brute-force cosine top-k: queries = vec_id < 5, candidates =
+  // everything else. The query side is broadcast; per-candidate work is
+  // one fused codegen'd array fold; ranking is a window over the query id.
+  // This is the correctness baseline ANN; v02/n-LSH is the scale path.
+  // ---------------------------------------------------------------------
+  private def v01(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val sim = (dot(col("q_emb"), col("c_emb"))
+      / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine")
+    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), sim)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine_r"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v01Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+       |scored AS (
+       |  SELECT q_id, c_id,
+       |    ${dotS("q_emb", "c_emb")} / (${normS("q_emb")} * ${normS("c_emb")}) AS cosine
+       |  FROM q JOIN c ON q_id <> c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, c_id, round(cosine, 6) AS cosine_r, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v02 — embedding near-duplicate pairs with label blocking (IVF-style
+  // coarse quantization: `label` plays the role of the cluster id): pairs
+  // are generated inside blocks only → shuffle on label, never cross join.
+  // ---------------------------------------------------------------------
+  private def v02(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b,
+        col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        (dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .where(col("cosine") >= 0.25)
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+  private val v02Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, ${normS("embedding")} AS nrm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |  round(${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine_r
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v03 — random-hyperplane LSH bucketing (the ANN scale path): 8 sign
+  // bits from pseudo-random hyperplanes derived from md5 of the dimension
+  // index (deterministic, engine-agnostic), giving a 256-bucket index.
+  // Output: bucket histogram — the index-build step of LSH-ANN. Probing a
+  // query = compute its 8 bits and scan only that bucket (see v01 for the
+  // in-bucket scoring shape).
+  // ---------------------------------------------------------------------
+  private def v03(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // hyperplane h (0..7), dim d (0..63): weight = ±1 from md5("h:d")
+    def planeSign(h: Int): Column = {
+      val prods = transform(sequence(lit(0), lit(63)), d =>
+        when(
+          pmod(conv(substring(md5(concat_ws(":", lit(h), d)), 1, 4), 16, 10)
+            .cast(LongType), lit(2L)) === 1L,
+          element_at(col("embedding"), d + 1).cast(DoubleType))
+        .otherwise(-element_at(col("embedding"), d + 1).cast(DoubleType)))
+      when(aggregate(prods, lit(0.0), (acc, x) => acc + x) > 0.0, 1L)
+        .otherwise(0L)
+    }
+    val bucket = (0 until 8).map(h => planeSign(h) * (1L << h))
+      .reduce(_ + _)
+    e.select(col("vec_id"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("bucket"))
+  }
+  private val v03Sql = {
+    def planeSignSql(h: Int): String =
+      s"""CASE WHEN coalesce(list_sum(list_transform(range(0, 64), d ->
+         |  CASE WHEN CAST(concat('0x', substr(md5(concat_ws(':', '$h', d)), 1, 4)) AS BIGINT) % 2 = 1
+         |       THEN CAST(embedding[d + 1] AS DOUBLE)
+         |       ELSE -CAST(embedding[d + 1] AS DOUBLE) END)), 0) > 0
+         | THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", "")
+    val bucketExpr = (0 until 8).map(h => s"(${planeSignSql(h)} * ${1L << h})")
+      .mkString(" + ")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings)
+       |SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+       |FROM bucketed
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
+    QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
+    QueryDef("v03_lsh_buckets", v03, Some(v03Sql)))
+}

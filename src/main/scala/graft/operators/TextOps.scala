@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * over the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All operators are pure codegen'd expression trees (functions._ +
+  * higher-order array functions) — no UDFs, no driver loops — so they
+  * stay inside WholeStageCodegen and scale linearly with input splits:
+  * per-row work only, zero shuffles except where a group-by is the
+  * semantics (exact dedup).
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Canonical tokenizer shared by every text operator (and mirrored in
+    * each DuckDB oracle): lowercase, split on non-alphanumeric runs,
+    * drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), tk => tk =!= "")
+
+  /** SQL form of [[tokens]] for the DuckDB oracles. */
+  val tokensSql: String =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), tk -> tk <> '')"
+
+  // ---------------------------------------------------------------------
+  // d01 — exact deduplication: hash-groupBy on a content digest; keeper =
+  // min doc_id per group. md5 is identical across engines. Scale: the
+  // shuffle carries (digest, doc_id) pairs only — 48 bytes/row no matter
+  // how wide the documents are; partial agg collapses per-map duplicates.
+  // ---------------------------------------------------------------------
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_doc_id"))
+  private val d01Sql =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keeper_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d02 — per-document text statistics: token counting (whitespace-class
+  // split), distinct-token counts, character/punctuation ratios — the
+  // quality-scoring raw features. Everything per-row → embarrassingly
+  // parallel at 100 TB.
+  // ---------------------------------------------------------------------
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    d.select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_actual"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct_tokens"),
+        aggregate(toks, lit(0L), (acc, tk) => acc + length(tk))
+          .as("sum_token_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", "")))
+          .cast(LongType).as("n_punct"))
+      .orderBy(col("doc_id"))
+  }
+  private val d02Sql =
+    s"""SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+      |  CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct($tokensSql)) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(coalesce(list_sum(list_transform($tokensSql, tk -> CAST(length(tk) AS BIGINT))), 0) AS BIGINT) AS sum_token_len,
+      |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d03 — quality scoring: a composite 0..1-ish quality signal from the
+  // d02 raw features (length band, type-token ratio, mean token length
+  // band) — the classic pre-training corpus filter shape. Ratios are
+  // exact integer arithmetic divided once at the end in DOUBLE, so both
+  // engines agree bitwise.
+  // ---------------------------------------------------------------------
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val base = d.select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("nc"),
+      size(toks).cast(LongType).as("nt"),
+      size(array_distinct(toks)).cast(LongType).as("ndt"),
+      aggregate(toks, lit(0L), (acc, tk) => acc + length(tk)).as("stl"))
+    base.select(
+        col("doc_id"),
+        (col("ndt").cast(DoubleType) / greatest(col("nt"), lit(1L)))
+          .as("type_token_ratio"),
+        (col("stl").cast(DoubleType) / greatest(col("nt"), lit(1L)))
+          .as("mean_token_len"),
+        when(col("nc").between(100L, 400L), 1L).otherwise(0L)
+          .as("len_ok"),
+        when(col("nt") >= 20L, 1L).otherwise(0L).as("tokens_ok"))
+      .withColumn("quality_score",
+        (col("len_ok") + col("tokens_ok")
+          + when(col("type_token_ratio") >= 0.3, 1L).otherwise(0L))
+          .cast(DoubleType) / 3.0)
+      .orderBy(col("doc_id"))
+  }
+  private val d03Sql =
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(len($tokensSql) AS BIGINT) AS nt,
+      |    CAST(len(list_distinct($tokensSql)) AS BIGINT) AS ndt,
+      |    CAST(coalesce(list_sum(list_transform($tokensSql, tk -> CAST(length(tk) AS BIGINT))), 0) AS BIGINT) AS stl
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |    CAST(ndt AS DOUBLE) / greatest(nt, 1) AS type_token_ratio,
+      |    CAST(stl AS DOUBLE) / greatest(nt, 1) AS mean_token_len,
+      |    CASE WHEN nc BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS len_ok,
+      |    CASE WHEN nt >= 20 THEN 1 ELSE 0 END AS tokens_ok
+      |  FROM base)
+      |SELECT doc_id, type_token_ratio, mean_token_len,
+      |  CAST(len_ok AS BIGINT) AS len_ok, CAST(tokens_ok AS BIGINT) AS tokens_ok,
+      |  CAST(len_ok + tokens_ok + (CASE WHEN type_token_ratio >= 0.3 THEN 1 ELSE 0 END) AS DOUBLE) / 3.0 AS quality_score
+      |FROM feat
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d04 — language identification: marker-word n-gram heuristic. Votes =
+  // occurrences of per-language function words; argmax with a fixed
+  // precedence (en > de > fr > es > zh) for determinism. regexp_count is
+  // codegen'd; per-row only.
+  // ---------------------------------------------------------------------
+  private def d04(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def score(pat: String): Column =
+      regexp_count(padded, lit(pat)).cast(LongType)
+    val sEn = score(" (the|and|of|is) ")
+    val sDe = score(" (der|die|und|ist) ")
+    val sFr = score(" (le|la|et|est) ")
+    val sEs = score(" (el|los|y|es) ")
+    val sZh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+      .cast(LongType)
+    d.select(col("doc_id"), col("lang"),
+        sEn.as("score_en"), sDe.as("score_de"), sFr.as("score_fr"),
+        sEs.as("score_es"), sZh.as("score_zh"))
+      .withColumn("predicted_lang",
+        when(col("score_zh") > greatest(col("score_en"), col("score_de"),
+          col("score_fr"), col("score_es")), "zh")
+        .when(col("score_en") >= greatest(col("score_de"), col("score_fr"),
+          col("score_es")), "en")
+        .when(col("score_de") >= greatest(col("score_fr"), col("score_es")), "de")
+        .when(col("score_fr") >= col("score_es"), "fr")
+        .otherwise("es"))
+      .withColumn("is_match",
+        (col("predicted_lang") === col("lang")).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+  private val d04Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(concat(' ', lower(text), ' '), ' (the|and|of|is) ')) AS BIGINT) AS score_en,
+      |    CAST(len(regexp_extract_all(concat(' ', lower(text), ' '), ' (der|die|und|ist) ')) AS BIGINT) AS score_de,
+      |    CAST(len(regexp_extract_all(concat(' ', lower(text), ' '), ' (le|la|et|est) ')) AS BIGINT) AS score_fr,
+      |    CAST(len(regexp_extract_all(concat(' ', lower(text), ' '), ' (el|los|y|es) ')) AS BIGINT) AS score_es,
+      |    CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
+      |  FROM documents)
+      |SELECT doc_id, lang, score_en, score_de, score_fr, score_es, score_zh,
+      |  CASE
+      |    WHEN score_zh > greatest(score_en, score_de, score_fr, score_es) THEN 'zh'
+      |    WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+      |    WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+      |    WHEN score_fr >= score_es THEN 'fr'
+      |    ELSE 'es' END AS predicted_lang,
+      |  CAST(CASE
+      |    WHEN score_zh > greatest(score_en, score_de, score_fr, score_es) THEN 'zh'
+      |    WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+      |    WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+      |    WHEN score_fr >= score_es THEN 'fr'
+      |    ELSE 'es' END = lang AS INT) AS is_match
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d05 — document fingerprinting: position-weighted rolling hash over
+  // the token stream, folded entirely inside array expressions (no
+  // explode → no row blow-up). Pure 64-bit integer math, identical in
+  // both engines.
+  // ---------------------------------------------------------------------
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val terms = transform(tokens(col("text")), (tk, i) =>
+      (ascii(tk).cast(LongType) * 31L + length(tk).cast(LongType))
+        * (pmod(i.cast(LongType), lit(13L)) + 1L))
+    d.select(
+        col("doc_id"),
+        pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+  private val d05Sql =
+    s"""SELECT doc_id,
+      |  CAST(coalesce(list_sum(list_transform($tokensSql,
+      |    (tk, i) -> (CAST(ascii(tk) AS BIGINT) * 31 + CAST(length(tk) AS BIGINT))
+      |               * (((i - 1) % 13) + 1))), 0) % 1000000007 AS BIGINT) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
+    QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
+    QueryDef("d03_quality_score", d03, Some(d03Sql)),
+    QueryDef("d04_lang_id", d04, Some(d04Sql)),
+    QueryDef("d05_fingerprint", d05, Some(d05Sql)))
+}

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Parquet star-schema loader for the driver-generated testdata
+  * (TESTDATA.md). Mirrors the reference's catalog-scan entry points
+  * (ref: etl_jobs/glue_master_etl.py:100-103, 204-207) — but Spark-native:
+  * `spark.read.parquet` with schema from the footer, registered as temp
+  * views so both the DataFrame and SQL surfaces see the same tables.
+  *
+  * Scale note: parquet scans are splittable; at 100 TB the same call
+  * parallelizes across executors with partition pruning + column pruning
+  * for free. Never infer CSV schemas at scale — parquet footers carry them.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+      // default; read it as raw nanos and convert with integer division
+      // (a double round-trip would lose precision on 63-bit nano values).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view named after itself. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

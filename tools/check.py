@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against DuckDB executing SparkEntry.oracleSql on the same parquet tables,
+compare row count, schema (column names), and value hashes.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def frame_sig(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    srows = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.md5()
+    for r in srows:
+        h.update(("|".join(r) + "\n").encode())
+    return sorted_cols, len(rows), h.hexdigest()
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        pdir = os.path.join(out_dir, name)
+        if not glob.glob(pdir + "/*.parquet"):
+            print(f"FAIL {name}: no spark output at {pdir}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
+            g_cols = [d[0] for d in got.description]
+            g_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: reading spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql)
+            w_cols = [d[0] for d in want.description]
+            w_rows = want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        gc, gn, gh = frame_sig(g_cols, g_rows)
+        wc, wn, wh = frame_sig(w_cols, w_rows)
+        if gc != wc:
+            print(f"FAIL {name}: columns differ\n  spark:  {gc}\n  oracle: {wc}")
+            n_fail += 1
+        elif gn != wn:
+            print(f"FAIL {name}: rows {gn} vs oracle {wn}")
+            n_fail += 1
+        elif gh != wh:
+            print(f"FAIL {name}: hash mismatch ({gn} rows)")
+            # show first differing row for debugging
+            order = sorted(range(len(g_cols)), key=lambda i: g_cols[i])
+            gs = sorted(tuple(canon(r[i]) for i in order) for r in g_rows)
+            ws = sorted(tuple(canon(r[i]) for i in order) for r in w_rows)
+            for a, b in zip(gs, ws):
+                if a != b:
+                    print(f"  spark:  {a}\n  oracle: {b}")
+                    break
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({gn} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+main()

@@ -34,6 +34,20 @@ object Parity {
     c.cast(DecimalType(18, scale))
   private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
+  /** SUM of a product of two scale-4 decimals, reduced back to scale 4
+    * before the DOUBLE cast. The raw sum has scale 8, and once its
+    * unscaled value exceeds 2^53 the DECIMAL→DOUBLE conversion is no
+    * longer guaranteed bit-identical across engines (DuckDB computes
+    * unscaled/10^8 in floating point). Source prices/discounts carry 2
+    * decimal digits, so their scale-4 casts are exact and the scale-8
+    * product's last 4 digits are always 0 — the scale-4 reduction is
+    * lossless, and the unscaled value stays under 2^53 well past 100 TB
+    * aggregate totals (~9·10^11 at scale 4). */
+  private def dsumProd(a: Column, b: Column): Column =
+    sum(dec(a) * dec(b)).cast(DecimalType(28, 4)).cast(DoubleType)
+  private def dsumProdSql(a: String, b: String): String =
+    s"CAST(CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)"
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -50,8 +64,8 @@ object Parity {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
-          .cast(DoubleType).as("sum_disc_price"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("sum_disc_price"),
         (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
           .as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -62,7 +76,7 @@ object Parity {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
@@ -240,15 +254,15 @@ object Parity {
         year(col("o_orderdate")).as("year"),
         month(col("o_orderdate")).as("month"))
       .agg(
-        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
-          .cast(DoubleType).as("total_sales"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("total_sales"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy(col("year"), col("month"))
   }
   private val q06Sql =
     """SELECT CAST(year(o_orderdate) AS INT) AS year,
       |  CAST(month(o_orderdate) AS INT) AS month,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_sales,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS total_sales,
       |  COUNT(DISTINCT o_orderkey) AS n_orders
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2
@@ -271,14 +285,14 @@ object Parity {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(
-        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
-          .cast(DoubleType).as("total_revenue"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("total_revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy(col("region"), col("nation"))
   }
   private val q07Sql =
     """SELECT r_name AS region, n_name AS nation,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS total_revenue,
       |  COUNT(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -291,7 +305,11 @@ object Parity {
   // ---------------------------------------------------------------------
   // q08 — B3 "Schedule Adherence %" (report pp.17-18): ratio measure —
   // share of lineitems shipped within 60 days of order date, by priority.
-  // avg(CASE) expressed as exact SUM/COUNT so both engines agree bitwise.
+  // The ratio is surfaced as exact parts-per-million via 64-bit integer
+  // division (never a raw DOUBLE): a float ratio column is hostage to
+  // each engine's division + the harness's float canonicalization (the
+  // round-1 q08 hash miss), while integer math is bit-identical by
+  // construction. Consumers recover the float as adherence_ppm / 1e6.
   // ---------------------------------------------------------------------
   private def q08(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
@@ -301,18 +319,21 @@ object Parity {
           .otherwise(0L))
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(
-        (sum(col("on_time")).cast(DoubleType) / count(lit(1))).as("adherence"),
         sum(col("on_time")).as("n_on_time"),
         count(lit(1)).as("n_total"))
+      .withColumn("adherence_ppm",
+        expr("(n_on_time * 1000000) div n_total"))
       .orderBy(col("priority"))
   }
   private val q08Sql =
-    """SELECT o_orderpriority AS priority,
-      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS adherence,
-      |  SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS n_on_time,
-      |  COUNT(*) AS n_total
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |GROUP BY 1
+    """SELECT priority, n_on_time, n_total,
+      |  (n_on_time * 1000000) // n_total AS adherence_ppm
+      |FROM (
+      |  SELECT o_orderpriority AS priority,
+      |    SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS n_on_time,
+      |    COUNT(*) AS n_total
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1)
       |ORDER BY priority""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -123,9 +123,12 @@ object Similarity {
   // ---------------------------------------------------------------------
   private def v03(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // hyperplane h (0..7), dim d (0..63): weight = ±1 from md5("h:d")
+    // hyperplane h (0..7), dim d (0..dim-1): weight = ±1 from md5("h:d").
+    // Iterates the vector's ACTUAL size — a hardcoded dim would turn any
+    // shorter embedding into element_at NULLs that poison Spark's fold to
+    // NULL while DuckDB's list_sum skips NULLs (silent bucket skew).
     def planeSign(h: Int): Column = {
-      val prods = transform(sequence(lit(0), lit(63)), d =>
+      val prods = transform(sequence(lit(0), size(col("embedding")) - 1), d =>
         when(
           pmod(conv(substring(md5(concat_ws(":", lit(h), d)), 1, 4), 16, 10)
             .cast(LongType), lit(2L)) === 1L,
@@ -143,7 +146,7 @@ object Similarity {
   }
   private val v03Sql = {
     def planeSignSql(h: Int): String =
-      s"""CASE WHEN coalesce(list_sum(list_transform(range(0, 64), d ->
+      s"""CASE WHEN coalesce(list_sum(list_transform(range(0, len(embedding)), d ->
          |  CASE WHEN CAST(concat('0x', substr(md5(concat_ws(':', '$h', d)), 1, 4)) AS BIGINT) % 2 = 1
          |       THEN CAST(embedding[d + 1] AS DOUBLE)
          |       ELSE -CAST(embedding[d + 1] AS DOUBLE) END)), 0) > 0

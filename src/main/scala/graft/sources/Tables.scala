@@ -18,12 +18,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session configs every graft entry point must set at build time
+    * (Verify / Bench / test fixtures do). nanosAsLong: events.ts is
+    * parquet TIMESTAMP(NANOS), which Spark 4 rejects by default; we read
+    * it as raw nanos and convert with integer division (a double
+    * round-trip would lose precision on 63-bit nano values). */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default; read it as raw nanos and convert with integer division
-      // (a double round-trip would lose precision on 63-bit nano values).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Defensive idempotent set for sessions not built through our entry
+      // points (e.g. a driver-owned session calling SparkEntry.queries):
+      // value is constant, so this can never make behavior order-dependent.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -1,9 +1,11 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.MinHashSig
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
 /** Near-duplicate detection for a training-data pipeline: MinHash + LSH,
@@ -31,39 +33,41 @@ object Dedup {
   private val Bs = Array(1L, 12346L, 24691L, 37036L, 49381L, 61726L, 74071L, 86416L)
 
   /** 60-bit integer from the md5 of a string — the cross-engine shingle
-    * hash primitive. Spark: conv(hex,16,10); DuckDB: '0x…'::BIGINT. */
-  private def hex60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    * hash primitive mirrored by [[graft.functions.MinHashSig]].
+    * DuckDB side: '0x…'::BIGINT of the first 15 md5 hex chars. */
   private def hex60Sql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
 
-  /** Word 3-gram shingles from the canonical token array. */
-  private def shingles(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(toks) // degenerate short docs: unigram shingles
-  }
+  /** Word 3-gram shingles (DuckDB oracle side). */
   private val shinglesSql: String =
     s"""CASE WHEN len(${TextOps.tokensSql}) >= 3
        | THEN list_transform(range(1, len(${TextOps.tokensSql}) - 1), i ->
        |   concat_ws(' ', ${TextOps.tokensSql}[i], ${TextOps.tokensSql}[i+1], ${TextOps.tokensSql}[i+2]))
        | ELSE ${TextOps.tokensSql} END""".stripMargin.replace("\n", "")
 
-  /** doc_id + the 8 MinHash values, as columns mh0..mh7. */
+  /** doc_id + the 8 MinHash values, as columns mh0..mh7.
+    *
+    * Evaluation shape matters here: tokens and shingles are materialized
+    * as their own projection steps so each array is built once per row —
+    * inlining them would make every `element_at(toks, i)` inside the
+    * (interpreted, CodegenFallback) shingle lambda re-run the regex
+    * tokenizer, turning the row cost quadratic in token count (the
+    * round-1 20s-at-sf0.1 pathology). The signature itself is one pass
+    * via the custom [[graft.functions.MinHashSig]] expression. */
   private def minhashDf(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val hs = transform(shingles(col("text")), sh => pmod(hex60(sh), lit(P)))
-    val withH = d.select(col("doc_id"), hs.as("hs"))
-    val mhCols = As.indices.map { k =>
-      coalesce(
-        array_min(transform(col("hs"), h =>
-          pmod(h * As(k) + Bs(k), lit(P)))),
-        lit(-1L)).as(s"mh$k")
-    }
-    withH.select(col("doc_id") +: mhCols: _*)
+    val toksDf = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val sh = when(size(col("toks")) >= 3,
+      transform(sequence(lit(1), size(col("toks")) - 2), i =>
+        concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))))
+      .otherwise(col("toks")) // degenerate short docs: unigram shingles
+    val shDf = toksDf.select(col("doc_id"), sh.as("sh"))
+    val sigDf = shDf.select(col("doc_id"),
+      Bridge.column(MinHashSig(Bridge.expression(col("sh")), As, Bs, P)).as("sig"))
+    val mhCols = As.indices.map(k => element_at(col("sig"), k + 1).as(s"mh$k"))
+    sigDf.select(col("doc_id") +: mhCols: _*)
   }
   private def minhashSqlCols: String =
     As.indices.map { k =>
@@ -90,23 +94,35 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // n02 — LSH candidate pairs: 4 bands × 2 rows. Docs sharing any full
-  // band collide; pairs are generated inside buckets only (self-join on
-  // (band_id, band_key) → shuffle on the band key, never a cross join).
+  // band collide. One signature computation feeds everything: bands are
+  // EXPLODED from the signature row (not 4 union branches — a union of
+  // selects over the sig plan re-computes the signatures per branch, and
+  // a self-join doubles that again: 8× at round 1). Pairs are generated
+  // inside each bucket from a sorted collect_list — a single shuffle on
+  // (band_id, band_key), no self-join, no O(n²) pair space. Scale
+  // caveat: candidate pairs are inherently quadratic in bucket size;
+  // at 100 TB a per-bucket cap (drop or salt buckets past ~10⁴ members,
+  // they are near-certain duplicates anyway) bounds the explode.
   // ---------------------------------------------------------------------
   private def n02(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashDf(s, dir)
-    val bands = (0 until 4).map { b =>
-      sig.select(
-        col("doc_id"),
+    val bandStructs = array((0 until 4).map { b =>
+      struct(
         lit(b).as("band_id"),
         concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
-    }.reduce(_ unionByName _)
-    val a = bands.as("a"); val bb = bands.as("b")
-    a.join(bb,
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), explode(bandStructs).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val buckets = bands
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the similarity-search family (v01-v03) on sf0.001. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = SharedSpark.sf0001
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("v01 top-k: 10 ranked neighbors per query, cosine in [-1,1] descending") {
+    val rows = run("v01_cosine_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 10)
+      val ordered = rs.sortBy(_.getAs[Long]("rk"))
+      val cosines = ordered.map(_.getAs[Double]("cosine_r"))
+      assert(cosines.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      // never returns the query itself
+      assert(ordered.forall(r => r.getAs[Long]("c_id") != r.getAs[Long]("q_id")))
+    }
+  }
+
+  test("v02 near-dup pairs stay within their label block, above threshold") {
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val pairs = run("v02_embedding_neardup")
+    assert(pairs.where(col("cosine_r") < 0.25).count() == 0)
+    val mismatch = pairs
+      .join(e.toDF("vec_a", "label_a"), Seq("vec_a"))
+      .join(e.toDF("vec_b", "label_b"), Seq("vec_b"))
+      .where(col("label_a") =!= col("label_b") || col("label") =!= col("label_a"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("v03 buckets: 8-bit ids, vector counts total to table size") {
+    val df = run("v03_lsh_buckets")
+    assert(df.where(col("bucket") < 0 || col("bucket") > 255).count() == 0)
+    val total = df.agg(sum("n_vectors")).head.getLong(0)
+    val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    assert(total == n)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The declared-but-never-built streaming surface (SURVEY §2.9), proven
+  * end-to-end: the SAME windowedCounts transform runs in batch and under
+  * Structured Streaming, and both produce identical aggregates once the
+  * stream drains — the batch/stream parity Structured Streaming promises. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  /** events re-encoded to micros timestamps in a temp dir (the raw table
+    * is TIMESTAMP(NANOS), which the file stream source schema can't
+    * request directly). */
+  private lazy val stagedDir: String = {
+    val tmp = Files.createTempDirectory("graft-events").toFile
+    tmp.deleteOnExit()
+    val dir = tmp.getAbsolutePath
+    Tables.load(spark, SharedSpark.sf0001, "events")
+      .repartition(3) // several files → several micro-batches
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowedCounts: streaming result equals the batch result") {
+    val batch = EventStreams.windowedCounts(
+      spark.read.parquet(stagedDir), watermark = false)
+
+    val stream = EventStreams.windowedCounts(
+      EventStreams.readEventStream(spark, stagedDir), watermark = true)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val got = spark.table("win_counts")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val want = batch
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("highValueAlerts: stream-static join enriches without dropping alerts") {
+    val users = spark.range(0, 1000).select(
+      col("id").as("user_id"), concat(lit("user_"), col("id")).as("user_name"))
+    val events = spark.read.parquet(stagedDir)
+    val alerts = EventStreams.highValueAlerts(events, users)
+    val expected = events.where(col("value") > 100.0).count()
+    assert(alerts.count() == expected) // left join preserves every alert
+    assert(alerts.columns.contains("user_name"))
+  }
+}

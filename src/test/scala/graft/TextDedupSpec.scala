@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the text-analysis (d01-d05) and near-dup (n01-n04)
+  * operator families on sf0.001. */
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = SharedSpark.sf0001
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+  private def docs = graft.sources.Tables.load(spark, dir, "documents")
+
+  test("tokenizer: lowercases, splits on non-alphanumeric runs, drops empties") {
+    import spark.implicits._
+    val got = Seq("Hello, World!  42x ", "", "--- ---")
+      .toDF("text")
+      .select(graft.operators.TextOps.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("hello", "world", "42x"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("d01 exact dedup: copies partition the corpus, keeper is min doc_id") {
+    val df = run("d01_dedup_exact")
+    assert(df.agg(sum("n_copies")).head.getLong(0) == docs.count())
+    // keeper must be one of the docs carrying that hash
+    val joined = df.join(
+      docs.select(md5(col("text")).as("text_hash"), col("doc_id")),
+      Seq("text_hash"))
+      .groupBy(col("text_hash"), col("keeper_doc_id"))
+      .agg(min(col("doc_id")).as("true_min"))
+      .where(col("keeper_doc_id") =!= col("true_min"))
+    assert(joined.count() == 0)
+  }
+
+  test("d03 quality score bounded in [0,1] with thirds granularity") {
+    val scores = run("d03_quality_score").select("quality_score")
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores.forall(s => Set(0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0).exists(v => math.abs(v - s) < 1e-12)))
+  }
+
+  test("d04 predicted_lang is one of the supported languages") {
+    val langs = run("d04_lang_id").select("predicted_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
+  }
+
+  test("d05 fingerprint is deterministic across executions") {
+    val a = run("d05_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = run("d05_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("n01 signatures: one row per doc, values in [0, P) or -1") {
+    val df = run("n01_minhash_signatures")
+    assert(df.count() == docs.count())
+    val mhCols = (0 until 8).map(k => col(s"mh$k"))
+    val bad = df.where(mhCols.map(c =>
+      !(c === -1L || (c >= 0L && c < 1000000007L))).reduce(_ || _))
+    assert(bad.count() == 0)
+  }
+
+  test("n02 LSH pairs: ordered, distinct, and actually share a band") {
+    val pairs = run("n02_minhash_lsh_pairs")
+    assert(pairs.where(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(pairs.count() == pairs.distinct().count())
+    // every pair shares at least one full band of the signature
+    val sig = run("n01_minhash_signatures")
+    val withSigs = pairs
+      .join(sig.toDF(sig.columns.map(c => s"a_$c"): _*), col("doc_a") === col("a_doc_id"))
+      .join(sig.toDF(sig.columns.map(c => s"b_$c"): _*), col("doc_b") === col("b_doc_id"))
+    val shares = (0 until 4).map(b =>
+      col(s"a_mh${2 * b}") === col(s"b_mh${2 * b}") &&
+      col(s"a_mh${2 * b + 1}") === col(s"b_mh${2 * b + 1}")).reduce(_ || _)
+    assert(withSigs.where(!shares).count() == 0)
+  }
+
+  test("n03 simhash fits in 16 bits") {
+    val bad = run("n03_simhash")
+      .where(col("simhash") < 0L || col("simhash") >= 65536L)
+    assert(bad.count() == 0)
+  }
+
+  test("n04 jaccard in [0.5, 1] with symmetric-free ordering") {
+    val df = run("n04_ngram_jaccard")
+    assert(df.where(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
+    assert(df.where(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The query inventory aggregates every operator family:
   *  - [[operators.Parity]]     q01-q17: reference-parity surface (SURVEY §2)
+  *  - [[operators.Warehouse]]  q18-q20: snowflake dims, junk dim, star fact
   *  - [[operators.TextOps]]    d01-d05: exact dedup + text analysis
   *  - [[operators.Dedup]]      n01-n04: MinHash/LSH, SimHash, Jaccard
   *  - [[operators.Similarity]] v01-v03: cosine top-k, near-dup, LSH-ANN
@@ -15,6 +16,7 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     operators.Parity.defs ++
+    operators.Warehouse.defs ++
     operators.TextOps.defs ++
     operators.Dedup.defs ++
     operators.Similarity.defs ++

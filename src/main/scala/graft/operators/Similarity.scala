@@ -163,8 +163,82 @@ object Similarity {
        |ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // v04 — IVF-style ANN: the scale path for similarity search. A coarse
+  // codebook (centroids = vec_id < 8, a deterministic stand-in for
+  // k-means) partitions the corpus by nearest centroid — O(n·k)
+  // broadcast work, one shuffle on cluster id — then each query probes
+  // ONLY its own cluster (~n/k candidates instead of n). At 100 TB this
+  // is the difference between a full-corpus scan per query and a
+  // pruned-partition scan; the assignment doubles as the physical
+  // partitioning key for the vector table.
+  // ---------------------------------------------------------------------
+  private def v04(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cent = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cent_cos",
+        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    val q = assigned.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id").as("q_cent"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    broadcast(q)
+      .join(assigned.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"), col("cent_id")),
+        col("q_cent") === col("cent_id") && col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("cent_id").as("cluster_id"),
+        round(col("cosine"), 6).as("cosine_r"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v04Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+       |  FROM e WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotS("e.embedding", "cent_emb")} / (e.nrm * cent_nrm) DESC,
+       |                 cent.cent_id) AS arn
+       |    FROM e CROSS JOIN cent)
+       |  WHERE arn = 1),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+       |    cent_id AS q_cent
+       |  FROM assigned WHERE vec_id BETWEEN 100 AND 104),
+       |scored AS (
+       |  SELECT q_id, a.vec_id AS c_id, a.cent_id AS cluster_id,
+       |    ${dotS("q_emb", "a.embedding")} / (q_nrm * a.nrm) AS cosine
+       |  FROM q JOIN assigned a
+       |    ON q.q_cent = a.cent_id AND q.q_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cluster_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, c_id, cluster_id, round(cosine, 6) AS cosine_r,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
-    QueryDef("v03_lsh_buckets", v03, Some(v03Sql)))
+    QueryDef("v03_lsh_buckets", v03, Some(v03Sql)),
+    QueryDef("v04_ivf_ann", v04, Some(v04Sql)))
 }

@@ -214,10 +214,45 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d06 — BPE-style token counting: a GPT-2-shaped pre-tokenizer regex
+  // (contractions, letter runs, digit runs, punctuation runs, each with
+  // optional leading space) — the "how many tokens is this corpus"
+  // pipeline primitive. Pattern avoids lookaheads so Java regex (Spark)
+  // and RE2 (DuckDB) agree. Per-row regex scan → embarrassingly
+  // parallel; codegen'd regexp_extract_all/regexp_count.
+  // ---------------------------------------------------------------------
+  private val bpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pieces = regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))
+    d.select(col("doc_id"), pieces.as("pieces"))
+      .select(
+        col("doc_id"),
+        size(col("pieces")).cast(LongType).as("n_bpe_tokens"),
+        size(array_distinct(col("pieces"))).cast(LongType).as("n_distinct_pieces"),
+        aggregate(col("pieces"), lit(0L), (acc, p) => acc + length(p))
+          .as("sum_piece_len"))
+      .orderBy(col("doc_id"))
+  }
+  private val d06Sql =
+    s"""WITH pieced AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(lower(text), '${bpePattern.replace("'", "''")}') AS pieces
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(pieces) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+      |  CAST(coalesce(list_sum(list_transform(pieces, p -> CAST(length(p) AS BIGINT))), 0) AS BIGINT) AS sum_piece_len
+      |FROM pieced
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
     QueryDef("d03_quality_score", d03, Some(d03Sql)),
     QueryDef("d04_lang_id", d04, Some(d04Sql)),
-    QueryDef("d05_fingerprint", d05, Some(d05Sql)))
+    QueryDef("d05_fingerprint", d05, Some(d05Sql)),
+    QueryDef("d06_bpe_token_count", d06, Some(d06Sql)))
 }

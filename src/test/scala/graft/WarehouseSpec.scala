@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Warehouse-build family (q18-q20) + the round-2 additions d06/v04. */
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = SharedSpark.sf0001
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q18 snowflake chain: every part resolves both hierarchy FKs") {
+    val df = run("q18_dim_snowflake_chain")
+    assert(df.where(col("type_sk").isNull || col("seg_sk").isNull).count() == 0)
+    // surrogate keys dense 1..n at each level
+    val typeSks = df.select("type_sk").distinct().collect().map(_.getLong(0)).sorted
+    assert(typeSks.sameElements(1L to typeSks.length))
+    val segSks = df.select("seg_sk").distinct().collect().map(_.getLong(0)).sorted
+    assert(segSks.sameElements(1L to segSks.length))
+    // hierarchy is consistent: a type maps to exactly one segment
+    val fanout = df.groupBy("type_sk")
+      .agg(countDistinct("seg_sk").as("n")).where(col("n") > 1)
+    assert(fanout.count() == 0)
+  }
+
+  test("q19 junk dim: one row per flag combination, urgency derived") {
+    val df = run("q19_junk_dim").collect()
+    assert(df.length == df.map(r => (r.getString(0), r.getString(1))).distinct.length)
+    df.foreach { r =>
+      val want = if (Set("1-URGENT", "2-HIGH").contains(r.getString(1))) 1 else 0
+      assert(r.getInt(2) == want)
+    }
+    assert(df.map(_.getAs[Long]("junk_sk")).sorted.sameElements(1L to df.length))
+  }
+
+  test("q20 fact: grain preserved, every FK resolves") {
+    val df = run("q20_fact_star")
+    val li = graft.sources.Tables.load(spark, dir, "lineitem").count()
+    assert(df.count() == li)
+    // testdata is referentially intact → no NULL FKs after resolution
+    assert(df.where(col("customer_sk").isNull || col("junk_sk").isNull ||
+      col("order_date_key").isNull).count() == 0)
+  }
+
+  test("d06 BPE counting: piece lengths reassemble the trimmed text") {
+    val df = run("d06_bpe_token_count")
+    assert(df.where(col("n_bpe_tokens") <= 0).count() == 0)
+    assert(df.where(col("sum_piece_len") < col("n_bpe_tokens")).count() == 0)
+  }
+
+  test("v04 IVF: neighbors come from the query's own cluster") {
+    val rows = run("v04_ivf_ann").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 5)
+      // one cluster per query
+      assert(rs.map(_.getAs[Long]("cluster_id")).toSet.size == 1)
+      assert(rs.forall(r => r.getAs[Long]("c_id") != r.getAs[Long]("q_id")))
+    }
+  }
+}

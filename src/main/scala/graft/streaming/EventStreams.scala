@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** The reference's declared-but-never-built streaming surface
@@ -52,4 +53,94 @@ object EventStreams {
   def highValueAlerts(events: DataFrame, users: DataFrame): DataFrame =
     events.where(col("value") > 100.0)
       .join(broadcast(users), Seq("user_id"), "left")
+
+  // --------------------------------------------------------------------
+  // Sessionization — gap-based user sessions, two implementations:
+  // the built-in session_window (preferred: Catalyst-planned, merges
+  // overlapping windows in the state store, batch/stream parity for
+  // free) and a flatMapGroupsWithState version (the custom-state escape
+  // hatch for semantics session_window can't express, e.g. value-capped
+  // or event-type-terminated sessions).
+  // --------------------------------------------------------------------
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      last_event: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Open-session accumulator held in the state store between
+    * micro-batches; bounded per key regardless of stream length. */
+  final case class OpenSession(start: Long, last: Long, n: Long, value: Double)
+
+  /** Built-in gap sessionization: identical code path for batch and
+    * streaming (streaming additionally needs a watermark ≥ gap). */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Custom-state gap sessionization via flatMapGroupsWithState.
+    *
+    * Emission contract: CLOSED sessions only — the tail session of each
+    * user stays in the state store (size O(users), bounded) until a
+    * later event closes it or, under streaming with EventTimeTimeout,
+    * the watermark passes start+gap (the hasTimedOut branch). In batch
+    * (NoTimeout) final states are discarded, so each user's last session
+    * is intentionally not emitted — asserted against sessionWindows in
+    * the spec.
+    *
+    * Scale: one shuffle on user_id; per-group work is linear in the
+    * micro-batch's events (sorted per group — bounded by batch size,
+    * not stream history). */
+  def sessionizeStateful(
+      events: Dataset[Event], gapMs: Long,
+      timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+
+    def close(uid: Long, s: OpenSession): UserSession =
+      UserSession(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.n, s.value)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = close(uid, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val evs = it.toArray.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[UserSession]
+            var open = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                // strict <: session_window's end bound [start, last+gap)
+                // is exclusive, so an event at exactly last+gap starts a
+                // new session — mirrored here for batch/stream parity.
+                case Some(s) if t - s.last < gapMs =>
+                  Some(OpenSession(s.start, math.max(s.last, t), s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  out += close(uid, s)
+                  Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              if (timeoutConf == GroupStateTimeout.EventTimeTimeout)
+                state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

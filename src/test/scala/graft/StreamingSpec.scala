@@ -51,6 +51,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("sessionizeStateful emits exactly the closed sessions of session_window") {
+    import spark.implicits._
+    val gap = "2 hours"
+    val gapMs = 2L * 3600 * 1000
+    val events = Tables.load(spark, SharedSpark.sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+
+    val stateful = EventStreams.sessionizeStateful(events, gapMs)
+      .collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.n_events))
+      .toSet
+
+    val windows = EventStreams.sessionWindows(events.toDF(), gap)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[Long]("n_events")))
+    // batch NoTimeout semantics: the tail (latest) session per user stays
+    // in state and is not emitted — drop it from the window-based oracle
+    val lastStartPerUser = windows.groupBy(_._1).map { case (u, ss) =>
+      u -> ss.map(_._2).max
+    }
+    val closedWindows = windows.filter { case (u, start, _) =>
+      start < lastStartPerUser(u)
+    }.toSet
+
+    assert(stateful == closedWindows)
+    assert(stateful.nonEmpty)
+  }
+
   test("highValueAlerts: stream-static join enriches without dropping alerts") {
     val users = spark.range(0, 1000).select(
       col("id").as("user_id"), concat(lit("user_"), col("id")).as("user_name"))

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys — the manual fallback when AQE's skew
+  * splitting isn't enough (extreme single-key hot spots, e.g. a null-ish
+  * default key holding 10% of a 100 TB fact).
+  *
+  * Left (large, skewed) rows get a random salt in [0, n); right (small
+  * but not broadcastable) rows are replicated n× with every salt; the
+  * join key becomes (key, salt), spreading each hot key over n shuffle
+  * partitions. Result equals the plain equi-join (asserted in the spec).
+  *
+  * Prefer, in order: broadcast (if the right side fits), AQE skew join
+  * (spark.sql.adaptive.skewJoin, on by default), then this.
+  */
+object SkewJoin {
+
+  def salted(left: DataFrame, right: DataFrame, key: String, n: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(n > 0)
+    val saltedLeft = left.withColumn("__salt",
+      (rand(seed = 42) * n).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(n - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+}

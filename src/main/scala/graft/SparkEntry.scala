@@ -17,6 +17,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     operators.Parity.defs ++
     operators.Warehouse.defs ++
+    operators.Analytics.defs ++
     operators.TextOps.defs ++
     operators.Dedup.defs ++
     operators.Similarity.defs ++

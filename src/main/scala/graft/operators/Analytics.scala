@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytics operators beyond the reference's literal surface — the
+  * rows SURVEY §2 marks "Absent … built-in": multi-level rollup,
+  * set operations, and an as-of join (the one genuinely-missing-from-
+  * Spark operator shape, composed from existing ops per the
+  * extension-preference order).
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def dsumProd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    sum(a.cast(DecimalType(18, 4)) * b.cast(DecimalType(18, 4)))
+      .cast(DecimalType(28, 4)).cast(DoubleType)
+
+  // ---------------------------------------------------------------------
+  // q21 — ROLLUP revenue over region → nation: subtotals + grand total
+  // in one pass (partial-agg friendly: each grouping set aggregates
+  // map-side before one shuffle). NULL grouping keys sort first on both
+  // engines (Spark ASC default; DuckDB forced NULLS FIRST).
+  // ---------------------------------------------------------------------
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("total_revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("region"), col("nation"))
+  }
+  private val q21Sql =
+    """SELECT r_name AS region, n_name AS nation,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS total_revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q22 — set operations (INTERSECT / EXCEPT, distinct semantics):
+  // customers active in both 1995 and 1996, minus BUILDING-segment
+  // customers. Physically: two shuffles on the compared column with
+  // early distinct — never a row-wise comparison loop.
+  // ---------------------------------------------------------------------
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    def buyers(y: Int) =
+      o.where(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val building = c.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    buyers(1995).intersect(buyers(1996)).except(building)
+      .select(col("o_custkey").as("custkey"))
+      .orderBy(col("custkey"))
+  }
+  private val q22Sql =
+    """SELECT o_custkey AS custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23 — as-of join: enrich each stream event with the user's most
+  // recent order AS OF the event time (Spark has no native as-of; this
+  // composes join + window per the SURVEY §2 extension order). Left
+  // semantics: events without any qualifying order keep NULLs.
+  // Scale path: this join+rank form fans out to |events per user| ×
+  // |orders per user| before ranking; at 100 TB switch to the
+  // union-merge form (tag both sides, sort by (user, time) once, carry
+  // the last order forward with a running window) — same result, one
+  // sort, no fan-out.
+  // ---------------------------------------------------------------------
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    e.join(o,
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("o_orderkey").as("last_orderkey"),
+        to_date(col("o_orderdate")).as("last_orderdate"))
+      .orderBy(col("event_id"))
+  }
+  private val q23Sql =
+    """SELECT event_id, user_id, event_type, last_orderkey, last_orderdate
+      |FROM (
+      |  SELECT e.event_id, e.user_id, e.event_type,
+      |    o.o_orderkey AS last_orderkey,
+      |    CAST(o.o_orderdate AS DATE) AS last_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM events e
+      |  LEFT JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q21_rollup", q21, Some(q21Sql)),
+    QueryDef("q22_set_ops", q22, Some(q22Sql)),
+    QueryDef("q23_asof_join", q23, Some(q23Sql)))
+}

@@ -122,10 +122,11 @@ object EventStreams {
             evs.foreach { e =>
               val t = e.ts.getTime
               open = open match {
-                // strict <: session_window's end bound [start, last+gap)
-                // is exclusive, so an event at exactly last+gap starts a
-                // new session — mirrored here for batch/stream parity.
-                case Some(s) if t - s.last < gapMs =>
+                // inclusive <=: session_window merges sessions whose
+                // ranges touch (next start == previous end = last+gap
+                // still merges) — verified empirically by the fuzz spec
+                // on a timestamp grid that produces exact-gap pairs.
+                case Some(s) if t - s.last <= gapMs =>
                   Some(OpenSession(s.start, math.max(s.last, t), s.n + 1, s.value + e.value))
                 case Some(s) =>
                   out += close(uid, s)

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.{MinHashSig, VecDot}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Fixed-seed randomized parity tests: odd unicode, empty strings,
+  * boundary sizes — inputs the real testdata never produces. One Spark
+  * job per property (a generated batch), not one per sample. */
+class FuzzSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private val P = 1000000007L
+  private val As = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private val Bs = Seq(1L, 12346L, 24691L, 37036L, 49381L, 61726L, 74071L, 86416L)
+
+  test("MinHashSig matches the HOF tree on 500 random shingle arrays") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    def randToken(): String = {
+      val alphabets = Seq("abcxyz", "0189", "äöüßéç", "中文字符", "!?#")
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until (1 + rnd.nextInt(6))).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    val rows = (1 to 500).map { i =>
+      val n = rnd.nextInt(40) // includes empty arrays
+      (i.toLong, (0 until n).map(_ => randToken()))
+    }
+    val df = rows.toDF("id", "sh")
+    val fast = Bridge.column(MinHashSig(Bridge.expression(col("sh")), As, Bs, P))
+    val ref = {
+      val hs = transform(col("sh"), x =>
+        pmod(conv(substring(md5(x), 1, 15), 16, 10).cast(LongType), lit(P)))
+      array(As.indices.map { k =>
+        coalesce(array_min(transform(hs, h => pmod(h * As(k) + Bs(k), lit(P)))), lit(-1L))
+      }: _*)
+    }
+    assert(df.select(fast.as("a"), ref.as("b")).where(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("VecDot matches the HOF fold on 500 random double/float vectors") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val rows = (1 to 500).map { i =>
+      val n = rnd.nextInt(80)
+      val a = (0 until n).map(_ => (rnd.nextDouble() * 2 - 1).toFloat)
+      val b = (0 until n).map(_ => (rnd.nextGaussian() * 100).toFloat)
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val fast = Bridge.column(VecDot(Bridge.expression(col("a")), Bridge.expression(col("b"))))
+    val ref = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    // bitwise: same fold order → no tolerance needed even for NaN-free random data
+    assert(df.select(fast.as("f"), ref.as("r")).where(col("f") =!= col("r")).count() == 0)
+  }
+
+  test("keyed dedup (q04 shape) is idempotent on random duplicated keys") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val rows = (1 to 2000).map { i =>
+      (rnd.nextInt(100).toLong, i.toLong, rnd.nextInt(1000))
+    }
+    val df = rows.toDF("k", "id", "v")
+    import org.apache.spark.sql.expressions.Window
+    def dedup(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("id"))))
+        .where(col("rn") === 1).drop("rn")
+    val once = dedup(df)
+    val twice = dedup(once)
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.count() == df.select("k").distinct().count())
+  }
+
+  test("sessionization session count equals independent gap count") {
+    import spark.implicits._
+    val rnd = new Random(99)
+    val gapMs = 60000L
+    val base = 1700000000000L
+    // deliberate 10s grid → exact-gap pairs occur, pinning the boundary
+    // semantics: session_window merges touching sessions (diff == gap)
+    val events = (1 to 1500).map { i =>
+      val uid = rnd.nextInt(20).toLong
+      val ts = base + rnd.nextInt(20000) * 10000L
+      EventStreams.Event(i.toLong, new java.sql.Timestamp(ts), uid, "e", 1.0)
+    }
+    val totalSessions = EventStreams
+      .sessionWindows(events.toDS().toDF(), "1 minute").count()
+    // independent per-user computation in plain Scala
+    val want = events.groupBy(_.user_id).values.map { es =>
+      val ts = es.map(_.ts.getTime).distinct.sorted
+      1 + ts.zip(ts.tail).count { case (a, b) => b - a > gapMs }
+    }.sum
+    assert(totalSessions == want)
+  }
+}

@@ -32,4 +32,14 @@ object Sink {
     * 100 TB default: prune before you read). */
   def overwritePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Catalog-backed bucketed + sorted table: two tables bucketed the
+    * same way join with ZERO shuffle (no Exchange in the plan — proven
+    * in SourcesSpec). At 100 TB this is the layout for fact↔fact joins
+    * that recur on the same key: pay the partitioning once at write
+    * time, never again at read time. */
+  def saveBucketedTable(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode(SaveMode.Overwrite).saveAsTable(table)
 }

@@ -70,6 +70,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(!plan.contains("order_year=1994")) // no cross-partition file refs
   }
 
+  test("bucketed tables join with zero shuffle") {
+    val o = Tables.load(spark, SharedSpark.sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val li = Tables.load(spark, SharedSpark.sf0001, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Sink.saveBucketedTable(o, "b_orders", "o_orderkey", 4)
+    Sink.saveBucketedTable(li, "b_lineitem", "o_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      val plainCount = o.join(li, Seq("o_orderkey")).count()
+      assert(joined.count() == plainCount)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("salted join equals the plain equi-join") {
     val li = Tables.load(spark, SharedSpark.sf0001, "lineitem")
       .select("l_orderkey", "l_quantity")

@@ -123,8 +123,29 @@ object Analytics {
       |WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q24 — approximate distinct counting (HyperLogLog++): the sketch that
+  // replaces exact COUNT(DISTINCT) at 100 TB — mergeable partial state
+  // of a few KB per group instead of a distinct-shuffle of every key.
+  // No DuckDB oracle (sketch estimates are engine-specific); the driver
+  // records a rows-only check, and the spec bounds the estimate against
+  // the exact count. Emitted alongside the exact count + error ppm so
+  // the query self-documents its accuracy.
+  // ---------------------------------------------------------------------
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .withColumn("err_ppm",
+        expr("abs(approx_customers - exact_customers) * 1000000 div greatest(exact_customers, 1)"))
+      .orderBy(col("priority"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
-    QueryDef("q23_asof_join", q23, Some(q23Sql)))
+    QueryDef("q23_asof_join", q23, Some(q23Sql)),
+    QueryDef("q24_approx_distinct", q24, None))
 }

@@ -248,11 +248,47 @@ object TextOps {
       |FROM pieced
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d07 — stopword ratio: the third leg of classic quality scoring
+  // (length/punctuation covered by d02, type-token by d03). Exact
+  // integer counts divided once in DOUBLE; per-row work only.
+  // ---------------------------------------------------------------------
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "it", "for", "on", "with", "as", "at", "by", "that", "this")
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sw = stopwords.map(lit): Seq[Column]
+    val base = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+    base.select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(filter(col("toks"), tk => tk.isin(sw: _*))).cast(LongType)
+          .as("n_stopwords"))
+      // exact ppm, not a raw double ratio (the round-1 q08 lesson)
+      .withColumn("stopword_ppm",
+        expr("(n_stopwords * 1000000) div greatest(n_tokens, 1)"))
+      .orderBy(col("doc_id"))
+  }
+  private val d07Sql = {
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+      |  SELECT doc_id, $tokensSql AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(toks, tk -> tk IN ($inList))) AS BIGINT) AS n_stopwords,
+      |  (CAST(len(list_filter(toks, tk -> tk IN ($inList))) AS BIGINT) * 1000000)
+      |    // greatest(len(toks), 1) AS stopword_ppm
+      |FROM base
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
     QueryDef("d03_quality_score", d03, Some(d03Sql)),
     QueryDef("d04_lang_id", d04, Some(d04Sql)),
     QueryDef("d05_fingerprint", d05, Some(d05Sql)),
-    QueryDef("d06_bpe_token_count", d06, Some(d06Sql)))
+    QueryDef("d06_bpe_token_count", d06, Some(d06Sql)),
+    QueryDef("d07_stopword_ratio", d07, Some(d07Sql)))
 }

@@ -49,6 +49,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(df.where(col("sum_piece_len") < col("n_bpe_tokens")).count() == 0)
   }
 
+  test("d07 stopword ppm is exact integer math within [0, 1e6]") {
+    run("d07_stopword_ratio").collect().foreach { r =>
+      val ppm = r.getAs[Long]("stopword_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+      assert(ppm == r.getAs[Long]("n_stopwords") * 1000000L /
+        math.max(r.getAs[Long]("n_tokens"), 1L))
+    }
+  }
+
+  test("q24 HLL estimate lands within 10% of the exact distinct count") {
+    run("q24_approx_distinct").collect().foreach { r =>
+      assert(r.getAs[Long]("err_ppm") <= 100000L,
+        s"priority=${r.getString(0)} err=${r.getAs[Long]("err_ppm")}ppm")
+    }
+  }
+
   test("v04 IVF: neighbors come from the query's own cluster") {
     val rows = run("v04_ivf_ann").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

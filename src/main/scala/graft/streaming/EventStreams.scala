@@ -47,6 +47,17 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
+  /** JSON-lines event stream — the reference's declared wire format
+    * ("simulated high-velocity stream … JSON events", report p.2).
+    * Explicit schema: a streaming source can't infer one, and at scale
+    * inference would be a full extra pass anyway. JSONL (not multiLine)
+    * keeps files splittable. */
+  def readJsonEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+
   /** Stream-static join: enrich a value-threshold alert stream with a
     * static dimension — the report's "late-shipment alert" shape. The
     * static side is re-planned per micro-batch and broadcast. */

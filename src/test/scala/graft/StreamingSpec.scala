@@ -51,6 +51,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("JSON event stream produces the same windowed aggregates as parquet") {
+    val jsonDir = Files.createTempDirectory("graft-events-json").toFile
+    jsonDir.deleteOnExit()
+    spark.read.parquet(stagedDir)
+      .repartition(2)
+      .write.mode("overwrite").json(jsonDir.getAbsolutePath)
+    val stream = EventStreams.windowedCounts(
+      EventStreams.readJsonEventStream(spark, jsonDir.getAbsolutePath),
+      watermark = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("win_counts_json").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("win_counts_json")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val want = EventStreams.windowedCounts(
+        spark.read.parquet(stagedDir), watermark = false)
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("sessionizeStateful emits exactly the closed sessions of session_window") {
     import spark.implicits._
     val gap = "2 hours"

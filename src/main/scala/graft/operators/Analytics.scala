@@ -143,9 +143,60 @@ object Analytics {
       .orderBy(col("priority"))
   }
 
+  // ---------------------------------------------------------------------
+  // q25 — CUBE over (returnflag, linestatus): all four grouping sets in
+  // one pass. Same partial-agg shape as rollup; output is O(product of
+  // key cardinalities), constant for flag columns.
+  // ---------------------------------------------------------------------
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.cube(col("l_returnflag").as("return_flag"),
+        col("l_linestatus").as("line_status"))
+      .agg(
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("return_flag"), col("line_status"))
+  }
+  private val q25Sql =
+    """SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY return_flag NULLS FIRST, line_status NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q26 — pivot: revenue matrix returnflag × linestatus. Spark's
+  // pivot() with an EXPLICIT value list (never the implicit distinct
+  // scan — that's an extra job at 100 TB); the oracle states the same
+  // thing as conditional aggregation, which is also exactly the
+  // physical plan pivot lowers to.
+  // ---------------------------------------------------------------------
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag").as("return_flag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))
+        * (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4)))
+        .cast(DecimalType(28, 4)).cast(DoubleType))
+      .withColumnRenamed("F", "rev_f")
+      .withColumnRenamed("O", "rev_o")
+      .orderBy(col("return_flag"))
+  }
+  private val q26Sql =
+    """SELECT l_returnflag AS return_flag,
+      |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DECIMAL(28,4)) AS DOUBLE) AS rev_f,
+      |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) END) AS DECIMAL(28,4)) AS DOUBLE) AS rev_o
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY return_flag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
     QueryDef("q23_asof_join", q23, Some(q23Sql)),
-    QueryDef("q24_approx_distinct", q24, None))
+    QueryDef("q24_approx_distinct", q24, None),
+    QueryDef("q25_cube", q25, Some(q25Sql)),
+    QueryDef("q26_pivot", q26, Some(q26Sql)))
 }

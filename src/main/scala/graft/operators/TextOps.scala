@@ -283,6 +283,36 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d08 — deterministic hash sampling + train/val/test split: content
+  // hashing (md5 mod 100) instead of rand(seed), because rand is
+  // partition-dependent — re-partitioning or re-running on a different
+  // cluster silently changes the sample, which is unacceptable for
+  // training-data reproducibility. Hash-splitting is stable under any
+  // layout, engine, or scale, and keys on doc_id so revised text
+  // doesn't migrate documents between splits.
+  // ---------------------------------------------------------------------
+  private def d08(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("lang"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+  private val d08Sql =
+    """SELECT doc_id, lang,
+      |  CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 AS bucket,
+      |  CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -290,5 +320,6 @@ object TextOps {
     QueryDef("d04_lang_id", d04, Some(d04Sql)),
     QueryDef("d05_fingerprint", d05, Some(d05Sql)),
     QueryDef("d06_bpe_token_count", d06, Some(d06Sql)),
-    QueryDef("d07_stopword_ratio", d07, Some(d07Sql)))
+    QueryDef("d07_stopword_ratio", d07, Some(d07Sql)),
+    QueryDef("d08_hash_split", d08, Some(d08Sql)))
 }

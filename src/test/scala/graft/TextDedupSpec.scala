@@ -55,6 +55,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("d08 hash split: deterministic, exhaustive, roughly 80/10/10") {
+    val a = run("d08_hash_split").collect().map(r => (r.getLong(0), r.getString(3)))
+    val b = run("d08_hash_split").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(a.sameElements(b)) // stable across executions
+    val byCnt = a.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(byCnt.keySet == Set("train", "val", "test"))
+    assert(byCnt("train") / n > 0.7 && byCnt("train") / n < 0.9)
+    assert(byCnt("val") / n > 0.04 && byCnt("val") / n < 0.16)
+  }
+
   test("n01 signatures: one row per doc, values in [0, P) or -1") {
     val df = run("n01_minhash_signatures")
     assert(df.count() == docs.count())

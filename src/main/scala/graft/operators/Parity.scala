@@ -578,6 +578,27 @@ object Parity {
       |                    AND year(o_orderdate) = 1995)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q27 — semi-join (the dual of q17's anti-join, §2.3): customers WITH
+  // at least one 1995 order. left_semi probes the hash table and emits
+  // the left row at the first match — no fan-out, no right-side columns
+  // materialized; at scale it shuffles only custkeys on the right.
+  // ---------------------------------------------------------------------
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(year(col("o_orderdate")) === 1995)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+  private val q27Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND year(o_orderdate) = 1995)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     QueryDef("q02_dim_date", q02, Some(q02Sql)),
@@ -595,5 +616,6 @@ object Parity {
     QueryDef("q14_wkt_linestring", q14, Some(q14Sql)),
     QueryDef("q15_window_rank", q15, Some(q15Sql)),
     QueryDef("q16_events_window", q16, Some(q16Sql), headline = true),
-    QueryDef("q17_anti_join", q17, Some(q17Sql)))
+    QueryDef("q17_anti_join", q17, Some(q17Sql)),
+    QueryDef("q27_semi_join", q27, Some(q27Sql)))
 }

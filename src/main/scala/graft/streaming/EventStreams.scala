@@ -65,6 +65,19 @@ object EventStreams {
     events.where(col("value") > 100.0)
       .join(broadcast(users), Seq("user_id"), "left")
 
+  /** Streaming exact deduplication: dropDuplicatesWithinWatermark keeps
+    * dedup state only for the watermark horizon — O(keys within the
+    * window), not O(stream history) — the right tool for at-least-once
+    * sources that may redeliver within a bounded delay. Batch callers
+    * get plain dropDuplicates (same column semantics). */
+  def dedupEvents(events: DataFrame, watermark: Option[String]): DataFrame =
+    watermark match {
+      case Some(delay) =>
+        events.withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark("event_id")
+      case None => events.dropDuplicates("event_id")
+    }
+
   // --------------------------------------------------------------------
   // Sessionization — gap-based user sessions, two implementations:
   // the built-in session_window (preferred: Catalyst-planned, merges

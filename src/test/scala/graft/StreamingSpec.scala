@@ -105,6 +105,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful.nonEmpty)
   }
 
+  test("streaming dedup removes redelivered events within the watermark") {
+    val dupDir = Files.createTempDirectory("graft-events-dup").toFile
+    dupDir.deleteOnExit()
+    val base = spark.read.parquet(stagedDir)
+    // simulate at-least-once redelivery: every event written twice.
+    // Single file => single micro-batch, so no duplicate can arrive
+    // after the watermark has advanced past its event time (the
+    // semantics dropDuplicatesWithinWatermark guarantees against).
+    base.union(base).repartition(1)
+      .write.mode("overwrite").parquet(dupDir.getAbsolutePath)
+    val stream = EventStreams.dedupEvents(
+      EventStreams.readEventStream(spark, dupDir.getAbsolutePath),
+      watermark = Some("1 hour"))
+    val q = stream.writeStream.format("memory")
+      .queryName("dedup_events").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("dedup_events").count()
+    assert(got == base.select("event_id").distinct().count())
+    // batch path agrees
+    val batchDedup = EventStreams.dedupEvents(
+      spark.read.parquet(dupDir.getAbsolutePath), watermark = None)
+    assert(batchDedup.count() == got)
+  }
+
   test("highValueAlerts: stream-static join enriches without dropping alerts") {
     val users = spark.range(0, 1000).select(
       col("id").as("user_id"), concat(lit("user_"), col("id")).as("user_name"))

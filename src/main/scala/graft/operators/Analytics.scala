@@ -127,10 +127,13 @@ object Analytics {
   // q24 — approximate distinct counting (HyperLogLog++): the sketch that
   // replaces exact COUNT(DISTINCT) at 100 TB — mergeable partial state
   // of a few KB per group instead of a distinct-shuffle of every key.
-  // No DuckDB oracle (sketch estimates are engine-specific); the driver
-  // records a rows-only check, and the spec bounds the estimate against
-  // the exact count. Emitted alongside the exact count + error ppm so
-  // the query self-documents its accuracy.
+  // Raw sketch estimates are engine-specific, so the EMITTED columns are
+  // deterministic: the exact distinct count (both engines compute it the
+  // same way) plus hll_ok, an integer flag asserting the Spark-side HLL
+  // estimate landed within 5% (50000 ppm) of exact — the oracle states
+  // the same flag as the constant 1, so any out-of-bound estimate is a
+  // hash miss. The sketch still executes on every run; only its value is
+  // checked as a bound instead of shipped verbatim (VERDICT r2 #2).
   // ---------------------------------------------------------------------
   private def q24(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -138,10 +141,19 @@ object Analytics {
       .agg(
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"))
-      .withColumn("err_ppm",
-        expr("abs(approx_customers - exact_customers) * 1000000 div greatest(exact_customers, 1)"))
+      .withColumn("hll_ok",
+        (expr("abs(approx_customers - exact_customers) * 1000000 div greatest(exact_customers, 1)") <= 50000)
+          .cast("int"))
+      .select(col("priority"), col("exact_customers"), col("hll_ok"))
       .orderBy(col("priority"))
   }
+  private val q24Sql =
+    """SELECT o_orderpriority AS priority,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+      |  CAST(1 AS INT) AS hll_ok
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY priority""".stripMargin
 
   // ---------------------------------------------------------------------
   // q25 — CUBE over (returnflag, linestatus): all four grouping sets in
@@ -196,7 +208,7 @@ object Analytics {
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
     QueryDef("q23_asof_join", q23, Some(q23Sql)),
-    QueryDef("q24_approx_distinct", q24, None),
+    QueryDef("q24_approx_distinct", q24, Some(q24Sql)),
     QueryDef("q25_cube", q25, Some(q25Sql)),
     QueryDef("q26_pivot", q26, Some(q26Sql)))
 }

@@ -243,20 +243,30 @@ object Parity {
 
   // ---------------------------------------------------------------------
   // q06 — B2 "Total Sales by Month/Year" (report pp.16-17): fact ⋈ date
-  // dimension → time-series SUM. Scale: join shuffles on orderkey once;
-  // the group-by output is O(#months).
+  // dimension → time-series SUM. Plan shape: lineitem is PRE-AGGREGATED
+  // by l_orderkey BEFORE the join (sum is algebraic; o_orderkey is the
+  // orders PK), so (a) the join probe side shrinks ~4× and (b) n_orders
+  // is a plain count of joined rows — no countDistinct, no Expand, no
+  // O(#orders)-per-group distinct state. At 100 TB the only big exchange
+  // is the partial-agg shuffle on orderkey; the month-level agg state is
+  // O(#months). (r2 regression: countDistinct after the join fan-out
+  // doubled the shuffled rows via Expand — 7.3s; this form is the
+  // two-level rewrite VERDICT r2 #3 asked for.)
   // ---------------------------------------------------------------------
   private def q06(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o  = t(s, dir, "orders")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .as("order_sales"))
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(
         year(col("o_orderdate")).as("year"),
         month(col("o_orderdate")).as("month"))
       .agg(
-        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        sum(col("order_sales")).cast(DecimalType(28, 4)).cast(DoubleType)
           .as("total_sales"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        count(lit(1)).as("n_orders"))
       .orderBy(col("year"), col("month"))
   }
   private val q06Sql =
@@ -325,12 +335,17 @@ object Parity {
         expr("(n_on_time * 1000000) div n_total"))
       .orderBy(col("priority"))
   }
+  // DuckDB's SUM(INTEGER) returns HUGEINT, and HUGEINT propagates through
+  // `//`; the driver fetches oracle rows via pandas/arrow, where HUGEINT
+  // becomes float64 ("5947.0" vs Spark's "5947" → hash miss). Every
+  // integer aggregate must therefore be CAST(... AS BIGINT) on the oracle
+  // side (the proven q08 r1/r2 root cause).
   private val q08Sql =
     """SELECT priority, n_on_time, n_total,
-      |  (n_on_time * 1000000) // n_total AS adherence_ppm
+      |  CAST((n_on_time * 1000000) // n_total AS BIGINT) AS adherence_ppm
       |FROM (
       |  SELECT o_orderpriority AS priority,
-      |    SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS n_on_time,
+      |    CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
       |    COUNT(*) AS n_total
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1)
@@ -342,17 +357,24 @@ object Parity {
   // l_returnflag = 'R'. Filter is pushed to the parquet scan
   // (PushedFilters), so only matching rows ever shuffle.
   // ---------------------------------------------------------------------
+  // Two-level form (VERDICT r2 #3): the at-risk lineitems are counted
+  // per orderkey BEFORE the join, so the per-nation distinct-order count
+  // is a plain COUNT(*) of joined rows — no Expand, and the join input
+  // shrinks from rows to orders. Filter still reaches the parquet scan.
   private def q09(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
-    li.where(col("l_returnflag") === "R")
+    val perOrder = li.where(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"))
+    perOrder
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(
-        count(lit(1)).as("n_at_risk"),
-        countDistinct(col("o_orderkey")).as("n_orders_at_risk"))
+        sum(col("n_items")).as("n_at_risk"),
+        count(lit(1)).as("n_orders_at_risk"))
       .orderBy(col("nation"))
   }
   private val q09Sql =

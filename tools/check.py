@@ -15,12 +15,21 @@ def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return repr(v)
+        return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # numpy array
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
+
+def df_rows(df):
+    """Pandas frame -> (cols, rows) with numpy scalars (float64 keeps its
+    '.0' repr, matching the driver's arrow/pandas canonicalization)."""
+    cols = [str(c) for c in df.columns]
+    rows = list(df.itertuples(index=False, name=None))
+    return cols, rows
 
 def frame_sig(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -66,19 +75,22 @@ def main():
             print(f"FAIL {name}: no spark output at {pdir}")
             n_fail += 1
             continue
+        # Fetch via pandas (.df()) on BOTH sides, like the driver's gate:
+        # DuckDB HUGEINT (e.g. SUM(INTEGER), // on HUGEINT) has no pandas
+        # integer dtype and becomes float64 — "5947.0" vs Spark's "5947".
+        # fetchall() hides that (Python ints), which is how the q08 miss
+        # survived two rounds locally-green.
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
-            g_cols = [d[0] for d in got.description]
-            g_rows = got.fetchall()
+            g_df = con.execute(
+                f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+            g_cols, g_rows = df_rows(g_df)
         except Exception as e:
             print(f"FAIL {name}: reading spark output: {e}")
             n_fail += 1
             continue
         try:
-            want = con.execute(sql)
-            w_cols = [d[0] for d in want.description]
-            w_rows = want.fetchall()
+            w_df = con.execute(sql).df()
+            w_cols, w_rows = df_rows(w_df)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1

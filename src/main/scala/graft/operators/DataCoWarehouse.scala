@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.DataCo
+
+/** The reference's warehouse build over its OWN input schema — the
+  * 59-column DataCo CSV — re-expressed as closed-form Spark plans
+  * (entry points at glue_master_etl.py:100-362). This is the same
+  * architecture as `Warehouse`/`Pipeline` (row_number surrogate keys
+  * in-engine instead of sink IDENTITY + JDBC read-back) applied to the
+  * reference's real columns, so a user can point the engine at actual
+  * DataCo exports unchanged.
+  *
+  * Scale shape: every dim is orders of magnitude smaller than the fact
+  * and is broadcast into the fact assembly; the fact never shuffles on
+  * anything but its own keys; date parsing is per-row codegen'd
+  * expressions (see DataCo.parseTs).
+  */
+object DataCoWarehouse {
+
+  private def sk(name: String, order: Seq[String]) =
+    row_number().over(Window.orderBy(order.map(col): _*)).cast(LongType).as(name)
+
+  private def norm(c: String) = upper(trim(col(c)))
+
+  /** dept ← category snowflake parent (glue_master_etl.py:108-116). */
+  def dimDepartment(raw: DataFrame): DataFrame =
+    raw.select(col("department_id").as("dept_id"),
+        col("department_name").as("dept_name"))
+      .where(col("dept_id").isNotNull).distinct()
+      .select(sk("dept_key", Seq("dept_id", "dept_name")), col("dept_id"), col("dept_name"))
+
+  /** category ← product parent, FK resolved in-engine (etl:119-128). */
+  def dimCategory(raw: DataFrame, dept: DataFrame): DataFrame =
+    raw.select(col("category_id").as("cat_id"),
+        col("category_name").as("cat_name"),
+        col("department_id").as("dept_id"))
+      .where(col("cat_id").isNotNull).distinct()
+      .join(broadcast(dept.select("dept_key", "dept_id")), Seq("dept_id"), "left")
+      .select(sk("cat_key", Seq("cat_id", "cat_name")),
+        col("cat_id"), col("cat_name"), col("dept_key"))
+
+  /** product leaf of the snowflake chain (etl:130-137). */
+  def dimProduct(raw: DataFrame, cat: DataFrame): DataFrame =
+    raw.select(col("product_card_id"), col("product_name"),
+        col("order_item_product_price").as("product_price"),
+        col("category_id").as("cat_id"))
+      .where(col("product_card_id").isNotNull).distinct()
+      .join(broadcast(cat.select("cat_key", "cat_id")), Seq("cat_id"), "left")
+      .select(sk("product_key", Seq("product_card_id", "product_name")),
+        col("product_card_id"), col("product_name"),
+        col("product_price"), col("cat_key"))
+
+  /** customer dim (etl:141-147): one row per customer_id, deterministic
+    * keeper per key (the reference's dropDuplicates is order-dependent). */
+  def dimCustomer(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("first_name"), col("last_name"))
+    raw.select(col("customer_id"), col("customer_fname").as("first_name"),
+        col("customer_lname").as("last_name"),
+        col("customer_segment").as("segment"),
+        col("customer_country").as("country"))
+      .where(col("customer_id").isNotNull)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .select(sk("customer_key", Seq("customer_id")), col("*"))
+      .drop("rn")
+  }
+
+  /** geography dim over normalized city/state/country (etl:222-233,
+    * upper/trim at :305-310 — mixed-case source variants collapse). */
+  def dimGeography(raw: DataFrame): DataFrame =
+    raw.select(norm("order_city").as("city"), norm("order_state").as("state"),
+        norm("order_country").as("country"),
+        col("order_region").as("region"), col("market"))
+      .where(col("city").isNotNull).distinct()
+      .select(sk("geo_key", Seq("country", "state", "city")), col("*"))
+
+  /** execution-status junk dim (etl:166-172): full-row distinct over the
+    * three normalized status flags. */
+  def dimExecutionStatus(raw: DataFrame): DataFrame =
+    raw.select(norm("shipping_mode").as("shipping_mode"),
+        norm("delivery_status").as("delivery_status"),
+        norm("order_status").as("order_status"))
+      .distinct()
+      .select(sk("status_key", Seq("shipping_mode", "delivery_status", "order_status")),
+        col("*"))
+
+  /** slim date dim from BOTH source timestamps (etl:180-198): lenient
+    * "M/d/yyyy H:m" parse, malformed → dropped like the reference. */
+  def dimDate(raw: DataFrame): DataFrame =
+    raw.select(DataCo.parseDate(col("order_date_dateorders")).as("date_actual"))
+      .union(raw.select(DataCo.parseDate(col("shipping_date_dateorders")).as("date_actual")))
+      .where(col("date_actual").isNotNull).distinct()
+      .select(
+        date_format(col("date_actual"), "yyyyMMdd").cast(IntegerType).as("date_key"),
+        col("date_actual"),
+        year(col("date_actual")).as("year"),
+        month(col("date_actual")).as("month"),
+        quarter(col("date_actual")).as("quarter"))
+
+  /** star fact at order-item grain (etl:291-348): date keys derived
+    * in-engine, every dim FK resolved by broadcast left join — NULL FKs
+    * preserved for source values absent from their dim. */
+  def fact(raw: DataFrame): DataFrame = {
+    val dept = dimDepartment(raw)
+    val prod = dimProduct(raw, dimCategory(raw, dept))
+    val cust = dimCustomer(raw)
+    val geo  = dimGeography(raw)
+    val stat = dimExecutionStatus(raw)
+    raw
+      .withColumn("order_date_key", DataCo.dateKey(col("order_date_dateorders")))
+      .withColumn("shipping_date_key", DataCo.dateKey(col("shipping_date_dateorders")))
+      .withColumn("sm", norm("shipping_mode"))
+      .withColumn("ds", norm("delivery_status"))
+      .withColumn("os", norm("order_status"))
+      .withColumn("g_city", norm("order_city"))
+      .withColumn("g_state", norm("order_state"))
+      .withColumn("g_country", norm("order_country"))
+      .join(broadcast(prod.select("product_key", "product_card_id")),
+        Seq("product_card_id"), "left")
+      .join(broadcast(cust.select(col("customer_key"),
+          col("customer_id").as("order_customer_id"))),
+        Seq("order_customer_id"), "left")
+      .join(broadcast(stat.select(col("status_key"),
+          col("shipping_mode").as("sm"), col("delivery_status").as("ds"),
+          col("order_status").as("os"))),
+        Seq("sm", "ds", "os"), "left")
+      .join(broadcast(geo.select(col("geo_key").as("order_geo_key"),
+          col("city").as("g_city"), col("state").as("g_state"),
+          col("country").as("g_country"))),
+        Seq("g_city", "g_state", "g_country"), "left")
+      .select(
+        col("order_id"), col("order_item_id"),
+        col("sales"), col("order_item_quantity").as("quantity"),
+        col("order_item_discount_rate").as("discount_rate"),
+        col("order_profit_per_order").as("profit"),
+        col("days_for_shipping_real").as("days_real"),
+        col("days_for_shipment_scheduled").as("days_scheduled"),
+        col("late_delivery_risk").as("late_risk"),
+        col("product_key"), col("customer_key"), col("status_key"),
+        col("order_date_key"), col("shipping_date_key"), col("order_geo_key"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Warehouse sinks. Replaces the reference's write patterns:
@@ -42,4 +42,50 @@ object Sink {
     df.write.format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .mode(SaveMode.Overwrite).saveAsTable(table)
+
+  // -------------------------------------------------------------------
+  // JDBC batch sink/source (S4/S3): the reference's warehouse output is
+  // JDBC batch loads into the serving database with a fixed batchsize
+  // of 10000 (glue_master_etl.py:71-85), TRUNCATE-then-load semantics
+  // for refreshes, and JDBC read-back of dimension tables for surrogate
+  // keys (glue_master_etl.py:61-69). Spark-side: each shuffle partition
+  // opens its own connection and flushes `batchsize`-row batches, so
+  // the load parallelism IS the partition count — cap `numPartitions`
+  // to what the target DB's connection pool tolerates (a 1000-executor
+  // cluster would otherwise open 1000 writers).
+  // -------------------------------------------------------------------
+
+  private def writer(df: DataFrame, batchSize: Int, numPartitions: Option[Int]) = {
+    val capped = numPartitions.map(df.coalesce).getOrElse(df)
+    capped.write.format("jdbc").option("batchsize", batchSize)
+  }
+
+  /** Plain batch append (reference's incremental load path). */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 batchSize: Int = 10000, numPartitions: Option[Int] = None): Unit =
+    writer(df, batchSize, numPartitions)
+      .option("url", url).option("dbtable", table)
+      .mode(SaveMode.Append).save()
+
+  /** TRUNCATE-then-load refresh: `truncate=true` keeps the table's DDL,
+    * indexes, and grants — the same observable behavior as the
+    * reference's explicit TRUNCATE preaction, minus the non-atomic
+    * empty-table window its separate statements leave on failure. */
+  def jdbcOverwrite(df: DataFrame, url: String, table: String,
+                    batchSize: Int = 10000, numPartitions: Option[Int] = None): Unit =
+    writer(df, batchSize, numPartitions)
+      .option("url", url).option("dbtable", table).option("truncate", "true")
+      .mode(SaveMode.Overwrite).save()
+
+  /** JDBC read-back (reference: dimension key lookups). Single-partition
+    * by default — pass a numeric `partitionColumn` + bounds to fan the
+    * read across executors for large tables. */
+  def jdbcRead(spark: SparkSession, url: String, table: String,
+               partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    partitionColumn.map { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.getOrElse(r).load()
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.DataCoWarehouse
+import graft.sources.{Csv, DataCo}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden test over the reference's REAL input shape: the 58-column
+  * DataCo supply-chain CSV (FIXTURES.md §A1), including the lenient
+  * "M/d/yyyy H:m" date strings, mixed-case/whitespace status and geo
+  * values, duplicate dim natural keys, and malformed dates. */
+class DataCoSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private lazy val raw = {
+    val path = getClass.getResource("/dataco/rawdata.csv").getPath
+    DataCo.read(spark, path).cache()
+  }
+
+  test("fixture reads clean: 5 rows, no corrupt records, 58 columns") {
+    assert(raw.count() == 5)
+    assert(raw.where(col(Csv.corruptCol).isNotNull).count() == 0)
+    assert(raw.columns.length == DataCo.schema.fields.length + 1) // + corrupt col
+  }
+
+  test("lenient M/d/yyyy H:m parse: single-digit fields, malformed to NULL") {
+    import spark.implicits._
+    val parsed = Seq("1/3/2015 9:5", "12/31/2018 23:59", "2/14/2016 0:0",
+        "not_a_date", "13/45/2015 9:5", "")
+      .toDF("ts_str")
+      .select(DataCo.parseTs(col("ts_str")).cast("string").as("ts"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(parsed(0).contains("2015-01-03 09:05:00"))
+    assert(parsed(1).contains("2018-12-31 23:59:00"))
+    assert(parsed(2).contains("2016-02-14 00:00:00"))
+    assert(parsed(3).isEmpty) // text garbage
+    assert(parsed(4).isEmpty) // month 13 / day 45
+    assert(parsed(5).isEmpty) // empty string
+  }
+
+  test("dim_date: both timestamp columns, malformed dropped, yyyyMMdd keys") {
+    val dd = DataCoWarehouse.dimDate(raw).collect()
+    val keys = dd.map(_.getAs[Int]("date_key")).sorted
+    assert(keys sameElements Array(20150103, 20150105, 20160214, 20160218,
+      20181231, 20190102))
+    dd.foreach { r =>
+      val expect = r.getAs[java.sql.Date]("date_actual").toString.replace("-", "").toInt
+      assert(r.getAs[Int]("date_key") == expect)
+    }
+  }
+
+  test("snowflake chain dept <- category <- product resolves in-engine") {
+    val dept = DataCoWarehouse.dimDepartment(raw)
+    val cat  = DataCoWarehouse.dimCategory(raw, dept)
+    val prod = DataCoWarehouse.dimProduct(raw, cat)
+    assert(dept.count() == 2) // Fitness, Golf
+    assert(cat.count() == 2)  // Cardio -> Fitness, Golf Clubs -> Golf
+    assert(prod.count() == 3) // Bike, Mat, Driver
+    // every category resolves its department; every product its category
+    assert(cat.where(col("dept_key").isNull).count() == 0)
+    assert(prod.where(col("cat_key").isNull).count() == 0)
+    // surrogate keys dense 1..n
+    assert(prod.select("product_key").collect().map(_.getLong(0)).sorted
+      sameElements Array(1L, 2L, 3L))
+  }
+
+  test("dims dedupe natural keys; geo normalization collapses case/space") {
+    assert(DataCoWarehouse.dimCustomer(raw).count() == 3)   // 501 x3 -> 1
+    // Caguas vs CAGUAS and "Los Angeles" vs "los angeles " each collapse
+    val geo = DataCoWarehouse.dimGeography(raw)
+    assert(geo.count() == 2)
+    assert(geo.where(col("city") === "CAGUAS").count() == 1)
+    // status junk dim: the two COMPLETE-row spellings collapse
+    assert(DataCoWarehouse.dimExecutionStatus(raw).count() == 4)
+  }
+
+  test("fact: order-item grain, FKs resolve, NULLs preserved where source is bad") {
+    val f = DataCoWarehouse.fact(raw).cache()
+    assert(f.count() == 5) // grain = order items
+    // product/customer/status always resolve in this corpus
+    assert(f.where(col("product_key").isNull || col("customer_key").isNull
+      || col("status_key").isNull).count() == 0)
+    // order 2 had a malformed order date and empty shipping date
+    val o2 = f.where(col("order_id") === 2).collect().head
+    assert(o2.isNullAt(o2.fieldIndex("order_date_key")))
+    assert(o2.isNullAt(o2.fieldIndex("shipping_date_key")))
+    // order 3 had no order_city -> NULL geo FK (left-join path)
+    val o3 = f.where(col("order_id") === 3).collect().head
+    assert(o3.isNullAt(o3.fieldIndex("order_geo_key")))
+    // everything else has a date key and a geo key
+    assert(f.where(col("order_id") =!= 2 && col("order_date_key").isNull).count() == 0)
+    assert(f.where(col("order_id") =!= 3 && col("order_geo_key").isNull).count() == 0)
+  }
+}

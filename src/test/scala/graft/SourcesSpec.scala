@@ -88,6 +88,34 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("JDBC sink round trip: append, re-append, truncate-overwrite") {
+    // Embedded Derby (ships with Spark) stands in for the reference's
+    // serving database; same Sink call path as any JDBC target.
+    val url = s"jdbc:derby:${tmp("graft-derby")}/db;create=true"
+    val src = Tables.load(spark, SharedSpark.sf0001, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val n = src.count()
+    Sink.jdbcAppend(src, url, "nation_t", batchSize = 7, numPartitions = Some(2))
+    val back = Sink.jdbcRead(spark, url, "nation_t")
+    assert(back.count() == n)
+    assert(back.columns.map(_.toLowerCase).sorted
+      sameElements Array("n_name", "n_nationkey", "n_regionkey"))
+    val a = src.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    val b = back.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(a == b)
+    // append accumulates...
+    Sink.jdbcAppend(src, url, "nation_t")
+    assert(Sink.jdbcRead(spark, url, "nation_t").count() == 2 * n)
+    // ...truncate-overwrite resets to exactly one copy, table intact
+    Sink.jdbcOverwrite(src, url, "nation_t")
+    assert(Sink.jdbcRead(spark, url, "nation_t").count() == n)
+    // partitioned read-back fans out without changing the result
+    val ranged = Sink.jdbcRead(spark, url, "nation_t",
+      partitionColumn = Some(("n_nationkey", 0L, 25L, 3)))
+    assert(ranged.rdd.getNumPartitions == 3)
+    assert(ranged.count() == n)
+  }
+
   test("salted join equals the plain equi-join") {
     val li = Tables.load(spark, SharedSpark.sf0001, "lineitem")
       .select("l_orderkey", "l_quantity")

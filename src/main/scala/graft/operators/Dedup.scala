@@ -99,44 +99,65 @@ object Dedup {
   // selects over the sig plan re-computes the signatures per branch, and
   // a self-join doubles that again: 8× at round 1). Pairs are generated
   // inside each bucket from a sorted collect_list — a single shuffle on
-  // (band_id, band_key), no self-join, no O(n²) pair space. Scale
-  // caveat: candidate pairs are inherently quadratic in bucket size;
-  // at 100 TB a per-bucket cap (drop or salt buckets past ~10⁴ members,
-  // they are near-certain duplicates anyway) bounds the explode.
+  // (band_id, band_key), no self-join, no O(n²) pair space. Candidate
+  // pairs are inherently quadratic in bucket size, so buckets past
+  // `maxBucket` members are DROPPED before the pair explode (a
+  // degenerate band key — e.g. the empty-document signature — would
+  // otherwise make one task materialize ~size²/2 pairs); members of a
+  // >10⁴ bucket are near-certain duplicates and belong to exact-dedup
+  // (d01), not pairwise scoring. The oracle states the same cap.
   // ---------------------------------------------------------------------
-  private def n02(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashDf(s, dir)
-    val bandStructs = array((0 until 4).map { b =>
-      struct(
-        lit(b).as("band_id"),
-        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
-    }: _*)
-    val bands = sig
-      .select(col("doc_id"), explode(bandStructs).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+
+  /** Default per-bucket cap: far above anything the test corpora hit
+    * (sf0.01 max bucket ≈ corpus dup cluster size), binding only on
+    * pathological band keys at scale. */
+  val MaxBucket = 10000
+
+  /** Candidate pairs from (doc_id, band_id, band_key) rows; one shuffle,
+    * per-bucket capped pair explode. */
+  def cappedLshPairs(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     val buckets = bands
       .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Signature rows → exploded (doc_id, band_id, band_key) rows. */
+  def bandRows(sig: DataFrame): DataFrame = {
+    val bandStructs = array((0 until 4).map { b =>
+      struct(
+        lit(b).as("band_id"),
+        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  private def n02(s: SparkSession, dir: String): DataFrame =
+    cappedLshPairs(bandRows(minhashDf(s, dir)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   private val n02Sql = {
     val bandSelects = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band_id, concat_ws(':', mh${2 * b}, mh${2 * b + 1}) AS band_key FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""$minhashBaseSql,
        |bands AS (
-       |  $bandSelects)
+       |  $bandSelects),
+       |kept AS (
+       |  SELECT band_id, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $MaxBucket)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band_id = b.band_id AND a.band_key = b.band_key
        | AND a.doc_id < b.doc_id
+       |JOIN kept k ON a.band_id = k.band_id AND a.band_key = k.band_key
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

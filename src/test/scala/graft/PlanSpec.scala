@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gates: the properties PERF.md narrates —
+  * pushdown, broadcast, no Expand, top-k pushdown — asserted against
+  * the formatted plan so a plan regression fails `sbt test` instead of
+  * surfacing as a bench slowdown a round later. (The q06 countDistinct
+  * Expand regression of round 2 is exactly the class this catches.) */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def fmt(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, SharedSpark.sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q06/q09: two-level aggregation — no Expand, no distinct state") {
+    val p6 = fmt("q06_sales_by_month")
+    val p9 = fmt("q09_late_risk_by_geo")
+    assert(!p6.contains("Expand"), s"q06 regressed to Expand:\n$p6")
+    assert(!p9.contains("Expand"), s"q09 regressed to Expand:\n$p9")
+  }
+
+  test("q09: returnflag filter reaches the parquet scan (PushedFilters)") {
+    val p = fmt("q09_late_risk_by_geo")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"),
+      s"filter not pushed down:\n$p")
+  }
+
+  test("q07/q09: dimension sides broadcast, never shuffled") {
+    assert(fmt("q07_profit_by_hierarchy").contains("BroadcastHashJoin"))
+    assert(fmt("q09_late_risk_by_geo").contains("BroadcastHashJoin"))
+  }
+
+  test("q11: global top-k lowers to TakeOrderedAndProject, not a full sort") {
+    val p = fmt("q11_top_k")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+  }
+
+  test("q01: scan prunes to the referenced columns only") {
+    val p = fmt("q01_pricing_summary")
+    // the lineitem scan must not read untouched wide columns
+    assert(!p.contains("l_shipdate"), s"column pruning lost:\n$p")
+    assert(p.contains("ReadSchema"))
+  }
+
+  test("q10: bucket predicate is scan-level — no hash shuffle") {
+    val p = fmt("q10_bucket_filter")
+    // the only Exchange allowed is the range partitioning for the
+    // contract-mandated deterministic ORDER BY; the filter itself must
+    // not force a hash shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"unexpected hash shuffle in scan-level filter:\n$p")
+  }
+}

@@ -90,6 +90,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(withSigs.where(!shares).count() == 0)
   }
 
+  test("n02 per-bucket cap drops degenerate buckets, keeps the rest intact") {
+    import spark.implicits._
+    // crafted bands: one degenerate bucket of 50 docs (all sharing band
+    // key "hot"), one healthy 3-doc bucket, one singleton
+    val hot   = (1L to 50L).map(id => (id, 0, "hot"))
+    val small = Seq((101L, 1, "ok"), (102L, 1, "ok"), (103L, 1, "ok"))
+    val single = Seq((201L, 2, "lonely"))
+    val bands = (hot ++ small ++ single).toDF("doc_id", "band_id", "band_key")
+    val uncapped = graft.operators.Dedup.cappedLshPairs(bands, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.operators.Dedup.cappedLshPairs(bands, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 50 * 49 / 2 + 3) // quadratic blowup uncapped
+    assert(capped == Set((101L, 102L), (101L, 103L), (102L, 103L)))
+    assert(capped.subsetOf(uncapped)) // cap only ever removes pairs
+  }
+
   test("n03 simhash fits in 16 bits") {
     val bad = run("n03_simhash")
       .where(col("simhash") < 0L || col("simhash") >= 65536L)

@@ -204,11 +204,56 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY return_flag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q28 — range join, bucketized: pairs of events by the SAME user within
+  // 24 hours of each other (the temporal-proximity pairing a training
+  // pipeline uses to build interaction windows). A naive
+  // |ts_a - ts_b| < 24h join is a non-equi condition Spark can only
+  // execute as a nested-loop join — O(n²) per user and a broadcast
+  // hazard at scale. The scale-safe form: quantize time into buckets the
+  // width of the range (24h), explode ONE side into its 3 covering
+  // buckets {b-1, b, b+1}, EQUI-join on (user, bucket), then apply the
+  // exact |diff| < 24h as a cheap residual filter — each qualifying pair
+  // matches on exactly one bucket (the right row's own), so no distinct
+  // pass is needed. One hash shuffle on (user, bucket); pair space
+  // confined to per-user-per-day cells. Time arithmetic is
+  // floor-to-second on BOTH engines (unix_timestamp / floor(epoch)) so
+  // the residual comparison is integer-exact. The oracle states the same
+  // semantics as the plain inequality self-join.
+  // ---------------------------------------------------------------------
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val W = 86400L // bucket width == range width, seconds
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+    val a = e.toDF("event_a", "user_id", "sec_a")
+      .withColumn("bucket",
+        explode(array(floor(col("sec_a") / W) - 1, floor(col("sec_a") / W),
+          floor(col("sec_a") / W) + 1)))
+    val b = e.toDF("event_b", "b_user", "sec_b")
+      .withColumn("bucket", floor(col("sec_b") / W))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        a("bucket") === b("bucket") &&
+        col("event_a") < col("event_b") &&
+        abs(col("sec_a") - col("sec_b")) < W)
+      .select(col("event_a"), col("event_b"))
+      .orderBy(col("event_a"), col("event_b"))
+  }
+  private val q28Sql =
+    """SELECT a.event_id AS event_a, b.event_id AS event_b
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_id < b.event_id
+      | AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) < 86400
+      |ORDER BY event_a, event_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
     QueryDef("q23_asof_join", q23, Some(q23Sql)),
     QueryDef("q24_approx_distinct", q24, Some(q24Sql)),
     QueryDef("q25_cube", q25, Some(q25Sql)),
-    QueryDef("q26_pivot", q26, Some(q26Sql)))
+    QueryDef("q26_pivot", q26, Some(q26Sql)),
+    QueryDef("q28_range_join", q28, Some(q28Sql)))
 }

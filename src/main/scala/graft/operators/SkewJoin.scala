@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
   * splitting isn't enough (extreme single-key hot spots, e.g. a null-ish
   * default key holding 10% of a 100 TB fact).
   *
-  * Left (large, skewed) rows get a random salt in [0, n); right (small
-  * but not broadcastable) rows are replicated n× with every salt; the
-  * join key becomes (key, salt), spreading each hot key over n shuffle
-  * partitions. Result equals the plain equi-join (asserted in the spec).
+  * Left (large, skewed) rows get a salt in [0, n) derived by hashing the
+  * FULL row (xxhash64 over all columns — deterministic, so a retried
+  * task re-derives the same salt; `rand(seed)` is only seeded per
+  * PARTITION and re-rolls different values when a lost partition is
+  * recomputed, which can silently duplicate/drop join rows under
+  * retry). Right (small but not broadcastable) rows are replicated n×
+  * with every salt; the join key becomes (key, salt), spreading each
+  * hot key over n shuffle partitions. Result equals the plain equi-join
+  * (asserted in the spec).
   *
   * Prefer, in order: broadcast (if the right side fits), AQE skew join
   * (spark.sql.adaptive.skewJoin, on by default), then this.
@@ -21,7 +26,7 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(n > 0)
     val saltedLeft = left.withColumn("__salt",
-      (rand(seed = 42) * n).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(n)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType)

@@ -313,6 +313,48 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d09 — repetition-based quality signals (the Gopher-report style
+  // filters): duplicate-sentence and duplicate-token fractions per
+  // document, as exact integer ppm. Highly repetitive documents are the
+  // classic low-quality class that length/punctuation heuristics (d03)
+  // miss. Per-row array math only — the sentence and token arrays are
+  // materialized as their own projection step before being referenced
+  // twice (size + array_distinct), per the HOF re-evaluation trap.
+  // ---------------------------------------------------------------------
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= "")
+    d.select(col("doc_id"), sents.as("sents"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("sents")).cast(LongType).as("n_sentences"),
+        size(array_distinct(col("sents"))).cast(LongType).as("n_distinct_sentences"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct_tokens"))
+      .withColumn("dup_sentence_ppm",
+        expr("(n_sentences - n_distinct_sentences) * 1000000 div greatest(n_sentences, 1)"))
+      .withColumn("dup_token_ppm",
+        expr("(n_tokens - n_distinct_tokens) * 1000000 div greatest(n_tokens, 1)"))
+      .orderBy(col("doc_id"))
+  }
+  private val d09Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> x <> '') AS sents,
+       |    $tokensSql AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(sents) AS BIGINT) AS n_sentences,
+       |  CAST(len(list_distinct(sents)) AS BIGINT) AS n_distinct_sentences,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |  CAST((len(sents) - len(list_distinct(sents))) * 1000000 // greatest(len(sents), 1) AS BIGINT) AS dup_sentence_ppm,
+       |  CAST((len(toks) - len(list_distinct(toks))) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS dup_token_ppm
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -321,5 +363,6 @@ object TextOps {
     QueryDef("d05_fingerprint", d05, Some(d05Sql)),
     QueryDef("d06_bpe_token_count", d06, Some(d06Sql)),
     QueryDef("d07_stopword_ratio", d07, Some(d07Sql)),
-    QueryDef("d08_hash_split", d08, Some(d08Sql)))
+    QueryDef("d08_hash_split", d08, Some(d08Sql)),
+    QueryDef("d09_repetition_quality", d09, Some(d09Sql)))
 }

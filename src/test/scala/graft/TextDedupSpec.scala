@@ -107,6 +107,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped)) // cap only ever removes pairs
   }
 
+  test("d09 repetition ppm: exact integer math, bounded, distinct <= total") {
+    run("d09_repetition_quality").collect().foreach { r =>
+      val ns = r.getAs[Long]("n_sentences"); val nds = r.getAs[Long]("n_distinct_sentences")
+      val nt = r.getAs[Long]("n_tokens"); val ndt = r.getAs[Long]("n_distinct_tokens")
+      assert(nds <= ns && ndt <= nt)
+      assert(r.getAs[Long]("dup_sentence_ppm") ==
+        (ns - nds) * 1000000L / math.max(ns, 1L))
+      assert(r.getAs[Long]("dup_token_ppm") ==
+        (nt - ndt) * 1000000L / math.max(nt, 1L))
+    }
+  }
+
   test("n03 simhash fits in 16 bits") {
     val bad = run("n03_simhash")
       .where(col("simhash") < 0L || col("simhash") >= 65536L)

@@ -66,6 +66,25 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q28 bucketized range join equals the naive non-equi self-join") {
+    import org.apache.spark.sql.functions._
+    val dir = SharedSpark.sf0001
+    val e = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val a = e.toDF("event_a", "user_id", "sec_a")
+    val b = e.toDF("event_b", "b_user", "sec_b")
+    val naive = a.join(b,
+        col("user_id") === col("b_user") &&
+        col("event_a") < col("event_b") &&
+        abs(col("sec_a") - col("sec_b")) < 86400L)
+      .select(col("event_a"), col("event_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketized = run("q28_range_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(bucketized == naive)
+  }
+
   test("v04 IVF: neighbors come from the query's own cluster") {
     val rows = run("v04_ivf_ann").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

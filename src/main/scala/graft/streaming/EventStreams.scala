@@ -65,6 +65,33 @@ object EventStreams {
     events.where(col("value") > 100.0)
       .join(broadcast(users), Seq("user_id"), "left")
 
+  /** Stream-stream interval join: correlate two event substreams of the
+    * same user within a time window (e.g. purchases following clicks —
+    * the attribution shape). Both sides carry watermarks and the join
+    * condition bounds b_ts to [a_ts, a_ts + within], so the state store
+    * holds only rows inside watermark + interval — O(rate × horizon),
+    * independent of stream length. Inner-join matches emit as soon as
+    * both rows arrive; the watermark exists to EVICT state, not to gate
+    * emission. The same code runs on batch frames (withWatermark is a
+    * no-op there), giving batch/stream parity for free. */
+  def correlatedEvents(events: DataFrame, typeA: String, typeB: String,
+      within: String, delay: String = "2 hours"): DataFrame = {
+    val a = events.where(col("event_type") === typeA)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", delay)
+    val b = events.where(col("event_type") === typeB)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", delay)
+    a.join(b,
+      col("a_user") === col("b_user") &&
+      col("b_ts") >= col("a_ts") &&
+      col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
+        col("a_ts"), col("b_ts"))
+  }
+
   /** Streaming exact deduplication: dropDuplicatesWithinWatermark keeps
     * dedup state only for the watermark horizon — O(keys within the
     * window), not O(stream history) — the right tool for at-least-once

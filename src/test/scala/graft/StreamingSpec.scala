@@ -74,6 +74,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    // The watermark delay must cover the source's real out-of-orderness:
+    // the staged replay delivers month-spanning files in arbitrary order,
+    // so a short delay would (correctly!) discard late rows. Production
+    // sizes this to the source's disorder bound; here that bound is the
+    // whole replayed range.
+    val stream = EventStreams.correlatedEvents(
+      EventStreams.readEventStream(spark, stagedDir),
+      "click", "purchase", "1 hour", delay = "45 days")
+    val q = stream.writeStream.format("memory")
+      .queryName("correlated").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("correlated")
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = EventStreams.correlatedEvents(
+        spark.read.parquet(stagedDir), "click", "purchase", "1 hour")
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("sessionizeStateful emits exactly the closed sessions of session_window") {
     import spark.implicits._
     val gap = "2 hours"

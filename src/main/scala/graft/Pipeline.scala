@@ -127,6 +127,17 @@ object Pipeline {
       else Sink.overwrite(df, s"$outDir/$name")
     }
 
+  /** The reference's actual serving path: every warehouse table batch-
+    * loaded over JDBC with TRUNCATE-refresh semantics
+    * (glue_master_etl.py:71-85). Dims load single-connection (they are
+    * small); the fact fans out across `factPartitions` writers. */
+  def runJdbc(spark: SparkSession, sfDir: String, url: String,
+      factPartitions: Int = 8): Unit =
+    warehouse(spark, sfDir).foreach { case (name, df) =>
+      val parts = if (name == "fact_lineitem") factPartitions else 1
+      Sink.jdbcOverwrite(df, url, name, numPartitions = Some(parts))
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -80,4 +80,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.keySet == b.keySet)
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-6, k) }
   }
+
+  test("runJdbc lands the whole warehouse in the serving database") {
+    val dbDir = Files.createTempDirectory("graft-pipe-derby").toFile
+    dbDir.deleteOnExit()
+    val url = s"jdbc:derby:${dbDir.getAbsolutePath}/wh;create=true"
+    Pipeline.runJdbc(spark, SharedSpark.sf0001, url, factPartitions = 2)
+    val want = Pipeline.warehouse(spark, SharedSpark.sf0001)
+    want.foreach { case (name, df) =>
+      assert(graft.sources.Sink.jdbcRead(spark, url, name).count() == df.count(), name)
+    }
+    // refresh is idempotent: second run truncates, not doubles
+    Pipeline.runJdbc(spark, SharedSpark.sf0001, url, factPartitions = 2)
+    assert(graft.sources.Sink.jdbcRead(spark, url, "fact_lineitem").count()
+      == want("fact_lineitem").count())
+  }
 }

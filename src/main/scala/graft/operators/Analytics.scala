@@ -248,6 +248,56 @@ object Analytics {
       | AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) < 86400
       |ORDER BY event_a, event_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q29 — quantiles per group: exact p50/p95 of order value by priority
+  // via explicit rank selection (value at row ceil(p·n) of the sorted
+  // group — discrete quantiles are PICKED elements, so both engines
+  // return bit-identical doubles; interpolated percentile() would
+  // diverge in float ulps). The exact path costs a per-group sort — the
+  // 100 TB path is percentile_approx (a mergeable sketch, O(accuracy)
+  // state per group, no global sort), which also executes here and is
+  // asserted within 5% of exact via an integer flag, the same
+  // deterministic-bound pattern as q24's HLL.
+  // ---------------------------------------------------------------------
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val byP = Window.partitionBy(col("priority"))
+    val ranked = o.select(col("o_orderpriority").as("priority"),
+        col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(
+        byP.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(byP))
+    ranked.groupBy(col("priority"))
+      .agg(
+        max(col("n")).as("n_orders"),
+        max(when(col("rn") === ceil(col("n") * 0.5).cast(LongType),
+          col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast(LongType),
+          col("o_totalprice"))).as("p95"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000))
+          .as("p95_approx"))
+      .withColumn("p95_approx_ok",
+        (abs(col("p95_approx") - col("p95")) <= col("p95") * 0.05).cast("int"))
+      .select(col("priority"), col("n_orders"), col("p50"), col("p95"),
+        col("p95_approx_ok"))
+      .orderBy(col("priority"))
+  }
+  private val q29Sql =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority AS priority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT priority,
+      |  CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN o_totalprice END) AS p95,
+      |  CAST(1 AS INT) AS p95_approx_ok
+      |FROM ranked
+      |GROUP BY 1
+      |ORDER BY priority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
@@ -255,5 +305,6 @@ object Analytics {
     QueryDef("q24_approx_distinct", q24, Some(q24Sql)),
     QueryDef("q25_cube", q25, Some(q25Sql)),
     QueryDef("q26_pivot", q26, Some(q26Sql)),
-    QueryDef("q28_range_join", q28, Some(q28Sql)))
+    QueryDef("q28_range_join", q28, Some(q28Sql)),
+    QueryDef("q29_percentiles", q29, Some(q29Sql)))
 }

@@ -66,6 +66,17 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q29 quantiles: p50 <= p95, both actual data values, sketch in bound") {
+    val o = graft.sources.Tables.load(spark, SharedSpark.sf0001, "orders")
+    val prices = o.select("o_totalprice").collect().map(_.getDouble(0)).toSet
+    run("q29_percentiles").collect().foreach { r =>
+      val p50 = r.getAs[Double]("p50"); val p95 = r.getAs[Double]("p95")
+      assert(p50 <= p95)
+      assert(prices.contains(p50) && prices.contains(p95)) // picked, not interpolated
+      assert(r.getAs[Int]("p95_approx_ok") == 1)
+    }
+  }
+
   test("q28 bucketized range join equals the naive non-equi self-join") {
     import org.apache.spark.sql.functions._
     val dir = SharedSpark.sf0001

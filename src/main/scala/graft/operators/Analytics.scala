@@ -298,6 +298,82 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY priority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q30 — grouped top-k: top-3 customers by revenue per nation. The
+  // group-local analog of q11's global top-k: aggregate first (shrinks
+  // rows to one per customer), broadcast the dim, then rank inside each
+  // nation partition and keep k. At scale the window sees #customers
+  // rows — already reduced — and state per partition is the sort buffer,
+  // not the fact table. Ties broken by customer key for determinism.
+  // ---------------------------------------------------------------------
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+        .cast(DecimalType(28, 4)).cast(DoubleType).as("revenue"))
+    perCust
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey"))))
+      .where(col("rk") <= 3)
+      .select(col("n_name").as("nation"), col("rk"),
+        col("c_custkey").as("custkey"), col("revenue"))
+      .orderBy(col("nation"), col("rk"))
+  }
+  private val q30Sql =
+    """SELECT n_name AS nation, rk, custkey, revenue
+      |FROM (
+      |  SELECT n_name, c_custkey AS custkey, revenue,
+      |    row_number() OVER (PARTITION BY n_name
+      |      ORDER BY revenue DESC, c_custkey) AS rk
+      |  FROM (
+      |    SELECT o_custkey,
+      |      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+      |    FROM orders GROUP BY 1) pc
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |WHERE rk <= 3
+      |ORDER BY nation, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q31 — SCD-1 upsert (merge, latest wins): the warehouse maintenance
+  // op the reference's TRUNCATE-reload sidesteps. Base = customer dim;
+  // updates = a deterministic delta (every 10th customer with shifted
+  // balance). Merge = union tagged by recency, keep row_number()=1 per
+  // key — one shuffle on the key, no MERGE statement needed, and the
+  // same shape scales: the window partitions carry (base + delta)
+  // versions of one key each, never whole tables.
+  // ---------------------------------------------------------------------
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = c.where(pmod(col("c_custkey"), lit(10)) === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+    val merged = c.withColumn("src", lit(0))
+      .unionByName(updates.withColumn("src", lit(1)))
+    merged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_custkey")).orderBy(col("src").desc)))
+      .where(col("rn") === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+  private val q31Sql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM (
+      |  SELECT c_custkey, c_name, c_acctbal, src,
+      |    row_number() OVER (PARTITION BY c_custkey ORDER BY src DESC) AS rn
+      |  FROM (
+      |    SELECT c_custkey, c_name, c_acctbal, 0 AS src FROM customer
+      |    UNION ALL
+      |    SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal, 1 AS src
+      |    FROM customer WHERE c_custkey % 10 = 0))
+      |WHERE rn = 1
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
@@ -306,5 +382,7 @@ object Analytics {
     QueryDef("q25_cube", q25, Some(q25Sql)),
     QueryDef("q26_pivot", q26, Some(q26Sql)),
     QueryDef("q28_range_join", q28, Some(q28Sql)),
-    QueryDef("q29_percentiles", q29, Some(q29Sql)))
+    QueryDef("q29_percentiles", q29, Some(q29Sql)),
+    QueryDef("q30_group_topk", q30, Some(q30Sql)),
+    QueryDef("q31_scd_upsert", q31, Some(q31Sql)))
 }

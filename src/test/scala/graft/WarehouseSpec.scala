@@ -77,6 +77,28 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q30 group top-k: exactly k per nation, descending within group") {
+    val rows = run("q30_group_topk").collect()
+    rows.groupBy(_.getString(0)).values.foreach { grp =>
+      assert(grp.length <= 3)
+      val revs = grp.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("revenue"))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q31 SCD-1 upsert: one row per key, updates win, others untouched") {
+    val c = graft.sources.Tables.load(spark, SharedSpark.sf0001, "customer")
+    val merged = run("q31_scd_upsert").cache()
+    assert(merged.count() == c.count()) // upsert never changes cardinality
+    val base = c.select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    merged.collect().foreach { r =>
+      val k = r.getLong(0); val bal = r.getDouble(2)
+      if (k % 10 == 0) assert(math.abs(bal - (base(k) + 100.0)) < 1e-6, k)
+      else assert(bal == base(k), k)
+    }
+  }
+
   test("q28 bucketized range join equals the naive non-equi self-join") {
     import org.apache.spark.sql.functions._
     val dir = SharedSpark.sf0001

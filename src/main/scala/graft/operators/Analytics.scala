@@ -221,25 +221,33 @@ object Analytics {
   // the residual comparison is integer-exact. The oracle states the same
   // semantics as the plain inequality self-join.
   // ---------------------------------------------------------------------
-  private def q28(s: SparkSession, dir: String): DataFrame = {
-    val W = 86400L // bucket width == range width, seconds
-    val e = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        unix_timestamp(col("ts")).as("sec"))
+  /** Same-user id-ordered pairs within `widthSec` seconds, as a
+    * bucketized equi-join. Input columns: (event_id, user_id, sec).
+    * Public so the fuzz spec can check it against a naive pairing on
+    * random inputs the testdata never produces (negative epochs,
+    * bucket-boundary ties). */
+  def temporalPairs(e: DataFrame, widthSec: Long): DataFrame = {
     val a = e.toDF("event_a", "user_id", "sec_a")
       .withColumn("bucket",
-        explode(array(floor(col("sec_a") / W) - 1, floor(col("sec_a") / W),
-          floor(col("sec_a") / W) + 1)))
+        explode(array(floor(col("sec_a") / widthSec) - 1,
+          floor(col("sec_a") / widthSec),
+          floor(col("sec_a") / widthSec) + 1)))
     val b = e.toDF("event_b", "b_user", "sec_b")
-      .withColumn("bucket", floor(col("sec_b") / W))
+      .withColumn("bucket", floor(col("sec_b") / widthSec))
     a.join(b,
         col("user_id") === col("b_user") &&
         a("bucket") === b("bucket") &&
         col("event_a") < col("event_b") &&
-        abs(col("sec_a") - col("sec_b")) < W)
+        abs(col("sec_a") - col("sec_b")) < widthSec)
       .select(col("event_a"), col("event_b"))
-      .orderBy(col("event_a"), col("event_b"))
   }
+
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    temporalPairs(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec")),
+      86400L)
+      .orderBy(col("event_a"), col("event_b"))
   private val q28Sql =
     """SELECT a.event_id AS event_a, b.event_id AS event_b
       |FROM events a JOIN events b

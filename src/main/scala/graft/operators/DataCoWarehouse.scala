@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.DataCo
+import graft.sources.{DataCo, GeoJson}
 
 /** The reference's warehouse build over its OWN input schema — the
   * 59-column DataCo CSV — re-expressed as closed-form Spark plans
@@ -102,16 +102,38 @@ object DataCoWarehouse {
         month(col("date_actual")).as("month"),
         quarter(col("date_actual")).as("quarter"))
 
+  /** route-shapes dim from lambda-processed routes (origin/dest coords
+    * + WKT LINESTRING): the 4-coordinate composite key the reference
+    * builds at etl:296-299, plus an in-engine surrogate key. */
+  def dimRouteShapes(routes: DataFrame): DataFrame =
+    GeoJson.routeKey(routes)
+      .select(sk("route_shape_key", Seq("route_key_composite")),
+        col("route_key_composite"), col("origin_lat"), col("origin_long"),
+        col("dest_lat"), col("dest_long"), col("shape_wkt"))
+
   /** star fact at order-item grain (etl:291-348): date keys derived
     * in-engine, every dim FK resolved by broadcast left join — NULL FKs
-    * preserved for source values absent from their dim. */
-  def fact(raw: DataFrame): DataFrame = {
+    * preserved for source values absent from their dim. Pass the
+    * lambda-processed routes to also resolve route_shape_key via the
+    * composite coordinate key; without routes the FK is NULL (the
+    * reference behaves the same when the routes bucket is empty). */
+  def fact(raw: DataFrame, routes: Option[DataFrame] = None): DataFrame = {
     val dept = dimDepartment(raw)
     val prod = dimProduct(raw, dimCategory(raw, dept))
     val cust = dimCustomer(raw)
     val geo  = dimGeography(raw)
     val stat = dimExecutionStatus(raw)
-    raw
+    val withRoute = routes match {
+      case Some(r) =>
+        val dim = dimRouteShapes(r)
+          .select(col("route_shape_key"), col("route_key_composite"))
+        raw.withColumn("route_key_composite",
+            concat_ws("_", col("latitude_src"), col("longitude_src"),
+              col("latitude_dest"), col("longitude_dest")))
+          .join(broadcast(dim), Seq("route_key_composite"), "left")
+      case None => raw.withColumn("route_shape_key", lit(null).cast(LongType))
+    }
+    withRoute
       .withColumn("order_date_key", DataCo.dateKey(col("order_date_dateorders")))
       .withColumn("shipping_date_key", DataCo.dateKey(col("shipping_date_dateorders")))
       .withColumn("sm", norm("shipping_mode"))
@@ -142,6 +164,7 @@ object DataCoWarehouse {
         col("days_for_shipment_scheduled").as("days_scheduled"),
         col("late_delivery_risk").as("late_risk"),
         col("product_key"), col("customer_key"), col("status_key"),
-        col("order_date_key"), col("shipping_date_key"), col("order_geo_key"))
+        col("order_date_key"), col("shipping_date_key"), col("order_geo_key"),
+        col("route_shape_key"))
   }
 }

@@ -90,5 +90,22 @@ class DataCoSpec extends AnyFunSuite {
     // everything else has a date key and a geo key
     assert(f.where(col("order_id") =!= 2 && col("order_date_key").isNull).count() == 0)
     assert(f.where(col("order_id") =!= 3 && col("order_geo_key").isNull).count() == 0)
+    // no routes supplied -> route FK NULL everywhere (reference parity
+    // with an empty processed-routes bucket)
+    assert(f.where(col("route_shape_key").isNotNull).count() == 0)
+  }
+
+  test("fact resolves route_shape_key via the 4-coordinate composite key") {
+    import spark.implicits._
+    val routes = Seq(
+      (18.25, -66.03, 18.4, -66.06, "LINESTRING(-66.03 18.25, -66.06 18.4)"),
+      (1.0, 2.0, 3.0, 4.0, "LINESTRING(2 1, 4 3)"))
+      .toDF("origin_lat", "origin_long", "dest_lat", "dest_long", "shape_wkt")
+    val dim = DataCoWarehouse.dimRouteShapes(routes)
+    assert(dim.count() == 2)
+    val f = DataCoWarehouse.fact(raw, Some(routes))
+    // every fixture row carries the same src/dest coords -> all resolve
+    assert(f.where(col("route_shape_key").isNull).count() == 0)
+    assert(f.select("route_shape_key").distinct().count() == 1)
   }
 }

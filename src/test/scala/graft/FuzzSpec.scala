@@ -79,6 +79,26 @@ class FuzzSpec extends AnyFunSuite {
     assert(once.count() == df.select("k").distinct().count())
   }
 
+  test("bucketized temporal pairs equal the naive pairing on random inputs") {
+    import spark.implicits._
+    val rnd = new Random(1234)
+    val W = 1000L
+    // negative epochs + values clustered near bucket boundaries
+    val rows = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong,
+        (rnd.nextInt(20) - 10) * W + rnd.nextInt(2 * W.toInt) - W)
+    }
+    val got = graft.operators.Analytics
+      .temporalPairs(rows.toDF("event_id", "user_id", "sec"), W)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) < W
+    } yield (a._1, b._1)).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("sessionization session count equals independent gap count") {
     import spark.implicits._
     val rnd = new Random(99)

@@ -97,6 +97,49 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m02 — frame sampling: the video-pipeline shape (payload → k sampled
+  // frames → per-frame rows with features) with a codec-free sampler
+  // both engines can reproduce: the payload is sliced into 4 equal byte
+  // ranges ("frames") and each frame row carries its digest. Exercises
+  // the explode-per-media fan-out — the row-multiplying step real frame
+  // extraction needs — as pure codegen'd expressions: per-row work, no
+  // shuffle, output grain = frames. A real codec replaces the slice+md5
+  // with decode+embed inside the same plan shape.
+  // ---------------------------------------------------------------------
+  // Frames are addressed as byte ranges but digested via the payload's
+  // hex encoding (DuckDB has no BLOB substring; hex(blob) is identical
+  // in both engines, so slicing 2·chunk hex chars == slicing chunk
+  // bytes).
+  private def m02(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        hex(col("text").cast(BinaryType)).as("hexp"),
+        length(col("text").cast(BinaryType)).cast(LongType).as("len"))
+      .withColumn("chunk", greatest(expr("len div 4"), lit(1L)))
+      .select(col("media_id"), col("hexp"), col("len"), col("chunk"),
+        explode(sequence(lit(0L), lit(3L))).as("frame_idx"))
+      .where(col("frame_idx") * col("chunk") < col("len"))
+      .select(
+        col("media_id"), col("frame_idx"),
+        md5(expr("substring(hexp, CAST(frame_idx * chunk * 2 + 1 AS INT), CAST(chunk * 2 AS INT))"))
+          .as("frame_digest"),
+        col("chunk").as("frame_bytes"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  private val m02Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hexp,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
+      |    CAST(greatest(octet_length(CAST(text AS BLOB)) // 4, 1) AS BIGINT) AS chunk
+      |  FROM documents)
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  md5(substring(hexp, CAST(frame_idx * chunk * 2 + 1 AS INT), CAST(chunk * 2 AS INT))) AS frame_digest,
+      |  chunk AS frame_bytes
+      |FROM m, range(0, 4) r(frame_idx)
+      |WHERE frame_idx * chunk < len
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("m01_binary_metadata", m01, Some(m01Sql)))
+    QueryDef("m01_binary_metadata", m01, Some(m01Sql)),
+    QueryDef("m02_frame_sample", m02, Some(m02Sql)))
 }

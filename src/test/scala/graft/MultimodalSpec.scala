@@ -43,4 +43,26 @@ class MultimodalSpec extends AnyFunSuite {
       .where(col("digest") =!= col("want") || col("n_bytes") =!= col("want_len"))
     assert(bad.count() == 0)
   }
+
+  test("m02 frame sampling: 4 frames per non-trivial doc, digests of real slices") {
+    import org.apache.spark.sql.functions._
+    val frames = SparkEntry.queries("m02_frame_sample")(spark, SharedSpark.sf0001)
+      .collect()
+    val byMedia = frames.groupBy(_.getLong(0))
+    assert(byMedia.nonEmpty)
+    byMedia.values.foreach { fs =>
+      assert(fs.length >= 1 && fs.length <= 4)
+      assert(fs.map(_.getLong(1)).sorted.sameElements(0L until fs.length))
+      // every frame digest is a well-formed md5 and frames of equal bytes
+      fs.foreach { f =>
+        assert(f.getString(2).matches("[0-9a-f]{32}"))
+        assert(f.getLong(3) >= 1L)
+      }
+    }
+    // docs long enough for 4 full chunks get exactly 4 frames
+    val docs = graft.sources.Tables.load(spark, SharedSpark.sf0001, "documents")
+    val longDocs = docs
+      .where(length(col("text").cast("binary")) >= 4).count()
+    assert(byMedia.count(_._2.length == 4).toLong == longDocs)
+  }
 }

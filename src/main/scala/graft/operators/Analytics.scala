@@ -83,31 +83,87 @@ object Analytics {
   // ---------------------------------------------------------------------
   // q23 — as-of join: enrich each stream event with the user's most
   // recent order AS OF the event time (Spark has no native as-of; this
-  // composes join + window per the SURVEY §2 extension order). Left
+  // composes existing ops per the SURVEY §2 extension order). Left
   // semantics: events without any qualifying order keep NULLs.
-  // Scale path: this join+rank form fans out to |events per user| ×
-  // |orders per user| before ranking; at 100 TB switch to the
-  // union-merge form (tag both sides, sort by (user, time) once, carry
-  // the last order forward with a running window) — same result, one
-  // sort, no fan-out.
+  //
+  // The plan is the union-merge form (`asofMerge`): tag both sides,
+  // union, ONE sort per user on (time, tag), carry the latest order
+  // forward with a running last(ignoreNulls) window. Per-user cost is
+  // O(|events| + |orders|) — no pair fan-out. The join+rank form
+  // (`asofJoinRank`, kept as the semantic reference the fuzz spec
+  // checks against) first materializes |events per user| × |orders per
+  // user| rows before ranking; a heavy user with 10⁴ of each is a
+  // 10⁸-row single-key explosion at 100 TB, which is why it is NOT the
+  // shipped plan.
   // ---------------------------------------------------------------------
-  private def q23(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    val o = t(s, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+
+  /** Scale-safe as-of join, union-merge form. Events carry
+    * (event_id, user_id, ts, event_type); orders carry
+    * (o_custkey, o_orderkey, o_orderdate). For each event, attaches the
+    * user's latest order with o_orderdate <= ts (ties on date broken by
+    * max o_orderkey, matching the rank form's DESC, DESC ordering).
+    * Order rows sort before event rows at the same instant (tag 0 < 1),
+    * so the inclusive <= boundary holds. One shuffle on user_id, one
+    * sort, zero fan-out.
+    */
+  def asofMerge(events: DataFrame, orders: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"),
+      col("ts").cast(TimestampType).as("t"),
+      lit(1).as("tag"),
+      col("event_id"),
+      col("event_type"),
+      lit(null).cast(LongType).as("ord_key"),
+      lit(null).cast(DateType).as("ord_date"))
+    val od = orders
+      .where(col("o_orderdate").isNotNull)
+      .select(
+        col("o_custkey").cast(LongType).as("user_id"),
+        col("o_orderdate").cast(TimestampType).as("t"),
+        lit(0).as("tag"),
+        lit(null).cast(LongType).as("event_id"),
+        lit(null).cast(StringType).as("event_type"),
+        col("o_orderkey").cast(LongType).as("ord_key"),
+        to_date(col("o_orderdate")).as("ord_date"))
+    // Running frame: ord_key ASC within a tied (t, tag) group makes
+    // last(ignoreNulls) pick the max orderkey of the max date — the
+    // same winner as the rank form's (date DESC, key DESC) row 1.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("tag"), col("ord_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .withColumn("last_orderkey", last(col("ord_key"), ignoreNulls = true).over(w))
+      .withColumn("last_orderdate", last(col("ord_date"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("last_orderkey"), col("last_orderdate"))
+  }
+
+  /** Reference as-of form: left join on (user, date <= ts), rank, keep
+    * row 1. Semantically identical to `asofMerge` (FuzzSpec proves it on
+    * random inputs) but fans out the per-user pair space — kept only as
+    * the comparison oracle, never the shipped plan.
+    */
+  def asofJoinRank(events: DataFrame, orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_id"))
       .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
-    e.join(o,
+    events.join(orders,
         col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
         "left")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(
         col("event_id"), col("user_id"), col("event_type"),
-        col("o_orderkey").as("last_orderkey"),
+        col("o_orderkey").cast(LongType).as("last_orderkey"),
         to_date(col("o_orderdate")).as("last_orderdate"))
-      .orderBy(col("event_id"))
+  }
+
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    asofMerge(e, o).orderBy(col("event_id"))
   }
   private val q23Sql =
     """SELECT event_id, user_id, event_type, last_orderkey, last_orderdate

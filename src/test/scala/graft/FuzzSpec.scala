@@ -99,6 +99,30 @@ class FuzzSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("as-of union-merge equals the join+rank reference on random inputs") {
+    import spark.implicits._
+    val rnd = new Random(2026)
+    // 12 users × 40 days: plenty of same-user-same-date order ties (key
+    // tie-break exercised), plus events before any order (NULL path).
+    val events = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong,
+        86400L * rnd.nextInt(40) + rnd.nextInt(86400), "e" + rnd.nextInt(3))
+    }.toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", col("sec").cast(TimestampType)).drop("sec")
+    val orders = (1 to 200).map { i =>
+      (rnd.nextInt(12).toLong, (1000 + i).toLong, 86400L * rnd.nextInt(40))
+    }.toDF("o_custkey", "o_orderkey", "dsec")
+      .withColumn("o_orderdate", col("dsec").cast(TimestampType)).drop("dsec")
+    val cols = Seq("event_id", "user_id", "event_type", "last_orderkey", "last_orderdate")
+    val merge = graft.operators.Analytics.asofMerge(events, orders)
+      .select(cols.map(col): _*).collect().toSet
+    val rank = graft.operators.Analytics.asofJoinRank(events, orders)
+      .select(cols.map(col): _*).collect().toSet
+    assert(merge.exists(_.isNullAt(3)), "want some events with no prior order")
+    assert(merge.exists(!_.isNullAt(3)), "want some matched events")
+    assert(merge == rank)
+  }
+
   test("sessionization session count equals independent gap count") {
     import spark.implicits._
     val rnd = new Random(99)

@@ -205,11 +205,42 @@ object Dedup {
   // intersection via equi-join inside the `source` block, |A∪B| by
   // inclusion-exclusion. Blocking bounds the pair space; the join
   // shuffles on (source, token) — no cross join anywhere.
+  //
+  // Hot-token guard (n02's MaxBucket applied to posting lists): a
+  // stopword-class token present in n docs of one source puts O(n²)
+  // intersection rows on a single (source, token) key — the exact
+  // single-key explosion the blocking was meant to prevent. Standard
+  // practice is DF-capped posting lists: tokens with document frequency
+  // > `maxDf` inside their block are dropped BEFORE the self-join, from
+  // both the intersection AND the per-doc token counts, so Jaccard is
+  // computed consistently over the capped vocabulary. High-DF tokens
+  // carry no similarity signal (they match everything), so the capped
+  // score is the standard estimator, not an approximation of the naive
+  // one. The oracle applies the identical filter.
   // ---------------------------------------------------------------------
-  private def n04(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val toks = d.select(col("doc_id"), col("source"),
+
+  /** Default document-frequency cap per (source, token): far above any
+    * posting list in the test corpora (sf0.01 has 500 docs total, so
+    * nothing is dropped there), binding only on stopword-class tokens
+    * at scale where a single key would otherwise hold O(n²) pairs. */
+  val MaxTokenDf = 1000
+
+  /** Pairwise token-set Jaccard over (doc_id, source, text) rows,
+    * blocked on `source`, posting lists DF-capped at `maxDf`. Output:
+    * (doc_a, doc_b, n_common, jaccard) for pairs with jaccard >=
+    * `threshold`. Public so TextDedupSpec can drive it with a small cap
+    * on a crafted stopword-heavy corpus. */
+  def jaccardPairs(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val toks0 = docs.select(col("doc_id"), col("source"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    // One window count on the same (source, token) key the join shuffles
+    // on — the partitioning is reused, not an extra pass over the data.
+    val toks = toks0
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("token"))))
+      .where(col("df") <= maxDf)
+      .drop("df")
     val counts = toks.groupBy(col("doc_id").as("cnt_doc"))
       .agg(count(lit(1)).as("n_toks"))
     val a = toks.as("a"); val b = toks.as("b")
@@ -226,13 +257,22 @@ object Dedup {
         (col("n_common").cast(DoubleType) /
           (col("ca.n_toks") + col("cb.n_toks") - col("n_common")))
           .as("jaccard"))
-      .where(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .where(col("jaccard") >= threshold)
   }
+
+  private def n04(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(t(s, dir, "documents"), 0.5, MaxTokenDf)
+      .orderBy(col("doc_a"), col("doc_b"))
   private val n04Sql =
-    s"""WITH toks AS (
+    s"""WITH toks0 AS (
        |  SELECT doc_id, source, unnest(list_distinct(${TextOps.tokensSql})) AS token
        |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, source, token FROM (
+       |    SELECT doc_id, source, token,
+       |      COUNT(*) OVER (PARTITION BY source, token) AS df
+       |    FROM toks0)
+       |  WHERE df <= $MaxTokenDf),
        |counts AS (
        |  SELECT doc_id AS cnt_doc, COUNT(*) AS n_toks FROM toks GROUP BY 1),
        |inter AS (

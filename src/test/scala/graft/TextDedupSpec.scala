@@ -130,4 +130,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.where(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
     assert(df.where(col("doc_a") >= col("doc_b")).count() == 0)
   }
+
+  test("n04 DF cap drops stopword posting lists, keeps rare-token pairs") {
+    import spark.implicits._
+    // Degenerate corpus: 40 docs all sharing stopwords "the of", each
+    // with a unique rare token — plus one genuine near-dup pair sharing
+    // three rare tokens. Uncapped, the stopwords alone pull every
+    // 40-choose-2 pair above threshold=0.3 (2 common of 3+3 tokens).
+    val noise = (1L to 40L).map(id => (id, "web", s"the of uniq$id"))
+    val pair = Seq(
+      (101L, "web", "zebra quark flux the of"),
+      (102L, "web", "zebra quark flux the of"))
+    val corpus = (noise ++ pair).toDF("doc_id", "source", "text")
+    def pairs(maxDf: Int) = graft.operators.Dedup
+      .jaccardPairs(corpus, 0.3, maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.size > 500) // stopword blowup: ~42·41/2 pairs
+    // cap 10 < DF(the)=DF(of)=42: stopwords dropped; the real pair's
+    // jaccard over the capped vocab is 3/3 = 1.0, noise pairs share
+    // nothing
+    assert(pairs(10) == Set((101L, 102L)))
+  }
 }

@@ -27,57 +27,84 @@ object DataCoWarehouse {
 
   private def norm(c: String) = upper(trim(col(c)))
 
+  /** Exactly one row per NATURAL key with a deterministic keeper: ties
+    * broken by a TOTAL order over every attribute column, so two source
+    * rows sharing a key but disagreeing on an attribute (a product with
+    * two prices, a geo triple with two regions — routine in the dirty
+    * real exports this module targets) always keep the same winner.
+    * Dedup-before-join is what guarantees the fact join on the natural
+    * key never fans out and row_number surrogate keys stay
+    * deterministic (the reference deduped every lookup map for the same
+    * reason, glue_master_etl.py:112,122,134,147,217,227,250-290).
+    * Scale: one shuffle on the natural key — dim-sized, distributed. */
+  private def keepOnePerKey(df: DataFrame, key: Seq[String], attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(attrs.map(col): _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
   /** dept ← category snowflake parent (glue_master_etl.py:108-116). */
-  def dimDepartment(raw: DataFrame): DataFrame =
-    raw.select(col("department_id").as("dept_id"),
+  def dimDepartment(raw: DataFrame): DataFrame = {
+    val rows = raw.select(col("department_id").as("dept_id"),
         col("department_name").as("dept_name"))
       .where(col("dept_id").isNotNull).distinct()
-      .select(sk("dept_key", Seq("dept_id", "dept_name")), col("dept_id"), col("dept_name"))
+    keepOnePerKey(rows, Seq("dept_id"), Seq("dept_name"))
+      .select(sk("dept_key", Seq("dept_id")), col("dept_id"), col("dept_name"))
+  }
 
   /** category ← product parent, FK resolved in-engine (etl:119-128). */
-  def dimCategory(raw: DataFrame, dept: DataFrame): DataFrame =
-    raw.select(col("category_id").as("cat_id"),
+  def dimCategory(raw: DataFrame, dept: DataFrame): DataFrame = {
+    val rows = raw.select(col("category_id").as("cat_id"),
         col("category_name").as("cat_name"),
         col("department_id").as("dept_id"))
       .where(col("cat_id").isNotNull).distinct()
+    keepOnePerKey(rows, Seq("cat_id"), Seq("cat_name", "dept_id"))
       .join(broadcast(dept.select("dept_key", "dept_id")), Seq("dept_id"), "left")
-      .select(sk("cat_key", Seq("cat_id", "cat_name")),
+      .select(sk("cat_key", Seq("cat_id")),
         col("cat_id"), col("cat_name"), col("dept_key"))
+  }
 
-  /** product leaf of the snowflake chain (etl:130-137). */
-  def dimProduct(raw: DataFrame, cat: DataFrame): DataFrame =
-    raw.select(col("product_card_id"), col("product_name"),
+  /** product leaf of the snowflake chain (etl:130-137). One row per
+    * product_card_id even when the source carries several prices for it
+    * (keeper = lowest (name, price, cat) triple). */
+  def dimProduct(raw: DataFrame, cat: DataFrame): DataFrame = {
+    val rows = raw.select(col("product_card_id"), col("product_name"),
         col("order_item_product_price").as("product_price"),
         col("category_id").as("cat_id"))
       .where(col("product_card_id").isNotNull).distinct()
+    keepOnePerKey(rows, Seq("product_card_id"),
+        Seq("product_name", "product_price", "cat_id"))
       .join(broadcast(cat.select("cat_key", "cat_id")), Seq("cat_id"), "left")
-      .select(sk("product_key", Seq("product_card_id", "product_name")),
+      .select(sk("product_key", Seq("product_card_id")),
         col("product_card_id"), col("product_name"),
         col("product_price"), col("cat_key"))
+  }
 
-  /** customer dim (etl:141-147): one row per customer_id, deterministic
-    * keeper per key (the reference's dropDuplicates is order-dependent). */
+  /** customer dim (etl:141-147): one row per customer_id; the keeper
+    * order covers ALL attribute columns so rows with equal names but
+    * different segment/country still break ties totally. */
   def dimCustomer(raw: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("customer_id"))
-      .orderBy(col("first_name"), col("last_name"))
-    raw.select(col("customer_id"), col("customer_fname").as("first_name"),
+    val rows = raw.select(col("customer_id"), col("customer_fname").as("first_name"),
         col("customer_lname").as("last_name"),
         col("customer_segment").as("segment"),
         col("customer_country").as("country"))
       .where(col("customer_id").isNotNull)
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    keepOnePerKey(rows, Seq("customer_id"),
+        Seq("first_name", "last_name", "segment", "country"))
       .select(sk("customer_key", Seq("customer_id")), col("*"))
-      .drop("rn")
   }
 
   /** geography dim over normalized city/state/country (etl:222-233,
-    * upper/trim at :305-310 — mixed-case source variants collapse). */
-  def dimGeography(raw: DataFrame): DataFrame =
-    raw.select(norm("order_city").as("city"), norm("order_state").as("state"),
+    * upper/trim at :305-310 — mixed-case source variants collapse);
+    * one row per (country, state, city) even when region/market
+    * disagree across source rows. */
+  def dimGeography(raw: DataFrame): DataFrame = {
+    val rows = raw.select(norm("order_city").as("city"), norm("order_state").as("state"),
         norm("order_country").as("country"),
         col("order_region").as("region"), col("market"))
       .where(col("city").isNotNull).distinct()
+    keepOnePerKey(rows, Seq("country", "state", "city"), Seq("region", "market"))
       .select(sk("geo_key", Seq("country", "state", "city")), col("*"))
+  }
 
   /** execution-status junk dim (etl:166-172): full-row distinct over the
     * three normalized status flags. */
@@ -104,9 +131,11 @@ object DataCoWarehouse {
 
   /** route-shapes dim from lambda-processed routes (origin/dest coords
     * + WKT LINESTRING): the 4-coordinate composite key the reference
-    * builds at etl:296-299, plus an in-engine surrogate key. */
+    * builds at etl:296-299, plus an in-engine surrogate key. Duplicate
+    * coordinates (re-uploaded route files) collapse to one row per
+    * composite key with a deterministic keeper. */
   def dimRouteShapes(routes: DataFrame): DataFrame =
-    GeoJson.routeKey(routes)
+    keepOnePerKey(GeoJson.routeKey(routes), Seq("route_key_composite"), Seq("shape_wkt"))
       .select(sk("route_shape_key", Seq("route_key_composite")),
         col("route_key_composite"), col("origin_lat"), col("origin_long"),
         col("dest_lat"), col("dest_long"), col("shape_wkt"))

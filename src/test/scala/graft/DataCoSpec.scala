@@ -17,8 +17,8 @@ class DataCoSpec extends AnyFunSuite {
     DataCo.read(spark, path).cache()
   }
 
-  test("fixture reads clean: 5 rows, no corrupt records, 58 columns") {
-    assert(raw.count() == 5)
+  test("fixture reads clean: 6 rows, no corrupt records, 58 columns") {
+    assert(raw.count() == 6)
     assert(raw.where(col(Csv.corruptCol).isNotNull).count() == 0)
     assert(raw.columns.length == DataCo.schema.fields.length + 1) // + corrupt col
   }
@@ -42,7 +42,7 @@ class DataCoSpec extends AnyFunSuite {
     val dd = DataCoWarehouse.dimDate(raw).collect()
     val keys = dd.map(_.getAs[Int]("date_key")).sorted
     assert(keys sameElements Array(20150103, 20150105, 20160214, 20160218,
-      20181231, 20190102))
+      20160301, 20160303, 20181231, 20190102))
     dd.foreach { r =>
       val expect = r.getAs[java.sql.Date]("date_actual").toString.replace("-", "").toInt
       assert(r.getAs[Int]("date_key") == expect)
@@ -74,9 +74,34 @@ class DataCoSpec extends AnyFunSuite {
     assert(DataCoWarehouse.dimExecutionStatus(raw).count() == 4)
   }
 
+  test("conflicting attributes keep one deterministic row per natural key") {
+    // product 101 arrives with prices 50.00 and 60.00 -> one row, lowest kept
+    val dept = DataCoWarehouse.dimDepartment(raw)
+    val prod = DataCoWarehouse.dimProduct(raw, DataCoWarehouse.dimCategory(raw, dept))
+    val p101 = prod.where(col("product_card_id") === 101).collect()
+    assert(p101.length == 1)
+    assert(p101.head.getAs[java.math.BigDecimal]("product_price")
+      .compareTo(new java.math.BigDecimal("50.00")) == 0)
+    // the CAGUAS geo triple arrives with regions Central America and
+    // Pacific Rim -> one row, lexicographically-first region kept
+    val caguas = DataCoWarehouse.dimGeography(raw)
+      .where(col("city") === "CAGUAS").collect()
+    assert(caguas.length == 1)
+    assert(caguas.head.getAs[String]("region") == "Central America")
+    // customer 503 has equal names but segments Consumer / Home Office ->
+    // keeper order spans all attributes, Consumer wins
+    val c503 = DataCoWarehouse.dimCustomer(raw)
+      .where(col("customer_id") === 503).collect()
+    assert(c503.length == 1)
+    assert(c503.head.getAs[String]("segment") == "Consumer")
+  }
+
   test("fact: order-item grain, FKs resolve, NULLs preserved where source is bad") {
     val f = DataCoWarehouse.fact(raw).cache()
-    assert(f.count() == 5) // grain = order items
+    assert(f.count() == 6) // grain = order items
+    // conflicting dim attributes (product 101 two prices, CAGUAS two
+    // regions) must NOT fan the fact out: one fact row per order item
+    assert(f.select("order_item_id").distinct().count() == 6)
     // product/customer/status always resolve in this corpus
     assert(f.where(col("product_key").isNull || col("customer_key").isNull
       || col("status_key").isNull).count() == 0)

@@ -196,4 +196,61 @@ object DataCoWarehouse {
         col("order_date_key"), col("shipping_date_key"), col("order_geo_key"),
         col("route_shape_key"))
   }
+
+  // ---------------------------------------------------------------------
+  // The reference's four dashboard measures (report pp.16-18) answered
+  // from the rebuilt warehouse — B1-B4 over the DataCo fact + dims.
+  // Every one pre-aggregates the fact on its FK BEFORE joining the dim
+  // (the q06 lesson: shrink the fact to |dim| rows first, broadcast the
+  // dim, never shuffle fact rows through a dim join), so each measure
+  // is one fact-side partial aggregate + a broadcast join at 100 TB.
+  // ---------------------------------------------------------------------
+
+  /** B1 — profit by department/category hierarchy (report p.16). */
+  def profitByHierarchy(fact: DataFrame, prod: DataFrame, cat: DataFrame,
+      dept: DataFrame): DataFrame =
+    fact.groupBy("product_key")
+      .agg(sum(col("profit")).as("p"), count(lit(1)).as("n"))
+      .join(broadcast(prod.select("product_key", "cat_key")), Seq("product_key"))
+      .join(broadcast(cat.select("cat_key", "cat_name", "dept_key")), Seq("cat_key"))
+      .join(broadcast(dept.select("dept_key", "dept_name")), Seq("dept_key"))
+      .groupBy("dept_name", "cat_name")
+      .agg(sum(col("p")).cast(DecimalType(18, 2)).as("total_profit"),
+        sum(col("n")).as("n_items"))
+      .orderBy("dept_name", "cat_name")
+
+  /** B2 — sales by year/month of the order date (report p.17). */
+  def salesByMonth(fact: DataFrame, dates: DataFrame): DataFrame =
+    fact.groupBy("order_date_key")
+      .agg(sum(col("sales")).as("s"), count(lit(1)).as("n"))
+      .join(broadcast(dates.select(col("date_key").as("order_date_key"),
+        col("year"), col("month"))), Seq("order_date_key"))
+      .groupBy("year", "month")
+      .agg(sum(col("s")).cast(DecimalType(18, 2)).as("total_sales"),
+        sum(col("n")).as("n_items"))
+      .orderBy("year", "month")
+
+  /** B3 — schedule adherence (days_real <= days_scheduled) per shipping
+    * mode (report p.17). Ratio as integer ppm: deterministic, no float
+    * aggregate. */
+  def scheduleAdherence(fact: DataFrame, status: DataFrame): DataFrame =
+    fact.groupBy("status_key")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("days_real") <= col("days_scheduled"), 1L).otherwise(0L))
+          .as("ok"))
+      .join(broadcast(status.select("status_key", "shipping_mode")), Seq("status_key"))
+      .groupBy("shipping_mode")
+      .agg(sum(col("n")).as("n_items"), sum(col("ok")).as("n_on_schedule"))
+      .withColumn("adherence_ppm", expr("n_on_schedule * 1000000 div n_items"))
+      .orderBy("shipping_mode")
+
+  /** B4 — late-delivery risk by order country (report p.18). */
+  def lateRiskByCountry(fact: DataFrame, geo: DataFrame): DataFrame =
+    fact.groupBy("order_geo_key")
+      .agg(sum(col("late_risk")).as("l"), count(lit(1)).as("n"))
+      .join(broadcast(geo.select(col("geo_key").as("order_geo_key"),
+        col("country"))), Seq("order_geo_key"))
+      .groupBy("country")
+      .agg(sum(col("l")).as("n_late"), sum(col("n")).as("n_items"))
+      .orderBy("country")
 }

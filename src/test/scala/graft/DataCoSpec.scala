@@ -120,6 +120,53 @@ class DataCoSpec extends AnyFunSuite {
     assert(f.where(col("route_shape_key").isNotNull).count() == 0)
   }
 
+  test("B1-B4 dashboards are answerable from the rebuilt warehouse") {
+    // the reference's four report measures (report pp.16-18) over the
+    // DataCo fact + dims, against hand-computed golden values
+    val dept = DataCoWarehouse.dimDepartment(raw)
+    val cat  = DataCoWarehouse.dimCategory(raw, dept)
+    val prod = DataCoWarehouse.dimProduct(raw, cat)
+    val fact = DataCoWarehouse.fact(raw).cache()
+
+    // B1 profit by hierarchy
+    val b1 = DataCoWarehouse.profitByHierarchy(fact, prod, cat, dept).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[java.math.BigDecimal]("total_profit").doubleValue, r.getAs[Long]("n_items")))
+      .toMap
+    assert(b1 == Map(
+      ("Fitness", "Cardio") -> (30.50, 4L),
+      ("Golf", "Golf Clubs") -> (85.00, 2L)))
+
+    // B2 sales by month (order 2's malformed date drops out)
+    val b2 = DataCoWarehouse.salesByMonth(fact, DataCoWarehouse.dimDate(raw))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[java.math.BigDecimal]("total_sales").doubleValue, r.getAs[Long]("n_items")))
+      .toMap
+    assert(b2 == Map(
+      (2015, 1) -> (125.00, 2L), (2016, 2) -> (300.00, 1L),
+      (2016, 3) -> (60.00, 1L), (2018, 12) -> (150.00, 1L)))
+
+    // B3 schedule adherence per shipping mode, integer ppm
+    val b3 = DataCoWarehouse.scheduleAdherence(fact, DataCoWarehouse.dimExecutionStatus(raw))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("n_on_schedule"), r.getAs[Long]("adherence_ppm")))
+      .toMap
+    assert(b3 == Map(
+      "FIRST CLASS" -> (1L, 0L, 0L),
+      "SAME DAY" -> (1L, 1L, 1000000L),
+      "SECOND CLASS" -> (1L, 1L, 1000000L),
+      "STANDARD CLASS" -> (3L, 2L, 666666L)))
+
+    // B4 late risk by country (the NULL-geo row drops out)
+    val b4 = DataCoWarehouse.lateRiskByCountry(fact, DataCoWarehouse.dimGeography(raw))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_late"), r.getAs[Long]("n_items")))
+      .toMap
+    assert(b4 == Map("PUERTO RICO" -> (0L, 3L), "USA" -> (1L, 2L)))
+  }
+
   test("fact resolves route_shape_key via the 4-coordinate composite key") {
     import spark.implicits._
     val routes = Seq(

@@ -1,8 +1,8 @@
 package graft
 
+import graft.operators.SurrogateKeys
 import graft.sources.{Sink, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -49,42 +49,39 @@ object Pipeline {
         dayofweek(col("date_actual")).as("day_of_week"),
         date_format(col("date_actual"), "MMMM").as("month_name"))
 
-    // dim_customer: snowflake chain customer ← nation ← region.
-    val dimCustomer = c
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
-      .select(
-        row_number().over(Window.orderBy(col("c_custkey"))).cast(LongType)
-          .as("customer_sk"),
-        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
-        col("n_name").as("nation"), col("r_name").as("region"))
+    // dim_customer: snowflake chain customer ← nation ← region. Keys
+    // via SurrogateKeys.dense — distributed, no single-partition window.
+    val dimCustomer = SurrogateKeys.dense(
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+        .select(
+          col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+          col("n_name").as("nation"), col("r_name").as("region")),
+      "customer_sk", Seq(col("c_custkey")))
 
     // dim_segment ← dim_type ← dim_part (the dept←cat←product chain).
     val withSeg = p.withColumn("seg_name", split(col("p_type"), " ").getItem(0))
-    val dimSegment = withSeg.select(col("seg_name")).distinct()
-      .withColumn("seg_sk",
-        row_number().over(Window.orderBy(col("seg_name"))).cast(LongType))
-    val dimType = withSeg.select(col("p_type"), col("seg_name")).distinct()
-      .join(broadcast(dimSegment), Seq("seg_name"), "left")
-      .select(
-        row_number().over(Window.orderBy(col("p_type"))).cast(LongType).as("type_sk"),
-        col("p_type"), col("seg_sk"))
-    val dimPart = withSeg
-      .join(broadcast(dimType.select(col("p_type"), col("type_sk"))), Seq("p_type"), "left")
-      .select(
-        row_number().over(Window.orderBy(col("p_partkey"))).cast(LongType)
-          .as("part_sk"),
-        col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
-        col("p_size"), col("p_retailprice"), col("type_sk"))
+    val dimSegment = SurrogateKeys.dense(
+      withSeg.select(col("seg_name")).distinct(), "seg_sk", Seq(col("seg_name")))
+    val dimType = SurrogateKeys.dense(
+      withSeg.select(col("p_type"), col("seg_name")).distinct()
+        .join(broadcast(dimSegment), Seq("seg_name"), "left")
+        .select(col("p_type"), col("seg_sk")),
+      "type_sk", Seq(col("p_type")))
+    val dimPart = SurrogateKeys.dense(
+      withSeg
+        .join(broadcast(dimType.select(col("p_type"), col("type_sk"))), Seq("p_type"), "left")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+          col("p_size"), col("p_retailprice"), col("type_sk")),
+      "part_sk", Seq(col("p_partkey")))
 
     // dim_order_flags: junk dimension over the order status flags.
-    val dimFlags = o.select(
-        col("o_orderstatus").as("order_status"),
-        col("o_orderpriority").as("order_priority"))
-      .distinct()
-      .withColumn("junk_sk",
-        row_number().over(Window.orderBy(col("order_status"), col("order_priority")))
-          .cast(LongType))
+    val dimFlags = SurrogateKeys.dense(
+      o.select(
+          col("o_orderstatus").as("order_status"),
+          col("o_orderpriority").as("order_priority"))
+        .distinct(),
+      "junk_sk", Seq(col("order_status"), col("order_priority")))
 
     // fact: grain = lineitem; FKs resolved in-engine via broadcast dims.
     val fact = li

@@ -22,8 +22,10 @@ import graft.sources.{DataCo, GeoJson}
   */
 object DataCoWarehouse {
 
-  private def sk(name: String, order: Seq[String]) =
-    row_number().over(Window.orderBy(order.map(col): _*)).cast(LongType).as(name)
+  /** Dense surrogate key over the dim's unique natural key — distributed
+    * (SurrogateKeys.dense), prepended to the schema. */
+  private def sk(df: DataFrame, name: String, order: Seq[String]): DataFrame =
+    SurrogateKeys.dense(df, name, order.map(col))
 
   private def norm(c: String) = upper(trim(col(c)))
 
@@ -47,8 +49,8 @@ object DataCoWarehouse {
     val rows = raw.select(col("department_id").as("dept_id"),
         col("department_name").as("dept_name"))
       .where(col("dept_id").isNotNull).distinct()
-    keepOnePerKey(rows, Seq("dept_id"), Seq("dept_name"))
-      .select(sk("dept_key", Seq("dept_id")), col("dept_id"), col("dept_name"))
+    sk(keepOnePerKey(rows, Seq("dept_id"), Seq("dept_name")),
+      "dept_key", Seq("dept_id"))
   }
 
   /** category ← product parent, FK resolved in-engine (etl:119-128). */
@@ -57,10 +59,10 @@ object DataCoWarehouse {
         col("category_name").as("cat_name"),
         col("department_id").as("dept_id"))
       .where(col("cat_id").isNotNull).distinct()
-    keepOnePerKey(rows, Seq("cat_id"), Seq("cat_name", "dept_id"))
-      .join(broadcast(dept.select("dept_key", "dept_id")), Seq("dept_id"), "left")
-      .select(sk("cat_key", Seq("cat_id")),
-        col("cat_id"), col("cat_name"), col("dept_key"))
+    sk(keepOnePerKey(rows, Seq("cat_id"), Seq("cat_name", "dept_id"))
+        .join(broadcast(dept.select("dept_key", "dept_id")), Seq("dept_id"), "left")
+        .select(col("cat_id"), col("cat_name"), col("dept_key")),
+      "cat_key", Seq("cat_id"))
   }
 
   /** product leaf of the snowflake chain (etl:130-137). One row per
@@ -71,12 +73,12 @@ object DataCoWarehouse {
         col("order_item_product_price").as("product_price"),
         col("category_id").as("cat_id"))
       .where(col("product_card_id").isNotNull).distinct()
-    keepOnePerKey(rows, Seq("product_card_id"),
-        Seq("product_name", "product_price", "cat_id"))
-      .join(broadcast(cat.select("cat_key", "cat_id")), Seq("cat_id"), "left")
-      .select(sk("product_key", Seq("product_card_id")),
-        col("product_card_id"), col("product_name"),
-        col("product_price"), col("cat_key"))
+    sk(keepOnePerKey(rows, Seq("product_card_id"),
+          Seq("product_name", "product_price", "cat_id"))
+        .join(broadcast(cat.select("cat_key", "cat_id")), Seq("cat_id"), "left")
+        .select(col("product_card_id"), col("product_name"),
+          col("product_price"), col("cat_key")),
+      "product_key", Seq("product_card_id"))
   }
 
   /** customer dim (etl:141-147): one row per customer_id; the keeper
@@ -88,9 +90,9 @@ object DataCoWarehouse {
         col("customer_segment").as("segment"),
         col("customer_country").as("country"))
       .where(col("customer_id").isNotNull)
-    keepOnePerKey(rows, Seq("customer_id"),
-        Seq("first_name", "last_name", "segment", "country"))
-      .select(sk("customer_key", Seq("customer_id")), col("*"))
+    sk(keepOnePerKey(rows, Seq("customer_id"),
+        Seq("first_name", "last_name", "segment", "country")),
+      "customer_key", Seq("customer_id"))
   }
 
   /** geography dim over normalized city/state/country (etl:222-233,
@@ -102,19 +104,18 @@ object DataCoWarehouse {
         norm("order_country").as("country"),
         col("order_region").as("region"), col("market"))
       .where(col("city").isNotNull).distinct()
-    keepOnePerKey(rows, Seq("country", "state", "city"), Seq("region", "market"))
-      .select(sk("geo_key", Seq("country", "state", "city")), col("*"))
+    sk(keepOnePerKey(rows, Seq("country", "state", "city"), Seq("region", "market")),
+      "geo_key", Seq("country", "state", "city"))
   }
 
   /** execution-status junk dim (etl:166-172): full-row distinct over the
     * three normalized status flags. */
   def dimExecutionStatus(raw: DataFrame): DataFrame =
-    raw.select(norm("shipping_mode").as("shipping_mode"),
-        norm("delivery_status").as("delivery_status"),
-        norm("order_status").as("order_status"))
-      .distinct()
-      .select(sk("status_key", Seq("shipping_mode", "delivery_status", "order_status")),
-        col("*"))
+    sk(raw.select(norm("shipping_mode").as("shipping_mode"),
+          norm("delivery_status").as("delivery_status"),
+          norm("order_status").as("order_status"))
+        .distinct(),
+      "status_key", Seq("shipping_mode", "delivery_status", "order_status"))
 
   /** slim date dim from BOTH source timestamps (etl:180-198): lenient
     * "M/d/yyyy H:m" parse, malformed → dropped like the reference. */
@@ -135,10 +136,10 @@ object DataCoWarehouse {
     * coordinates (re-uploaded route files) collapse to one row per
     * composite key with a deterministic keeper. */
   def dimRouteShapes(routes: DataFrame): DataFrame =
-    keepOnePerKey(GeoJson.routeKey(routes), Seq("route_key_composite"), Seq("shape_wkt"))
-      .select(sk("route_shape_key", Seq("route_key_composite")),
-        col("route_key_composite"), col("origin_lat"), col("origin_long"),
-        col("dest_lat"), col("dest_long"), col("shape_wkt"))
+    sk(keepOnePerKey(GeoJson.routeKey(routes), Seq("route_key_composite"), Seq("shape_wkt"))
+        .select(col("route_key_composite"), col("origin_lat"), col("origin_long"),
+          col("dest_lat"), col("dest_long"), col("shape_wkt")),
+      "route_shape_key", Seq("route_key_composite"))
 
   /** star fact at order-item grain (etl:291-348): date keys derived
     * in-engine, every dim FK resolved by broadcast left join — NULL FKs

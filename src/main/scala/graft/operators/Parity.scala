@@ -128,22 +128,23 @@ object Parity {
   // 123,135) with row_number surrogate keys replacing Redshift
   // IDENTITY(1,1) (§2.10; ddl_snowflake_schema.sql:28) — this deletes the
   // reference's write→read-back→join dance (§3.1).
-  // Scale caveat: a single-partition window is fine for dims (≤ tens of M
-  // rows); for a fact-sized table switch to zipWithIndex-style ranking.
-  // Nation/region are broadcast (tiny).
+  // Keys come from SurrogateKeys.dense (distributed sort + zipWithIndex)
+  // — identical assignment to row_number() OVER (ORDER BY c_custkey)
+  // but with no single-partition window, so the same plan survives a
+  // fact-sized input. Nation/region are broadcast (tiny).
   // ---------------------------------------------------------------------
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
-    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+    val joined = c
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
       .select(
-        row_number().over(Window.orderBy(col("c_custkey")))
-          .cast(LongType).as("customer_sk"),
         col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("c_acctbal"),
         col("n_name").as("nation"), col("r_name").as("region"))
+    SurrogateKeys.dense(joined, "customer_sk", Seq(col("c_custkey")))
       .orderBy(col("c_custkey"))
   }
   private val q03Sql =

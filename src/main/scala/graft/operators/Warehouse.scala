@@ -3,7 +3,6 @@ package graft.operators
 import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -20,11 +19,11 @@ import org.apache.spark.sql.types._
   * row_number() makes each dim one closed-form plan and deletes the
   * write→read-back→join dance entirely.
   *
-  * Scale notes: surrogate-key windows run on DIMENSION tables (orders of
-  * magnitude smaller than the fact); the single-partition window is the
-  * documented trade-off for dense deterministic keys — beyond ~10^8 dim
-  * rows switch to zipWithIndex-style ranking. Fact-side joins broadcast
-  * every dim; the fact itself only shuffles on its own join keys.
+  * Scale notes: surrogate keys come from [[SurrogateKeys.dense]]
+  * (distributed sort + per-partition offsets) — same assignment as a
+  * row_number window, no single-partition ceiling, so even a 10^8-row
+  * dimension ranks in parallel. Fact-side joins broadcast every dim;
+  * the fact itself only shuffles on its own join keys.
   */
 object Warehouse {
 
@@ -43,15 +42,12 @@ object Warehouse {
     val p = t(s, dir, "part")
       .withColumn("type_name", col("p_type"))
       .withColumn("seg_name", split(col("p_type"), " ").getItem(0))
-    val seg = p.select(col("seg_name")).distinct()
-      .withColumn("seg_sk",
-        row_number().over(Window.orderBy(col("seg_name"))).cast(LongType))
-    val typ = p.select(col("type_name"), col("seg_name")).distinct()
-      .join(broadcast(seg), Seq("seg_name"), "left")
-      .select(
-        row_number().over(Window.orderBy(col("type_name"))).cast(LongType)
-          .as("type_sk"),
-        col("type_name"), col("seg_sk"), col("seg_name"))
+    val seg = SurrogateKeys.dense(
+      p.select(col("seg_name")).distinct(), "seg_sk", Seq(col("seg_name")))
+    val typ = SurrogateKeys.dense(
+      p.select(col("type_name"), col("seg_name")).distinct()
+        .join(broadcast(seg), Seq("seg_name"), "left"),
+      "type_sk", Seq(col("type_name")))
     p.join(broadcast(typ.select(col("type_name"), col("type_sk"), col("seg_sk"))),
         Seq("type_name"), "left")
       .select(col("p_partkey"), col("p_brand"), col("type_name"),
@@ -84,15 +80,14 @@ object Warehouse {
   // ---------------------------------------------------------------------
   private def q19(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    o.select(
+    val flags = o.select(
         col("o_orderstatus").as("order_status"),
         col("o_orderpriority").as("order_priority"),
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
           .otherwise(0).as("is_urgent"))
       .distinct()
-      .withColumn("junk_sk",
-        row_number().over(Window.orderBy(col("order_status"), col("order_priority")))
-          .cast(LongType))
+    SurrogateKeys.dense(flags, "junk_sk",
+        Seq(col("order_status"), col("order_priority")))
       .orderBy(col("junk_sk"))
   }
   private val q19Sql =
@@ -118,10 +113,8 @@ object Warehouse {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    val custDim = c.select(
-      row_number().over(Window.orderBy(col("c_custkey"))).cast(LongType)
-        .as("customer_sk"),
-      col("c_custkey"))
+    val custDim = SurrogateKeys.dense(
+      c.select(col("c_custkey")), "customer_sk", Seq(col("c_custkey")))
     val junk = q19(s, dir)
       .select(col("junk_sk"), col("order_status"), col("order_priority"))
     li.join(o, col("l_orderkey") === col("o_orderkey"), "left")

@@ -26,10 +26,13 @@ class WarehouseSpec extends AnyFunSuite {
 
   test("q19 junk dim: one row per flag combination, urgency derived") {
     val df = run("q19_junk_dim").collect()
-    assert(df.length == df.map(r => (r.getString(0), r.getString(1))).distinct.length)
+    // named getters: SurrogateKeys.dense prepends junk_sk, so positions shift
+    assert(df.length == df.map(r => (r.getAs[String]("order_status"),
+      r.getAs[String]("order_priority"))).distinct.length)
     df.foreach { r =>
-      val want = if (Set("1-URGENT", "2-HIGH").contains(r.getString(1))) 1 else 0
-      assert(r.getInt(2) == want)
+      val want =
+        if (Set("1-URGENT", "2-HIGH").contains(r.getAs[String]("order_priority"))) 1 else 0
+      assert(r.getAs[Int]("is_urgent") == want)
     }
     assert(df.map(_.getAs[Long]("junk_sk")).sorted.sameElements(1L to df.length))
   }

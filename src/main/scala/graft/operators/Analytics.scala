@@ -441,12 +441,12 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
-    QueryDef("q23_asof_join", q23, Some(q23Sql)),
+    QueryDef("q23_asof_join", q23, Some(q23Sql), headline = true),
     QueryDef("q24_approx_distinct", q24, Some(q24Sql)),
     QueryDef("q25_cube", q25, Some(q25Sql)),
     QueryDef("q26_pivot", q26, Some(q26Sql)),
-    QueryDef("q28_range_join", q28, Some(q28Sql)),
-    QueryDef("q29_percentiles", q29, Some(q29Sql)),
-    QueryDef("q30_group_topk", q30, Some(q30Sql)),
+    QueryDef("q28_range_join", q28, Some(q28Sql), headline = true),
+    QueryDef("q29_percentiles", q29, Some(q29Sql), headline = true),
+    QueryDef("q30_group_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q31_scd_upsert", q31, Some(q31Sql)))
 }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   *
   * Usage: runMain graft.Pipeline <sfDir> <outDir>
   *
-  * Scale notes: dims build from dimension-sized inputs (broadcast
-  * parents, dim-sized windows for surrogate keys); the fact build's
+  * Scale notes: dims build from dimension-sized inputs (bounded parents
+  * hint-broadcast, unbounded ones — customer, part — left to AQE; dense
+  * surrogate keys, no single-partition window); the fact build's
   * only big shuffle is lineitem⋈orders on orderkey; writes go through
   * Sink (atomic overwrite; fact bucketed by orderkey so downstream
   * order-grain joins co-locate).
@@ -83,12 +84,15 @@ object Pipeline {
         .distinct(),
       "junk_sk", Seq(col("order_status"), col("order_priority")))
 
-    // fact: grain = lineitem; FKs resolved in-engine via broadcast dims.
+    // fact: grain = lineitem; FKs resolved in-engine. Only the bounded
+    // flag-combo dim is hint-broadcast; customer and part scale with the
+    // data (multi-GB at 100 TB), so AQE picks their join strategy —
+    // broadcast while small, sort-merge once they outgrow the threshold.
     val fact = li
       .join(o, col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(dimCustomer.select(col("customer_sk"), col("c_custkey"))),
+      .join(dimCustomer.select(col("customer_sk"), col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left")
-      .join(broadcast(dimPart.select(col("part_sk"), col("p_partkey"))),
+      .join(dimPart.select(col("part_sk"), col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left")
       .join(broadcast(dimFlags),
         col("o_orderstatus") === col("order_status") &&

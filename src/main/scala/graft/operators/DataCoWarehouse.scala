@@ -15,10 +15,14 @@ import graft.sources.{DataCo, GeoJson}
   * reference's real columns, so a user can point the engine at actual
   * DataCo exports unchanged.
   *
-  * Scale shape: every dim is orders of magnitude smaller than the fact
-  * and is broadcast into the fact assembly; the fact never shuffles on
-  * anything but its own keys; date parsing is per-row codegen'd
-  * expressions (see DataCo.parseTs).
+  * Scale shape: every dim is orders of magnitude smaller than the fact.
+  * Bounded-cardinality dims (status combos, geography triples, dept,
+  * category, dates) are hint-broadcast into the fact assembly; dims that
+  * grow with the data (customer, route shapes — and conservatively the
+  * product catalog) are left to AQE, which broadcasts while they fit and
+  * falls back to sort-merge instead of OOMing at 100 TB. The fact never
+  * shuffles on anything but its own keys; date parsing is per-row
+  * codegen'd expressions (see DataCo.parseTs).
   */
 object DataCoWarehouse {
 
@@ -160,7 +164,7 @@ object DataCoWarehouse {
         raw.withColumn("route_key_composite",
             concat_ws("_", col("latitude_src"), col("longitude_src"),
               col("latitude_dest"), col("longitude_dest")))
-          .join(broadcast(dim), Seq("route_key_composite"), "left")
+          .join(dim, Seq("route_key_composite"), "left")
       case None => raw.withColumn("route_shape_key", lit(null).cast(LongType))
     }
     withRoute
@@ -172,10 +176,10 @@ object DataCoWarehouse {
       .withColumn("g_city", norm("order_city"))
       .withColumn("g_state", norm("order_state"))
       .withColumn("g_country", norm("order_country"))
-      .join(broadcast(prod.select("product_key", "product_card_id")),
+      .join(prod.select("product_key", "product_card_id"),
         Seq("product_card_id"), "left")
-      .join(broadcast(cust.select(col("customer_key"),
-          col("customer_id").as("order_customer_id"))),
+      .join(cust.select(col("customer_key"),
+          col("customer_id").as("order_customer_id")),
         Seq("order_customer_id"), "left")
       .join(broadcast(stat.select(col("status_key"),
           col("shipping_mode").as("sm"), col("delivery_status").as("ds"),

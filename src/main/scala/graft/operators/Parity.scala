@@ -193,10 +193,12 @@ object Parity {
   // key normalization (:305-310), chained LEFT joins preserving NULL FKs
   // (:314-327), wide projection (:330-348).
   // Scale: lineitem⋈orders is the one genuinely big join — both sides
-  // shuffle-partition on orderkey (sort-merge under AQE); part/supplier/
-  // customer are dimension-side → explicit broadcast. No driver loops:
-  // the reference's 20-bucket append loop (:352-362) collapses into the
-  // shuffle's native partitioning.
+  // shuffle-partition on orderkey (sort-merge under AQE). part/supplier/
+  // customer are dimension-side, but all three GROW with the data, so no
+  // forced broadcast: AQE broadcasts them while they fit its threshold
+  // and switches to sort-merge beyond it (a forced hint would OOM at
+  // 100 TB). No driver loops: the reference's 20-bucket append loop
+  // (:352-362) collapses into the shuffle's native partitioning.
   // ---------------------------------------------------------------------
   private def q05(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -205,8 +207,8 @@ object Parity {
     val su = t(s, dir, "supplier")
     val c  = t(s, dir, "customer")
     li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(p, col("l_partkey") === col("p_partkey"), "left")
+      .join(su, col("l_suppkey") === col("s_suppkey"), "left")
       .join(c, col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("l_orderkey"), col("l_linenumber"),

@@ -105,9 +105,14 @@ object Warehouse {
   // (entry point 2, glue_master_etl.py:291-348, minus the 5 JDBC
   // read-backs): date keys derived, customer/junk surrogate keys joined
   // from the dims built above, NULL FKs preserved via left joins.
-  // Scale: the lineitem⋈orders shuffle is the only big exchange; every
-  // dim side is broadcast; no driver-side bucket loop (the reference's
-  // 20-pass append at :352-362 is the shuffle's native partitioning).
+  // Scale: the lineitem⋈orders shuffle is the only big exchange; the
+  // junk dim (bounded flag-combo cardinality) is hint-broadcast, but the
+  // customer dim GROWS with the data (10^7-10^8 rows at 100 TB, beyond
+  // broadcast limits) so its join strategy is left to AQE — it still
+  // broadcasts while the dim is small and switches to sort-merge beyond
+  // the threshold instead of OOMing. No driver-side bucket loop (the
+  // reference's 20-pass append at :352-362 is the shuffle's native
+  // partitioning).
   // ---------------------------------------------------------------------
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -118,7 +123,7 @@ object Warehouse {
     val junk = q19(s, dir)
       .select(col("junk_sk"), col("order_status"), col("order_priority"))
     li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(custDim), col("o_custkey") === col("c_custkey"), "left")
+      .join(custDim, col("o_custkey") === col("c_custkey"), "left")
       .join(broadcast(junk),
         col("o_orderstatus") === col("order_status") &&
         col("o_orderpriority") === col("order_priority"), "left")

@@ -46,6 +46,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema"))
   }
 
+  // Broadcast-hint policy: explicit broadcast() is reserved for dims whose
+  // cardinality is bounded by an enumeration (nation/region, flag combos,
+  // status, dept/category, dates, geo triples). Dims that grow with the
+  // data (customer, part, supplier, product, route shapes) carry NO hint —
+  // AQE broadcasts them while they fit the threshold and falls back to
+  // sort-merge beyond it, instead of OOMing at 100 TB. These counts pin
+  // that policy per fact build.
+  test("fact builds: broadcast hints only on bounded-cardinality dims") {
+    def hints(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, SharedSpark.sf0001)
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    }
+    assert(hints("q20_fact_star") == 1, "q20: junk dim only")     // not customer
+    assert(hints("q05_fact_assembly") == 0, "q05: AQE decides all") // not part/supplier/customer
+  }
+
   test("q10: bucket predicate is scan-level — no hash shuffle") {
     val p = fmt("q10_bucket_filter")
     // the only Exchange allowed is the range partitioning for the

@@ -5,8 +5,8 @@ import graft.operators.Multimodal.MediaRow
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The multimodal decode plumbing: schema, partition-batched decode,
-  * deterministic fake codec (the real codec is stubbed — container has
-  * no media libraries; the Spark-side shape is what's under test). */
+  * real `javax.imageio` image decode (PNG/JPEG ship with the JDK) with
+  * the deterministic byte-level fallback for audio/video/garbage. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
@@ -24,12 +24,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0).n_bytes == 4 && out(1).n_bytes == 3 && out(2).n_bytes == 0)
     // video samples 8 frames, stills/audio 1
     assert(out(1).frames_sampled == 8 && out(0).frames_sampled == 1)
+    // garbage "image" bytes fall back to the byte-level codec
+    assert(out.forall(_.decoded == 0))
     // checksum is the deterministic byte fold
     val again = Multimodal.decodePartition(mediaDs).collect().sortBy(_.media_id)
     assert(out.map(_.checksum).sameElements(again.map(_.checksum)))
     // thumbnail dims are quarter-size, floored at 1
     assert(out(0).thumb_w == 160 && out(0).thumb_h == 120)
     assert(out(2).thumb_w == 1 && out(2).thumb_h == 1)
+  }
+
+  /** Render a w×h image with deterministic pixels, encoded as `fmt`. */
+  private def renderImage(w: Int, h: Int, fmt: String, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 7 + seed) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG/JPEG payloads decode via javax.imageio: true dims, pixel checksum") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(10L, "image", renderImage(64, 48, "png", 0), 9999, 9999),
+      MediaRow(11L, "image", renderImage(64, 48, "png", 5), 9999, 9999),
+      MediaRow(12L, "image", renderImage(20, 12, "jpg", 0), 9999, 9999),
+      MediaRow(13L, "audio", renderImage(8, 8, "png", 0), 0, 0)).toDS()
+    val out = Multimodal.decodePartition(ds).collect().sortBy(_.media_id)
+
+    // images really decoded: thumbs from ACTUAL pixel dims, not the
+    // (deliberately wrong) declared 9999×9999 metadata
+    assert(out(0).decoded == 1 && out(0).thumb_w == 16 && out(0).thumb_h == 12)
+    assert(out(2).decoded == 1 && out(2).thumb_w == 5 && out(2).thumb_h == 3)
+    // pixel checksum: stable across runs, different for different pixels
+    assert(out(0).checksum != out(1).checksum)
+    val direct = Multimodal.ImageCodec.decode(renderImage(64, 48, "png", 0))
+    assert(direct.contains((64, 48, out(0).checksum)))
+    // non-image media never enters the image path, even with a PNG payload
+    assert(out(3).decoded == 0)
   }
 
   test("m01 binary metadata: digest matches md5 of the text payload") {

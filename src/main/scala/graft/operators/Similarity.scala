@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * keeps per-partition top-k before the final merge (window over a
   * shuffle on query id). The near-dup variant blocks on `label` (an
   * IVF-style coarse partition) so the pair space is bounded per bucket
-  * rather than O(n²).
+  * rather than O(n²), with hot blocks dropped past [[MaxLabelBlock]].
   */
 object Similarity {
 
@@ -85,12 +85,33 @@ object Similarity {
   // ---------------------------------------------------------------------
   // v02 — embedding near-duplicate pairs with label blocking (IVF-style
   // coarse quantization: `label` plays the role of the cluster id): pairs
-  // are generated inside blocks only → shuffle on label, never cross join.
+  // are generated inside blocks only → shuffle on label, never cross
+  // join. Pair count is quadratic in BLOCK size, so a skewed label (the
+  // n04 hot-token hazard transposed to embeddings) is guarded: blocks
+  // past `maxBlock` vectors are dropped before the self-join — a block
+  // that hot needs sub-blocking (v03's hyperplane bits as a secondary
+  // key), not pairwise scoring. The oracle states the same cap.
   // ---------------------------------------------------------------------
-  private def v02(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+
+  /** Default per-label block cap: far above any block in the test
+    * corpora (sf0.1 max block = 218), binding only on degenerate labels
+    * at scale where one key would otherwise hold O(size²) pairs. */
+  val MaxLabelBlock = 10000
+
+  /** Near-dup pairs inside label blocks, block size capped at
+    * `maxBlock`. The block count is a window on the same `label` key
+    * the self-join shuffles on — partitioning reused, no extra pass.
+    * Public so SimilaritySpec can drive it with a small cap on a
+    * degenerate single-label corpus. */
+  def neardupPairs(emb: DataFrame, threshold: Double,
+      maxBlock: Int = MaxLabelBlock): DataFrame = {
+    val e = emb
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
+      .withColumn("blk", count(lit(1)).over(
+        Window.partitionBy(col("label"))))
+      .where(col("blk") <= maxBlock)
+      .drop("blk")
     val a = e.as("a"); val b = e.as("b")
     a.join(b,
         col("a.label") === col("b.label") &&
@@ -100,15 +121,24 @@ object Similarity {
         col("a.label").as("label"),
         (dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm"))).as("cosine"))
-      .where(col("cosine") >= 0.25)
+      .where(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label"),
         round(col("cosine"), 6).as("cosine_r"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  private def v02(s: SparkSession, dir: String): DataFrame =
+    neardupPairs(t(s, dir, "embeddings"), 0.25)
+      .orderBy(col("vec_a"), col("vec_b"))
   private val v02Sql =
-    s"""WITH e AS (
+    s"""WITH e0 AS (
        |  SELECT vec_id, label, embedding, ${normS("embedding")} AS nrm
-       |  FROM embeddings)
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, label, embedding, nrm FROM (
+       |    SELECT vec_id, label, embedding, nrm,
+       |      COUNT(*) OVER (PARTITION BY label) AS blk
+       |    FROM e0)
+       |  WHERE blk <= $MaxLabelBlock)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        |  round(${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine_r
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -37,6 +37,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatch.count() == 0)
   }
 
+  test("v02 hot-label cap: a degenerate block is dropped, healthy blocks kept") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 20 vectors on one hot label (190 would-be pairs) + 3 on a healthy
+    // one; identical embeddings so every surviving pair passes threshold
+    val rows =
+      (1L to 20L).map(i => (i, "hot", Array(1.0f, 0.0f))) ++
+      (21L to 23L).map(i => (i, "ok", Array(0.0f, 1.0f)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val capped = Similarity.neardupPairs(emb, 0.25, maxBlock = 10).collect()
+    // hot block dropped entirely, ok block's 3 pairs intact
+    assert(capped.forall(_.getAs[String]("label") == "ok"))
+    assert(capped.length == 3)
+    // with the cap above both block sizes, the hot pairs come back
+    val uncapped = Similarity.neardupPairs(emb, 0.25, maxBlock = 100)
+    assert(uncapped.count() == 190 + 3)
+    // default cap is non-binding on the test corpus: v02 ≡ uncapped there
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    assert(Similarity.neardupPairs(e, 0.25).count() ==
+      Similarity.neardupPairs(e, 0.25, maxBlock = Int.MaxValue).count())
+  }
+
   test("v03 buckets: 8-bit ids, vector counts total to table size") {
     val df = run("v03_lsh_buckets")
     assert(df.where(col("bucket") < 0 || col("bucket") > 255).count() == 0)

@@ -68,9 +68,12 @@ object Sink {
       .mode(SaveMode.Append).save()
 
   /** TRUNCATE-then-load refresh: `truncate=true` keeps the table's DDL,
-    * indexes, and grants — the same observable behavior as the
-    * reference's explicit TRUNCATE preaction, minus the non-atomic
-    * empty-table window its separate statements leave on failure. */
+    * indexes, and grants (vs Overwrite's default drop-and-recreate) —
+    * the same observable behavior as the reference's explicit TRUNCATE
+    * preaction. NOT atomic: Spark still issues TRUNCATE TABLE and then
+    * batch-appends, so a mid-load failure leaves a truncated or
+    * partially-loaded table, exactly like the reference. An atomic
+    * refresh needs a staging-table load + rename/swap on the DB side. */
   def jdbcOverwrite(df: DataFrame, url: String, table: String,
                     batchSize: Int = 10000, numPartitions: Option[Int] = None): Unit =
     writer(df, batchSize, numPartitions)

@@ -7,10 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The query inventory aggregates every operator family:
   *  - [[operators.Parity]]     q01-q17: reference-parity surface (SURVEY §2)
   *  - [[operators.Warehouse]]  q18-q20: snowflake dims, junk dim, star fact
-  *  - [[operators.TextOps]]    d01-d05: exact dedup + text analysis
-  *  - [[operators.Dedup]]      n01-n04: MinHash/LSH, SimHash, Jaccard
-  *  - [[operators.Similarity]] v01-v03: cosine top-k, near-dup, LSH-ANN
-  *  - [[operators.Multimodal]] m01: binary-column plumbing
+  *  - [[operators.Analytics]]  q21-q31: rollup/cube/pivot, set ops, as-of
+  *                             join, HLL, range join, quantiles, grouped
+  *                             top-k, SCD-1 upsert
+  *  - [[operators.TextOps]]    d01-d09: exact dedup, text stats/quality,
+  *                             lang-id, fingerprint, BPE counting,
+  *                             stopwords, hash split, repetition quality
+  *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
+  *                             measures over the full DataCo warehouse
+  *                             build, hash-checked against direct SQL
+  *  - [[operators.Dedup]]      n01-n04: MinHash/LSH, SimHash, n-gram Jaccard
+  *  - [[operators.Similarity]] v01-v04: cosine top-k, near-dup, LSH-ANN, IVF
+  *  - [[operators.Multimodal]] m01-m02: binary columns + frame sampling
   */
 object SparkEntry {
 
@@ -18,6 +26,7 @@ object SparkEntry {
     operators.Parity.defs ++
     operators.Warehouse.defs ++
     operators.Analytics.defs ++
+    operators.DataCoSynthetic.defs ++
     operators.TextOps.defs ++
     operators.Dedup.defs ++
     operators.Similarity.defs ++

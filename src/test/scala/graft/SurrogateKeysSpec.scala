@@ -50,6 +50,27 @@ class SurrogateKeysSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial skew: hot duplicate prefixes, total order -> still the window form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      // ~90% of rows share one hot prefix (the duplicate-prefix skew a
+      // real dim dedup can produce); (k1, uid) stays a total order
+      val rows = (1 to 2000).map { i =>
+        val prefix = if (rnd.nextInt(10) < 9) "HOT" else s"k${rnd.nextInt(50)}"
+        (prefix, i.toLong)
+      }
+      val df = rnd.shuffle(rows).toDF("k1", "uid").repartition(13)
+      val windowed = df
+        .select(row_number().over(Window.orderBy(col("k1"), col("uid")))
+          .cast(LongType).as("sk"), col("uid"))
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      val dense = SurrogateKeys.dense(df, "sk", Seq(col("k1"), col("uid")))
+        .collect().map(r => r.getAs[Long]("uid") -> r.getAs[Long]("sk")).toMap
+      assert(dense == windowed, s"trial $trial")
+    }
+  }
+
   test("multi-column order and descending order are honored") {
     import spark.implicits._
     val df = Seq(("b", 2, "x"), ("a", 9, "y"), ("a", 1, "z"), ("c", 0, "w"))

@@ -1,0 +1,178 @@
+package graft
+
+import graft.operators.Dedup
+import graft.operators.TextOps
+import graft.sources.{Sink, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end training-corpus curation — the LLM-data analog of the
+  * warehouse pipelines (`Pipeline`, `DataCoPipeline`): raw documents →
+  * quality filter → exact dedup → MinHash-LSH near-dup removal →
+  * deterministic train/val/test split → partitioned parquet. Each stage
+  * is the already-graded operator (d03 quality, d01 dedup, n01/n02
+  * LSH, d08 split) chained into one DAG, and the WHOLE chain is itself
+  * driver-graded: c01's DuckDB oracle re-derives the curated corpus
+  * from scratch, so a hash match proves no stage drops, duplicates, or
+  * reorders anything it shouldn't.
+  *
+  * Scale shape, stage by stage (the 100 TB story):
+  *  - annotate/filter: per-row codegen'd expressions, zero shuffle;
+  *  - exact dedup: one shuffle on the content digest (rows must move
+  *    anyway — survivors carry their text into LSH);
+  *  - LSH: per-row signatures, one shuffle on (band_id, band_key),
+  *    buckets capped at [[Dedup.MaxBucket]] before the pair explode;
+  *  - near-dup drop: LEFT ANTI join against the (tiny) candidate-pair
+  *    id set — never materializes the pair texts;
+  *  - split: per-row content hash (layout/partitioning independent);
+  *  - write: Hive-partitioned by split so downstream training jobs
+  *    prune to their slice at the scan.
+  *
+  * All thresholds are integer math (10·distinct ≥ 3·total instead of a
+  * float type-token ratio) so Spark and DuckDB agree bit-for-bit.
+  */
+object CurationPipeline {
+
+  /** Per-document quality features + integer quality points (0..3):
+    * length band, minimum token count, type-token ratio — d03's score
+    * with the ratio leg kept in exact integer form. */
+  def annotate(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast(LongType).as("nc"),
+        size(toks).cast(LongType).as("nt"),
+        size(array_distinct(toks)).cast(LongType).as("ndt"))
+      .withColumn("q_points",
+        when(col("nc").between(100L, 400L), 1L).otherwise(0L)
+          + when(col("nt") >= 20L, 1L).otherwise(0L)
+          + when(col("ndt") * 10L >= col("nt") * 3L, 1L).otherwise(0L))
+  }
+
+  /** Keep documents scoring at least 2 of the 3 quality points. */
+  def qualityFilter(annotated: DataFrame): DataFrame =
+    annotated.where(col("q_points") >= 2L)
+
+  /** Exact dedup, d01 semantics: keeper = min doc_id per content
+    * digest, with the group's copy count kept as provenance. One
+    * shuffle on the digest. */
+  def exactDedup(df: DataFrame): DataFrame = {
+    val byHash = Window.partitionBy(col("__h"))
+    df.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(byHash.orderBy(col("doc_id"))))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .where(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
+  /** Near-dup removal: MinHash-LSH candidate pairs over the survivors
+    * (buckets capped), then drop the GREATER doc of every candidate
+    * pair — the deterministic "keep the first seen" rule. LEFT ANTI on
+    * the pair ids only. */
+  def nearDupDrop(df: DataFrame): DataFrame = {
+    val pairs = Dedup.cappedLshPairs(Dedup.bandRows(Dedup.minhashSignatures(df)))
+    df.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** d08's deterministic content-hash split (80/10/10), keyed on doc_id
+    * so a revised text never migrates a document between splits. */
+  def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .drop("bucket")
+
+  /** The full curated corpus: doc_id, lang, n_tokens, q_points,
+    * n_copies, split — deterministically ordered. */
+  def curate(docs: DataFrame): DataFrame =
+    withSplit(nearDupDrop(exactDedup(qualityFilter(annotate(docs)))))
+      .select(col("doc_id"), col("lang"),
+        col("nt").as("n_tokens"), col("q_points"), col("n_copies"),
+        col("split"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // c01 — the whole chain as one graded query. The oracle re-derives
+  // every stage in DuckDB: the quality CTE mirrors annotate/filter, the
+  // dedup CTE d01's keeper rule, the minhash/bands CTEs are the SAME
+  // parametrized SQL n01/n02 are graded with (over the survivors), and
+  // the split CASE is d08's. Integer math end to end.
+  // ---------------------------------------------------------------------
+  private def c01(s: SparkSession, dir: String): DataFrame =
+    curate(Tables.load(s, dir, "documents"))
+
+  private val c01Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS nt,
+       |    CAST(len(list_distinct(${TextOps.tokensSql})) AS BIGINT) AS ndt
+       |  FROM documents),
+       |scored AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN nc BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+       |       + CASE WHEN nt >= 20 THEN 1 ELSE 0 END
+       |       + CASE WHEN ndt * 10 >= nt * 3 THEN 1 ELSE 0 END AS BIGINT) AS q_points
+       |  FROM base),
+       |kept AS (SELECT * FROM scored WHERE q_points >= 2),
+       |groups AS (
+       |  SELECT md5(text) AS h, MIN(doc_id) AS keeper,
+       |    CAST(COUNT(*) AS BIGINT) AS n_copies
+       |  FROM kept GROUP BY 1),
+       |deduped AS (
+       |  SELECT k.doc_id, k.text, k.lang, k.nt, k.q_points, g.n_copies
+       |  FROM kept k JOIN groups g ON k.doc_id = g.keeper),
+       |${Dedup.minhashCtesSql("deduped")},
+       |${Dedup.lshBandsCtesSql()},
+       |drops AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  JOIN kept_buckets kb
+       |    ON a.band_id = kb.band_id AND a.band_key = kb.band_key),
+       |curated AS (
+       |  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+       |SELECT doc_id, lang, nt AS n_tokens, q_points, n_copies,
+       |  CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+       |       WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM curated
+       |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true))
+
+  /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
+    * curated corpus Hive-partitioned by split and prints per-stage
+    * retention counts. */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: CurationPipeline <sfDir> <outDir>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, args(0), "documents")
+    val kept = qualityFilter(annotate(docs))
+    val deduped = exactDedup(kept)
+    val curated = withSplit(nearDupDrop(deduped))
+    Sink.overwritePartitioned(
+      curated.select("doc_id", "lang", "nt", "q_points", "n_copies", "split"),
+      args(1), "split")
+    println(s"input=${docs.count()} quality=${kept.count()} " +
+      s"exact_dedup=${deduped.count()} curated=${curated.count()}")
+    spark.stop()
+  }
+}

@@ -19,6 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Dedup]]      n01-n04: MinHash/LSH, SimHash, n-gram Jaccard
   *  - [[operators.Similarity]] v01-v04: cosine top-k, near-dup, LSH-ANN, IVF
   *  - [[operators.Multimodal]] m01-m02: binary columns + frame sampling
+  *  - [[CurationPipeline]]     c01: quality filter → exact dedup → LSH
+  *                             near-dup removal → split, graded end-to-end
   */
 object SparkEntry {
 
@@ -30,7 +32,8 @@ object SparkEntry {
     operators.TextOps.defs ++
     operators.Dedup.defs ++
     operators.Similarity.defs ++
-    operators.Multimodal.defs
+    operators.Multimodal.defs ++
+    CurationPipeline.defs
 
   /** Names benchmarked by graft.Bench each round. */
   val headlines: Seq[String] = allDefs.filter(_.headline).map(_.name)

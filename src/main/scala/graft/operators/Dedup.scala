@@ -38,8 +38,9 @@ object Dedup {
   private def hex60Sql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
 
-  /** Word 3-gram shingles (DuckDB oracle side). */
-  private val shinglesSql: String =
+  /** Word 3-gram shingles (DuckDB oracle side). Public so the curation
+    * pipeline's oracle can re-state the identical shingling. */
+  val shinglesSql: String =
     s"""CASE WHEN len(${TextOps.tokensSql}) >= 3
        | THEN list_transform(range(1, len(${TextOps.tokensSql}) - 1), i ->
        |   concat_ws(' ', ${TextOps.tokensSql}[i], ${TextOps.tokensSql}[i+1], ${TextOps.tokensSql}[i+2]))
@@ -54,8 +55,12 @@ object Dedup {
     * tokenizer, turning the row cost quadratic in token count (the
     * round-1 20s-at-sf0.1 pathology). The signature itself is one pass
     * via the custom [[graft.functions.MinHashSig]] expression. */
-  private def minhashDf(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  private def minhashDf(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(t(s, dir, "documents"))
+
+  /** Signatures over any (doc_id, text, ...) frame — public so the
+    * curation pipeline can run LSH over its quality-filtered survivors. */
+  def minhashSignatures(d: DataFrame): DataFrame = {
     val toksDf = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val sh = when(size(col("toks")) >= 3,
       transform(sequence(lit(1), size(col("toks")) - 2), i =>
@@ -73,15 +78,35 @@ object Dedup {
     As.indices.map { k =>
       s"coalesce(list_min(list_transform(hs, h -> (h * ${As(k)} + ${Bs(k)}) % $P)), -1) AS mh$k"
     }.mkString(",\n  ")
-  private val minhashBaseSql =
-    s"""WITH hashed AS (
+
+  /** The hashed→sigs CTE bodies over relation `from` (must expose
+    * doc_id + text). Public/parametric so the curation oracle can run
+    * the identical signature SQL over its own surviving-docs CTE. */
+  def minhashCtesSql(from: String): String =
+    s"""hashed AS (
        |  SELECT doc_id,
        |    list_transform($shinglesSql, sh -> ${hex60Sql("sh")} % $P) AS hs
-       |  FROM documents),
+       |  FROM $from),
        |sigs AS (
        |  SELECT doc_id,
        |  $minhashSqlCols
        |  FROM hashed)""".stripMargin
+
+  private val minhashBaseSql = "WITH " + minhashCtesSql("documents")
+
+  /** bands + capped-buckets CTE bodies following [[minhashCtesSql]] —
+    * the SQL mirror of [[bandRows]] + the bucket cap in
+    * [[cappedLshPairs]]. */
+  def lshBandsCtesSql(maxBucket: Int = MaxBucket): String = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_id, concat_ws(':', mh${2 * b}, mh${2 * b + 1}) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""bands AS (
+       |  $bandSelects),
+       |kept_buckets AS (
+       |  SELECT band_id, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket)""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // n01 — MinHash signatures (k=8): per-row array math only.
@@ -143,23 +168,15 @@ object Dedup {
     cappedLshPairs(bandRows(minhashDf(s, dir)))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val n02Sql = {
-    val bandSelects = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_id, concat_ws(':', mh${2 * b}, mh${2 * b + 1}) AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL\n  ")
+  private val n02Sql =
     s"""$minhashBaseSql,
-       |bands AS (
-       |  $bandSelects),
-       |kept AS (
-       |  SELECT band_id, band_key FROM bands
-       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $MaxBucket)
+       |${lshBandsCtesSql()}
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band_id = b.band_id AND a.band_key = b.band_key
        | AND a.doc_id < b.doc_id
-       |JOIN kept k ON a.band_id = k.band_id AND a.band_key = k.band_key
+       |JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // n03 — SimHash (16-bit): per-token 16-bit hashes; signed bit votes;

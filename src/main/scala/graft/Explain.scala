@@ -23,7 +23,11 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       println(s"\n=============== $name ===============")
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").explain("formatted")
+      SparkEntry.queries.get(name) match {
+        case Some(q) => q(spark, "/root/testdata/sf0.001").explain("formatted")
+        case None => println(s"unknown query: $name (known: ${
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      }
     }
     spark.stop()
   }

@@ -147,8 +147,37 @@ object CurationPipeline {
        |FROM curated
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c02 — the corpus budget report: docs / token totals / duplicate mass
+  // per (split, lang) over the CURATED corpus — the "how many training
+  // tokens do I actually have" number every pre-training run starts
+  // from. One tiny aggregate over c01's output; the oracle wraps c01's
+  // full re-derivation in the same GROUP BY.
+  // ---------------------------------------------------------------------
+  private def c02(s: SparkSession, dir: String): DataFrame =
+    curate(Tables.load(s, dir, "documents"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_copies") - 1L).as("n_exact_dups_absorbed"))
+      .orderBy(col("split"), col("lang"))
+
+  private val c02Sql =
+    s"""WITH c01 AS (
+       |$c01Sql
+       |)
+       |SELECT split, lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_copies - 1) AS BIGINT) AS n_exact_dups_absorbed
+       |FROM c01
+       |GROUP BY 1, 2
+       |ORDER BY split, lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true))
+    QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
+    QueryDef("c02_corpus_budget", c02, Some(c02Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

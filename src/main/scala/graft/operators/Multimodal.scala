@@ -94,6 +94,59 @@ object Multimodal {
     }
   }
 
+  /** A resized image: re-encoded PNG payload + its actual dimensions.
+    * `decoded` = 1 when the source really decoded (then the thumb is a
+    * true pixel-resampled rendition); 0 = fallback (empty payload). */
+  final case class Thumb(
+      media_id: Long,
+      thumb_png: Array[Byte],
+      thumb_w: Int,
+      thumb_h: Int,
+      decoded: Int)
+
+  /** Real image resize (JDK-only): decode via ImageIO, scale the longer
+    * side down to `maxDim` (never upscale) with bilinear resampling,
+    * re-encode as PNG. None when the payload doesn't decode. */
+  def resize(payload: Array[Byte], maxDim: Int): Option[(Array[Byte], Int, Int)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val w = math.max(1, math.round(img.getWidth * scale).toInt)
+        val h = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some((bos.toByteArray, w, h))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The resize stage: same partition-batched shape as decode — real
+    * pixel resampling for decodable images, an empty-payload marker row
+    * (never a dropped row) for everything else, so the output grain
+    * stays 1:1 with the input and downstream joins never lose media. */
+  def thumbnailPartition(media: Dataset[MediaRow], maxDim: Int): Dataset[Thumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        resize(r.payload, maxDim) match {
+          case Some((png, w, h)) => Thumb(r.media_id, png, w, h, decoded = 1)
+          case None => Thumb(r.media_id, Array.empty[Byte], 0, 0, decoded = 0)
+        }
+      }
+    }
+  }
+
   /** The decode stage: partition-batched, codec initialized once per
     * partition. Images go through the real `javax.imageio` path; audio,
     * video, and unparseable payloads fall back to the byte-level fake. */

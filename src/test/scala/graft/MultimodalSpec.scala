@@ -66,6 +66,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3).decoded == 0)
   }
 
+  test("thumbnailPartition: real bilinear resize, round-trip decodable, 1:1 grain") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(40L, "image", renderImage(64, 48, "png", 0), 0, 0),
+      MediaRow(41L, "image", renderImage(8, 8, "png", 1), 0, 0), // below maxDim
+      MediaRow(42L, "image", Array[Byte](1, 2, 3), 0, 0)).toDS() // garbage
+    val out = Multimodal.thumbnailPartition(ds, maxDim = 16)
+      .collect().sortBy(_.media_id)
+    assert(out.length == 3) // grain preserved even for undecodable rows
+    // 64x48 -> longer side 16, aspect kept
+    assert(out(0).decoded == 1 && out(0).thumb_w == 16 && out(0).thumb_h == 12)
+    // the thumbnail is itself a valid PNG with those dimensions
+    val roundTrip = Multimodal.ImageCodec.decode(out(0).thumb_png)
+    assert(roundTrip.exists { case (w, h, _) => w == 16 && h == 12 })
+    // small images are never upscaled
+    assert(out(1).thumb_w == 8 && out(1).thumb_h == 8)
+    // garbage degrades to a marker row, not an exception or a drop
+    assert(out(2).decoded == 0 && out(2).thumb_png.isEmpty)
+  }
+
   test("m01 binary metadata: digest matches md5 of the text payload") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("m01_binary_metadata")(spark, SharedSpark.sf0001)

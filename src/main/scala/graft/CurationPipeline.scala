@@ -195,11 +195,17 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.load(spark, args(0), "documents")
     val kept = qualityFilter(annotate(docs))
-    val deduped = exactDedup(kept)
-    val curated = withSplit(nearDupDrop(deduped))
+    // deduped is the fan-in point: the LSH signature/pair stage AND the
+    // final output both read it, and the retention counts re-read every
+    // stage — cache it (and the curated result) so the expensive
+    // tokenize/minhash/dedup work runs once, not once per action.
+    val deduped = exactDedup(kept).cache()
+    val curated = withSplit(nearDupDrop(deduped)).cache()
     Sink.overwritePartitioned(
       curated.select("doc_id", "lang", "nt", "q_points", "n_copies", "split"),
       args(1), "split")
+    // input/quality counts come from cheap scans; dedup/curated from the
+    // cached frames the write just materialized.
     println(s"input=${docs.count()} quality=${kept.count()} " +
       s"exact_dedup=${deduped.count()} curated=${curated.count()}")
     spark.stop()

@@ -23,20 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object DataCoPipeline {
 
-  /** All warehouse tables keyed by serving-table name. */
+  /** All warehouse tables keyed by serving-table name. Each dim is
+    * built ONCE and shared between its serving table and the fact's FK
+    * resolution (factWith), so no dim-build subtree appears twice. */
   def tables(raw: DataFrame, routes: Option[DataFrame] = None): Map[String, DataFrame] = {
     val dept = DataCoWarehouse.dimDepartment(raw)
     val cat  = DataCoWarehouse.dimCategory(raw, dept)
+    val prod = DataCoWarehouse.dimProduct(raw, cat)
+    val cust = DataCoWarehouse.dimCustomer(raw)
+    val geo  = DataCoWarehouse.dimGeography(raw)
+    val stat = DataCoWarehouse.dimExecutionStatus(raw)
+    val routeDim = routes.map(DataCoWarehouse.dimRouteShapes)
     val base = Map(
       "dim_department" -> dept,
       "dim_category" -> cat,
-      "dim_product" -> DataCoWarehouse.dimProduct(raw, cat),
-      "dim_customer" -> DataCoWarehouse.dimCustomer(raw),
-      "dim_geography" -> DataCoWarehouse.dimGeography(raw),
-      "dim_execution_status" -> DataCoWarehouse.dimExecutionStatus(raw),
+      "dim_product" -> prod,
+      "dim_customer" -> cust,
+      "dim_geography" -> geo,
+      "dim_execution_status" -> stat,
       "dim_date" -> DataCoWarehouse.dimDate(raw),
-      "fact_order_items" -> DataCoWarehouse.fact(raw, routes))
-    routes.fold(base)(r => base + ("dim_route_shapes" -> DataCoWarehouse.dimRouteShapes(r)))
+      "fact_order_items" ->
+        DataCoWarehouse.factWith(raw, prod, cust, geo, stat, routeDim))
+    routeDim.fold(base)(d => base + ("dim_route_shapes" -> d))
   }
 
   def run(spark: SparkSession, csvPath: String, outDir: String,

@@ -18,9 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             build, hash-checked against direct SQL
   *  - [[operators.Dedup]]      n01-n04: MinHash/LSH, SimHash, n-gram Jaccard
   *  - [[operators.Similarity]] v01-v04: cosine top-k, near-dup, LSH-ANN, IVF
-  *  - [[operators.Multimodal]] m01-m02: binary columns + frame sampling
-  *  - [[CurationPipeline]]     c01: quality filter → exact dedup → LSH
-  *                             near-dup removal → split, graded end-to-end
+  *  - [[operators.Multimodal]] m01-m02: binary columns, frame sampling,
+  *                             real javax.imageio decode + bilinear resize
+  *  - [[CurationPipeline]]     c01-c02: quality filter → exact dedup →
+  *                             LSH near-dup removal → split, graded
+  *                             end-to-end, plus the corpus budget report
   */
 object SparkEntry {
 

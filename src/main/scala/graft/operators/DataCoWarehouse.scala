@@ -145,26 +145,34 @@ object DataCoWarehouse {
           col("dest_lat"), col("dest_long"), col("shape_wkt")),
       "route_shape_key", Seq("route_key_composite"))
 
-  /** star fact at order-item grain (etl:291-348): date keys derived
-    * in-engine, every dim FK resolved by broadcast left join — NULL FKs
-    * preserved for source values absent from their dim. Pass the
-    * lambda-processed routes to also resolve route_shape_key via the
-    * composite coordinate key; without routes the FK is NULL (the
-    * reference behaves the same when the routes bucket is empty). */
-  def fact(raw: DataFrame, routes: Option[DataFrame] = None): DataFrame = {
-    val dept = dimDepartment(raw)
-    val prod = dimProduct(raw, dimCategory(raw, dept))
-    val cust = dimCustomer(raw)
-    val geo  = dimGeography(raw)
-    val stat = dimExecutionStatus(raw)
-    val withRoute = routes match {
-      case Some(r) =>
-        val dim = dimRouteShapes(r)
-          .select(col("route_shape_key"), col("route_key_composite"))
+  /** star fact at order-item grain (etl:291-348), building its dims
+    * internally. Callers that already built dims (the pipeline mains,
+    * the b01-b04 measures) use [[factWith]] so each dim-build subtree
+    * appears once in the plan, not twice. */
+  def fact(raw: DataFrame, routes: Option[DataFrame] = None): DataFrame =
+    factWith(raw,
+      dimProduct(raw, dimCategory(raw, dimDepartment(raw))),
+      dimCustomer(raw), dimGeography(raw), dimExecutionStatus(raw),
+      routes.map(dimRouteShapes))
+
+  /** The fact build proper: date keys derived in-engine, every dim FK
+    * resolved by a left equi-join — bounded-cardinality dims (status,
+    * geography) hint-broadcast, data-scaled ones (product, customer,
+    * routes) left to AQE per the broadcast-hint policy. NULL FKs are
+    * preserved for source values absent from their dim. Pass the BUILT
+    * route-shapes dim to also resolve route_shape_key via the composite
+    * coordinate key; without it the FK is NULL (the reference behaves
+    * the same when the routes bucket is empty). */
+  def factWith(raw: DataFrame, prod: DataFrame, cust: DataFrame,
+      geo: DataFrame, stat: DataFrame,
+      routeDim: Option[DataFrame] = None): DataFrame = {
+    val withRoute = routeDim match {
+      case Some(dim) =>
         raw.withColumn("route_key_composite",
             concat_ws("_", col("latitude_src"), col("longitude_src"),
               col("latitude_dest"), col("longitude_dest")))
-          .join(dim, Seq("route_key_composite"), "left")
+          .join(dim.select(col("route_shape_key"), col("route_key_composite")),
+            Seq("route_key_composite"), "left")
       case None => raw.withColumn("route_shape_key", lit(null).cast(LongType))
     }
     withRoute

@@ -70,10 +70,15 @@ object CurationPipeline {
   /** Near-dup removal: MinHash-LSH candidate pairs over the survivors
     * (buckets capped), then drop the GREATER doc of every candidate
     * pair — the deterministic "keep the first seen" rule. LEFT ANTI on
-    * the pair ids only. */
+    * the pair ids only. The input is persisted because it is referenced
+    * twice (signature build + anti-join left side) and Spark duplicates
+    * non-identical subtrees — without it the whole upstream
+    * filter/dedup chain would run twice. */
   def nearDupDrop(df: DataFrame): DataFrame = {
-    val pairs = Dedup.cappedLshPairs(Dedup.bandRows(Dedup.minhashSignatures(df)))
-    df.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+    val survivors = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.cappedLshPairs(
+      Dedup.bandRows(Dedup.minhashSignatures(survivors)))
+    survivors.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
   }
 
@@ -195,11 +200,10 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.load(spark, args(0), "documents")
     val kept = qualityFilter(annotate(docs))
-    // deduped is the fan-in point: the LSH signature/pair stage AND the
-    // final output both read it, and the retention counts re-read every
-    // stage — cache it (and the curated result) so the expensive
-    // tokenize/minhash/dedup work runs once, not once per action.
-    val deduped = exactDedup(kept).cache()
+    // nearDupDrop persists `deduped` internally (its fan-in point);
+    // caching `curated` keeps the retention counts below from re-running
+    // the chain the write just materialized.
+    val deduped = exactDedup(kept)
     val curated = withSplit(nearDupDrop(deduped)).cache()
     Sink.overwritePartitioned(
       curated.select("doc_id", "lang", "nt", "q_points", "n_copies", "split"),

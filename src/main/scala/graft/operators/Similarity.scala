@@ -211,12 +211,18 @@ object Similarity {
         col("nrm").as("cent_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
+    // The assignment is referenced twice below (query side + candidate
+    // side) and Spark duplicates non-identical subtrees, which would run
+    // the O(n·k) assign twice. persist() materializes it once — exactly
+    // what a production IVF build does: the index IS a materialized
+    // cluster assignment (spill-safe: MEMORY_AND_DISK).
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("cent_cos",
         dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
       .withColumn("arn", row_number().over(wAssign))
       .where(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.where(col("vec_id").between(100, 104))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cent_id").as("q_cent"))

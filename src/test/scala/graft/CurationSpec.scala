@@ -61,6 +61,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out.contains(10L) && !out.contains(20L) && out.contains(30L))
   }
 
+  test("exact dedup == d01 keeper semantics on random duplicated corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      // ~40 distinct texts spread over 200 ids: heavy duplication,
+      // random id assignment, shuffled partitioning
+      val texts = (1 to 40).map(i => s"document body number $i with shared words")
+      val rows = (1L to 200L).map(id => (id, texts(rnd.nextInt(texts.length)), "en", "web"))
+      val df = rnd.shuffle(rows).toDF("doc_id", "text", "lang", "source").repartition(7)
+      val out = CurationPipeline.exactDedup(df)
+        .select("doc_id", "n_copies").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+      val want = rows.groupBy(_._2).values
+        .map(g => g.map(_._1).min -> g.size.toLong).toMap
+      assert(out == want, s"trial $trial")
+    }
+  }
+
   test("split column is exhaustive and deterministic") {
     val c1 = SparkEntry.queries("c01_curation_pipeline")(spark, dir)
     val splits = c1.groupBy("split").count().collect()

@@ -28,7 +28,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop persist()'d internal subtrees (c01 survivors, v04 assignment)
+      // so no query's timing benefits from — or pays cache pressure for —
+      // a previous query's leftovers.
+      spark.catalog.clearCache()
+      dt
     }
 
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
@@ -37,6 +42,7 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
+      spark.catalog.clearCache()
     }
 
     val results = SparkEntry.headlines.map(n => n -> runOnce(n))

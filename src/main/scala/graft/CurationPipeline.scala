@@ -74,12 +74,21 @@ object CurationPipeline {
     * twice (signature build + anti-join left side) and Spark duplicates
     * non-identical subtrees — without it the whole upstream
     * filter/dedup chain would run twice. */
-  def nearDupDrop(df: DataFrame): DataFrame = {
+  def nearDupDrop(df: DataFrame): DataFrame = nearDupDropPersisted(df)._1
+
+  /** As [[nearDupDrop]], but also returns the persisted survivors frame so
+    * a caller that drives its own terminal action ([[main]]) can unpersist
+    * it afterwards. The QueryDef path cannot: the action happens later, in
+    * Verify/Bench — those mains call `spark.catalog.clearCache()` after
+    * each query instead. */
+  def nearDupDropPersisted(df: DataFrame): (DataFrame, DataFrame) = {
     val survivors = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.cappedLshPairs(
       Dedup.bandRows(Dedup.minhashSignatures(survivors)))
-    survivors.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+    val result = survivors.join(
+      pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+    (result, survivors)
   }
 
   /** d08's deterministic content-hash split (80/10/10), keyed on doc_id
@@ -200,18 +209,25 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.load(spark, args(0), "documents")
     val kept = qualityFilter(annotate(docs))
-    // nearDupDrop persists `deduped` internally (its fan-in point);
-    // caching `curated` keeps the retention counts below from re-running
-    // the chain the write just materialized.
+    // nearDupDropPersisted persists `deduped` internally (its fan-in
+    // point); caching `curated` keeps the retention counts below from
+    // re-running the chain the write just materialized. Both handles are
+    // unpersisted once the last count is taken.
     val deduped = exactDedup(kept)
-    val curated = withSplit(nearDupDrop(deduped)).cache()
+    val (survivors, persistedDeduped) = nearDupDropPersisted(deduped)
+    val curated = withSplit(survivors).cache()
+    // Written schema matches the curated-corpus contract (and c01's graded
+    // output): the internal token count `nt` goes out as `n_tokens`.
     Sink.overwritePartitioned(
-      curated.select("doc_id", "lang", "nt", "q_points", "n_copies", "split"),
+      curated.select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+        col("q_points"), col("n_copies"), col("split")),
       args(1), "split")
     // input/quality counts come from cheap scans; dedup/curated from the
     // cached frames the write just materialized.
     println(s"input=${docs.count()} quality=${kept.count()} " +
       s"exact_dedup=${deduped.count()} curated=${curated.count()}")
+    persistedDeduped.unpersist()
+    curated.unpersist()
     spark.stop()
   }
 }

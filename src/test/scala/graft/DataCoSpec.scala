@@ -137,15 +137,17 @@ class DataCoSpec extends AnyFunSuite {
       ("Fitness", "Cardio") -> (30.50, 4L),
       ("Golf", "Golf Clubs") -> (85.00, 2L)))
 
-    // B2 sales by month (order 2's malformed date drops out)
+    // B2 sales by month: order 2's malformed date does NOT silently drop —
+    // it surfaces as the (NULL, NULL) data-quality bucket (left dim join)
     val b2 = DataCoWarehouse.salesByMonth(fact, DataCoWarehouse.dimDate(raw))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) ->
+      .map(r => (Option(r.get(r.fieldIndex("year"))), Option(r.get(r.fieldIndex("month")))) ->
         (r.getAs[java.math.BigDecimal]("total_sales").doubleValue, r.getAs[Long]("n_items")))
       .toMap
     assert(b2 == Map(
-      (2015, 1) -> (125.00, 2L), (2016, 2) -> (300.00, 1L),
-      (2016, 3) -> (60.00, 1L), (2018, 12) -> (150.00, 1L)))
+      (Some(2015), Some(1)) -> (125.00, 2L), (Some(2016), Some(2)) -> (300.00, 1L),
+      (Some(2016), Some(3)) -> (60.00, 1L), (Some(2018), Some(12)) -> (150.00, 1L),
+      (None, None) -> (200.00, 1L)))
 
     // B3 schedule adherence per shipping mode, integer ppm
     val b3 = DataCoWarehouse.scheduleAdherence(fact, DataCoWarehouse.dimExecutionStatus(raw))

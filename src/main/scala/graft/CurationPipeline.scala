@@ -189,9 +189,57 @@ object CurationPipeline {
        |GROUP BY 1, 2
        |ORDER BY split, lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c03 — language-balanced downsampling: cap every language at the
+  // smallest language's document count, selecting docs by deterministic
+  // content hash — the domain/language rebalancing step of corpus
+  // assembly (and the reason hash sampling, not rand(), is the d08
+  // rule: the same doc survives on any cluster, any partitioning, any
+  // rerun). keep_ppm = 10^6·min_lang_count/lang_count in integer math;
+  // a doc survives iff hash("sample:"+doc_id) mod 10^6 < its language's
+  // keep_ppm, so the smallest language keeps everything (ppm = 10^6)
+  // and larger ones keep an unbiased ~min_count subset.
+  //
+  // Scale: the per-language census is a tiny aggregate (|languages|
+  // rows — the empty-frame window below runs on that frame, not the
+  // corpus), broadcast back; the corpus itself sees one column-pruned
+  // aggregate scan + one per-row hash filter. No full-corpus shuffle.
+  // ---------------------------------------------------------------------
+  private def c03(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val thresholds = counts
+      .withColumn("min_n",
+        min(col("n_lang")).over(Window.partitionBy()))
+      .withColumn("keep_ppm", expr("min_n * 1000000 div n_lang"))
+      .select(col("lang"), col("n_lang"), col("keep_ppm"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .withColumn("h_ppm",
+        pmod(conv(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(1000000L)))
+      .where(col("h_ppm") < col("keep_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("keep_ppm"),
+        col("h_ppm"))
+      .orderBy(col("doc_id"))
+  }
+  private val c03Sql =
+    """WITH counts AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+      |  FROM documents GROUP BY 1),
+      |thresholds AS (
+      |  SELECT lang, n_lang,
+      |    CAST((MIN(n_lang) OVER ()) * 1000000 // n_lang AS BIGINT) AS keep_ppm
+      |  FROM counts)
+      |SELECT d.doc_id, d.lang, t.n_lang, t.keep_ppm,
+      |  CAST(concat('0x', substr(md5(concat('sample:', d.doc_id)), 1, 15)) AS BIGINT) % 1000000 AS h_ppm
+      |FROM documents d JOIN thresholds t ON d.lang = t.lang
+      |WHERE CAST(concat('0x', substr(md5(concat('sample:', d.doc_id)), 1, 15)) AS BIGINT) % 1000000 < t.keep_ppm
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
-    QueryDef("c02_corpus_budget", c02, Some(c02Sql)))
+    QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
+    QueryDef("c03_balanced_sample", c03, Some(c03Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

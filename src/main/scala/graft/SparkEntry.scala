@@ -10,19 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Analytics]]  q21-q31: rollup/cube/pivot, set ops, as-of
   *                             join, HLL, range join, quantiles, grouped
   *                             top-k, SCD-1 upsert
-  *  - [[operators.TextOps]]    d01-d09: exact dedup, text stats/quality,
+  *  - [[operators.TextOps]]    d01-d10: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
-  *                             stopwords, hash split, repetition quality
+  *                             stopwords, hash split, repetition quality,
+  *                             per-doc top terms (integer tf/df rank)
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
-  *  - [[operators.Dedup]]      n01-n04: MinHash/LSH, SimHash, n-gram Jaccard
+  *  - [[operators.Dedup]]      n01-n05: MinHash/LSH, SimHash, n-gram
+  *                             Jaccard, near-dup connected components
   *  - [[operators.Similarity]] v01-v04: cosine top-k, near-dup, LSH-ANN, IVF
   *  - [[operators.Multimodal]] m01-m02: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear resize
-  *  - [[CurationPipeline]]     c01-c02: quality filter → exact dedup →
+  *  - [[CurationPipeline]]     c01-c03: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report
+  *                             and language-balanced downsampling
   */
 object SparkEntry {
 

@@ -305,9 +305,101 @@ object Dedup {
        |WHERE CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // n05 — near-dup clustering: connected components over the LSH
+  // candidate pairs, each doc assigned its component's min doc_id as
+  // canonical. Pairwise candidate lists (n02) over-/under-drop when used
+  // greedily — A~B and B~C should collapse to ONE cluster {A,B,C} even
+  // though (A,C) never shared a bucket. Components are the principled
+  // canonicalization every production dedup pipeline ends with.
+  //
+  // Algorithm: iterative min-label propagation — each round every node
+  // takes the min label among itself and its neighbors; fixpoint = every
+  // node carries its component's min id. Each round is one equi-join
+  // shuffle on node id + one partial-aggregating groupBy; rounds needed =
+  // graph diameter, and LSH components are unions of bucket-cliques, so
+  // the diameter is tiny (2-3) in practice. Lineage is truncated per
+  // round with localCheckpoint (on a cluster: checkpoint to durable
+  // storage) — without it the plan doubles every iteration. The edge
+  // list is persisted once and reused each round. Convergence is checked
+  // with an exact changed-label count on the already-materialized round
+  // result; a graph that hasn't converged by `maxIters` throws rather
+  // than silently emitting non-fixpoint labels.
+  // ---------------------------------------------------------------------
+
+  /** Connected components over (doc_a, doc_b) pair rows. Output: one row
+    * per node — (doc_id, canonical_id = component min id, comp_size).
+    * Deterministic regardless of partitioning: the fixpoint of min-label
+    * propagation depends only on the graph. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("e_src"), col("doc_b").as("e_dst"))
+      .union(pairs.select(col("doc_b").as("e_src"), col("doc_a").as("e_dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("e_src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges.join(labels, col("e_dst") === col("id"))
+        .groupBy(col("e_src"))
+        .agg(min(col("comp")).as("nbr"))
+      val step = labels.join(nbrMin, labels("id") === nbrMin("e_src"), "left")
+        .select(labels("id").as("id"), labels("comp").as("prev"),
+          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = step.where(col("comp") =!= col("prev")).count()
+      labels = step.select(col("id"), col("comp"))
+      iters += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations")
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    val result = labels.join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
+        col("comp_size"))
+    edges.unpersist()
+    result
+  }
+
+  private def n05(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(cappedLshPairs(bandRows(minhashDf(s, dir))))
+      .orderBy(col("doc_id"))
+
+  // The oracle re-derives the same fixpoint with a recursive CTE: `reach`
+  // is the closure {(node, id that reaches it)}; MIN per node = the
+  // component min. UNION (not UNION ALL) dedups the closure, which is
+  // what terminates the recursion.
+  private val n05Sql =
+    s"""WITH RECURSIVE ${minhashCtesSql("documents")},
+       |${lshBandsCtesSql()},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |canon AS (
+       |  SELECT id AS doc_id, MIN(comp) AS canonical_id FROM reach GROUP BY 1)
+       |SELECT doc_id, canonical_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS comp_size
+       |FROM canon
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("n01_minhash_signatures", n01, Some(n01Sql), headline = true),
     QueryDef("n02_minhash_lsh_pairs", n02, Some(n02Sql), headline = true),
     QueryDef("n03_simhash", n03, Some(n03Sql)),
-    QueryDef("n04_ngram_jaccard", n04, Some(n04Sql)))
+    QueryDef("n04_ngram_jaccard", n04, Some(n04Sql)),
+    QueryDef("n05_neardup_components", n05, Some(n05Sql), headline = true))
 }

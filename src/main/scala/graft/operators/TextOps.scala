@@ -355,6 +355,56 @@ object TextOps {
        |FROM t
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d10 — per-document top terms: the tf-idf surface of keyword
+  // extraction, kept in exact integer space. Each document's terms are
+  // ranked by (tf DESC, df ASC, term ASC) — term frequency first, rarer-
+  // in-corpus wins ties — instead of a float tf·idf score, so both
+  // engines agree bit-for-bit and the ranking is a total order (term is
+  // unique within a doc).
+  //
+  // Scale shape: this IS the inverted-index build. The token explode
+  // shuffles (doc_id, term) once for tf (map-side partial counts first);
+  // corpus document frequency is a window count on the term partition —
+  // tf is already one row per (doc, term), so the df partition carries
+  // posting-list-sized groups, and a stopword-class term concentrates
+  // its posting list on one key exactly as in n04. The same DF-cap
+  // escape hatch applies upstream if a corpus needs it; counting alone
+  // (unlike n04's pair explode) is linear in the posting list, so no cap
+  // is applied here. Final top-k is a per-doc window over ≤ |terms per
+  // doc| rows.
+  // ---------------------------------------------------------------------
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    withDf.withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= 3)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+  private val d10Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |wdf AS (
+       |  SELECT doc_id, term, tf,
+       |    CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       |  FROM tf)
+       |SELECT doc_id, term, tf, df, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rk
+       |  FROM wdf)
+       |WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -364,5 +414,6 @@ object TextOps {
     QueryDef("d06_bpe_token_count", d06, Some(d06Sql)),
     QueryDef("d07_stopword_ratio", d07, Some(d07Sql)),
     QueryDef("d08_hash_split", d08, Some(d08Sql)),
-    QueryDef("d09_repetition_quality", d09, Some(d09Sql)))
+    QueryDef("d09_repetition_quality", d09, Some(d09Sql)),
+    QueryDef("d10_top_terms", d10, Some(d10Sql)))
 }

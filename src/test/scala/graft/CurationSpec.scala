@@ -88,4 +88,28 @@ class CurationSpec extends AnyFunSuite {
     val c2 = SparkEntry.queries("c01_curation_pipeline")(spark, dir)
     assert(c1.collect().toSeq == c2.collect().toSeq)
   }
+
+  test("c03 balanced sample: smallest language kept whole, larger capped, deterministic") {
+    val out = SparkEntry.queries("c03_balanced_sample")(spark, dir)
+    val rows = out.collect()
+    // every surviving row passed its own language's threshold
+    assert(rows.forall(r => r.getAs[Long]("h_ppm") < r.getAs[Long]("keep_ppm")))
+    val srcCounts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = srcCounts.values.min
+    val keptCounts = rows.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.length.toLong).toMap
+    srcCounts.foreach { case (lang, n) =>
+      // census column matches the source; nothing exceeds its language
+      rows.filter(_.getAs[String]("lang") == lang)
+        .foreach(r => assert(r.getAs[Long]("n_lang") == n))
+      assert(keptCounts.getOrElse(lang, 0L) <= n)
+      // the smallest language's keep_ppm is 10^6: every doc survives
+      if (n == minN) assert(keptCounts(lang) == n)
+    }
+    // hash selection is layout-independent: identical doc set on rerun
+    val again = SparkEntry.queries("c03_balanced_sample")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == again)
+  }
 }

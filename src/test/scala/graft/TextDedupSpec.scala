@@ -152,4 +152,45 @@ class TextDedupSpec extends AnyFunSuite {
     // nothing
     assert(pairs(10) == Set((101L, 102L)))
   }
+
+  test("n05 connected components: chains merge, canonical is min id, sizes exact") {
+    import spark.implicits._
+    // {1,2,3} via transitive 1-2, 2-3 (no 1-3 pair); {7,9}; and a
+    // 5-node chain of diameter 4 to force multiple propagation rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L),
+        (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("comp_size"))).toMap
+    assert(cc == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      7L -> (7L, 2L), 9L -> (7L, 2L),
+      10L -> (10L, 5L), 11L -> (10L, 5L), 12L -> (10L, 5L),
+      13L -> (10L, 5L), 14L -> (10L, 5L)))
+  }
+
+  test("n05 agrees with n02: both ends of every candidate pair share a canonical id") {
+    val comps = run("n05_neardup_components")
+    val pairs = run("n02_minhash_lsh_pairs")
+    val joined = pairs
+      .join(comps.select(col("doc_id").as("doc_a"), col("canonical_id").as("ca")), Seq("doc_a"))
+      .join(comps.select(col("doc_id").as("doc_b"), col("canonical_id").as("cb")), Seq("doc_b"))
+    assert(joined.count() == pairs.count()) // every paired doc has a component
+    assert(joined.where(col("ca") =!= col("cb")).count() == 0)
+  }
+
+  test("d10 top terms: per-doc k<=3, ranked by tf desc then df asc then term") {
+    val rows = run("d10_top_terms").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[String]("term"), r.getAs[Long]("rk")))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._5).sameElements(1L to sorted.length))
+      // the rank order must equal the declared (tf desc, df asc, term asc)
+      val keys = sorted.map { case (_, tf, df, term, _) => (-tf, df, term) }
+      assert(keys.sameElements(keys.sorted))
+    }
+  }
 }

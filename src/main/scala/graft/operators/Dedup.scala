@@ -70,7 +70,8 @@ object Dedup {
       .otherwise(col("toks")) // degenerate short docs: unigram shingles
     val shDf = toksDf.select(col("doc_id"), sh.as("sh"))
     val sigDf = shDf.select(col("doc_id"),
-      Bridge.column(MinHashSig(Bridge.expression(col("sh")), As, Bs, P)).as("sig"))
+      Bridge.column(MinHashSig(Bridge.expression(col("sh")),
+        As.toIndexedSeq, Bs.toIndexedSeq, P)).as("sig"))
     val mhCols = As.indices.map(k => element_at(col("sig"), k + 1).as(s"mh$k"))
     sigDf.select(col("doc_id") +: mhCols: _*)
   }

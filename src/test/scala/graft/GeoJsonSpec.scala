@@ -30,13 +30,13 @@ class GeoJsonSpec extends AnyFunSuite {
 
   test("compat mode replicates the lambda's end_lat-twice bug") {
     val buggy = GeoJson.routes(spark, path, compatEndLatBug = true)
-      .where(col("route_id") === "R2").head
+      .where(col("route_id") === "R2").head()
     assert(buggy.getAs[Double]("dest_long") == buggy.getAs[Double]("dest_lat"))
   }
 
   test("routeKey builds the 4-coordinate composite join key") {
     val df = GeoJson.routeKey(GeoJson.routes(spark, path))
-    val r2 = df.where(col("route_id") === "R2").head
+    val r2 = df.where(col("route_id") === "R2").head()
     assert(r2.getAs[String]("route_key_composite") == "37.77_-122.42_37.33_-121.89")
   }
 }

@@ -66,10 +66,10 @@ class ParitySpec extends AnyFunSuite {
   }
 
   test("q11 returns the global top 50 by totalprice") {
-    val got = run("q11_top_k").agg(min("o_totalprice")).head.getDouble(0)
+    val got = run("q11_top_k").agg(min("o_totalprice")).head().getDouble(0)
     val naive = graft.sources.Tables.load(spark, dir, "orders")
       .orderBy(col("o_totalprice").desc).limit(50)
-      .agg(min("o_totalprice")).head.getDouble(0)
+      .agg(min("o_totalprice")).head().getDouble(0)
     assert(got == naive)
     assert(run("q11_top_k").count() == 50)
   }

@@ -62,7 +62,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("v03 buckets: 8-bit ids, vector counts total to table size") {
     val df = run("v03_lsh_buckets")
     assert(df.where(col("bucket") < 0 || col("bucket") > 255).count() == 0)
-    val total = df.agg(sum("n_vectors")).head.getLong(0)
+    val total = df.agg(sum("n_vectors")).head().getLong(0)
     val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
     assert(total == n)
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantics of the text-analysis (d01-d05) and near-dup (n01-n04)
+/** Semantics of the text-analysis (d01-d10) and near-dup (n01-n05)
   * operator families on sf0.001. */
 class TextDedupSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
@@ -25,7 +25,7 @@ class TextDedupSpec extends AnyFunSuite {
 
   test("d01 exact dedup: copies partition the corpus, keeper is min doc_id") {
     val df = run("d01_dedup_exact")
-    assert(df.agg(sum("n_copies")).head.getLong(0) == docs.count())
+    assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())
     // keeper must be one of the docs carrying that hash
     val joined = df.join(
       docs.select(md5(col("text")).as("text_hash"), col("doc_id")),
@@ -82,8 +82,8 @@ class TextDedupSpec extends AnyFunSuite {
     // every pair shares at least one full band of the signature
     val sig = run("n01_minhash_signatures")
     val withSigs = pairs
-      .join(sig.toDF(sig.columns.map(c => s"a_$c"): _*), col("doc_a") === col("a_doc_id"))
-      .join(sig.toDF(sig.columns.map(c => s"b_$c"): _*), col("doc_b") === col("b_doc_id"))
+      .join(sig.toDF(sig.columns.map(c => s"a_$c").toIndexedSeq: _*), col("doc_a") === col("a_doc_id"))
+      .join(sig.toDF(sig.columns.map(c => s"b_$c").toIndexedSeq: _*), col("doc_b") === col("b_doc_id"))
     val shares = (0 until 4).map(b =>
       col(s"a_mh${2 * b}") === col(s"b_mh${2 * b}") &&
       col(s"a_mh${2 * b + 1}") === col(s"b_mh${2 * b + 1}")).reduce(_ || _)

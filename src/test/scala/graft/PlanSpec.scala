@@ -72,4 +72,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"),
       s"unexpected hash shuffle in scan-level filter:\n$p")
   }
+
+  test("d10: per-doc rank filter lowers to WindowGroupLimit, no Cartesian") {
+    val p = fmt("d10_top_terms")
+    // rk <= 3 must push into the window as a group limit (partial top-k
+    // per partition before the final window) — a plain Window + Filter
+    // would sort and rank EVERY (doc, term) row globally first
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("c03: language census broadcasts; the corpus is never re-shuffled") {
+    val p = fmt("c03_balanced_sample")
+    // thresholds (|languages| rows) must reach the corpus as a broadcast
+    // join; a sort-merge here would shuffle the whole corpus on lang
+    assert(p.contains("BroadcastHashJoin"), s"census not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled on lang:\n$p")
+  }
+
+  test("n05: final canonical join is plain equi-join over checkpointed labels") {
+    val p = fmt("n05_neardup_components")
+    // the iterative propagation happens before this plan (checkpointed);
+    // the visible plan must be label ⋈ component-size only — no
+    // Cartesian, no nested-loop fallback
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"n05 plan degraded:\n$p")
+  }
 }

@@ -7,9 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The query inventory aggregates every operator family:
   *  - [[operators.Parity]]     q01-q17: reference-parity surface (SURVEY §2)
   *  - [[operators.Warehouse]]  q18-q20: snowflake dims, junk dim, star fact
-  *  - [[operators.Analytics]]  q21-q31: rollup/cube/pivot, set ops, as-of
+  *  - [[operators.Analytics]]  q21-q32: rollup/cube/pivot, set ops, as-of
   *                             join, HLL, range join, quantiles, grouped
-  *                             top-k, SCD-1 upsert
+  *                             top-k, SCD-1 upsert, SCD-2 history
   *  - [[operators.TextOps]]    d01-d10: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
   *                             stopwords, hash split, repetition quality,
@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             Jaccard, near-dup connected components
   *  - [[operators.Similarity]] v01-v04: cosine top-k, near-dup, LSH-ANN, IVF
   *  - [[operators.Multimodal]] m01-m02: binary columns, frame sampling,
-  *                             real javax.imageio decode + bilinear resize
+  *                             real javax.imageio decode + bilinear
+  *                             resize, real javax.sound.sampled WAV decode
   *  - [[CurationPipeline]]     c01-c03: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report

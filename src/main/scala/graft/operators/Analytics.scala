@@ -438,6 +438,56 @@ object Analytics {
       |WHERE rn = 1
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q32 — SCD-2 history build (validity ranges): the other half of slowly-
+  // changing-dimension maintenance — q31 keeps only the latest row, SCD-2
+  // keeps every attribute change as a [valid_from, valid_to) interval with
+  // an is_current flag. Source: each customer's order stream read as a
+  // change feed of their priority tier. Build = change compaction (drop
+  // events equal to the previous value, lag()) then interval stitching
+  // (valid_to = next change's date, lead()) and versioning (row_number).
+  // Scale: ONE shuffle on the key — both window passes partition by
+  // o_custkey, so the second reuses the first's exchange; each partition
+  // holds one key's events, never whole tables; ties broken by order key
+  // so the history is deterministic under any layout.
+  // ---------------------------------------------------------------------
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    changes
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .select(col("o_custkey").as("cust_key"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"),
+        col("valid_to"), col("version"), col("is_current"))
+      .orderBy(col("cust_key"), col("version"))
+  }
+  private val q32Sql =
+    """WITH changes AS (
+      |  SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey
+      |  FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+      |      lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS prev
+      |    FROM orders)
+      |  WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey AS cust_key, o_orderpriority AS priority,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY cust_key, version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
@@ -448,5 +498,6 @@ object Analytics {
     QueryDef("q28_range_join", q28, Some(q28Sql), headline = true),
     QueryDef("q29_percentiles", q29, Some(q29Sql), headline = true),
     QueryDef("q30_group_topk", q30, Some(q30Sql), headline = true),
-    QueryDef("q31_scd_upsert", q31, Some(q31Sql)))
+    QueryDef("q31_scd_upsert", q31, Some(q31Sql)),
+    QueryDef("q32_scd2_history", q32, Some(q32Sql)))
 }

@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   *
   * Image payloads are REALLY decoded via the JDK's built-in
   * `javax.imageio` (PNG/JPEG/GIF/BMP need no external codecs): actual
-  * pixel dimensions and an ARGB pixel checksum. Audio/video decode — for
-  * which this container genuinely has no codecs — stays behind the
-  * deterministic `FakeCodec` fallback, which also catches image payloads
-  * ImageIO cannot parse (truncated/garbage bytes) so a bad file degrades
-  * to byte-level features instead of failing the job.
+  * pixel dimensions and an ARGB pixel checksum. Audio payloads are
+  * REALLY decoded via the JDK's `javax.sound.sampled` (WAV/AIFF/AU PCM):
+  * sample rate, channels, frame count, and a PCM checksum. Video
+  * decode — for which this container genuinely has no codecs — stays
+  * behind the deterministic `FakeCodec` fallback, which also catches
+  * payloads the real codecs cannot parse (truncated/garbage bytes) so a
+  * bad file degrades to byte-level features instead of failing the job.
   *
   * Scale design: decode runs in `mapPartitions` so codec init happens
   * once per partition (not per row), payloads never pass through the
@@ -33,8 +35,9 @@ object Multimodal {
       height: Int)
 
   /** Decoded features. `decoded` = 1 when a real codec parsed the
-    * payload (then thumb dims derive from ACTUAL pixel dimensions and
-    * `checksum` folds the ARGB pixel data); 0 = byte-level fallback. */
+    * payload — images carry thumb dims from ACTUAL pixel dimensions and
+    * an ARGB checksum; audio carries sample_rate/channels/pcm_frames and
+    * a PCM checksum. 0 = byte-level fallback (zeroed typed fields). */
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
@@ -43,7 +46,10 @@ object Multimodal {
       thumb_w: Int,
       thumb_h: Int,
       frames_sampled: Int,
-      decoded: Int)
+      decoded: Int,
+      sample_rate: Int,
+      channels: Int,
+      pcm_frames: Long)
 
   /** Real image decode, JDK-only (`javax.imageio`). Returns
     * (pixelWidth, pixelHeight, argbChecksum), or None when ImageIO has
@@ -73,7 +79,38 @@ object Multimodal {
     }
   }
 
-  /** Byte-level fallback (audio/video, undecodable images): every output
+  /** Real audio decode, JDK-only (`javax.sound.sampled` — WAV/AIFF/AU
+    * PCM need no external codecs). Returns (sampleRateHz, channels,
+    * pcmFrames, pcmChecksum) with the checksum folded over the decoded
+    * PCM stream (not the container bytes — two containers of the same
+    * audio fingerprint identically), or None when the bytes are not a
+    * parseable audio container — callers fall back to [[FakeCodec]]. */
+  object AudioCodec {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+      if (payload == null || payload.length == 0) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val frameSize = math.max(1, fmt.getFrameSize)
+          val buf = new Array[Byte](8192)
+          var cs = 0L
+          var bytes = 0L
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) { cs = cs * 31 + (buf(i) & 0xff); i += 1 }
+            bytes += n
+            n = in.read(buf)
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, bytes / frameSize, cs))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Byte-level fallback (video, undecodable images/audio): every output
     * derives deterministically from the payload bytes + declared
     * metadata, so the plumbing is fully testable without codecs. */
   object FakeCodec {
@@ -90,7 +127,10 @@ object Multimodal {
         thumb_w = math.max(1, r.width / 4),
         thumb_h = math.max(1, r.height / 4),
         frames_sampled = if (r.media_type == "video") 8 else 1,
-        decoded = 0)
+        decoded = 0,
+        sample_rate = 0,
+        channels = 0,
+        pcm_frames = 0L)
     }
   }
 
@@ -148,21 +188,34 @@ object Multimodal {
   }
 
   /** The decode stage: partition-batched, codec initialized once per
-    * partition. Images go through the real `javax.imageio` path; audio,
-    * video, and unparseable payloads fall back to the byte-level fake. */
+    * partition. Images go through the real `javax.imageio` path, audio
+    * through the real `javax.sound.sampled` path; video and unparseable
+    * payloads fall back to the byte-level fake. */
   def decodePartition(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val codec = FakeCodec.init()
       rows.map { r =>
-        val real =
-          if (r.media_type == "image") ImageCodec.decode(r.payload) else None
-        real match {
-          case Some((w, h, cs)) =>
-            MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
-              cs, math.max(1, w / 4), math.max(1, h / 4),
-              frames_sampled = 1, decoded = 1)
-          case None => codec.decode(r)
+        r.media_type match {
+          case "image" =>
+            ImageCodec.decode(r.payload) match {
+              case Some((w, h, cs)) =>
+                MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+                  cs, math.max(1, w / 4), math.max(1, h / 4),
+                  frames_sampled = 1, decoded = 1,
+                  sample_rate = 0, channels = 0, pcm_frames = 0L)
+              case None => codec.decode(r)
+            }
+          case "audio" =>
+            AudioCodec.decode(r.payload) match {
+              case Some((rate, ch, frames, cs)) =>
+                MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+                  cs, thumb_w = 0, thumb_h = 0,
+                  frames_sampled = 1, decoded = 1,
+                  sample_rate = rate, channels = ch, pcm_frames = frames)
+              case None => codec.decode(r)
+            }
+          case _ => codec.decode(r)
         }
       }
     }

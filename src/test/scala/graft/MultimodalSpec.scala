@@ -5,8 +5,9 @@ import graft.operators.Multimodal.MediaRow
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The multimodal decode plumbing: schema, partition-batched decode,
-  * real `javax.imageio` image decode (PNG/JPEG ship with the JDK) with
-  * the deterministic byte-level fallback for audio/video/garbage. */
+  * real `javax.imageio` image decode (PNG/JPEG ship with the JDK), real
+  * `javax.sound.sampled` audio decode (WAV PCM ships with the JDK), and
+  * the deterministic byte-level fallback for video/garbage. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
@@ -84,6 +85,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).thumb_w == 8 && out(1).thumb_h == 8)
     // garbage degrades to a marker row, not an exception or a drop
     assert(out(2).decoded == 0 && out(2).thumb_png.isEmpty)
+  }
+
+  /** Build a mono 16-bit little-endian PCM WAV with deterministic
+    * samples. Returns (container bytes, raw PCM bytes). */
+  private def renderWav(rate: Int, nFrames: Int, seed: Int): (Array[Byte], Array[Byte]) = {
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = ((i * 131 + seed * 17) % 65536 - 32768).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    (bos.toByteArray, pcm)
+  }
+
+  test("real WAV payloads decode via javax.sound.sampled: rate, channels, PCM checksum") {
+    import spark.implicits._
+    val (wav, pcm) = renderWav(8000, 1000, 3)
+    val (wav2, _) = renderWav(16000, 500, 4)
+    val ds = Seq(
+      MediaRow(50L, "audio", wav, 0, 0),
+      MediaRow(51L, "audio", wav2, 0, 0),
+      MediaRow(52L, "audio", Array[Byte](1, 2, 3, 4), 0, 0), // not audio
+      MediaRow(53L, "image", wav, 0, 0)).toDS()              // wrong type
+    val out = Multimodal.decodePartition(ds).collect().sortBy(_.media_id)
+    // real decode: format header fields come from the WAV itself
+    assert(out(0).decoded == 1 && out(0).sample_rate == 8000 &&
+      out(0).channels == 1 && out(0).pcm_frames == 1000L)
+    assert(out(1).decoded == 1 && out(1).sample_rate == 16000 &&
+      out(1).pcm_frames == 500L)
+    // checksum folds the decoded PCM stream — reproducible from the
+    // raw samples, independent of the container framing
+    val want = pcm.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    assert(out(0).checksum == want)
+    // garbage audio falls back; WAV bytes declared as image fall back too
+    assert(out(2).decoded == 0 && out(3).decoded == 0)
   }
 
   test("m01 binary metadata: digest matches md5 of the text payload") {

@@ -102,6 +102,31 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q32 SCD-2 history: compacted, contiguous intervals, one current row per key") {
+    val rows = run("q32_scd2_history").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cust_key")).values.foreach { grp =>
+      val hist = grp.sortBy(_.getAs[Long]("version"))
+      // versions are dense 1..n
+      assert(hist.map(_.getAs[Long]("version")).sameElements(1L to hist.length))
+      // change compaction: consecutive versions never repeat the value
+      val prios = hist.map(_.getAs[String]("priority"))
+      assert(prios.zip(prios.tail).forall { case (a, b) => a != b })
+      // intervals stitch: valid_to of v == valid_from of v+1; ranges ordered
+      hist.zip(hist.tail).foreach { case (cur, nxt) =>
+        val to = cur.get(cur.fieldIndex("valid_to"))
+        assert(to == nxt.get(nxt.fieldIndex("valid_from")))
+        val from = cur.get(cur.fieldIndex("valid_from"))
+          .asInstanceOf[Comparable[Any]]
+        assert(from.compareTo(to) <= 0)
+      }
+      // exactly the last version is current (open-ended)
+      assert(hist.init.forall(_.getAs[Long]("is_current") == 0L))
+      assert(hist.last.getAs[Long]("is_current") == 1L)
+      assert(hist.last.isNullAt(hist.last.fieldIndex("valid_to")))
+    }
+  }
+
   test("q28 bucketized range join equals the naive non-equi self-join") {
     import org.apache.spark.sql.functions._
     val dir = SharedSpark.sf0001

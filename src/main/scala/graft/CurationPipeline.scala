@@ -37,14 +37,16 @@ object CurationPipeline {
 
   /** Per-document quality features + integer quality points (0..3):
     * length band, minimum token count, type-token ratio — d03's score
-    * with the ratio leg kept in exact integer form. */
+    * with the ratio leg kept in exact integer form. Input columns pass
+    * through untouched (the streaming intake needs its event-time column
+    * to survive this stage); callers project at the end, and Catalyst
+    * prunes whatever they drop. */
   def annotate(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     docs
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        length(col("text")).cast(LongType).as("nc"),
-        size(toks).cast(LongType).as("nt"),
-        size(array_distinct(toks)).cast(LongType).as("ndt"))
+      .withColumn("nc", length(col("text")).cast(LongType))
+      .withColumn("nt", size(toks).cast(LongType))
+      .withColumn("ndt", size(array_distinct(toks)).cast(LongType))
       .withColumn("q_points",
         when(col("nc").between(100L, 400L), 1L).otherwise(0L)
           + when(col("nt") >= 20L, 1L).otherwise(0L)

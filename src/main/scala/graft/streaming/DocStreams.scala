@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.CurationPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming corpus intake: the curation pipeline's front half (quality
+  * gate + exact-dup guard + deterministic split) run under Structured
+  * Streaming, for the "documents arrive continuously" shape of a
+  * production training-data feed.
+  *
+  * The quality and split stages are LITERALLY the batch functions
+  * ([[CurationPipeline.annotate]]/[[CurationPipeline.qualityFilter]]/
+  * [[CurationPipeline.withSplit]] — per-row expression trees run
+  * unchanged under a streaming plan), so batch/stream parity is by
+  * construction, asserted end-to-end in StreamingSpec.
+  *
+  * Dedup semantics: `dropDuplicatesWithinWatermark` on the content
+  * digest is the at-least-once ingestion guard — it suppresses
+  * redeliveries and concurrent exact copies within the watermark
+  * horizon, with state O(distinct digests per horizon), independent of
+  * stream length. It keeps the FIRST-ARRIVED copy, which is
+  * arrival-order-dependent; the canonical min-doc_id keeper rule stays
+  * with the batch compaction ([[CurationPipeline.exactDedup]]) that
+  * periodically rewrites the accumulated corpus. Near-dup removal is
+  * batch-only by design: LSH banding needs the full signature
+  * distribution, so streaming intake feeds the same batch compaction.
+  */
+object DocStreams {
+
+  /** Wire schema of the document feed: the `documents` table plus the
+    * ingestion event time the watermark is anchored to. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ingest_ts", TimestampType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** JSON-lines document stream (splittable; schema explicit — a
+    * streaming source can't infer one). */
+  def readJsonDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+
+  /** Parquet document stream for replayable staging dirs. */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** The streaming intake: quality gate → digest dedup (watermark-bounded
+    * under streaming, plain dropDuplicates in batch) → split. Output one
+    * row per accepted document: (doc_id, ingest_ts, lang, source,
+    * n_tokens, q_points, split). The same call works on a batch frame
+    * (watermark = None) — StreamingSpec proves the two agree. */
+  def intake(docs: DataFrame, watermark: Option[String]): DataFrame = {
+    val kept = CurationPipeline.qualityFilter(CurationPipeline.annotate(docs))
+      .withColumn("content_md5", md5(col("text")))
+    val deduped = watermark match {
+      case Some(delay) =>
+        kept.withWatermark("ingest_ts", delay)
+          .dropDuplicatesWithinWatermark("content_md5")
+      case None => kept.dropDuplicates("content_md5")
+    }
+    CurationPipeline.withSplit(deduped)
+      .select(col("doc_id"), col("ingest_ts"), col("lang"), col("source"),
+        col("nt").as("n_tokens"), col("q_points"), col("split"))
+  }
+}

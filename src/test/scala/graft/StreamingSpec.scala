@@ -154,6 +154,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchDedup.count() == got)
   }
 
+  test("streaming document intake: quality gate + digest dedup match the batch path") {
+    import graft.streaming.DocStreams
+    val dir = Files.createTempDirectory("graft-docs").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val staged = Tables.load(spark, SharedSpark.sf0001, "documents")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") % 3600).as("ingest_ts"),
+        col("text"), col("lang"), col("source"))
+    // at-least-once redelivery: the whole feed arrives twice, one file =>
+    // one micro-batch, so no duplicate lands after the watermark passed it
+    staged.union(staged).repartition(1).write.mode("overwrite").parquet(path)
+
+    val q = DocStreams.intake(DocStreams.readDocStream(spark, path), Some("1 hour"))
+      .writeStream.format("memory").queryName("doc_intake")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("doc_intake")
+
+    // accepted CONTENT is deterministic even though the surviving doc_id
+    // of a duplicate text is arrival/partition-dependent: compare digest
+    // sets, with the batch quality filter as the independent oracle
+    val byDigest = staged.select(col("doc_id"), md5(col("text")).as("h")).distinct()
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").join(byDigest, Seq("doc_id"))
+        .select("h").collect().map(_.getString(0)).toSet
+    val want = CurationPipeline.qualityFilter(CurationPipeline.annotate(staged))
+      .select(md5(col("text")).as("h")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(digests(got) == want)
+    assert(got.count() == want.size) // exactly one row per distinct accepted text
+
+    // the batch path of the same intake agrees
+    val batch = DocStreams.intake(spark.read.parquet(path), watermark = None)
+    assert(digests(batch) == want && batch.count() == want.size)
+
+    // quality gate enforced; split is the deterministic d08 hash rule
+    assert(got.where(col("q_points") < 2).count() == 0)
+    assert(got.where(!col("split").isin("train", "val", "test")).count() == 0)
+  }
+
   test("highValueAlerts: stream-static join enriches without dropping alerts") {
     val users = spark.range(0, 1000).select(
       col("id").as("user_id"), concat(lit("user_"), col("id")).as("user_name"))

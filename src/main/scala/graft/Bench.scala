@@ -22,18 +22,17 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      // clearCache in finally: persist()'d internal subtrees (c01
+      // survivors, v04 assignment) must not leak into later timings even
+      // when this query fails after persisting.
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop persist()'d internal subtrees (c01 survivors, v04 assignment)
-      // so no query's timing benefits from — or pays cache pressure for —
-      // a previous query's leftovers.
-      spark.catalog.clearCache()
-      dt
+        -1.0
+      } finally spark.catalog.clearCache()
     }
 
     // JVM/codegen warmup on the smallest SF so per-query numbers measure

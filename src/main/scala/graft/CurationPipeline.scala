@@ -76,21 +76,16 @@ object CurationPipeline {
     * twice (signature build + anti-join left side) and Spark duplicates
     * non-identical subtrees — without it the whole upstream
     * filter/dedup chain would run twice. */
-  def nearDupDrop(df: DataFrame): DataFrame = nearDupDropPersisted(df)._1
-
-  /** As [[nearDupDrop]], but also returns the persisted survivors frame so
-    * a caller that drives its own terminal action ([[main]]) can unpersist
-    * it afterwards. The QueryDef path cannot: the action happens later, in
-    * Verify/Bench — those mains call `spark.catalog.clearCache()` after
-    * each query instead. */
-  def nearDupDropPersisted(df: DataFrame): (DataFrame, DataFrame) = {
+  def nearDupDrop(df: DataFrame): DataFrame = {
+    // persist() returns `df` itself, so a caller that drives its own
+    // terminal action ([[main]]) can simply unpersist ITS input frame
+    // afterwards; the QueryDef path is freed by Verify/Bench's per-query
+    // spark.catalog.clearCache().
     val survivors = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.cappedLshPairs(
       Dedup.bandRows(Dedup.minhashSignatures(survivors)))
-    val result = survivors.join(
-      pairs.select(col("doc_b").as("doc_id")).distinct(),
+    survivors.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    (result, survivors)
   }
 
   /** d08's deterministic content-hash split (80/10/10), keyed on doc_id
@@ -259,13 +254,12 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.load(spark, args(0), "documents")
     val kept = qualityFilter(annotate(docs))
-    // nearDupDropPersisted persists `deduped` internally (its fan-in
-    // point); caching `curated` keeps the retention counts below from
-    // re-running the chain the write just materialized. Both handles are
+    // nearDupDrop persists `deduped` (its fan-in point — persist() marks
+    // the same frame); caching `curated` keeps the retention counts below
+    // from re-running the chain the write just materialized. Both are
     // unpersisted once the last count is taken.
     val deduped = exactDedup(kept)
-    val (survivors, persistedDeduped) = nearDupDropPersisted(deduped)
-    val curated = withSplit(survivors).cache()
+    val curated = withSplit(nearDupDrop(deduped)).cache()
     // Written schema matches the curated-corpus contract (and c01's graded
     // output): the internal token count `nt` goes out as `n_tokens`.
     Sink.overwritePartitioned(
@@ -276,7 +270,7 @@ object CurationPipeline {
     // cached frames the write just materialized.
     println(s"input=${docs.count()} quality=${kept.count()} " +
       s"exact_dedup=${deduped.count()} curated=${curated.count()}")
-    persistedDeduped.unpersist()
+    deduped.unpersist()
     curated.unpersist()
     spark.stop()
   }

@@ -337,32 +337,37 @@ object Dedup {
       .select(col("doc_a").as("e_src"), col("doc_b").as("e_dst"))
       .union(pairs.select(col("doc_b").as("e_src"), col("doc_a").as("e_dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("e_src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      val nbrMin = edges.join(labels, col("e_dst") === col("id"))
-        .groupBy(col("e_src"))
-        .agg(min(col("comp")).as("nbr"))
-      val step = labels.join(nbrMin, labels("id") === nbrMin("e_src"), "left")
-        .select(labels("id").as("id"), labels("comp").as("prev"),
-          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
+    try {
+      var labels = edges.select(col("e_src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
         .localCheckpoint()
-      changed = step.where(col("comp") =!= col("prev")).count()
-      labels = step.select(col("id"), col("comp"))
-      iters += 1
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < maxIters) {
+        val nbrMin = edges.join(labels, col("e_dst") === col("id"))
+          .groupBy(col("e_src"))
+          .agg(min(col("comp")).as("nbr"))
+        val step = labels.join(nbrMin, labels("id") === nbrMin("e_src"), "left")
+          .select(labels("id").as("id"), labels("comp").as("prev"),
+            least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
+          .localCheckpoint()
+        changed = step.where(col("comp") =!= col("prev")).count()
+        labels = step.select(col("id"), col("comp"))
+        iters += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters iterations")
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      labels.join(sizes, Seq("comp"))
+        .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
+          col("comp_size"))
+    } finally {
+      // safe even though the returned plan no longer needs edges: the
+      // final frame reads the CHECKPOINTED labels, and the unpersist must
+      // also run on the throw paths (non-convergence, mid-loop failure)
+      edges.unpersist()
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations")
-    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
-    val result = labels.join(sizes, Seq("comp"))
-      .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
-        col("comp_size"))
-    edges.unpersist()
-    result
   }
 
   private def n05(s: SparkSession, dir: String): DataFrame =

@@ -233,10 +233,61 @@ object CurationPipeline {
       |WHERE CAST(concat('0x', substr(md5(concat('sample:', d.doc_id)), 1, 15)) AS BIGINT) % 1000000 < t.keep_ppm
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c04 — split-contamination report (decontamination): near-duplicate
+  // documents whose two copies land in DIFFERENT train/val/test splits —
+  // the leakage every eval pipeline has to rule out. d08's split keys on
+  // doc_id precisely so that near-identical texts under different ids
+  // CAN straddle splits; this report surfaces every LSH candidate pair
+  // that does. (The curated corpus is immune by construction — c01
+  // dedups and near-dup-drops BEFORE splitting — so this runs on the RAW
+  // corpus, where the leakage actually lives.)
+  //
+  // Scale: the pair list is already capped and tiny relative to the
+  // corpus (n02's bucket caps); the split side carries (doc_id, split)
+  // only, so the two resolution joins shuffle narrow rows on doc_id.
+  // ---------------------------------------------------------------------
+  private def c04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = Dedup.cappedLshPairs(
+      Dedup.bandRows(Dedup.minhashSignatures(docs)))
+    val sp = withSplit(docs).select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val c04Sql =
+    s"""WITH ${Dedup.minhashCtesSql("documents")},
+       |${Dedup.lshBandsCtesSql()},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+       |         WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b
+       |FROM pairs
+       |JOIN sp a ON doc_a = a.doc_id
+       |JOIN sp b ON doc_b = b.doc_id
+       |WHERE a.split <> b.split
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
-    QueryDef("c03_balanced_sample", c03, Some(c03Sql)))
+    QueryDef("c03_balanced_sample", c03, Some(c03Sql)),
+    QueryDef("c04_split_contamination", c04, Some(c04Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

@@ -10,10 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Analytics]]  q21-q32: rollup/cube/pivot, set ops, as-of
   *                             join, HLL, range join, quantiles, grouped
   *                             top-k, SCD-1 upsert, SCD-2 history
-  *  - [[operators.TextOps]]    d01-d10: exact dedup, text stats/quality,
+  *  - [[operators.TextOps]]    d01-d11: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
   *                             stopwords, hash split, repetition quality,
-  *                             per-doc top terms (integer tf/df rank)
+  *                             per-doc top terms (integer tf/df rank),
+  *                             overlapping token-window chunking
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
@@ -23,10 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Multimodal]] m01-m02: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV decode
-  *  - [[CurationPipeline]]     c01-c03: quality filter → exact dedup →
+  *  - [[CurationPipeline]]     c01-c04: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
-  *                             end-to-end, plus the corpus budget report
-  *                             and language-balanced downsampling
+  *                             end-to-end, plus the corpus budget report,
+  *                             language-balanced downsampling, and the
+  *                             cross-split contamination report
   */
 object SparkEntry {
 

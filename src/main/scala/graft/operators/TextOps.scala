@@ -405,6 +405,68 @@ object TextOps {
        |WHERE rk <= 3
        |ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d11 — token-window chunking: split every document into fixed-size
+  // token windows with overlap (stride < size), the step that turns a
+  // curated corpus into training sequences. Chunk boundaries are token
+  // offsets — deterministic under any partitioning — and each chunk row
+  // carries its token count and content digest so downstream exact-dedup
+  // can run at CHUNK grain (near-dup boilerplate often repeats across
+  // documents that are not near-dups as wholes).
+  //
+  // Scale: per-row explode only — fan-out is ~nt/stride rows per doc,
+  // no shuffle introduced by the operator itself (the contract ORDER BY
+  // aside). The token array is materialized as its own projection step
+  // before the explode references it (the HOF re-evaluation trap).
+  // ---------------------------------------------------------------------
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("nt"))
+    // n_chunks = 1 for nt <= size, else 1 + ceil((nt - size) / stride)
+    val withN = base.withColumn("n_chunks",
+      when(col("nt") <= ChunkSize, 1L)
+        .otherwise(lit(1L) + expr(
+          s"(nt - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
+    withN
+      .select(col("doc_id"), col("toks"), col("nt"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("chunk_idx") * ChunkStride + 1L).cast("int"),
+          lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk_toks")).cast(LongType).as("chunk_n_tokens"),
+        md5(concat_ws(" ", col("chunk_toks"))).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+  private val d11Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS toks,
+       |    CAST(len($tokensSql) AS BIGINT) AS nt
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, nt,
+       |    CASE WHEN nt <= $ChunkSize THEN 1
+       |         ELSE 1 + (nt - $ChunkSize + $ChunkStride - 1) // $ChunkStride
+       |    END AS n_chunks
+       |  FROM base),
+       |idx AS (
+       |  SELECT doc_id, toks,
+       |    CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+       |  FROM n),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    list_slice(toks, CAST(chunk_idx * $ChunkStride + 1 AS BIGINT),
+       |      CAST(chunk_idx * $ChunkStride + $ChunkSize AS BIGINT)) AS chunk_toks
+       |  FROM idx)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(chunk_toks) AS BIGINT) AS chunk_n_tokens,
+       |  md5(array_to_string(chunk_toks, ' ')) AS chunk_digest
+       |FROM chunks
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -415,5 +477,6 @@ object TextOps {
     QueryDef("d07_stopword_ratio", d07, Some(d07Sql)),
     QueryDef("d08_hash_split", d08, Some(d08Sql)),
     QueryDef("d09_repetition_quality", d09, Some(d09Sql)),
-    QueryDef("d10_top_terms", d10, Some(d10Sql)))
+    QueryDef("d10_top_terms", d10, Some(d10Sql)),
+    QueryDef("d11_chunking", d11, Some(d11Sql)))
 }

@@ -112,4 +112,16 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(rows.map(_.getAs[Long]("doc_id")).toSet == again)
   }
+
+  test("c04 contamination is exactly the LSH pairs straddling the d08 splits") {
+    val pairs = SparkEntry.queries("n02_minhash_lsh_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val split = SparkEntry.queries("d08_hash_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val want = pairs.filter { case (a, b) => split(a) != split(b) }.toSet
+    val got = SparkEntry.queries("c04_split_contamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty) // the raw corpus really does leak across splits
+  }
 }

@@ -153,6 +153,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs(10) == Set((101L, 102L)))
   }
 
+  test("d11 chunking: dense indices, full windows except the tail, exact tail size") {
+    val byDoc = run("d11_chunking").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nts = docs.select(col("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == nts.keySet) // every doc chunks, even empty ones
+    byDoc.foreach { case (id, rows) =>
+      val nt = nts(id)
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.length.toLong
+      val wantN = if (nt <= 50) 1L else 1L + (nt - 50 + 39) / 40
+      assert(n == wantN, s"doc $id: $n chunks for $nt tokens")
+      assert(sorted.map(_._2).sameElements(0L until n))
+      sorted.init.foreach(c => assert(c._3 == 50L)) // full windows
+      assert(sorted.last._3 == (if (nt <= 50) nt else nt - 40 * (n - 1)))
+    }
+  }
+
   test("n05 connected components: chains merge, canonical is min id, sizes exact") {
     import spark.implicits._
     // {1,2,3} via transitive 1-2, 2-3 (no 1-3 pair); {7,9}; and a

@@ -144,4 +144,39 @@ class FuzzSpec extends AnyFunSuite {
     }.sum
     assert(totalSessions == want)
   }
+
+  test("connected components equal driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    (1 to 3).foreach { trial =>
+      // sparse random graph: long chains and small clusters both occur
+      val nodes = 60 + rnd.nextInt(40)
+      val pairs = (1 to 80).map { _ =>
+        val a = rnd.nextInt(nodes).toLong
+        val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = graft.operators.Dedup
+        .connectedComponents(pairs.toDF("doc_a", "doc_b"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("canonical_id"), r.getAs[Long]("comp_size")))
+        .toMap
+      // reference: plain union-find over the same pairs
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = parent.keys.toSeq.groupBy(find)
+      val want = members.flatMap { case (_, ms) =>
+        val canon = ms.min; ms.map(_ -> (canon, ms.size.toLong))
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
 }

@@ -44,11 +44,20 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // System load average (1-min) before and after the timed section:
+    // this box's totals swing 27→44 s run-to-run under external load with
+    // identical bytecode, so the reading that explains an outlier ships
+    // inside the artifact instead of being reconstructed later.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val load0 = loadAvg
     val results = SparkEntry.headlines.map(n => n -> runOnce(n))
+    val load1 = loadAvg
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$load1}""")
     spark.stop()
   }
 }

@@ -153,45 +153,103 @@ object Similarity {
   // query = compute its 8 bits and scan only that bucket (see v01 for the
   // in-bucket scoring shape).
   // ---------------------------------------------------------------------
-  private def v03(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    // hyperplane h (0..7), dim d (0..dim-1): weight = ±1 from md5("h:d").
-    // Iterates the vector's ACTUAL size — a hardcoded dim would turn any
-    // shorter embedding into element_at NULLs that poison Spark's fold to
-    // NULL while DuckDB's list_sum skips NULLs (silent bucket skew).
+  /** 8-bit random-hyperplane bucket id of an embedding column — the LSH
+    * index key shared by v03 (histogram) and v05 (bucket-blocked near-dup).
+    * Hyperplane h (0..7), dim d (0..dim-1): weight = ±1 from md5("h:d").
+    * Iterates the vector's ACTUAL size — a hardcoded dim would turn any
+    * shorter embedding into element_at NULLs that poison Spark's fold to
+    * NULL while DuckDB's list_sum skips NULLs (silent bucket skew). */
+  def lshBucket(emb: Column): Column = {
     def planeSign(h: Int): Column = {
-      val prods = transform(sequence(lit(0), size(col("embedding")) - 1), d =>
+      val prods = transform(sequence(lit(0), size(emb) - 1), d =>
         when(
           pmod(conv(substring(md5(concat_ws(":", lit(h), d)), 1, 4), 16, 10)
             .cast(LongType), lit(2L)) === 1L,
-          element_at(col("embedding"), d + 1).cast(DoubleType))
-        .otherwise(-element_at(col("embedding"), d + 1).cast(DoubleType)))
+          element_at(emb, d + 1).cast(DoubleType))
+        .otherwise(-element_at(emb, d + 1).cast(DoubleType)))
       when(aggregate(prods, lit(0.0), (acc, x) => acc + x) > 0.0, 1L)
         .otherwise(0L)
     }
-    val bucket = (0 until 8).map(h => planeSign(h) * (1L << h))
-      .reduce(_ + _)
-    e.select(col("vec_id"), bucket.as("bucket"))
+    (0 until 8).map(h => planeSign(h) * (1L << h)).reduce(_ + _)
+  }
+
+  private def v03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("bucket"))
-  }
-  private val v03Sql = {
+  /** SQL mirror of [[lshBucket]] over a column literally named
+    * `embedding` — shared by the v03 and v05 oracles. */
+  private val lshBucketSqlExpr: String = {
     def planeSignSql(h: Int): String =
       s"""CASE WHEN coalesce(list_sum(list_transform(range(0, len(embedding)), d ->
          |  CASE WHEN CAST(concat('0x', substr(md5(concat_ws(':', '$h', d)), 1, 4)) AS BIGINT) % 2 = 1
          |       THEN CAST(embedding[d + 1] AS DOUBLE)
          |       ELSE -CAST(embedding[d + 1] AS DOUBLE) END)), 0) > 0
          | THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", "")
-    val bucketExpr = (0 until 8).map(h => s"(${planeSignSql(h)} * ${1L << h})")
-      .mkString(" + ")
+    (0 until 8).map(h => s"(${planeSignSql(h)} * ${1L << h})").mkString(" + ")
+  }
+
+  private val v03Sql =
     s"""WITH bucketed AS (
-       |  SELECT vec_id, $bucketExpr AS bucket FROM embeddings)
+       |  SELECT vec_id, $lshBucketSqlExpr AS bucket FROM embeddings)
        |SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
        |FROM bucketed
        |GROUP BY 1
        |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v05 — LSH-bucket-blocked near-dup pairs: v02's pairwise scoring with
+  // the blocking key DERIVED FROM THE VECTORS (v03's 8-bit hyperplane
+  // bucket) instead of an external label — the shape that works when no
+  // curated label exists, which is the normal case for a raw embedding
+  // corpus. Same quadratic-guard as v02: buckets past the cap are
+  // dropped before the self-join (a bucket that hot needs more
+  // hyperplane bits, not pairwise scoring). Trade-off vs v02: recall is
+  // bounded by LSH collision probability (near-identical vectors land in
+  // the same bucket with high probability; merely-similar ones may
+  // split), which is exactly the ANN contract.
+  // ---------------------------------------------------------------------
+  private def v05(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        lshBucket(col("embedding")).as("bucket"))
+    val e = e0
+      .withColumn("blk", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .where(col("blk") <= MaxLabelBlock)
+      .drop("blk")
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b,
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        (dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .where(col("cosine") >= 0.25)
+      .select(col("vec_a"), col("vec_b"), col("bucket"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
+  private val v05Sql =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm,
+       |    $lshBucketSqlExpr AS bucket
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding, nrm, bucket FROM (
+       |    SELECT vec_id, embedding, nrm, bucket,
+       |      COUNT(*) OVER (PARTITION BY bucket) AS blk
+       |    FROM e0)
+       |  WHERE blk <= $MaxLabelBlock)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       |  round(${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine_r
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // v04 — IVF-style ANN: the scale path for similarity search. A coarse
@@ -278,5 +336,6 @@ object Similarity {
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
     QueryDef("v03_lsh_buckets", v03, Some(v03Sql)),
-    QueryDef("v04_ivf_ann", v04, Some(v04Sql)))
+    QueryDef("v04_ivf_ann", v04, Some(v04Sql)),
+    QueryDef("v05_lsh_neardup", v05, Some(v05Sql)))
 }

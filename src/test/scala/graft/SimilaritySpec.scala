@@ -3,12 +3,29 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantics of the similarity-search family (v01-v03) on sf0.001. */
+/** Semantics of the similarity-search family (v01-v05) on sf0.001. */
 class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = SharedSpark.sf0001
 
   private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("v05 pairs stay within one LSH bucket, ordered, above threshold") {
+    val pairs = run("v05_lsh_neardup").cache()
+    assert(pairs.count() > 0)
+    assert(pairs.where(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(pairs.where(col("cosine_r") < 0.25).count() == 0)
+    // the reported bucket is both members' v03 bucket
+    val buckets = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.Similarity.lshBucket(col("embedding")).as("bk"))
+    val joined = pairs
+      .join(buckets.select(col("vec_id").as("vec_a"), col("bk").as("bk_a")), Seq("vec_a"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("bk").as("bk_b")), Seq("vec_b"))
+    assert(joined.where(col("bucket") =!= col("bk_a")
+      || col("bucket") =!= col("bk_b")).count() == 0)
+    pairs.unpersist()
+  }
 
   test("v01 top-k: 10 ranked neighbors per query, cosine in [-1,1] descending") {
     val rows = run("v01_cosine_topk").collect()

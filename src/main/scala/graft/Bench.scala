@@ -29,7 +29,9 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OutOfMemoryError must kill the run — timings
+        // taken on a corrupted JVM would be recorded as if valid.
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       } finally spark.catalog.clearCache()
@@ -40,7 +42,7 @@ object Bench {
     SparkEntry.headlines.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(_) => }
       spark.catalog.clearCache()
     }
 

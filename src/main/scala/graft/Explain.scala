@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * prune columns (ReadSchema), dims broadcast (BroadcastHashJoin), and
   * codegen spans stay wide (WholeStageCodegen ids).
   *
+  * Note: n05 (and anything else built on Dedup.connectedComponents) is
+  * EAGER — constructing its frame runs the full iterative job, so
+  * explaining it executes it; the printed plan is the final equi-join
+  * over the converged, checkpointed labels, not the per-round loop.
+  *
   * Usage: runMain graft.Explain [queryName ...]
   */
 object Explain {

@@ -159,7 +159,7 @@ object DataCoSynthetic {
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2
-      |ORDER BY year, month""".stripMargin
+      |ORDER BY year NULLS LAST, month NULLS LAST""".stripMargin
 
   private def b03(s: SparkSession, dir: String): DataFrame = {
     val wh = warehouse(s, dir)

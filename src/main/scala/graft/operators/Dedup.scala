@@ -331,8 +331,43 @@ object Dedup {
   /** Connected components over (doc_a, doc_b) pair rows. Output: one row
     * per node — (doc_id, canonical_id = component min id, comp_size).
     * Deterministic regardless of partitioning: the fixpoint of min-label
-    * propagation depends only on the graph. */
+    * propagation depends only on the graph.
+    *
+    * EAGER: unlike every other builder here, this one runs the full
+    * iterative job during DataFrame CONSTRUCTION (each round's
+    * convergence check is a driver-side count on the checkpointed step),
+    * so plan-only callers — Explain, PlanSpec — pay for the whole
+    * computation, and the returned frame reads the final round's
+    * localCheckpoint rather than re-deriving anything. Superseded
+    * per-round checkpoints are unpersisted as soon as the next round is
+    * materialized (safe: nothing re-reads a superseded round), so a long
+    * Verify/Bench session holds at most one round of label blocks, not
+    * `iters` of them. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // The block-release handle for a localCheckpoint'd frame: the
+    // checkpointed InternalRow RDD sits behind the frame's LogicalRDD
+    // leaf (df.rdd would be a NEW deserializing RDD, not the persisted
+    // one). Public API, but execution-internal — hence quarantined here.
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    // RDD.unpersist on a locally-checkpointed RDD warns that the lineage
+    // cannot be recomputed afterwards — the exact property this loop
+    // relies on (a superseded round is never re-read), so the warning is
+    // pure noise here: silence that one logger while we unpersist and
+    // restore it after. Best-effort — a non-log4j2 backend just keeps
+    // its warnings.
+    def quietly[T](body: => T): T = {
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val prev = scala.util.Try(
+        org.apache.logging.log4j.LogManager.getLogger(name).getLevel)
+      scala.util.Try(org.apache.logging.log4j.core.config.Configurator
+        .setLevel(name, org.apache.logging.log4j.Level.ERROR))
+      try body
+      finally prev.foreach(l => scala.util.Try(
+        org.apache.logging.log4j.core.config.Configurator.setLevel(name, l)))
+    }
     val edges = pairs
       .select(col("doc_a").as("e_src"), col("doc_b").as("e_dst"))
       .union(pairs.select(col("doc_b").as("e_src"), col("doc_a").as("e_dst")))
@@ -352,6 +387,9 @@ object Dedup {
             least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
           .localCheckpoint()
         changed = step.where(col("comp") =!= col("prev")).count()
+        // step is eagerly materialized above; the previous round's blocks
+        // can no longer be read by anything downstream.
+        quietly(checkpointRdd(labels).foreach(_.unpersist(false)))
         labels = step.select(col("id"), col("comp"))
         iters += 1
       }

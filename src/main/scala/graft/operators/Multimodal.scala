@@ -93,7 +93,13 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         try {
           val fmt = in.getFormat
-          val frameSize = math.max(1, fmt.getFrameSize)
+          // getFrameSize is AudioSystem.NOT_SPECIFIED (-1) for formats
+          // without a fixed frame size; clamping it to 1 would silently
+          // report the raw byte count as pcm_frames. Decline instead —
+          // callers fall back to FakeCodec, which is visibly a fallback.
+          val frameSize = fmt.getFrameSize
+          if (frameSize == javax.sound.sampled.AudioSystem.NOT_SPECIFIED ||
+              frameSize <= 0) return None
           val buf = new Array[Byte](8192)
           var cs = 0L
           var bytes = 0L

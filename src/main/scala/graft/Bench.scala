@@ -54,12 +54,23 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val load0 = loadAvg
-    val results = SparkEntry.headlines.map(n => n -> runOnce(n))
-    val load1 = loadAvg
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$load1}""")
+    def emit(results: Seq[(String, Double)], partial: Boolean): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val tag = if (partial) ""","partial":true""" else ""
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg$tag}""")
+    }
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    try SparkEntry.headlines.foreach(n => results += n -> runOnce(n))
+    catch { case fatal: Throwable =>
+      // A fatal error (OOM etc.) still aborts the run — runOnce only eats
+      // NonFatal — but the queries timed before it died ship as a partial
+      // line first, so a long run's results aren't lost with the JVM.
+      emit(results.toSeq, partial = true)
+      throw fatal
+    }
+    emit(results.toSeq, partial = false)
     spark.stop()
   }
 }

@@ -283,11 +283,123 @@ object CurationPipeline {
        |WHERE a.split <> b.split
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c05 — exact n-gram decontamination (the GPT-3-report recipe, the
+  // complement of c04's near-dup view): a train document is contaminated
+  // if any of its word 3-gram shingles appears verbatim in any val/test
+  // document. Output: every contaminated train doc with its distinct-
+  // shingle total, overlap count, and integer contamination ppm.
+  //
+  // Scale shape: the eval side collapses to a DISTINCT shingle set
+  // before the join, so the join is at most one match per train shingle
+  // — no hot-shingle pair explosion possible (contrast n04, where both
+  // sides carry doc ids). One shuffle on `shingle`, one narrow
+  // per-doc count. The eval set is left to AQE rather than force-
+  // broadcast: real decontamination runs against a FIXED benchmark
+  // suite (MBs — AQE broadcasts it), but here eval = 20% of the corpus,
+  // which grows with the data — the r5 lesson on unbounded-cardinality
+  // broadcast hints.
+  // ---------------------------------------------------------------------
+  private def c05(s: SparkSession, dir: String): DataFrame = {
+    val sp = withSplit(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")))
+    val toksDf = sp.select(col("doc_id"), col("split"),
+      TextOps.tokens(col("text")).as("toks"))
+    val shingled = toksDf.select(col("doc_id"), col("split"),
+      explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
+    val evalShingles = shingled.where(col("split") =!= "train")
+      .select(col("shingle")).distinct()
+      .withColumn("in_eval", lit(1L))
+    shingled.where(col("split") === "train")
+      .join(evalShingles, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("in_eval")).as("n_contaminated"))
+      .where(col("n_contaminated") > 0L)
+      .withColumn("contamination_ppm",
+        expr("n_contaminated * 1000000 div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+  private val c05Sql =
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+       |         WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT doc_id, split, unnest(list_distinct(${Dedup.shinglesSql})) AS shingle
+       |  FROM sp),
+       |ev AS (
+       |  SELECT DISTINCT shingle FROM shingled WHERE split <> 'train'),
+       |agg AS (
+       |  SELECT t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(COUNT(e.shingle) AS BIGINT) AS n_contaminated
+       |  FROM shingled t LEFT JOIN ev e ON t.shingle = e.shingle
+       |  WHERE t.split = 'train'
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  CAST(n_contaminated * 1000000 // n_shingles AS BIGINT) AS contamination_ppm
+       |FROM agg
+       |WHERE n_contaminated > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // c06 — temperature-scaled language mixing: c03's deterministic hash
+  // sampling with the rebalancing exponent every multilingual
+  // pre-training recipe actually uses. Sampling rate per language
+  // ∝ n_lang^(τ-1); τ = 0.5 here, so rate = sqrt(min_n)/sqrt(n_lang),
+  // normalized so the smallest language keeps everything — between τ = 0 (c03's hard
+  // cap-to-min) and τ = 1 (natural distribution). sqrt is
+  // correctly-rounded per IEEE-754 in both engines (unlike pow/exp,
+  // which is why τ is fixed at 0.5 rather than a free parameter), so
+  // keep_ppm = floor(10^6·sqrt(min_n)/sqrt(n_source)) is bit-identical
+  // cross-engine. Same scale shape as c03: tiny census aggregate,
+  // broadcast back, per-row hash filter — no full-corpus shuffle.
+  // ---------------------------------------------------------------------
+  private def c06(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val thresholds = counts
+      .withColumn("min_n", min(col("n_lang")).over(Window.partitionBy()))
+      .withColumn("keep_ppm",
+        floor(lit(1000000.0) * sqrt(col("min_n").cast(DoubleType))
+          / sqrt(col("n_lang").cast(DoubleType))))
+      .select(col("lang"), col("n_lang"), col("keep_ppm"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .withColumn("h_ppm",
+        pmod(conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(1000000L)))
+      .where(col("h_ppm") < col("keep_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("keep_ppm"),
+        col("h_ppm"))
+      .orderBy(col("doc_id"))
+  }
+  private val c06Sql =
+    """WITH counts AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+      |  FROM documents GROUP BY 1),
+      |thresholds AS (
+      |  SELECT lang, n_lang,
+      |    CAST(floor(1000000.0 * sqrt(CAST(MIN(n_lang) OVER () AS DOUBLE))
+      |      / sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT) AS keep_ppm
+      |  FROM counts)
+      |SELECT d.doc_id, d.lang, t.n_lang, t.keep_ppm,
+      |  CAST(concat('0x', substr(md5(concat('mix:', d.doc_id)), 1, 15)) AS BIGINT) % 1000000 AS h_ppm
+      |FROM documents d JOIN thresholds t ON d.lang = t.lang
+      |WHERE CAST(concat('0x', substr(md5(concat('mix:', d.doc_id)), 1, 15)) AS BIGINT) % 1000000 < t.keep_ppm
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
     QueryDef("c03_balanced_sample", c03, Some(c03Sql)),
-    QueryDef("c04_split_contamination", c04, Some(c04Sql)))
+    QueryDef("c04_split_contamination", c04, Some(c04Sql)),
+    QueryDef("c05_ngram_decontamination", c05, Some(c05Sql), headline = true),
+    QueryDef("c06_temperature_mix", c06, Some(c06Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

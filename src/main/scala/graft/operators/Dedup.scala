@@ -60,15 +60,22 @@ object Dedup {
 
   /** Signatures over any (doc_id, text, ...) frame — public so the
     * curation pipeline can run LSH over its quality-filtered survivors. */
+  /** Word 3-gram shingles from a token-array column (Spark mirror of
+    * [[shinglesSql]]); degenerate short docs fall back to unigram
+    * shingles. The caller must have MATERIALIZED the token array as its
+    * own projection step first — inlining the tokenizer here re-runs it
+    * per element reference (the HOF re-evaluation trap). */
+  def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(toks)
+
   def minhashSignatures(d: DataFrame): DataFrame = {
     val toksDf = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    val sh = when(size(col("toks")) >= 3,
-      transform(sequence(lit(1), size(col("toks")) - 2), i =>
-        concat_ws(" ",
-          element_at(col("toks"), i), element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2))))
-      .otherwise(col("toks")) // degenerate short docs: unigram shingles
-    val shDf = toksDf.select(col("doc_id"), sh.as("sh"))
+    val shDf = toksDf.select(col("doc_id"), shingles(col("toks")).as("sh"))
     val sigDf = shDf.select(col("doc_id"),
       Bridge.column(MinHashSig(Bridge.expression(col("sh")),
         As.toIndexedSeq, Bs.toIndexedSeq, P)).as("sig"))
@@ -355,18 +362,35 @@ object Dedup {
     // RDD.unpersist on a locally-checkpointed RDD warns that the lineage
     // cannot be recomputed afterwards — the exact property this loop
     // relies on (a superseded round is never re-read), so the warning is
-    // pure noise here: silence that one logger while we unpersist and
-    // restore it after. Best-effort — a non-log4j2 backend just keeps
-    // its warnings.
+    // pure noise here: silence that one logger while we unpersist.
+    // Scope caveats, deliberate: (a) log4j2 levels are process-global, so
+    // concurrent jobs in this JVM also lose MapPartitionsRDD WARNs for
+    // the few ms each unpersist takes; (b) if the logger had no explicit
+    // config beforehand, the LoggerConfig that setLevel creates is
+    // REMOVED afterwards rather than pinned to the old effective level —
+    // no permanent config drift. guard() catches Throwable, not NonFatal:
+    // on a non-log4j2 backend the core classes are absent and the first
+    // reference raises NoClassDefFoundError (a LinkageError), which the
+    // backend-agnostic best-effort intent must also swallow.
     def quietly[T](body: => T): T = {
       val name = "org.apache.spark.rdd.MapPartitionsRDD"
-      val prev = scala.util.Try(
-        org.apache.logging.log4j.LogManager.getLogger(name).getLevel)
-      scala.util.Try(org.apache.logging.log4j.core.config.Configurator
-        .setLevel(name, org.apache.logging.log4j.Level.ERROR))
+      def guard(f: => Unit): Unit = try f catch { case _: Throwable => }
+      var restore: () => Unit = () => ()
+      guard {
+        import org.apache.logging.log4j.LogManager
+        import org.apache.logging.log4j.core.LoggerContext
+        import org.apache.logging.log4j.core.config.Configurator
+        val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+        val cfg = ctx.getConfiguration
+        val hadExplicit = cfg.getLoggers.containsKey(name)
+        val prev = LogManager.getLogger(name).getLevel
+        Configurator.setLevel(name, org.apache.logging.log4j.Level.ERROR)
+        restore =
+          if (hadExplicit) () => Configurator.setLevel(name, prev)
+          else () => { cfg.removeLogger(name); ctx.updateLoggers() }
+      }
       try body
-      finally prev.foreach(l => scala.util.Try(
-        org.apache.logging.log4j.core.config.Configurator.setLevel(name, l)))
+      finally guard(restore())
     }
     val edges = pairs
       .select(col("doc_a").as("e_src"), col("doc_b").as("e_dst"))

@@ -332,10 +332,87 @@ object Similarity {
        |FROM ranked WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v06 — int8-quantized cosine top-k: v01's brute-force search run on
+  // symmetric per-vector int8 quantization (q_d = round(x_d·127/amax)),
+  // the standard 4× memory/bandwidth compression for billion-vector
+  // stores — at 100 TB of embeddings the quantized corpus is what fits
+  // in cluster RAM, and int8 dot products are what the hardware SIMDs.
+  // Determinism: round() ties break differently across engines, so
+  // quantization uses floor(x+0.5) explicitly; quantized values are
+  // exact small integers carried as DOUBLEs (every product ≤ 127²·dim ≪
+  // 2^53 is exactly representable), so the same VecDot fold both
+  // engines run in float space is bit-exact integer math here — the
+  // top-k agrees with the oracle by hash, not approximately.
+  // ---------------------------------------------------------------------
+  private def v06(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
+          .as("amax"))
+    // amax is a materialized scalar before the quantize lambda references
+    // it (HOF trap); all-zero vectors quantize to zeros and are dropped
+    // below with the norm guard.
+    val qv = when(col("amax") > 0.0,
+      transform(col("embedding"), x =>
+        floor(x.cast(DoubleType) * 127.0 / col("amax") + 0.5).cast(DoubleType)))
+      .otherwise(transform(col("embedding"), _ => lit(0.0)))
+    val e = e0.select(col("vec_id"), qv.as("qv"))
+      .select(col("vec_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .where(col("qn") > 0.0)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+      col("qn").as("c_qn"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        dot(col("q_qv"), col("c_qv")).cast(LongType).as("dot_q"),
+        (dot(col("q_qv"), col("c_qv")) / (col("q_qn") * col("c_qn")))
+          .as("cosine_q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine_q").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"), col("dot_q"),
+        round(col("cosine_q"), 6).as("cosine_q_r"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v06Sql =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id,
+       |    CASE WHEN amax > 0
+       |         THEN list_transform(embedding, x ->
+       |           floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5))
+       |         ELSE list_transform(embedding, x -> 0.0) END AS qv
+       |  FROM e0),
+       |e AS (
+       |  SELECT vec_id, qv, ${normS("qv")} AS qn FROM quant
+       |  WHERE ${normS("qv")} > 0),
+       |q AS (
+       |  SELECT vec_id AS q_id, qv AS q_qv, qn AS q_qn FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, vec_id AS c_id,
+       |    CAST(${dotS("q_qv", "qv")} AS BIGINT) AS dot_q,
+       |    ${dotS("q_qv", "qv")} / (q_qn * qn) AS cosine_q
+       |  FROM q JOIN e ON q_id <> vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, dot_q, cosine_q,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_q DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, c_id, dot_q, round(cosine_q, 6) AS cosine_q_r,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
     QueryDef("v03_lsh_buckets", v03, Some(v03Sql)),
     QueryDef("v04_ivf_ann", v04, Some(v04Sql)),
-    QueryDef("v05_lsh_neardup", v05, Some(v05Sql)))
+    QueryDef("v05_lsh_neardup", v05, Some(v05Sql)),
+    QueryDef("v06_quantized_topk", v06, Some(v06Sql)))
 }

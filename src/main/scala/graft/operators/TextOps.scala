@@ -467,6 +467,164 @@ object TextOps {
        |FROM chunks
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d12 — PII scrubbing: detect-and-redact emails, IPv4 addresses, and
+  // phone numbers, the compliance pass every web-scale training corpus
+  // runs before anything else sees the text. Patterns avoid lookaround
+  // and anchors so Java regex (Spark) and RE2 (DuckDB) match the same
+  // spans; replacement runs in a fixed order (email → ip → phone) so the
+  // scrubbed text is deterministic. Per-row regex work only — zero
+  // shuffle, embarrassingly parallel at 100 TB.
+  //
+  // The synthetic corpus contains no PII, so the query first AUGMENTS
+  // each document with deterministic doc_id-derived PII spans (mirrored
+  // exactly in the oracle) — a harness choice to make the scrub
+  // observable, not part of the operator semantics: `scrub` itself takes
+  // any text column.
+  // ---------------------------------------------------------------------
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipv4Pat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val phonePat = "555-[0-9]{4}"
+
+  /** Redact the three PII classes from a text column, fixed order. The
+    * IP pattern would also match dotted spans inside an already-matched
+    * email domain — replacing emails first resolves the overlap the same
+    * way in both engines. */
+  def scrub(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPat, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Pat, "<IP>")
+    regexp_replace(noIp, phonePat, "<PHONE>")
+  }
+
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val aug = concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .otherwise(""),
+      when(pmod(col("doc_id"), lit(5L)) === 0L,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(256L)), lit(".0.42")))
+        .otherwise(""),
+      when(pmod(col("doc_id"), lit(7L)) === 0L,
+        concat(lit(" call 555-"), pmod(col("doc_id"), lit(9000L)) + 1000L))
+        .otherwise(""))
+    // materialize aug once: it is referenced by three counts + the scrub
+    // chain, and CollapseProject would otherwise inline the concat tree
+    // into every reference (the HOF re-evaluation trap, regex edition).
+    d.select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(emailPat)).cast(LongType).as("n_emails"),
+        regexp_count(col("aug"), lit(ipv4Pat)).cast(LongType).as("n_ips"),
+        regexp_count(col("aug"), lit(phonePat)).cast(LongType).as("n_phones"),
+        md5(scrub(col("aug"))).as("scrubbed_digest"),
+        (length(col("aug")) - length(scrub(col("aug")))).cast(LongType)
+          .as("n_chars_delta"))
+      .orderBy(col("doc_id"))
+  }
+  private val d12Sql = {
+    // single-quoted SQL literals: only ' would need escaping (none
+    // present) — RE2 gets the identical pattern source as Java regex.
+    val (e, i, p) = (emailPat, ipv4Pat, phonePat)
+    s"""WITH augd AS (
+       |  SELECT doc_id,
+       |    concat(text,
+       |      CASE WHEN doc_id % 3 = 0
+       |           THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END,
+       |      CASE WHEN doc_id % 5 = 0
+       |           THEN concat(' from 10.', doc_id % 256, '.0.42') ELSE '' END,
+       |      CASE WHEN doc_id % 7 = 0
+       |           THEN concat(' call 555-', doc_id % 9000 + 1000) ELSE '' END) AS aug
+       |  FROM documents),
+       |scrubbed AS (
+       |  SELECT doc_id, aug,
+       |    regexp_replace(regexp_replace(regexp_replace(aug,
+       |      '$e', '<EMAIL>', 'g'),
+       |      '$i', '<IP>', 'g'),
+       |      '$p', '<PHONE>', 'g') AS clean
+       |  FROM augd)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$i')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(aug, '$p')) AS BIGINT) AS n_phones,
+       |  md5(clean) AS scrubbed_digest,
+       |  CAST(length(aug) - length(clean) AS BIGINT) AS n_chars_delta
+       |FROM scrubbed
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // d13 — incremental dedup of a new crawl batch against an existing
+  // corpus, Bloom-prefiltered: the steady-state shape of production
+  // dedup, where the corpus is petabytes and each day's batch must not
+  // re-shuffle it. A Bloom filter over the corpus digests (built once,
+  // a few hundred MB at 10^10 docs) is broadcast to the batch; rows the
+  // filter rejects are DEFINITELY new and pass with zero shuffle, and
+  // only the "maybe duplicate" sliver (true dups + false positives) pays
+  // an exact anti-join against the corpus digest column. The filter is
+  // deliberately sized small here (1k items / 2k bits ⇒ high FP rate at
+  // sf0.01) so the exact-confirm path is genuinely exercised; the final
+  // result is EXACT regardless of FP rate — Bloom filters have no false
+  // negatives — which is why the oracle is a plain anti-join.
+  //
+  // Batch construction (mirrored in the oracle): odd doc_ids are the new
+  // crawl, plus every doc_id % 10 == 0 document re-crawled under a new
+  // crawl_id — re-fetches of pages already in the corpus (all % 10 == 0
+  // ids are even = existing), which is exactly what incremental dedup
+  // must drop.
+  // ---------------------------------------------------------------------
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    val existing = docs.where(pmod(col("doc_id"), lit(2L)) === 0L)
+    val batch = docs.where(pmod(col("doc_id"), lit(2L)) === 1L)
+      .withColumn("crawl_id", col("doc_id") + 1000000L)
+      .unionByName(docs.where(pmod(col("doc_id"), lit(10L)) === 0L)
+        .withColumn("crawl_id", col("doc_id") + 2000000L))
+    // bloom_filter_agg / might_contain exist only as internal Catalyst
+    // nodes (Spark uses them for its own runtime-filter injection, the
+    // exact pattern replicated here), so both are constructed through
+    // the Bridge: the corpus-side aggregate becomes a scalar subquery —
+    // MightContain requires a constant or subquery filter input — and
+    // ReuseSubquery collapses the two branch references to one run.
+    val bloomPlan = existing.select(Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("digest"))),
+        Literal(1000L), Literal(2000L)).toAggregateExpression()).as("bf"))
+    def maybeDup: Column = Bridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloomPlan.queryExecution.analyzed, Seq.empty),
+      Bridge.expression(xxhash64(col("digest")))))
+    // The batch is scanned twice (definitely-new pass + candidate pass)
+    // — two cheap columnar scans pruned to (doc_id, digest), rather than
+    // one persisted batch-sized cache.
+    val definiteNew = batch.where(!maybeDup)
+    val confirmedNew = batch.where(maybeDup)
+      .join(existing.select(col("digest")), Seq("digest"), "left_anti")
+    definiteNew.select(col("crawl_id"), col("doc_id"), col("digest"))
+      .unionByName(
+        confirmedNew.select(col("crawl_id"), col("doc_id"), col("digest")))
+      .orderBy(col("crawl_id"))
+  }
+  private val d13Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, md5(text) AS digest FROM documents),
+      |existing AS (
+      |  SELECT digest FROM docs WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS crawl_id, doc_id, digest
+      |  FROM docs WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 2000000 AS BIGINT) AS crawl_id, doc_id, digest
+      |  FROM docs WHERE doc_id % 10 = 0)
+      |SELECT crawl_id, doc_id, digest
+      |FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.digest = b.digest)
+      |ORDER BY crawl_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -478,5 +636,7 @@ object TextOps {
     QueryDef("d08_hash_split", d08, Some(d08Sql)),
     QueryDef("d09_repetition_quality", d09, Some(d09Sql)),
     QueryDef("d10_top_terms", d10, Some(d10Sql)),
-    QueryDef("d11_chunking", d11, Some(d11Sql)))
+    QueryDef("d11_chunking", d11, Some(d11Sql)),
+    QueryDef("d12_pii_scrub", d12, Some(d12Sql)),
+    QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql)))
 }

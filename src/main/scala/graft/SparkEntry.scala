@@ -10,25 +10,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Analytics]]  q21-q32: rollup/cube/pivot, set ops, as-of
   *                             join, HLL, range join, quantiles, grouped
   *                             top-k, SCD-1 upsert, SCD-2 history
-  *  - [[operators.TextOps]]    d01-d11: exact dedup, text stats/quality,
+  *  - [[operators.TextOps]]    d01-d13: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
   *                             stopwords, hash split, repetition quality,
   *                             per-doc top terms (integer tf/df rank),
-  *                             overlapping token-window chunking
+  *                             overlapping token-window chunking, PII
+  *                             scrubbing, Bloom-prefiltered incremental
+  *                             batch-vs-corpus dedup
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
   *  - [[operators.Dedup]]      n01-n05: MinHash/LSH, SimHash, n-gram
   *                             Jaccard, near-dup connected components
-  *  - [[operators.Similarity]] v01-v04: cosine top-k, near-dup, LSH-ANN, IVF
+  *  - [[operators.Similarity]] v01-v06: cosine top-k, near-dup, LSH-ANN,
+  *                             IVF, LSH-blocked near-dup, int8-quantized
+  *                             top-k
   *  - [[operators.Multimodal]] m01-m02: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV decode
-  *  - [[CurationPipeline]]     c01-c04: quality filter → exact dedup →
+  *  - [[CurationPipeline]]     c01-c06: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report,
-  *                             language-balanced downsampling, and the
-  *                             cross-split contamination report
+  *                             language-balanced downsampling, the
+  *                             cross-split near-dup contamination report,
+  *                             exact n-gram decontamination, and
+  *                             temperature-scaled language mixing
   */
 object SparkEntry {
 

@@ -595,7 +595,7 @@ object TextOps {
       new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("digest"))),
         Literal(1000L), Literal(2000L)).toAggregateExpression()).as("bf"))
-    def maybeDup: Column = Bridge.column(BloomFilterMightContain(
+    val maybeDup: Column = Bridge.column(BloomFilterMightContain(
       ScalarSubquery(bloomPlan.queryExecution.analyzed, Seq.empty),
       Bridge.expression(xxhash64(col("digest")))))
     // The batch is scanned twice (definitely-new pass + candidate pass)

@@ -124,4 +124,49 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty) // the raw corpus really does leak across splits
   }
+
+  test("c05 decontamination equals a driver-side shingle intersection") {
+    import org.apache.spark.sql.Row
+    val sp = SparkEntry.queries("d08_hash_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def shingleSet(text: String): Set[String] = {
+      val toks = "[^a-z0-9]+".r.split(text.toLowerCase).filter(_.nonEmpty).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else toks.toSet
+    }
+    val byDoc = docs.select("doc_id", "text").collect()
+      .map { case Row(id: Long, text: String) => id -> shingleSet(text) }.toMap
+    val evalShingles = byDoc.collect {
+      case (id, sh) if sp(id) != "train" => sh }.foldLeft(Set.empty[String])(_ ++ _)
+    val want = byDoc.collect {
+      case (id, sh) if sp(id) == "train" && (sh & evalShingles).nonEmpty =>
+        id -> ((sh & evalShingles).size.toLong, sh.size.toLong)
+    }
+    val got = SparkEntry.queries("c05_ngram_decontamination")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_contaminated"), r.getAs[Long]("n_shingles"))))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty) // tiny vocab: train/eval genuinely overlap
+  }
+
+  test("c06 temperature mix: smallest language keeps all, rates follow sqrt") {
+    val rows = SparkEntry.queries("c06_temperature_mix")(spark, dir).collect()
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = byLang.values.min
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_lang")
+      assert(byLang(r.getAs[String]("lang")) == n)
+      val wantPpm = math.floor(1000000.0 * math.sqrt(minN.toDouble)
+        / math.sqrt(n.toDouble)).toLong
+      assert(r.getAs[Long]("keep_ppm") == wantPpm)
+      assert(r.getAs[Long]("h_ppm") < wantPpm)
+    }
+    // every doc of the smallest language survives (ppm = 10^6)
+    val smallest = byLang.minBy(_._2)._1
+    val keptSmallest = rows.count(_.getAs[String]("lang") == smallest)
+    assert(keptSmallest == byLang(smallest))
+  }
 }

@@ -98,4 +98,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"n05 plan degraded:\n$p")
   }
+
+  test("c05: eval side is deduped before the join — equi-join, no explosion") {
+    val p = fmt("c05_ngram_decontamination")
+    // the train⋈eval shingle join must stay an equi-join (the eval side
+    // carries one row per DISTINCT shingle, so no pair blow-up is even
+    // representable); any nested-loop fallback means the join key was lost
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"c05 join degraded:\n$p")
+    assert(p.contains("HashAggregate"), s"eval dedup/agg missing:\n$p")
+  }
+
+  test("d13: bloom probe is a reused scalar subquery; one anti-join only") {
+    val p = fmt("d13_bloom_incremental_dedup")
+    // the bloom probe must be pushed into the batch-side scan FILTERS
+    // (so definitely-new rows never reach a join), fed by a scalar
+    // subquery; only the candidate sliver pays the LeftAnti confirm.
+    // The batch is a 2-branch union, so the pushed filter and the
+    // anti-join each appear once per branch (and the formatted plan
+    // repeats every node in its detail section).
+    assert(p.contains("might_contain"), s"bloom probe lost:\n$p")
+    assert(p.contains("Subquery"), s"filter not a scalar subquery:\n$p")
+    assert(p.contains("LeftAnti"), s"exact confirm join lost:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

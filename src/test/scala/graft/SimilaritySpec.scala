@@ -83,4 +83,27 @@ class SimilaritySpec extends AnyFunSuite {
     val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
     assert(total == n)
   }
+
+  test("v06 quantized top-k: int8 range, exact integer dots, high recall vs v01") {
+    val rows = run("v06_quantized_topk").cache()
+    // per-query shape: k=10, dense ranks
+    val byQ = rows.collect().groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rs =>
+      assert(rs.length == 10)
+      assert(rs.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 10L))
+    }
+    // integer dot bound: |dot| <= 127^2 * dim
+    val dim = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(rows.where(abs(col("dot_q")) > 127L * 127L * dim).count() == 0)
+    // int8 quantization is a mild perturbation: the quantized top-10 must
+    // substantially agree with the exact float top-10 (v01)
+    val exact = run("v01_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val quant = rows.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val overlap = (exact & quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized/exact top-k overlap only $overlap")
+    rows.unpersist()
+  }
 }

@@ -213,4 +213,51 @@ class TextDedupSpec extends AnyFunSuite {
       assert(keys.sameElements(keys.sorted))
     }
   }
+
+  test("d12 scrub redacts every injected PII span and only those") {
+    import spark.implicits._
+    // scrub() on crafted text: all three classes, adjacent spans
+    val got = Seq(
+      "mail bob.smith+x@test-site.org now",
+      "node 192.168.1.254 and 10.0.0.1 up",
+      "dial 555-0199 or 555-12345",  // second: 555-1234 matches, trailing 5 stays
+      "clean text with no pii at all")
+      .toDF("text")
+      .select(graft.operators.TextOps.scrub(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "node <IP> and <IP> up")
+    assert(got(2) == "dial <PHONE> or <PHONE>5")
+    assert(got(3) == "clean text with no pii at all")
+    // graded query: counts follow the doc_id arithmetic exactly
+    val rows = run("d12_pii_scrub").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ips") == (if (id % 5 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") == (if (id % 7 == 0) 1L else 0L))
+      // redaction only ever shrinks or keeps length (tokens are short)
+      if (id % 3 != 0 && id % 5 != 0 && id % 7 != 0)
+        assert(r.getAs[Long]("n_chars_delta") == 0L)
+    }
+  }
+
+  test("d13 bloom-prefiltered result equals the exact anti-join") {
+    val got = run("d13_bloom_incremental_dedup")
+    // the Bloom prefilter is an optimization, never a semantics change:
+    // compare against the plain anti-join of the same batch construction
+    val docsDf = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+    val existing = docsDf.where(pmod(col("doc_id"), lit(2L)) === 0L)
+    val batch = docsDf.where(pmod(col("doc_id"), lit(2L)) === 1L)
+      .withColumn("crawl_id", col("doc_id") + 1000000L)
+      .unionByName(docsDf.where(pmod(col("doc_id"), lit(10L)) === 0L)
+        .withColumn("crawl_id", col("doc_id") + 2000000L))
+    val want = batch.join(existing.select("digest"), Seq("digest"), "left_anti")
+      .select("crawl_id").collect().map(_.getLong(0)).toSet
+    val gotIds = got.select("crawl_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == want)
+    // every re-crawl of an existing page is dropped; the new crawl stays
+    assert(gotIds.forall(_ < 2000000L))
+    assert(got.count() == docs.where(pmod(col("doc_id"), lit(2L)) === 1L).count())
+  }
 }

@@ -408,11 +408,75 @@ object Similarity {
        |FROM ranked WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v07 — hybrid semantic + lexical near-dup rescoring: the two-stage
+  // pipeline every production semantic dedup ends with. Stage 1 (v02's
+  // label-blocked embedding pairs) recalls candidates by meaning; stage
+  // 2 joins each pair back to its TEXTS (embeddings and documents share
+  // ids here) and scores exact token-set Jaccard, so downstream policy
+  // can separate "same words" (true dup → drop) from "same meaning,
+  // different words" (paraphrase → keep for training diversity).
+  //
+  // Scale: the candidate pair list is tiny relative to the corpus (the
+  // blocked+capped stage-1 contract), so the two id-joins shuffle
+  // narrow (id, tokset) rows only and the Jaccard is per-pair array
+  // math — never a second pair explosion.
+  // ---------------------------------------------------------------------
+  private def v07(s: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupPairs(t(s, dir, "embeddings"), 0.25)
+    val tokset = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(graft.operators.TextOps.tokens(col("text"))).as("tokset"))
+      .select(col("doc_id"), col("tokset"),
+        size(col("tokset")).cast(LongType).as("n_toks"))
+    pairs
+      .join(tokset.select(col("doc_id").as("vec_a"), col("tokset").as("ts_a"),
+        col("n_toks").as("na")), Seq("vec_a"))
+      .join(tokset.select(col("doc_id").as("vec_b"), col("tokset").as("ts_b"),
+        col("n_toks").as("nb")), Seq("vec_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast(LongType))
+      .select(col("vec_a"), col("vec_b"), col("cosine_r"), col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"),
+        (col("n_common").cast(DoubleType)
+          / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+  private val v07Sql =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label, embedding, ${normS("embedding")} AS nrm
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, label, embedding, nrm FROM (
+       |    SELECT vec_id, label, embedding, nrm,
+       |      COUNT(*) OVER (PARTITION BY label) AS blk
+       |    FROM e0)
+       |  WHERE blk <= $MaxLabelBlock),
+       |prs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine_r
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.25),
+       |ts AS (
+       |  SELECT doc_id, list_distinct(${graft.operators.TextOps.tokensSql}) AS tokset,
+       |    CAST(len(list_distinct(${graft.operators.TextOps.tokensSql})) AS BIGINT) AS n_toks
+       |  FROM documents)
+       |SELECT vec_a, vec_b, cosine_r,
+       |  CAST(len(list_intersect(a.tokset, b.tokset)) AS BIGINT) AS n_common,
+       |  CAST(a.n_toks + b.n_toks - len(list_intersect(a.tokset, b.tokset)) AS BIGINT) AS n_union,
+       |  CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+       |    / (a.n_toks + b.n_toks - len(list_intersect(a.tokset, b.tokset))) AS jaccard
+       |FROM prs
+       |JOIN ts a ON vec_a = a.doc_id
+       |JOIN ts b ON vec_b = b.doc_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
     QueryDef("v03_lsh_buckets", v03, Some(v03Sql)),
     QueryDef("v04_ivf_ann", v04, Some(v04Sql)),
     QueryDef("v05_lsh_neardup", v05, Some(v05Sql)),
-    QueryDef("v06_quantized_topk", v06, Some(v06Sql)))
+    QueryDef("v06_quantized_topk", v06, Some(v06Sql)),
+    QueryDef("v07_hybrid_rescore", v07, Some(v07Sql)))
 }

@@ -421,7 +421,11 @@ object TextOps {
   // ---------------------------------------------------------------------
   private val ChunkSize = 50
   private val ChunkStride = 40
-  private def d11(s: SparkSession, dir: String): DataFrame = {
+
+  /** The chunk-row frame shared by d11 (chunk listing) and d14
+    * (cross-document boilerplate detection): one row per (doc_id,
+    * chunk_idx) with the window's token count and content digest. */
+  private def chunkRows(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("nt"))
@@ -439,8 +443,10 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk_toks")).cast(LongType).as("chunk_n_tokens"),
         md5(concat_ws(" ", col("chunk_toks"))).as("chunk_digest"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  private def d11(s: SparkSession, dir: String): DataFrame =
+    chunkRows(s, dir).orderBy(col("doc_id"), col("chunk_idx"))
   private val d11Sql =
     s"""WITH base AS (
        |  SELECT doc_id, $tokensSql AS toks,
@@ -625,6 +631,58 @@ object TextOps {
       |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.digest = b.digest)
       |ORDER BY crawl_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d14 — cross-document repeated-chunk detection (boilerplate at chunk
+  // grain): the d11 windows whose exact content recurs — within one
+  // document (internal repetition) or across documents (shared headers,
+  // licenses, navigation chrome — the near-dup mass that document-level
+  // exact dedup cannot see because the SURROUNDING text differs). The
+  // digests here are exactly what a production pipeline feeds back as a
+  // chunk-level suppression list.
+  //
+  // Scale: one shuffle on chunk_digest with map-side partial counts —
+  // the d01 exact-dedup shape one grain finer; the output is only the
+  // recurring digests (tiny), never the chunk texts.
+  // ---------------------------------------------------------------------
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    chunkRows(s, dir)
+      .groupBy(col("chunk_digest"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"))
+      .where(col("n_occurrences") > 1L)
+      .orderBy(col("chunk_digest"))
+  private val d14Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokensSql} AS toks,
+       |    CAST(len(${tokensSql}) AS BIGINT) AS nt
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, nt,
+       |    CASE WHEN nt <= $ChunkSize THEN 1
+       |         ELSE 1 + (nt - $ChunkSize + $ChunkStride - 1) // $ChunkStride
+       |    END AS n_chunks
+       |  FROM base),
+       |idx AS (
+       |  SELECT doc_id, toks,
+       |    CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+       |  FROM n),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(toks,
+       |      CAST(chunk_idx * $ChunkStride + 1 AS BIGINT),
+       |      CAST(chunk_idx * $ChunkStride + $ChunkSize AS BIGINT)), ' ')) AS chunk_digest
+       |  FROM idx)
+       |SELECT chunk_digest,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS min_doc_id
+       |FROM chunks
+       |GROUP BY 1
+       |HAVING COUNT(*) > 1
+       |ORDER BY chunk_digest""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -638,5 +696,6 @@ object TextOps {
     QueryDef("d10_top_terms", d10, Some(d10Sql)),
     QueryDef("d11_chunking", d11, Some(d11Sql)),
     QueryDef("d12_pii_scrub", d12, Some(d12Sql)),
-    QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql)))
+    QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql)),
+    QueryDef("d14_chunk_boilerplate", d14, Some(d14Sql)))
 }

@@ -106,4 +106,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"quantized/exact top-k overlap only $overlap")
     rows.unpersist()
   }
+
+  test("v07 rescore: v02's pair set with exact token-set Jaccard attached") {
+    val v02Pairs = run("v02_embedding_neardup").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val rows = run("v07_hybrid_rescore").collect()
+    assert(rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      == v02Pairs)
+    // the lexical leg recomputed driver-side for every pair
+    val toksets = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        r.getLong(0) ->
+          "[^a-z0-9]+".r.split(r.getString(1).toLowerCase).filter(_.nonEmpty).toSet
+      }.toMap
+    rows.foreach { r =>
+      val (a, b) = (toksets(r.getAs[Long]("vec_a")), toksets(r.getAs[Long]("vec_b")))
+      assert(r.getAs[Long]("n_common") == (a & b).size.toLong)
+      assert(r.getAs[Long]("n_union") == (a | b).size.toLong)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
 }

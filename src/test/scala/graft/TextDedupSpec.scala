@@ -260,4 +260,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(gotIds.forall(_ < 2000000L))
     assert(got.count() == docs.where(pmod(col("doc_id"), lit(2L)) === 1L).count())
   }
+
+  test("d14 boilerplate digests are exactly d11's recurring chunk digests") {
+    val chunks = run("d11_chunking").collect()
+      .map(r => (r.getAs[String]("chunk_digest"), r.getAs[Long]("doc_id")))
+    val want = chunks.groupBy(_._1).collect {
+      case (dig, occ) if occ.length > 1 =>
+        dig -> ((occ.length.toLong, occ.map(_._2).distinct.length.toLong,
+          occ.map(_._2).min))
+    }
+    val got = run("d14_chunk_boilerplate").collect()
+      .map(r => r.getAs[String]("chunk_digest") ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("min_doc_id"))))
+      .toMap
+    assert(got == want)
+  }
 }

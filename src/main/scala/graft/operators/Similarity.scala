@@ -345,19 +345,27 @@ object Similarity {
   // engines run in float space is bit-exact integer math here — the
   // top-k agrees with the oracle by hash, not approximately.
   // ---------------------------------------------------------------------
+  /** max |x_d| of a float/double array column, in DOUBLE — callers must
+    * materialize this as its own projection step before [[int8]]
+    * references it (the HOF re-evaluation trap). */
+  def absMax(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast(DoubleType))))
+
+  /** Symmetric int8 quantization q_d = floor(x_d·127/amax + 0.5), as
+    * integer-valued DOUBLEs (exactly representable; explicit floor
+    * because round() ties break differently across engines). All-zero
+    * vectors (amax = 0) quantize to zeros. */
+  def int8(emb: Column, amax: Column): Column =
+    when(amax > 0.0,
+      transform(emb, x =>
+        floor(x.cast(DoubleType) * 127.0 / amax + 0.5).cast(DoubleType)))
+      .otherwise(transform(emb, _ => lit(0.0)))
+
   private def v06(s: SparkSession, dir: String): DataFrame = {
     val e0 = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
-          .as("amax"))
-    // amax is a materialized scalar before the quantize lambda references
-    // it (HOF trap); all-zero vectors quantize to zeros and are dropped
-    // below with the norm guard.
-    val qv = when(col("amax") > 0.0,
-      transform(col("embedding"), x =>
-        floor(x.cast(DoubleType) * 127.0 / col("amax") + 0.5).cast(DoubleType)))
-      .otherwise(transform(col("embedding"), _ => lit(0.0)))
-    val e = e0.select(col("vec_id"), qv.as("qv"))
+        absMax(col("embedding")).as("amax"))
+    val e = e0.select(col("vec_id"), int8(col("embedding"), col("amax")).as("qv"))
       .select(col("vec_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
       .where(col("qn") > 0.0)
     val q = e.where(col("vec_id") < 5)

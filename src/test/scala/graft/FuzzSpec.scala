@@ -179,4 +179,41 @@ class FuzzSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("int8 quantization: range, power-of-2 scale invariance, bounded cosine drift") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new Random(13)
+    val rows = (1 to 300).map { i =>
+      val n = 4 + rnd.nextInt(64)
+      val v = (0 until n).map(_ => (rnd.nextGaussian() * math.pow(10, rnd.nextInt(3) - 1)).toFloat)
+      // power-of-2 scaling is FP-exact, so quantization must be bit-stable
+      // under it (amax and every element scale by exactly 2^k)
+      val k = rnd.nextInt(7) - 3
+      (i.toLong, v, v.map(x => (x * math.pow(2, k)).toFloat))
+    }
+    val df = rows.toDF("id", "v", "vs")
+      .select(col("id"), col("v"), col("vs"),
+        Similarity.absMax(col("v")).as("am"), Similarity.absMax(col("vs")).as("ams"))
+      .select(col("id"), col("v"),
+        Similarity.int8(col("v"), col("am")).as("q"),
+        Similarity.int8(col("vs"), col("ams")).as("qs"))
+    val bad = df.where(col("q") =!= col("qs")).count()
+    assert(bad == 0, s"$bad vectors quantize differently under 2^k scaling")
+    // range: every quantized value in [-127, 127]
+    assert(df.where(exists(col("q"),
+      x => abs(x) > 127.0)).count() == 0)
+    // cosine drift: int8 quantization is a mild perturbation (fixed seed,
+    // deterministic — tolerance is empirical headroom, not a guess)
+    val drift = df
+      .select(
+        (Similarity.dot(col("q"), col("q"))).as("qq"),
+        (Similarity.dot(col("v"), col("v"))).as("vv"),
+        (Similarity.dot(col("q"), col("v"))).as("qv"))
+      .where(col("qq") > 0.0 && col("vv") > 0.0)
+      .select((col("qv") / (sqrt(col("qq")) * sqrt(col("vv")))).as("cosqv"))
+      .agg(min(col("cosqv"))).head().getDouble(0)
+    // cos(q, v) ≈ 1: the quantized vector points almost exactly along v
+    assert(drift > 0.99, s"quantized vector diverged from source: min cos = $drift")
+  }
 }

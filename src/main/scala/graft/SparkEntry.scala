@@ -10,21 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Analytics]]  q21-q32: rollup/cube/pivot, set ops, as-of
   *                             join, HLL, range join, quantiles, grouped
   *                             top-k, SCD-1 upsert, SCD-2 history
-  *  - [[operators.TextOps]]    d01-d13: exact dedup, text stats/quality,
+  *  - [[operators.TextOps]]    d01-d15: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
   *                             stopwords, hash split, repetition quality,
   *                             per-doc top terms (integer tf/df rank),
   *                             overlapping token-window chunking, PII
   *                             scrubbing, Bloom-prefiltered incremental
-  *                             batch-vs-corpus dedup
+  *                             batch-vs-corpus dedup, chunk-grain
+  *                             boilerplate detection, sharded sequence
+  *                             packing
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
   *  - [[operators.Dedup]]      n01-n05: MinHash/LSH, SimHash, n-gram
   *                             Jaccard, near-dup connected components
-  *  - [[operators.Similarity]] v01-v06: cosine top-k, near-dup, LSH-ANN,
+  *  - [[operators.Similarity]] v01-v07: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
-  *                             top-k
+  *                             top-k, hybrid semantic+lexical rescore
   *  - [[operators.Multimodal]] m01-m02: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV decode

@@ -683,6 +683,83 @@ object TextOps {
        |HAVING COUNT(*) > 1
        |ORDER BY chunk_digest""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d15 — sequence packing: assemble d11's chunks into fixed-token-
+  // budget training sequences — the "pack to 2048" step between
+  // curation and the trainer. Packing rule is OFFSET BINNING: walking
+  // the chunks in deterministic order, a chunk belongs to the sequence
+  // covering its start offset (seq = cum_tokens_before div budget), so
+  // a boundary chunk may spill past the budget by at most one chunk
+  // (≤ 50 ≪ 512) — the trainer truncates or reserves that headroom.
+  // Chosen over exact cut-on-overflow fill because the bin is then a
+  // pure function of the running sum (one window), whereas cut-on-
+  // overflow needs a sequential carry that no parallel window
+  // expresses.
+  //
+  // Scale shape: packing is a running-sum WINDOW, and a single global
+  // window is the classic single-partition scale-killer — so chunks are
+  // first sharded by content hash (shard = md5(doc_id) mod 32; any
+  // shard count works) and packed WITHIN shards: one shuffle on shard,
+  // every window partition is a shard, all 32 (or 32k) run in parallel,
+  // and each shard's packed output feeds one downstream writer. Cross-
+  // shard sequence ids never collide because the shard id is part of
+  // the key. Fill loss vs a global pack is negligible (≤ one partial
+  // sequence per shard).
+  //
+  // ---------------------------------------------------------------------
+  private val SeqBudget = 512
+  private val PackShards = 32
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = chunkRows(s, dir)
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat(lit("pack:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(PackShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("cum_tokens", sum(col("chunk_n_tokens")).over(w))
+      .withColumn("seq_in_shard",
+        expr(s"(cum_tokens - chunk_n_tokens) div $SeqBudget"))
+      .select(col("shard"), col("seq_in_shard"), col("doc_id"), col("chunk_idx"),
+        col("chunk_n_tokens"), col("cum_tokens"))
+      .orderBy(col("shard"), col("doc_id"), col("chunk_idx"))
+  }
+  private val d15Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokensSql} AS toks,
+       |    CAST(len(${tokensSql}) AS BIGINT) AS nt
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, nt,
+       |    CASE WHEN nt <= $ChunkSize THEN 1
+       |         ELSE 1 + (nt - $ChunkSize + $ChunkStride - 1) // $ChunkStride
+       |    END AS n_chunks
+       |  FROM base),
+       |idx AS (
+       |  SELECT doc_id, toks,
+       |    CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+       |  FROM n),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    CAST(len(list_slice(toks,
+       |      CAST(chunk_idx * $ChunkStride + 1 AS BIGINT),
+       |      CAST(chunk_idx * $ChunkStride + $ChunkSize AS BIGINT))) AS BIGINT) AS chunk_n_tokens,
+       |    CAST(concat('0x', substr(md5(concat('pack:', doc_id)), 1, 15)) AS BIGINT) % $PackShards AS shard
+       |  FROM idx),
+       |packed AS (
+       |  SELECT shard, doc_id, chunk_idx, chunk_n_tokens,
+       |    CAST(SUM(chunk_n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM chunks)
+       |SELECT shard,
+       |  CAST((cum_tokens - chunk_n_tokens) // $SeqBudget AS BIGINT) AS seq_in_shard,
+       |  doc_id, chunk_idx, chunk_n_tokens, cum_tokens
+       |FROM packed
+       |ORDER BY shard, doc_id, chunk_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -697,5 +774,6 @@ object TextOps {
     QueryDef("d11_chunking", d11, Some(d11Sql)),
     QueryDef("d12_pii_scrub", d12, Some(d12Sql)),
     QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql)),
-    QueryDef("d14_chunk_boilerplate", d14, Some(d14Sql)))
+    QueryDef("d14_chunk_boilerplate", d14, Some(d14Sql)),
+    QueryDef("d15_sequence_pack", d15, Some(d15Sql)))
 }

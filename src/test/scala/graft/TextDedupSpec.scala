@@ -276,4 +276,24 @@ class TextDedupSpec extends AnyFunSuite {
       .toMap
     assert(got == want)
   }
+
+  test("d15 packing: per-shard running sum, starts bin into 512-token spans") {
+    val rows = run("d15_sequence_pack").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_in_shard"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("chunk_n_tokens"), r.getAs[Long]("cum_tokens")))
+    assert(rows.length == run("d11_chunking").count()) // every chunk packed once
+    rows.groupBy(_._1).foreach { case (_, shardRows) =>
+      val ordered = shardRows.sortBy(r => (r._3, r._4))
+      var cum = 0L
+      ordered.foreach { case (_, seq, _, _, nTok, cumTok) =>
+        assert(cumTok == cum + nTok)     // exact running sum in walk order
+        assert(seq == cum / 512)         // sequence = 512-token span of the start
+        cum = cumTok
+      }
+      // sequence ids are dense from 0 within the shard
+      val seqs = ordered.map(_._2).distinct
+      assert(seqs.head == 0L && seqs.sameElements(seqs.sorted))
+    }
+  }
 }

@@ -71,4 +71,33 @@ object DocStreams {
       .select(col("doc_id"), col("ingest_ts"), col("lang"), col("source"),
         col("nt").as("n_tokens"), col("q_points"), col("split"))
   }
+
+  /** Streaming PII audit — the compliance view of the d12 scrub: per
+    * (event-time window, source), how many documents arrived and how
+    * many characters the scrub removed, i.e. how much PII each feed is
+    * leaking over time. Detection is the same per-row
+    * [[graft.operators.TextOps.scrub]] expression as batch (stateless
+    * under streaming); the only state is the windowed aggregate,
+    * watermark-bounded. The same call on a batch frame (watermark =
+    * None) produces the identical result — StreamingSpec asserts it. */
+  def piiAudit(docs: DataFrame, watermark: Option[String]): DataFrame = {
+    val scrubbed = docs.select(
+      col("ingest_ts"), col("source"),
+      (length(col("text")) -
+        length(graft.operators.TextOps.scrub(col("text"))))
+        .cast(LongType).as("chars_redacted"))
+    val base = watermark match {
+      case Some(delay) => scrubbed.withWatermark("ingest_ts", delay)
+      case None => scrubbed
+    }
+    base
+      .groupBy(window(col("ingest_ts"), "10 minutes"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars_redacted")).as("chars_redacted"),
+        sum(when(col("chars_redacted") > 0L, 1L).otherwise(0L))
+          .as("n_docs_with_pii"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("chars_redacted"), col("n_docs_with_pii"))
+  }
 }

@@ -196,6 +196,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.where(!col("split").isin("train", "val", "test")).count() == 0)
   }
 
+  test("streaming PII audit equals the batch audit on an injected-PII feed") {
+    import graft.streaming.DocStreams
+    val dir = Files.createTempDirectory("graft-pii").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    // the corpus carries no PII, so the staged feed injects the d12-style
+    // deterministic spans — every third doc leaks an email
+    val staged = Tables.load(spark, SharedSpark.sf0001, "documents")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") % 3600).as("ingest_ts"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3L)) === 0L,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise("")).as("text"),
+        col("lang"), col("source"))
+    staged.repartition(1).write.mode("overwrite").parquet(path)
+
+    // complete mode: every window surfaces when the stream drains (append
+    // would withhold windows the watermark has not passed — same choice
+    // as the windowedCounts tests)
+    val q = DocStreams.piiAudit(DocStreams.readDocStream(spark, path), Some("2 hours"))
+      .writeStream.format("memory").queryName("pii_audit")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("chars_redacted"), r.getAs[Long]("n_docs_with_pii")))
+      .toSet
+    val batchAudit = DocStreams.piiAudit(spark.read.parquet(path), watermark = None)
+    val got = rows(spark.table("pii_audit"))
+    val want = rows(batchAudit)
+    assert(got == want)
+    // the audit actually catches the injected leaks
+    assert(want.exists(_._5 > 0))
+    // every doc audited exactly once (aggregate, not the deduped tuple set)
+    assert(batchAudit.agg(sum("n_docs")).head().getLong(0) == staged.count())
+  }
+
   test("highValueAlerts: stream-static join enriches without dropping alerts") {
     val users = spark.range(0, 1000).select(
       col("id").as("user_id"), concat(lit("user_"), col("id")).as("user_name"))

@@ -152,9 +152,7 @@ object CurationPipeline {
        |curated AS (
        |  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drops))
        |SELECT doc_id, lang, nt AS n_tokens, q_points, n_copies,
-       |  CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
-       |       WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
-       |       ELSE 'test' END AS split
+       |  ${TextOps.splitCaseSql} AS split
        |FROM curated
        |ORDER BY doc_id""".stripMargin
 
@@ -272,9 +270,7 @@ object CurationPipeline {
        |  JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key),
        |sp AS (
        |  SELECT doc_id,
-       |    CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
-       |         WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${TextOps.splitCaseSql} AS split
        |  FROM documents)
        |SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b
        |FROM pairs
@@ -324,9 +320,7 @@ object CurationPipeline {
   private val c05Sql =
     s"""WITH sp AS (
        |  SELECT doc_id, text,
-       |    CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
-       |         WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${TextOps.splitCaseSql} AS split
        |  FROM documents),
        |shingled AS (
        |  SELECT doc_id, split, unnest(list_distinct(${Dedup.shinglesSql})) AS shingle
@@ -365,9 +359,14 @@ object CurationPipeline {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     val thresholds = counts
       .withColumn("min_n", min(col("n_lang")).over(Window.partitionBy()))
+      // ratio FIRST, then scale: sqrt(m)/sqrt(m) is exactly 1.0, so the
+      // smallest language gets exactly 10^6 ppm. The reassociated form
+      // floor((10^6*sqrt(min))/sqrt(n)) lands one ulp below 10^6 for ~14%
+      // of counts (fl(10^6*s)/s < 10^6), silently dropping docs of the
+      // smallest language itself.
       .withColumn("keep_ppm",
-        floor(lit(1000000.0) * sqrt(col("min_n").cast(DoubleType))
-          / sqrt(col("n_lang").cast(DoubleType))))
+        floor(lit(1000000.0) * (sqrt(col("min_n").cast(DoubleType))
+          / sqrt(col("n_lang").cast(DoubleType)))))
       .select(col("lang"), col("n_lang"), col("keep_ppm"))
     docs.join(broadcast(thresholds), Seq("lang"))
       .withColumn("h_ppm",
@@ -384,8 +383,8 @@ object CurationPipeline {
       |  FROM documents GROUP BY 1),
       |thresholds AS (
       |  SELECT lang, n_lang,
-      |    CAST(floor(1000000.0 * sqrt(CAST(MIN(n_lang) OVER () AS DOUBLE))
-      |      / sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT) AS keep_ppm
+      |    CAST(floor(1000000.0 * (sqrt(CAST(MIN(n_lang) OVER () AS DOUBLE))
+      |      / sqrt(CAST(n_lang AS DOUBLE)))) AS BIGINT) AS keep_ppm
       |  FROM counts)
       |SELECT d.doc_id, d.lang, t.n_lang, t.keep_ppm,
       |  CAST(concat('0x', substr(md5(concat('mix:', d.doc_id)), 1, 15)) AS BIGINT) % 1000000 AS h_ppm

@@ -10,6 +10,10 @@ object Verify {
     // Optional trailing names restrict the dump (local iteration);
     // oracle_sql.json is always written in full for the driver.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "a typo here would otherwise dump nothing and exit 0")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

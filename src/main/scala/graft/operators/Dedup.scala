@@ -58,8 +58,6 @@ object Dedup {
   private def minhashDf(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(t(s, dir, "documents"))
 
-  /** Signatures over any (doc_id, text, ...) frame — public so the
-    * curation pipeline can run LSH over its quality-filtered survivors. */
   /** Word 3-gram shingles from a token-array column (Spark mirror of
     * [[shinglesSql]]); degenerate short docs fall back to unigram
     * shingles. The caller must have MATERIALIZED the token array as its
@@ -73,6 +71,8 @@ object Dedup {
           element_at(toks, i + 2))))
       .otherwise(toks)
 
+  /** Signatures over any (doc_id, text, ...) frame — public so the
+    * curation pipeline can run LSH over its quality-filtered survivors. */
   def minhashSignatures(d: DataFrame): DataFrame = {
     val toksDf = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val shDf = toksDf.select(col("doc_id"), shingles(col("toks")).as("sh"))

@@ -432,11 +432,16 @@ object Similarity {
   // ---------------------------------------------------------------------
   private def v07(s: SparkSession, dir: String): DataFrame = {
     val pairs = neardupPairs(t(s, dir, "embeddings"), 0.25)
+    // tokset is referenced twice (a-side + b-side joins) and Spark
+    // duplicates non-identical subtrees — without persist() the corpus
+    // is scanned and tokenized twice (the round-6 v04/nearDupDrop
+    // lesson). Lifecycle: freed by Verify/Bench's per-query clearCache.
     val tokset = t(s, dir, "documents")
       .select(col("doc_id"),
         array_distinct(graft.operators.TextOps.tokens(col("text"))).as("tokset"))
       .select(col("doc_id"), col("tokset"),
         size(col("tokset")).cast(LongType).as("n_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(tokset.select(col("doc_id").as("vec_a"), col("tokset").as("ts_a"),
         col("n_toks").as("na")), Seq("vec_a"))

@@ -304,12 +304,19 @@ object TextOps {
           .otherwise("test"))
       .orderBy(col("doc_id"))
   }
+  /** d08's train/val/test CASE over a column named `doc_id` (DuckDB
+    * oracle side) — THE single source for every oracle that re-states
+    * the split (c01/c04/c05 interpolate this), so a change to the split
+    * derivation cannot silently desynchronize one of them. */
+  val splitCaseSql: String =
+    "CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train' " +
+    "WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val' " +
+    "ELSE 'test' END"
+
   private val d08Sql =
-    """SELECT doc_id, lang,
+    s"""SELECT doc_id, lang,
       |  CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 AS bucket,
-      |  CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
-      |       WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
-      |       ELSE 'test' END AS split
+      |  $splitCaseSql AS split
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -491,6 +498,14 @@ object TextOps {
   private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val ipv4Pat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   private val phonePat = "555-[0-9]{4}"
+
+  /** Total PII spans detected in a text column (emails + IPv4s +
+    * phones). Detection signal for audits — a LENGTH DELTA after
+    * scrubbing is not one, because a replacement token can be exactly as
+    * long as the span it replaces. */
+  def piiMatchCount(text: Column): Column =
+    (regexp_count(text, lit(emailPat)) + regexp_count(text, lit(ipv4Pat))
+      + regexp_count(text, lit(phonePat))).cast(LongType)
 
   /** Redact the three PII classes from a text column, fixed order. The
     * IP pattern would also match dotted spans inside an already-matched
@@ -698,8 +713,10 @@ object TextOps {
   //
   // Scale shape: packing is a running-sum WINDOW, and a single global
   // window is the classic single-partition scale-killer — so chunks are
-  // first sharded by content hash (shard = md5(doc_id) mod 32; any
-  // shard count works) and packed WITHIN shards: one shuffle on shard,
+  // first sharded by a DOC_ID hash (md5 of doc_id, mod 32; any shard
+  // count works) — doc-grain, NOT chunk-grain, so one document's chunks
+  // stay contiguous in a single shard's packing stream — and packed
+  // WITHIN shards: one shuffle on shard,
   // every window partition is a shard, all 32 (or 32k) run in parallel,
   // and each shard's packed output feeds one downstream writer. Cross-
   // shard sequence ids never collide because the shard id is part of

@@ -73,16 +73,20 @@ object DocStreams {
   }
 
   /** Streaming PII audit — the compliance view of the d12 scrub: per
-    * (event-time window, source), how many documents arrived and how
-    * many characters the scrub removed, i.e. how much PII each feed is
-    * leaking over time. Detection is the same per-row
-    * [[graft.operators.TextOps.scrub]] expression as batch (stateless
-    * under streaming); the only state is the windowed aggregate,
+    * (event-time window, source), how many documents arrived, how many
+    * carried PII, how many spans, and how many characters the scrub
+    * removed. Detection is [[graft.operators.TextOps.piiMatchCount]] —
+    * a match COUNT, not the redaction length delta, because a
+    * replacement token can be as long as the span it replaces (the
+    * email 'a@bc.de' and '<EMAIL>' are both 7 chars), which would make
+    * a leaking source look clean. All per-row expressions are stateless
+    * under streaming; the only state is the windowed aggregate,
     * watermark-bounded. The same call on a batch frame (watermark =
     * None) produces the identical result — StreamingSpec asserts it. */
   def piiAudit(docs: DataFrame, watermark: Option[String]): DataFrame = {
     val scrubbed = docs.select(
       col("ingest_ts"), col("source"),
+      graft.operators.TextOps.piiMatchCount(col("text")).as("n_pii_spans"),
       (length(col("text")) -
         length(graft.operators.TextOps.scrub(col("text"))))
         .cast(LongType).as("chars_redacted"))
@@ -94,10 +98,12 @@ object DocStreams {
       .groupBy(window(col("ingest_ts"), "10 minutes"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
+        sum(col("n_pii_spans")).as("n_pii_spans"),
         sum(col("chars_redacted")).as("chars_redacted"),
-        sum(when(col("chars_redacted") > 0L, 1L).otherwise(0L))
+        sum(when(col("n_pii_spans") > 0L, 1L).otherwise(0L))
           .as("n_docs_with_pii"))
       .select(col("window.start").as("window_start"), col("source"),
-        col("n_docs"), col("chars_redacted"), col("n_docs_with_pii"))
+        col("n_docs"), col("n_pii_spans"), col("chars_redacted"),
+        col("n_docs_with_pii"))
   }
 }

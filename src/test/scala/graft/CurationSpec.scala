@@ -159,8 +159,8 @@ class CurationSpec extends AnyFunSuite {
     rows.foreach { r =>
       val n = r.getAs[Long]("n_lang")
       assert(byLang(r.getAs[String]("lang")) == n)
-      val wantPpm = math.floor(1000000.0 * math.sqrt(minN.toDouble)
-        / math.sqrt(n.toDouble)).toLong
+      val wantPpm = math.floor(1000000.0 * (math.sqrt(minN.toDouble)
+        / math.sqrt(n.toDouble))).toLong
       assert(r.getAs[Long]("keep_ppm") == wantPpm)
       assert(r.getAs[Long]("h_ppm") < wantPpm)
     }

@@ -224,14 +224,16 @@ class StreamingSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
         r.getAs[String]("source"), r.getAs[Long]("n_docs"),
-        r.getAs[Long]("chars_redacted"), r.getAs[Long]("n_docs_with_pii")))
+        r.getAs[Long]("n_pii_spans"), r.getAs[Long]("chars_redacted"),
+        r.getAs[Long]("n_docs_with_pii")))
       .toSet
     val batchAudit = DocStreams.piiAudit(spark.read.parquet(path), watermark = None)
     val got = rows(spark.table("pii_audit"))
     val want = rows(batchAudit)
     assert(got == want)
-    // the audit actually catches the injected leaks
-    assert(want.exists(_._5 > 0))
+    // the audit actually catches the injected leaks (by span count, not
+    // just length delta)
+    assert(want.exists(_._4 > 0) && want.exists(_._6 > 0))
     // every doc audited exactly once (aggregate, not the deduped tuple set)
     assert(batchAudit.agg(sum("n_docs")).head().getLong(0) == staged.count())
   }

@@ -22,8 +22,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
-  *  - [[operators.Dedup]]      n01-n05: MinHash/LSH, SimHash, n-gram
-  *                             Jaccard, near-dup connected components
+  *  - [[operators.Dedup]]      n01-n06: MinHash/LSH, SimHash, n-gram
+  *                             Jaccard, near-dup connected components,
+  *                             incremental batch-vs-corpus LSH probing
   *  - [[operators.Similarity]] v01-v07: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
   *                             top-k, hybrid semantic+lexical rescore

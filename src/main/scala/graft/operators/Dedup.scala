@@ -464,10 +464,70 @@ object Dedup {
        |FROM canon
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // n06 — incremental LSH near-dup: a new crawl batch probed against the
+  // EXISTING corpus's band index — the near-dup complement of d13's
+  // exact-digest path, and together the full steady-state dedup story
+  // (a production corpus is indexed once; each day's batch probes it,
+  // never re-pairs the corpus against itself). Corpus = even doc_ids,
+  // batch = odd (mirroring d13); signatures are computed once over the
+  // union and split into index and probe sides afterwards.
+  //
+  // Scale: one shuffle on (band_id, band_key); batch×corpus candidates
+  // only — no corpus self-pairs. The per-bucket cap applies to the
+  // CORPUS index side (a degenerate band key would otherwise fan every
+  // probe out by the corpus bucket size); capped buckets are the
+  // exact-dedup-or-more-bands regime, as in n02.
+  // ---------------------------------------------------------------------
+  private def n06(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = bandRows(minhashDf(s, dir))
+    val corpus = bands.where(pmod(col("doc_id"), lit(2L)) === 0L)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("corpus_doc"))
+    val keptCorpus = corpus
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("band_id"), col("band_key"))))
+      .where(col("bn") <= MaxBucket)
+      .drop("bn")
+    val probes = bands.where(pmod(col("doc_id"), lit(2L)) === 1L)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("batch_doc"))
+    probes.join(keptCorpus, Seq("band_id", "band_key"))
+      .groupBy(col("batch_doc"))
+      .agg(
+        count_distinct(col("corpus_doc")).as("n_corpus_neardups"),
+        min(col("corpus_doc")).as("min_corpus_doc"))
+      .orderBy(col("batch_doc"))
+  }
+  private val n06Sql =
+    s"""$minhashBaseSql,
+       |bands AS (
+       |  ${(0 until 4).map { b =>
+            s"SELECT doc_id, $b AS band_id, concat_ws(':', mh${2 * b}, mh${2 * b + 1}) AS band_key FROM sigs"
+          }.mkString("\n  UNION ALL\n  ")}),
+       |corpus AS (
+       |  SELECT band_id, band_key, doc_id AS corpus_doc
+       |  FROM bands WHERE doc_id % 2 = 0),
+       |kept_corpus AS (
+       |  SELECT band_id, band_key, corpus_doc FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+       |    FROM corpus)
+       |  WHERE bn <= $MaxBucket),
+       |probes AS (
+       |  SELECT band_id, band_key, doc_id AS batch_doc
+       |  FROM bands WHERE doc_id % 2 = 1)
+       |SELECT batch_doc,
+       |  CAST(COUNT(DISTINCT corpus_doc) AS BIGINT) AS n_corpus_neardups,
+       |  MIN(corpus_doc) AS min_corpus_doc
+       |FROM probes
+       |JOIN kept_corpus USING (band_id, band_key)
+       |GROUP BY 1
+       |ORDER BY batch_doc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("n01_minhash_signatures", n01, Some(n01Sql), headline = true),
     QueryDef("n02_minhash_lsh_pairs", n02, Some(n02Sql), headline = true),
     QueryDef("n03_simhash", n03, Some(n03Sql)),
     QueryDef("n04_ngram_jaccard", n04, Some(n04Sql)),
-    QueryDef("n05_neardup_components", n05, Some(n05Sql), headline = true))
+    QueryDef("n05_neardup_components", n05, Some(n05Sql), headline = true),
+    QueryDef("n06_incremental_lsh_neardup", n06, Some(n06Sql)))
 }

@@ -277,6 +277,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("n06 incremental probe agrees with n02's odd-even candidate pairs") {
+    // with caps non-binding (this corpus), probing the even-id corpus
+    // with the odd-id batch must surface exactly the n02 pairs that
+    // straddle the parity split
+    val pairs = run("n02_minhash_lsh_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val wantByBatch = pairs
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(_ % 2 == 1).flatMap { odd =>
+          val even = if (odd == a) b else a
+          if (even % 2 == 0) Some(odd -> even) else None
+        }
+      }
+      .groupBy(_._1)
+      .map { case (odd, ps) =>
+        odd -> ((ps.map(_._2).distinct.length.toLong, ps.map(_._2).min))
+      }
+    val got = run("n06_incremental_lsh_neardup").collect()
+      .map(r => r.getAs[Long]("batch_doc") ->
+        ((r.getAs[Long]("n_corpus_neardups"), r.getAs[Long]("min_corpus_doc"))))
+      .toMap
+    assert(got == wantByBatch)
+    assert(got.nonEmpty)
+  }
+
   test("d15 packing: per-shard running sum, starts bin into 512-token spans") {
     val rows = run("d15_sequence_pack").collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_in_shard"),

@@ -99,6 +99,17 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"n05 plan degraded:\n$p")
   }
 
+  test("d15: packing window is shard-partitioned — never SinglePartition") {
+    val p = fmt("d15_sequence_pack")
+    // the running-sum window must hash-partition on the doc-hash shard;
+    // a window without a partition key would collapse the whole corpus
+    // into one task (the scale-killer the sharding exists to prevent)
+    assert(p.contains("hashpartitioning(shard"), s"shard partitioning lost:\n$p")
+    val windowSection = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windowSection.nonEmpty && windowSection.forall(_.contains("shard")),
+      s"window not keyed on shard:\n$p")
+  }
+
   test("c05: eval side is deduped before the join — equi-join, no explosion") {
     val p = fmt("c05_ngram_decontamination")
     // the train⋈eval shingle join must stay an equi-join (the eval side

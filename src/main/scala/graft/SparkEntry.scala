@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Analytics]]  q21-q32: rollup/cube/pivot, set ops, as-of
   *                             join, HLL, range join, quantiles, grouped
   *                             top-k, SCD-1 upsert, SCD-2 history
-  *  - [[operators.TextOps]]    d01-d15: exact dedup, text stats/quality,
+  *  - [[operators.TextOps]]    d01-d16: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
   *                             stopwords, hash split, repetition quality,
   *                             per-doc top terms (integer tf/df rank),
@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             scrubbing, Bloom-prefiltered incremental
   *                             batch-vs-corpus dedup, chunk-grain
   *                             boilerplate detection, sharded sequence
-  *                             packing
+  *                             packing, corpus vocabulary heavy hitters
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL

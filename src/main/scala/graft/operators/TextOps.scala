@@ -777,6 +777,50 @@ object TextOps {
        |FROM packed
        |ORDER BY shard, doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d16 — corpus vocabulary heavy hitters: the exact top-50 tokens by
+  // corpus term frequency, each with its document frequency — the
+  // vocabulary census behind tokenizer design, stopword selection, and
+  // the DF caps used by n04/n06 (MaxTokenDf is chosen by looking at
+  // exactly this distribution).
+  //
+  // Scale shape: tf and df come from a TWO-LEVEL aggregate — first
+  // (token, doc_id) then token — because a single groupBy mixing
+  // COUNT(*) with COUNT(DISTINCT doc_id) plans an Expand that doubles
+  // the exploded token stream (the q06 lesson). Both levels partial-
+  // aggregate map-side; the final top-50 lowers to TakeOrderedAndProject
+  // and the rank window runs on 50 rows, bounded at any corpus size.
+  // ---------------------------------------------------------------------
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+    val vocab = perDoc.groupBy(col("token"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+    val top = vocab.orderBy(col("tf").desc, col("token")).limit(50)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("tf").desc, col("token")))
+          .cast(LongType))
+      .orderBy(col("rk"))
+  }
+  private val d16Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |per_doc AS (
+       |  SELECT token, doc_id, COUNT(*) AS tf_doc FROM toks GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
+       |    CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM per_doc GROUP BY 1),
+       |top AS (
+       |  SELECT token, tf, df FROM vocab ORDER BY tf DESC, token LIMIT 50)
+       |SELECT token, tf, df,
+       |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rk
+       |FROM top
+       |ORDER BY rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -792,5 +836,6 @@ object TextOps {
     QueryDef("d12_pii_scrub", d12, Some(d12Sql)),
     QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql)),
     QueryDef("d14_chunk_boilerplate", d14, Some(d14Sql)),
-    QueryDef("d15_sequence_pack", d15, Some(d15Sql)))
+    QueryDef("d15_sequence_pack", d15, Some(d15Sql)),
+    QueryDef("d16_vocab_heavy_hitters", d16, Some(d16Sql)))
 }

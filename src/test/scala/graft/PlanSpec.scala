@@ -99,6 +99,14 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"n05 plan degraded:\n$p")
   }
 
+  test("d16: tf+df via two-level aggregate — no Expand, top-k pushed") {
+    val p = fmt("d16_vocab_heavy_hitters")
+    // a single groupBy mixing COUNT(*) with COUNT(DISTINCT doc_id) would
+    // plan an Expand doubling the exploded token stream (the q06 class)
+    assert(!p.contains("Expand"), s"d16 regressed to Expand:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 not pushed:\n$p")
+  }
+
   test("d15: packing window is shard-partitioned — never SinglePartition") {
     val p = fmt("d15_sequence_pack")
     // the running-sum window must hash-partition on the doc-hash shard;

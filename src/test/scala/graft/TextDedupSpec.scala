@@ -277,6 +277,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("d16 heavy hitters equal driver-side exact tf/df counting") {
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    docs.select("text").collect().foreach { r =>
+      val toks = "[^a-z0-9]+".r.split(r.getString(0).toLowerCase).filter(_.nonEmpty)
+      val perDoc = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      perDoc.foreach { case (tk, tf) =>
+        val (t0, d0) = counts.getOrElse(tk, (0L, 0L))
+        counts(tk) = (t0 + tf, d0 + 1)
+      }
+    }
+    val want = counts.toSeq
+      .sortBy { case (tk, (tf, _)) => (-tf, tk) }
+      .take(50)
+      .zipWithIndex
+      .map { case ((tk, (tf, df)), i) => (tk, tf, df, i + 1L) }
+    val got = run("d16_vocab_heavy_hitters").collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Long]("rk")))
+      .toSeq
+    assert(got == want)
+  }
+
   test("n06 incremental probe agrees with n02's odd-even candidate pairs") {
     // with caps non-binding (this corpus), probing the even-id corpus
     // with the odd-id batch must surface exactly the n02 pairs that

@@ -7,9 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The query inventory aggregates every operator family:
   *  - [[operators.Parity]]     q01-q17: reference-parity surface (SURVEY §2)
   *  - [[operators.Warehouse]]  q18-q20: snowflake dims, junk dim, star fact
-  *  - [[operators.Analytics]]  q21-q32: rollup/cube/pivot, set ops, as-of
-  *                             join, HLL, range join, quantiles, grouped
-  *                             top-k, SCD-1 upsert, SCD-2 history
+  *  - [[operators.Analytics]]  q21-q33: rollup/cube/pivot/grouping sets,
+  *                             set ops, as-of join, HLL, range join,
+  *                             quantiles, grouped top-k, SCD-1 upsert,
+  *                             SCD-2 history
   *  - [[operators.TextOps]]    d01-d16: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
   *                             stopwords, hash split, repetition quality,

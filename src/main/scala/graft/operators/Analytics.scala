@@ -56,6 +56,39 @@ object Analytics {
       |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q33 — explicit GROUPING SETS (the third leg of the OLAP trio with
+  // q21's ROLLUP and q25's CUBE): two independent one-dimension margins
+  // plus the grand total in ONE pass over lineitem — the shape a
+  // dashboard needs when it wants per-flag AND per-status totals but
+  // not their cross product. Uses Spark 4's native
+  // Dataset.groupingSets; grouping_id() disambiguates a NULL data
+  // value from a rolled-up dimension (both engines use the same
+  // leftmost-bit-most-significant convention). Physically one Expand
+  // (3× the input — the semantics, unlike q06's accidental Expand) and
+  // one partial-aggregated shuffle.
+  // ---------------------------------------------------------------------
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast(DecimalType(28, 4)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast(LongType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+  private val q33Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q22 — set operations (INTERSECT / EXCEPT, distinct semantics):
   // customers active in both 1995 and 1996, minus BUILDING-segment
   // customers. Physically: two shuffles on the compared column with
@@ -489,6 +522,7 @@ object Analytics {
       |ORDER BY cust_key, version""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
     QueryDef("q23_asof_join", q23, Some(q23Sql), headline = true),

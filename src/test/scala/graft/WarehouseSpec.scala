@@ -102,6 +102,24 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 grouping sets: two margins + grand total, gid separates them") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q33_grouping_sets").collect()
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val nFlags = li.select("l_returnflag").distinct().count()
+    val nStatus = li.select("l_linestatus").distinct().count()
+    assert(rows.length == nFlags + nStatus + 1)
+    // gid: 1 = by flag (status rolled up), 2 = by status, 3 = grand total
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    assert(byGid(1L).length == nFlags && byGid(2L).length == nStatus)
+    // each margin's row counts re-sum to the table size
+    val total = li.count()
+    assert(byGid(1L).map(_.getAs[Long]("n_rows")).sum == total)
+    assert(byGid(2L).map(_.getAs[Long]("n_rows")).sum == total)
+    assert(byGid(3L).head.getAs[Long]("n_rows") == total)
+  }
+
   test("q32 SCD-2 history: compacted, contiguous intervals, one current row per key") {
     val rows = run("q32_scd2_history").collect()
     assert(rows.nonEmpty)

@@ -29,9 +29,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Similarity]] v01-v07: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
   *                             top-k, hybrid semantic+lexical rescore
-  *  - [[operators.Multimodal]] m01-m02: binary columns, frame sampling,
+  *  - [[operators.Multimodal]] m01-m03: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
-  *                             resize, real javax.sound.sampled WAV decode
+  *                             resize, real javax.sound.sampled WAV
+  *                             decode, single-pass media+text pairing
   *  - [[CurationPipeline]]     c01-c06: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report,

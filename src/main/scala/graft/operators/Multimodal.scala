@@ -294,7 +294,63 @@ object Multimodal {
       |WHERE frame_idx * chunk < len
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m03 — media↔text pair assembly: the interleaved multimodal training
+  // row (a media item paired with each surrounding text window) that
+  // caption/interleave trainers consume. Media features (payload digest
+  // + byte length, m01's codec-free surface) and text chunks (d11's
+  // token windows) come from the SAME source row, so the pairing is a
+  // single pass — media columns ride through the chunk explode instead
+  // of a table-vs-itself join on doc_id. pair_digest = md5(media_digest
+  // ∥ chunk_digest) is the stable downstream join/dedup key.
+  //
+  // Scale: per-row explode only (fan-out = chunks per doc), zero
+  // shuffle beyond the contract ORDER BY — the plan shape survives a
+  // real codec replacing the digest exactly as in m02.
+  // ---------------------------------------------------------------------
+  private def m03(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkRowsOf(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          md5(col("text").cast(BinaryType)).as("media_digest"),
+          length(col("text").cast(BinaryType)).cast(LongType)
+            .as("n_media_bytes")))
+      .select(col("doc_id"), col("chunk_idx"), col("media_digest"),
+        col("n_media_bytes"), col("chunk_digest"),
+        md5(concat(col("media_digest"), col("chunk_digest"))).as("pair_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  private val m03Sql = {
+    val toks = TextOps.tokensSql
+    val (cs, st) = (TextOps.ChunkSize, TextOps.ChunkStride)
+    s"""WITH base AS (
+       |  SELECT doc_id, md5(text) AS media_digest,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_media_bytes,
+       |    $toks AS toks, CAST(len($toks) AS BIGINT) AS nt
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, media_digest, n_media_bytes, toks, nt,
+       |    CASE WHEN nt <= $cs THEN 1
+       |         ELSE 1 + (nt - $cs + $st - 1) // $st
+       |    END AS n_chunks
+       |  FROM base),
+       |idx AS (
+       |  SELECT doc_id, media_digest, n_media_bytes, toks,
+       |    CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+       |  FROM n),
+       |paired AS (
+       |  SELECT doc_id, chunk_idx, media_digest, n_media_bytes,
+       |    md5(array_to_string(list_slice(toks,
+       |      CAST(chunk_idx * $st + 1 AS BIGINT),
+       |      CAST(chunk_idx * $st + $cs AS BIGINT)), ' ')) AS chunk_digest
+       |  FROM idx)
+       |SELECT doc_id, chunk_idx, media_digest, n_media_bytes, chunk_digest,
+       |  md5(concat(media_digest, chunk_digest)) AS pair_digest
+       |FROM paired
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_metadata", m01, Some(m01Sql)),
-    QueryDef("m02_frame_sample", m02, Some(m02Sql)))
+    QueryDef("m02_frame_sample", m02, Some(m02Sql)),
+    QueryDef("m03_media_text_pairs", m03, Some(m03Sql)))
 }

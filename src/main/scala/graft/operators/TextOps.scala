@@ -426,34 +426,45 @@ object TextOps {
   // aside). The token array is materialized as its own projection step
   // before the explode references it (the HOF re-evaluation trap).
   // ---------------------------------------------------------------------
-  private val ChunkSize = 50
-  private val ChunkStride = 40
+  /** Chunk geometry shared with the m03 oracle — keep in sync there. */
+  val ChunkSize = 50
+  val ChunkStride = 40
 
-  /** The chunk-row frame shared by d11 (chunk listing) and d14
-    * (cross-document boilerplate detection): one row per (doc_id,
-    * chunk_idx) with the window's token count and content digest. */
-  private def chunkRows(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("nt"))
+  /** The chunk-row build shared by d11 (chunk listing), d14 (cross-
+    * document boilerplate), d15 (packing), and the multimodal pairing
+    * (m03): one row per (doc_id, chunk_idx) with the window's token
+    * count and content digest. Input must expose `doc_id` and `text`;
+    * every OTHER input column passes through unchanged (m03 carries its
+    * media features alongside, so media+text pair in ONE pass — no
+    * self-join of the table against itself). */
+  def chunkRowsOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("nt", size(col("toks")).cast(LongType))
     // n_chunks = 1 for nt <= size, else 1 + ceil((nt - size) / stride)
     val withN = base.withColumn("n_chunks",
       when(col("nt") <= ChunkSize, 1L)
         .otherwise(lit(1L) + expr(
           s"(nt - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
     withN
-      .select(col("doc_id"), col("toks"), col("nt"),
-        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("n_chunks") - 1L)))
       .withColumn("chunk_toks",
         slice(col("toks"), (col("chunk_idx") * ChunkStride + 1L).cast("int"),
           lit(ChunkSize)))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("chunk_toks")).cast(LongType).as("chunk_n_tokens"),
-        md5(concat_ws(" ", col("chunk_toks"))).as("chunk_digest"))
+      .withColumn("chunk_n_tokens", size(col("chunk_toks")).cast(LongType))
+      .withColumn("chunk_digest", md5(concat_ws(" ", col("chunk_toks"))))
+      .drop("text", "toks", "nt", "n_chunks", "chunk_toks")
   }
 
+  private def chunkRows(s: SparkSession, dir: String): DataFrame =
+    chunkRowsOf(t(s, dir, "documents").select(col("doc_id"), col("text")))
+
   private def d11(s: SparkSession, dir: String): DataFrame =
-    chunkRows(s, dir).orderBy(col("doc_id"), col("chunk_idx"))
+    chunkRows(s, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_n_tokens"),
+        col("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
   private val d11Sql =
     s"""WITH base AS (
        |  SELECT doc_id, $tokensSql AS toks,

@@ -161,4 +161,24 @@ class MultimodalSpec extends AnyFunSuite {
       .where(length(col("text").cast("binary")) >= 4).count()
     assert(byMedia.count(_._2.length == 4).toLong == longDocs)
   }
+
+  test("m03 pairs: one row per d11 chunk, media digest constant per doc") {
+    val pairs = SparkEntry.queries("m03_media_text_pairs")(spark, SharedSpark.sf0001)
+      .collect()
+    val chunks = SparkEntry.queries("d11_chunking")(spark, SharedSpark.sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        r.getAs[String]("chunk_digest")).toMap
+    assert(pairs.length == chunks.size)
+    pairs.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      // one media item per document, paired with each of its text windows
+      assert(rs.map(_.getAs[String]("media_digest")).distinct.length == 1)
+    }
+    pairs.foreach { r =>
+      // the text leg is exactly the d11 chunk digest for that position
+      assert(r.getAs[String]("chunk_digest") ==
+        chunks((r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"))))
+      assert(r.getAs[String]("pair_digest").matches("[0-9a-f]{32}"))
+    }
+  }
 }

@@ -529,5 +529,5 @@ object Dedup {
     QueryDef("n03_simhash", n03, Some(n03Sql)),
     QueryDef("n04_ngram_jaccard", n04, Some(n04Sql)),
     QueryDef("n05_neardup_components", n05, Some(n05Sql), headline = true),
-    QueryDef("n06_incremental_lsh_neardup", n06, Some(n06Sql)))
+    QueryDef("n06_incremental_lsh_neardup", n06, Some(n06Sql), headline = true))
 }

@@ -491,5 +491,5 @@ object Similarity {
     QueryDef("v04_ivf_ann", v04, Some(v04Sql)),
     QueryDef("v05_lsh_neardup", v05, Some(v05Sql)),
     QueryDef("v06_quantized_topk", v06, Some(v06Sql)),
-    QueryDef("v07_hybrid_rescore", v07, Some(v07Sql)))
+    QueryDef("v07_hybrid_rescore", v07, Some(v07Sql), headline = true))
 }

@@ -845,8 +845,8 @@ object TextOps {
     QueryDef("d10_top_terms", d10, Some(d10Sql)),
     QueryDef("d11_chunking", d11, Some(d11Sql)),
     QueryDef("d12_pii_scrub", d12, Some(d12Sql)),
-    QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql)),
+    QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql), headline = true),
     QueryDef("d14_chunk_boilerplate", d14, Some(d14Sql)),
-    QueryDef("d15_sequence_pack", d15, Some(d15Sql)),
+    QueryDef("d15_sequence_pack", d15, Some(d15Sql), headline = true),
     QueryDef("d16_vocab_heavy_hitters", d16, Some(d16Sql)))
 }

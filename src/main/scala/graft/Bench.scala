@@ -67,7 +67,11 @@ object Bench {
       // A fatal error (OOM etc.) still aborts the run — runOnce only eats
       // NonFatal — but the queries timed before it died ship as a partial
       // line first, so a long run's results aren't lost with the JVM.
-      emit(results.toSeq, partial = true)
+      // The emit itself is guarded: under the very OOM this path exists
+      // for, string building/printing can throw too, and that secondary
+      // failure must not replace the original fatal cause.
+      try emit(results.toSeq, partial = true)
+      catch { case e: Throwable => fatal.addSuppressed(e) }
       throw fatal
     }
     emit(results.toSeq, partial = false)

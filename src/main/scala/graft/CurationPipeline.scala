@@ -301,8 +301,13 @@ object CurationPipeline {
       .select(col("doc_id"), col("text")))
     val toksDf = sp.select(col("doc_id"), col("split"),
       TextOps.tokens(col("text")).as("toks"))
+    // Both branches (eval-distinct side, train side) read `shingled`;
+    // without persist() the corpus is scanned and tokenized+shingled
+    // twice per run, and tokenization dominates at scale. Cleanup is
+    // Verify/Bench's per-query clearCache, same as v07's stage-1 list.
     val shingled = toksDf.select(col("doc_id"), col("split"),
       explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalShingles = shingled.where(col("split") =!= "train")
       .select(col("shingle")).distinct()
       .withColumn("in_eval", lit(1L))

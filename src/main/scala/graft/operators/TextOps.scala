@@ -604,7 +604,9 @@ object TextOps {
   // crawl, plus every doc_id % 10 == 0 document re-crawled under a new
   // crawl_id — re-fetches of pages already in the corpus (all % 10 == 0
   // ids are even = existing), which is exactly what incremental dedup
-  // must drop.
+  // must drop. crawl_id = doc_id*10 + branch keeps the two branches
+  // disjoint at EVERY doc_id (an additive offset collides past 10^6,
+  // silently breaking the ORDER BY's totality at larger SFs).
   // ---------------------------------------------------------------------
   private def d13(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
@@ -614,9 +616,9 @@ object TextOps {
       .select(col("doc_id"), md5(col("text")).as("digest"))
     val existing = docs.where(pmod(col("doc_id"), lit(2L)) === 0L)
     val batch = docs.where(pmod(col("doc_id"), lit(2L)) === 1L)
-      .withColumn("crawl_id", col("doc_id") + 1000000L)
+      .withColumn("crawl_id", col("doc_id") * 10L + 1L)
       .unionByName(docs.where(pmod(col("doc_id"), lit(10L)) === 0L)
-        .withColumn("crawl_id", col("doc_id") + 2000000L))
+        .withColumn("crawl_id", col("doc_id") * 10L + 2L))
     // bloom_filter_agg / might_contain exist only as internal Catalyst
     // nodes (Spark uses them for its own runtime-filter injection, the
     // exact pattern replicated here), so both are constructed through
@@ -647,10 +649,10 @@ object TextOps {
       |existing AS (
       |  SELECT digest FROM docs WHERE doc_id % 2 = 0),
       |batch AS (
-      |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS crawl_id, doc_id, digest
+      |  SELECT CAST(doc_id * 10 + 1 AS BIGINT) AS crawl_id, doc_id, digest
       |  FROM docs WHERE doc_id % 2 = 1
       |  UNION ALL
-      |  SELECT CAST(doc_id + 2000000 AS BIGINT) AS crawl_id, doc_id, digest
+      |  SELECT CAST(doc_id * 10 + 2 AS BIGINT) AS crawl_id, doc_id, digest
       |  FROM docs WHERE doc_id % 10 = 0)
       |SELECT crawl_id, doc_id, digest
       |FROM batch b

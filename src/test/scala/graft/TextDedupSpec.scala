@@ -249,15 +249,15 @@ class TextDedupSpec extends AnyFunSuite {
     val docsDf = docs.select(col("doc_id"), md5(col("text")).as("digest"))
     val existing = docsDf.where(pmod(col("doc_id"), lit(2L)) === 0L)
     val batch = docsDf.where(pmod(col("doc_id"), lit(2L)) === 1L)
-      .withColumn("crawl_id", col("doc_id") + 1000000L)
+      .withColumn("crawl_id", col("doc_id") * 10L + 1L)
       .unionByName(docsDf.where(pmod(col("doc_id"), lit(10L)) === 0L)
-        .withColumn("crawl_id", col("doc_id") + 2000000L))
+        .withColumn("crawl_id", col("doc_id") * 10L + 2L))
     val want = batch.join(existing.select("digest"), Seq("digest"), "left_anti")
       .select("crawl_id").collect().map(_.getLong(0)).toSet
     val gotIds = got.select("crawl_id").collect().map(_.getLong(0)).toSet
     assert(gotIds == want)
     // every re-crawl of an existing page is dropped; the new crawl stays
-    assert(gotIds.forall(_ < 2000000L))
+    assert(gotIds.forall(_ % 10L == 1L))
     assert(got.count() == docs.where(pmod(col("doc_id"), lit(2L)) === 1L).count())
   }
 

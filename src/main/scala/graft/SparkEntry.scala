@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             set ops, as-of join, HLL, range join,
   *                             quantiles, grouped top-k, SCD-1 upsert,
   *                             SCD-2 history
-  *  - [[operators.TextOps]]    d01-d16: exact dedup, text stats/quality,
+  *  - [[operators.TextOps]]    d01-d17: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
   *                             stopwords, hash split, repetition quality,
   *                             per-doc top terms (integer tf/df rank),
@@ -19,13 +19,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             scrubbing, Bloom-prefiltered incremental
   *                             batch-vs-corpus dedup, chunk-grain
   *                             boilerplate detection, sharded sequence
-  *                             packing, corpus vocabulary heavy hitters
+  *                             packing, corpus vocabulary heavy hitters,
+  *                             normalization-aware dedup
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
   *  - [[operators.Dedup]]      n01-n06: MinHash/LSH, SimHash, n-gram
   *                             Jaccard, near-dup connected components,
   *                             incremental batch-vs-corpus LSH probing
+  *  - [[operators.Retrieval]]  r01-r02: tf·idf keyword search (integer
+  *                             idf), positional phrase search
   *  - [[operators.Similarity]] v01-v07: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
   *                             top-k, hybrid semantic+lexical rescore
@@ -50,6 +53,7 @@ object SparkEntry {
     operators.DataCoSynthetic.defs ++
     operators.TextOps.defs ++
     operators.Dedup.defs ++
+    operators.Retrieval.defs ++
     operators.Similarity.defs ++
     operators.Multimodal.defs ++
     CurationPipeline.defs

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Keyword retrieval over `documents`: the inverted-index query shapes a
+  * corpus-curation stack needs for targeted inspection and filtering
+  * (pull every doc matching a term set, find exact phrases) — expressed
+  * as relational plans over an exploded postings view rather than a
+  * served index.
+  *
+  * Scale design: the term filter lands IMMEDIATELY after the explode, on
+  * the map side — only postings for the query terms (a tiny fraction of
+  * the token stream) ever reach a shuffle. Document frequency and the
+  * doc-count scalar are aggregates over that filtered sliver, broadcast
+  * back; nothing materializes the full inverted index.
+  *
+  * Scoring is tf·idf in INTEGER ppm (idf_ppm = N·10⁶ div df) — exact,
+  * associative, bit-identical across engines — rather than float log-idf,
+  * whose transcendental rounding differs between JVM and DuckDB (the c06
+  * sqrt-vs-pow lesson).
+  */
+object Retrieval {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** r01's query term set: two common terms plus the corpus's one rare
+    * term, so the idf weighting visibly reorders the tf ranking. */
+  private val QueryTerms = Seq("hash", "merge", "dup")
+  private val TopK = 20
+
+  // ---------------------------------------------------------------------
+  // r01 — keyword search, tf·idf-scored top-k: postings are built by
+  // exploding the shared tokenizer and filtering to the query terms
+  // before any shuffle; tf aggregates per (doc, term), df per term (a
+  // handful of rows, broadcast back by AQE), and the integer score
+  // sum(tf · idf_ppm) ranks documents. The global top-k lowers to
+  // TakeOrderedAndProject (the q11 shape), never a full sort; the rank
+  // window then runs on TopK rows, bounded at any corpus size.
+  // ---------------------------------------------------------------------
+  /** tf·idf top-k over any (doc_id, text) frame — r01's core, public so
+    * specs can drive crafted corpora through the exact graded plan. */
+  def keywordTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_ppm", expr("n_docs * 1000000 div df"))
+      .select(col("term"), col("idf_ppm"))
+    val scored = postings.join(broadcast(idf), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf") * col("idf_ppm")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast(LongType))
+      .orderBy(col("rk"))
+  }
+
+  private def r01(s: SparkSession, dir: String): DataFrame =
+    keywordTopK(t(s, dir, "documents"), QueryTerms, TopK)
+  private val r01Sql = {
+    val terms = QueryTerms.map(q => s"'$q'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS term FROM documents),
+       |postings AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN ($terms) GROUP BY 1, 2),
+       |idf AS (
+       |  SELECT term,
+       |    CAST((SELECT COUNT(*) FROM documents) * 1000000 // COUNT(*) AS BIGINT) AS idf_ppm
+       |  FROM postings GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, CAST(SUM(tf * idf_ppm) AS BIGINT) AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+       |  FROM postings JOIN idf USING (term) GROUP BY 1),
+       |top AS (
+       |  SELECT doc_id, score, n_terms_matched
+       |  FROM scored ORDER BY score DESC, doc_id LIMIT $TopK)
+       |SELECT doc_id, score, n_terms_matched,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |FROM top
+       |ORDER BY rk""".stripMargin
+  }
+
+  /** r02's phrase, matched as consecutive tokens of the shared
+    * tokenizer — so punctuation between the words does not break the
+    * phrase, exactly like a positional inverted index after analysis. */
+  private val Phrase = Seq("hash", "join")
+
+  // ---------------------------------------------------------------------
+  // r02 — exact phrase search via positional postings: each phrase term
+  // contributes (doc_id, pos - term_offset) rows, and a phrase occurrence
+  // is one (doc_id, start) key present in EVERY term's stream — the
+  // positional-intersection plan of a search engine, as equi-joins.
+  //
+  // Scale shape: the filter to phrase terms runs before any shuffle, and
+  // the joins key on (doc_id, start) — co-partitioned after the first
+  // shuffle, so k-term phrases cost one shuffle plus (k-1) local joins.
+  // A stopword-only phrase would carry whole-corpus postings; caps would
+  // come from the d16 vocabulary census, the same knob as n04's
+  // MaxTokenDf.
+  // ---------------------------------------------------------------------
+  /** Positional phrase match over any (doc_id, text) frame — r02's core,
+    * public for crafted-corpus specs. */
+  def phraseMatches(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+    val matches = phrase.zipWithIndex.map { case (term, i) =>
+      postings.where(col("term") === term)
+        .select(col("doc_id"), (col("pos") - i).cast(LongType).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    matches.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        min(col("start")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def r02(s: SparkSession, dir: String): DataFrame =
+    phraseMatches(t(s, dir, "documents"), Phrase)
+  private val r02Sql = {
+    val joins = Phrase.zipWithIndex.tail.map { case (_, i) =>
+      s"JOIN postings p$i ON p0.doc_id = p$i.doc_id AND p$i.pos = p0.pos + $i"
+    }.mkString("\n      |  ")
+    val preds = Phrase.zipWithIndex
+      .map { case (term, i) => s"p$i.term = '$term'" }.mkString(" AND ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |postings AS (
+       |  SELECT doc_id, pos, toks[pos + 1] AS term FROM (
+       |    SELECT doc_id, toks,
+       |      CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos
+       |    FROM tk)),
+       |m AS (
+       |  SELECT p0.doc_id, p0.pos AS start
+       |  FROM postings p0
+       |  $joins
+       |  WHERE $preds)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(MIN(start) AS BIGINT) AS first_pos
+       |FROM m
+       |GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("r01_keyword_search", r01, Some(r01Sql)),
+    QueryDef("r02_phrase_search", r02, Some(r02Sql)))
+}

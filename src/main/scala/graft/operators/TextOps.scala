@@ -834,6 +834,53 @@ object TextOps {
        |FROM top
        |ORDER BY rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d17 — normalization-aware exact dedup: the dedup grain between d01
+  // (byte-exact) and n01/n02 (near-dup). Documents are canonicalized
+  // through the shared tokenizer (casefold, punctuation/whitespace
+  // collapse) and grouped by the digest of the rejoined token stream, so
+  // trivially-reformatted copies — different casing, spacing, or
+  // punctuation around identical words — collapse into one group that
+  // byte-exact dedup cannot see. n_raw_forms counts how many DISTINCT
+  // byte-level variants each normalized group absorbs (1 = d01 would
+  // have found it too; >1 = normalization's added value).
+  //
+  // Scale shape: per-row normalize + digest, then a TWO-LEVEL aggregate
+  // — (norm, raw) before norm — so COUNT(*) and the distinct-raw count
+  // never share a groupBy (the Expand that doubles the stream, the
+  // d16/q06 lesson). Both levels partial-aggregate map-side; the
+  // shuffle carries two 32-char digests + two longs per row no matter
+  // how wide the documents are.
+  // ---------------------------------------------------------------------
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val perRaw = t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("raw_digest"),
+        md5(array_join(tokens(col("text")), " ")).as("norm_digest"))
+      .groupBy(col("norm_digest"), col("raw_digest"))
+      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n"))
+    perRaw.groupBy(col("norm_digest"))
+      .agg(
+        min(col("min_doc")).as("keeper_doc_id"),
+        sum(col("n")).as("n_copies"),
+        count(lit(1)).as("n_raw_forms"))
+      .orderBy(col("keeper_doc_id"))
+  }
+  private val d17Sql =
+    s"""WITH per_raw AS (
+       |  SELECT md5(array_to_string($tokensSql, ' ')) AS norm_digest,
+       |    md5(text) AS raw_digest,
+       |    MIN(doc_id) AS min_doc, COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT norm_digest,
+       |  CAST(MIN(min_doc) AS BIGINT) AS keeper_doc_id,
+       |  CAST(SUM(n) AS BIGINT) AS n_copies,
+       |  CAST(COUNT(*) AS BIGINT) AS n_raw_forms
+       |FROM per_raw
+       |GROUP BY 1
+       |ORDER BY keeper_doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -850,5 +897,6 @@ object TextOps {
     QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql), headline = true),
     QueryDef("d14_chunk_boilerplate", d14, Some(d14Sql)),
     QueryDef("d15_sequence_pack", d15, Some(d15Sql), headline = true),
-    QueryDef("d16_vocab_heavy_hitters", d16, Some(d16Sql)))
+    QueryDef("d16_vocab_heavy_hitters", d16, Some(d16Sql)),
+    QueryDef("d17_normalized_dedup", d17, Some(d17Sql)))
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the retrieval family (r01/r02) on crafted corpora —
+  * the DuckDB oracle proves value equality on testdata; these pin the
+  * ranking/matching behavior on inputs designed to discriminate. */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import graft.operators.Retrieval
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("r01 idf: one rare-term hit outranks many common-term hits") {
+    // 'rare' appears in 1 of 4 docs (idf_ppm = 4_000_000); 'common' in
+    // all 4 (idf_ppm = 1_000_000). Doc 3 has rare once (score 4M);
+    // doc 1 spams common three times (score 3M).
+    val docs = corpus(
+      (1L, "common common common"),
+      (2L, "common filler words"),
+      (3L, "rare common filler"),
+      (4L, "common other stuff"))
+    val got = Retrieval.keywordTopK(docs, Seq("rare", "common"), 10).collect()
+    assert(got.head.getAs[Long]("doc_id") == 3L)
+    assert(got.head.getAs[Long]("score") == 4000000L + 1000000L)
+    assert(got.head.getAs[Long]("n_terms_matched") == 2L)
+    val doc1 = got.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(doc1.getAs[Long]("score") == 3000000L)
+    // rk is dense 1..n and consistent with (score desc, doc_id) order
+    assert(got.map(_.getAs[Long]("rk")).toSeq == (1L to got.length).toSeq)
+    assert(got.sliding(2).forall {
+      case Array(a, b) =>
+        a.getAs[Long]("score") > b.getAs[Long]("score") ||
+        (a.getAs[Long]("score") == b.getAs[Long]("score") &&
+          a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id"))
+      case _ => true
+    })
+  }
+
+  test("r01 limit k and docs without any query term are absent") {
+    val docs = corpus(
+      (1L, "alpha beta"), (2L, "alpha"), (3L, "beta"), (4L, "gamma only"))
+    val got = Retrieval.keywordTopK(docs, Seq("alpha", "beta"), 2).collect()
+    assert(got.length == 2)
+    assert(!got.exists(_.getAs[Long]("doc_id") == 4L))
+  }
+
+  test("r02 phrase: consecutive-token semantics across punctuation") {
+    val docs = corpus(
+      (1L, "a hash join is fast"),        // 1 occurrence
+      (2L, "hash, join!"),                 // tokenizer eats punctuation
+      (3L, "hash table then merge join"),  // both words, not adjacent
+      (4L, "join hash"),                   // wrong order
+      (5L, "hash join and hash join"))     // 2 occurrences
+    val got = Retrieval.phraseMatches(docs, Seq("hash", "join")).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 5L))
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_occurrences") == 1L)
+    assert(byId(1L).getAs[Long]("first_pos") == 1L)
+    assert(byId(2L).getAs[Long]("first_pos") == 0L)
+    assert(byId(5L).getAs[Long]("n_occurrences") == 2L)
+  }
+
+  test("r02 repeated-term phrase requires genuine consecutive repeats") {
+    val docs = corpus(
+      (1L, "go go gadget"),   // "go go" at 0
+      (2L, "go stop go"))     // two 'go's, never adjacent
+    val got = Retrieval.phraseMatches(docs, Seq("go", "go")).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(got.head.getAs[Long]("n_occurrences") == 1L)
+  }
+
+  test("r01/r02 graded queries run green on sf0.001") {
+    val dir = SharedSpark.sf0001
+    val r1 = SparkEntry.queries("r01_keyword_search")(spark, dir)
+    assert(r1.count() > 0)
+    val r2 = SparkEntry.queries("r02_phrase_search")(spark, dir)
+    // every reported occurrence really contains the phrase tokens
+    val ids = r2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val txt = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(graft.operators.TextOps.tokens(col("text")), " ").as("norm"))
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .collect()
+    assert(txt.nonEmpty)
+    txt.foreach { r =>
+      val padded = " " + r.getAs[String]("norm") + " "
+      assert(padded.contains(" hash join "))
+    }
+  }
+}

@@ -343,4 +343,36 @@ class TextDedupSpec extends AnyFunSuite {
       assert(seqs.head == 0L && seqs.sameElements(seqs.sorted))
     }
   }
+
+  test("d17 normalized dedup collapses case/punct/space variants d01 keeps") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d17").toString
+    // docs 1/2/3 are one normalized group in three raw forms (+byte-dup 4
+    // of 1); doc 5 differs in words, not just formatting
+    Seq(
+      (1L, "Alpha, Beta gamma!", "en", "web"),
+      (2L, "alpha beta GAMMA", "en", "web"),
+      (3L, "  alpha   beta...gamma  ", "en", "news"),
+      (4L, "Alpha, Beta gamma!", "en", "web"),
+      (5L, "alpha beta delta", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("d17_normalized_dedup")(spark, tmp).collect()
+    assert(got.length == 2)
+    val big = got.find(_.getAs[Long]("keeper_doc_id") == 1L).get
+    assert(big.getAs[Long]("n_copies") == 4L)
+    assert(big.getAs[Long]("n_raw_forms") == 3L) // 1 and 4 share a raw form
+    val other = got.find(_.getAs[Long]("keeper_doc_id") == 5L).get
+    assert(other.getAs[Long]("n_copies") == 1L)
+    assert(other.getAs[Long]("n_raw_forms") == 1L)
+  }
+
+  test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
+    val df = run("d17_normalized_dedup")
+    assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())
+    assert(df.where(col("n_raw_forms") > col("n_copies")).count() == 0)
+    assert(df.where(col("n_raw_forms") < 1L).count() == 0)
+    // normalized grouping is at least as coarse as byte-exact grouping
+    assert(df.count() <= run("d01_dedup_exact").count())
+  }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             set ops, as-of join, HLL, range join,
   *                             quantiles, grouped top-k, SCD-1 upsert,
   *                             SCD-2 history
-  *  - [[operators.TextOps]]    d01-d17: exact dedup, text stats/quality,
+  *  - [[operators.TextOps]]    d01-d18: exact dedup, text stats/quality,
   *                             lang-id, fingerprint, BPE counting,
   *                             stopwords, hash split, repetition quality,
   *                             per-doc top terms (integer tf/df rank),
@@ -20,7 +20,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             batch-vs-corpus dedup, chunk-grain
   *                             boilerplate detection, sharded sequence
   *                             packing, corpus vocabulary heavy hitters,
-  *                             normalization-aware dedup
+  *                             normalization-aware dedup, per-source
+  *                             domain cap (bounded top-k aggregate)
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL

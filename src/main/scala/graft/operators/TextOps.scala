@@ -881,6 +881,53 @@ object TextOps {
        |GROUP BY 1
        |ORDER BY keeper_doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d18 — per-source document cap (the "domain cap" of web-corpus
+  // assembly: no single site may contribute more than K documents):
+  // every document gets a deterministic hash rank (the d08/c03 idiom, so
+  // reruns and resamples are reproducible), and the K smallest ranks per
+  // source survive.
+  //
+  // Scale shape: per-key top-k at RAW-ROW grain — q30's window form
+  // would sort each source's full row set on one task, inheriting the
+  // domain skew this operator exists to police (the hot domain IS the
+  // biggest group). [[graft.functions.TopKSmallest]] instead bounds
+  // aggregation state at K pairs per source per mapper, so the shuffle
+  // carries ≤ mappers·K rows per source no matter how hot the domain;
+  // see the aggregate's scaladoc. The oracle is the plain rank window —
+  // DuckDB proves the bounded plan ≡ the textbook semantics.
+  // ---------------------------------------------------------------------
+  private val SourceCap = 10
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        pmod(conv(substring(md5(concat(lit("dcap:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(1000000L)).as("h_ppm"))
+    scored.groupBy(col("source"))
+      .agg(graft.functions.TopKSmallest
+        .of(col("h_ppm"), col("doc_id"), SourceCap).as("kept"))
+      .select(col("source"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("source"),
+        (col("pos") + 1).cast(LongType).as("rk"),
+        col("kv.payload").as("doc_id"),
+        col("kv.key").as("h_ppm"))
+      .orderBy(col("source"), col("rk"))
+  }
+  private val d18Sql =
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |    CAST(concat('0x', substr(md5(concat('dcap:', doc_id)), 1, 15)) AS BIGINT) % 1000000 AS h_ppm
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, h_ppm,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY h_ppm, doc_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT source, rk, doc_id, h_ppm
+       |FROM ranked
+       |WHERE rk <= $SourceCap
+       |ORDER BY source, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -898,5 +945,6 @@ object TextOps {
     QueryDef("d14_chunk_boilerplate", d14, Some(d14Sql)),
     QueryDef("d15_sequence_pack", d15, Some(d15Sql), headline = true),
     QueryDef("d16_vocab_heavy_hitters", d16, Some(d16Sql)),
-    QueryDef("d17_normalized_dedup", d17, Some(d17Sql)))
+    QueryDef("d17_normalized_dedup", d17, Some(d17Sql)),
+    QueryDef("d18_source_cap", d18, Some(d18Sql), headline = true))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, VecDot}
+import graft.functions.{MinHashSig, TopKSmallest, VecDot}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -95,5 +95,74 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(1) == 11.0)
     assert(rows(1).isNullAt(1))
     assert(rows(2).isNullAt(1))
+  }
+
+  /** Window-rank reference for TopKSmallest: the textbook semantics the
+    * bounded aggregate must reproduce under any partitioning. */
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("key"), col("payload"))))
+      .where(col("rk") <= k)
+      .select(col("g"), col("key"), col("payload"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("key"), r.getAs[Long]("payload")))
+      .toSet
+  }
+
+  private def aggTopK(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy(col("g"))
+      .agg(TopKSmallest.of(col("key"), col("payload"), k).as("kept"))
+      .select(col("g"), explode(col("kept")).as("kv"))
+      .select(col("g"), col("kv.key"), col("kv.payload"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("key"), r.getAs[Long]("payload")))
+      .toSet
+
+  test("TopKSmallest == rank window on random skewed data, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // one hot group (80% of rows) + many cold ones; duplicate keys force
+    // the payload tie-break; payloads unique
+    val rows = (0L until 2000L).map { i =>
+      val g = if (rnd.nextInt(5) > 0) "hot" else s"g${rnd.nextInt(20)}"
+      (g, rnd.nextInt(50).toLong, i)
+    }
+    for (parts <- Seq(1, 7, 32); k <- Seq(1, 3, 10)) {
+      val df = rows.toDF("g", "key", "payload").repartition(parts)
+      assert(aggTopK(df, k) == windowTopK(df, k),
+        s"mismatch at parts=$parts k=$k")
+    }
+  }
+
+  test("TopKSmallest: groups smaller than k, null keys skipped, asc order") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", java.lang.Long.valueOf(5L), 1L),
+      ("a", java.lang.Long.valueOf(2L), 2L),
+      ("a", null.asInstanceOf[java.lang.Long], 3L),
+      ("b", java.lang.Long.valueOf(9L), 4L))
+      .toDF("g", "key", "payload")
+    val got = df.groupBy(col("g"))
+      .agg(TopKSmallest.of(col("key"), col("payload"), 10).as("kept"))
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    assert(got("a") == Seq((2L, 2L), (5L, 1L))) // null-key row dropped, ascending
+    assert(got("b") == Seq((9L, 4L)))
+  }
+
+  test("TopKSmallest serialize/deserialize round-trips the bounded buffer") {
+    val agg = graft.functions.TopKSmallest(
+      Bridge.expression(lit(0L)), Bridge.expression(lit(0L)), 3)
+    val buf = agg.createAggregationBuffer()
+    Seq((9L, 1L), (2L, 2L), (2L, 1L), (7L, 3L), (1L, 9L)).foreach(buf.offer)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.sortedPairs.toSeq == Seq((1L, 9L), (2L, 1L), (2L, 2L)))
+    // merging two buffers keeps the global k smallest
+    val other = agg.createAggregationBuffer()
+    Seq((0L, 5L), (8L, 8L)).foreach(other.offer)
+    val merged = agg.merge(back, other)
+    assert(merged.sortedPairs.toSeq == Seq((0L, 5L), (1L, 9L), (2L, 1L)))
   }
 }

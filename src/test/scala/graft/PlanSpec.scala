@@ -141,4 +141,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"exact confirm join lost:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("d18: per-source cap is a bounded aggregate, never a rank window") {
+    val p = fmt("d18_source_cap")
+    // the whole point of TopKSmallest: map-side partial aggregation caps
+    // state at K pairs per source per mapper, so the shuffle carries
+    // ≤ mappers·K rows per source — a rank window here would sort the
+    // hottest domain's full row set on one task
+    assert(p.contains("partial_topk_smallest"),
+      s"map-side partial top-k lost:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"d18 regressed to a rank window:\n$p")
+    // the final explode/rank works on K-length arrays, after the agg
+    assert(p.contains("ObjectHashAggregate"), s"typed agg missing:\n$p")
+  }
+
+  test("r01: term filter precedes every shuffle; top-k pushed down") {
+    val p = fmt("r01_keyword_search")
+    // global top-k over scores must lower to TakeOrderedAndProject; the
+    // trailing Window then ranks TopK rows, bounded at any corpus size
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+    // the only nested-loop join is the broadcast single-row doc count;
+    // postings join idf as broadcast hash
+    assert(!p.contains("CartesianProduct"), s"pair space materialized:\n$p")
+    // the term filter must land on the exploded stream BEFORE the first
+    // Exchange — in the formatted tree the Filter's node id sits between
+    // the Generate and the first Exchange
+    val lines = p.linesIterator.toSeq
+    val gen = lines.indexWhere(_.matches(".*\\+- Generate.*"))
+    val filt = lines.indexWhere(_.matches(".*\\+- Filter.*"))
+    assert(gen >= 0 && filt >= 0 && filt < gen,
+      s"term filter not directly above the explode:\n$p")
+  }
 }

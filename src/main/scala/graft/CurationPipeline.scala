@@ -397,13 +397,87 @@ object CurationPipeline {
       |WHERE CAST(concat('0x', substr(md5(concat('mix:', d.doc_id)), 1, 15)) AS BIGINT) % 1000000 < t.keep_ppm
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c07 — best-of-cluster representative selection: for every near-dup
+  // component (n05's LSH connected components) keep the HIGHEST-QUALITY
+  // member, not the lowest id — the keeper policy production dedup
+  // actually wants (c01's exactDedup keeps min-id because byte-exact
+  // copies are interchangeable; near-dup variants are not). Singletons
+  // (docs in no candidate pair) keep themselves. Ties break to the
+  // smaller doc_id, so the choice is total and rerun-stable.
+  //
+  // Scale shape: components exist only for docs in ≥1 LSH pair (a small
+  // fraction of the corpus); the corpus joins that label set once on
+  // doc_id, and the per-component argmax is ONE partial-aggregating
+  // groupBy carrying (canonical_id, q_points, doc_id) — max(struct) is
+  // associative, so no rank window and no component ever needs its
+  // members co-resident. Component size itself is bounded by the n02
+  // bucket cap upstream.
+  // ---------------------------------------------------------------------
+  private def c07(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val comps = Dedup.connectedComponents(
+      Dedup.cappedLshPairs(Dedup.bandRows(Dedup.minhashSignatures(docs))))
+      .select(col("doc_id"), col("canonical_id"))
+    annotate(docs).select(col("doc_id"), col("q_points"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("canonical_id",
+        coalesce(col("canonical_id"), col("doc_id")))
+      .groupBy(col("canonical_id"))
+      .agg(
+        count(lit(1)).as("comp_size"),
+        // lexicographic struct max = (best quality, then smallest id)
+        max(struct(col("q_points"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(
+        col("canonical_id"),
+        (-col("best.neg_id")).as("keeper_doc_id"),
+        col("best.q_points").as("keeper_q_points"),
+        col("comp_size"),
+        (col("comp_size") - 1L).as("n_dropped"))
+      .orderBy(col("canonical_id"))
+  }
+  private val c07Sql =
+    s"""WITH RECURSIVE ${Dedup.minhashCtesSql("documents")},
+       |${Dedup.lshBandsCtesSql()},
+       |${Dedup.componentsCtesSql},
+       |feat AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS nt,
+       |    CAST(len(list_distinct(${TextOps.tokensSql})) AS BIGINT) AS ndt
+       |  FROM documents),
+       |qp AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN nc BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+       |       + CASE WHEN nt >= 20 THEN 1 ELSE 0 END
+       |       + CASE WHEN ndt * 10 >= nt * 3 THEN 1 ELSE 0 END AS BIGINT) AS q_points
+       |  FROM feat),
+       |labeled AS (
+       |  SELECT q.doc_id, coalesce(c.canonical_id, q.doc_id) AS canonical_id,
+       |    q.q_points
+       |  FROM qp q LEFT JOIN canon c ON q.doc_id = c.doc_id),
+       |ranked AS (
+       |  SELECT canonical_id, doc_id, q_points,
+       |    row_number() OVER (PARTITION BY canonical_id
+       |      ORDER BY q_points DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY canonical_id) AS comp_size
+       |  FROM labeled)
+       |SELECT canonical_id, doc_id AS keeper_doc_id,
+       |  q_points AS keeper_q_points,
+       |  CAST(comp_size AS BIGINT) AS comp_size,
+       |  CAST(comp_size - 1 AS BIGINT) AS n_dropped
+       |FROM ranked
+       |WHERE rn = 1
+       |ORDER BY canonical_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
     QueryDef("c03_balanced_sample", c03, Some(c03Sql)),
     QueryDef("c04_split_contamination", c04, Some(c04Sql)),
     QueryDef("c05_ngram_decontamination", c05, Some(c05Sql), headline = true),
-    QueryDef("c06_temperature_mix", c06, Some(c06Sql)))
+    QueryDef("c06_temperature_mix", c06, Some(c06Sql)),
+    QueryDef("c07_cluster_keeper", c07, Some(c07Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

@@ -37,13 +37,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV
   *                             decode, single-pass media+text pairing
-  *  - [[CurationPipeline]]     c01-c06: quality filter → exact dedup →
+  *  - [[CurationPipeline]]     c01-c07: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report,
   *                             language-balanced downsampling, the
   *                             cross-split near-dup contamination report,
-  *                             exact n-gram decontamination, and
-  *                             temperature-scaled language mixing
+  *                             exact n-gram decontamination,
+  *                             temperature-scaled language mixing, and
+  *                             best-of-cluster representative selection
   */
 object SparkEntry {
 

@@ -440,25 +440,32 @@ object Dedup {
   // is the closure {(node, id that reaches it)}; MIN per node = the
   // component min. UNION (not UNION ALL) dedups the closure, which is
   // what terminates the recursion.
+  /** pairs→edges→reach→canon CTE bodies over the LSH `bands`/
+    * `kept_buckets` CTEs ([[lshBandsCtesSql]]); `canon` is
+    * (doc_id, canonical_id) for every doc in ≥1 candidate pair. Needs a
+    * `WITH RECURSIVE` header. Shared by n05's oracle and c07's. */
+  val componentsCtesSql: String =
+    """pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id
+      |  JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS comp FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      |canon AS (
+      |  SELECT id AS doc_id, MIN(comp) AS canonical_id FROM reach GROUP BY 1)""".stripMargin
+
   private val n05Sql =
     s"""WITH RECURSIVE ${minhashCtesSql("documents")},
        |${lshBandsCtesSql()},
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id
-       |  JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-       |reach AS (
-       |  SELECT DISTINCT src AS id, src AS comp FROM edges
-       |  UNION
-       |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-       |canon AS (
-       |  SELECT id AS doc_id, MIN(comp) AS canonical_id FROM reach GROUP BY 1)
+       |$componentsCtesSql
        |SELECT doc_id, canonical_id,
        |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS comp_size
        |FROM canon

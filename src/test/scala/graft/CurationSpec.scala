@@ -169,4 +169,47 @@ class CurationSpec extends AnyFunSuite {
     val keptSmallest = rows.count(_.getAs[String]("lang") == smallest)
     assert(keptSmallest == byLang(smallest))
   }
+
+  test("c07 keeps the highest-quality member of a near-dup component") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("c07").toString
+    // docs 1 and 2 share the exact token stream (identical MinHash ⇒
+    // same LSH bucket in every band ⇒ one component) but differ in RAW
+    // length: doc 1 is punctuation-padded past 400 chars (len_ok = 0,
+    // q_points = 2), doc 2 sits in the 100-400 band (q_points = 3) — so
+    // the keeper must be doc 2 despite doc 1's smaller id. Doc 3 shares
+    // no vocabulary: a singleton that keeps itself.
+    val words = ('a' to 'x').map(c => s"${c}word$c").mkString(" ")
+    Seq(
+      (1L, words + " !!!" + ("?!" * 160), "en", "web"),
+      (2L, words, "en", "web"),
+      (3L, (1 to 25).map(i => s"zz$i").mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("c07_cluster_keeper")(spark, tmp).collect()
+    assert(got.length == 2)
+    val comp = got.find(_.getAs[Long]("canonical_id") == 1L).get
+    assert(comp.getAs[Long]("keeper_doc_id") == 2L)
+    assert(comp.getAs[Long]("keeper_q_points") == 3L)
+    assert(comp.getAs[Long]("comp_size") == 2L)
+    assert(comp.getAs[Long]("n_dropped") == 1L)
+    val single = got.find(_.getAs[Long]("canonical_id") == 3L).get
+    assert(single.getAs[Long]("keeper_doc_id") == 3L)
+    assert(single.getAs[Long]("comp_size") == 1L)
+  }
+
+  test("c07 on testdata: keepers partition the corpus, one per component") {
+    val got = SparkEntry.queries("c07_cluster_keeper")(spark, dir)
+    assert(got.agg(sum("comp_size")).head().getLong(0) == docs.count())
+    // keeper quality is the component max (cross-check via n05 + quality)
+    val comps = SparkEntry.queries("n05_neardup_components")(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val qp = CurationPipeline.annotate(docs).select(col("doc_id"), col("q_points"))
+    val bestByComp = qp.join(comps, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
+      .groupBy("canonical_id").agg(max("q_points").as("want_q"))
+    val bad = got.join(bestByComp, Seq("canonical_id"))
+      .where(col("keeper_q_points") =!= col("want_q"))
+    assert(bad.count() == 0)
+  }
 }

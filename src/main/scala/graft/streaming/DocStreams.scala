@@ -106,4 +106,26 @@ object DocStreams {
         col("n_docs"), col("n_pii_spans"), col("chars_redacted"),
         col("n_docs_with_pii"))
   }
+
+  /** Streaming keyword alerting — the r01 term-match semantics (same
+    * tokenizer, same "only watched terms matter" filter) run against the
+    * live document feed: one alert row per arriving document that
+    * contains any watched term, carrying the matched terms (in watch-list
+    * order, so output is layout-independent) and the total hit count.
+    *
+    * Entirely stateless — per-row expressions and a filter, no shuffle,
+    * no watermark, no state store — so the streaming plan is the batch
+    * plan run per micro-batch, and batch/stream parity is by
+    * construction (asserted in StreamingSpec). At scale this is the
+    * cheapest possible stream stage: it prunes to (doc_id, ingest_ts,
+    * source, text), never widens, and emits only matching docs. */
+  def keywordAlerts(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val toks = graft.operators.TextOps.tokens(col("text"))
+    val watched = array(terms.sorted.map(lit(_)): _*)
+    docs.select(col("doc_id"), col("ingest_ts"), col("source"),
+        array_intersect(watched, array_distinct(toks)).as("matched_terms"),
+        size(filter(toks, t => array_contains(watched, t)))
+          .cast(LongType).as("n_hits"))
+      .where(size(col("matched_terms")) > 0)
+  }
 }

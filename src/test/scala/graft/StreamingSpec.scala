@@ -238,6 +238,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAudit.agg(sum("n_docs")).head().getLong(0) == staged.count())
   }
 
+  test("streaming keyword alerts equal the batch filter and miss no match") {
+    import graft.streaming.DocStreams
+    val dir = Files.createTempDirectory("graft-kw").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val staged = Tables.load(spark, SharedSpark.sf0001, "documents")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") % 3600).as("ingest_ts"),
+        col("text"), col("lang"), col("source"))
+    staged.repartition(1).write.mode("overwrite").parquet(path)
+
+    val terms = Seq("hash", "merge", "dup") // r01's query set
+    val q = DocStreams.keywordAlerts(DocStreams.readDocStream(spark, path), terms)
+      .writeStream.format("memory").queryName("kw_alerts")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Seq[String]]("matched_terms").toList, r.getAs[Long]("n_hits")))
+      .toSet
+    val batch = DocStreams.keywordAlerts(spark.read.parquet(path), terms)
+    val got = rows(spark.table("kw_alerts"))
+    assert(got == rows(batch)) // stateless stage: stream ≡ batch exactly
+
+    // independent oracle: a doc alerts iff its token set meets the watch
+    // list, and n_hits counts every occurrence (not distinct terms)
+    val toks = staged.select(col("doc_id"),
+      graft.operators.TextOps.tokens(col("text")).as("toks"))
+    val want = toks
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => t.isin(terms: _*))).cast("long").as("n"))
+      .where(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(t => t._1 -> t._3).toMap == want)
+    assert(got.nonEmpty && got.exists(_._2.size > 1)) // multi-term docs exist
+  }
+
   test("highValueAlerts: stream-static join enriches without dropping alerts") {
     val users = spark.range(0, 1000).select(
       col("id").as("user_id"), concat(lit("user_"), col("id")).as("user_name"))

@@ -159,7 +159,99 @@ object Retrieval {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // r03 — BM25-ranked search: r01's postings plan plus the BM25
+  // saturation term, which caps a term's contribution as tf grows and
+  // normalizes by document length (a long doc repeating "hash" stops
+  // outranking a short doc that is ABOUT hashing). Plan shape is r01's —
+  // the only additions are per-row `size(tokens)` (dl travels with each
+  // posting, no extra shuffle) and one broadcast row carrying the corpus
+  // totals (N docs, T tokens).
+  //
+  // Arithmetic is integer-ppm throughout (k1 = 1.2, b = 0.75 become the
+  // exact rationals 2200000/1000000, 300000, 900000 ppm):
+  //   denom_ppm = 10⁶·tf + 300000 + (900000·dl·N div T)
+  //   term      = (idf_ppm · 2200000 · tf) div denom_ppm
+  // — exact and associative, so Spark and DuckDB agree bit-for-bit (the
+  // c06 transcendental lesson; float BM25 differs in the last ulp across
+  // engines). Exactness holds while 900000·dl·N and idf_ppm·2200000·tf
+  // fit in signed 64-bit — true far beyond the graded scales; a corpus
+  // where dl·N approaches 10¹³ would switch the score to DECIMAL(38,0)
+  // or plain doubles (ranking does not need cross-engine bit equality in
+  // production, only the correctness gate does).
+  // ---------------------------------------------------------------------
+  /** BM25 top-k over any (doc_id, text) frame — r03's core, public for
+    * crafted-corpus specs (saturation/length-normalization behavior). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val withDl = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("term"))
+    val postings = withDl
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = docs
+      .select(size(TextOps.tokens(col("text"))).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val idf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals.select(col("n_docs"))))
+      .withColumn("idf_ppm", expr("n_docs * 1000000 div df"))
+      .select(col("term"), col("idf_ppm"))
+    val scored = postings
+      .join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("denom_ppm",
+        expr("1000000 * tf + 300000 + (900000 * dl * n_docs div n_tokens)"))
+      .withColumn("term_score", expr("idf_ppm * 2200000 * tf div denom_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast(LongType))
+      .orderBy(col("rk"))
+  }
+
+  private def r03(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(t(s, dir, "documents"), QueryTerms, TopK)
+  private val r03Sql = {
+    val terms = QueryTerms.map(q => s"'$q'").mkString(", ")
+    s"""WITH dls AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    unnest(toks) AS term FROM dls),
+       |totals AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM dls),
+       |postings AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |idf AS (
+       |  SELECT term,
+       |    CAST((SELECT n_docs FROM totals) * 1000000 // COUNT(*) AS BIGINT) AS idf_ppm
+       |  FROM postings GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(idf_ppm * 2200000 * tf //
+       |      (1000000 * tf + 300000 +
+       |       (900000 * dl * n_docs // n_tokens))) AS BIGINT) AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+       |  FROM postings JOIN idf USING (term) CROSS JOIN totals GROUP BY 1),
+       |top AS (
+       |  SELECT doc_id, score, n_terms_matched
+       |  FROM scored ORDER BY score DESC, doc_id LIMIT $TopK)
+       |SELECT doc_id, score, n_terms_matched,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |FROM top
+       |ORDER BY rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("r01_keyword_search", r01, Some(r01Sql)),
-    QueryDef("r02_phrase_search", r02, Some(r02Sql)))
+    QueryDef("r02_phrase_search", r02, Some(r02Sql)),
+    QueryDef("r03_bm25_search", r03, Some(r03Sql)))
 }

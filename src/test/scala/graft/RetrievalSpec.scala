@@ -74,6 +74,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("n_occurrences") == 1L)
   }
 
+  test("r03 BM25: exact integer formula; saturation caps a tf-spam doc") {
+    // doc 1 spams the term 10× in a 50-token doc; doc 2 mentions it once
+    // in 2 tokens. r01's linear tf would score doc 1 exactly 10× doc 2;
+    // BM25's saturation + length normalization keeps it under 2×.
+    val docs = corpus(
+      (1L, ("hash " * 10 + "filler " * 40).trim),
+      (2L, "hash lookup"),
+      (3L, "filler only text"))
+    val got = Retrieval.bm25TopK(docs, Seq("hash"), 10).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    // independent reimplementation of the integer-ppm formula
+    val dl = Map(1L -> 50L, 2L -> 2L)
+    val tf = Map(1L -> 10L, 2L -> 1L)
+    val (nDocs, nTokens) = (3L, 55L)
+    val idf = nDocs * 1000000L / 2L
+    def score(id: Long) = {
+      val denom =
+        1000000L * tf(id) + 300000L + 900000L * dl(id) * nDocs / nTokens
+      idf * 2200000L * tf(id) / denom
+    }
+    val byId = got.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    assert(byId == Map(1L -> score(1L), 2L -> score(2L)))
+    assert(byId(1L) > byId(2L) && byId(1L) < 2L * byId(2L))
+  }
+
+  test("r03 length normalization: same tf, shorter doc ranks first") {
+    val docs = corpus(
+      (1L, "hash " + "filler " * 48 + "end"),  // tf 1, dl 50
+      (2L, "hash note"))                        // tf 1, dl 2
+    val got = Retrieval.bm25TopK(docs, Seq("hash"), 10).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
+  }
+
   test("r01/r02 graded queries run green on sf0.001") {
     val dir = SharedSpark.sf0001
     val r1 = SparkEntry.queries("r01_keyword_search")(spark, dir)

@@ -928,6 +928,72 @@ object TextOps {
        |WHERE rk <= $SourceCap
        |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d19 — cross-snapshot corpus delta: what changed between two crawls
+  // of the same corpus (docs added, removed, or edited), the primitive
+  // behind incremental re-training and crawl QA ("did the refresh drop
+  // 30% of a domain?"). Both snapshots are synthesized deterministically
+  // from `documents` (the d13 pattern, mirrored in the oracle):
+  //   old = doc_id % 7 != 3        (the % 7 == 3 docs arrive later)
+  //   new = doc_id % 11 != 4       (the % 11 == 4 docs got dropped)
+  //   and the new crawl re-edited every % 5 == 1 doc (text || ' rev2').
+  //
+  // Scale shape: each side is pruned to (doc_id, md5(text)) at the scan
+  // — 48 bytes/row moves, never the text — then ONE co-partitioned
+  // full-outer shuffle join on doc_id classifies every doc, and the
+  // unchanged bulk (the overwhelming majority of a real refresh) is
+  // filtered before anything widens: output is only the delta. With both
+  // snapshots stored bucketed by doc_id (Sink.saveBucketedTable) the
+  // join needs zero Exchange; digests can also come precomputed from the
+  // d01 dedup pass instead of being recomputed here.
+  // ---------------------------------------------------------------------
+  /** Delta between two (doc_id, text) snapshots — d19's core, public
+    * for crafted-corpus specs. Emits one row per added/removed/changed
+    * doc; unchanged docs (the bulk) never leave the join. */
+  def snapshotDelta(old: DataFrame, nw: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), md5(col("text")).as("old_digest"))
+    val n = nw.select(col("doc_id"), md5(col("text")).as("new_digest"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("old_digest"),
+        col("new_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    snapshotDelta(
+      docs.where(pmod(col("doc_id"), lit(7L)) =!= 3L)
+        .select(col("doc_id"), col("text")),
+      docs.where(pmod(col("doc_id"), lit(11L)) =!= 4L)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5L)) === 1L, lit(" rev2"))
+              .otherwise(lit(""))).as("text")))
+  }
+  private val d19Sql =
+    """WITH old AS (
+      |  SELECT doc_id, md5(text) AS old_digest
+      |  FROM documents WHERE doc_id % 7 != 3),
+      |nw AS (
+      |  SELECT doc_id,
+      |    md5(text || CASE WHEN doc_id % 5 = 1 THEN ' rev2' ELSE '' END)
+      |      AS new_digest
+      |  FROM documents WHERE doc_id % 11 != 4)
+      |SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+      |  CASE WHEN old.doc_id IS NULL THEN 'added'
+      |       WHEN nw.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status,
+      |  old_digest, new_digest
+      |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+      |WHERE old.doc_id IS NULL OR nw.doc_id IS NULL
+      |   OR old_digest != new_digest
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -946,5 +1012,6 @@ object TextOps {
     QueryDef("d15_sequence_pack", d15, Some(d15Sql), headline = true),
     QueryDef("d16_vocab_heavy_hitters", d16, Some(d16Sql)),
     QueryDef("d17_normalized_dedup", d17, Some(d17Sql)),
-    QueryDef("d18_source_cap", d18, Some(d18Sql), headline = true))
+    QueryDef("d18_source_cap", d18, Some(d18Sql), headline = true),
+    QueryDef("d19_snapshot_delta", d19, Some(d19Sql)))
 }

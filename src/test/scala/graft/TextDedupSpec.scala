@@ -367,6 +367,49 @@ class TextDedupSpec extends AnyFunSuite {
     assert(other.getAs[Long]("n_raw_forms") == 1L)
   }
 
+  test("d19 snapshot delta: classifies adds/removes/edits, drops unchanged") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "stable text"), (2L, "will be edited"), (3L, "will be removed"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "stable text"), (2L, "was edited"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.snapshotDelta(old, nw).collect()
+    val byId = got.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(byId == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // digests present exactly on the sides that exist
+    val r3 = got.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(r3.getAs[String]("old_digest") != null &&
+      r3.getAs[String]("new_digest") == null)
+    val r4 = got.find(_.getAs[Long]("doc_id") == 4L).get
+    assert(r4.getAs[String]("old_digest") == null &&
+      r4.getAs[String]("new_digest") != null)
+  }
+
+  test("d19 on testdata: statuses consistent with the synthesis rules") {
+    val df = run("d19_snapshot_delta")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, st) = (r.getAs[Long]("doc_id"), r.getAs[String]("status"))
+      st match {
+        case "added"   => assert(id % 7 == 3 && id % 11 != 4)
+        case "removed" => assert(id % 11 == 4 && id % 7 != 3)
+        case "changed" => assert(id % 5 == 1 && id % 7 != 3 && id % 11 != 4)
+        case other     => fail(s"unexpected status $other")
+      }
+    }
+    // every doc matching a rule appears (no silent drops)
+    val n = docs.count()
+    val expect = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .count(id => (id % 7 == 3 && id % 11 != 4) ||
+        (id % 11 == 4 && id % 7 != 3) ||
+        (id % 5 == 1 && id % 7 != 3 && id % 11 != 4))
+    assert(rows.length == expect && n > 0)
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

@@ -484,6 +484,108 @@ object Similarity {
        |JOIN ts b ON vec_b = b.doc_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v08 — ANN recall audit: recall@10 of the int8-quantized search (the
+  // v06 plan) against exact float cosine (the v01 plan), per query. The
+  // measurement every approximate index must ship with — compression and
+  // bucketing decisions are only safe to roll out with a recall number
+  // attached, and at 100 TB the audit is exactly this: both searches run
+  // over a SMALL query sample (here vec_id < 5; production: a few
+  // hundred), cost = sample × corpus — a sliver of one full search —
+  // then a narrow (q_id, c_id) set intersection. Recall is integer ppm
+  // (overlap·10⁶ div k) for cross-engine exactness; the top-k sets
+  // themselves are deterministic because both rankings tie-break on
+  // c_id.
+  // ---------------------------------------------------------------------
+  private def v08(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // exact side — v01's plan pruned to (q_id, c_id)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"))
+    // quantized side — v06's plan pruned the same way
+    val eq = e
+      .select(col("vec_id"), col("embedding"),
+        absMax(col("embedding")).as("amax"))
+      .select(col("vec_id"), int8(col("embedding"), col("amax")).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .where(col("qn") > 0.0)
+    val qq = eq.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("qn").as("q_qn"))
+    val cq = eq.select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+      col("qn").as("c_qn"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine_q").desc, col("c_id"))
+    val approx = broadcast(qq).join(cq, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_qv"), col("c_qv")) / (col("q_qn") * col("c_qn")))
+          .as("cosine_q"))
+      .withColumn("rk", row_number().over(wq)).where(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"))
+    val overlap = exact.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div n_exact"))
+      .orderBy(col("q_id"))
+  }
+  private val v08Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        ${dotS("q_emb", "c_emb")} / (${normS("q_emb")} * ${normS("c_emb")})
+       |          DESC, c_id) AS rk
+       |    FROM q JOIN c ON q_id <> c_id)
+       |  WHERE rk <= 10),
+       |e0 AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id,
+       |    CASE WHEN amax > 0
+       |         THEN list_transform(embedding, x ->
+       |           floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5))
+       |         ELSE list_transform(embedding, x -> 0.0) END AS qv
+       |  FROM e0),
+       |eq AS (
+       |  SELECT vec_id, qv, ${normS("qv")} AS qn FROM quant
+       |  WHERE ${normS("qv")} > 0),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        ${dotS("a.qv", "b.qv")} / (a.qn * b.qn) DESC, b.vec_id) AS rk
+       |    FROM eq a JOIN eq b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 5)
+       |  WHERE rk <= 10),
+       |ov AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM exact JOIN approx USING (q_id, c_id) GROUP BY 1),
+       |ex AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM exact GROUP BY 1)
+       |SELECT q_id, n_exact, COALESCE(n_overlap, 0) AS n_overlap,
+       |  CAST(COALESCE(n_overlap, 0) * 1000000 // n_exact AS BIGINT) AS recall_ppm
+       |FROM ex LEFT JOIN ov USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -491,5 +593,6 @@ object Similarity {
     QueryDef("v04_ivf_ann", v04, Some(v04Sql)),
     QueryDef("v05_lsh_neardup", v05, Some(v05Sql)),
     QueryDef("v06_quantized_topk", v06, Some(v06Sql)),
-    QueryDef("v07_hybrid_rescore", v07, Some(v07Sql), headline = true))
+    QueryDef("v07_hybrid_rescore", v07, Some(v07Sql), headline = true),
+    QueryDef("v08_recall_audit", v08, Some(v08Sql)))
 }

@@ -107,6 +107,27 @@ class SimilaritySpec extends AnyFunSuite {
     rows.unpersist()
   }
 
+  test("v08 recall audit equals driver-side overlap of the v01/v06 sets") {
+    val audit = run("v08_recall_audit").collect()
+    val exact = run("v01_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    val quant = run("v06_quantized_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val want = exact.groupBy(_._1).map { case (q, s) =>
+      val n = s.size.toLong
+      val ov = s.count(quant.contains).toLong
+      q -> ((n, ov, ov * 1000000L / n))
+    }
+    val got = audit.map(r => r.getAs[Long]("q_id") ->
+      ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_overlap"),
+        r.getAs[Long]("recall_ppm")))).toMap
+    assert(got == want)
+    // one row per sampled query, and recall is genuinely high here (the
+    // v06 spec already requires >= 0.8 aggregate overlap)
+    assert(audit.length == want.size && audit.length == 5)
+    assert(got.values.forall(_._3 >= 500000L))
+  }
+
   test("v07 rescore: v02's pair set with exact token-set Jaccard attached") {
     val v02Pairs = run("v02_embedding_neardup").collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

@@ -266,7 +266,7 @@ object Multimodal {
   // hex encoding (DuckDB has no BLOB substring; hex(blob) is identical
   // in both engines, so slicing 2·chunk hex chars == slicing chunk
   // bytes).
-  private def m02(s: SparkSession, dir: String): DataFrame =
+  private def frameRows(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id").as("media_id"),
         hex(col("text").cast(BinaryType)).as("hexp"),
@@ -280,7 +280,9 @@ object Multimodal {
         md5(expr("substring(hexp, CAST(frame_idx * chunk * 2 + 1 AS INT), CAST(chunk * 2 AS INT))"))
           .as("frame_digest"),
         col("chunk").as("frame_bytes"))
-      .orderBy(col("media_id"), col("frame_idx"))
+
+  private def m02(s: SparkSession, dir: String): DataFrame =
+    frameRows(s, dir).orderBy(col("media_id"), col("frame_idx"))
   private val m02Sql =
     """WITH m AS (
       |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hexp,
@@ -349,8 +351,75 @@ object Multimodal {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // m04 — media near-dup pairs via shared frame fingerprints: two media
+  // items are near-dup candidates when ≥ MinSharedFrames of their m02
+  // frame digests coincide — the fingerprint-bucketing shape of
+  // perceptual media dedup (real perceptual hashes slot into the
+  // frame_digest column without changing the plan). The pair space is
+  // the n02 discipline transposed to media: ONE shuffle on
+  // frame_digest, pairs generated inside each bucket, and buckets past
+  // MaxFrameBucket members dropped BEFORE the quadratic explode (a
+  // degenerate fingerprint — e.g. the all-black frame — would otherwise
+  // pin one task on ~size²/2 pairs; content that hot belongs to exact
+  // dedup, not pairwise scoring). The final (a, b) count shuffles only
+  // the surviving pair sliver.
+  // ---------------------------------------------------------------------
+
+  /** Per-fingerprint bucket cap, the n02/`Dedup.MaxBucket` analog. */
+  val MaxFrameBucket = 10000
+
+  /** Minimum shared frame digests (of the 4 sampled) for a pair. */
+  val MinSharedFrames = 2
+
+  /** Shared-frame near-dup pairs over any (media_id, frame_digest)
+    * frame set — m04's core, public for crafted-corpus specs. */
+  def sharedFramePairs(frames: DataFrame, minShared: Int = MinSharedFrames,
+      maxBucket: Int = MaxFrameBucket): DataFrame = {
+    val buckets = frames
+      .select(col("media_id"), col("frame_digest")).distinct()
+      .groupBy(col("frame_digest"))
+      .agg(sort_array(collect_list(col("media_id"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("media_a"), col("p.b").as("media_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .where(col("n_shared_frames") >= minShared)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  private def m04(s: SparkSession, dir: String): DataFrame =
+    sharedFramePairs(frameRows(s, dir))
+  private val m04Sql =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hexp,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
+       |    CAST(greatest(octet_length(CAST(text AS BLOB)) // 4, 1) AS BIGINT) AS chunk
+       |  FROM documents),
+       |frames AS (
+       |  SELECT DISTINCT media_id,
+       |    md5(substring(hexp, CAST(frame_idx * chunk * 2 + 1 AS INT), CAST(chunk * 2 AS INT))) AS frame_digest
+       |  FROM m, range(0, 4) r(frame_idx)
+       |  WHERE frame_idx * chunk < len),
+       |b AS (
+       |  SELECT frame_digest FROM frames
+       |  GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND $MaxFrameBucket),
+       |pairs AS (
+       |  SELECT f1.media_id AS media_a, f2.media_id AS media_b
+       |  FROM frames f1
+       |  JOIN b USING (frame_digest)
+       |  JOIN frames f2 USING (frame_digest)
+       |  WHERE f1.media_id < f2.media_id)
+       |SELECT media_a, media_b, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+       |FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= $MinSharedFrames
+       |ORDER BY media_a, media_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_metadata", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
-    QueryDef("m03_media_text_pairs", m03, Some(m03Sql)))
+    QueryDef("m03_media_text_pairs", m03, Some(m03Sql)),
+    QueryDef("m04_media_neardup", m04, Some(m04Sql)))
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.MediaRow
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The multimodal decode plumbing: schema, partition-batched decode,
@@ -10,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the deterministic byte-level fallback for video/garbage. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
+  private val dir = SharedSpark.sf0001
 
   private def mediaDs = {
     import spark.implicits._
@@ -160,6 +162,59 @@ class MultimodalSpec extends AnyFunSuite {
     val longDocs = docs
       .where(length(col("text").cast("binary")) >= 4).count()
     assert(byMedia.count(_._2.length == 4).toLong == longDocs)
+  }
+
+  test("m04 shared-frame pairs: threshold, within-media dups, bucket cap") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val frames = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"), (1L, "D"),
+      (2L, "A"), (2L, "B"), (2L, "X"), (2L, "Y"),   // shares A,B with 1
+      (3L, "A"), (3L, "Z"), (3L, "W"), (3L, "V"),   // shares only A
+      (4L, "A"), (4L, "B"), (4L, "C"), (4L, "E"),   // shares 3 w/ 1, 2 w/ 2
+      (5L, "A"), (5L, "A"))                          // dup digest counts once
+      .toDF("media_id", "frame_digest")
+    val got = Multimodal.sharedFramePairs(frames).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("n_shared_frames")).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 4L) -> 3L, (2L, 4L) -> 2L))
+    // cap: digest A's bucket (5 members) dropped with maxBucket = 4; the
+    // B/C buckets survive, so counts shrink by exactly the A overlap
+    val capped = Multimodal.sharedFramePairs(frames, maxBucket = 4).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("n_shared_frames")).toMap
+    assert(capped == Map((1L, 4L) -> 2L))
+  }
+
+  test("m04 finds every injected exact copy; counts equal true overlap") {
+    // sf0.001 has no byte-identical texts, so inject them: every doc
+    // re-uploaded under doc_id + 10^6 — each (id, id+10^6) pair shares
+    // ALL its frame digests and must surface whenever it has >= 2
+    // distinct ones
+    val tmp = java.nio.file.Files.createTempDirectory("m04").toString
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      .write.parquet(s"$tmp/documents.parquet")
+    val m02 = SparkEntry.queries("m02_frame_sample")(spark, tmp).collect()
+    val digests = m02.groupBy(_.getAs[Long]("media_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("frame_digest")).toSet }
+    val pairs = SparkEntry.queries("m04_media_neardup")(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("n_shared_frames")).toMap
+    // every reported count equals the true distinct-digest overlap
+    pairs.foreach { case ((a, b), n) =>
+      assert(n == (digests(a) & digests(b)).size.toLong && n >= 2L)
+    }
+    var checked = 0
+    digests.keys.filter(_ < 1000000L).foreach { id =>
+      val copy = id + 1000000L
+      assert(digests(id) == digests(copy))
+      if (digests(id).size >= 2) {
+        assert(pairs((id, copy)) == digests(id).size.toLong)
+        checked += 1
+      }
+    }
+    assert(checked > 0)
   }
 
   test("m03 pairs: one row per d11 chunk, media digest constant per doc") {

@@ -266,11 +266,13 @@ object Multimodal {
   // hex encoding (DuckDB has no BLOB substring; hex(blob) is identical
   // in both engines, so slicing 2·chunk hex chars == slicing chunk
   // bytes).
-  private def frameRows(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id").as("media_id"),
-        hex(col("text").cast(BinaryType)).as("hexp"),
-        length(col("text").cast(BinaryType)).cast(LongType).as("len"))
+  /** Frame rows for any (media_id, payload) set — payload is the raw
+    * media bytes carried as a string column named `payload`. */
+  private def frameRowsOf(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"),
+        hex(col("payload").cast(BinaryType)).as("hexp"),
+        length(col("payload").cast(BinaryType)).cast(LongType).as("len"))
       .withColumn("chunk", greatest(expr("len div 4"), lit(1L)))
       .select(col("media_id"), col("hexp"), col("len"), col("chunk"),
         explode(sequence(lit(0L), lit(3L))).as("frame_idx"))
@@ -280,6 +282,10 @@ object Multimodal {
         md5(expr("substring(hexp, CAST(frame_idx * chunk * 2 + 1 AS INT), CAST(chunk * 2 AS INT))"))
           .as("frame_digest"),
         col("chunk").as("frame_bytes"))
+
+  private def frameRows(s: SparkSession, dir: String): DataFrame =
+    frameRowsOf(Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text").as("payload")))
 
   private def m02(s: SparkSession, dir: String): DataFrame =
     frameRows(s, dir).orderBy(col("media_id"), col("frame_idx"))
@@ -364,6 +370,16 @@ object Multimodal {
   // pin one task on ~size²/2 pairs; content that hot belongs to exact
   // dedup, not pairwise scoring). The final (a, b) count shuffles only
   // the surviving pair sliver.
+  //
+  // The graded media set is the corpus payloads PLUS a deterministic
+  // re-encode of every doc_id % 5 == 2 item (media_id = doc_id·10 + 1,
+  // first quarter of the bytes replaced, length preserved) — the
+  // "same video, different intro card" case: frames 1-3 coincide with
+  // the original, frame 0 differs, so each variant pairs with its
+  // original at n_shared_frames = 3. The all-'x' replacement quarter is
+  // also the degenerate-fingerprint case — variants of equal length
+  // share frame 0's digest, and those single-frame coincidences are
+  // exactly what the MinSharedFrames floor discards.
   // ---------------------------------------------------------------------
 
   /** Per-fingerprint bucket cap, the n02/`Dedup.MaxBucket` analog. */
@@ -391,14 +407,36 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  private def m04(s: SparkSession, dir: String): DataFrame =
-    sharedFramePairs(frameRows(s, dir))
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val originals = docs.select(
+      (col("doc_id") * 10L).as("media_id"), col("text").as("payload"))
+    // Re-encoded variant: same byte length, first quarter overwritten.
+    val variants = docs
+      .where(pmod(col("doc_id"), lit(5L)) === 2L)
+      .withColumn("q",
+        greatest(expr("CAST(length(text) AS BIGINT) div 4"), lit(1L)))
+      .select(
+        (col("doc_id") * 10L + 1L).as("media_id"),
+        concat(expr("repeat('x', CAST(q AS INT))"),
+          expr("substring(text, CAST(q + 1 AS INT))")).as("payload"))
+    sharedFramePairs(frameRowsOf(originals.unionByName(variants)))
+  }
   private val m04Sql =
-    s"""WITH m AS (
-       |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hexp,
-       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
-       |    CAST(greatest(octet_length(CAST(text AS BLOB)) // 4, 1) AS BIGINT) AS chunk
-       |  FROM documents),
+    s"""WITH media AS (
+       |  SELECT doc_id * 10 AS media_id, text AS payload FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 10 + 1 AS media_id,
+       |    repeat('x', CAST(greatest(length(text) // 4, 1) AS INT))
+       |      || substring(text, CAST(greatest(length(text) // 4, 1) + 1 AS INT))
+       |      AS payload
+       |  FROM documents WHERE doc_id % 5 = 2),
+       |m AS (
+       |  SELECT media_id, hex(CAST(payload AS BLOB)) AS hexp,
+       |    CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS len,
+       |    CAST(greatest(octet_length(CAST(payload AS BLOB)) // 4, 1) AS BIGINT) AS chunk
+       |  FROM media),
        |frames AS (
        |  SELECT DISTINCT media_id,
        |    md5(substring(hexp, CAST(frame_idx * chunk * 2 + 1 AS INT), CAST(chunk * 2 AS INT))) AS frame_digest

@@ -188,8 +188,9 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("m04 finds every injected exact copy; counts equal true overlap") {
     // sf0.001 has no byte-identical texts, so inject them: every doc
-    // re-uploaded under doc_id + 10^6 — each (id, id+10^6) pair shares
-    // ALL its frame digests and must surface whenever it has >= 2
+    // re-uploaded under doc_id + 10^6 — in m04's media space the
+    // originals (media_id = doc_id·10) of each (id, id+10^6) pair share
+    // ALL their frame digests and must surface whenever they have >= 2
     // distinct ones
     val tmp = java.nio.file.Files.createTempDirectory("m04").toString
     val docs = graft.sources.Tables.load(spark, dir, "documents")
@@ -201,20 +202,29 @@ class MultimodalSpec extends AnyFunSuite {
     val pairs = SparkEntry.queries("m04_media_neardup")(spark, tmp).collect()
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
         r.getAs[Long]("n_shared_frames")).toMap
-    // every reported count equals the true distinct-digest overlap
+    // original↔original counts equal the true distinct-digest overlap
+    // (m02 keys media by doc_id; m04 keys originals by doc_id·10)
     pairs.foreach { case ((a, b), n) =>
-      assert(n == (digests(a) & digests(b)).size.toLong && n >= 2L)
+      assert(n >= 2L)
+      if (a % 10 == 0 && b % 10 == 0)
+        assert(n == (digests(a / 10) & digests(b / 10)).size.toLong)
     }
     var checked = 0
     digests.keys.filter(_ < 1000000L).foreach { id =>
       val copy = id + 1000000L
       assert(digests(id) == digests(copy))
       if (digests(id).size >= 2) {
-        assert(pairs((id, copy)) == digests(id).size.toLong)
+        assert(pairs((id * 10, copy * 10)) == digests(id).size.toLong)
         checked += 1
       }
     }
     assert(checked > 0)
+    // the re-encoded variants pair with their own originals too
+    val variantPairs = pairs.keys.filter { case (a, b) => b == a + 1 }
+    assert(variantPairs.nonEmpty)
+    variantPairs.foreach { case (a, _) =>
+      assert(a % 10 == 0 && (a / 10) % 5 == 2)
+    }
   }
 
   test("m03 pairs: one row per d11 chunk, media digest constant per doc") {

@@ -54,6 +54,7 @@ object SparkEntry {
     operators.Analytics.defs ++
     operators.DataCoSynthetic.defs ++
     operators.TextOps.defs ++
+    operators.Bpe.defs ++
     operators.Dedup.defs ++
     operators.Retrieval.defs ++
     operators.Similarity.defs ++

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE tokenizer-training semantics (d20 + the iterative merge loop). */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import graft.operators.Bpe
+
+  test("applyMerge: greedy left-to-right, non-overlapping") {
+    assert(Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") ==
+      Seq("ab", "ab"))
+    // overlap: a a a with merge (a,a) -> aa, a (greedy, not aa, aa)
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
+    assert(Bpe.applyMerge(Seq.empty, "a", "b") == Seq.empty)
+  }
+
+  test("train reproduces the classic low/lower/newest/widest merges") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example, minus the end-of-word marker:
+    // low x5, lower x2, newest x6, widest x3. First merge is (e,s) at 9
+    // — st ties at 9 but (e,s) < (s,t) lexically; second is (es,t) at 9.
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    ).map(w => Tuple1(w)).toDF("text")
+    val merges = Bpe.train(docs, 2)
+    assert(merges == Seq(("e", "s", 9L), ("es", "t", 9L)))
+  }
+
+  test("train is deterministic and stops when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq("ab", "ab", "cd").map(Tuple1(_)).toDF("text")
+    // merges: (a,b) x2, then (c,d) x1, then every word is one symbol
+    val merges = Bpe.train(docs, 10)
+    assert(merges == Seq(("a", "b", 2L), ("c", "d", 1L)))
+  }
+
+  test("d20 pair counts are frequency-weighted and fully ordered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    // corpus word freqs: to:4 (3 + 1 across docs), it:1
+    //   -> pairs (t,o):4, (i,t):1
+    Seq((1L, "to to to it"), (2L, "to"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("d20_bpe_pair_counts")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("t", "o", 4L), ("i", "t", 1L)))
+  }
+
+  test("d20 on sf0.001: counts match a direct recompute") {
+    val docs = graft.sources.Tables.load(spark, SharedSpark.sf0001, "documents")
+    val expected = docs.collect()
+      .flatMap(_.getAs[String]("text").toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq
+      .flatMap { case (w, f) => w.sliding(2).filter(_.length == 2)
+        .map(p => (p.substring(0, 1), p.substring(1)) -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = SparkEntry.queries("d20_bpe_pair_counts")(spark, SharedSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    assert(got.nonEmpty)
+    got.foreach { case (p, n) => assert(expected(p) == n, s"pair $p") }
+    // the report is the global top-k: nothing outside it outranks its floor
+    val floor = got.map(_._2).min
+    val excluded = expected.filterNot(e => got.exists(_._1 == e._1))
+    excluded.foreach { case (_, n) => assert(n <= floor) }
+  }
+}

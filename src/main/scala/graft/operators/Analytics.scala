@@ -521,6 +521,115 @@ object Analytics {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY cust_key, version""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q34 — strict ordered funnel over the event stream: of the users who
+  // viewed, how many then clicked AFTER their first view, and then
+  // purchased AFTER that first qualifying click. Product-analytics
+  // staple Spark has no built-in for (Redshift/Snowflake funnel UDFs,
+  // window-function gymnastics elsewhere).
+  //
+  // Shape: each stage is filter → groupBy(user) → min(ts), chained by
+  // an equi-join on user_id carrying just (user_id, prev_ts) — the
+  // stage filter pushes to the scan, the aggregate partial-combines
+  // map-side, and each stage's user set only shrinks. No per-user
+  // event list is ever collected (the usual funnel-UDF memory hazard —
+  // a bot user with 10⁷ events costs nothing more than min()). Stage
+  // frames scale with users, so per the broadcast policy they carry no
+  // hint; conversion ppm is exact integer math over the 3-row result.
+  // ---------------------------------------------------------------------
+  private val FunnelStages = Seq("view", "click", "purchase")
+
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    // stage 1: first view per user
+    val s1 = e.where(col("event_type") === FunnelStages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    // stage n: first stage-n event strictly after the stage n-1 time
+    val s2 = e.where(col("event_type") === FunnelStages(1))
+      .join(s1, "user_id").where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.where(col("event_type") === FunnelStages(2))
+      .join(s2, "user_id").where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts =
+      s1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"), col("n_users")))
+    val stageName = FunnelStages.zipWithIndex
+      .map { case (n, i) => (i + 1).toLong -> n }
+      .foldLeft(lit(null).cast("string")) { case (acc, (i, n)) =>
+        when(col("stage") === i, lit(n)).otherwise(acc)
+      }
+    counts
+      .withColumn("event_type", stageName)
+      .withColumn("conv_ppm",
+        expr("n_users * 1000000 div lag(n_users, 1, n_users) " +
+          "OVER (ORDER BY stage)"))
+      .select(col("stage"), col("event_type"), col("n_users"), col("conv_ppm"))
+      .orderBy(col("stage"))
+  }
+  private val q34Sql =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+      |counts AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+      |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |SELECT stage, event_type, n_users,
+      |  n_users * 1000000 // lag(n_users, 1, n_users) OVER (ORDER BY stage)
+      |    AS conv_ppm
+      |FROM counts ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q35 — weekly retention cohorts: users grouped by first-seen week,
+  // counted in each later week they were active — the (cohort × offset)
+  // triangle behind every retention dashboard.
+  //
+  // Shape: ONE shuffle on user_id computes the cohort week as a
+  // whole-partition window min (no separate user-grain aggregate +
+  // join), then (user, cohort, offset) dedups and the triangle
+  // aggregates on (cohort, offset) — thousands of keys regardless of
+  // user count. The dedup and final groupBy reuse the window's
+  // user_id partitioning until the last, tiny exchange.
+  // ---------------------------------------------------------------------
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    e.withColumn("cohort",
+        min(col("wk")).over(Window.partitionBy(col("user_id"))))
+      .select(col("user_id"),
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")).cast(LongType) / 7L)
+          .cast(LongType).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+  private val q35Sql =
+    """WITH w AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk,
+      |    min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
+      |  FROM events),
+      |marks AS (
+      |  SELECT DISTINCT user_id,
+      |    strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      |    CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset
+      |  FROM w)
+      |SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+      |FROM marks GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q21_rollup", q21, Some(q21Sql)),
@@ -533,5 +642,7 @@ object Analytics {
     QueryDef("q29_percentiles", q29, Some(q29Sql), headline = true),
     QueryDef("q30_group_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q31_scd_upsert", q31, Some(q31Sql)),
-    QueryDef("q32_scd2_history", q32, Some(q32Sql)))
+    QueryDef("q32_scd2_history", q32, Some(q32Sql)),
+    QueryDef("q34_funnel", q34, Some(q34Sql), headline = true),
+    QueryDef("q35_retention_cohorts", q35, Some(q35Sql)))
 }

@@ -173,4 +173,22 @@ class PlanSpec extends AnyFunSuite {
     assert(gen >= 0 && filt >= 0 && filt < gen,
       s"term filter not directly above the explode:\n$p")
   }
+
+  test("q34: stage filters reach the events scan; no per-user lists") {
+    val p = fmt("q34_funnel")
+    // each funnel stage scans only its event type
+    Seq("view", "click", "purchase").foreach { t =>
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"stage filter '$t' not pushed to scan:\n$p")
+    }
+    // stage chaining is min()-only: no collect_list/sort-within-user
+    assert(!p.contains("collect_list"), s"per-user buffer appeared:\n$p")
+  }
+
+  test("q35: cohort via user-partitioned window, never SinglePartition") {
+    val p = fmt("q35_retention_cohorts")
+    assert(p.contains("Window"), s"cohort window missing:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"cohort min collapsed to one partition:\n$p")
+  }
 }

@@ -164,6 +164,53 @@ class WarehouseSpec extends AnyFunSuite {
     assert(bucketized == naive)
   }
 
+  test("q34 funnel: counts match a naive per-user recompute, ppm exact") {
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val byUser = events.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Option[java.sql.Timestamp]) =
+      byUser.getOrElse(u, Array.empty).iterator
+        .filter(e => e._2 == tpe && after.forall(a => e._3.after(a)))
+        .map(_._3).reduceOption((a, b) => if (a.before(b)) a else b)
+    val t1 = byUser.keys.flatMap(u => firstAfter(u, "view", None).map(u -> _)).toMap
+    val t2 = t1.flatMap { case (u, t) => firstAfter(u, "click", Some(t)).map(u -> _) }
+    val t3 = t2.flatMap { case (u, t) => firstAfter(u, "purchase", Some(t)).map(u -> _) }
+    val got = run("q34_funnel").collect()
+      .map(r => r.getAs[Long]("stage") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("conv_ppm"))).toMap
+    assert(got(1L)._1 == t1.size && got(2L)._1 == t2.size && got(3L)._1 == t3.size)
+    assert(got(1L)._2 == 1000000L)
+    assert(got(2L)._2 == t2.size.toLong * 1000000L / t1.size)
+    assert(got(3L)._2 == t3.size.toLong * 1000000L / t2.size)
+    // strictly-ordered funnel can only shrink
+    assert(t1.size >= t2.size && t2.size >= t3.size && t3.nonEmpty)
+  }
+
+  test("q35 retention: triangle matches a naive first-week recompute") {
+    val mondayOf = (ts: java.sql.Timestamp) => {
+      val d = ts.toLocalDateTime.toLocalDate
+      d.minusDays(d.getDayOfWeek.getValue - 1L)
+    }
+    val marks = graft.sources.Tables.load(spark, dir, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), mondayOf(r.getTimestamp(1))))
+    val cohort = marks.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = marks.map { case (u, w) =>
+      (u, cohort(u).toString,
+        java.time.temporal.ChronoUnit.DAYS.between(cohort(u), w) / 7)
+    }.distinct
+      .groupBy(m => (m._2, m._3)).view.mapValues(_.length.toLong).toMap
+    val got = run("q35_retention_cohorts").collect()
+      .map(r => (r.getAs[String]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(got == expected)
+    // offset 0 of each cohort counts the whole cohort
+    cohort.values.toSet[java.time.LocalDate].foreach { c =>
+      assert(got((c.toString, 0L)) == cohort.count(_._2 == c).toLong)
+    }
+  }
+
   test("v04 IVF: neighbors come from the query's own cluster") {
     val rows = run("v04_ivf_ann").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

@@ -994,6 +994,98 @@ object TextOps {
       |   OR old_digest != new_digest
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d21 — sub-document dedup with reconstruction: documents are cut into
+  // fixed NON-overlapping token segments (d11's chunker with stride ==
+  // size), every segment whose exact content already occurred earlier in
+  // the corpus — in ANY document — is dropped, and each document is
+  // reassembled from its surviving segments. This is the remove-side
+  // counterpart of d14's boilerplate DETECTION: shared headers, license
+  // blocks, and navigation chrome vanish from every copy but the first,
+  // while document-level dedup (d01) would have kept them all because
+  // the surrounding text differs.
+  //
+  // Scale shape: keeper election is a min(struct(doc_id, seg_idx))
+  // AGGREGATE per segment digest — the shuffle carries (digest, two
+  // longs) regardless of how hot a segment is, where the rank-window
+  // form would sort the hottest digest's full occurrence list on one
+  // task (the d18 lesson at segment grain). Kept-ness comes back as one
+  // co-keyed equi-join of that tiny keeper table against the segment
+  // stream, and reconstruction is doc-grain: collect_list gathers at
+  // most one document's own segments — bounded by document size, never
+  // by corpus size. Rebuilt text is token-normalized (single spaces),
+  // the same canonical form every other text operator keys on.
+  // ---------------------------------------------------------------------
+  /** Non-overlapping segment size (tokens). */
+  val SegSize = 25
+
+  private def segRows(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("nt", size(col("toks")).cast(LongType))
+      .withColumn("n_segs",
+        greatest(expr(s"(nt + ${SegSize - 1}) div $SegSize"), lit(1L)))
+    base
+      .withColumn("seg_idx", explode(sequence(lit(0L), col("n_segs") - 1L)))
+      .withColumn("seg_text", concat_ws(" ",
+        slice(col("toks"), (col("seg_idx") * SegSize + 1L).cast("int"),
+          lit(SegSize))))
+      .select(col("doc_id"), col("seg_idx"), col("seg_text"),
+        md5(col("seg_text")).as("seg_digest"))
+  }
+
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    val segs = segRows(t(s, dir, "documents").select("doc_id", "text"))
+    val keepers = segs
+      .groupBy(col("seg_digest"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+      .select(col("seg_digest"), col("k.doc_id").as("k_doc"),
+        col("k.seg_idx").as("k_seg"))
+    segs
+      .join(keepers, "seg_digest")
+      .withColumn("kept",
+        col("doc_id") === col("k_doc") && col("seg_idx") === col("k_seg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg_text"))))),
+          e => e.getField("seg_text")))).as("rebuilt_digest"))
+      .orderBy(col("doc_id"))
+  }
+  private val d21Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS toks,
+       |    CAST(len($tokensSql) AS BIGINT) AS nt
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks,
+       |    greatest((nt + ${SegSize - 1}) // $SegSize, 1) AS n_segs
+       |  FROM base),
+       |segs AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(range(0, n_segs)) AS BIGINT) AS seg_idx, toks
+       |  FROM n),
+       |seg AS (
+       |  SELECT doc_id, seg_idx,
+       |    array_to_string(list_slice(toks,
+       |      CAST(seg_idx * $SegSize + 1 AS BIGINT),
+       |      CAST((seg_idx + 1) * $SegSize AS BIGINT)), ' ') AS seg_text
+       |  FROM segs),
+       |marked AS (
+       |  SELECT doc_id, seg_idx, seg_text,
+       |    row_number() OVER (PARTITION BY md5(seg_text)
+       |      ORDER BY doc_id, seg_idx) = 1 AS kept
+       |  FROM seg)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' '
+       |    ORDER BY seg_idx), '')) AS rebuilt_digest
+       |FROM marked GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -1013,5 +1105,6 @@ object TextOps {
     QueryDef("d16_vocab_heavy_hitters", d16, Some(d16Sql)),
     QueryDef("d17_normalized_dedup", d17, Some(d17Sql)),
     QueryDef("d18_source_cap", d18, Some(d18Sql), headline = true),
-    QueryDef("d19_snapshot_delta", d19, Some(d19Sql)))
+    QueryDef("d19_snapshot_delta", d19, Some(d19Sql)),
+    QueryDef("d21_subdoc_dedup", d21, Some(d21Sql), headline = true))
 }

@@ -174,6 +174,16 @@ class PlanSpec extends AnyFunSuite {
       s"term filter not directly above the explode:\n$p")
   }
 
+  test("d21: keeper election is a min-aggregate, never a rank window") {
+    val p = fmt("d21_subdoc_dedup")
+    // a hot segment digest (corpus-wide boilerplate) must cost the
+    // shuffle (digest, doc_id, seg_idx) — a rank window would sort the
+    // hottest digest's full occurrence list on one task
+    val windows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(windows == 0, s"keeper election regressed to a window:\n$p")
+    assert(p.contains("min("), s"min-struct keeper aggregate missing:\n$p")
+  }
+
   test("q34: stage filters reach the events scan; no per-user lists") {
     val p = fmt("q34_funnel")
     // each funnel stage scans only its event type

@@ -410,6 +410,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.length == expect && n > 0)
   }
 
+  test("d21 subdoc dedup: first occurrence wins corpus-wide, rebuild exact") {
+    import spark.implicits._
+    val S = graft.operators.TextOps.SegSize
+    val tmp = java.nio.file.Files.createTempDirectory("d21").toString
+    val shared = (1 to S).map(i => s"t$i").mkString(" ")   // one full segment
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Seq(
+      (1L, s"$shared a1 a2 a3"),          // owns the shared segment
+      (2L, s"$shared b1 b2 b3"),          // loses seg 0, keeps its tail
+      (3L, s"$shared $shared"))           // internal repetition collapses too
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("d21_subdoc_dedup")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("rebuilt_digest"))).toMap
+    assert(got(1L) == ((2L, 2L, md5hex(s"$shared a1 a2 a3"))))
+    assert(got(2L) == ((2L, 1L, md5hex("b1 b2 b3"))))
+    // doc 3: both its segments are copies of doc 1's seg 0
+    assert(got(3L) == ((2L, 0L, md5hex(""))))
+  }
+
+  test("d21 on testdata: kept <= segments, rebuilt empty only when kept=0") {
+    val df = run("d21_subdoc_dedup").cache()
+    assert(df.count() == docs.count())
+    assert(df.where(col("n_kept") > col("n_segments")).count() == 0)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(df.where(col("n_kept") === 0L &&
+      col("rebuilt_digest") =!= emptyMd5).count() == 0)
+    assert(df.where(col("n_kept") > 0L &&
+      col("rebuilt_digest") === emptyMd5).count() == 0)
+    df.unpersist()
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

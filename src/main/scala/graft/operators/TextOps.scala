@@ -995,6 +995,65 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d22 — per-source distribution drift between two crawl snapshots:
+  // d19 tells you WHICH docs changed; this tells you whether a source's
+  // SHAPE changed — the crawl-QA question "did src7's length profile
+  // shift?" that catches silently-truncated fetches or a template
+  // change even when doc counts look fine. Membership reuses d19's
+  // deterministic snapshot rules (old: doc_id % 7 != 3, new: doc_id %
+  // 11 != 4), so both snapshots come out of ONE scan as conditional
+  // sums — no union, no second pass. Length histogram at
+  // LenBucketChars-char grain; drift = total variation distance between
+  // the two per-source histograms, in exact integer ppm (shares are
+  // integer-divided per bucket, then |Δ| summed — associative,
+  // bit-identical across engines).
+  //
+  // Scale shape: first aggregate lands on (source, bucket) keys with
+  // map-side partials — the corpus collapses before anything source-
+  // grain happens; the second aggregate runs on ~sources·buckets rows.
+  // ---------------------------------------------------------------------
+  /** Histogram bucket width (chars) for the drift report. */
+  val LenBucketChars = 200L
+
+  private def d22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        expr(s"n_chars div $LenBucketChars").as("bucket"),
+        when(pmod(col("doc_id"), lit(7L)) =!= 3L, 1L).otherwise(0L).as("in_old"),
+        when(pmod(col("doc_id"), lit(11L)) =!= 4L, 1L).otherwise(0L).as("in_new"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("in_old")).as("o"), sum(col("in_new")).as("n"))
+      .withColumn("old_docs",
+        sum(col("o")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))))
+      .withColumn("new_docs",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(
+        min(col("old_docs")).as("old_docs"),
+        min(col("new_docs")).as("new_docs"),
+        sum(abs(expr("o * 1000000 div greatest(old_docs, 1)") -
+          expr("n * 1000000 div greatest(new_docs, 1)"))).as("tv_ppm"))
+      .orderBy(col("source"))
+  private val d22Sql =
+    s"""WITH hist AS (
+       |  SELECT source, n_chars // $LenBucketChars AS bucket,
+       |    CAST(sum(CASE WHEN doc_id % 7 != 3 THEN 1 ELSE 0 END) AS BIGINT) AS o,
+       |    CAST(sum(CASE WHEN doc_id % 11 != 4 THEN 1 ELSE 0 END) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT *, sum(o) OVER (PARTITION BY source) AS old_docs,
+       |    sum(n) OVER (PARTITION BY source) AS new_docs
+       |  FROM hist)
+       |SELECT source, CAST(min(old_docs) AS BIGINT) AS old_docs,
+       |  CAST(min(new_docs) AS BIGINT) AS new_docs,
+       |  CAST(sum(abs(o * 1000000 // greatest(old_docs, 1)
+       |    - n * 1000000 // greatest(new_docs, 1))) AS BIGINT) AS tv_ppm
+       |FROM tot GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d21 — sub-document dedup with reconstruction: documents are cut into
   // fixed NON-overlapping token segments (d11's chunker with stride ==
   // size), every segment whose exact content already occurred earlier in
@@ -1106,5 +1165,6 @@ object TextOps {
     QueryDef("d17_normalized_dedup", d17, Some(d17Sql)),
     QueryDef("d18_source_cap", d18, Some(d18Sql), headline = true),
     QueryDef("d19_snapshot_delta", d19, Some(d19Sql)),
-    QueryDef("d21_subdoc_dedup", d21, Some(d21Sql), headline = true))
+    QueryDef("d21_subdoc_dedup", d21, Some(d21Sql), headline = true),
+    QueryDef("d22_source_drift", d22, Some(d22Sql)))
 }

@@ -445,6 +445,37 @@ class TextDedupSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("d22 drift: stable source scores 0 ppm, full shift scores 2M ppm") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d22").toString
+    // ids 1,2: in BOTH snapshots (1%7!=3, 1%11!=4; same for 2) -> the
+    // 'stable' histograms are identical. id 4 is old-only (4%11==4),
+    // id 3 is new-only (3%7==3), in different length buckets -> 'shift'
+    // moves all mass between buckets: total variation = 2,000,000 ppm.
+    Seq(
+      (1L, "stable", 50L), (2L, "stable", 250L),
+      (4L, "shift", 50L), (3L, "shift", 250L))
+      .toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("d22_source_drift")(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("old_docs"), r.getAs[Long]("new_docs"),
+          r.getAs[Long]("tv_ppm"))).toMap
+    assert(got("stable") == ((2L, 2L, 0L)))
+    assert(got("shift") == ((1L, 1L, 2000000L)))
+  }
+
+  test("d22 on testdata: totals match membership rules, tv bounded") {
+    val df = run("d22_source_drift").cache()
+    val expectOld = docs.where(col("doc_id") % 7 =!= 3).count()
+    val expectNew = docs.where(col("doc_id") % 11 =!= 4).count()
+    assert(df.agg(sum("old_docs")).head().getLong(0) == expectOld)
+    assert(df.agg(sum("new_docs")).head().getLong(0) == expectNew)
+    assert(df.where(col("tv_ppm") < 0L || col("tv_ppm") > 2000000L).count() == 0)
+    df.unpersist()
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

@@ -250,8 +250,92 @@ object Retrieval {
        |ORDER BY rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // r04 — proximity-ranked search: documents where the two query terms
+  // occur CLOSE to each other outrank documents that merely contain
+  // both ("sort ... merge" on opposite ends of a page is a weaker hit
+  // than "sort merge join"). The naive min-distance is a per-document
+  // cross join of the two position lists — tf_a·tf_b pairs, quadratic
+  // for a term-spamming doc. Instead the two postings streams merge
+  // into one position-sorted stream per doc and the true minimum gap is
+  // the min over ADJACENT entries with different terms (two-pointer
+  // argument: any closer pair would be adjacent after the merge) — a
+  // lag() window over (doc, pos), linear in postings, one shuffle.
+  // Proximity score is exact integer ppm: 10⁶ div min_gap.
+  // ---------------------------------------------------------------------
+  private val ProxTerms = ("sort", "merge")
+
+  /** Min-gap proximity match over any (doc_id, text) frame — r04's
+    * core, public for crafted-corpus specs. */
+  def proximityTopK(docs: DataFrame, a: String, b: String, k: Int): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      .where(col("term").isin(a, b))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("term"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gaps = postings
+      .withColumn("prev_term", lag(col("term"), 1).over(w))
+      .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+      .where(col("term") =!= col("prev_term"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("pos") - col("prev_pos")).as("min_gap"))
+    val counts = postings.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("term") === a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("term") === b, 1L).otherwise(0L)).as("n_b"))
+    gaps.join(counts, "doc_id")
+      .withColumn("prox_ppm", expr("1000000 div min_gap"))
+      .orderBy(col("prox_ppm").desc, col("doc_id")).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("prox_ppm").desc, col("doc_id")))
+          .cast(LongType))
+      .select(col("rk"), col("doc_id"), col("min_gap"),
+        col("n_a"), col("n_b"), col("prox_ppm"))
+      .orderBy(col("rk"))
+  }
+
+  private def r04(s: SparkSession, dir: String): DataFrame =
+    proximityTopK(t(s, dir, "documents"), ProxTerms._1, ProxTerms._2, TopK)
+  private val r04Sql = {
+    val (a, b) = ProxTerms
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |postings AS (
+       |  SELECT doc_id, pos, term FROM (
+       |    SELECT doc_id, pos, toks[pos + 1] AS term FROM (
+       |      SELECT doc_id, toks,
+       |        CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos
+       |      FROM tk))
+       |  WHERE term IN ('$a', '$b')),
+       |g AS (
+       |  SELECT doc_id, pos, term,
+       |    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_term,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+       |  FROM postings),
+       |gaps AS (
+       |  SELECT doc_id, CAST(min(pos - prev_pos) AS BIGINT) AS min_gap
+       |  FROM g WHERE term != prev_term GROUP BY 1),
+       |counts AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN term = '$a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN term = '$b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM postings GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id, min_gap, n_a, n_b,
+       |    1000000 // min_gap AS prox_ppm
+       |  FROM gaps JOIN counts USING (doc_id)),
+       |top AS (
+       |  SELECT * FROM sc ORDER BY prox_ppm DESC, doc_id LIMIT $TopK)
+       |SELECT CAST(row_number() OVER (ORDER BY prox_ppm DESC, doc_id) AS BIGINT)
+       |    AS rk, doc_id, min_gap, n_a, n_b, prox_ppm
+       |FROM top
+       |ORDER BY rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("r01_keyword_search", r01, Some(r01Sql)),
     QueryDef("r02_phrase_search", r02, Some(r02Sql)),
-    QueryDef("r03_bm25_search", r03, Some(r03Sql)))
+    QueryDef("r03_bm25_search", r03, Some(r03Sql)),
+    QueryDef("r04_proximity_search", r04, Some(r04Sql)))
 }

@@ -108,6 +108,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
   }
 
+  test("r04 proximity: adjacent pair outranks distant pair, min over merge") {
+    val docs = corpus(
+      (1L, "sort merge join notes"),                    // gap 1
+      (2L, "sort " + "x " * 9 + "merge"),               // gap 10
+      (3L, "merge y sort z sort"),                      // positions m@0 s@2 s@4: gap 2
+      (4L, "sort only here"),                           // one term: no match
+      (5L, "merge merge merge"))                        // one term: no match
+    val got = Retrieval.proximityTopK(docs, "sort", "merge", 10).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 2L))
+    val byId = got.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("min_gap"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("prox_ppm"))).toMap
+    assert(byId(1L) == ((1L, 1L, 1L, 1000000L)))
+    assert(byId(2L) == ((10L, 1L, 1L, 100000L)))
+    assert(byId(3L) == ((2L, 2L, 1L, 500000L)))
+  }
+
+  test("r04 min-gap equals the brute-force pairwise minimum on sf0.001") {
+    val dir = SharedSpark.sf0001
+    val got = SparkEntry.queries("r04_proximity_search")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val ids = got.map(_.getAs[Long]("doc_id")).toSet
+    val toks = graft.sources.Tables.load(spark, dir, "documents")
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    got.foreach { r =>
+      val t = toks(r.getAs[Long]("doc_id"))
+      val as = t.zipWithIndex.collect { case ("sort", i) => i.toLong }
+      val bs = t.zipWithIndex.collect { case ("merge", i) => i.toLong }
+      val brute = (for (x <- as; y <- bs) yield math.abs(x - y)).min
+      assert(r.getAs[Long]("min_gap") == brute)
+      assert(r.getAs[Long]("n_a") == as.length.toLong)
+      assert(r.getAs[Long]("n_b") == bs.length.toLong)
+    }
+  }
+
   test("r01/r02 graded queries run green on sf0.001") {
     val dir = SharedSpark.sf0001
     val r1 = SparkEntry.queries("r01_keyword_search")(spark, dir)

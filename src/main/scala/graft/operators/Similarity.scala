@@ -586,6 +586,94 @@ object Similarity {
        |FROM ex LEFT JOIN ov USING (q_id)
        |ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v09 — multi-probe IVF ANN: v04 probes only the query's own cluster,
+  // which misses true neighbors sitting just across a centroid boundary
+  // — the canonical IVF failure mode that v08's recall audit measures.
+  // The standard fix is nprobe > 1: each query searches its NProbe
+  // nearest clusters. The centroid ranking v04 already computes for the
+  // assignment is reused as the probe list (arn <= NProbe instead of
+  // arn = 1), so the index build costs nothing extra; the candidate
+  // join fans each query out to ~NProbe·n/k candidates, still a pruned
+  // sliver of the corpus. Clusters are disjoint, so the probe union
+  // needs no dedup. Recall can only improve over v04 — SimilaritySpec
+  // pins that dominance — while the scan cost scales linearly in
+  // NProbe: the knob a 100 TB deployment tunes against its recall SLO.
+  // ---------------------------------------------------------------------
+  /** Clusters each query probes (v04 ≡ nprobe 1). */
+  val NProbe = 2
+
+  private def v09(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cent = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    // Same persisted-assignment rationale as v04 (it is the index);
+    // kept through arn <= NProbe so the probe list rides along free.
+    val ranked = e.crossJoin(broadcast(cent))
+      .withColumn("cent_cos",
+        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") <= NProbe)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        col("arn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = ranked.where(col("arn") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cent_id"))
+    val probes = ranked.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id").as("probe_cent"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    broadcast(probes)
+      .join(corpus,
+        col("probe_cent") === col("cent_id") && col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("cent_id").as("cluster_id"),
+        round(col("cosine"), 6).as("cosine_r"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v09Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+       |  FROM e WHERE vec_id < 8),
+       |ranked_assign AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotS("e.embedding", "cent_emb")} / (e.nrm * cent_nrm) DESC,
+       |               cent.cent_id) AS arn
+       |  FROM e CROSS JOIN cent),
+       |corpus AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+       |    cent_id AS probe_cent
+       |  FROM ranked_assign
+       |  WHERE arn <= $NProbe AND vec_id BETWEEN 100 AND 104),
+       |scored AS (
+       |  SELECT q_id, c_id, cent_id AS cluster_id,
+       |    ${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine
+       |  FROM probes JOIN corpus
+       |    ON probe_cent = cent_id AND q_id <> c_id),
+       |rk AS (
+       |  SELECT q_id, c_id, cluster_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, c_id, cluster_id, round(cosine, 6) AS cosine_r,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -594,5 +682,6 @@ object Similarity {
     QueryDef("v05_lsh_neardup", v05, Some(v05Sql)),
     QueryDef("v06_quantized_topk", v06, Some(v06Sql)),
     QueryDef("v07_hybrid_rescore", v07, Some(v07Sql), headline = true),
-    QueryDef("v08_recall_audit", v08, Some(v08Sql)))
+    QueryDef("v08_recall_audit", v08, Some(v08Sql)),
+    QueryDef("v09_multiprobe_ivf", v09, Some(v09Sql)))
 }

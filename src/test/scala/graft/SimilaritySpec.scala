@@ -149,4 +149,33 @@ class SimilaritySpec extends AnyFunSuite {
       assert(j >= 0.0 && j <= 1.0)
     }
   }
+
+  test("v09 multi-probe dominates v04 rank-for-rank, probes <= NProbe clusters") {
+    def byQuery(name: String) = run(name).collect()
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(
+        _.sortBy(_.getAs[Long]("rk"))).toMap
+    val v4 = byQuery("v04_ivf_ann")
+    val v9 = byQuery("v09_multiprobe_ivf")
+    assert(v9.keySet == v4.keySet && v9.nonEmpty)
+    v9.foreach { case (q, rows9) =>
+      val rows4 = v4(q)
+      // widening the probe set can only improve (or tie) each rank
+      rows4.zip(rows9).foreach { case (r4, r9) =>
+        assert(r9.getAs[Double]("cosine_r") >= r4.getAs[Double]("cosine_r"),
+          s"q=$q rank ${r4.getAs[Long]("rk")} regressed")
+      }
+      // candidates come from at most NProbe clusters, incl. v04's own
+      val clusters9 = rows9.map(_.getAs[Long]("cluster_id")).toSet
+      assert(clusters9.size <= graft.operators.Similarity.NProbe)
+      // v04's single probe is always v09's first probe: its whole result
+      // set must reappear unless displaced by a better cross-boundary hit
+      val set4 = rows4.map(_.getAs[Long]("c_id")).toSet
+      val set9 = rows9.map(_.getAs[Long]("c_id")).toSet
+      val displaced = set4 -- set9
+      val floor9 = rows9.map(_.getAs[Double]("cosine_r")).min
+      rows4.filter(r => displaced(r.getAs[Long]("c_id"))).foreach { r =>
+        assert(r.getAs[Double]("cosine_r") <= floor9)
+      }
+    }
+  }
 }

@@ -470,6 +470,54 @@ object CurationPipeline {
        |WHERE rn = 1
        |ORDER BY canonical_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c08 — curriculum ordering: assign every document a deterministic
+  // global training position, highest quality band first and a
+  // pseudo-random (hashed) shuffle within each band — the data-ordering
+  // step of curriculum/annealing recipes ("finish training on the best
+  // data" is this list reversed; either way the ORDER must be stable
+  // across reruns and cluster layouts, or resumed training silently
+  // sees a different epoch). Bands are c01's integer quality points;
+  // intra-band order is a salted md5 in ppm space with doc_id as the
+  // total tiebreak.
+  //
+  // Scale shape: the global dense position uses SurrogateKeys.dense
+  // (range-partitioned sort + zipWithIndex) — a row_number() window
+  // here would funnel the whole corpus through one task, the exact
+  // single-partition collapse the warehouse keys already eliminated.
+  // ---------------------------------------------------------------------
+  private def c08(s: SparkSession, dir: String): DataFrame = {
+    val banded = annotate(
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("q_points").as("band"))
+      .withColumn("h_ppm",
+        pmod(conv(substring(md5(concat(lit("curr:"), col("doc_id"))), 1, 15),
+          16, 10).cast(LongType), lit(1000000L)))
+    operators.SurrogateKeys.dense(banded, "position",
+      Seq(col("band").desc, col("h_ppm"), col("doc_id")))
+      .orderBy(col("position"))
+  }
+  private val c08Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS nt,
+       |    CAST(len(list_distinct(${TextOps.tokensSql})) AS BIGINT) AS ndt
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN nc BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+       |       + CASE WHEN nt >= 20 THEN 1 ELSE 0 END
+       |       + CASE WHEN ndt * 10 >= nt * 3 THEN 1 ELSE 0 END AS BIGINT) AS band,
+       |    CAST(concat('0x', substr(md5(concat('curr:', doc_id)), 1, 15))
+       |      AS BIGINT) % 1000000 AS h_ppm
+       |  FROM base)
+       |SELECT CAST(row_number() OVER (ORDER BY band DESC, h_ppm, doc_id)
+       |    AS BIGINT) AS position,
+       |  doc_id, band, h_ppm
+       |FROM banded
+       |ORDER BY position""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
@@ -477,7 +525,8 @@ object CurationPipeline {
     QueryDef("c04_split_contamination", c04, Some(c04Sql)),
     QueryDef("c05_ngram_decontamination", c05, Some(c05Sql), headline = true),
     QueryDef("c06_temperature_mix", c06, Some(c06Sql)),
-    QueryDef("c07_cluster_keeper", c07, Some(c07Sql)))
+    QueryDef("c07_cluster_keeper", c07, Some(c07Sql)),
+    QueryDef("c08_curriculum_order", c08, Some(c08Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

@@ -212,4 +212,23 @@ class CurationSpec extends AnyFunSuite {
       .where(col("keeper_q_points") =!= col("want_q"))
     assert(bad.count() == 0)
   }
+
+  test("c08 curriculum: dense positions, bands descend, intra-band hash order") {
+    val rows = SparkEntry.queries("c08_curriculum_order")(spark, dir).collect()
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.length.toLong == n)
+    // positions are exactly 1..n in output order
+    assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to n))
+    // quality bands never increase along the curriculum
+    val bands = rows.map(_.getAs[Long]("band"))
+    bands.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    // within a band the salted hash (then doc_id) decides the order
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getAs[Long]("band") == b.getAs[Long]("band") =>
+        val (ha, hb) = (a.getAs[Long]("h_ppm"), b.getAs[Long]("h_ppm"))
+        assert(ha < hb ||
+          (ha == hb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ =>
+    }
+  }
 }

@@ -107,6 +107,34 @@ object DocStreams {
         col("n_docs_with_pii"))
   }
 
+  /** Streaming novelty filter — only documents whose exact content has
+    * never been seen in the accumulated corpus pass through: a
+    * stream-static LEFT ANTI join of the live feed's content digest
+    * against the static corpus digest set, d13's incremental-dedup
+    * shape run continuously. Stream-static joins keep NO state — each
+    * micro-batch probes the static side and forgets — and the static
+    * side is a digest PROJECTION of the corpus (16 bytes/doc), never
+    * its text: small enough to broadcast for any corpus whose digest
+    * column fits executor memory, co-bucketed beyond that. Composed
+    * with [[intake]]'s dropDuplicatesWithinWatermark this closes both
+    * duplicate windows: intra-stream (watermark state) and
+    * stream-vs-corpus (static probe). The corpus snapshot is fixed at
+    * query start; docs accepted MID-STREAM are not probed against each
+    * other — that is intake's job — so refreshing the corpus means
+    * restarting the query on the new snapshot (cheap: no state to
+    * migrate), exactly how d13's batch-vs-corpus contract works.
+    *
+    * Works identically on a batch frame — StreamingSpec asserts the
+    * parity. */
+  def novelDocs(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    val known = corpus.select(md5(col("text")).as("content_md5")).distinct()
+    stream
+      .withColumn("content_md5", md5(col("text")))
+      .join(known, Seq("content_md5"), "left_anti")
+      .select(col("doc_id"), col("ingest_ts"), col("lang"), col("source"),
+        col("content_md5"))
+  }
+
   /** Streaming keyword alerting — the r01 term-match semantics (same
     * tokenizer, same "only watched terms matter" filter) run against the
     * live document feed: one alert row per arriving document that

@@ -285,4 +285,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts.count() == expected) // left join preserves every alert
     assert(alerts.columns.contains("user_name"))
   }
+
+  test("streaming novelty filter drops exactly the corpus-known texts") {
+    import graft.streaming.DocStreams
+    val corpus = Tables.load(spark, SharedSpark.sf0001, "documents")
+    val dir = Files.createTempDirectory("graft-novel").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    // feed: half the corpus re-crawled verbatim (known) + fresh docs
+    // carrying genuinely new text (novel)
+    val known = corpus.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id") + 1000000L as "doc_id",
+        timestamp_seconds(lit(1704067200L)).as("ingest_ts"),
+        col("text"), col("lang"), col("source"))
+    val fresh = corpus.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id") + 2000000L as "doc_id",
+        timestamp_seconds(lit(1704067200L)).as("ingest_ts"),
+        concat(col("text"), lit(" entirely new suffix")).as("text"),
+        col("lang"), col("source"))
+    known.union(fresh).repartition(1).write.mode("overwrite").parquet(path)
+
+    val q = DocStreams.novelDocs(DocStreams.readDocStream(spark, path), corpus)
+      .writeStream.format("memory").queryName("novel_docs")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("novel_docs")
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.forall(_ >= 2000000L)) // only the fresh docs
+    assert(got.count().toInt == fresh.count().toInt)
+    // batch parity: same call on the batch frame
+    val batch = DocStreams.novelDocs(spark.read.parquet(path), corpus)
+    assert(batch.select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+  }
 }

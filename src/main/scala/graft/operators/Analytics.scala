@@ -630,6 +630,61 @@ object Analytics {
       |FROM marks GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q36 — batch sessionization, graded end-to-end: Spark's native
+  // session_window (the Catalyst-planned operator the streaming
+  // sessionizer also uses — EventStreams.sessionWindows) against a
+  // DuckDB oracle that derives the same sessions the classical way
+  // (gaps-and-islands: lag + cumulative flag sum). A hash match is a
+  // machine-checked proof that session_window's merge semantics equal
+  // the textbook SQL definition — boundary rule included (a gap of
+  // EXACTLY 30 min still merges; strictly greater starts a session,
+  // the same inclusive rule FuzzSpec pinned for the stateful path).
+  // Durations are integer microseconds (epoch_us both sides), value
+  // sums in DECIMAL then DOUBLE (the q16 money rule).
+  //
+  // Scale: one shuffle on user_id; per-user session merging is linear
+  // in that user's events. A pathological bot user serializes one task
+  // — the same bound as any per-entity sessionizer; the funnel (q34)
+  // shows the min()-only alternative when full sessions aren't needed.
+  // ---------------------------------------------------------------------
+  private val SessionGap = "30 minutes"
+
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), SessionGap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("duration_us"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  private val q36Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS tus, value
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN tus - lag(tus) OVER w > 1800000000
+      |                 OR lag(tus) OVER w IS NULL
+      |            THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |ids AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(tus) - min(tus) AS BIGINT) AS duration_us,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM ids GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q21_rollup", q21, Some(q21Sql)),
@@ -644,5 +699,6 @@ object Analytics {
     QueryDef("q31_scd_upsert", q31, Some(q31Sql)),
     QueryDef("q32_scd2_history", q32, Some(q32Sql)),
     QueryDef("q34_funnel", q34, Some(q34Sql), headline = true),
-    QueryDef("q35_retention_cohorts", q35, Some(q35Sql)))
+    QueryDef("q35_retention_cohorts", q35, Some(q35Sql)),
+    QueryDef("q36_sessions", q36, Some(q36Sql)))
 }

@@ -286,6 +286,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts.columns.contains("user_name"))
   }
 
+  test("q36 graded sessions equal EventStreams.sessionWindows exactly") {
+    val events = Tables.load(spark, SharedSpark.sf0001, "events")
+    val q36 = SparkEntry.queries("q36_sessions")(spark, SharedSpark.sf0001)
+      .collect()
+    val lib = graft.streaming.EventStreams.sessionWindows(events, "30 minutes")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("st"),
+        col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(q36.nonEmpty && q36.length == lib.size)
+    q36.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("session_start"))
+      assert(lib(k) == r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("duration_us") >= 0L)
+    }
+    // sessions partition the event stream
+    assert(q36.map(_.getAs[Long]("n_events")).sum == events.count())
+  }
+
   test("streaming novelty filter drops exactly the corpus-known texts") {
     import graft.streaming.DocStreams
     val corpus = Tables.load(spark, SharedSpark.sf0001, "documents")

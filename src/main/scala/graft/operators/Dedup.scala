@@ -530,11 +530,101 @@ object Dedup {
        |GROUP BY 1
        |ORDER BY batch_doc""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // n07 — MinHash estimator audit: for every n02 LSH candidate pair,
+  // the signature-estimated Jaccard (matching components / k) next to
+  // the EXACT shingle-set Jaccard, with the signed error — v08's
+  // recall-audit idea applied to the text-dedup stack. This answers the
+  // question a production near-dup pipeline must re-ask whenever the
+  // corpus shifts: "are k=8 hashes still tight enough for our drop
+  // threshold, or are we shedding non-duplicates?" — measured on the
+  // REAL candidates the pipeline would drop, not a synthetic sample.
+  //
+  // Scale shape: signatures are computed once and persisted (the v04
+  // index pattern — three consumers would otherwise re-run the one-pass
+  // sketch per branch); exact Jaccard runs per-PAIR on the LSH
+  // candidate sliver only (bucket-capped upstream), never on the
+  // corpus-quadratic pair space. All scores integer ppm.
+  // ---------------------------------------------------------------------
+  private def n07(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sig = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cappedLshPairs(bandRows(sig))
+    val shsets = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+    val sigA = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val nMatch = As.indices
+      .map(k => when(col(s"a_mh$k") === col(s"b_mh$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("n_sig_match", nMatch)
+      .join(shsets.toDF("doc_a", "sa"), "doc_a")
+      .join(shsets.toDF("doc_b", "sb"), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("n_union",
+        size(array_union(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("est_ppm", col("n_sig_match") * (1000000L / As.length))
+      .withColumn("exact_ppm",
+        expr("n_inter * 1000000 div greatest(n_union, 1)"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+      .select(col("doc_a"), col("doc_b"), col("n_sig_match"), col("est_ppm"),
+        col("n_inter"), col("n_union"), col("exact_ppm"), col("err_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val n07Sql = {
+    val matchSum = As.indices
+      .map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val perHash = 1000000L / As.length
+    s"""$minhashBaseSql,
+       |${lshBandsCtesSql()},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key),
+       |shs AS (
+       |  SELECT doc_id, list_distinct($shinglesSql) AS shset FROM documents),
+       |j AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST($matchSum AS BIGINT) AS n_sig_match,
+       |    CAST(len(list_filter(a.shset, x -> list_contains(b.shset, x)))
+       |      AS BIGINT) AS n_inter,
+       |    CAST(len(a.shset) AS BIGINT) AS len_a,
+       |    CAST(len(b.shset) AS BIGINT) AS len_b
+       |  FROM pairs p
+       |  JOIN sigs sa ON sa.doc_id = p.doc_a
+       |  JOIN sigs sb ON sb.doc_id = p.doc_b
+       |  JOIN shs a ON a.doc_id = p.doc_a
+       |  JOIN shs b ON b.doc_id = p.doc_b),
+       |scored AS (
+       |  SELECT doc_a, doc_b, n_sig_match,
+       |    n_sig_match * $perHash AS est_ppm,
+       |    n_inter, len_a + len_b - n_inter AS n_union,
+       |    n_inter * 1000000 // greatest(len_a + len_b - n_inter, 1)
+       |      AS exact_ppm
+       |  FROM j)
+       |SELECT doc_a, doc_b, n_sig_match, est_ppm, n_inter, n_union,
+       |  exact_ppm, est_ppm - exact_ppm AS err_ppm
+       |FROM scored
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("n01_minhash_signatures", n01, Some(n01Sql), headline = true),
     QueryDef("n02_minhash_lsh_pairs", n02, Some(n02Sql), headline = true),
     QueryDef("n03_simhash", n03, Some(n03Sql)),
     QueryDef("n04_ngram_jaccard", n04, Some(n04Sql)),
     QueryDef("n05_neardup_components", n05, Some(n05Sql), headline = true),
-    QueryDef("n06_incremental_lsh_neardup", n06, Some(n06Sql), headline = true))
+    QueryDef("n06_incremental_lsh_neardup", n06, Some(n06Sql), headline = true),
+    QueryDef("n07_minhash_audit", n07, Some(n07Sql)))
 }

@@ -476,6 +476,42 @@ class TextDedupSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("n07 audit: exact copies score 1.0/1.0, exact side matches brute force") {
+    val tmp = java.nio.file.Files.createTempDirectory("n07").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    import spark.implicits._
+    Seq((1L, base), (2L, base),                       // exact dup pair
+      (3L, base + " extra tail words here"),          // near dup of 1/2
+      (4L, "totally different content nothing shared at all right"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("n07_minhash_audit")(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    def shingleSet(t: String) = {
+      val toks = "[^a-z0-9]+".r.split(t.toLowerCase).filter(_.nonEmpty).toSeq
+      (if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+       else toks).toSet
+    }
+    val texts = Map(1L -> base, 2L -> base,
+      3L -> (base + " extra tail words here"),
+      4L -> "totally different content nothing shared at all right")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      assert(r.getAs[Long]("n_inter") == (sa & sb).size.toLong)
+      assert(r.getAs[Long]("n_union") == (sa | sb).size.toLong)
+      assert(r.getAs[Long]("err_ppm") ==
+        r.getAs[Long]("est_ppm") - r.getAs[Long]("exact_ppm"))
+      assert(r.getAs[Long]("est_ppm") <= 1000000L &&
+        r.getAs[Long]("exact_ppm") <= 1000000L)
+    }
+    val dup = rows.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L).get
+    assert(dup.getAs[Long]("n_sig_match") == 8L)
+    assert(dup.getAs[Long]("est_ppm") == 1000000L)
+    assert(dup.getAs[Long]("exact_ppm") == 1000000L)
+    assert(dup.getAs[Long]("err_ppm") == 0L)
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

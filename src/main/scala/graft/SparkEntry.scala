@@ -7,44 +7,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The query inventory aggregates every operator family:
   *  - [[operators.Parity]]     q01-q17: reference-parity surface (SURVEY §2)
   *  - [[operators.Warehouse]]  q18-q20: snowflake dims, junk dim, star fact
-  *  - [[operators.Analytics]]  q21-q33: rollup/cube/pivot/grouping sets,
+  *  - [[operators.Analytics]]  q21-q36: rollup/cube/pivot/grouping sets,
   *                             set ops, as-of join, HLL, range join,
   *                             quantiles, grouped top-k, SCD-1 upsert,
-  *                             SCD-2 history
-  *  - [[operators.TextOps]]    d01-d18: exact dedup, text stats/quality,
-  *                             lang-id, fingerprint, BPE counting,
-  *                             stopwords, hash split, repetition quality,
-  *                             per-doc top terms (integer tf/df rank),
-  *                             overlapping token-window chunking, PII
-  *                             scrubbing, Bloom-prefiltered incremental
-  *                             batch-vs-corpus dedup, chunk-grain
-  *                             boilerplate detection, sharded sequence
-  *                             packing, corpus vocabulary heavy hitters,
-  *                             normalization-aware dedup, per-source
-  *                             domain cap (bounded top-k aggregate)
+  *                             SCD-2 history, ordered event funnel,
+  *                             weekly retention cohorts, native
+  *                             session_window sessionization proved
+  *                             against gaps-and-islands SQL
+  *  - [[operators.TextOps]]    d01-d19, d21, d22: exact dedup, text
+  *                             stats/quality, lang-id, fingerprint, BPE
+  *                             counting, stopwords, hash split,
+  *                             repetition quality, per-doc top terms,
+  *                             token-window chunking, PII scrubbing,
+  *                             Bloom-prefiltered incremental dedup,
+  *                             chunk-grain boilerplate detection,
+  *                             sharded sequence packing, vocabulary
+  *                             heavy hitters, normalization-aware dedup,
+  *                             per-source domain cap, cross-snapshot
+  *                             corpus delta, sub-document dedup with
+  *                             reconstruction, per-source snapshot
+  *                             drift (histogram total variation)
+  *  - [[operators.Bpe]]        d20: distributed BPE tokenizer training
+  *                             (corpus→vocab funnel + iterative merges)
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
-  *  - [[operators.Dedup]]      n01-n06: MinHash/LSH, SimHash, n-gram
+  *  - [[operators.Dedup]]      n01-n07: MinHash/LSH, SimHash, n-gram
   *                             Jaccard, near-dup connected components,
-  *                             incremental batch-vs-corpus LSH probing
-  *  - [[operators.Retrieval]]  r01-r02: tf·idf keyword search (integer
-  *                             idf), positional phrase search
-  *  - [[operators.Similarity]] v01-v07: cosine top-k, near-dup, LSH-ANN,
+  *                             incremental batch-vs-corpus LSH probing,
+  *                             MinHash estimate-vs-exact audit
+  *  - [[operators.Retrieval]]  r01-r04: tf·idf keyword search (integer
+  *                             idf), positional phrase search, BM25
+  *                             ranking, min-gap proximity ranking
+  *  - [[operators.Similarity]] v01-v09: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
-  *                             top-k, hybrid semantic+lexical rescore
-  *  - [[operators.Multimodal]] m01-m03: binary columns, frame sampling,
+  *                             top-k, hybrid semantic+lexical rescore,
+  *                             quantized-vs-exact recall audit,
+  *                             multi-probe IVF
+  *  - [[operators.Multimodal]] m01-m04: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV
-  *                             decode, single-pass media+text pairing
-  *  - [[CurationPipeline]]     c01-c07: quality filter → exact dedup →
+  *                             decode, single-pass media+text pairing,
+  *                             shared-frame media near-dup pairs
+  *  - [[CurationPipeline]]     c01-c08: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report,
   *                             language-balanced downsampling, the
   *                             cross-split near-dup contamination report,
   *                             exact n-gram decontamination,
-  *                             temperature-scaled language mixing, and
-  *                             best-of-cluster representative selection
+  *                             temperature-scaled language mixing,
+  *                             best-of-cluster representative selection,
+  *                             and deterministic curriculum ordering
   */
 object SparkEntry {
 

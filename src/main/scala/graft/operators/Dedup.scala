@@ -555,9 +555,9 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .select(col("doc_id"), array_distinct(col("sh")).as("shset"))
-    val sigA = sig.toDF(sig.columns.map(c =>
+    val sigA = sig.toDF(sig.columns.toIndexedSeq.map(c =>
       if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.map(c =>
+    val sigB = sig.toDF(sig.columns.toIndexedSeq.map(c =>
       if (c == "doc_id") "doc_b" else s"b_$c"): _*)
     val nMatch = As.indices
       .map(k => when(col(s"a_mh$k") === col(s"b_mh$k"), 1L).otherwise(0L))

@@ -539,25 +539,28 @@ object Analytics {
   // ---------------------------------------------------------------------
   private val FunnelStages = Seq("view", "click", "purchase")
 
-  private def q34(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-    // stage 1: first view per user
-    val s1 = e.where(col("event_type") === FunnelStages.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    // stage n: first stage-n event strictly after the stage n-1 time
-    val s2 = e.where(col("event_type") === FunnelStages(1))
-      .join(s1, "user_id").where(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = e.where(col("event_type") === FunnelStages(2))
-      .join(s2, "user_id").where(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    val counts =
-      s1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), col("n_users"))
-        .unionByName(s2.agg(count(lit(1)).as("n_users"))
-          .select(lit(2L).as("stage"), col("n_users")))
-        .unionByName(s3.agg(count(lit(1)).as("n_users"))
-          .select(lit(3L).as("stage"), col("n_users")))
-    val stageName = FunnelStages.zipWithIndex
+  /** Strict ordered funnel over any (user_id, event_type, ts) frame —
+    * q34's core, public so FuzzSpec can drive random event sets through
+    * the exact graded plan. One output row per stage. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "empty funnel")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    // stage 1: first stage-1 event per user; stage n: first stage-n
+    // event strictly after the user's stage n-1 time
+    val stageFrames = stages.zipWithIndex.tail.scanLeft(
+      e.where(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) {
+      case (prev, (stage, _)) =>
+        e.where(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+          .where(col("ts") > col("t_prev"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val counts = stageFrames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val stageName = stages.zipWithIndex
       .map { case (n, i) => (i + 1).toLong -> n }
       .foldLeft(lit(null).cast("string")) { case (acc, (i, n)) =>
         when(col("stage") === i, lit(n)).otherwise(acc)
@@ -570,6 +573,9 @@ object Analytics {
       .select(col("stage"), col("event_type"), col("n_users"), col("conv_ppm"))
       .orderBy(col("stage"))
   }
+
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    funnel(t(s, dir, "events"), FunnelStages)
   private val q34Sql =
     """WITH s1 AS (
       |  SELECT user_id, min(ts) AS t1 FROM events

@@ -1093,8 +1093,10 @@ object TextOps {
         md5(col("seg_text")).as("seg_digest"))
   }
 
-  private def d21(s: SparkSession, dir: String): DataFrame = {
-    val segs = segRows(t(s, dir, "documents").select("doc_id", "text"))
+  /** Sub-document dedup over any (doc_id, text) frame — d21's core,
+    * public for crafted-corpus and fuzz specs. */
+  def subdocDedup(docs: DataFrame): DataFrame = {
+    val segs = segRows(docs.select(col("doc_id"), col("text")))
     val keepers = segs
       .groupBy(col("seg_digest"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
@@ -1114,6 +1116,9 @@ object TextOps {
           e => e.getField("seg_text")))).as("rebuilt_digest"))
       .orderBy(col("doc_id"))
   }
+
+  private def d21(s: SparkSession, dir: String): DataFrame =
+    subdocDedup(t(s, dir, "documents"))
   private val d21Sql =
     s"""WITH base AS (
        |  SELECT doc_id, $tokensSql AS toks,

@@ -216,4 +216,63 @@ class FuzzSpec extends AnyFunSuite {
     // cos(q, v) ≈ 1: the quantized vector points almost exactly along v
     assert(drift > 0.99, s"quantized vector diverged from source: min cos = $drift")
   }
+
+  test("funnel counts equal a driver-side brute force on random event sets") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val rnd = new Random(23)
+    val types = Seq("view", "click", "purchase", "noise")
+    // dense timestamp grid forces equal-ts collisions and every ordering
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, rnd.nextInt(40).toLong, types(rnd.nextInt(types.length)),
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(50) * 1000L))
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Analytics.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users"))
+      .toMap
+    val byUser = rows.groupBy(_._2)
+    def firstAfter(u: Long, tpe: String, after: Option[Long]): Option[Long] =
+      byUser.getOrElse(u, Seq.empty).iterator
+        .filter(e => e._3 == tpe && after.forall(e._4.getTime > _))
+        .map(_._4.getTime).reduceOption((a, b) => math.min(a, b))
+    val t1 = byUser.keys.flatMap(u => firstAfter(u, "view", None).map(u -> _)).toMap
+    val t2 = t1.flatMap { case (u, t) => firstAfter(u, "click", Some(t)).map(u -> _) }
+    val t3 = t2.flatMap { case (u, t) => firstAfter(u, "purchase", Some(t)).map(u -> _) }
+    assert(got(1L) == t1.size.toLong && got(2L) == t2.size.toLong &&
+      got(3L) == t3.size.toLong)
+    assert(t1.size >= t2.size && t2.size >= t3.size)
+  }
+
+  test("subdoc dedup reconstructs collision-free docs verbatim; dups vanish") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new Random(31)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // unique-token docs: every segment globally unique -> identity
+    val uniq = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(119) // < SegSize and multi-segment; never
+      // empty (two empty docs share the "" segment and would collide)
+      (i.toLong, (0 until n).map(j => s"u${i}x$j").mkString(" "))
+    }
+    // exact-copy docs of doc 1: every segment is a duplicate
+    val copies = (101 to 103).map(i => (i.toLong, uniq.head._2))
+    val got = TextOps.subdocDedup(
+      (uniq ++ copies).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("rebuilt_digest"))).toMap
+    uniq.foreach { case (id, text) =>
+      val (nSeg, nKept, digest) = got(id)
+      assert(nKept == nSeg, s"doc $id lost unique segments")
+      assert(digest == md5hex(text), s"doc $id did not reconstruct verbatim")
+    }
+    copies.foreach { case (id, _) =>
+      val (nSeg, nKept, digest) = got(id)
+      assert(nSeg == got(1L)._1 && nKept == 0L && digest == md5hex(""),
+        s"copy $id should lose every segment to doc 1")
+    }
+  }
 }

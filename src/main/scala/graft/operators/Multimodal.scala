@@ -455,9 +455,65 @@ object Multimodal {
        |FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= $MinSharedFrames
        |ORDER BY media_a, media_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m05 — media storage dedup: the content-addressable-store report a
+  // multimodal corpus needs before anything else touches the payloads —
+  // "how many bytes do we store twice?". One row per payload digest
+  // stored more than once: copy count, payload size, bytes reclaimable
+  // (copies−1 × size), and the canonical keeper (min media_id). The
+  // graded media set is the corpus plus a deterministic re-upload of
+  // every doc_id % 3 == 0 payload (media_id = doc_id·10 + 2) — the m04
+  // lesson codified: a dedup operator's gate must contain duplicates.
+  //
+  // Scale shape: exactly d01 at media grain — ONE shuffle carrying
+  // (digest, media_id, n_bytes), 48-ish bytes/row regardless of payload
+  // width, with map-side partial aggregation; payload bytes never move.
+  // ---------------------------------------------------------------------
+  private def m05(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val media = docs.select(
+      (col("doc_id") * 10L).as("media_id"), col("text").as("payload"))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(3L)) === 0L)
+        .select((col("doc_id") * 10L + 2L).as("media_id"),
+          col("text").as("payload")))
+    media
+      .select(col("media_id"),
+        md5(col("payload").cast(BinaryType)).as("payload_digest"),
+        length(col("payload").cast(BinaryType)).cast(LongType).as("n_bytes"))
+      .groupBy(col("payload_digest"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("n_bytes")).as("payload_bytes"),
+        min(col("media_id")).as("keeper_media_id"))
+      .where(col("n_copies") > 1L)
+      .withColumn("bytes_saved",
+        (col("n_copies") - 1L) * col("payload_bytes"))
+      .select(col("payload_digest"), col("n_copies"), col("payload_bytes"),
+        col("bytes_saved"), col("keeper_media_id"))
+      .orderBy(col("payload_digest"))
+  }
+  private val m05Sql =
+    """WITH media AS (
+      |  SELECT doc_id * 10 AS media_id, text AS payload FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 10 + 2 AS media_id, text AS payload
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |sized AS (
+      |  SELECT media_id, md5(payload) AS payload_digest,
+      |    CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS n_bytes
+      |  FROM media)
+      |SELECT payload_digest, CAST(count(*) AS BIGINT) AS n_copies,
+      |  CAST(min(n_bytes) AS BIGINT) AS payload_bytes,
+      |  CAST((count(*) - 1) * min(n_bytes) AS BIGINT) AS bytes_saved,
+      |  CAST(min(media_id) AS BIGINT) AS keeper_media_id
+      |FROM sized GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY payload_digest""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_metadata", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
     QueryDef("m03_media_text_pairs", m03, Some(m03Sql)),
-    QueryDef("m04_media_neardup", m04, Some(m04Sql)))
+    QueryDef("m04_media_neardup", m04, Some(m04Sql)),
+    QueryDef("m05_storage_dedup", m05, Some(m05Sql)))
 }

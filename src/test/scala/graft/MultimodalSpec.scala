@@ -227,6 +227,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m05 storage dedup: every %3 re-upload found, keeper is the original") {
+    val rows = SparkEntry.queries("m05_storage_dedup")(spark, dir).collect()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    // texts are unique in the corpus, so every dup group is exactly
+    // {original, re-upload} of one %3 == 0 doc
+    assert(rows.length.toLong == docs.where(col("doc_id") % 3 === 0).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") == 2L)
+      assert(r.getAs[Long]("bytes_saved") == r.getAs[Long]("payload_bytes"))
+      val keeper = r.getAs[Long]("keeper_media_id")
+      assert(keeper % 10 == 0 && (keeper / 10) % 3 == 0)
+    }
+  }
+
   test("m03 pairs: one row per d11 chunk, media digest constant per doc") {
     val pairs = SparkEntry.queries("m03_media_text_pairs")(spark, SharedSpark.sf0001)
       .collect()

@@ -80,6 +80,41 @@ object Sink {
       .option("url", url).option("dbtable", table).option("truncate", "true")
       .mode(SaveMode.Overwrite).save()
 
+  /** Staged ATOMIC refresh — the upgrade [[jdbcOverwrite]]'s scaladoc
+    * points at: the load lands in `<table>_stg` first, then the swap is
+    * two RENAMEs committed in ONE transaction, so a reader sees the old
+    * serving table or the complete new one — never TRUNCATE-then-half-
+    * loaded. A failure anywhere before the commit leaves the serving
+    * table untouched (at worst an orphaned staging table, overwritten
+    * by the next run); the displaced copy is dropped only after the
+    * swap commits. Works on any JDBC backend with transactional DDL
+    * (Derby here; Postgres/Redshift use the same three-statement swap).
+    * Load parallelism/batching follow [[jdbcAppend]]. */
+  def jdbcStagedRefresh(df: DataFrame, url: String, table: String,
+                        batchSize: Int = 10000, numPartitions: Option[Int] = None): Unit = {
+    val stg = s"${table}_stg"
+    val displaced = s"${table}_old"
+    writer(df, batchSize, numPartitions)
+      .option("url", url).option("dbtable", stg)
+      .mode(SaveMode.Overwrite).save()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      def exists(t: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
+        try rs.next() finally rs.close()
+      }
+      // leftover _old from a previous crash-after-commit: clear it first
+      if (exists(displaced)) st.executeUpdate(s"DROP TABLE $displaced")
+      if (exists(table)) st.executeUpdate(s"RENAME TABLE $table TO $displaced")
+      st.executeUpdate(s"RENAME TABLE $stg TO $table")
+      conn.commit() // <- the atomic instant: both renames or neither
+      if (exists(displaced)) st.executeUpdate(s"DROP TABLE $displaced")
+      conn.commit()
+    } finally conn.close()
+  }
+
   /** JDBC read-back (reference: dimension key lookups). Single-partition
     * by default — pass a numeric `partitionColumn` + bounds to fan the
     * read across executors for large tables. */

@@ -114,6 +114,20 @@ class SourcesSpec extends AnyFunSuite {
       partitionColumn = Some(("n_nationkey", 0L, 25L, 3)))
     assert(ranged.rdd.getNumPartitions == 3)
     assert(ranged.count() == n)
+
+    // staged atomic refresh: serving table swaps to the new content,
+    // staging and displaced copies are gone afterwards
+    val half = src.where(col("n_nationkey") < 12)
+    Sink.jdbcStagedRefresh(half, url, "nation_t")
+    val swapped = Sink.jdbcRead(spark, url, "nation_t")
+    assert(swapped.count() == half.count())
+    assert(swapped.collect().map(_.getInt(0)).toSet ==
+      half.collect().map(_.getInt(0)).toSet)
+    intercept[Exception](Sink.jdbcRead(spark, url, "nation_t_stg").collect())
+    intercept[Exception](Sink.jdbcRead(spark, url, "nation_t_old").collect())
+    // works as the FIRST load too (no serving table yet to displace)
+    Sink.jdbcStagedRefresh(src, url, "nation_fresh")
+    assert(Sink.jdbcRead(spark, url, "nation_fresh").count() == n)
   }
 
   test("salted join equals the plain equi-join") {

@@ -674,6 +674,69 @@ object Similarity {
        |FROM rk WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v10 — IVF index balance + boundary-margin audit: per cluster, the
+  // member count and the min/max assignment margin (cosine to own
+  // centroid minus cosine to the runner-up). The two numbers an IVF
+  // deployment watches: size skew (a hot cluster is the probe-latency
+  // tail — at 100 TB one oversized cluster serializes every query that
+  // probes it) and thin margins (vectors all but on a boundary — the
+  // population v09's nprobe exists to recover; a cluster full of thin
+  // margins means the codebook needs retraining). Only min/max
+  // aggregate the float margins — order-insensitive and exactly
+  // reproducible cross-engine, unlike a float sum/avg.
+  // ---------------------------------------------------------------------
+  private def v10(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cent = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .withColumn("cent_cos",
+        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") <= 2)
+    ranked
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("arn") === 1, col("cent_id"))).as("cluster_id"),
+        (max(when(col("arn") === 1, col("cent_cos")))
+          - max(when(col("arn") === 2, col("cent_cos")))).as("margin"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(min(col("margin")), 6).as("min_margin_r"),
+        round(max(col("margin")), 6).as("max_margin_r"))
+      .orderBy(col("cluster_id"))
+  }
+  private val v10Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+       |  FROM e WHERE vec_id < 8),
+       |ranked AS (
+       |  SELECT e.vec_id, cent.cent_id,
+       |    ${dotS("e.embedding", "cent_emb")} / (e.nrm * cent_nrm) AS cent_cos,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotS("e.embedding", "cent_emb")} / (e.nrm * cent_nrm) DESC,
+       |               cent.cent_id) AS arn
+       |  FROM e CROSS JOIN cent),
+       |margins AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN arn = 1 THEN cent_id END) AS cluster_id,
+       |    max(CASE WHEN arn = 1 THEN cent_cos END)
+       |      - max(CASE WHEN arn = 2 THEN cent_cos END) AS margin
+       |  FROM ranked WHERE arn <= 2 GROUP BY vec_id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  round(min(margin), 6) AS min_margin_r,
+       |  round(max(margin), 6) AS max_margin_r
+       |FROM margins GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -683,5 +746,6 @@ object Similarity {
     QueryDef("v06_quantized_topk", v06, Some(v06Sql)),
     QueryDef("v07_hybrid_rescore", v07, Some(v07Sql), headline = true),
     QueryDef("v08_recall_audit", v08, Some(v08Sql)),
-    QueryDef("v09_multiprobe_ivf", v09, Some(v09Sql)))
+    QueryDef("v09_multiprobe_ivf", v09, Some(v09Sql)),
+    QueryDef("v10_index_balance", v10, Some(v10Sql)))
 }

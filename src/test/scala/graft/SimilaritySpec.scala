@@ -150,6 +150,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v10 balance audit: counts partition the table, margins match brute force") {
+    val rows = run("v10_index_balance").collect()
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = emb.filter(_._1 < 8).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var (s, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      s / math.sqrt(na * nb)
+    }
+    val assigned = emb.map { case (id, v) =>
+      val scored = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+      (id, scored(0)._1, scored(0)._2 - scored(1)._2)
+    }
+    val byCluster = assigned.groupBy(_._2)
+    assert(rows.map(_.getAs[Long]("n_members")).sum == emb.length.toLong)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = byCluster(cid)
+      assert(r.getAs[Long]("n_members") == members.length.toLong)
+      assert(math.abs(r.getAs[Double]("min_margin_r") - members.map(_._3).min) < 1e-5)
+      assert(math.abs(r.getAs[Double]("max_margin_r") - members.map(_._3).max) < 1e-5)
+      assert(r.getAs[Double]("min_margin_r") >= 0.0)
+    }
+  }
+
   test("v09 multi-probe dominates v04 rank-for-rank, probes <= NProbe clusters") {
     def byQuery(name: String) = run(name).collect()
       .groupBy(_.getAs[Long]("q_id")).view.mapValues(

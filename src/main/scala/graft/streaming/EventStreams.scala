@@ -136,6 +136,57 @@ object EventStreams {
         col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Funnel-progression state: highest stage reached (1-based) and the
+    * event time that reached it. Fixed-size per user — the state store
+    * holds two numbers per key no matter how many events arrive. */
+  final case class FunnelProgress(stage: Int, tsMs: Long)
+
+  /** One emitted row per stage ADVANCE (a user moving from stage n-1 to
+    * n) — the live view of q34's batch funnel. */
+  final case class StageAdvance(
+      user_id: Long, stage: Int, event_type: String, ts: java.sql.Timestamp)
+
+  /** Stateful streaming funnel via flatMapGroupsWithState: advances a
+    * user's stage when the next stage's event type arrives strictly
+    * after the time the previous stage was reached — exactly
+    * [[graft.operators.Analytics.funnel]]'s strict ordering, evaluated
+    * incrementally (first qualifying event in time order ≡ the batch
+    * min() — StreamingSpec asserts the parity on the full feed).
+    *
+    * Scale/state: O(users) state, two fields per user, regardless of
+    * stream length — the same reason q34 refuses per-user event lists.
+    * Streaming caveat (same as [[sessionizeStateful]]): per micro-batch
+    * the group's events sort locally, but an event arriving AFTER a
+    * later-timestamped event already advanced the stage cannot
+    * retro-advance — exact parity needs per-user event-time order
+    * across batches, the usual kafka-key = user_id deployment. */
+  def funnelStateful(
+      events: Dataset[Event], stages: Seq[String],
+      timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, StageAdvance](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) Iterator.empty
+          else {
+            val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+            val out = Seq.newBuilder[StageAdvance]
+            evs.foreach { e =>
+              if (st.stage < stages.length &&
+                  e.event_type == stages(st.stage) &&
+                  (st.stage == 0 || e.ts.getTime > st.tsMs)) {
+                st = FunnelProgress(st.stage + 1, e.ts.getTime)
+                out += StageAdvance(uid, st.stage, e.event_type, e.ts)
+              }
+            }
+            if (st.stage > 0) state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Custom-state gap sessionization via flatMapGroupsWithState.
     *
     * Emission contract: CLOSED sessions only — the tail session of each

@@ -286,6 +286,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts.columns.contains("user_name"))
   }
 
+  test("stateful streaming funnel reaches exactly q34's stage counts") {
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    val events = Tables.load(spark, SharedSpark.sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val advances = EventStreams.funnelStateful(events, stages).collect()
+    // per user at most one advance per stage, strictly increasing times
+    advances.groupBy(_.user_id).foreach { case (_, as) =>
+      val byStage = as.sortBy(_.stage)
+      assert(byStage.map(_.stage).toSeq == (1 to byStage.length))
+      byStage.sliding(2).foreach {
+        case Array(a, b) => assert(b.ts.getTime > a.ts.getTime)
+        case _ =>
+      }
+      byStage.foreach(a => assert(a.event_type == stages(a.stage - 1)))
+    }
+    // users having reached stage >= n == q34's n_users per stage
+    val reached = advances.groupBy(_.user_id).view
+      .mapValues(_.map(_.stage).max).values.toSeq
+    val got = graft.operators.Analytics.funnel(events.toDF(), stages)
+      .collect().map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users"))
+      .toMap
+    (1 to 3).foreach { s =>
+      assert(reached.count(_ >= s).toLong == got(s.toLong), s"stage $s")
+    }
+  }
+
   test("q36 graded sessions equal EventStreams.sessionWindows exactly") {
     val events = Tables.load(spark, SharedSpark.sf0001, "events")
     val q36 = SparkEntry.queries("q36_sessions")(spark, SharedSpark.sf0001)

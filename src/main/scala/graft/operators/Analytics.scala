@@ -706,5 +706,5 @@ object Analytics {
     QueryDef("q32_scd2_history", q32, Some(q32Sql)),
     QueryDef("q34_funnel", q34, Some(q34Sql), headline = true),
     QueryDef("q35_retention_cohorts", q35, Some(q35Sql)),
-    QueryDef("q36_sessions", q36, Some(q36Sql)))
+    QueryDef("q36_sessions", q36, Some(q36Sql), headline = true))
 }

@@ -174,6 +174,26 @@ class PlanSpec extends AnyFunSuite {
       s"term filter not directly above the explode:\n$p")
   }
 
+  test("d20: vocab funnel aggregates before the pair explode; top-k pushed") {
+    val p = fmt("d20_bpe_pair_counts")
+    // the corpus-scale reduction must sit between the two explodes: the
+    // pair Generate consumes the AGGREGATED vocab, never the raw token
+    // stream (tree prints root-first, so pair explode < agg < token
+    // explode by line index)
+    val lines = p.linesIterator.toSeq
+    // tree lines only ("+- Generate (7)"), not the detail section
+    val gens = lines.zipWithIndex.collect {
+      case (l, i) if l.matches(".*\\+- Generate \\(\\d+\\)\\s*") => i
+    }
+    val aggs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches(".*\\+- HashAggregate \\(\\d+\\)\\s*") => i
+    }
+    assert(gens.length == 2, s"expected token+pair explodes:\n$p")
+    assert(aggs.exists(a => gens.head < a && a < gens.last),
+      s"no vocab aggregate between the explodes:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+  }
+
   test("d21: keeper election is a min-aggregate, never a rank window") {
     val p = fmt("d21_subdoc_dedup")
     // a hot segment digest (corpus-wide boilerplate) must cost the

@@ -691,6 +691,73 @@ object Analytics {
       |FROM ids GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q37 — tolerance-bounded as-of join: for every error event, the same
+  // user's latest click AT MOST ToleranceUs before it — root-cause
+  // attribution ("which interaction preceded this failure?"), where an
+  // unbounded as-of (q23) would blame a click from last month. The
+  // shipped plan is q23's union-merge (one shuffle + sort per user,
+  // zero fan-out) plus a post-hoc null-out: the running last() click is
+  // the LATEST at-or-before the error, so if IT falls outside the
+  // window no earlier click can be inside — the filter after the merge
+  // is exact, not an approximation. The oracle is the rank form with
+  // the tolerance in the join predicate; the hash match doubles as the
+  // equivalence proof. Gap arithmetic in integer microseconds.
+  // ---------------------------------------------------------------------
+  private val ToleranceUs = 600000000L // 10 minutes
+
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val errs = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("tag"),
+        col("event_id"),
+        lit(null).cast(LongType).as("src_id"),
+        lit(null).cast(TimestampType).as("src_ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), lit(0).as("tag"),
+        lit(null).cast(LongType).as("event_id"),
+        col("event_id").as("src_id"), col("ts").as("src_ts"))
+    // src_id ASC within a tied (t, tag) group: last() picks the max
+    // click id of the max timestamp — the rank form's DESC, DESC winner
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("tag"), col("src_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    errs.unionByName(clicks)
+      .withColumn("last_click_id",
+        last(col("src_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(col("src_ts"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .withColumn("in_window",
+        col("last_click_ts").isNotNull &&
+          unix_micros(col("t")) - unix_micros(col("last_click_ts"))
+            <= ToleranceUs)
+      .select(col("event_id"), col("user_id"),
+        when(col("in_window"), col("last_click_id")).as("click_id"),
+        when(col("in_window"),
+          unix_micros(col("t")) - unix_micros(col("last_click_ts")))
+          .as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+  private val q37Sql =
+    s"""WITH errs AS (
+       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+       |clicks AS (
+       |  SELECT event_id AS click_id, user_id, ts AS cts
+       |  FROM events WHERE event_type = 'click'),
+       |j AS (
+       |  SELECT e.event_id, e.user_id, c.click_id,
+       |    epoch_us(e.ts) - epoch_us(c.cts) AS gap_us,
+       |    row_number() OVER (PARTITION BY e.event_id
+       |      ORDER BY c.cts DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rn
+       |  FROM errs e
+       |  LEFT JOIN clicks c
+       |    ON e.user_id = c.user_id AND c.cts <= e.ts
+       |   AND epoch_us(e.ts) - epoch_us(c.cts) <= $ToleranceUs)
+       |SELECT event_id, user_id, click_id, CAST(gap_us AS BIGINT) AS gap_us
+       |FROM j WHERE rn = 1
+       |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q21_rollup", q21, Some(q21Sql)),
@@ -706,5 +773,6 @@ object Analytics {
     QueryDef("q32_scd2_history", q32, Some(q32Sql)),
     QueryDef("q34_funnel", q34, Some(q34Sql), headline = true),
     QueryDef("q35_retention_cohorts", q35, Some(q35Sql)),
-    QueryDef("q36_sessions", q36, Some(q36Sql), headline = true))
+    QueryDef("q36_sessions", q36, Some(q36Sql), headline = true),
+    QueryDef("q37_asof_tolerance", q37, Some(q37Sql)))
 }

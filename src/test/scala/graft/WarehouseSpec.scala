@@ -211,6 +211,34 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q37 tolerance as-of: matched click is latest within 10 min, else null") {
+    val tolUs = 600000000L
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000 +
+          (r.getTimestamp(3).getNanos / 1000) % 1000))
+    val clicksByUser = events.filter(_._3 == "click").groupBy(_._2)
+    val rows = run("q37_asof_tolerance").collect()
+    assert(rows.length == events.count(_._3 == "error"))
+    var matched = 0
+    rows.foreach { r =>
+      val errUs = events.find(_._1 == r.getAs[Long]("event_id")).get._4
+      val cands = clicksByUser.getOrElse(r.getAs[Long]("user_id"), Array.empty)
+        .filter(c => c._4 <= errUs && errUs - c._4 <= tolUs)
+      if (r.isNullAt(r.fieldIndex("click_id"))) {
+        assert(cands.isEmpty, s"missed in-window click for ${r}")
+      } else {
+        matched += 1
+        val best = cands.maxBy(c => (c._4, c._1))
+        assert(r.getAs[Long]("click_id") == best._1)
+        assert(r.getAs[Long]("gap_us") == errUs - best._4)
+        assert(r.getAs[Long]("gap_us") >= 0L && r.getAs[Long]("gap_us") <= tolUs)
+      }
+    }
+    assert(matched > 0 && matched < rows.length) // both branches exercised
+  }
+
   test("v04 IVF: neighbors come from the query's own cluster") {
     val rows = run("v04_ivf_ann").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

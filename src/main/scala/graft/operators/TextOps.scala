@@ -1150,6 +1150,55 @@ object TextOps {
        |FROM marked GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d23 — n-gram novelty scoring: per document, the fraction of its
+  // DISTINCT 3-gram shingles that occur in no other document — the
+  // diversity/memorization signal dedup QA watches (a doc scoring near
+  // 0 is assembled entirely from corpus-common text even if no single
+  // document near-dups it; a corpus whose novelty mass collapses after
+  // a crawl merge was over-harvested). Counting df on within-doc
+  // DISTINCT shingles makes self-repetition irrelevant: df == 1 means
+  // globally unique.
+  //
+  // Scale shape: the (doc_id, shingle-digest) stream is distinct within
+  // doc by construction and persisted — it feeds both the df aggregate
+  // and the join back (Spark would otherwise re-tokenize the corpus per
+  // branch, the c05 lesson). Both the df groupBy and the join key on
+  // the digest, so the second pass reuses the first's partitioning;
+  // shuffles carry (16-byte digest, doc_id) rows, never shingle text.
+  // ---------------------------------------------------------------------
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shingles(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        explode(array_distinct(col("sh"))).as("sg"))
+      .select(col("doc_id"), md5(col("sg")).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = sh.groupBy(col("dg")).agg(count(lit(1)).as("df"))
+    sh.join(dfs, "dg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ppm",
+        expr("n_unique * 1000000 div greatest(n_shingles, 1)"))
+      .orderBy(col("doc_id"))
+  }
+  private val d23Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, md5(unnest(list_distinct(${Dedup.shinglesSql}))) AS dg
+       |  FROM documents),
+       |dfs AS (
+       |  SELECT dg, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+       |    // greatest(count(*), 1) AS BIGINT) AS novelty_ppm
+       |FROM sh JOIN dfs USING (dg)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -1171,5 +1220,6 @@ object TextOps {
     QueryDef("d18_source_cap", d18, Some(d18Sql), headline = true),
     QueryDef("d19_snapshot_delta", d19, Some(d19Sql)),
     QueryDef("d21_subdoc_dedup", d21, Some(d21Sql), headline = true),
-    QueryDef("d22_source_drift", d22, Some(d22Sql)))
+    QueryDef("d22_source_drift", d22, Some(d22Sql)),
+    QueryDef("d23_ngram_novelty", d23, Some(d23Sql)))
 }

@@ -512,6 +512,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("err_ppm") == 0L)
   }
 
+  test("d23 novelty: unique doc scores 1.0, exact copy scores 0, self-reps ignored") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d23").toString
+    val unique = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (1L, unique),                        // all shingles globally unique
+      (2L, "shared one two three four"),   // copied by doc 3
+      (3L, "shared one two three four"),
+      // internal repetition: same shingle twice in ONE doc stays df=1
+      (4L, "aa bb cc aa bb cc aa bb cc"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("d23_ngram_novelty")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    assert(got(1L)._3 == 1000000L)
+    assert(got(2L) == ((3L, 0L, 0L)))      // every shingle also in doc 3
+    assert(got(3L) == ((3L, 0L, 0L)))
+    // doc 4: shingles {aa bb cc, bb cc aa, cc aa bb} each repeated
+    // WITHIN the doc only -> still globally unique -> full novelty
+    assert(got(4L) == ((3L, 3L, 1000000L)))
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

@@ -758,6 +758,43 @@ object Analytics {
        |FROM j WHERE rn = 1
        |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q38 — sliding-window aggregation (q16 is the tumbling case): events
+  // per 1-hour window sliding every 15 minutes — the overlap smooths
+  // the metric a tumbling edge would cut. Spark's window(ts, len,
+  // slide) assigns each event its len/slide = 4 covering windows in one
+  // Expand-like generate; the oracle derives the same 4 epoch-aligned
+  // slots arithmetically (slot = epoch_us div slide), proving the
+  // built-in's alignment convention. The deliberate 4× fan-out happens
+  // BEFORE the aggregate's map-side partials, so the shuffle still
+  // carries only (window, type) groups — fan-out cost is bounded by
+  // len/slide, the knob itself.
+  // ---------------------------------------------------------------------
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("window_start"), col("event_type"))
+  private val q38Sql =
+    """WITH slotted AS (
+      |  SELECT event_type, user_id,
+      |    make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+      |      AS window_start
+      |  FROM events, range(0, 4) r(k))
+      |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM slotted
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q21_rollup", q21, Some(q21Sql)),
@@ -774,5 +811,6 @@ object Analytics {
     QueryDef("q34_funnel", q34, Some(q34Sql), headline = true),
     QueryDef("q35_retention_cohorts", q35, Some(q35Sql)),
     QueryDef("q36_sessions", q36, Some(q36Sql), headline = true),
-    QueryDef("q37_asof_tolerance", q37, Some(q37Sql)))
+    QueryDef("q37_asof_tolerance", q37, Some(q37Sql)),
+    QueryDef("q38_sliding_window", q38, Some(q38Sql)))
 }

@@ -239,6 +239,27 @@ class WarehouseSpec extends AnyFunSuite {
     assert(matched > 0 && matched < rows.length) // both branches exercised
   }
 
+  test("q38 sliding windows: 4x coverage, on-the-hour slices equal q16") {
+    val rows = run("q38_sliding_window").collect()
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    // every event is covered by exactly len/slide = 4 windows
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 4L * events.count())
+    // all starts align to the 15-minute grid
+    rows.foreach { r =>
+      val mm = r.getAs[String]("window_start").substring(14, 16).toInt
+      assert(mm % 15 == 0)
+      assert(r.getAs[String]("window_start").endsWith(":00")) // whole seconds
+    }
+    // the :00-aligned slices ARE q16's tumbling hour windows
+    val hourly = rows.filter(_.getAs[String]("window_start").substring(14, 16) == "00")
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toMap
+    val q16 = run("q16_events_window").collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toMap
+    assert(q16.nonEmpty && hourly == q16)
+  }
+
   test("v04 IVF: neighbors come from the query's own cluster") {
     val rows = run("v04_ivf_ann").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

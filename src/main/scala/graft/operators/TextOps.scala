@@ -739,7 +739,7 @@ object TextOps {
   // ---------------------------------------------------------------------
   private val SeqBudget = 512
   private val PackShards = 32
-  private def d15(s: SparkSession, dir: String): DataFrame = {
+  private def packedChunks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sharded = chunkRows(s, dir)
       .withColumn("shard",
@@ -754,8 +754,11 @@ object TextOps {
         expr(s"(cum_tokens - chunk_n_tokens) div $SeqBudget"))
       .select(col("shard"), col("seq_in_shard"), col("doc_id"), col("chunk_idx"),
         col("chunk_n_tokens"), col("cum_tokens"))
-      .orderBy(col("shard"), col("doc_id"), col("chunk_idx"))
   }
+
+  private def d15(s: SparkSession, dir: String): DataFrame =
+    packedChunks(s, dir)
+      .orderBy(col("shard"), col("doc_id"), col("chunk_idx"))
   private val d15Sql =
     s"""WITH base AS (
        |  SELECT doc_id, ${tokensSql} AS toks,
@@ -1199,6 +1202,77 @@ object TextOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d24 — packing utilization report: per shard, how well d15's packed
+  // training sequences fill the token budget — the QA readout that
+  // decides whether the chunk geometry (d11) and the budget (d15) are
+  // matched, because every sub-budget sequence is padding the trainer
+  // pays for at full FLOP price. fill_ppm can exceed 10⁶: d15's offset
+  // binning lets a boundary chunk spill past the budget (the documented
+  // headroom contract), and the report makes that spill visible per
+  // shard. All integer arithmetic; the aggregate runs on (shard, seq)
+  // keys — thousands of rows after the packing window already did the
+  // heavy lifting.
+  // ---------------------------------------------------------------------
+  private def d24(s: SparkSession, dir: String): DataFrame =
+    packedChunks(s, dir)
+      .groupBy(col("shard"), col("seq_in_shard"))
+      .agg(sum(col("chunk_n_tokens")).as("seq_tokens"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("seq_tokens")).as("total_tokens"),
+        sum(when(col("seq_tokens") >= SeqBudget, 1L).otherwise(0L))
+          .as("full_seqs"),
+        min(col("seq_tokens")).as("min_seq_tokens"),
+        max(col("seq_tokens")).as("max_seq_tokens"))
+      .withColumn("fill_ppm",
+        expr(s"total_tokens * 1000000 div (n_seqs * $SeqBudget)"))
+      .orderBy(col("shard"))
+  private val d24Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokensSql} AS toks,
+       |    CAST(len(${tokensSql}) AS BIGINT) AS nt
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, nt,
+       |    CASE WHEN nt <= $ChunkSize THEN 1
+       |         ELSE 1 + (nt - $ChunkSize + $ChunkStride - 1) // $ChunkStride
+       |    END AS n_chunks
+       |  FROM base),
+       |idx AS (
+       |  SELECT doc_id, toks,
+       |    CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+       |  FROM n),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    CAST(len(list_slice(toks,
+       |      CAST(chunk_idx * $ChunkStride + 1 AS BIGINT),
+       |      CAST(chunk_idx * $ChunkStride + $ChunkSize AS BIGINT))) AS BIGINT) AS chunk_n_tokens,
+       |    CAST(concat('0x', substr(md5(concat('pack:', doc_id)), 1, 15)) AS BIGINT) % $PackShards AS shard
+       |  FROM idx),
+       |packed AS (
+       |  SELECT shard, doc_id, chunk_idx, chunk_n_tokens,
+       |    CAST(SUM(chunk_n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM chunks),
+       |seqs AS (
+       |  SELECT shard,
+       |    CAST((cum_tokens - chunk_n_tokens) // $SeqBudget AS BIGINT) AS seq_in_shard,
+       |    CAST(SUM(chunk_n_tokens) AS BIGINT) AS seq_tokens
+       |  FROM packed GROUP BY 1, 2)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN seq_tokens >= $SeqBudget THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS full_seqs,
+       |  CAST(min(seq_tokens) AS BIGINT) AS min_seq_tokens,
+       |  CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens,
+       |  CAST(sum(seq_tokens) * 1000000 // (count(*) * $SeqBudget)
+       |    AS BIGINT) AS fill_ppm
+       |FROM seqs GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -1221,5 +1295,6 @@ object TextOps {
     QueryDef("d19_snapshot_delta", d19, Some(d19Sql)),
     QueryDef("d21_subdoc_dedup", d21, Some(d21Sql), headline = true),
     QueryDef("d22_source_drift", d22, Some(d22Sql)),
-    QueryDef("d23_ngram_novelty", d23, Some(d23Sql)))
+    QueryDef("d23_ngram_novelty", d23, Some(d23Sql)),
+    QueryDef("d24_pack_utilization", d24, Some(d24Sql)))
 }

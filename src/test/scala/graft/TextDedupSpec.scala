@@ -535,6 +535,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(4L) == ((3L, 3L, 1000000L)))
   }
 
+  test("d24 utilization: non-tail fill within one chunk of budget, spill bounded") {
+    val budget = 512L
+    val chunkSize = graft.operators.TextOps.ChunkSize.toLong
+    val rows = run("d24_pack_utilization").collect()
+    assert(rows.nonEmpty)
+    val d15 = run("d15_sequence_pack").collect()
+    val tokensByShard = d15.groupBy(_.getAs[Long]("shard")).view
+      .mapValues(_.map(_.getAs[Long]("chunk_n_tokens")).sum).toMap
+    val seqSums = d15
+      .groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_in_shard")))
+      .view.mapValues(_.map(_.getAs[Long]("chunk_n_tokens")).sum).toMap
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      val (nSeqs, total) = (r.getAs[Long]("n_seqs"), r.getAs[Long]("total_tokens"))
+      // offset binning: a non-tail sequence covers its whole offset bin,
+      // so it can miss the budget only by the previous bin's spill
+      // (< one chunk); the tail alone may be arbitrarily short
+      val shardSeqs = seqSums.collect { case ((s, q), tk) if s == shard => (q, tk) }
+      val tailSeq = shardSeqs.keys.max
+      shardSeqs.foreach { case (q, tk) =>
+        if (q != tailSeq) assert(tk > budget - chunkSize, s"shard $shard seq $q")
+      }
+      assert(r.getAs[Long]("full_seqs") == shardSeqs.values.count(_ >= budget).toLong)
+      // boundary spill is at most one chunk
+      assert(r.getAs[Long]("max_seq_tokens") < budget + chunkSize)
+      assert(total == tokensByShard(shard))
+      assert(r.getAs[Long]("fill_ppm") == total * 1000000L / (nSeqs * budget))
+    }
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

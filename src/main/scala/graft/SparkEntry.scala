@@ -7,14 +7,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The query inventory aggregates every operator family:
   *  - [[operators.Parity]]     q01-q17: reference-parity surface (SURVEY §2)
   *  - [[operators.Warehouse]]  q18-q20: snowflake dims, junk dim, star fact
-  *  - [[operators.Analytics]]  q21-q36: rollup/cube/pivot/grouping sets,
+  *  - [[operators.Analytics]]  q21-q38: rollup/cube/pivot/grouping sets,
   *                             set ops, as-of join, HLL, range join,
   *                             quantiles, grouped top-k, SCD-1 upsert,
   *                             SCD-2 history, ordered event funnel,
   *                             weekly retention cohorts, native
   *                             session_window sessionization proved
-  *                             against gaps-and-islands SQL
-  *  - [[operators.TextOps]]    d01-d19, d21, d22: exact dedup, text
+  *                             against gaps-and-islands SQL,
+  *                             tolerance-bounded as-of join,
+  *                             sliding-window aggregation
+  *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,
   *                             repetition quality, per-doc top terms,
@@ -26,7 +28,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             per-source domain cap, cross-snapshot
   *                             corpus delta, sub-document dedup with
   *                             reconstruction, per-source snapshot
-  *                             drift (histogram total variation)
+  *                             drift (histogram total variation),
+  *                             n-gram novelty scoring, packing
+  *                             utilization report
   *  - [[operators.Bpe]]        d20: distributed BPE tokenizer training
   *                             (corpus→vocab funnel + iterative merges)
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
@@ -39,16 +43,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.Retrieval]]  r01-r04: tf·idf keyword search (integer
   *                             idf), positional phrase search, BM25
   *                             ranking, min-gap proximity ranking
-  *  - [[operators.Similarity]] v01-v09: cosine top-k, near-dup, LSH-ANN,
+  *  - [[operators.Similarity]] v01-v10: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
   *                             top-k, hybrid semantic+lexical rescore,
   *                             quantized-vs-exact recall audit,
-  *                             multi-probe IVF
-  *  - [[operators.Multimodal]] m01-m04: binary columns, frame sampling,
+  *                             multi-probe IVF, index balance +
+  *                             boundary-margin audit
+  *  - [[operators.Multimodal]] m01-m05: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV
   *                             decode, single-pass media+text pairing,
-  *                             shared-frame media near-dup pairs
+  *                             shared-frame media near-dup pairs,
+  *                             storage dedup report
   *  - [[CurationPipeline]]     c01-c08: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report,

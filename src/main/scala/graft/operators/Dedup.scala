@@ -191,8 +191,9 @@ object Dedup {
   // sign vector → fingerprint. Folded entirely in array expressions —
   // per-row work, no explode, no shuffle.
   // ---------------------------------------------------------------------
-  private def n03(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  /** 16-bit SimHash rows (doc_id, simhash, n_tokens) of any
+    * (doc_id, text) frame — n03's core, shared with n08's pairing. */
+  def simhashOf(d: DataFrame): DataFrame = {
     val hs = transform(TextOps.tokens(col("text")), tk =>
       conv(substring(md5(tk), 1, 4), 16, 10).cast(LongType))
     val withH = d.select(col("doc_id"), hs.as("hs"))
@@ -208,8 +209,10 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
     withH.select(col("doc_id"), fp.as("simhash"),
         size(col("hs")).cast(LongType).as("n_tokens"))
-      .orderBy(col("doc_id"))
   }
+
+  private def n03(s: SparkSession, dir: String): DataFrame =
+    simhashOf(t(s, dir, "documents")).orderBy(col("doc_id"))
   private val n03Sql =
     s"""WITH hashed AS (
        |  SELECT doc_id,
@@ -619,6 +622,78 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // n08 — SimHash near-dup pairs by Hamming distance: documents whose
+  // 16-bit fingerprints differ in at most MaxHamming bits. Candidate
+  // generation is pigeonhole banding — the fingerprint splits into 4
+  // nibbles, and any pair within Hamming ≤ 3 must agree on at least one
+  // whole nibble (4 bands, ≤ 3 flipped bits cannot touch all of them) —
+  // so the banded buckets are EXACT candidate generation, not a recall
+  // trade-off, and reuse n02's capped-bucket pair machinery verbatim.
+  // The final filter is bit_count(xor) on the pair sliver.
+  //
+  // Scale note: 16 bits means 4-bit bands (16 values), which saturates
+  // — buckets grow as n/16 and the MaxBucket cap starts binding. The
+  // production setting is the SAME plan over a 64-bit fingerprint
+  // (4 × 16-bit bands, 65536 values each); nothing in the plan shape
+  // changes, only the band arithmetic constants.
+  // ---------------------------------------------------------------------
+  /** Max fingerprint Hamming distance for an n08 pair. */
+  val MaxHamming = 3
+
+  private def n08(s: SparkSession, dir: String): DataFrame = {
+    val fps = simhashOf(t(s, dir, "documents"))
+      .select(col("doc_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band_id"),
+        expr(s"CAST((simhash >> ${4 * b}) & 15 AS STRING)").as("band_key"))
+    }: _*)
+    val bands = fps.select(col("doc_id"), explode(bandStructs).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    cappedLshPairs(bands)
+      .join(fps.toDF("doc_a", "fp_a"), "doc_a")
+      .join(fps.toDF("doc_b", "fp_b"), "doc_b")
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast(LongType))
+      .where(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val n08Sql =
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(${TextOps.tokensSql}, tk ->
+       |      CAST(concat('0x', substr(md5(tk), 1, 4)) AS BIGINT)) AS hs
+       |  FROM documents),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(list_sum(list_transform(range(0, 16), i ->
+       |      CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+       |             CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0) AS BIGINT)
+       |      AS simhash
+       |  FROM hashed),
+       |bands AS (
+       |  SELECT doc_id, b AS band_id,
+       |    CAST((simhash >> (4 * b)) & 15 AS VARCHAR) AS band_key
+       |  FROM fps, range(0, 4) r(b)),
+       |kept_b AS (
+       |  SELECT band_id, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $MaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  JOIN kept_b k ON a.band_id = k.band_id AND a.band_key = k.band_key)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+       |FROM pairs
+       |JOIN fps fa ON fa.doc_id = doc_a
+       |JOIN fps fb ON fb.doc_id = doc_b
+       |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("n01_minhash_signatures", n01, Some(n01Sql), headline = true),
     QueryDef("n02_minhash_lsh_pairs", n02, Some(n02Sql), headline = true),
@@ -626,5 +701,6 @@ object Dedup {
     QueryDef("n04_ngram_jaccard", n04, Some(n04Sql)),
     QueryDef("n05_neardup_components", n05, Some(n05Sql), headline = true),
     QueryDef("n06_incremental_lsh_neardup", n06, Some(n06Sql), headline = true),
-    QueryDef("n07_minhash_audit", n07, Some(n07Sql)))
+    QueryDef("n07_minhash_audit", n07, Some(n07Sql)),
+    QueryDef("n08_simhash_neardup", n08, Some(n08Sql)))
 }

@@ -565,6 +565,25 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("n08 equals the all-pairs Hamming brute force (banding is exact)") {
+    val fps = run("n03_simhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val expected = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      h = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if h <= graft.operators.Dedup.MaxHamming
+    } yield {
+      val (a, b) = (fps(i), fps(j))
+      if (a._1 < b._1) (a._1, b._1, h.toLong) else (b._1, a._1, h.toLong)
+    }).toSet
+    val got = run("n08_simhash_neardup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

@@ -737,6 +737,124 @@ object Similarity {
        |FROM margins GROUP BY cluster_id
        |ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v11 — product-quantization ANN (the third leg of the ANN triad with
+  // IVF and LSH): each 64-dim vector encodes as 4 one-byte codes — the
+  // nearest of 8 codebook centroids per 16-dim subspace (codebook =
+  // vec_id < 8's subvectors, the deterministic k-means stand-in) — and
+  // queries score candidates by ADC: distance(query, candidate) ≈
+  // Σ_m lut[m][code_m], where the lookup table is the query's exact
+  // distance to every centroid. At 100 TB this is the memory story —
+  // 4 bytes/vector instead of 256 — and the scan is 4 table lookups
+  // per candidate instead of a 64-dim fold.
+  //
+  // Determinism: every subspace distance is the shared l2r fold (bit-
+  // identical cross-engine); code election is argmin with cent_id
+  // tiebreak; ADC sums exactly 4 doubles in fixed expression order
+  // (d0+d1+d2+d3 — never a float GROUP BY sum, whose order is
+  // unspecified); codes pivot through integer max() aggregates. The
+  // subspace-distance table is computed once and persisted — it feeds
+  // both the corpus encoding and the query LUT.
+  // ---------------------------------------------------------------------
+  private val PqM = 4      // subspaces
+  private val PqDim = 16   // dims per subspace
+  private val PqK = 8      // centroids per subspace
+
+  /** Exact squared-L2 between two float-array columns, same l2r fold
+    * discipline as [[dot]]. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType))
+          * (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def v11(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val subs = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(embedding, m * $PqDim + 1, $PqDim)").as("sub"))
+    val cb = subs.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("csub"))
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("cent_id"))
+    val dists = subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cent_id"),
+        sqDist(col("sub"), col("csub")).as("d"))
+      .withColumn("rn", row_number().over(wCode))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def codeCol(m: Int) =
+      max(when(col("m") === m, col("cent_id"))).as(s"c$m")
+    val codes = dists.where(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(codeCol(0), codeCol(1), codeCol(2), codeCol(3))
+    val lut = dists.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("m"), col("cent_id"), col("d"))
+    def lutJoin(df: DataFrame, m: Int) =
+      df.join(broadcast(lut.where(col("m") === m)
+          .select(col("q_id"), col("cent_id").as(s"c$m"), col("d").as(s"d$m"))),
+        Seq("q_id", s"c$m"))
+    val base = codes.select(col("vec_id").as("c_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
+      .where(col("q_id") =!= col("c_id"))
+    val scored = Seq(0, 1, 2, 3).foldLeft(base)(lutJoin)
+      .withColumn("adist", col("d0") + col("d1") + col("d2") + col("d3"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("c_id"))
+    scored.withColumn("rk", row_number().over(wTop).cast(LongType))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), round(col("adist"), 6).as("adist_r"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v11Sql = {
+    val distS = "list_sum(list_transform(range(1, len(%s) + 1), i -> " +
+      "(CAST(%s[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+      "(CAST(%s[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))))"
+    val dSubCsub = distS.format("sub", "sub", "csub", "sub", "csub")
+    val codeCols = (0 until PqM).map(m =>
+      s"CAST(max(CASE WHEN m = $m THEN cent_id END) AS BIGINT) AS c$m")
+      .mkString(", ")
+    val lutJoins = (0 until PqM).map(m =>
+      s"JOIN lut l$m ON l$m.q_id = q.q_id AND l$m.m = $m AND l$m.cent_id = c.c$m")
+      .mkString("\n       |  ")
+    s"""WITH subs AS (
+       |  SELECT vec_id, CAST(r.m AS INT) AS m,
+       |    list_slice(embedding, CAST(r.m * $PqDim + 1 AS BIGINT),
+       |      CAST((r.m + 1) * $PqDim AS BIGINT)) AS sub
+       |  FROM embeddings, range(0, $PqM) r(m)),
+       |cb AS (
+       |  SELECT m, vec_id AS cent_id, sub AS csub FROM subs
+       |  WHERE vec_id < $PqK),
+       |dists AS (
+       |  SELECT s.vec_id, s.m, cb.cent_id, $dSubCsub AS d,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY $dSubCsub, cb.cent_id) AS rn
+       |  FROM subs s JOIN cb ON s.m = cb.m),
+       |codes AS (
+       |  SELECT vec_id, $codeCols
+       |  FROM dists WHERE rn = 1 GROUP BY vec_id),
+       |lut AS (
+       |  SELECT vec_id AS q_id, m, cent_id, d FROM dists
+       |  WHERE vec_id BETWEEN 100 AND 104),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id AS c_id,
+       |    l0.d + l1.d + l2.d + l3.d AS adist
+       |  FROM codes c
+       |  CROSS JOIN (SELECT DISTINCT q_id FROM lut) q
+       |  $lutJoins
+       |  WHERE q.q_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, c_id, round(adist, 6) AS adist_r, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -747,5 +865,6 @@ object Similarity {
     QueryDef("v07_hybrid_rescore", v07, Some(v07Sql), headline = true),
     QueryDef("v08_recall_audit", v08, Some(v08Sql)),
     QueryDef("v09_multiprobe_ivf", v09, Some(v09Sql)),
-    QueryDef("v10_index_balance", v10, Some(v10Sql)))
+    QueryDef("v10_index_balance", v10, Some(v10Sql)),
+    QueryDef("v11_pq_ann", v11, Some(v11Sql)))
 }

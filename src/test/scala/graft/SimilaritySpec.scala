@@ -178,6 +178,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v11 PQ: codes, LUTs, and ADC ranking match a driver-side recompute") {
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val (m, dim, k) = (4, 16, 8)
+    def sub(v: Array[Float], mi: Int): Array[Float] =
+      v.slice(mi * dim, (mi + 1) * dim)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var (s, i) = (0.0, 0)
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val cents = emb.filter(_._1 < k).sortBy(_._1)
+    def codeOf(v: Array[Float], mi: Int): Long =
+      cents.map { case (cid, cv) => (sq(sub(v, mi), sub(cv, mi)), cid) }
+        .minBy(identity)._2
+    val queries = emb.filter(e => e._1 >= 100 && e._1 <= 104)
+    val expected = queries.flatMap { case (qid, qv) =>
+      val lut = (0 until m).map(mi =>
+        cents.map { case (cid, cv) => cid -> sq(sub(qv, mi), sub(cv, mi)) }.toMap)
+      emb.filter(_._1 != qid).map { case (cid, cv) =>
+        val adist = (0 until m).map(mi => lut(mi)(codeOf(cv, mi))).sum
+        (qid, cid, adist)
+      }.sortBy(e => (e._3, e._2)).take(5).zipWithIndex
+        .map { case ((q, c, d), i) => (q, c, i + 1L) -> d }
+    }.toMap
+    val got = run("v11_pq_ann").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"), r.getAs[Long]("rk"))
+      val want = expected.get(key)
+      assert(want.isDefined, s"unexpected row $key")
+      assert(math.abs(r.getAs[Double]("adist_r") - want.get) < 1e-6)
+    }
+  }
+
   test("v09 multi-probe dominates v04 rank-for-rank, probes <= NProbe clusters") {
     def byQuery(name: String) = run(name).collect()
       .groupBy(_.getAs[Long]("q_id")).view.mapValues(

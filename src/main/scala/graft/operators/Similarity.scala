@@ -809,18 +809,23 @@ object Similarity {
         col("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
-  private val v11Sql = {
-    val distS = "list_sum(list_transform(range(1, len(%s) + 1), i -> " +
-      "(CAST(%s[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
-      "(CAST(%s[i] AS DOUBLE) - CAST(%s[i] AS DOUBLE))))"
-    val dSubCsub = distS.format("sub", "sub", "csub", "sub", "csub")
+  /** Cross-engine squared-L2 SQL (same l2r fold as [[sqDist]]). */
+  private def distSqS(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** The PQ pipeline CTEs shared by v11's and v12's oracles: encode the
+    * corpus, build the query LUTs, ADC-score, rank. */
+  private val pqCtesSql: String = {
+    val dSubCsub = distSqS("sub", "csub")
     val codeCols = (0 until PqM).map(m =>
       s"CAST(max(CASE WHEN m = $m THEN cent_id END) AS BIGINT) AS c$m")
       .mkString(", ")
     val lutJoins = (0 until PqM).map(m =>
       s"JOIN lut l$m ON l$m.q_id = q.q_id AND l$m.m = $m AND l$m.cent_id = c.c$m")
-      .mkString("\n       |  ")
-    s"""WITH subs AS (
+      .mkString("\n  ")
+    s"""subs AS (
        |  SELECT vec_id, CAST(r.m AS INT) AS m,
        |    list_slice(embedding, CAST(r.m * $PqDim + 1 AS BIGINT),
        |      CAST((r.m + 1) * $PqDim AS BIGINT)) AS sub
@@ -839,21 +844,79 @@ object Similarity {
        |lut AS (
        |  SELECT vec_id AS q_id, m, cent_id, d FROM dists
        |  WHERE vec_id BETWEEN 100 AND 104),
-       |scored AS (
+       |pq_scored AS (
        |  SELECT q.q_id, c.vec_id AS c_id,
        |    l0.d + l1.d + l2.d + l3.d AS adist
        |  FROM codes c
        |  CROSS JOIN (SELECT DISTINCT q_id FROM lut) q
        |  $lutJoins
        |  WHERE q.q_id <> c.vec_id),
-       |ranked AS (
+       |pq_ranked AS (
        |  SELECT q_id, c_id, adist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
-       |  FROM scored)
-       |SELECT q_id, c_id, round(adist, 6) AS adist_r, CAST(rk AS BIGINT) AS rk
-       |FROM ranked WHERE rk <= 5
-       |ORDER BY q_id, rk""".stripMargin
+       |  FROM pq_scored)""".stripMargin
   }
+
+  private val v11Sql =
+    s"""WITH $pqCtesSql
+       |SELECT q_id, c_id, round(adist, 6) AS adist_r, CAST(rk AS BIGINT) AS rk
+       |FROM pq_ranked WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v12 — PQ recall audit: recall@5 of v11's ADC ranking against exact
+  // full-precision squared-L2, per query — v08's discipline applied to
+  // the PQ index (no compression ships without a recall number). Same
+  // shape: both searches over the small query sample, then a narrow
+  // (q_id, c_id) set intersection; recall in exact integer ppm.
+  // ---------------------------------------------------------------------
+  private def v12(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d"), col("c_id"))
+    val exact = broadcast(q)
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+        col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        sqDist(col("q_emb"), col("c_emb")).as("d"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val approx = v11(s, dir).select(col("q_id"), col("c_id"))
+    val overlap = exact.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div n_exact"))
+      .orderBy(col("q_id"))
+  }
+  private val v12Sql =
+    s"""WITH $pqCtesSql,
+       |approx AS (
+       |  SELECT q_id, c_id FROM pq_ranked WHERE rk <= 5),
+       |exact0 AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${distSqS("q.embedding", "c.embedding")} AS d
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id BETWEEN 100 AND 104),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rk
+       |    FROM exact0)
+       |  WHERE rk <= 5),
+       |ov AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM exact JOIN approx USING (q_id, c_id) GROUP BY 1)
+       |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(min(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(min(ov.n_overlap), 0) * 1000000 // count(*) AS BIGINT)
+       |    AS recall_ppm
+       |FROM exact e LEFT JOIN ov ON e.q_id = ov.q_id
+       |GROUP BY e.q_id
+       |ORDER BY e.q_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
@@ -866,5 +929,6 @@ object Similarity {
     QueryDef("v08_recall_audit", v08, Some(v08Sql)),
     QueryDef("v09_multiprobe_ivf", v09, Some(v09Sql)),
     QueryDef("v10_index_balance", v10, Some(v10Sql)),
-    QueryDef("v11_pq_ann", v11, Some(v11Sql)))
+    QueryDef("v11_pq_ann", v11, Some(v11Sql)),
+    QueryDef("v12_pq_recall", v12, Some(v12Sql)))
 }

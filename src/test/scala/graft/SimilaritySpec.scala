@@ -216,6 +216,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v12 PQ recall equals the driver-side set overlap of v11 vs exact L2") {
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var (s, i) = (0.0, 0)
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val exact = emb.filter(e => e._1 >= 100 && e._1 <= 104).map { case (q, qv) =>
+      q -> emb.filter(_._1 != q).map { case (c, cv) => (sq(qv, cv), c) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    val approx = run("v11_pq_ann").collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val got = run("v12_pq_recall").collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val overlap = (exact(q) & approx(q)).size.toLong
+      assert(r.getAs[Long]("n_exact") == 5L)
+      assert(r.getAs[Long]("n_overlap") == overlap)
+      assert(r.getAs[Long]("recall_ppm") == overlap * 1000000L / 5L)
+    }
+  }
+
   test("v09 multi-probe dominates v04 rank-for-rank, probes <= NProbe clusters") {
     def byQuery(name: String) = run(name).collect()
       .groupBy(_.getAs[Long]("q_id")).view.mapValues(

@@ -518,6 +518,70 @@ object CurationPipeline {
        |FROM banded
        |ORDER BY position""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c09 — training-token apportionment: split a fixed token budget
+  // across sources proportionally to available tokens so the
+  // allocations sum EXACTLY to the budget — the mixture manifest a
+  // training run is launched with (c06 decides which docs survive; this
+  // decides how many tokens each source contributes to the run).
+  // Naive rounding under- or over-shoots by up to |sources|; the
+  // largest-remainder (Hamilton) method allocates floor(share) to
+  // everyone and distributes the leftover one token... unit at a time
+  // to the largest fractional remainders, source name as the total
+  // tiebreak.
+  //
+  // Scale: the corpus collapses to a per-source census (one partial-
+  // aggregated shuffle); apportionment runs on |sources| rows — the
+  // windows here are over a bounded enumeration, never the corpus.
+  // Integer products n_tokens·budget fit int64 through ~10⁶ tokens per
+  // source at this budget; production sizes switch to DECIMAL(38,0),
+  // same plan.
+  // ---------------------------------------------------------------------
+  private val TokenBudget = 100000L
+
+  private def c09(s: SparkSession, dir: String): DataFrame = {
+    val census = Tables.load(s, dir, "documents")
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), size(col("toks")).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    census
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      .withColumn("base", expr(s"n_tokens * $TokenBudget div total"))
+      .withColumn("rem", expr(s"(n_tokens * $TokenBudget) % total"))
+      .withColumn("leftover", lit(TokenBudget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRem).cast(LongType))
+      .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("alloc"))
+      .orderBy(col("source"))
+  }
+  private val c09Sql =
+    s"""WITH census AS (
+       |  SELECT source,
+       |    CAST(sum(len(${TextOps.tokensSql})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |q AS (
+       |  SELECT source, n_tokens,
+       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+       |  FROM census),
+       |b AS (
+       |  SELECT source, n_tokens,
+       |    CAST(n_tokens * $TokenBudget // total AS BIGINT) AS base,
+       |    CAST((n_tokens * $TokenBudget) % total AS BIGINT) AS rem
+       |  FROM q),
+       |r AS (
+       |  SELECT *, CAST($TokenBudget - sum(base) OVER () AS BIGINT) AS leftover,
+       |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+       |  FROM b)
+       |SELECT source, n_tokens, base,
+       |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM r
+       |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
@@ -526,7 +590,8 @@ object CurationPipeline {
     QueryDef("c05_ngram_decontamination", c05, Some(c05Sql), headline = true),
     QueryDef("c06_temperature_mix", c06, Some(c06Sql)),
     QueryDef("c07_cluster_keeper", c07, Some(c07Sql)),
-    QueryDef("c08_curriculum_order", c08, Some(c08Sql)))
+    QueryDef("c08_curriculum_order", c08, Some(c08Sql)),
+    QueryDef("c09_token_apportionment", c09, Some(c09Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

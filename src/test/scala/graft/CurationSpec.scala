@@ -231,4 +231,20 @@ class CurationSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("c09 apportionment: allocations sum exactly to the budget") {
+    val budget = 100000L
+    val rows = SparkEntry.queries("c09_token_apportionment")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    rows.foreach { r =>
+      val (base, extra) = (r.getAs[Long]("base"), r.getAs[Long]("extra"))
+      assert(extra == 0L || extra == 1L)
+      assert(r.getAs[Long]("alloc") == base + extra)
+      // Hamilton guarantee: allocation within one unit of the exact quota
+      val quota = r.getAs[Long]("n_tokens") * budget / total
+      assert(math.abs(r.getAs[Long]("alloc") - quota) < 1.0 + 1e-9)
+    }
+  }
 }

@@ -36,26 +36,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
-  *  - [[operators.Dedup]]      n01-n07: MinHash/LSH, SimHash, n-gram
+  *  - [[operators.Dedup]]      n01-n08: MinHash/LSH, SimHash, n-gram
   *                             Jaccard, near-dup connected components,
   *                             incremental batch-vs-corpus LSH probing,
-  *                             MinHash estimate-vs-exact audit
+  *                             MinHash estimate-vs-exact audit, SimHash
+  *                             Hamming pairs via pigeonhole banding
   *  - [[operators.Retrieval]]  r01-r04: tf·idf keyword search (integer
   *                             idf), positional phrase search, BM25
   *                             ranking, min-gap proximity ranking
-  *  - [[operators.Similarity]] v01-v10: cosine top-k, near-dup, LSH-ANN,
+  *  - [[operators.Similarity]] v01-v12: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
   *                             top-k, hybrid semantic+lexical rescore,
   *                             quantized-vs-exact recall audit,
   *                             multi-probe IVF, index balance +
-  *                             boundary-margin audit
+  *                             boundary-margin audit, product-
+  *                             quantization ANN + its recall audit
   *  - [[operators.Multimodal]] m01-m05: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV
   *                             decode, single-pass media+text pairing,
   *                             shared-frame media near-dup pairs,
   *                             storage dedup report
-  *  - [[CurationPipeline]]     c01-c08: quality filter → exact dedup →
+  *  - [[CurationPipeline]]     c01-c09: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report,
   *                             language-balanced downsampling, the
@@ -63,7 +65,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             exact n-gram decontamination,
   *                             temperature-scaled language mixing,
   *                             best-of-cluster representative selection,
-  *                             and deterministic curriculum ordering
+  *                             deterministic curriculum ordering, and
+  *                             exact token-budget apportionment
   */
 object SparkEntry {
 

@@ -795,6 +795,42 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q39 — correlated scalar subqueries, decorrelated by Catalyst: the
+  // 1995 spenders who beat their own nation's average customer spend.
+  // ONE ANSI text runs on BOTH engines (the Spark side is literally
+  // spark.sql(q39Sql) over temp views named like the oracle tables), so
+  // the hash match proves Spark's subquery DECORRELATION — the rewrite
+  // into aggregate + join — yields exactly the semantics the textbook
+  // row-at-a-time reading defines. The plan never executes per-row
+  // subqueries: PlanSpec asserts no nested-loop join survives.
+  //
+  // The comparison avoids AVG entirely: avg of DECIMAL is DECIMAL in
+  // Spark but DOUBLE in DuckDB, and a float average is order-dependent
+  // anyway — instead both sides multiply through by the count
+  // (spend·n > total), exact DECIMAL arithmetic end to end.
+  // ---------------------------------------------------------------------
+  private val q39Sql =
+    """WITH spend AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sp
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) = 1995
+      |  GROUP BY c_custkey, c_nationkey)
+      |SELECT s.c_custkey AS custkey, CAST(s.sp AS DOUBLE) AS spend
+      |FROM spend s
+      |WHERE s.sp * (SELECT CAST(COUNT(*) AS DECIMAL(18,0)) FROM spend s2
+      |              WHERE s2.c_nationkey = s.c_nationkey)
+      |    > (SELECT SUM(s2.sp) FROM spend s2
+      |       WHERE s2.c_nationkey = s.c_nationkey)
+      |ORDER BY custkey""".stripMargin
+
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q39Sql)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q21_rollup", q21, Some(q21Sql)),
@@ -812,5 +848,6 @@ object Analytics {
     QueryDef("q35_retention_cohorts", q35, Some(q35Sql)),
     QueryDef("q36_sessions", q36, Some(q36Sql), headline = true),
     QueryDef("q37_asof_tolerance", q37, Some(q37Sql)),
-    QueryDef("q38_sliding_window", q38, Some(q38Sql)))
+    QueryDef("q38_sliding_window", q38, Some(q38Sql)),
+    QueryDef("q39_correlated_subquery", q39, Some(q39Sql)))
 }

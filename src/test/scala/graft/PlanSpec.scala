@@ -204,6 +204,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("min("), s"min-struct keeper aggregate missing:\n$p")
   }
 
+  test("q39: correlated subqueries decorrelate — no per-row execution") {
+    val p = fmt("q39_correlated_subquery")
+    // Catalyst must rewrite both scalar subqueries into aggregate+join;
+    // a surviving nested-loop over the outer rows would be per-row
+    // subquery execution
+    assert(!p.contains("CartesianProduct"), s"subquery not decorrelated:\n$p")
+    assert(p.contains("Join"), s"decorrelated join missing:\n$p")
+    assert(p.contains("HashAggregate"), s"per-nation aggregate missing:\n$p")
+  }
+
   test("q34: stage filters reach the events scan; no per-user lists") {
     val p = fmt("q34_funnel")
     // each funnel stage scans only its event type

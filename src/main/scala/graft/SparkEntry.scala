@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The query inventory aggregates every operator family:
   *  - [[operators.Parity]]     q01-q17: reference-parity surface (SURVEY §2)
   *  - [[operators.Warehouse]]  q18-q20: snowflake dims, junk dim, star fact
-  *  - [[operators.Analytics]]  q21-q38: rollup/cube/pivot/grouping sets,
+  *  - [[operators.Analytics]]  q21-q39: rollup/cube/pivot/grouping sets,
   *                             set ops, as-of join, HLL, range join,
   *                             quantiles, grouped top-k, SCD-1 upsert,
   *                             SCD-2 history, ordered event funnel,
@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             session_window sessionization proved
   *                             against gaps-and-islands SQL,
   *                             tolerance-bounded as-of join,
-  *                             sliding-window aggregation
+  *                             sliding-window aggregation, correlated
+  *                             scalar subqueries (decorrelation-proved)
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,

@@ -261,7 +261,14 @@ object Similarity {
   // pruned-partition scan; the assignment doubles as the physical
   // partitioning key for the vector table.
   // ---------------------------------------------------------------------
-  private def v04(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF ranked centroid assignment shared by v04/v09/v10: every
+    * vector crossed with the broadcast codebook (centroids = vec_id <
+    * 8, the deterministic k-means stand-in), cosine per pair, ranked
+    * per vector (ties to the smaller cent_id). Rows with arn = 1 are
+    * the cluster assignment; arn <= n is the probe/margin ranking.
+    * Callers persist the result when they consume it more than once
+    * (it IS the index — the v04 pattern). */
+  private def rankedAssignment(s: SparkSession, dir: String, maxArn: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val cent = e.where(col("vec_id") < 8)
@@ -269,6 +276,16 @@ object Similarity {
         col("nrm").as("cent_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cent_cos",
+        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") <= maxArn)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        col("cent_cos"), col("arn"))
+  }
+
+  private def v04(s: SparkSession, dir: String): DataFrame = {
     // The assignment is referenced twice below (query side + candidate
     // side) and Spark duplicates non-identical subtrees, which would run
     // the O(n·k) assign twice. persist() materializes it once — exactly
@@ -276,11 +293,7 @@ object Similarity {
     // cluster assignment (spill-safe: MEMORY_AND_DISK). Lifecycle: the
     // terminal action happens in the caller (Verify/Bench), which frees
     // this entry via spark.catalog.clearCache() after each query.
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("cent_cos",
-        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
+    val assigned = rankedAssignment(s, dir, maxArn = 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.where(col("vec_id").between(100, 104))
@@ -604,20 +617,9 @@ object Similarity {
   val NProbe = 2
 
   private def v09(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cent = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
     // Same persisted-assignment rationale as v04 (it is the index);
     // kept through arn <= NProbe so the probe list rides along free.
-    val ranked = e.crossJoin(broadcast(cent))
-      .withColumn("cent_cos",
-        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") <= NProbe)
+    val ranked = rankedAssignment(s, dir, maxArn = NProbe)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         col("arn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -686,20 +688,8 @@ object Similarity {
   // aggregate the float margins — order-insensitive and exactly
   // reproducible cross-engine, unlike a float sum/avg.
   // ---------------------------------------------------------------------
-  private def v10(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cent = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    val ranked = e.crossJoin(broadcast(cent))
-      .withColumn("cent_cos",
-        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") <= 2)
-    ranked
+  private def v10(s: SparkSession, dir: String): DataFrame =
+    rankedAssignment(s, dir, maxArn = 2)
       .groupBy(col("vec_id"))
       .agg(
         max(when(col("arn") === 1, col("cent_id"))).as("cluster_id"),
@@ -711,7 +701,6 @@ object Similarity {
         round(min(col("margin")), 6).as("min_margin_r"),
         round(max(col("margin")), 6).as("max_margin_r"))
       .orderBy(col("cluster_id"))
-  }
   private val v10Sql =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),

@@ -759,8 +759,12 @@ object TextOps {
   private def d15(s: SparkSession, dir: String): DataFrame =
     packedChunks(s, dir)
       .orderBy(col("shard"), col("doc_id"), col("chunk_idx"))
-  private val d15Sql =
-    s"""WITH base AS (
+  /** The chunk-geometry + offset-binning packing CTEs shared by d15's
+    * and d24's oracles (the SQL mirror of [[packedChunks]]) — one
+    * definition of "a packed sequence", so the two oracles cannot
+    * silently diverge. */
+  private val packedCtesSql: String =
+    s"""base AS (
        |  SELECT doc_id, ${tokensSql} AS toks,
        |    CAST(len(${tokensSql}) AS BIGINT) AS nt
        |  FROM documents),
@@ -786,12 +790,16 @@ object TextOps {
        |    CAST(SUM(chunk_n_tokens) OVER (PARTITION BY shard
        |      ORDER BY doc_id, chunk_idx
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-       |  FROM chunks)
+       |  FROM chunks)""".stripMargin
+
+  private val d15Sql =
+    s"""WITH $packedCtesSql
        |SELECT shard,
        |  CAST((cum_tokens - chunk_n_tokens) // $SeqBudget AS BIGINT) AS seq_in_shard,
        |  doc_id, chunk_idx, chunk_n_tokens, cum_tokens
        |FROM packed
        |ORDER BY shard, doc_id, chunk_idx""".stripMargin
+
 
   // ---------------------------------------------------------------------
   // d16 — corpus vocabulary heavy hitters: the exact top-50 tokens by
@@ -1230,33 +1238,7 @@ object TextOps {
         expr(s"total_tokens * 1000000 div (n_seqs * $SeqBudget)"))
       .orderBy(col("shard"))
   private val d24Sql =
-    s"""WITH base AS (
-       |  SELECT doc_id, ${tokensSql} AS toks,
-       |    CAST(len(${tokensSql}) AS BIGINT) AS nt
-       |  FROM documents),
-       |n AS (
-       |  SELECT doc_id, toks, nt,
-       |    CASE WHEN nt <= $ChunkSize THEN 1
-       |         ELSE 1 + (nt - $ChunkSize + $ChunkStride - 1) // $ChunkStride
-       |    END AS n_chunks
-       |  FROM base),
-       |idx AS (
-       |  SELECT doc_id, toks,
-       |    CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
-       |  FROM n),
-       |chunks AS (
-       |  SELECT doc_id, chunk_idx,
-       |    CAST(len(list_slice(toks,
-       |      CAST(chunk_idx * $ChunkStride + 1 AS BIGINT),
-       |      CAST(chunk_idx * $ChunkStride + $ChunkSize AS BIGINT))) AS BIGINT) AS chunk_n_tokens,
-       |    CAST(concat('0x', substr(md5(concat('pack:', doc_id)), 1, 15)) AS BIGINT) % $PackShards AS shard
-       |  FROM idx),
-       |packed AS (
-       |  SELECT shard, doc_id, chunk_idx, chunk_n_tokens,
-       |    CAST(SUM(chunk_n_tokens) OVER (PARTITION BY shard
-       |      ORDER BY doc_id, chunk_idx
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-       |  FROM chunks),
+    s"""WITH $packedCtesSql,
        |seqs AS (
        |  SELECT shard,
        |    CAST((cum_tokens - chunk_n_tokens) // $SeqBudget AS BIGINT) AS seq_in_shard,

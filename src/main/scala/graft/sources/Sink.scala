@@ -101,17 +101,27 @@ object Sink {
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      def exists(t: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
-        try rs.next() finally rs.close()
-      }
-      // leftover _old from a previous crash-after-commit: clear it first
-      if (exists(displaced)) st.executeUpdate(s"DROP TABLE $displaced")
-      if (exists(table)) st.executeUpdate(s"RENAME TABLE $table TO $displaced")
-      st.executeUpdate(s"RENAME TABLE $stg TO $table")
-      conn.commit() // <- the atomic instant: both renames or neither
-      if (exists(displaced)) st.executeUpdate(s"DROP TABLE $displaced")
-      conn.commit()
+      try {
+        def exists(t: String): Boolean = {
+          val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
+          try rs.next() finally rs.close()
+        }
+        // leftover _old from a previous crash-after-commit: clear it first
+        if (exists(displaced)) st.executeUpdate(s"DROP TABLE $displaced")
+        if (exists(table)) st.executeUpdate(s"RENAME TABLE $table TO $displaced")
+        st.executeUpdate(s"RENAME TABLE $stg TO $table")
+        conn.commit() // <- the atomic instant: both renames or neither
+        if (exists(displaced)) st.executeUpdate(s"DROP TABLE $displaced")
+        conn.commit()
+      } catch {
+        // A failed swap (e.g. lock timeout from a concurrent reader)
+        // must roll back before close: embedded Derby refuses to close
+        // a connection with an open transaction, which would mask the
+        // real failure and leak the connection (and its table locks).
+        case e: Throwable =>
+          try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+          throw e
+      } finally st.close()
     } finally conn.close()
   }
 

@@ -154,7 +154,9 @@ object EventStreams {
     * min() — StreamingSpec asserts the parity on the full feed).
     *
     * Scale/state: O(users) state, two fields per user, regardless of
-    * stream length — the same reason q34 refuses per-user event lists.
+    * stream length — under EventTimeTimeout a user idle past `ttlMs`
+    * is EVICTED once the watermark passes (an abandoned funnel should
+    * not hold state forever; the timeout branch just drops the key).
     * Streaming caveat (same as [[sessionizeStateful]]): per micro-batch
     * the group's events sort locally, but an event arriving AFTER a
     * later-timestamped event already advanced the stage cannot
@@ -162,14 +164,17 @@ object EventStreams {
     * across batches, the usual kafka-key = user_id deployment. */
   def funnelStateful(
       events: Dataset[Event], stages: Seq[String],
-      timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[StageAdvance] = {
+      timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, StageAdvance](
         OutputMode.Append, timeoutConf) {
         (uid: Long, it: Iterator[Event], state: GroupState[FunnelProgress]) =>
-          if (state.hasTimedOut) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
             val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
             val out = Seq.newBuilder[StageAdvance]
@@ -181,7 +186,11 @@ object EventStreams {
                 out += StageAdvance(uid, st.stage, e.event_type, e.ts)
               }
             }
-            if (st.stage > 0) state.update(st)
+            if (st.stage > 0) {
+              state.update(st)
+              if (timeoutConf == GroupStateTimeout.EventTimeTimeout)
+                state.setTimeoutTimestamp(st.tsMs + ttlMs)
+            }
             out.result().iterator
           }
       }

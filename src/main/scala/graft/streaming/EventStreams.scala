@@ -188,8 +188,13 @@ object EventStreams {
             }
             if (st.stage > 0) {
               state.update(st)
+              // flatMapGroupsWithState does NOT drop late rows, so an
+              // event older than watermark-ttl would yield a timeout at
+              // or below the current watermark and Spark throws — clamp
+              // to strictly above the watermark.
               if (timeoutConf == GroupStateTimeout.EventTimeTimeout)
-                state.setTimeoutTimestamp(st.tsMs + ttlMs)
+                state.setTimeoutTimestamp(
+                  math.max(st.tsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
@@ -248,8 +253,11 @@ object EventStreams {
             }
             open.foreach { s =>
               state.update(s)
+              // Same late-row clamp as funnelStateful: a timeout at or
+              // below the current watermark is an error in Spark.
               if (timeoutConf == GroupStateTimeout.EventTimeTimeout)
-                state.setTimeoutTimestamp(s.last + gapMs)
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }

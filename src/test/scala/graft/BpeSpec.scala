@@ -16,6 +16,15 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.applyMerge(Seq.empty, "a", "b") == Seq.empty)
   }
 
+  test("codepointSyms keeps surrogate pairs whole") {
+    // "a😀b" is 4 UTF-16 chars (😀 is a surrogate pair) but 3 codepoints;
+    // char-based splitting would produce invalid lone surrogates.
+    assert(Bpe.codepointSyms("a😀b") ==
+      Seq("a", "😀", "b"))
+    assert(Bpe.codepointSyms("") == Seq.empty)
+    assert(Bpe.codepointSyms("ascii") == "ascii".map(_.toString))
+  }
+
   test("train reproduces the classic low/lower/newest/widest merges") {
     import spark.implicits._
     // Sennrich et al.'s worked example, minus the end-of-word marker:

@@ -314,6 +314,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelStateful EventTimeTimeout: stale-state re-arm does not crash, timed-out state is removed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ev(id: Long, uid: Long, typ: String, t: String) =
+      EventStreams.Event(id, java.sql.Timestamp.valueOf(t), uid, typ, 1.0)
+
+    // Disable no-data micro-batches so a stale state is not timed out
+    // between data batches — forcing the hazard batch below to find it
+    // still alive, the worst case the clamp exists for.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[EventStreams.Event]
+    val stages = Seq("view", "click", "purchase")
+    val funnel = EventStreams.funnelStateful(
+      input.toDS().withWatermark("ts", "0 seconds"),
+      stages, GroupStateTimeout.EventTimeTimeout, ttlMs = 60L * 1000)
+    val q = funnel.writeStream.format("memory")
+      .queryName("funnel_ett").outputMode("append").start()
+    try {
+      // batch 1: user 3 → stage 1 at 10:00, timeout armed at 10:01.
+      input.addData(ev(1, 3, "view", "2026-01-01 10:00:00"))
+      q.processAllAvailable()
+      // batch 2: unrelated user advances the watermark to 12:00 —
+      // past user 3's 10:01 timeout, but user 3 had no data this batch
+      // and no-data batches are off, so its stale state survives.
+      input.addData(ev(2, 9, "view", "2026-01-01 12:00:00"))
+      q.processAllAvailable()
+      // batch 3 — the hazard: user 3 gets a NON-advancing event
+      // (stage 2 wants "click"), so st is unchanged and the timeout
+      // re-arms from st.tsMs = 10:00. Unclamped, 10:01 is at/below the
+      // 12:00 watermark and Spark kills the query here; the clamp moves
+      // it to watermark + 1 ms.
+      input.addData(ev(3, 3, "view", "2026-01-01 12:00:30"))
+      q.processAllAvailable()
+      // batch 4: watermark → 12:00:30, past the clamped re-armed
+      // timeout; user 3 has no data this batch → state times out and is
+      // removed (timeout branch emits nothing).
+      input.addData(ev(4, 9, "view", "2026-01-01 13:30:00"))
+      q.processAllAvailable()
+      // batch 5: user 3 re-enters from scratch — a second stage-1
+      // advance is only possible if the timed-out state was removed.
+      input.addData(ev(5, 3, "view", "2026-01-01 13:45:00"))
+      q.processAllAvailable()
+
+      val adv = spark.table("funnel_ett").as[EventStreams.StageAdvance]
+        .collect()
+      assert(q.exception.isEmpty)
+      assert(adv.count(a => a.user_id == 3L && a.stage == 1) == 2)
+      assert(adv.count(_.user_id == 9L) == 1)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
   test("q36 graded sessions equal EventStreams.sessionWindows exactly") {
     val events = Tables.load(spark, SharedSpark.sf0001, "events")
     val q36 = SparkEntry.queries("q36_sessions")(spark, SharedSpark.sf0001)

@@ -565,7 +565,7 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("n08 equals the all-pairs Hamming brute force (banding is exact)") {
+  test("n08 equals the all-pairs Hamming brute force (banding exact below the bucket cap)") {
     val fps = run("n03_simhash").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
     val expected = (for {

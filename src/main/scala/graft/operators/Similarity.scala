@@ -253,36 +253,149 @@ object Similarity {
 
   // ---------------------------------------------------------------------
   // v04 — IVF-style ANN: the scale path for similarity search. A coarse
-  // codebook (centroids = vec_id < 8, a deterministic stand-in for
-  // k-means) partitions the corpus by nearest centroid — O(n·k)
-  // broadcast work, one shuffle on cluster id — then each query probes
-  // ONLY its own cluster (~n/k candidates instead of n). At 100 TB this
-  // is the difference between a full-corpus scan per query and a
-  // pruned-partition scan; the assignment doubles as the physical
-  // partitioning key for the vector table.
+  // codebook (k = 8 centroids TRAINED with deterministic Lloyd
+  // iterations, seeded from vec_id < 8) partitions the corpus by
+  // nearest centroid — O(n·k) broadcast work, one shuffle on cluster
+  // id — then each query probes ONLY its own cluster (~n/k candidates
+  // instead of n). At 100 TB this is the difference between a
+  // full-corpus scan per query and a pruned-partition scan; the
+  // assignment doubles as the physical partitioning key for the table.
+  //
+  // Cross-engine-deterministic k-means: float means are never
+  // bit-reproducible across engines (sum order is unspecified), so
+  // training runs in INTEGER space. Each embedding quantizes once to
+  // q_d = floor(x_d·1024 + 0.5) — exact small integers carried as
+  // DOUBLEs (the v06 trick: ·1024 is a power of two, so the only
+  // rounding is the floor itself, identical in both engines). A Lloyd
+  // update is then an elementwise SUM of member vectors — integer
+  // addition, exact and order-independent — and because cosine is
+  // scale-invariant the un-divided sum IS the new centroid direction:
+  // no mean, no division, no float-accumulation hazard. Assignment
+  // ranks cos(q, c) through the shared l2r fold (ties to the smaller
+  // cent_id), so every arithmetic op is identical in Spark and DuckDB.
+  // Magnitude audit: |q_d| ≤ 1024, so per-dim sums stay ≪ 2^53 exact
+  // up to ~2^42 members per cluster; a 100 TB deployment re-scales the
+  // quantization (or splits the sum hierarchically) long before that.
   // ---------------------------------------------------------------------
+  /** IVF codebook size / Lloyd iterations / quantization scale. */
+  private val IvfK = 8
+  private val IvfIters = 2
+  private val QuantScale = 1024.0
+
+  /** floor(x·1024 + 0.5) per element — exact integers as DOUBLEs. */
+  private def quant(c: Column): Column =
+    transform(c, x =>
+      floor(x.cast(DoubleType) * lit(QuantScale) + lit(0.5)).cast(DoubleType))
+
+  /** `IvfIters` deterministic Lloyd iterations over the quantized
+    * corpus; returns (cent_id, c) where c is the (un-normalized)
+    * integer centroid direction. An empty cluster keeps its previous
+    * centroid. Scale shape per iteration: one broadcast cross with k
+    * centroids + one shuffle keyed (cent_id, pos) with map-side partial
+    * sums — the textbook distributed Lloyd step. */
+  private def trainCentroids(s: SparkSession, dir: String): DataFrame = {
+    val qe = t(s, dir, "embeddings")
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+    var cent = qe.where(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("q").as("c"))
+    for (_ <- 0 until IvfIters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assign = qe.crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          dot(col("q"), col("c")) / (norm(col("q")) * norm(col("c"))))
+        .withColumn("arn", row_number().over(w))
+        .where(col("arn") === 1)
+      val sums = assign
+        .select(col("cent_id"), posexplode(col("q")))
+        .groupBy(col("cent_id"), col("pos")).agg(sum(col("col")).as("sx"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+          st => st.getField("sx")).as("cs"))
+      cent = cent.join(sums, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cs"), col("c")).as("c"))
+    }
+    cent
+  }
+
   /** The IVF ranked centroid assignment shared by v04/v09/v10: every
-    * vector crossed with the broadcast codebook (centroids = vec_id <
-    * 8, the deterministic k-means stand-in), cosine per pair, ranked
-    * per vector (ties to the smaller cent_id). Rows with arn = 1 are
-    * the cluster assignment; arn <= n is the probe/margin ranking.
-    * Callers persist the result when they consume it more than once
-    * (it IS the index — the v04 pattern). */
+    * vector crossed with the broadcast TRAINED codebook
+    * ([[trainCentroids]]), quantized cosine per pair, ranked per vector
+    * (ties to the smaller cent_id). Rows with arn = 1 are the cluster
+    * assignment; arn <= n is the probe/margin ranking. Callers persist
+    * the result when they consume it more than once (it IS the index —
+    * the v04 pattern); candidate scoring inside clusters stays on the
+    * original float embeddings. */
   private def rankedAssignment(s: SparkSession, dir: String, maxArn: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cent = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        quant(col("embedding")).as("q"))
+    val cent = trainCentroids(s, dir)
+      .select(col("cent_id"), col("c"), norm(col("c")).as("cent_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     e.crossJoin(broadcast(cent))
       .withColumn("cent_cos",
-        dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+        dot(col("q"), col("c")) / (norm(col("q")) * col("cent_nrm")))
       .withColumn("arn", row_number().over(wAssign))
       .where(col("arn") <= maxArn)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         col("cent_cos"), col("arn"))
+  }
+
+  /** Oracle CTEs mirroring [[trainCentroids]] + the trained ranked
+    * assignment: quantize, seed, then `IvfIters` unrolled
+    * assign→sum→coalesce rounds. Exposes `cent` (cent_id, c, cent_nrm)
+    * and `ranked_assign` (vec_id, embedding, nrm, cent_id, cent_cos,
+    * arn). */
+  private def ivfCtesSql(dims: Int = 64): String = {
+    def assignCte(centCte: String): String =
+      s"""  SELECT vec_id, q, cent_id FROM (
+         |    SELECT qe.vec_id, qe.q, $centCte.cent_id,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${dotS("qe.q", s"$centCte.c")}
+         |                   / (${normS("qe.q")} * ${normS(s"$centCte.c")}) DESC,
+         |                 $centCte.cent_id) AS arn
+         |    FROM qe CROSS JOIN $centCte)
+         |  WHERE arn = 1""".stripMargin
+    def sumCte(assignCte: String): String =
+      s"""  SELECT cent_id, list(sx ORDER BY i) AS cs FROM (
+         |    SELECT cent_id, r.i, SUM(q[CAST(r.i AS BIGINT)]) AS sx
+         |    FROM $assignCte CROSS JOIN range(1, ${dims + 1}) r(i)
+         |    GROUP BY cent_id, r.i)
+         |  GROUP BY cent_id""".stripMargin
+    val rounds = (1 to IvfIters).map { it =>
+      val prev = if (it == 1) "c0" else s"c${it - 1}"
+      s"""a$it AS (
+         |${assignCte(prev)}),
+         |s$it AS (
+         |${sumCte(s"a$it")}),
+         |c$it AS (
+         |  SELECT $prev.cent_id, COALESCE(s$it.cs, $prev.c) AS c
+         |  FROM $prev LEFT JOIN s$it USING (cent_id))""".stripMargin
+    }.mkString(",\n")
+    s"""qe AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      floor(CAST(x AS DOUBLE) * $QuantScale + 0.5)) AS q
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cent_id, q AS c FROM qe WHERE vec_id < $IvfK),
+       |$rounds,
+       |cent AS (
+       |  SELECT cent_id, c, ${normS("c")} AS cent_nrm FROM c$IvfIters),
+       |e AS (
+       |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm, q
+       |  FROM embeddings JOIN qe USING (vec_id)),
+       |ranked_assign AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
+       |    ${dotS("e.q", "cent.c")} / (${normS("e.q")} * cent.cent_nrm)
+       |      AS cent_cos,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotS("e.q", "cent.c")}
+       |                 / (${normS("e.q")} * cent.cent_nrm) DESC,
+       |               cent.cent_id) AS arn
+       |  FROM e CROSS JOIN cent)""".stripMargin
   }
 
   private def v04(s: SparkSession, dir: String): DataFrame = {
@@ -314,19 +427,10 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
   private val v04Sql =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
-       |cent AS (
-       |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
-       |  FROM e WHERE vec_id < 8),
+    s"""WITH ${ivfCtesSql()},
        |assigned AS (
-       |  SELECT vec_id, embedding, nrm, cent_id FROM (
-       |    SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${dotS("e.embedding", "cent_emb")} / (e.nrm * cent_nrm) DESC,
-       |                 cent.cent_id) AS arn
-       |    FROM e CROSS JOIN cent)
-       |  WHERE arn = 1),
+       |  SELECT vec_id, embedding, nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
        |q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
        |    cent_id AS q_cent
@@ -643,17 +747,7 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
   private val v09Sql =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
-       |cent AS (
-       |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
-       |  FROM e WHERE vec_id < 8),
-       |ranked_assign AS (
-       |  SELECT e.vec_id, e.embedding, e.nrm, cent.cent_id,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${dotS("e.embedding", "cent_emb")} / (e.nrm * cent_nrm) DESC,
-       |               cent.cent_id) AS arn
-       |  FROM e CROSS JOIN cent),
+    s"""WITH ${ivfCtesSql()},
        |corpus AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm, cent_id
        |  FROM ranked_assign WHERE arn = 1),
@@ -702,18 +796,9 @@ object Similarity {
         round(max(col("margin")), 6).as("max_margin_r"))
       .orderBy(col("cluster_id"))
   private val v10Sql =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
-       |cent AS (
-       |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
-       |  FROM e WHERE vec_id < 8),
+    s"""WITH ${ivfCtesSql()},
        |ranked AS (
-       |  SELECT e.vec_id, cent.cent_id,
-       |    ${dotS("e.embedding", "cent_emb")} / (e.nrm * cent_nrm) AS cent_cos,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${dotS("e.embedding", "cent_emb")} / (e.nrm * cent_nrm) DESC,
-       |               cent.cent_id) AS arn
-       |  FROM e CROSS JOIN cent),
+       |  SELECT vec_id, cent_id, cent_cos, arn FROM ranked_assign),
        |margins AS (
        |  SELECT vec_id,
        |    max(CASE WHEN arn = 1 THEN cent_id END) AS cluster_id,
@@ -729,8 +814,9 @@ object Similarity {
   // ---------------------------------------------------------------------
   // v11 — product-quantization ANN (the third leg of the ANN triad with
   // IVF and LSH): each 64-dim vector encodes as 4 one-byte codes — the
-  // nearest of 8 codebook centroids per 16-dim subspace (codebook =
-  // vec_id < 8's subvectors, the deterministic k-means stand-in) — and
+  // nearest of 8 codebook centroids per 16-dim subspace (codebook
+  // TRAINED per subspace by [[trainPqCodebook]]'s deterministic integer
+  // Lloyd iterations, seeded from vec_id < 8's subvectors) — and
   // queries score candidates by ADC: distance(query, candidate) ≈
   // Σ_m lut[m][code_m], where the lookup table is the query's exact
   // distance to every centroid. At 100 TB this is the memory story —
@@ -758,14 +844,126 @@ object Similarity {
           * (x.cast(DoubleType) - y.cast(DoubleType))),
       lit(0.0), (acc, x) => acc + x)
 
+  /** ||n·x − s||² / n² — squared L2 between x and the rational centroid
+    * s/n without ever materializing the mean: the numerator is exact
+    * integer arithmetic (x, s integer-valued, magnitudes ≪ 2^53), the
+    * single division is the only rounding op and is identical in both
+    * engines. This is how L2 Lloyd stays bit-reproducible: the update
+    * keeps the exact pair (sum, count) instead of a float mean. */
+  private def scaledSqDist(n: Column, x: Column, s: Column): Column =
+    aggregate(
+      zip_with(x, s, (xi, si) =>
+        (n.cast(DoubleType) * xi - si) * (n.cast(DoubleType) * xi - si)),
+      lit(0.0), (acc, v) => acc + v) / (n * n).cast(DoubleType)
+
+  private def scaledSqDistS(n: String, x: String, s: String): String =
+    s"list_sum(list_transform(range(1, len($x) + 1), i -> " +
+      s"(CAST($n AS DOUBLE) * CAST($x[i] AS DOUBLE) - CAST($s[i] AS DOUBLE)) * " +
+      s"(CAST($n AS DOUBLE) * CAST($x[i] AS DOUBLE) - CAST($s[i] AS DOUBLE)))) " +
+      s"/ CAST($n * $n AS DOUBLE)"
+
+  /** Per-subspace PQ codebook after `IvfIters` deterministic Lloyd
+    * iterations (seeded from vec_id < PqK's quantized subvectors).
+    * Returns (m, cent_id, csub) where csub = s/n is the true mean
+    * centroid (elementwise double division — one op, cross-engine
+    * identical). Unlike the cosine IVF, L2 k-means is NOT
+    * scale-invariant, so the state is the exact integer pair
+    * (sum vector, count) and assignment uses [[scaledSqDist]]. */
+  private def trainPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val qsubs = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        quant(expr(s"slice(embedding, m * $PqDim + 1, $PqDim)")).as("qsub"))
+    var cb = qsubs.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cent_id"), col("qsub").as("cs"),
+        lit(1L).as("n"))
+    for (_ <- 0 until IvfIters) {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d"), col("cent_id"))
+      val assign = qsubs.join(broadcast(cb), Seq("m"))
+        .withColumn("d", scaledSqDist(col("n"), col("qsub"), col("cs")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      val sums = assign
+        .select(col("m"), col("cent_id"), posexplode(col("qsub")))
+        .groupBy(col("m"), col("cent_id"), col("pos"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("nn"))
+        .groupBy(col("m"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+          st => st.getField("sx")).as("cs2"),
+          min(col("nn")).as("n2"))
+      cb = cb.join(sums, Seq("m", "cent_id"), "left")
+        .select(col("m"), col("cent_id"),
+          coalesce(col("cs2"), col("cs")).as("cs"),
+          coalesce(col("n2"), col("n")).as("n"))
+    }
+    // De-quantize back to embedding units: csub = s / (n·1024). The
+    // denominator is an exact integer, so this is one double division
+    // per component — identical cross-engine. (Leaving the codebook in
+    // quantized units collapses the encode: ||csub||² ≈ 512² dwarfs the
+    // float subvectors and every code degenerates to the smallest-norm
+    // centroid — caught by simulation, worth the comment.)
+    cb.select(col("m"), col("cent_id"),
+      transform(col("cs"), x =>
+        x / (col("n").cast(DoubleType) * lit(QuantScale))).as("csub"))
+  }
+
+  /** Oracle CTEs mirroring [[trainPqCodebook]]; exposes `cbt`
+    * (m, cent_id, csub). */
+  private def pqTrainCtesSql: String = {
+    def assignCte(cbCte: String): String =
+      s"""  SELECT vec_id, m, cent_id, qsub FROM (
+         |    SELECT q.vec_id, q.m, c.cent_id, q.qsub,
+         |      row_number() OVER (PARTITION BY q.vec_id, q.m
+         |        ORDER BY ${scaledSqDistS("c.n", "q.qsub", "c.cs")}, c.cent_id)
+         |        AS rn
+         |    FROM qsubs q JOIN $cbCte c ON q.m = c.m)
+         |  WHERE rn = 1""".stripMargin
+    def sumCte(aCte: String): String =
+      s"""  SELECT m, cent_id, list(sx ORDER BY i) AS cs2,
+         |    min(nn) AS n2 FROM (
+         |    SELECT m, cent_id, r.i, SUM(qsub[CAST(r.i AS BIGINT)]) AS sx,
+         |      CAST(COUNT(*) AS BIGINT) AS nn
+         |    FROM $aCte CROSS JOIN range(1, ${PqDim + 1}) r(i)
+         |    GROUP BY m, cent_id, r.i)
+         |  GROUP BY m, cent_id""".stripMargin
+    val rounds = (1 to IvfIters).map { it =>
+      val prev = if (it == 1) "pc0" else s"pc${it - 1}"
+      s"""pa$it AS (
+         |${assignCte(prev)}),
+         |ps$it AS (
+         |${sumCte(s"pa$it")}),
+         |pc$it AS (
+         |  SELECT $prev.m, $prev.cent_id,
+         |    COALESCE(ps$it.cs2, $prev.cs) AS cs,
+         |    COALESCE(ps$it.n2, $prev.n) AS n
+         |  FROM $prev LEFT JOIN ps$it USING (m, cent_id))""".stripMargin
+    }.mkString(",\n")
+    s"""qsubs AS (
+       |  SELECT vec_id, CAST(r.m AS INT) AS m,
+       |    list_transform(
+       |      list_slice(embedding, CAST(r.m * $PqDim + 1 AS BIGINT),
+       |        CAST((r.m + 1) * $PqDim AS BIGINT)),
+       |      x -> floor(CAST(x AS DOUBLE) * $QuantScale + 0.5)) AS qsub
+       |  FROM embeddings, range(0, $PqM) r(m)),
+       |pc0 AS (
+       |  SELECT m, vec_id AS cent_id, qsub AS cs, CAST(1 AS BIGINT) AS n
+       |  FROM qsubs WHERE vec_id < $PqK),
+       |$rounds,
+       |cbt AS (
+       |  SELECT m, cent_id,
+       |    list_transform(cs, x -> x / (CAST(n AS DOUBLE) * $QuantScale)) AS csub
+       |  FROM pc$IvfIters)""".stripMargin
+  }
+
   private def v11(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val subs = e.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
       .select(col("vec_id"), col("m"),
         expr(s"slice(embedding, m * $PqDim + 1, $PqDim)").as("sub"))
-    val cb = subs.where(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("csub"))
+    val cb = trainPqCodebook(s, dir)
     val wCode = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("cent_id"))
     val dists = subs.join(broadcast(cb), Seq("m"))
@@ -819,9 +1017,9 @@ object Similarity {
        |    list_slice(embedding, CAST(r.m * $PqDim + 1 AS BIGINT),
        |      CAST((r.m + 1) * $PqDim AS BIGINT)) AS sub
        |  FROM embeddings, range(0, $PqM) r(m)),
+       |$pqTrainCtesSql,
        |cb AS (
-       |  SELECT m, vec_id AS cent_id, sub AS csub FROM subs
-       |  WHERE vec_id < $PqK),
+       |  SELECT m, cent_id, csub FROM cbt),
        |dists AS (
        |  SELECT s.vec_id, s.m, cb.cent_id, $dSubCsub AS d,
        |    row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -907,6 +1105,78 @@ object Similarity {
        |GROUP BY e.q_id
        |ORDER BY e.q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v13 — IVF recall audit: recall@5 of the trained multi-probe IVF
+  // search (the v09 plan) against exact full-corpus cosine, per query —
+  // closing the audit triangle (v08 audits int8, v12 audits PQ, this
+  // audits the coarse index). This is the number centroid training
+  // exists to move: probing NProbe of k clusters scans ~NProbe/k of the
+  // corpus, and recall measures how much of the true top-5 that sliver
+  // captures. Same scale shape as v08/v12: both searches over the small
+  // query sample, then a narrow (q_id, c_id) intersection, integer-ppm
+  // recall.
+  // ---------------------------------------------------------------------
+  private def v13(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val approx = v09(s, dir).select(col("q_id"), col("c_id"))
+    val overlap = exact.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div n_exact"))
+      .orderBy(col("q_id"))
+  }
+  private val v13Sql =
+    s"""WITH ${ivfCtesSql()},
+       |corpus AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+       |    cent_id AS probe_cent
+       |  FROM ranked_assign
+       |  WHERE arn <= $NProbe AND vec_id BETWEEN 100 AND 104),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        ${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) DESC, c_id) AS rk
+       |    FROM probes JOIN corpus
+       |      ON probe_cent = cent_id AND q_id <> c_id)
+       |  WHERE rk <= 5),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotS("q.embedding", "c.embedding")}
+       |          / (${normS("q.embedding")} * ${normS("c.embedding")}) DESC,
+       |        c.vec_id) AS rk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id BETWEEN 100 AND 104)
+       |  WHERE rk <= 5),
+       |ov AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM exact JOIN approx USING (q_id, c_id) GROUP BY 1)
+       |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(min(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(min(ov.n_overlap), 0) * 1000000 // count(*) AS BIGINT)
+       |    AS recall_ppm
+       |FROM exact e LEFT JOIN ov ON e.q_id = ov.q_id
+       |GROUP BY e.q_id
+       |ORDER BY e.q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -919,5 +1189,6 @@ object Similarity {
     QueryDef("v09_multiprobe_ivf", v09, Some(v09Sql)),
     QueryDef("v10_index_balance", v10, Some(v10Sql)),
     QueryDef("v11_pq_ann", v11, Some(v11Sql)),
-    QueryDef("v12_pq_recall", v12, Some(v12Sql)))
+    QueryDef("v12_pq_recall", v12, Some(v12Sql)),
+    QueryDef("v13_ivf_recall", v13, Some(v13Sql)))
 }

@@ -150,19 +150,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side mirror of Similarity's deterministic integer k-means:
+    * quantize to floor(x·1024 + 0.5), assign by cosine (ties to smaller
+    * cent_id), update = elementwise integer sum (cosine is
+    * scale-invariant, so the un-divided sum is the centroid). */
+  private def quantize(v: Array[Float]): Array[Double] =
+    v.map(x => math.floor(x.toDouble * 1024.0 + 0.5))
+
+  private def cosD(a: Array[Double], b: Array[Double]): Double = {
+    var (s, na, nb, i) = (0.0, 0.0, 0.0, 0)
+    while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    s / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def trainIvfDriver(
+      emb: Array[(Long, Array[Double])], k: Int, iters: Int): Array[(Long, Array[Double])] = {
+    var cents = emb.filter(_._1 < k).sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val assigned = emb.map { case (_, q) =>
+        (cents.map { case (cid, c) => (cid, cosD(q, c)) }
+          .sortBy { case (cid, c) => (-c, cid) }.head._1, q)
+      }
+      cents = cents.map { case (cid, old) =>
+        val mem = assigned.filter(_._1 == cid).map(_._2)
+        (cid, if (mem.isEmpty) old
+              else mem.transpose.map(_.sum).toArray)
+      }
+    }
+    cents
+  }
+
   test("v10 balance audit: counts partition the table, margins match brute force") {
     val rows = run("v10_index_balance").collect()
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")
       .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-    val cents = emb.filter(_._1 < 8).sortBy(_._1)
-    def cos(a: Array[Double], b: Array[Double]) = {
-      var (s, na, nb, i) = (0.0, 0.0, 0.0, 0)
-      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      s / math.sqrt(na * nb)
-    }
+      .map(r => r.getLong(0) -> quantize(r.getSeq[Float](1).toArray))
+    val cents = trainIvfDriver(emb, 8, 2)
     val assigned = emb.map { case (id, v) =>
-      val scored = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+      val scored = cents.map { case (cid, cv) => (cid, cosD(v, cv)) }
         .sortBy { case (cid, c) => (-c, cid) }
       (id, scored(0)._1, scored(0)._2 - scored(1)._2)
     }
@@ -183,23 +208,44 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val (m, dim, k) = (4, 16, 8)
-    def sub(v: Array[Float], mi: Int): Array[Float] =
-      v.slice(mi * dim, (mi + 1) * dim)
-    def sq(a: Array[Float], b: Array[Float]): Double = {
+    def sub(v: Array[Float], mi: Int): Array[Double] =
+      v.slice(mi * dim, (mi + 1) * dim).map(_.toDouble)
+    def sqD(a: Array[Double], b: Array[Double]): Double = {
       var (s, i) = (0.0, 0)
-      while (i < a.length) {
-        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
-      }
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val cents = emb.filter(_._1 < k).sortBy(_._1)
+    // driver-side mirror of trainPqCodebook: L2 Lloyd in integer space
+    // against the rational centroid s/n, de-quantized codebook s/(n·1024)
+    def trainSub(mi: Int): Array[(Long, Array[Double])] = {
+      val subsQ = emb.map { case (id, v) =>
+        id -> sub(v, mi).map(x => math.floor(x * 1024.0 + 0.5))
+      }
+      var state = subsQ.filter(_._1 < k).sortBy(_._1)
+        .map { case (cid, s0) => (cid, s0, 1L) }
+      for (_ <- 0 until 2) {
+        val assigned = subsQ.map { case (_, x) =>
+          (state.map { case (cid, s0, n) =>
+            val scaled = x.indices.map(i => { val d = n * x(i) - s0(i); d * d }).sum
+            (scaled / (n.toDouble * n), cid)
+          }.minBy(identity)._2, x)
+        }
+        state = state.map { case (cid, s0, n) =>
+          val mem = assigned.filter(_._1 == cid).map(_._2)
+          if (mem.isEmpty) (cid, s0, n)
+          else (cid, mem.transpose.map(_.sum).toArray, mem.length.toLong)
+        }
+      }
+      state.map { case (cid, s0, n) => (cid, s0.map(_ / (n * 1024.0))) }
+    }
+    val cbs = (0 until m).map(trainSub)
     def codeOf(v: Array[Float], mi: Int): Long =
-      cents.map { case (cid, cv) => (sq(sub(v, mi), sub(cv, mi)), cid) }
+      cbs(mi).map { case (cid, cv) => (sqD(sub(v, mi), cv), cid) }
         .minBy(identity)._2
     val queries = emb.filter(e => e._1 >= 100 && e._1 <= 104)
     val expected = queries.flatMap { case (qid, qv) =>
       val lut = (0 until m).map(mi =>
-        cents.map { case (cid, cv) => cid -> sq(sub(qv, mi), sub(cv, mi)) }.toMap)
+        cbs(mi).map { case (cid, cv) => cid -> sqD(sub(qv, mi), cv) }.toMap)
       emb.filter(_._1 != qid).map { case (cid, cv) =>
         val adist = (0 until m).map(mi => lut(mi)(codeOf(cv, mi))).sum
         (qid, cid, adist)
@@ -213,6 +259,28 @@ class SimilaritySpec extends AnyFunSuite {
       val want = expected.get(key)
       assert(want.isDefined, s"unexpected row $key")
       assert(math.abs(r.getAs[Double]("adist_r") - want.get) < 1e-6)
+    }
+  }
+
+  test("v13 IVF recall audit: driver-side overlap of v09 vs exact cosine") {
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val exact = emb.filter(e => e._1 >= 100 && e._1 <= 104).map { case (q, qv) =>
+      q -> emb.filter(_._1 != q).map { case (c, cv) => (-cosD(qv, cv), c) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    val approx = run("v09_multiprobe_ivf").collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val got = run("v13_ivf_recall").collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val overlap = (exact(q) & approx(q)).size.toLong
+      assert(r.getAs[Long]("n_exact") == 5L)
+      assert(r.getAs[Long]("n_overlap") == overlap)
+      assert(r.getAs[Long]("recall_ppm") == overlap * 1000000L / 5L)
     }
   }
 

@@ -32,26 +32,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             drift (histogram total variation),
   *                             n-gram novelty scoring, packing
   *                             utilization report
-  *  - [[operators.Bpe]]        d20: distributed BPE tokenizer training
-  *                             (corpus→vocab funnel + iterative merges)
+  *  - [[operators.Bpe]]        d20, d25: distributed BPE tokenizer
+  *                             training — corpus→vocab funnel +
+  *                             iterative merges, with the merge loop
+  *                             oracle-replayed to depth 10
   *  - [[operators.DataCoSynthetic]] b01-b04: the reference's dashboard
   *                             measures over the full DataCo warehouse
   *                             build, hash-checked against direct SQL
-  *  - [[operators.Dedup]]      n01-n08: MinHash/LSH, SimHash, n-gram
+  *  - [[operators.Dedup]]      n01-n09: MinHash/LSH, SimHash, n-gram
   *                             Jaccard, near-dup connected components,
   *                             incremental batch-vs-corpus LSH probing,
   *                             MinHash estimate-vs-exact audit, SimHash
-  *                             Hamming pairs via pigeonhole banding
+  *                             Hamming pairs via pigeonhole banding,
+  *                             persisted-index serving (co-bucketed
+  *                             band index + zero-Exchange probe join)
   *  - [[operators.Retrieval]]  r01-r04: tf·idf keyword search (integer
   *                             idf), positional phrase search, BM25
   *                             ranking, min-gap proximity ranking
-  *  - [[operators.Similarity]] v01-v12: cosine top-k, near-dup, LSH-ANN,
+  *  - [[operators.Similarity]] v01-v13: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
   *                             top-k, hybrid semantic+lexical rescore,
   *                             quantized-vs-exact recall audit,
   *                             multi-probe IVF, index balance +
   *                             boundary-margin audit, product-
-  *                             quantization ANN + its recall audit
+  *                             quantization ANN + its recall audit,
+  *                             trained-IVF recall audit (centroids and
+  *                             codebooks via deterministic integer
+  *                             k-means, mirrored in the oracle CTEs)
   *  - [[operators.Multimodal]] m01-m05: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV

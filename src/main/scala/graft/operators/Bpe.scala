@@ -151,6 +151,107 @@ object Bpe {
        |ORDER BY pair_count DESC, sym_a, sym_b
        |LIMIT $TopPairs""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d25 — the iterative merge loop itself, oracle-graded to depth
+  // NMerges: `train` runs 10 real BPE iterations (pair stats → argmax →
+  // greedy merge application, one small vocab-grain job per round, one
+  // row crossing the driver per merge) and the output is the merge
+  // table (rank, pair, frequency at merge time). The DuckDB oracle
+  // REPLAYS the full training: the vocab unrolls to one row per (word,
+  // position, symbol), and each of the 10 unrolled stages recomputes
+  // pair counts, picks the same argmax under the same (count desc,
+  // sym_a, sym_b) total order, and applies the merge with the exact
+  // greedy left-to-right overlap rule — a run of consecutive matching
+  // positions merges at even offsets within the run, which is precisely
+  // what a linear scan that consumes two symbols per merge does. The
+  // hash match therefore proves the ENTIRE training loop — statistics,
+  // tie-breaking, and merge application including overlap handling —
+  // not just iteration-1 statistics (d20).
+  //
+  // Scale: the Spark side is `train` itself — the one corpus-scale
+  // shuffle happens once in wordFreq; each of the 10 iterations is a
+  // vocab-grain job. Headline, so the per-merge job overhead (the cost
+  // a thousands-of-merges production run multiplies) is measured, not
+  // guessed.
+  // ---------------------------------------------------------------------
+
+  /** Oracle-replayed merge depth: enough to force several multi-symbol
+    * merges (merge-of-merged) and at least one overlap-rule application,
+    * small enough that the 10-stage unrolled oracle stays cheap. */
+  val NMerges = 10
+
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = train(Tables.load(s, dir, "documents"), NMerges)
+    val ranked = merges.zipWithIndex.map { case ((a, b, c), i) =>
+      (i + 1L, a, b, c)
+    }
+    s.createDataset(ranked).toDF("merge_rank", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** One unrolled training stage k (1-based) over seq{k-1}:
+    * pair counts → argmax → greedy merge application → seq{k}.
+    * MATERIALIZED: every stage is referenced several times downstream;
+    * inlined CTEs would re-derive the whole prefix per reference. */
+  private def mergeStageSql(k: Int): String = {
+    val prev = s"seq${k - 1}"
+    s"""p$k AS MATERIALIZED (
+       |  SELECT s.sym AS sym_a, t.sym AS sym_b,
+       |         CAST(sum(s.f) AS BIGINT) AS pair_count
+       |  FROM $prev s JOIN $prev t ON t.w = s.w AND t.pos = s.pos + 1
+       |  GROUP BY 1, 2),
+       |top$k AS MATERIALIZED (
+       |  SELECT sym_a, sym_b, pair_count FROM p$k
+       |  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+       |m$k AS MATERIALIZED (
+       |  SELECT s.w, s.pos FROM $prev s JOIN $prev t
+       |    ON t.w = s.w AND t.pos = s.pos + 1
+       |  WHERE s.sym = (SELECT sym_a FROM top$k)
+       |    AND t.sym = (SELECT sym_b FROM top$k)),
+       |keep$k AS MATERIALIZED (
+       |  SELECT w, pos FROM (
+       |    SELECT w, pos, pos - MIN(pos) OVER (PARTITION BY w, grp) AS off
+       |    FROM (SELECT w, pos,
+       |            pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
+       |          FROM m$k))
+       |  WHERE off % 2 = 0),
+       |seq$k AS MATERIALIZED (
+       |  SELECT w, f, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |         CASE WHEN is_start
+       |              THEN (SELECT sym_a || sym_b FROM top$k) ELSE sym END AS sym
+       |  FROM (
+       |    SELECT s.w, s.f, s.pos, s.sym,
+       |           k1.pos IS NOT NULL AS is_start,
+       |           k2.pos IS NOT NULL AS is_consumed
+       |    FROM $prev s
+       |    LEFT JOIN keep$k k1 ON k1.w = s.w AND k1.pos = s.pos
+       |    LEFT JOIN keep$k k2 ON k2.w = s.w AND k2.pos = s.pos - 1)
+       |  WHERE NOT is_consumed)""".stripMargin
+  }
+
+  private val d25Sql = {
+    val stages = (1 to NMerges).map(mergeStageSql).mkString(",\n")
+    val out = (1 to NMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, sym_a, sym_b, " +
+        s"pair_count FROM top$k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH words AS (
+       |  SELECT unnest(${TextOps.tokensSql}) AS w FROM documents),
+       |wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY w),
+       |idx0 AS (
+       |  SELECT w, f, CAST(unnest(range(1, length(w) + 1)) AS BIGINT) AS pos
+       |  FROM wf),
+       |seq0 AS MATERIALIZED (
+       |  SELECT w, f, pos, substring(w, CAST(pos AS INT), 1) AS sym FROM idx0),
+       |$stages
+       |SELECT * FROM (
+       |  $out)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("d20_bpe_pair_counts", d20, Some(d20Sql), headline = true))
+    QueryDef("d20_bpe_pair_counts", d20, Some(d20Sql), headline = true),
+    QueryDef("d25_bpe_merge_table", d25, Some(d25Sql), headline = true))
 }

@@ -43,6 +43,22 @@ object Sink {
       .bucketBy(buckets, key).sortBy(key)
       .mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** [[saveBucketedTable]] with an EXPLICIT external location, for
+    * sessions whose warehouse dir is not under the caller's control
+    * (the graded-query path: the driver owns the SparkSession, so a
+    * managed table would land wherever its cwd happens to be). Same
+    * zero-Exchange read-side contract. */
+  def saveBucketedTableAt(df: DataFrame, table: String, path: String,
+                          key: String, buckets: Int): Unit = {
+    // Overwrite on an external table re-resolves against the OLD
+    // location if the name already exists; drop first so the (name,
+    // path) binding is always the caller's.
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.format("parquet").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
   // -------------------------------------------------------------------
   // JDBC batch sink/source (S4/S3): the reference's warehouse output is
   // JDBC batch loads into the serving database with a fixed batchsize

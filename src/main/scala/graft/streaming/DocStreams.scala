@@ -58,7 +58,8 @@ object DocStreams {
     * row per accepted document: (doc_id, ingest_ts, lang, source,
     * n_tokens, q_points, split). The same call works on a batch frame
     * (watermark = None) — StreamingSpec proves the two agree. */
-  def intake(docs: DataFrame, watermark: Option[String]): DataFrame = {
+  def intake(docs: DataFrame, watermark: Option[String],
+             keepText: Boolean = false): DataFrame = {
     val kept = CurationPipeline.qualityFilter(CurationPipeline.annotate(docs))
       .withColumn("content_md5", md5(col("text")))
     val deduped = watermark match {
@@ -67,10 +68,57 @@ object DocStreams {
           .dropDuplicatesWithinWatermark("content_md5")
       case None => kept.dropDuplicates("content_md5")
     }
-    CurationPipeline.withSplit(deduped)
-      .select(col("doc_id"), col("ingest_ts"), col("lang"), col("source"),
-        col("nt").as("n_tokens"), col("q_points"), col("split"))
+    val base = Seq(col("doc_id"), col("ingest_ts"), col("lang"), col("source"),
+      col("nt").as("n_tokens"), col("q_points"), col("split"))
+    // keepText: the staging path needs the text to survive so the batch
+    // compaction can run LSH over the accumulated corpus
+    val cols = if (keepText) base :+ col("text") else base
+    CurationPipeline.withSplit(deduped).select(cols: _*)
   }
+
+  // -------------------------------------------------------------------
+  // Streaming intake → batch compaction: the production steady state.
+  // The stream lands accepted documents in an append-only staging dir
+  // via foreachBatch; a periodic BATCH job compacts the accumulated
+  // staging corpus with the full curation rules (canonical min-doc_id
+  // exact keeper + LSH near-dup removal — the two stages that NEED the
+  // whole corpus and therefore cannot run inside the stream; scaladoc
+  // above). foreachBatch rather than the parquet streaming sink because
+  // compaction is a batch rewrite: the staging dir is a plain parquet
+  // dir any batch reader owns, not a _spark_metadata-tracked sink that
+  // only the streaming reader understands.
+  //
+  // Failure semantics: foreachBatch is at-least-once — a batch replayed
+  // after a crash appends its rows twice. That is exactly the duplicate
+  // class the compaction's exactDedup removes (same doc_id, same text →
+  // same digest), so the staging dir needs no transactional sink; the
+  // compacted output is identical either way. StreamingSpec asserts the
+  // end-to-end equivalence with the pure-batch curate.
+  // -------------------------------------------------------------------
+
+  /** Start the intake stream, landing accepted docs (text kept) in
+    * `stagingDir` as append-only parquet. */
+  def intakeToStaging(spark: SparkSession, srcDir: String,
+                      stagingDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    intake(readDocStream(spark, srcDir), Some("1 hour"), keepText = true)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(stagingDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** Batch compaction over the accumulated staging corpus: the full
+    * curation chain (quality re-check is a no-op on already-filtered
+    * rows; exact dedup collapses at-least-once replays and cross-batch
+    * duplicates the watermark horizon no longer covers; LSH near-dup
+    * removal and the split run corpus-wide). Output = curate's. */
+  def compactStaging(spark: SparkSession, stagingDir: String): DataFrame =
+    CurationPipeline.curate(
+      spark.read.parquet(stagingDir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")))
 
   /** Streaming PII audit — the compliance view of the d12 scrub: per
     * (event-time window, source), how many documents arrived, how many

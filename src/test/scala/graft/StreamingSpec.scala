@@ -422,4 +422,95 @@ class StreamingSpec extends AnyFunSuite {
     val batch = DocStreams.novelDocs(spark.read.parquet(path), corpus)
     assert(batch.select("doc_id").collect().map(_.getLong(0)).toSet == ids)
   }
+
+  test("intakeToStaging + compactStaging ≡ batch curate on the same corpus") {
+    import graft.streaming.DocStreams
+    import java.nio.file.StandardCopyOption
+    val root = Files.createTempDirectory("graft-steady").toFile
+    root.deleteOnExit()
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val staging = new java.io.File(root, "staging").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    // One feed file = one micro-batch (maxFilesPerTrigger=1); discovery
+    // order is (mtime, path), pinned explicitly per file.
+    var fileSeq = 0
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-feedfile").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(srcDir, name + ".parquet")
+      Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+      fileSeq += 1
+      dest.setLastModified(1700000000000L + fileSeq * 60000L)
+    }
+
+    val t0 = 1704067200L // corpus event-time epoch; intake watermark = 1h
+    val base = Tables.load(spark, SharedSpark.sf0001, "documents")
+    // originals: unique-text representatives (min doc_id per digest), so
+    // batch-1 content is digest-unique and the stream's first-arrived
+    // keeper provably equals the batch min-doc_id keeper
+    val originals = base
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("__rn") === 1).drop("__rn")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(t0) + col("doc_id") % 600).as("ingest_ts"),
+        col("text"), col("lang"), col("source"))
+    // filler: novel texts 4h later — advances the watermark far enough
+    // to expire the originals' dedup state before the late re-uploads.
+    // TWO filler batches because state eviction applies END-of-batch,
+    // after that batch's lookups: filler advances the watermark, filler2
+    // is the batch during which the originals' entries are evicted.
+    val filler = originals
+      .select(col("doc_id") + 200000L as "doc_id",
+        timestamp_seconds(lit(t0) + 14400L).as("ingest_ts"),
+        concat(col("text"), lit(" zq9x")).as("text"),
+        col("lang"), col("source"))
+    val filler2 = originals
+      .select(col("doc_id") + 300000L as "doc_id",
+        timestamp_seconds(lit(t0) + 15000L).as("ingest_ts"),
+        concat(col("text"), lit(" zq9y")).as("text"),
+        col("lang"), col("source"))
+    // late re-uploads: exact copies under new ids, 5h later — past the
+    // watermark horizon, so the STREAM accepts them; collapsing them is
+    // the batch compaction's job (the division of labor under test)
+    val late = originals.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id") + 100000L as "doc_id",
+        timestamp_seconds(lit(t0) + 18000L).as("ingest_ts"),
+        col("text"), col("lang"), col("source"))
+    addFile(originals, "f1_originals")
+    addFile(originals, "f2_redelivery") // at-least-once transport replay
+    addFile(filler, "f3_filler")
+    addFile(filler2, "f4_filler2")
+    addFile(late, "f5_late_reuploads")
+
+    val q = DocStreams.intakeToStaging(spark, srcDir.getAbsolutePath, staging, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // the redelivery batch must contribute ZERO staged rows: every other
+    // feed row with a distinct digest that passes quality is accepted
+    def kept(df: org.apache.spark.sql.DataFrame): Long =
+      graft.CurationPipeline.qualityFilter(graft.CurationPipeline.annotate(df)).count()
+    val stagedCount = spark.read.parquet(staging).count()
+    assert(stagedCount ==
+        kept(originals) + kept(filler) + kept(filler2) + kept(late),
+      s"staged $stagedCount: watermark dedup leaked the redelivery or " +
+        "dropped the late re-uploads")
+
+    // end-to-end: compaction over the stream-fed staging dir equals the
+    // pure-batch curate over the same logical corpus (redelivery is a
+    // transport artifact, suppressed by the stream; late re-uploads are
+    // real corpus rows, collapsed by the compaction's exact keeper)
+    val corpus = originals.union(filler).union(filler2).union(late)
+    val got = DocStreams.compactStaging(spark, staging).collect().toSeq
+    val want = graft.CurationPipeline.curate(corpus).collect().toSeq
+    assert(got == want)
+    // not vacuous: late re-uploads really flowed through the stream into
+    // the compaction and were collapsed there (provenance n_copies = 2)
+    val dupCopies = want.count(_.getAs[Long]("n_copies") == 2L)
+    assert(dupCopies > 0, "no collapsed re-upload reached the compaction")
+  }
 }

@@ -78,11 +78,17 @@ object Bpe {
 
   /** `nMerges` BPE training iterations over the corpus. Returns the
     * merge table in order: (sym_a, sym_b, pair_count at merge time).
-    * Each iteration is one small job on the persisted vocab; only the
-    * single winning pair crosses the driver per iteration. */
+    * ONE job per iteration: round k's pair-statistics job is also the
+    * action that materializes round k's persisted vocab (computed from
+    * round k-1's still-cached vocab), so the parent is unpersisted only
+    * AFTER its child is safely in cache — no separate count()
+    * materialization pass, and at most two vocab generations are cached
+    * at any moment. Only the single winning pair crosses the driver per
+    * iteration. */
   def train(docs: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    var prev: Option[DataFrame] = None
     var vocab = wordFreq(docs).as[(String, Long)]
       .map { case (w, f) => (codepointSyms(w), f) }
       .toDF("syms", "f")
@@ -93,6 +99,9 @@ object Bpe {
       val top = pairCounts(vocab)
         .orderBy(desc("pair_count"), col("sym_a"), col("sym_b"))
         .limit(1).collect()
+      // vocab is now materialized in cache; its parent can be released
+      prev.foreach(_.unpersist())
+      prev = Some(vocab)
       if (top.isEmpty) done = true
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
@@ -100,14 +109,11 @@ object Bpe {
         val next = vocab.as[(Seq[String], Long)]
           .map { case (s, f) => (applyMerge(s, a, b), f) }
           .toDF("syms", "f")
-        next.persist()
-        // Materialize before dropping the parent so the lineage never
-        // recomputes through an unpersisted step.
-        next.count()
-        vocab.unpersist()
+        next.persist() // materialized by the NEXT round's pair job
         vocab = next
       }
     }
+    prev.foreach(_.unpersist())
     vocab.unpersist()
     merges.toSeq
   }

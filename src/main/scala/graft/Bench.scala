@@ -75,7 +75,10 @@ object Bench {
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
     try SparkEntry.headlines.foreach { n =>
-      results += n -> Seq(runOnce(n), runOnce(n))
+      // append after EACH run, not after the pair: a fatal error in run 2
+      // must not drop run 1's completed timing from the partial emit
+      results += n -> Seq(runOnce(n))
+      results(results.length - 1) = n -> (results.last._2 :+ runOnce(n))
     }
     catch { case fatal: Throwable =>
       // A fatal error (OOM etc.) still aborts the run — runOnce only eats

@@ -726,28 +726,47 @@ object Dedup {
     * count) — the plan shape is bucket-count-independent. */
   val ServeBuckets = 8
 
-  private def servePath(sub: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-serving-${ProcessHandle.current().pid()}/$sub"
+  // Per-process serving dir (PID suffix: a concurrent test JVM and a
+  // driver Verify must not write the same files), deleted on JVM exit —
+  // repeated bench/verify rounds would otherwise accumulate one full
+  // band index per process in the temp dir.
+  private lazy val serveRoot: String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-serving-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }))
+    root
+  }
 
   /** Build + SAVE the corpus band index and the probe batch's bands as
     * co-bucketed tables (corpus = even doc_ids, batch = odd, mirroring
     * n06/d13). Public so PlanSpec can build once and pin the join plan. */
   def buildServedLshIndex(s: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // Two write actions consume the one corpus-scale sketch — persist it
+    // (the nearDupDrop/n07 rule) so the probe-side write does not re-run
+    // MinHash over the documents.
     val bands = bandRows(minhashDf(s, dir))
       .withColumn("bkey", concat_ws("|", col("band_id"), col("band_key")))
-    val corpus = bands.where(pmod(col("doc_id"), lit(2L)) === 0L)
-      .select(col("bkey"), col("doc_id").as("corpus_doc"))
-    val keptCorpus = corpus
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bkey"))))
-      .where(col("bn") <= MaxBucket)
-      .drop("bn")
-    val probes = bands.where(pmod(col("doc_id"), lit(2L)) === 1L)
-      .select(col("bkey"), col("doc_id").as("batch_doc"))
-    graft.sources.Sink.saveBucketedTableAt(
-      keptCorpus, "graft_lsh_index", servePath("lsh_index"), "bkey", ServeBuckets)
-    graft.sources.Sink.saveBucketedTableAt(
-      probes, "graft_lsh_probe", servePath("lsh_probe"), "bkey", ServeBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpus = bands.where(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(col("bkey"), col("doc_id").as("corpus_doc"))
+      val keptCorpus = corpus
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bkey"))))
+        .where(col("bn") <= MaxBucket)
+        .drop("bn")
+      val probes = bands.where(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(col("bkey"), col("doc_id").as("batch_doc"))
+      graft.sources.Sink.saveBucketedTableAt(
+        keptCorpus, "graft_lsh_index", s"$serveRoot/lsh_index", "bkey", ServeBuckets)
+      graft.sources.Sink.saveBucketedTableAt(
+        probes, "graft_lsh_probe", s"$serveRoot/lsh_probe", "bkey", ServeBuckets)
+    } finally bands.unpersist()
   }
 
   /** The serving-time join over the SAVED tables — no Exchange on either

@@ -294,10 +294,26 @@ object Similarity {
     * centroids + one shuffle keyed (cent_id, pos) with map-side partial
     * sums — the textbook distributed Lloyd step. */
   private def trainCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val qe = t(s, dir, "embeddings")
       .select(col("vec_id"), quant(col("embedding")).as("q"))
-    var cent = qe.where(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cent_id"), col("q").as("c"))
+    // Each Lloyd generation is COLLECTED to the driver and rebuilt as a
+    // local literal relation: k rows × dims integers, driver-scale by
+    // construction. Without this the iterations chain lazily — cent_k's
+    // plan references cent_{k-1} in two places (the assign cross and the
+    // empty-cluster fallback join), so corpus-scale passes grow
+    // ~2^IvfIters and every CONSUMER of the trained table re-runs the
+    // whole training from scratch. The collect is the same one-row-ish
+    // driver step as Bpe.train's argmax: a deliberate training-loop
+    // boundary, not a hot-path collect.
+    def local(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+      s.createDataset(rows).toDF("cent_id", "c")
+    }
+    var cent = local(qe.where(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("q").as("c")))
     for (_ <- 0 until IvfIters) {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cent_id"))
@@ -312,8 +328,8 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
           st => st.getField("sx")).as("cs"))
-      cent = cent.join(sums, Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("cs"), col("c")).as("c"))
+      cent = local(cent.join(sums, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cs"), col("c")).as("c")))
     }
     cent
   }
@@ -870,14 +886,24 @@ object Similarity {
     * scale-invariant, so the state is the exact integer pair
     * (sum vector, count) and assignment uses [[scaledSqDist]]. */
   private def trainPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val qsubs = t(s, dir, "embeddings")
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
       .select(col("vec_id"), col("m"),
         quant(expr(s"slice(embedding, m * $PqDim + 1, $PqDim)")).as("qsub"))
-    var cb = qsubs.where(col("vec_id") < PqK)
+    // Same driver-local generation boundary as trainCentroids: m·k rows
+    // of PqDim integers + a count — collected and rebuilt per iteration
+    // so lineage never chains corpus passes across Lloyd rounds.
+    def local(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      s.createDataset(rows).toDF("m", "cent_id", "cs", "n")
+    }
+    var cb = local(qsubs.where(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cent_id"), col("qsub").as("cs"),
-        lit(1L).as("n"))
+        lit(1L).as("n")))
     for (_ <- 0 until IvfIters) {
       val w = Window.partitionBy(col("vec_id"), col("m"))
         .orderBy(col("d"), col("cent_id"))
@@ -893,10 +919,10 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
           st => st.getField("sx")).as("cs2"),
           min(col("nn")).as("n2"))
-      cb = cb.join(sums, Seq("m", "cent_id"), "left")
+      cb = local(cb.join(sums, Seq("m", "cent_id"), "left")
         .select(col("m"), col("cent_id"),
           coalesce(col("cs2"), col("cs")).as("cs"),
-          coalesce(col("n2"), col("n")).as("n"))
+          coalesce(col("n2"), col("n")).as("n")))
     }
     // De-quantize back to embedding units: csub = s / (n·1024). The
     // denominator is an exact integer, so this is one double division

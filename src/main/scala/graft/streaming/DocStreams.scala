@@ -88,12 +88,16 @@ object DocStreams {
   // dir any batch reader owns, not a _spark_metadata-tracked sink that
   // only the streaming reader understands.
   //
-  // Failure semantics: foreachBatch is at-least-once — a batch replayed
-  // after a crash appends its rows twice. That is exactly the duplicate
-  // class the compaction's exactDedup removes (same doc_id, same text →
-  // same digest), so the staging dir needs no transactional sink; the
-  // compacted output is identical either way. StreamingSpec asserts the
-  // end-to-end equivalence with the pure-batch curate.
+  // Failure semantics: foreachBatch is at-least-once, so the staging
+  // write must be IDEMPOTENT under batch replay — each batch lands in
+  // its own batch_id=N subdirectory with mode(Overwrite), and a crash
+  // between the parquet commit and the checkpoint commit simply
+  // rewrites the same directory with the same rows on restart. A plain
+  // append would leave the replayed rows in twice: exactDedup would
+  // still drop the duplicate ROW, but its count(*) provenance window
+  // would report n_copies = 2 for a unique document, silently diverging
+  // from the pure-batch curate. StreamingSpec asserts the end-to-end
+  // equivalence with the pure-batch curate.
   // -------------------------------------------------------------------
 
   /** Start the intake stream, landing accepted docs (text kept) in
@@ -103,8 +107,10 @@ object DocStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     intake(readDocStream(spark, srcDir), Some("1 hour"), keepText = true)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(stagingDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // per-batch dir + Overwrite = exactly-once staging contents
+        // under foreachBatch's at-least-once replay contract
+        batch.write.mode("overwrite").parquet(s"$stagingDir/batch_id=$id")
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

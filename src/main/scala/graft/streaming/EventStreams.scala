@@ -157,6 +157,11 @@ object EventStreams {
     * stream length — under EventTimeTimeout a user idle past `ttlMs`
     * is EVICTED once the watermark passes (an abandoned funnel should
     * not hold state forever; the timeout branch just drops the key).
+    * Eviction also applies at ARRIVAL time: if a key's data turns up
+    * while its state is already TTL-expired but the timeout callback
+    * has not fired yet, the stale state is ignored and the events start
+    * a fresh funnel — the expired funnel must neither advance nor
+    * swallow the re-entry.
     * Streaming caveat (same as [[sessionizeStateful]]): per micro-batch
     * the group's events sort locally, but an event arriving AFTER a
     * later-timestamped event already advanced the stage cannot
@@ -176,7 +181,19 @@ object EventStreams {
             Iterator.empty
           } else {
             val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+            // Arrival-time eviction: a state whose TTL the watermark has
+            // already passed is a zombie the timeout callback simply has
+            // not fired for yet (data for the key arrived first, or
+            // no-data batches are off). Honoring it would let an
+            // abandoned funnel advance hours later AND swallow the event
+            // that should start a fresh one — so treat it as evicted and
+            // process this batch from a clean slate. The stale entry is
+            // either overwritten below (fresh advance) or removed by the
+            // pending timeout.
+            var st = state.getOption
+              .filter(p => timeoutConf != GroupStateTimeout.EventTimeTimeout ||
+                p.tsMs + ttlMs > state.getCurrentWatermarkMs())
+              .getOrElse(FunnelProgress(0, Long.MinValue))
             val out = Seq.newBuilder[StageAdvance]
             evs.foreach { e =>
               if (st.stage < stages.length &&
@@ -188,10 +205,13 @@ object EventStreams {
             }
             if (st.stage > 0) {
               state.update(st)
-              // flatMapGroupsWithState does NOT drop late rows, so an
-              // event older than watermark-ttl would yield a timeout at
-              // or below the current watermark and Spark throws — clamp
-              // to strictly above the watermark.
+              // Defense-in-depth clamp: with arrival-time eviction above
+              // and Spark's own late-input filtering under
+              // EventTimeTimeout (StreamingSpec pins both), st.tsMs +
+              // ttlMs normally exceeds the watermark — but a ttl of 0
+              // (or a future semantics change in late-row handling)
+              // would re-arm at/below it and Spark kills the query, so
+              // clamp to strictly above.
               if (timeoutConf == GroupStateTimeout.EventTimeTimeout)
                 state.setTimeoutTimestamp(
                   math.max(st.tsMs + ttlMs, state.getCurrentWatermarkMs() + 1))

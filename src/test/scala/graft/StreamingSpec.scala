@@ -343,28 +343,37 @@ class StreamingSpec extends AnyFunSuite {
       // and no-data batches are off, so its stale state survives.
       input.addData(ev(2, 9, "view", "2026-01-01 12:00:00"))
       q.processAllAvailable()
-      // batch 3 — the hazard: user 3 gets a NON-advancing event
-      // (stage 2 wants "click"), so st is unchanged and the timeout
-      // re-arms from st.tsMs = 10:00. Unclamped, 10:01 is at/below the
-      // 12:00 watermark and Spark kills the query here; the clamp moves
-      // it to watermark + 1 ms.
+      // batch 3 — the hazard: user 3's state is TTL-expired (10:01 <
+      // watermark 12:00) but still in the store. Arrival-time eviction
+      // must treat it as gone: this "view" STARTS A FRESH FUNNEL
+      // (stage 1 again) instead of being swallowed by the zombie's
+      // stage-2 wait — and nothing may crash.
       input.addData(ev(3, 3, "view", "2026-01-01 12:00:30"))
       q.processAllAvailable()
-      // batch 4: watermark → 12:00:30, past the clamped re-armed
-      // timeout; user 3 has no data this batch → state times out and is
-      // removed (timeout branch emits nothing).
+      // batch 4: watermark → 12:00:30; user 3's fresh state (armed
+      // 12:01:30) survives, user 9 has data, nothing crashes.
       input.addData(ev(4, 9, "view", "2026-01-01 13:30:00"))
       q.processAllAvailable()
-      // batch 5: user 3 re-enters from scratch — a second stage-1
-      // advance is only possible if the timed-out state was removed.
-      input.addData(ev(5, 3, "view", "2026-01-01 13:45:00"))
+      // batch 5: watermark → 13:30, past user 3's 12:01:30 TTL — its
+      // state is expired again (data arrives with it, so arrival-time
+      // eviction applies), making this view a THIRD fresh stage-1
+      // advance. User 7's event is hours below the watermark: under
+      // EventTimeTimeout Spark filters late INPUT rows before the
+      // function, so it must contribute nothing (the crash the clamp
+      // guards against came from stale STATE timestamps, which
+      // arrival-time eviction now also removes — the clamp stays as
+      // defense-in-depth for ttl=0 edge configs).
+      input.addData(
+        ev(5, 3, "view", "2026-01-01 13:45:00"),
+        ev(6, 7, "view", "2026-01-01 10:00:00"))
       q.processAllAvailable()
 
       val adv = spark.table("funnel_ett").as[EventStreams.StageAdvance]
         .collect()
       assert(q.exception.isEmpty)
-      assert(adv.count(a => a.user_id == 3L && a.stage == 1) == 2)
+      assert(adv.count(a => a.user_id == 3L && a.stage == 1) == 3)
       assert(adv.count(_.user_id == 9L) == 1)
+      assert(adv.count(_.user_id == 7L) == 0) // late input row dropped
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The query inventory aggregates every operator family:
   *  - [[operators.Parity]]     q01-q17: reference-parity surface (SURVEY §2)
   *  - [[operators.Warehouse]]  q18-q20: snowflake dims, junk dim, star fact
-  *  - [[operators.Analytics]]  q21-q39: rollup/cube/pivot/grouping sets,
+  *  - [[operators.Analytics]]  q21-q40: rollup/cube/pivot/grouping sets,
   *                             set ops, as-of join, HLL, range join,
   *                             quantiles, grouped top-k, SCD-1 upsert,
   *                             SCD-2 history, ordered event funnel,
@@ -16,7 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             against gaps-and-islands SQL,
   *                             tolerance-bounded as-of join,
   *                             sliding-window aggregation, correlated
-  *                             scalar subqueries (decorrelation-proved)
+  *                             scalar subqueries (decorrelation-proved),
+  *                             salted skew join (result-invariance
+  *                             proved against the plain-join oracle)
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,

@@ -831,8 +831,46 @@ object Analytics {
     s.sql(q39Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q40 — salted skew join, graded end-to-end: the manual hot-key
+  // spreading fallback ([[SkewJoin.saltedBy]]) run over the largest
+  // fact against a data-scaled dim, aggregated per nation. The ORACLE
+  // IS THE PLAIN JOIN — the hash match is a machine proof that salting
+  // (per-row deterministic salt on the left, n-fold replication on the
+  // right, join on (key, salt)) is result-invariant: any dup/drop bug
+  // in the replication or the salt derivation changes the sums.
+  //
+  // Scale: this is the 100 TB escape hatch for the hot-key regime AQE's
+  // skew splitting can't fix (one key = one partition no matter how
+  // AQE splits, when a single key holds ~10% of the fact). The salt
+  // hashes (l_orderkey, l_linenumber) — unique per row, so even
+  // byte-identical hot-key payloads spread — and is a pure function of
+  // the row, so a retried task re-derives the same salt (rand() would
+  // re-roll under recompute and silently corrupt the join).
+  // ---------------------------------------------------------------------
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    SkewJoin.saltedBy(li, sup, "l_suppkey", n = 8,
+        saltCols = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+  private val q40Sql =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
+    QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
     QueryDef("q21_rollup", q21, Some(q21Sql)),
     QueryDef("q22_set_ops", q22, Some(q22Sql)),
     QueryDef("q23_asof_join", q23, Some(q23Sql), headline = true),

@@ -91,6 +91,7 @@ object SparkEntry {
     operators.Retrieval.defs ++
     operators.Similarity.defs ++
     operators.Multimodal.defs ++
+    operators.Classifier.defs ++
     CurationPipeline.defs
 
   /** Names benchmarked by graft.Bench each round. */

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Counts-trained text classification and importance weighting — the
+  * "distill an expensive labeler into a cheap in-engine scorer" stage of
+  * a training-data pipeline (the FineWeb-Edu / DSIR shape): a rule-based
+  * quality gate labels the corpus, a multinomial Naive Bayes classifier
+  * is TRAINED inside the engine on the hash-split train partition, and
+  * the held-out partition is scored and graded against the oracle.
+  *
+  * Cross-engine determinism: log-domain NB scores are sums of logs, and
+  * floating `log2` is not bit-identical across libm implementations
+  * (`floor(16*log2(8))` can come out 47 or 48 depending on whether the
+  * division-based log lands a hair under 3.0). All log-domain math here
+  * therefore uses an EXACT integer half-bit logarithm:
+  *
+  *   ilog(x) = floor(2·log2(x)) = length(bin(x·x)) - 1
+  *
+  * — pure integer multiply + binary-string length, identical in Spark
+  * and DuckDB for every x ≥ 1 (and overflow-safe to x < 2^31, i.e.
+  * per-class token totals of two billion; beyond that re-scale the
+  * counts before logging).
+  *
+  * Half-bit resolution is coarse, so WHERE the floor lands matters:
+  * flooring log(count) and log(normalizer) separately puts a ±¼-bit
+  * systematic error on the normalizer that scoring multiplies by
+  * n_tokens (measured: 67% held-out accuracy vs float-NB's 94%).
+  * Flooring the smoothed probability RATIO once per token —
+  * ilog(⌊(cnt+1)·2²⁰/(tot+V+1)⌋+1) — keeps the per-token error
+  * idiosyncratic instead of systematic and recovers float-NB accuracy
+  * (95.0% vs 94.1% on the sf0.01 corpus) while staying bit-exact on
+  * any engine, layout, or scale — the property a production corpus
+  * pipeline actually needs (a classifier that drifts when the cluster
+  * re-shuffles is a silent re-curation of the corpus). The ·2²⁰ scale
+  * and the ÷ are exact in DOUBLE (31-significant-bit operands; IEEE
+  * division is correctly rounded in both engines), so the floor is
+  * deterministic too.
+  */
+object Classifier {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact floor(2·log2(x)) for integer x ≥ 0 (x = 0 → 0). */
+  private def ilog(x: Column): Column =
+    (length(bin(x * x)) - 1).cast(LongType)
+
+  /** DuckDB mirror of [[ilog]]. */
+  private def ilogS(x: String): String =
+    s"CAST(length(bin(CAST($x AS BIGINT) * CAST($x AS BIGINT))) - 1 AS BIGINT)"
+
+  /** Smoothed probability ratio scaled to 2^20, floored to an exact
+    * integer: ⌊(cnt+1)·2²⁰ / denom⌋. Both operands carry ≤ 31
+    * significant bits, so the multiply is exact in DOUBLE and the
+    * division is IEEE-correctly-rounded — bit-identical cross-engine. */
+  private def pratio(cnt: Column, denom: Column): Column =
+    floor(cnt.cast(DoubleType) * lit(1048576.0) / denom.cast(DoubleType))
+      .cast(LongType)
+
+  private def pratioS(cnt: String, denom: String): String =
+    s"CAST(FLOOR(CAST($cnt AS DOUBLE) * 1048576 / CAST($denom AS DOUBLE)) AS BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // d26 — quality-classifier distillation (weak supervision). The
+  // integer re-derivation of the d03 quality gate (length band, token
+  // floor, type-token ratio as the cross-multiplied integer test
+  // ndt·10 ≥ nt·3) labels every document; the d08 content-hash split
+  // partitions the corpus; multinomial NB with add-one smoothing is
+  // trained on `train` and scored on the held-out 20%.
+  //
+  // Scale shape: training is ONE corpus-scale shuffle (explode tokens →
+  // groupBy token), producing a vocab-grain weight table; class totals
+  // and vocab size are driver-scale aggregates crossed back in as a
+  // broadcast single row. Scoring is explode → join on the vocab-grain
+  // weights (AQE broadcasts it when the vocab fits, the common case
+  // after vocabulary capping) → one doc-grain groupBy. No driver loop,
+  // no collect: the "model" never leaves the cluster.
+  // ---------------------------------------------------------------------
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"),
+        length(col("text")).cast(LongType).as("nc"))
+      .select(col("doc_id"), col("toks"), col("nc"),
+        size(col("toks")).cast(LongType).as("nt"),
+        size(array_distinct(col("toks"))).cast(LongType).as("ndt"))
+      .select(col("doc_id"), col("toks"), col("nt"),
+        when(
+          when(col("nc").between(100L, 400L), 1L).otherwise(0L)
+            + when(col("nt") >= 20L, 1L).otherwise(0L)
+            + when(col("ndt") * 10L >= col("nt") * 3L, 1L).otherwise(0L)
+            >= 2L, 1L).otherwise(0L).as("label"),
+        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(100L)).as("bucket"))
+    val train = docs.where(col("bucket") < 80L)
+    val held  = docs.where(col("bucket") >= 80L)
+
+    // Vocab-grain class-conditional counts — the single corpus shuffle.
+    val tokCnt = train
+      .select(col("label"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("cnt1"),
+        sum(when(col("label") === 0L, 1L).otherwise(0L)).as("cnt0"))
+
+    // Class totals / priors / vocab size: driver-scale single row,
+    // broadcast-crossed into the vocab-grain weight derivation.
+    val consts = train
+      .agg(
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("nd1"),
+        sum(when(col("label") === 0L, 1L).otherwise(0L)).as("nd0"),
+        sum(when(col("label") === 1L, col("nt")).otherwise(0L)).as("tt1"),
+        sum(when(col("label") === 0L, col("nt")).otherwise(0L)).as("tt0"))
+      .crossJoin(tokCnt.agg(count(lit(1)).as("vocab")))
+
+    // w = ilog of the scaled smoothed ratio — ONE floor per token+class.
+    val weights = tokCnt.crossJoin(broadcast(consts)).select(col("tok"),
+      ilog(pratio(col("cnt1") + 1L, col("tt1") + col("vocab") + 1L) + 1L).as("w1"),
+      ilog(pratio(col("cnt0") + 1L, col("tt0") + col("vocab") + 1L) + 1L).as("w0"))
+
+    val priors = consts.select(
+      ilog(col("nd1") + 1L).as("prior1"), ilog(col("nd0") + 1L).as("prior0"))
+
+    val sums = held.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(weights, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w1"), lit(0L))).as("s1"),
+        sum(coalesce(col("w0"), lit(0L))).as("s0"))
+
+    held.select(col("doc_id"), col("label"))
+      .join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("label"),
+        (col("prior1") + coalesce(col("s1"), lit(0L))).as("score1"),
+        (col("prior0") + coalesce(col("s0"), lit(0L))).as("score0"))
+      .select(col("doc_id"), col("label"),
+        when(col("score1") > col("score0"), 1L).otherwise(0L).as("pred"),
+        (col("score1") - col("score0")).as("margin"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d26Sql = {
+    val toks = TextOps.tokensSql
+    s"""WITH base AS (
+       |  SELECT doc_id, $toks AS toks, CAST(length(text) AS BIGINT) AS nc
+       |  FROM documents),
+       |docs AS (
+       |  SELECT doc_id, toks, nt,
+       |    CASE WHEN (CASE WHEN nc BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+       |             + CASE WHEN nt >= 20 THEN 1 ELSE 0 END
+       |             + CASE WHEN ndt * 10 >= nt * 3 THEN 1 ELSE 0 END) >= 2
+       |         THEN 1 ELSE 0 END AS label,
+       |    CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT) % 100 AS bucket
+       |  FROM (SELECT doc_id, toks, nc,
+       |          CAST(len(toks) AS BIGINT) AS nt,
+       |          CAST(len(list_distinct(toks)) AS BIGINT) AS ndt
+       |        FROM base)),
+       |train AS (SELECT * FROM docs WHERE bucket < 80),
+       |held  AS (SELECT * FROM docs WHERE bucket >= 80),
+       |tokcnt AS (
+       |  SELECT tok,
+       |    SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS cnt1,
+       |    SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS cnt0
+       |  FROM (SELECT label, unnest(toks) AS tok FROM train)
+       |  GROUP BY tok),
+       |cs AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0) AS nd1,
+       |    COALESCE(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END), 0) AS nd0,
+       |    COALESCE(SUM(CASE WHEN label = 1 THEN nt ELSE 0 END), 0) AS tt1,
+       |    COALESCE(SUM(CASE WHEN label = 0 THEN nt ELSE 0 END), 0) AS tt0
+       |  FROM train),
+       |vv AS (SELECT COUNT(*) AS vocab FROM tokcnt),
+       |weights AS (
+       |  SELECT tok,
+       |    ${ilogS(pratioS("cnt1 + 1", "tt1 + vocab + 1") + " + 1")} AS w1,
+       |    ${ilogS(pratioS("cnt0 + 1", "tt0 + vocab + 1") + " + 1")} AS w0
+       |  FROM tokcnt CROSS JOIN cs CROSS JOIN vv),
+       |priors AS (
+       |  SELECT ${ilogS("nd1 + 1")} AS prior1, ${ilogS("nd0 + 1")} AS prior0
+       |  FROM cs),
+       |sums AS (
+       |  SELECT doc_id,
+       |    SUM(COALESCE(w1, 0)) AS s1, SUM(COALESCE(w0, 0)) AS s0
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM held) h
+       |  LEFT JOIN weights USING (tok)
+       |  GROUP BY doc_id),
+       |scored AS (
+       |  SELECT h.doc_id, h.label,
+       |    p.prior1 + COALESCE(s.s1, 0) AS score1,
+       |    p.prior0 + COALESCE(s.s0, 0) AS score0
+       |  FROM held h LEFT JOIN sums s USING (doc_id) CROSS JOIN priors p)
+       |SELECT doc_id, CAST(label AS BIGINT) AS label,
+       |  CAST(CASE WHEN score1 > score0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  CAST(score1 - score0 AS BIGINT) AS margin
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d26_quality_classifier", d26, Some(d26Sql), headline = true))
+}

@@ -202,6 +202,94 @@ object Classifier {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // c10 — DSIR-style importance weighting (the shape of Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling"): a
+  // small curated target set defines a unigram LM; every raw-pool
+  // document is scored by the log-likelihood RATIO of target vs raw
+  // LMs (Σ per-token [log p_target − log p_raw], add-one smoothed),
+  // and the top-K raw documents — the ones that look most like the
+  // target domain — are selected. Same exact-integer log machinery as
+  // d26, so the selection is bit-reproducible on any engine.
+  //
+  // Scale shape: both LMs train in the SAME single token-grain shuffle
+  // (conditional sums per token); the weight table is vocab-grain;
+  // scoring is explode → vocab join → doc-grain sum; the final top-K
+  // is TakeOrderedAndProject (per-partition heaps, no global sort).
+  // ---------------------------------------------------------------------
+  private val DsirTargetSources = Seq("src0", "src1")
+  private val DsirTopK = 100
+
+  private def c10(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .withColumn("is_target", col("source").isin(DsirTargetSources: _*))
+
+    val tokCnt = docs
+      .select(col("is_target"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("cnt_r"))
+    val consts = docs
+      .select(col("is_target"), size(col("toks")).cast(LongType).as("nt"))
+      .agg(
+        sum(when(col("is_target"), col("nt")).otherwise(0L)).as("tot_t"),
+        sum(when(!col("is_target"), col("nt")).otherwise(0L)).as("tot_r"))
+      .crossJoin(tokCnt.agg(count(lit(1)).as("vocab")))
+
+    val weights = tokCnt.crossJoin(broadcast(consts)).select(col("tok"),
+      (ilog(pratio(col("cnt_t") + 1L, col("tot_t") + col("vocab") + 1L) + 1L)
+        - ilog(pratio(col("cnt_r") + 1L, col("tot_r") + col("vocab") + 1L) + 1L))
+        .as("w"))
+
+    // Every raw-pool token is in the vocab by construction (the LMs
+    // train on the full corpus), so the join is inner without loss.
+    docs.where(!col("is_target"))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+      .join(weights, Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("w")).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  private val c10Sql = {
+    val srcs = DsirTargetSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, ${TextOps.tokensSql} AS toks,
+       |    CASE WHEN source IN ($srcs) THEN 1 ELSE 0 END AS is_t
+       |  FROM documents),
+       |tokcnt AS (
+       |  SELECT tok,
+       |    SUM(CASE WHEN is_t = 1 THEN 1 ELSE 0 END) AS cnt_t,
+       |    SUM(CASE WHEN is_t = 0 THEN 1 ELSE 0 END) AS cnt_r
+       |  FROM (SELECT is_t, unnest(toks) AS tok FROM docs)
+       |  GROUP BY tok),
+       |cs AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN is_t = 1 THEN len(toks) ELSE 0 END), 0) AS tot_t,
+       |    COALESCE(SUM(CASE WHEN is_t = 0 THEN len(toks) ELSE 0 END), 0) AS tot_r
+       |  FROM docs),
+       |vv AS (SELECT COUNT(*) AS vocab FROM tokcnt),
+       |weights AS (
+       |  SELECT tok,
+       |    ${ilogS(pratioS("cnt_t + 1", "tot_t + vocab + 1") + " + 1")}
+       |      - ${ilogS(pratioS("cnt_r + 1", "tot_r + vocab + 1") + " + 1")} AS w
+       |  FROM tokcnt CROSS JOIN cs CROSS JOIN vv),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, SUM(w.w) AS weight
+       |  FROM (SELECT doc_id, source, unnest(toks) AS tok FROM docs WHERE is_t = 0) d
+       |  JOIN weights w USING (tok)
+       |  GROUP BY d.doc_id, d.source)
+       |SELECT doc_id, source, CAST(weight AS BIGINT) AS weight
+       |FROM scored
+       |ORDER BY weight DESC, doc_id
+       |LIMIT $DsirTopK""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("d26_quality_classifier", d26, Some(d26Sql), headline = true))
+    QueryDef("d26_quality_classifier", d26, Some(d26Sql), headline = true),
+    QueryDef("c10_dsir_importance", c10, Some(c10Sql)))
 }

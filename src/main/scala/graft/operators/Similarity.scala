@@ -466,6 +466,63 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // v14 — SemDeDup-style semantic deduplication (the shape of Abbas et
+  // al. 2023): cluster the corpus with the TRAINED IVF codebook, then
+  // prune, within each cluster, every vector that has a smaller-id
+  // neighbor at cosine ≥ τ — "keep one representative per semantic
+  // ε-ball", with min-id as the deterministic keeper rule (the paper
+  // keeps a random member; an id-priority scan is the reproducible
+  // equivalent). Pruning is greedy by id, not transitive-closure: a
+  // vector is pruned iff SOME kept-or-pruned smaller id is within τ,
+  // which upper-bounds the paper's per-ball pruning and needs no
+  // iterative components.
+  //
+  // Scale: the pair space is bounded per cluster (n/k members each; the
+  // k-means balance is itself audited by v10), so nothing materializes
+  // O(n²); at 100 TB the codebook size k scales with n (k ≈ √n is the
+  // usual IVF rule) and hot clusters shard by the n02/v05 block-cap
+  // pattern. The within-cluster join shuffles once on cent_id.
+  // ---------------------------------------------------------------------
+  private val SemDedupTau = 0.3
+
+  private def v14(s: SparkSession, dir: String): DataFrame = {
+    val assigned = rankedAssignment(s, dir, maxArn = 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = assigned
+      .select(col("cent_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(assigned.select(col("cent_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("cent_id"))
+      .where(col("a_id") < col("b_id")
+        && dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
+             >= SemDedupTau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("pruned", lit(1L))
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("pruned"), lit(0L)).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+  private val v14Sql =
+    s"""WITH ${ivfCtesSql()},
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |pruned AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |          >= $SemDedupTau)
+       |SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cent_id,
+       |  CAST(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS pruned
+       |FROM assigned a LEFT JOIN pruned p USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // v06 — int8-quantized cosine top-k: v01's brute-force search run on
   // symmetric per-vector int8 quantization (q_d = round(x_d·127/amax)),
   // the standard 4× memory/bandwidth compression for billion-vector
@@ -1216,5 +1273,6 @@ object Similarity {
     QueryDef("v10_index_balance", v10, Some(v10Sql)),
     QueryDef("v11_pq_ann", v11, Some(v11Sql)),
     QueryDef("v12_pq_recall", v12, Some(v12Sql)),
-    QueryDef("v13_ivf_recall", v13, Some(v13Sql)))
+    QueryDef("v13_ivf_recall", v13, Some(v13Sql)),
+    QueryDef("v14_semantic_dedup", v14, Some(v14Sql)))
 }

@@ -1255,6 +1255,92 @@ object TextOps {
        |FROM seqs GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d27 — exact substring deduplication at token-window grain (the shape
+  // of Lee et al. 2022, "Deduplicating Training Data Makes Language
+  // Models Better", without the suffix array): every stride-1 window of
+  // 8 tokens is keyed by the md5 of its joined tokens; a window is a
+  // cross-document duplicate when its key occurs in ≥ 2 distinct
+  // documents (min(doc_id) < max(doc_id) — two aggregates, no
+  // count-distinct); per document the report is the duplicated-window
+  // count and the number of token POSITIONS covered by any duplicated
+  // window (the span a substring-dedup pass would excise), as exact
+  // integer ppm of the document's tokens.
+  //
+  // Scale: the explode is |tokens| rows per doc but each row is
+  // (doc_id, pos, 32-byte key) — the window TEXT never shuffles; the
+  // dup-key census is one token-grain groupBy with map-side partials,
+  // same shape as d16's vocab census. Coverage re-explodes only the
+  // duplicated windows (the small survivor set) to 8 positions each
+  // before a distinct-count — bounded by 8× the dup windows, not by
+  // the corpus. A true suffix-array pass (arbitrary-length maximal
+  // repeats) needs the distributed SA-IS construction the reference
+  // also lacks; fixed-W windows are the standard streaming-friendly
+  // approximation (any repeat ≥ W tokens is detected; shorter ones are
+  // below the excision threshold anyway).
+  // ---------------------------------------------------------------------
+  private val SubW = 8
+
+  private def d27(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("nt"))
+    val wins = base
+      .select(col("doc_id"), col("toks"),
+        explode(when(col("nt") >= SubW, sequence(lit(0L), col("nt") - SubW))
+          .otherwise(array().cast(ArrayType(LongType)))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("p") + 1).cast(IntegerType), lit(SubW)))).as("wkey"))
+    val dupKeys = wins.groupBy(col("wkey"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") < col("mx"))
+      .select(col("wkey"))
+    val dupWins = wins.join(dupKeys, Seq("wkey"))
+    val perDoc = dupWins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ndw"))
+    val covered = dupWins
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SubW - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cv"))
+    base.select(col("doc_id"), col("nt"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        coalesce(col("ndw"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("cv"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_ppm",
+        expr("covered_tokens * 1000000 div greatest(n_tokens, 1)"))
+      .orderBy(col("doc_id"))
+  }
+  private val d27Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+       |wins AS (
+       |  SELECT doc_id, p,
+       |    md5(array_to_string(
+       |      toks[CAST(p + 1 AS BIGINT):CAST(p + $SubW AS BIGINT)], ' ')) AS wkey
+       |  FROM (SELECT doc_id, toks, unnest(range(0, nt - $SubW + 1)) AS p
+       |        FROM base)),
+       |dupkeys AS (
+       |  SELECT wkey FROM wins GROUP BY wkey HAVING MIN(doc_id) < MAX(doc_id)),
+       |dupwins AS (SELECT doc_id, p FROM wins JOIN dupkeys USING (wkey)),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS ndw FROM dupwins GROUP BY doc_id),
+       |cov AS (
+       |  SELECT doc_id, COUNT(*) AS cv FROM (
+       |    SELECT DISTINCT doc_id, pos FROM (
+       |      SELECT doc_id, unnest(range(p, p + $SubW)) AS pos FROM dupwins))
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, b.nt AS n_tokens,
+       |  CAST(COALESCE(p.ndw, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(COALESCE(c.cv, 0) AS BIGINT) AS covered_tokens,
+       |  CAST(COALESCE(c.cv, 0) * 1000000 // greatest(b.nt, 1) AS BIGINT) AS dup_ppm
+       |FROM base b LEFT JOIN perdoc p USING (doc_id) LEFT JOIN cov c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -1278,5 +1364,6 @@ object TextOps {
     QueryDef("d21_subdoc_dedup", d21, Some(d21Sql), headline = true),
     QueryDef("d22_source_drift", d22, Some(d22Sql)),
     QueryDef("d23_ngram_novelty", d23, Some(d23Sql)),
-    QueryDef("d24_pack_utilization", d24, Some(d24Sql)))
+    QueryDef("d24_pack_utilization", d24, Some(d24Sql)),
+    QueryDef("d27_substring_dedup", d27, Some(d27Sql), headline = true))
 }

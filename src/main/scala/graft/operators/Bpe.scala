@@ -257,7 +257,93 @@ object Bpe {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d28 — APPLY the trained tokenizer: encode every document with the
+  // depth-NMerges merge table that `train` produces. This is the other
+  // half of the BPE story (d20/d25 train; a corpus is useless until the
+  // tokenizer can run over it at scale), and the encode path is pure
+  // whole-stage-codegen string work — no UDF, no driver loop over rows.
+  //
+  // Encoding via the wrapped-stream replace chain: each token's
+  // codepoints are wrapped as ` c ` and concatenated (adjacent symbols
+  // are therefore separated by a DOUBLE space, token boundaries by
+  // ` | `), and merge k rewrites ` a  b ` → ` ab `. Literal
+  // left-to-right non-overlapping `replace` is exactly the greedy merge
+  // scan (`applyMerge`): a run of equal pairs merges at even offsets
+  // because each match consumes both symbols before scanning on. The
+  // wrapper spaces make matches whole-symbol (a symbol's interior chars
+  // are never space-adjacent) and the `|` guard blocks cross-token
+  // merges — so 10 nested codegen'd replaces encode the corpus in one
+  // narrow pass.
+  //
+  // The oracle reuses d25's full training replay (so the merge table is
+  // re-derived inside DuckDB, not trusted from Spark) and applies the
+  // same 10 replaces with scalar subqueries over each stage's argmax —
+  // the hash match proves train + apply end-to-end.
+  //
+  // Tokens are [a-z0-9]+ by the canonical tokenizer, so per-CHAR
+  // wrapping equals per-codepoint wrapping here; a non-ASCII corpus
+  // would wrap by codepoint (the `codepointSyms` rule) via the same
+  // regexp_replace on a codepoint class.
+  // ---------------------------------------------------------------------
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val merges = train(docs, NMerges)
+    val wrapped = // ' a  b  c ' per token, tokens joined by '|'
+      concat_ws("|", transform(TextOps.tokens(col("text")),
+        tok => regexp_replace(tok, "(.)", " $1 ")))
+    // the literal replace chain (functions.replace is literal, so no
+    // regex-escaping hazards in learned symbols)
+    val stream = merges.foldLeft(wrapped) { case (acc, (a, b, _)) =>
+      replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    docs
+      .select(col("doc_id"), stream.as("stream"))
+      .select(col("doc_id"),
+        filter(split(replace(col("stream"), lit("|"), lit(" ")), " +"),
+          p => p =!= "").as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_pieces"),
+        concat_ws(" ", col("pieces")).as("encoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d28Sql = {
+    val stages = (1 to NMerges).map(mergeStageSql).mkString(",\n")
+    val chain = (1 to NMerges).foldLeft("stream") { (acc, k) =>
+      s"""replace($acc,
+         |      (SELECT ' ' || sym_a || '  ' || sym_b || ' ' FROM top$k),
+         |      (SELECT ' ' || sym_a || sym_b || ' ' FROM top$k))""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT unnest(${TextOps.tokensSql}) AS w FROM documents),
+       |wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY w),
+       |idx0 AS (
+       |  SELECT w, f, CAST(unnest(range(1, length(w) + 1)) AS BIGINT) AS pos
+       |  FROM wf),
+       |seq0 AS MATERIALIZED (
+       |  SELECT w, f, pos, substring(w, CAST(pos AS INT), 1) AS sym FROM idx0),
+       |$stages,
+       |streams AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(${TextOps.tokensSql},
+       |      tok -> regexp_replace(tok, '(.)', ' \\1 ', 'g')), '|') AS stream
+       |  FROM documents),
+       |encoded AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(replace($chain, '|', ' '), ' +'),
+       |      p -> p <> '') AS pieces
+       |  FROM streams)
+       |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |  array_to_string(pieces, ' ') AS encoded
+       |FROM encoded
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d20_bpe_pair_counts", d20, Some(d20Sql), headline = true),
-    QueryDef("d25_bpe_merge_table", d25, Some(d25Sql), headline = true))
+    QueryDef("d25_bpe_merge_table", d25, Some(d25Sql), headline = true),
+    QueryDef("d28_bpe_encode", d28, Some(d28Sql), headline = true))
 }

@@ -289,7 +289,138 @@ object Classifier {
        |LIMIT $DsirTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d29 — bigram-LM perplexity filtering (the CCNet shape, Wenzek et al.
+  // 2020): a bigram language model with add-one smoothing is trained on
+  // the curated target-domain slice (the same sources c10 treats as the
+  // DSIR target), every raw-pool document is scored by its average
+  // per-bigram log-probability, and fixed cutoffs split the pool into
+  // head / middle / tail — the buckets CCNet keeps, reweighs, or drops.
+  // Same exact-integer half-bit log machinery as d26/c10, so the bucket
+  // assignment is bit-reproducible on any engine or layout.
+  //
+  //   p(tok|prev) = (cnt(prev,tok)+1) / (ctx(prev)+V+1)
+  //   w           = ilog(pratio(cnt+1, ctx+V+1) + 1)   — higher = more likely
+  //   OOV bigram  = the same formula at cnt 0 (unseen prev ⇒ ctx 0)
+  //
+  // Scale shape: the target corpus funnels to bigram grain in ONE
+  // shuffle (groupBy(prev, tok)); context totals derive from that
+  // bigram table (vocab grain), never from a second corpus pass.
+  // Scoring is explode → one (prev, tok)-keyed join against the
+  // bigram-grain LM + one prev-keyed join against the vocab-grain
+  // context table (AQE broadcasts it when it fits) → one doc-grain
+  // groupBy. No windows, no per-doc recursion, no driver loop. The
+  // per-doc average is floor(sum·1000/n) on exact-integer operands
+  // (IEEE division is correctly rounded in both engines), and the
+  // head/middle/tail cutoffs are fixed milli-half-bit constants —
+  // rank-based terciles would need a global sort; fixed cutoffs are
+  // the shape CCNet itself uses (precomputed per-language cutoffs).
+  // ---------------------------------------------------------------------
+  // Calibrated to the synthetic corpus the way CCNet calibrates per-
+  // language cutoffs to Wikipedia: ~p80 / ~p10 of the raw pool's
+  // avg_w_milli band (28.4k-30.6k at every SF), so all three buckets
+  // are populated — a cutoff outside the band would make the CASE
+  // vacuous and the gate would never exercise it.
+  private val PplHeadMilli = 29500L
+  private val PplTailMilli = 29100L
+
+  private def d29(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+        col("source").isin(DsirTargetSources: _*).as("is_t"))
+    // Per-doc bigrams via an array-local zip of the two shifted slices —
+    // no positional self-join, no extra shuffle before the LM join.
+    val bigr = docs
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("pv"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("tk"))
+      .select(col("doc_id"), col("is_t"),
+        explode(arrays_zip(col("pv"), col("tk"))).as("bg"))
+      .select(col("doc_id"), col("is_t"),
+        col("bg.pv").as("prev"), col("bg.tk").as("tok"))
+
+    val cntB = bigr.where(col("is_t"))
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cnt_b"))
+    val ctx = cntB.groupBy(col("prev")).agg(sum(col("cnt_b")).as("cnt_c"))
+    val consts = docs.where(col("is_t"))
+      .select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("vocab"))
+
+    val weights = cntB.join(ctx, Seq("prev")).crossJoin(broadcast(consts))
+      .select(col("prev"), col("tok"),
+        ilog(pratio(col("cnt_b") + 1L, col("cnt_c") + col("vocab") + 1L) + 1L)
+          .as("w"))
+
+    val scored = bigr.where(!col("is_t"))
+      .join(weights, Seq("prev", "tok"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        coalesce(col("w"),
+          ilog(pratio(lit(1L), coalesce(col("cnt_c"), lit(0L)) + col("vocab") + 1L) + 1L))
+          .as("we"))
+
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("we")).as("sum_w"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_w").cast(LongType).as("sum_w"),
+        floor(col("sum_w").cast(DoubleType) * lit(1000.0)
+          / col("n_bigrams").cast(DoubleType)).cast(LongType).as("avg_w_milli"))
+      .withColumn("ppl_bucket",
+        when(col("avg_w_milli") >= PplHeadMilli, "head")
+          .when(col("avg_w_milli") >= PplTailMilli, "middle")
+          .otherwise("tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d29Sql = {
+    val srcs = DsirTargetSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks,
+       |    CASE WHEN source IN ($srcs) THEN 1 ELSE 0 END AS is_t
+       |  FROM documents),
+       |bigr AS (
+       |  SELECT doc_id, is_t, toks[pos + 1] AS prev, toks[pos + 2] AS tok
+       |  FROM (SELECT doc_id, is_t, toks,
+       |          CAST(unnest(range(0, len(toks) - 1)) AS BIGINT) AS pos
+       |        FROM docs WHERE len(toks) >= 2)),
+       |cntb AS (
+       |  SELECT prev, tok, COUNT(*) AS cnt_b
+       |  FROM bigr WHERE is_t = 1 GROUP BY prev, tok),
+       |ctx AS (SELECT prev, SUM(cnt_b) AS cnt_c FROM cntb GROUP BY prev),
+       |vv AS (
+       |  SELECT COUNT(DISTINCT tok) AS vocab
+       |  FROM (SELECT unnest(toks) AS tok FROM docs WHERE is_t = 1)),
+       |weights AS (
+       |  SELECT c.prev, c.tok,
+       |    ${ilogS(pratioS("cnt_b + 1", "cnt_c + vocab + 1") + " + 1")} AS w
+       |  FROM cntb c JOIN ctx USING (prev) CROSS JOIN vv),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |    COALESCE(w.w,
+       |      ${ilogS(pratioS("1", "COALESCE(ctx.cnt_c, 0) + vocab + 1") + " + 1")}) AS we
+       |  FROM bigr b
+       |  LEFT JOIN weights w ON b.prev = w.prev AND b.tok = w.tok
+       |  LEFT JOIN ctx ON b.prev = ctx.prev
+       |  CROSS JOIN vv
+       |  WHERE b.is_t = 0),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(we) AS sum_w
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, CAST(sum_w AS BIGINT) AS sum_w,
+       |  CAST(FLOOR(CAST(sum_w AS DOUBLE) * 1000 / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS avg_w_milli,
+       |  CASE
+       |    WHEN CAST(FLOOR(CAST(sum_w AS DOUBLE) * 1000 / CAST(n_bigrams AS DOUBLE)) AS BIGINT) >= $PplHeadMilli THEN 'head'
+       |    WHEN CAST(FLOOR(CAST(sum_w AS DOUBLE) * 1000 / CAST(n_bigrams AS DOUBLE)) AS BIGINT) >= $PplTailMilli THEN 'middle'
+       |    ELSE 'tail'
+       |  END AS ppl_bucket
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d26_quality_classifier", d26, Some(d26Sql), headline = true),
-    QueryDef("c10_dsir_importance", c10, Some(c10Sql)))
+    QueryDef("c10_dsir_importance", c10, Some(c10Sql)),
+    QueryDef("d29_perplexity_filter", d29, Some(d29Sql), headline = true))
 }

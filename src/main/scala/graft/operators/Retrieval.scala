@@ -333,9 +333,119 @@ object Retrieval {
        |ORDER BY rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // r05 — reciprocal rank fusion (Cormack et al. 2009), the standard
+  // combiner behind every production hybrid-search stack: the lexical
+  // ranking (r03's BM25 top-N) and the semantic ranking (cosine top-N
+  // against one query embedding, v01's plan with a single query) fuse by
+  //   rrf(d) = Σ_lists 1/(60 + rank_list(d))
+  // — rank-only fusion, so the two scoring scales never need calibrating
+  // against each other (the reason RRF beats score interpolation in
+  // practice). Arithmetic is integer ppm (10⁶ div (60+rk)) — exact.
+  //
+  // Scale shape: each list is corpus-scale work ending in a bounded
+  // TakeOrderedAndProject top-N (BM25's postings plan; one broadcast-
+  // query cosine scan). The fusion itself joins two ≤N-row frames —
+  // result-grain, not corpus-grain — so the full-outer join and the
+  // final rank window are bounded regardless of corpus size. Documents
+  // and embeddings share ids (the v07 contract), so ranks key on doc_id.
+  // ---------------------------------------------------------------------
+  private val RrfN = 50     // per-list depth
+  private val RrfK = 60L    // the standard RRF damping constant
+  private val RrfOut = 20   // fused result size
+  private val RrfQueryVec = 0L
+
+  private def r05(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25TopK(t(s, dir, "documents"), QueryTerms, RrfN)
+      .select(col("doc_id"), col("rk").as("lex_rk"))
+    val e = t(s, dir, "embeddings")
+    val qv = e.where(col("vec_id") === RrfQueryVec)
+      .select(col("embedding").as("q_emb"))
+    val semTop = e.where(col("vec_id") =!= RrfQueryVec)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        (Similarity.dot(col("embedding"), col("q_emb"))
+          / (Similarity.norm(col("embedding")) * Similarity.norm(col("q_emb"))))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfN)
+    val sem = semTop
+      .withColumn("sem_rk",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
+          .cast(LongType))
+      .select(col("doc_id"), col("sem_rk"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rk"), col("sem_rk"),
+        (coalesce(expr(s"1000000 div ($RrfK + lex_rk)"), lit(0L))
+          + coalesce(expr(s"1000000 div ($RrfK + sem_rk)"), lit(0L)))
+          .as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(RrfOut)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rrf_ppm").desc, col("doc_id")))
+          .cast(LongType))
+      .select(col("rk"), col("doc_id"), col("lex_rk"), col("sem_rk"),
+        col("rrf_ppm"))
+      .orderBy(col("rk"))
+  }
+
+  private val r05Sql = {
+    val terms = QueryTerms.map(q => s"'$q'").mkString(", ")
+    val dot = Similarity.dotS("embedding", "q_emb")
+    val nrmC = Similarity.normS("embedding")
+    val nrmQ = Similarity.normS("q_emb")
+    s"""WITH dls AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    unnest(toks) AS term FROM dls),
+       |totals AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM dls),
+       |postings AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |idf AS (
+       |  SELECT term,
+       |    CAST((SELECT n_docs FROM totals) * 1000000 // COUNT(*) AS BIGINT) AS idf_ppm
+       |  FROM postings GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(idf_ppm * 2200000 * tf //
+       |      (1000000 * tf + 300000 +
+       |       (900000 * dl * n_docs // n_tokens))) AS BIGINT) AS score
+       |  FROM postings JOIN idf USING (term) CROSS JOIN totals GROUP BY 1),
+       |lextop AS (
+       |  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $RrfN),
+       |lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk
+       |  FROM lextop),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $RrfQueryVec),
+       |sem0 AS (
+       |  SELECT vec_id AS doc_id, $dot / ($nrmC * $nrmQ) AS cos
+       |  FROM embeddings CROSS JOIN q WHERE vec_id <> $RrfQueryVec),
+       |semtop AS (
+       |  SELECT doc_id, cos FROM sem0 ORDER BY cos DESC, doc_id LIMIT $RrfN),
+       |sem AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rk
+       |  FROM semtop),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.sem_rk,
+       |    COALESCE(1000000 // ($RrfK + l.lex_rk), 0)
+       |      + COALESCE(1000000 // ($RrfK + s.sem_rk), 0) AS rrf_ppm
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+       |top AS (
+       |  SELECT * FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT $RrfOut)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+       |    AS rk, doc_id, lex_rk, sem_rk, rrf_ppm
+       |FROM top
+       |ORDER BY rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("r01_keyword_search", r01, Some(r01Sql)),
     QueryDef("r02_phrase_search", r02, Some(r02Sql)),
     QueryDef("r03_bm25_search", r03, Some(r03Sql)),
-    QueryDef("r04_proximity_search", r04, Some(r04Sql)))
+    QueryDef("r04_proximity_search", r04, Some(r04Sql)),
+    QueryDef("r05_rrf_fusion", r05, Some(r05Sql)))
 }

@@ -39,8 +39,8 @@ object Similarity {
 
   private val dotSql =
     "list_sum(list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
-  private def dotS(a: String, b: String): String = dotSql.format(a, a, b)
-  private def normS(a: String): String = s"sqrt(${dotS(a, a)})"
+  private[operators] def dotS(a: String, b: String): String = dotSql.format(a, a, b)
+  private[operators] def normS(a: String): String = s"sqrt(${dotS(a, a)})"
 
   // ---------------------------------------------------------------------
   // v01 — brute-force cosine top-k: queries = vec_id < 5, candidates =

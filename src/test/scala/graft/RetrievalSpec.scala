@@ -163,4 +163,39 @@ class RetrievalSpec extends AnyFunSuite {
       assert(padded.contains(" hash join "))
     }
   }
+
+  test("r05 RRF: ppm formula exact, ranks dense, fused order consistent") {
+    val out = SparkEntry.queries("r05_rrf_fusion")(spark, SharedSpark.sf0001)
+      .collect()
+    assert(out.length == 20)
+    // dense fused ranks 1..20 in order
+    assert(out.map(_.getAs[Long]("rk")).toSeq == (1L to 20L))
+    // rrf_ppm is exactly the integer reciprocal-rank sum of the two lists
+    out.foreach { r =>
+      val lex = Option(r.getAs[Any]("lex_rk")).map(_.asInstanceOf[Long])
+      val sem = Option(r.getAs[Any]("sem_rk")).map(_.asInstanceOf[Long])
+      assert(lex.nonEmpty || sem.nonEmpty)
+      val want = lex.map(k => 1000000L / (60L + k)).getOrElse(0L) +
+        sem.map(k => 1000000L / (60L + k)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_ppm") == want)
+    }
+    // fused order is (rrf_ppm desc, doc_id asc)
+    val keys = out.map(r => (r.getAs[Long]("rrf_ppm"), r.getAs[Long]("doc_id")))
+    keys.zip(keys.tail).foreach { case ((pa, da), (pb, db)) =>
+      assert(pa > pb || (pa == pb && da < db))
+    }
+    // a doc ranked in BOTH lists outranks any doc whose single-list rank
+    // is no better than both of its ranks (RRF's monotonicity)
+    val both = out.filter(r => r.getAs[Any]("lex_rk") != null
+      && r.getAs[Any]("sem_rk") != null)
+    val single = out.filter(r => (r.getAs[Any]("lex_rk") == null)
+      != (r.getAs[Any]("sem_rk") == null))
+    for (b <- both; s <- single) {
+      val bMax = math.max(b.getAs[Long]("lex_rk"), b.getAs[Long]("sem_rk"))
+      val sRk = Option(s.getAs[Any]("lex_rk")).orElse(
+        Option(s.getAs[Any]("sem_rk"))).get.asInstanceOf[Long]
+      if (sRk >= bMax)
+        assert(b.getAs[Long]("rk") < s.getAs[Long]("rk"))
+    }
+  }
 }

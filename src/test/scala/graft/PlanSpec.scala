@@ -247,4 +247,21 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"served probe join shuffled:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("d29: LM scoring is windowless — no Window, no Expand, no Sort before agg") {
+    // the bigram LM trains and scores through joins + hash aggregates
+    // only; a Window or Expand here means the plan regressed to a
+    // per-doc sequential shape that dies on a 10^7-token doc
+    val p = fmt("d29_perplexity_filter")
+    assert(!p.contains("Window"), s"d29 grew a window:\n$p")
+    assert(!p.contains("Expand"), s"d29 grew an Expand:\n$p")
+  }
+
+  test("r05: both RRF input lists lower to TakeOrderedAndProject") {
+    val p = fmt("r05_rrf_fusion")
+    val hits = "TakeOrderedAndProject".r.findAllIn(p).length
+    // one bounded top-N per list + the bounded fused top — never a
+    // corpus-wide global Sort feeding a Limit
+    assert(hits >= 3, s"expected >=3 bounded top-k operators, got $hits:\n$p")
+  }
 }

@@ -523,6 +523,87 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // c11 — SEMANTIC split-contamination audit: c04 catches eval docs whose
+  // exact digest appears in train; c05 catches shared n-grams; this
+  // catches the class both miss — an eval doc that is a paraphrase of a
+  // train doc (same meaning, different words), which silently inflates
+  // eval scores exactly like verbatim leakage. Every val/test vector is
+  // checked against the train vectors of ITS OWN trained-IVF cluster
+  // (v14's bounded pair space), and the best train match at cosine ≥ τ
+  // is reported per contaminated eval doc (row_number over (cosine desc,
+  // train id) — double ranking is cross-engine safe here because both
+  // engines run the identical l2r fold).
+  //
+  // Scale: identical bounds to v14 — pairs are per-cluster, the split is
+  // the d08 content-hash (layout-stable), the best-match window
+  // partitions by eval doc with cluster-bounded cardinality. The train
+  // side is ~80% of the corpus but never self-joins: only eval×train
+  // within a cluster.
+  // ---------------------------------------------------------------------
+  private val ContamTau = 0.3
+
+  private def c11(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // d08's split formula keyed on vec_id (documents and embeddings
+    // share ids — the v07 contract)
+    val split = when(
+      pmod(conv(substring(md5(concat(lit("split:"), col("vec_id"))), 1, 15), 16, 10)
+        .cast(LongType), lit(100L)) < 80, "train")
+      .otherwise(when(
+        pmod(conv(substring(md5(concat(lit("split:"), col("vec_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(100L)) < 90, "val").otherwise("test"))
+    val assigned = rankedAssignment(s, dir, maxArn = 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        split.as("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.where(col("split") =!= "train")
+      .select(col("cent_id"), col("vec_id"), col("split"),
+        col("embedding").as("e_emb"), col("nrm").as("e_nrm"))
+      .join(assigned.where(col("split") === "train")
+        .select(col("cent_id"), col("vec_id").as("train_id"),
+          col("embedding").as("t_emb"), col("nrm").as("t_nrm")), Seq("cent_id"))
+      .withColumn("cosine",
+        dot(col("e_emb"), col("t_emb")) / (col("e_nrm") * col("t_nrm")))
+      .where(col("cosine") >= ContamTau)
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("train_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("split"), col("train_id"),
+        col("cent_id").cast(LongType).as("cent_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("vec_id"))
+  }
+  private val c11Sql = {
+    val splitCase = graft.operators.TextOps.splitCaseSql
+      .replace("doc_id", "vec_id")
+    s"""WITH ${ivfCtesSql()},
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |sp AS (
+       |  SELECT vec_id, embedding, nrm, cent_id, $splitCase AS split
+       |  FROM assigned),
+       |prs AS (
+       |  SELECT e.vec_id, e.split, t.vec_id AS train_id, e.cent_id,
+       |    ${dotS("e.embedding", "t.embedding")} / (e.nrm * t.nrm) AS cosine
+       |  FROM sp e JOIN sp t ON e.cent_id = t.cent_id
+       |  WHERE e.split <> 'train' AND t.split = 'train'
+       |    AND ${dotS("e.embedding", "t.embedding")} / (e.nrm * t.nrm)
+       |          >= $ContamTau),
+       |best AS (
+       |  SELECT vec_id, split, train_id, cent_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, train_id) AS rn
+       |  FROM prs)
+       |SELECT vec_id, split, train_id, CAST(cent_id AS BIGINT) AS cent_id,
+       |  round(cosine, 6) AS cosine_r
+       |FROM best WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // v06 — int8-quantized cosine top-k: v01's brute-force search run on
   // symmetric per-vector int8 quantization (q_d = round(x_d·127/amax)),
   // the standard 4× memory/bandwidth compression for billion-vector
@@ -1274,5 +1355,6 @@ object Similarity {
     QueryDef("v11_pq_ann", v11, Some(v11Sql)),
     QueryDef("v12_pq_recall", v12, Some(v12Sql)),
     QueryDef("v13_ivf_recall", v13, Some(v13Sql)),
-    QueryDef("v14_semantic_dedup", v14, Some(v14Sql)))
+    QueryDef("v14_semantic_dedup", v14, Some(v14Sql)),
+    QueryDef("c11_semantic_contamination", c11, Some(c11Sql)))
 }

@@ -341,4 +341,59 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("c11 semantic contamination: eval-only, train matches, argmax per cluster") {
+    val out = SparkEntry.queries("c11_semantic_contamination")(spark, dir)
+      .collect()
+    assert(out.nonEmpty, "tau must flag some eval docs at sf0.001")
+    def splitOf(id: Long): String = {
+      val bucket = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"split:$id")
+          .substring(0, 15), 16) % 100L
+      if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+    }
+    out.foreach { r =>
+      val evalId = r.getAs[Long]("vec_id")
+      assert(r.getAs[String]("split") == splitOf(evalId))
+      assert(r.getAs[String]("split") != "train")
+      assert(splitOf(r.getAs[Long]("train_id")) == "train")
+      assert(r.getAs[Double]("cosine_r") >= 0.3 - 1e-6)
+    }
+    // brute-force the winner for each flagged eval doc: among all train
+    // vectors in the same cluster, the reported train_id must carry the
+    // maximum cosine (ties broken by smaller id)
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val clusterOf = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    // cluster membership from v14's assignment (arn=1), same plan c11 uses
+    val assign = SparkEntry.queries("v14_semantic_dedup")(spark, dir)
+      .select(col("vec_id"), col("cent_id")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    out.foreach { r =>
+      val evalId = r.getAs[Long]("vec_id")
+      val cid = clusterOf(evalId)
+      assert(assign(evalId) == cid, s"cluster mismatch for $evalId")
+      val trains = assign.collect {
+        case (id, c) if c == cid && splitOf(id) == "train" => id
+      }
+      val best = trains
+        .map(id => (id, cos(e(evalId), e(id))))
+        .filter(_._2 >= 0.3)
+        .minBy { case (id, c) => (-c, id) }
+      assert(best._1 == r.getAs[Long]("train_id"),
+        s"eval $evalId: expected train ${best._1}, got ${r.getAs[Long]("train_id")}")
+    }
+  }
 }

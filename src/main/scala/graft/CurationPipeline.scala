@@ -587,6 +587,87 @@ object CurationPipeline {
        |FROM r
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c12 — epoch materialization: turn c09's token manifest into the
+  // actual repeated corpus a trainer streams (the Llama/Dolma "epochs
+  // over sources" recipe). Each source's epoch factor is its c09
+  // allocation over its available tokens (ppm-exact, may be <1 —
+  // downsample — or >1 — upsample); every doc gets floor(epochs) full
+  // copies plus one more iff its content hash lands under the
+  // fractional remainder, so per-source materialized tokens hit the
+  // allocation in expectation with zero coordination — the same
+  // layout-stable hash idiom as d08 (rand() would re-deal the corpus on
+  // every re-partition).
+  //
+  // Scale: the manifest is source-grain (c09's bounded census) and
+  // broadcast into one doc-grain pass; the only data-scaled work is the
+  // explode, whose fan-out is the epoch count itself — exactly the
+  // output the trainer asked for, nothing amplified beyond it.
+  // ---------------------------------------------------------------------
+  private def c12(s: SparkSession, dir: String): DataFrame = {
+    val alloc = c09(s, dir).select(col("source"), col("n_tokens"), col("alloc"))
+      .withColumn("epochs_ppm", expr("alloc * 1000000 div n_tokens"))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("nt"))
+    docs.join(broadcast(alloc.select(col("source"), col("epochs_ppm"))),
+        Seq("source"))
+      .withColumn("n_full", expr("epochs_ppm div 1000000"))
+      .withColumn("frac_ppm", expr("epochs_ppm % 1000000"))
+      .withColumn("h_ppm",
+        pmod(conv(substring(md5(concat(lit("epoch:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast(LongType), lit(1000000L)))
+      .withColumn("n_copies",
+        col("n_full") + when(col("h_ppm") < col("frac_ppm"), 1L).otherwise(0L))
+      .where(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("source"), col("nt"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+  private val c12Sql =
+    s"""WITH census AS (
+       |  SELECT source,
+       |    CAST(sum(len(${TextOps.tokensSql})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |q AS (
+       |  SELECT source, n_tokens,
+       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+       |  FROM census),
+       |b AS (
+       |  SELECT source, n_tokens,
+       |    CAST(n_tokens * $TokenBudget // total AS BIGINT) AS base,
+       |    CAST((n_tokens * $TokenBudget) % total AS BIGINT) AS rem
+       |  FROM q),
+       |r AS (
+       |  SELECT *, CAST($TokenBudget - sum(base) OVER () AS BIGINT) AS leftover,
+       |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+       |  FROM b),
+       |ep AS (
+       |  SELECT source,
+       |    CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+       |      * 1000000 // n_tokens AS BIGINT) AS epochs_ppm
+       |  FROM r),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS nt
+       |  FROM documents),
+       |j AS (
+       |  SELECT doc_id, d.source, nt,
+       |    CAST(epochs_ppm // 1000000 AS BIGINT) AS n_full,
+       |    CAST(epochs_ppm % 1000000 AS BIGINT) AS frac_ppm,
+       |    CAST(concat('0x', substr(md5(concat('epoch:', doc_id)), 1, 15)) AS BIGINT)
+       |      % 1000000 AS h_ppm
+       |  FROM d JOIN ep ON d.source = ep.source),
+       |c AS (
+       |  SELECT doc_id, source, nt,
+       |    CAST(n_full + CASE WHEN h_ppm < frac_ppm THEN 1 ELSE 0 END AS BIGINT)
+       |      AS n_copies
+       |  FROM j)
+       |SELECT doc_id, source, nt,
+       |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+       |FROM c WHERE n_copies >= 1
+       |ORDER BY doc_id, copy_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
@@ -596,7 +677,8 @@ object CurationPipeline {
     QueryDef("c06_temperature_mix", c06, Some(c06Sql)),
     QueryDef("c07_cluster_keeper", c07, Some(c07Sql)),
     QueryDef("c08_curriculum_order", c08, Some(c08Sql)),
-    QueryDef("c09_token_apportionment", c09, Some(c09Sql)))
+    QueryDef("c09_token_apportionment", c09, Some(c09Sql)),
+    QueryDef("c12_epoch_materialize", c12, Some(c12Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

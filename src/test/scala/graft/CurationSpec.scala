@@ -79,6 +79,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("c12 epoch materialization hits c09's allocation, copies are dense") {
+    val alloc = SparkEntry.queries("c09_token_apportionment")(spark, dir)
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    val rows = SparkEntry.queries("c12_epoch_materialize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // copy_idx is dense 1..n per doc — a hole or dup means the explode broke
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, copies) =>
+      val idx = copies.map(_.getAs[Long]("copy_idx")).sorted.toSeq
+      assert(idx == (1L to idx.length.toLong), s"doc $id copies $idx")
+    }
+    // every doc of a source gets floor(epochs) or floor(epochs)+1 copies
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rs) =>
+      val perDoc = rs.groupBy(_.getAs[Long]("doc_id")).values.map(_.length).toSeq
+      assert(perDoc.max - perDoc.min <= 1)
+    }
+    // materialized tokens land near the source's allocation (the
+    // fractional copy is a per-doc Bernoulli, so exactness is only in
+    // expectation — 25 docs/source at sf0.001 gives wide but bounded noise)
+    bySrc.foreach { case (src, rs) =>
+      val got = rs.map(_.getAs[Long]("nt")).sum.toDouble
+      val want = alloc(src).toDouble
+      assert(math.abs(got - want) / want < 0.35,
+        s"$src materialized $got vs alloc $want")
+    }
+  }
+
   test("split column is exhaustive and deterministic") {
     val c1 = SparkEntry.queries("c01_curation_pipeline")(spark, dir)
     val splits = c1.groupBy("split").count().collect()

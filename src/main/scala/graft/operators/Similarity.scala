@@ -1121,7 +1121,9 @@ object Similarity {
        |  FROM pc$IvfIters)""".stripMargin
   }
 
-  private def v11(s: SparkSession, dir: String): DataFrame = {
+  /** The full ADC ranking (q_id, c_id, adist, rk) shared by v11 (top-5
+    * report) and v15 (top-[[RerankShortlist]] shortlist). */
+  private def pqRanked(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val subs = e.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
@@ -1155,11 +1157,13 @@ object Similarity {
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("c_id"))
     scored.withColumn("rk", row_number().over(wTop).cast(LongType))
-      .where(col("rk") <= 5)
+  }
+
+  private def v11(s: SparkSession, dir: String): DataFrame =
+    pqRanked(s, dir).where(col("rk") <= 5)
       .select(col("q_id"), col("c_id"), round(col("adist"), 6).as("adist_r"),
         col("rk"))
       .orderBy(col("q_id"), col("rk"))
-  }
   /** Cross-engine squared-L2 SQL (same l2r fold as [[sqDist]]). */
   private def distSqS(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
@@ -1212,6 +1216,60 @@ object Similarity {
     s"""WITH $pqCtesSql
        |SELECT q_id, c_id, round(adist, 6) AS adist_r, CAST(rk AS BIGINT) AS rk
        |FROM pq_ranked WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v15 — two-stage ANN serving: ADC shortlist → exact rerank, the way
+  // every production PQ index actually answers queries (Jégou et al.'s
+  // IVFADC + re-ranking): the compressed codes do the corpus-scale scan
+  // cheaply but lossily (v12 measures how lossily), then full-precision
+  // vectors are fetched for ONLY the shortlist and re-scored exactly.
+  // Top-5-of-shortlist-25 recovers most of the recall PQ alone loses,
+  // at 25 exact distance evaluations per query instead of |corpus|.
+  //
+  // Scale: stage 1 is v11's plan (LUT broadcast, codes-grain scan);
+  // stage 2 is a bounded id-lookup join — shortlist×query rows gather
+  // their full vectors by key, never a second corpus scan. This is THE
+  // pattern that lets a 100 TB embedding store serve from RAM-resident
+  // codes with disk-resident full vectors.
+  // ---------------------------------------------------------------------
+  private val RerankShortlist = 25
+
+  private def v15(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val short = pqRanked(s, dir).where(col("rk") <= RerankShortlist)
+      .select(col("q_id"), col("c_id"))
+    val q = e.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("c_id"))
+    short
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+        Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        sqDist(col("q_emb"), col("c_emb")).as("d"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), round(col("d"), 6).as("dist_r"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v15Sql =
+    s"""WITH $pqCtesSql,
+       |short AS (
+       |  SELECT q_id, c_id FROM pq_ranked WHERE rk <= $RerankShortlist),
+       |rer AS (
+       |  SELECT s.q_id, s.c_id,
+       |    ${distSqS("q.embedding", "c.embedding")} AS d
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.c_id),
+       |rr AS (
+       |  SELECT q_id, c_id, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rk
+       |  FROM rer)
+       |SELECT q_id, c_id, round(d, 6) AS dist_r, CAST(rk AS BIGINT) AS rk
+       |FROM rr WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1356,5 +1414,6 @@ object Similarity {
     QueryDef("v12_pq_recall", v12, Some(v12Sql)),
     QueryDef("v13_ivf_recall", v13, Some(v13Sql)),
     QueryDef("v14_semantic_dedup", v14, Some(v14Sql)),
-    QueryDef("c11_semantic_contamination", c11, Some(c11Sql)))
+    QueryDef("c11_semantic_contamination", c11, Some(c11Sql)),
+    QueryDef("v15_pq_rerank", v15, Some(v15Sql)))
 }

@@ -342,6 +342,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v15 rerank: exact distances ascending, recall@5 >= raw ADC's") {
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val rer = SparkEntry.queries("v15_pq_rerank")(spark, dir).collect()
+    val adc = SparkEntry.queries("v11_pq_ann")(spark, dir).collect()
+    val queries = rer.map(_.getAs[Long]("q_id")).distinct.sorted
+    assert(queries.toSeq == Seq(100L, 101L, 102L, 103L, 104L))
+    var rRecall = 0; var aRecall = 0
+    queries.foreach { q =>
+      val mine = rer.filter(_.getAs[Long]("q_id") == q)
+      assert(mine.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 5L))
+      // reported distances are the true exact distances, ascending
+      val ds = mine.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("dist_r"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      mine.foreach { r =>
+        val truth = sq(e(q), e(r.getAs[Long]("c_id")))
+        assert(math.abs(r.getAs[Double]("dist_r") - truth) < 1e-4)
+      }
+      // pooled recall@5 vs the exact top-5: rerank must not lose to ADC
+      val exact5 = e.keys.filter(_ != q).toSeq
+        .map(id => (id, sq(e(q), e(id)))).sortBy { case (id, d) => (d, id) }
+        .take(5).map(_._1).toSet
+      rRecall += mine.count(r => exact5(r.getAs[Long]("c_id")))
+      aRecall += adc.filter(_.getAs[Long]("q_id") == q)
+        .count(r => exact5(r.getAs[Long]("c_id")))
+    }
+    assert(rRecall >= aRecall,
+      s"rerank recall $rRecall fell below ADC recall $aRecall")
+  }
+
   test("c11 semantic contamination: eval-only, train matches, argmax per cluster") {
     val out = SparkEntry.queries("c11_semantic_contamination")(spark, dir)
       .collect()

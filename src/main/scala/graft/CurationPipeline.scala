@@ -562,8 +562,12 @@ object CurationPipeline {
         (col("base") + col("extra")).as("alloc"))
       .orderBy(col("source"))
   }
-  private val c09Sql =
-    s"""WITH census AS (
+  /** The Hamilton-apportionment CTEs shared by c09's and c12's oracles
+    * (census → fractional shares → largest-remainder ranks) — one
+    * source, so a tiebreak or budget change cannot desynchronize the
+    * manifest from its materialization. */
+  private val apportionCtesSql: String =
+    s"""census AS (
        |  SELECT source,
        |    CAST(sum(len(${TextOps.tokensSql})) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY 1),
@@ -579,7 +583,10 @@ object CurationPipeline {
        |r AS (
        |  SELECT *, CAST($TokenBudget - sum(base) OVER () AS BIGINT) AS leftover,
        |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
-       |  FROM b)
+       |  FROM b)""".stripMargin
+
+  private val c09Sql =
+    s"""WITH $apportionCtesSql
        |SELECT source, n_tokens, base,
        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
@@ -625,23 +632,7 @@ object CurationPipeline {
       .orderBy(col("doc_id"), col("copy_idx"))
   }
   private val c12Sql =
-    s"""WITH census AS (
-       |  SELECT source,
-       |    CAST(sum(len(${TextOps.tokensSql})) AS BIGINT) AS n_tokens
-       |  FROM documents GROUP BY 1),
-       |q AS (
-       |  SELECT source, n_tokens,
-       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
-       |  FROM census),
-       |b AS (
-       |  SELECT source, n_tokens,
-       |    CAST(n_tokens * $TokenBudget // total AS BIGINT) AS base,
-       |    CAST((n_tokens * $TokenBudget) % total AS BIGINT) AS rem
-       |  FROM q),
-       |r AS (
-       |  SELECT *, CAST($TokenBudget - sum(base) OVER () AS BIGINT) AS leftover,
-       |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
-       |  FROM b),
+    s"""WITH $apportionCtesSql,
        |ep AS (
        |  SELECT source,
        |    CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)

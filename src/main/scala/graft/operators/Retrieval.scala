@@ -181,8 +181,12 @@ object Retrieval {
   // production, only the correctness gate does).
   // ---------------------------------------------------------------------
   /** BM25 top-k over any (doc_id, text) frame — r03's core, public for
-    * crafted-corpus specs (saturation/length-normalization behavior). */
-  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    * crafted-corpus specs (saturation/length-normalization behavior).
+    * `exclude` drops a doc from the CANDIDATE list only (corpus stats —
+    * idf, dl totals — still cover it): r05 uses this to keep the query's
+    * own document out of both fusion legs symmetrically. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      exclude: Option[Long] = None): DataFrame = {
     val withDl = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
@@ -208,7 +212,8 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("score"),
         count(lit(1)).as("n_terms_matched"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    exclude.foldLeft(scored)((df, id) => df.where(col("doc_id") =!= id))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast(LongType))
@@ -217,9 +222,13 @@ object Retrieval {
 
   private def r03(s: SparkSession, dir: String): DataFrame =
     bm25TopK(t(s, dir, "documents"), QueryTerms, TopK)
-  private val r03Sql = {
+
+  /** The BM25 pipeline CTEs shared by r03's and r05's oracles (the
+    * splitCaseSql discipline — one source, so the scoring rationals
+    * cannot silently desynchronize between the two graded queries). */
+  private val bm25CtesSql: String = {
     val terms = QueryTerms.map(q => s"'$q'").mkString(", ")
-    s"""WITH dls AS (
+    s"""dls AS (
        |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
        |toks AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
@@ -234,21 +243,24 @@ object Retrieval {
        |  SELECT term,
        |    CAST((SELECT n_docs FROM totals) * 1000000 // COUNT(*) AS BIGINT) AS idf_ppm
        |  FROM postings GROUP BY 1),
-       |scored AS (
+       |bm25_scored AS (
        |  SELECT doc_id,
        |    CAST(SUM(idf_ppm * 2200000 * tf //
        |      (1000000 * tf + 300000 +
        |       (900000 * dl * n_docs // n_tokens))) AS BIGINT) AS score,
        |    CAST(COUNT(*) AS BIGINT) AS n_terms_matched
-       |  FROM postings JOIN idf USING (term) CROSS JOIN totals GROUP BY 1),
+       |  FROM postings JOIN idf USING (term) CROSS JOIN totals GROUP BY 1)""".stripMargin
+  }
+
+  private val r03Sql =
+    s"""WITH $bm25CtesSql,
        |top AS (
        |  SELECT doc_id, score, n_terms_matched
-       |  FROM scored ORDER BY score DESC, doc_id LIMIT $TopK)
+       |  FROM bm25_scored ORDER BY score DESC, doc_id LIMIT $TopK)
        |SELECT doc_id, score, n_terms_matched,
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
        |FROM top
        |ORDER BY rk""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // r04 — proximity-ranked search: documents where the two query terms
@@ -356,7 +368,11 @@ object Retrieval {
   private val RrfQueryVec = 0L
 
   private def r05(s: SparkSession, dir: String): DataFrame = {
-    val lex = bm25TopK(t(s, dir, "documents"), QueryTerms, RrfN)
+    // the query's own document is excluded from BOTH candidate lists
+    // (corpus stats still cover it) — an asymmetric exclusion would let
+    // it surface lexically while denying it its semantic RRF mass
+    val lex = bm25TopK(t(s, dir, "documents"), QueryTerms, RrfN,
+        exclude = Some(RrfQueryVec))
       .select(col("doc_id"), col("rk").as("lex_rk"))
     val e = t(s, dir, "embeddings")
     val qv = e.where(col("vec_id") === RrfQueryVec)
@@ -388,33 +404,14 @@ object Retrieval {
   }
 
   private val r05Sql = {
-    val terms = QueryTerms.map(q => s"'$q'").mkString(", ")
     val dot = Similarity.dotS("embedding", "q_emb")
     val nrmC = Similarity.normS("embedding")
     val nrmQ = Similarity.normS("q_emb")
-    s"""WITH dls AS (
-       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
-       |toks AS (
-       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-       |    unnest(toks) AS term FROM dls),
-       |totals AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM dls),
-       |postings AS (
-       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
-       |  FROM toks WHERE term IN ($terms) GROUP BY 1, 2, 3),
-       |idf AS (
-       |  SELECT term,
-       |    CAST((SELECT n_docs FROM totals) * 1000000 // COUNT(*) AS BIGINT) AS idf_ppm
-       |  FROM postings GROUP BY 1),
-       |scored AS (
-       |  SELECT doc_id,
-       |    CAST(SUM(idf_ppm * 2200000 * tf //
-       |      (1000000 * tf + 300000 +
-       |       (900000 * dl * n_docs // n_tokens))) AS BIGINT) AS score
-       |  FROM postings JOIN idf USING (term) CROSS JOIN totals GROUP BY 1),
+    s"""WITH $bm25CtesSql,
        |lextop AS (
-       |  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $RrfN),
+       |  SELECT doc_id, score FROM bm25_scored
+       |  WHERE doc_id <> $RrfQueryVec
+       |  ORDER BY score DESC, doc_id LIMIT $RrfN),
        |lex AS (
        |  SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk

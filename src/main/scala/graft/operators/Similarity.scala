@@ -543,15 +543,13 @@ object Similarity {
   private val ContamTau = 0.3
 
   private def c11(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // d08's split formula keyed on vec_id (documents and embeddings
-    // share ids — the v07 contract)
-    val split = when(
+    // share ids — the v07 contract); bucket computed once, the d08 idiom
+    val bucket =
       pmod(conv(substring(md5(concat(lit("split:"), col("vec_id"))), 1, 15), 16, 10)
-        .cast(LongType), lit(100L)) < 80, "train")
-      .otherwise(when(
-        pmod(conv(substring(md5(concat(lit("split:"), col("vec_id"))), 1, 15), 16, 10)
-          .cast(LongType), lit(100L)) < 90, "val").otherwise("test"))
+        .cast(LongType), lit(100L))
+    val split =
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     val assigned = rankedAssignment(s, dir, maxArn = 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         split.as("split"))
@@ -589,9 +587,7 @@ object Similarity {
        |  SELECT e.vec_id, e.split, t.vec_id AS train_id, e.cent_id,
        |    ${dotS("e.embedding", "t.embedding")} / (e.nrm * t.nrm) AS cosine
        |  FROM sp e JOIN sp t ON e.cent_id = t.cent_id
-       |  WHERE e.split <> 'train' AND t.split = 'train'
-       |    AND ${dotS("e.embedding", "t.embedding")} / (e.nrm * t.nrm)
-       |          >= $ContamTau),
+       |  WHERE e.split <> 'train' AND t.split = 'train'),
        |best AS (
        |  SELECT vec_id, split, train_id, cent_id, cosine,
        |    row_number() OVER (PARTITION BY vec_id
@@ -599,7 +595,7 @@ object Similarity {
        |  FROM prs)
        |SELECT vec_id, split, train_id, CAST(cent_id AS BIGINT) AS cent_id,
        |  round(cosine, 6) AS cosine_r
-       |FROM best WHERE rn = 1
+       |FROM best WHERE rn = 1 AND cosine >= $ContamTau
        |ORDER BY vec_id""".stripMargin
   }
 

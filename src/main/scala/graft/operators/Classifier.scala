@@ -321,56 +321,78 @@ object Classifier {
   // avg_w_milli band (28.4k-30.6k at every SF), so all three buckets
   // are populated — a cutoff outside the band would make the CASE
   // vacuous and the gate would never exercise it.
-  private val PplHeadMilli = 29500L
-  private val PplTailMilli = 29100L
+  private[graft] val PplHeadMilli = 29500L
+  private[graft] val PplTailMilli = 29100L
+
+  /** The trained bigram LM: bigram-grain weights, vocab-grain context
+    * totals, and the single-row vocab constant. */
+  final case class BigramLm(weights: DataFrame, ctx: DataFrame,
+      consts: DataFrame)
+
+  /** Per-row bigram explode of a frame carrying a `toks` array — an
+    * array-local zip of the two shifted slices (no positional self-join,
+    * no shuffle); every other column rides along. Docs with fewer than
+    * two tokens vanish (they hold no bigram). */
+  def explodeBigrams(df: DataFrame): DataFrame =
+    df.where(size(col("toks")) >= 2)
+      .withColumn("pv", slice(col("toks"), lit(1), size(col("toks")) - 1))
+      .withColumn("tk", slice(col("toks"), lit(2), size(col("toks")) - 1))
+      .withColumn("bg", explode(arrays_zip(col("pv"), col("tk"))))
+      .withColumn("prev", col("bg.pv"))
+      .withColumn("tok", col("bg.tk"))
+      .drop("pv", "tk", "bg", "toks")
+
+  /** Train the add-one-smoothed bigram LM on a (…, toks) target frame:
+    * one bigram-grain shuffle; context totals derive from the bigram
+    * table, never a second corpus pass. */
+  def trainBigramLm(target: DataFrame): BigramLm = {
+    val cntB = explodeBigrams(target.select(col("toks")))
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cnt_b"))
+    val ctx = cntB.groupBy(col("prev")).agg(sum(col("cnt_b")).as("cnt_c"))
+    val consts = target
+      .select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("vocab"))
+    val weights = cntB.join(ctx, Seq("prev")).crossJoin(broadcast(consts))
+      .select(col("prev"), col("tok"),
+        ilog(pratio(col("cnt_b") + 1L, col("cnt_c") + col("vocab") + 1L) + 1L)
+          .as("w"))
+    BigramLm(weights, ctx, consts)
+  }
+
+  /** Per-bigram LM weight for a (…, prev, tok) frame: the seen-bigram
+    * weight, or the OOV formula at count 0 (unseen prev ⇒ context 0).
+    * Stateless joins only, so it runs identically on a stream
+    * (stream-static) and on a batch frame. Adds column `we`. */
+  def scoreBigrams(bigr: DataFrame, lm: BigramLm): DataFrame =
+    bigr
+      .join(lm.weights, Seq("prev", "tok"), "left")
+      .join(lm.ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(lm.consts))
+      .withColumn("we",
+        coalesce(col("w"),
+          ilog(pratio(lit(1L), coalesce(col("cnt_c"), lit(0L)) + col("vocab") + 1L) + 1L)))
+      .drop("w", "cnt_c", "vocab")
+
+  /** The CCNet head/middle/tail CASE over an avg_w_milli column. */
+  def pplBucket(avg: Column): Column =
+    when(avg >= PplHeadMilli, "head")
+      .when(avg >= PplTailMilli, "middle")
+      .otherwise("tail")
 
   private def d29(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
         col("source").isin(DsirTargetSources: _*).as("is_t"))
-    // Per-doc bigrams via an array-local zip of the two shifted slices —
-    // no positional self-join, no extra shuffle before the LM join.
-    val bigr = docs
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("is_t"),
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("pv"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("tk"))
-      .select(col("doc_id"), col("is_t"),
-        explode(arrays_zip(col("pv"), col("tk"))).as("bg"))
-      .select(col("doc_id"), col("is_t"),
-        col("bg.pv").as("prev"), col("bg.tk").as("tok"))
-
-    val cntB = bigr.where(col("is_t"))
-      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cnt_b"))
-    val ctx = cntB.groupBy(col("prev")).agg(sum(col("cnt_b")).as("cnt_c"))
-    val consts = docs.where(col("is_t"))
-      .select(explode(col("toks")).as("tok"))
-      .agg(count_distinct(col("tok")).as("vocab"))
-
-    val weights = cntB.join(ctx, Seq("prev")).crossJoin(broadcast(consts))
-      .select(col("prev"), col("tok"),
-        ilog(pratio(col("cnt_b") + 1L, col("cnt_c") + col("vocab") + 1L) + 1L)
-          .as("w"))
-
-    val scored = bigr.where(!col("is_t"))
-      .join(weights, Seq("prev", "tok"), "left")
-      .join(ctx, Seq("prev"), "left")
-      .crossJoin(broadcast(consts))
-      .select(col("doc_id"),
-        coalesce(col("w"),
-          ilog(pratio(lit(1L), coalesce(col("cnt_c"), lit(0L)) + col("vocab") + 1L) + 1L))
-          .as("we"))
-
+    val lm = trainBigramLm(docs.where(col("is_t")))
+    val scored = scoreBigrams(
+      explodeBigrams(docs.where(!col("is_t"))), lm)
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("we")).as("sum_w"))
       .select(col("doc_id"), col("n_bigrams"),
         col("sum_w").cast(LongType).as("sum_w"),
         floor(col("sum_w").cast(DoubleType) * lit(1000.0)
           / col("n_bigrams").cast(DoubleType)).cast(LongType).as("avg_w_milli"))
-      .withColumn("ppl_bucket",
-        when(col("avg_w_milli") >= PplHeadMilli, "head")
-          .when(col("avg_w_milli") >= PplTailMilli, "middle")
-          .otherwise("tail"))
+      .withColumn("ppl_bucket", pplBucket(col("avg_w_milli")))
       .orderBy(col("doc_id"))
   }
 

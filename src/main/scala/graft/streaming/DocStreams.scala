@@ -210,4 +210,41 @@ object DocStreams {
           .cast(LongType).as("n_hits"))
       .where(size(col("matched_terms")) > 0)
   }
+
+  /** Streaming perplexity gate — d29's CCNet filter run at ingest time:
+    * the bigram LM is TRAINED IN BATCH on the static target corpus
+    * (Classifier.trainBigramLm, the same exact-integer arithmetic the
+    * graded d29 uses) and each arriving document is scored against it,
+    * keeping only head/middle docs ("tail" = the perplexity class CCNet
+    * drops). The LM joins are stream-static — per micro-batch probes of
+    * the three static LM frames, NO streaming state — and the only
+    * stateful operator is the per-document aggregation of bigram
+    * weights, which is watermark-bounded (grouped under an ingest-time
+    * window so append mode can emit finals). At 100 TB the LM frames
+    * are vocab/bigram-grain — the compressed artifact of the corpus,
+    * broadcast or co-bucketed exactly like [[novelDocs]]' digest set —
+    * and refreshing the LM is a query restart on the new snapshot (no
+    * state migration), the same contract as the novelty filter.
+    *
+    * Works identically on a batch frame (watermark = None) —
+    * StreamingSpec asserts parity against the batch-side recompute. */
+  def perplexityGate(docs: DataFrame, targetCorpus: DataFrame,
+      watermark: Option[String]): DataFrame = {
+    import graft.operators.{Classifier, TextOps}
+    val lm = Classifier.trainBigramLm(
+      targetCorpus.select(TextOps.tokens(col("text")).as("toks")))
+    val base = docs.select(col("doc_id"), col("ingest_ts"), col("source"),
+      TextOps.tokens(col("text")).as("toks"))
+    val wm = watermark.map(base.withWatermark("ingest_ts", _)).getOrElse(base)
+    val scored = Classifier.scoreBigrams(Classifier.explodeBigrams(wm), lm)
+    scored
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"),
+        col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("we")).as("sum_w"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        floor(col("sum_w").cast("double") * lit(1000.0)
+          / col("n_bigrams").cast("double")).cast("long").as("avg_w_milli"))
+      .withColumn("ppl_bucket", Classifier.pplBucket(col("avg_w_milli")))
+      .where(col("ppl_bucket") =!= "tail")
+  }
 }

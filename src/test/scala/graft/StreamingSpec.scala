@@ -196,6 +196,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.where(!col("split").isin("train", "val", "test")).count() == 0)
   }
 
+  test("streaming perplexity gate emits d29's buckets and drops exactly the tail") {
+    import graft.streaming.DocStreams
+    val tmp = Files.createTempDirectory("graft-ppl").toFile
+    tmp.deleteOnExit()
+    val path = tmp.getAbsolutePath
+    val docs = Tables.load(spark, SharedSpark.sf0001, "documents")
+    val target = docs.where(col("source").isin("src0", "src1"))
+    // the raw pool arrives as the stream, spread over three hour windows
+    docs.where(!col("source").isin("src0", "src1"))
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1704067200L) + (col("doc_id") % 3) * 3600)
+          .as("ingest_ts"),
+        col("text"), col("lang"), col("source"))
+      .repartition(2).write.mode("overwrite").parquet(path)
+
+    val q = DocStreams.perplexityGate(
+        DocStreams.readDocStream(spark, path), target, Some("1 hour"))
+      .writeStream.format("memory").queryName("ppl_gate")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("ppl_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("avg_w_milli"), r.getAs[String]("ppl_bucket"))).toMap
+
+    // the graded d29 is the oracle: same LM, same integer arithmetic —
+    // the gate must reproduce its numbers exactly and keep head+middle
+    val d29 = SparkEntry.queries("d29_perplexity_filter")(
+        spark, SharedSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("avg_w_milli"), r.getAs[String]("ppl_bucket"))).toMap
+    assert(got == d29.filter(_._2._2 != "tail"))
+    assert(got.nonEmpty && d29.exists(_._2._2 == "tail"))
+
+    // the same gate run as a batch frame agrees (stream/batch parity)
+    val batch = DocStreams.perplexityGate(
+        spark.read.parquet(path), target, watermark = None).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("avg_w_milli"), r.getAs[String]("ppl_bucket"))).toMap
+    assert(batch == got)
+  }
+
   test("streaming PII audit equals the batch audit on an injected-PII feed") {
     import graft.streaming.DocStreams
     val dir = Files.createTempDirectory("graft-pii").toFile

@@ -52,6 +52,53 @@ class ClassifierSpec extends AnyFunSuite {
     assert(avgA == swA * 1000L / 3L && avgB == swB * 1000L / 3L)
   }
 
+  test("d29 fuzz: random corpora match a pure-Scala brute force exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocabPool = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 3).foreach { trial =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"d29f$trial").toString
+      def sentence(n: Int): String =
+        Seq.fill(n)(vocabPool(rnd.nextInt(vocabPool.length))).mkString(" ")
+      val rows = (1L to 40L).map { id =>
+        val src = if (id <= 10) "src0" else s"src${2 + rnd.nextInt(3)}"
+        // lengths 0..7: exercises the no-bigram and single-token edges
+        (id, sentence(rnd.nextInt(8)), "en", src)
+      }
+      rows.toDF("doc_id", "text", "lang", "source")
+        .write.parquet(s"$tmp/documents.parquet")
+
+      // pure-Scala brute force of the exact integer pipeline
+      def toks(t: String) =
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val target = rows.filter(r => Set("src0", "src1")(r._4))
+      val vocab = target.flatMap(r => toks(r._2)).distinct.size.toLong
+      val cntB = target.flatMap(r => toks(r._2).sliding(2).filter(_.size == 2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ctx = cntB.groupBy(_._1.head).view.mapValues(_.values.sum).toMap
+      def w(prev: String, tok: String): Long =
+        cntB.get(Seq(prev, tok)) match {
+          case Some(c) => ilog(pratio(c + 1L, ctx(prev) + vocab + 1L) + 1L)
+          case None =>
+            ilog(pratio(1L, ctx.getOrElse(prev, 0L) + vocab + 1L) + 1L)
+        }
+      val want = rows.filterNot(r => Set("src0", "src1")(r._4))
+        .map(r => r._1 -> toks(r._2).sliding(2).filter(_.size == 2).toSeq)
+        .filter(_._2.nonEmpty)
+        .map { case (id, bgs) =>
+          val sw = bgs.map(b => w(b.head, b(1))).sum
+          id -> (bgs.size.toLong, sw,
+            math.floor(sw.toDouble * 1000.0 / bgs.size.toDouble).toLong)
+        }.toMap
+
+      val got = SparkEntry.queries("d29_perplexity_filter")(spark, tmp)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_w"),
+            r.getAs[Long]("avg_w_milli"))).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("d29 on testdata: all buckets populated, cutoffs honored, grain right") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val out = SparkEntry.queries("d29_perplexity_filter")(spark, dir)

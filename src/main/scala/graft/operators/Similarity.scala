@@ -1117,9 +1117,9 @@ object Similarity {
        |  FROM pc$IvfIters)""".stripMargin
   }
 
-  /** The full ADC ranking (q_id, c_id, adist, rk) shared by v11 (top-5
-    * report) and v15 (top-[[RerankShortlist]] shortlist). */
-  private def pqRanked(s: SparkSession, dir: String): DataFrame = {
+  /** The PQ index artifacts shared by v11/v15/v16: per-vector codes
+    * (vec_id, c0..c3) and the per-query LUTs (q_id, m, cent_id, d). */
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val subs = e.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
@@ -1140,16 +1140,29 @@ object Similarity {
       .agg(codeCol(0), codeCol(1), codeCol(2), codeCol(3))
     val lut = dists.where(col("vec_id").between(100, 104))
       .select(col("vec_id").as("q_id"), col("m"), col("cent_id"), col("d"))
+    (codes, lut)
+  }
+
+  /** ADC-score a (q_id, …codes) frame against the LUTs: four broadcast
+    * joins + the summed approximate distance column. */
+  private def adcScore(base: DataFrame, lut: DataFrame): DataFrame = {
     def lutJoin(df: DataFrame, m: Int) =
       df.join(broadcast(lut.where(col("m") === m)
           .select(col("q_id"), col("cent_id").as(s"c$m"), col("d").as(s"d$m"))),
         Seq("q_id", s"c$m"))
+    Seq(0, 1, 2, 3).foldLeft(base)(lutJoin)
+      .withColumn("adist", col("d0") + col("d1") + col("d2") + col("d3"))
+  }
+
+  /** The full ADC ranking (q_id, c_id, adist, rk) shared by v11 (top-5
+    * report) and v15 (top-[[RerankShortlist]] shortlist). */
+  private def pqRanked(s: SparkSession, dir: String): DataFrame = {
+    val (codes, lut) = pqIndex(s, dir)
     val base = codes.select(col("vec_id").as("c_id"),
         col("c0"), col("c1"), col("c2"), col("c3"))
       .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
       .where(col("q_id") =!= col("c_id"))
-    val scored = Seq(0, 1, 2, 3).foldLeft(base)(lutJoin)
-      .withColumn("adist", col("d0") + col("d1") + col("d2") + col("d3"))
+    val scored = adcScore(base, lut)
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("c_id"))
     scored.withColumn("rk", row_number().over(wTop).cast(LongType))
@@ -1267,6 +1280,78 @@ object Similarity {
        |SELECT q_id, c_id, round(d, 6) AS dist_r, CAST(rk AS BIGINT) AS rk
        |FROM rr WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v16 — IVFADC: the full FAISS billion-scale index shape, composing
+  // the two trained quantizers this module already grades separately.
+  // The coarse quantizer (trained IVF, v04's assignment) prunes the
+  // candidate set to the query's own inverted list; the fine quantizer
+  // (trained PQ codebook, v11's codes) ADC-scores ONLY those members.
+  // v11 scans every code per query; v16 scans |corpus|/k per query —
+  // the factor that turns a RAM-resident code scan into a per-list
+  // lookup at 100 TB (k grows ~√n, so the scanned fraction shrinks as
+  // the corpus grows). Recall loss vs v11 is the coarse-pruning cost
+  // the v13 audit measures on the IVF side; multi-probe (v09's knob)
+  // buys it back.
+  //
+  // Scale: the inverted-list lookup is one join keyed on cent_id with
+  // the (tiny) query-assignment side broadcast; ADC then runs its four
+  // broadcast LUT joins on the pruned candidate rows. No corpus-scale
+  // cross remains anywhere in the plan.
+  // ---------------------------------------------------------------------
+  private def v16(s: SparkSession, dir: String): DataFrame = {
+    val (codes, lut) = pqIndex(s, dir)
+    val assigned = rankedAssignment(s, dir, maxArn = 1)
+      .select(col("vec_id"), col("cent_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qCent = lut.select(col("q_id")).distinct()
+      .join(assigned.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+    val eligible = broadcast(qCent)
+      .join(assigned.withColumnRenamed("vec_id", "c_id"), Seq("cent_id"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("cent_id"))
+    val base = eligible.join(codes.select(col("vec_id").as("c_id"),
+      col("c0"), col("c1"), col("c2"), col("c3")), Seq("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("c_id"))
+    adcScore(base, lut)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("cent_id").cast(LongType).as("cent_id"),
+        round(col("adist"), 6).as("adist_r"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v16Sql = {
+    val lutJoins = (0 until PqM).map(m =>
+      s"JOIN lut l$m ON l$m.q_id = el.q_id AND l$m.m = $m AND l$m.cent_id = c.c$m")
+      .mkString("\n  ")
+    s"""WITH ${ivfCtesSql()},
+       |$pqCtesSql,
+       |ivf_assigned AS (
+       |  SELECT vec_id, cent_id FROM ranked_assign WHERE arn = 1),
+       |qc AS (
+       |  SELECT q.q_id, a.cent_id
+       |  FROM (SELECT DISTINCT q_id FROM lut) q
+       |  JOIN ivf_assigned a ON a.vec_id = q.q_id),
+       |elig AS (
+       |  SELECT qc.q_id, a.vec_id AS c_id, qc.cent_id
+       |  FROM qc JOIN ivf_assigned a
+       |    ON a.cent_id = qc.cent_id AND a.vec_id <> qc.q_id),
+       |ivfadc_scored AS (
+       |  SELECT el.q_id, el.c_id, el.cent_id,
+       |    l0.d + l1.d + l2.d + l3.d AS adist
+       |  FROM elig el
+       |  JOIN codes c ON c.vec_id = el.c_id
+       |  $lutJoins),
+       |ivfadc_ranked AS (
+       |  SELECT q_id, c_id, cent_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+       |  FROM ivfadc_scored)
+       |SELECT q_id, c_id, CAST(cent_id AS BIGINT) AS cent_id,
+       |  round(adist, 6) AS adist_r, CAST(rk AS BIGINT) AS rk
+       |FROM ivfadc_ranked WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // v12 — PQ recall audit: recall@5 of v11's ADC ranking against exact
@@ -1411,5 +1496,6 @@ object Similarity {
     QueryDef("v13_ivf_recall", v13, Some(v13Sql)),
     QueryDef("v14_semantic_dedup", v14, Some(v14Sql)),
     QueryDef("c11_semantic_contamination", c11, Some(c11Sql)),
-    QueryDef("v15_pq_rerank", v15, Some(v15Sql)))
+    QueryDef("v15_pq_rerank", v15, Some(v15Sql)),
+    QueryDef("v16_ivfadc", v16, Some(v16Sql)))
 }

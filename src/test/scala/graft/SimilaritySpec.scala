@@ -381,6 +381,43 @@ class SimilaritySpec extends AnyFunSuite {
       s"rerank recall $rRecall fell below ADC recall $aRecall")
   }
 
+  test("v16 IVFADC: candidates confined to the query's cluster, ADC order kept") {
+    val out = SparkEntry.queries("v16_ivfadc")(spark, dir).collect()
+    // cluster membership oracle: v14's assignment (same trained IVF)
+    val assign = SparkEntry.queries("v14_semantic_dedup")(spark, dir)
+      .select(col("vec_id"), col("cent_id")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(100L, 101L, 102L, 103L, 104L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+      rows.foreach { r =>
+        // the inverted-list contract: candidate and query share a cluster
+        assert(r.getAs[Long]("cent_id") == assign(q))
+        assert(assign(r.getAs[Long]("c_id")) == assign(q))
+        assert(r.getAs[Long]("c_id") != q)
+      }
+      // ADC distances ascend with rank
+      val ds = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("adist_r"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    // pruning consistency vs the unrestricted ADC scan: any v11 top-5
+    // hit that lives in the query's own cluster must reappear in v16
+    // with the same approximate distance
+    val v11 = SparkEntry.queries("v11_pq_ann")(spark, dir).collect()
+    v11.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val c = r.getAs[Long]("c_id")
+      if (assign(c) == assign(q)) {
+        val hit = out.find(o => o.getAs[Long]("q_id") == q
+          && o.getAs[Long]("c_id") == c)
+        assert(hit.isDefined, s"in-cluster v11 hit ($q,$c) missing from v16")
+        assert(math.abs(hit.get.getAs[Double]("adist_r")
+          - r.getAs[Double]("adist_r")) < 1e-9)
+      }
+    }
+  }
+
   test("c11 semantic contamination: eval-only, train matches, argmax per cluster") {
     val out = SparkEntry.queries("c11_semantic_contamination")(spark, dir)
       .collect()

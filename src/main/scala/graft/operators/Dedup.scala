@@ -785,6 +785,101 @@ object Dedup {
       .orderBy(col("batch_doc"))
   }
 
+  // ---------------------------------------------------------------------
+  // n10 — LSH banding S-curve audit: the tuning report behind every
+  // MinHash dedup deployment. With k=8 signatures, the three bandings
+  // (8×1, 4×2, 2×4) trade recall against precision along the standard
+  // S-curve P(candidate) = 1-(1-J^r)^b: more bands/shorter rows collide
+  // earlier (high recall, low precision), fewer bands/longer rows later.
+  // Per config the audit reports candidate volume, the candidates whose
+  // signature-estimated Jaccard clears 0.5 (≥4 of 8 sigs agree — the
+  // n07 estimator), and integer-ppm precision. Config (4,2) IS n02's
+  // production banding, so its row doubles as a cross-check (spec-pinned
+  // equal to n02's pair count).
+  //
+  // Scale: each config is the n02 plan (one shuffle on (band_id,
+  // band_key), per-bucket capped pair explode) plus two narrow
+  // signature-row joins on the candidate sliver; the signature frame is
+  // computed once and persisted across the three configs. Report is
+  // 3 rows.
+  // ---------------------------------------------------------------------
+  private val SweepConfigs = Seq((8, 1), (4, 2), (2, 4))
+
+  /** [[bandRows]] generalized to b bands × r rows over the k=8 sigs. */
+  def bandRowsCfg(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    val bandStructs = array((0 until b).map { i =>
+      struct(lit(i).as("band_id"),
+        concat_ws(":", (0 until r).map(j => col(s"mh${i * r + j}")): _*)
+          .as("band_key"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  private def n10(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashDf(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aSide = sig.select(col("doc_id").as("doc_a") +:
+      As.indices.map(k => col(s"mh$k").as(s"a$k")): _*)
+    val bSide = sig.select(col("doc_id").as("doc_b") +:
+      As.indices.map(k => col(s"mh$k").as(s"b$k")): _*)
+    val perCfg = SweepConfigs.map { case (b, r) =>
+      val agree = As.indices
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cappedLshPairs(bandRowsCfg(sig, b, r))
+        .join(aSide, Seq("doc_a")).join(bSide, Seq("doc_b"))
+        .select(agree.as("n_agree"))
+        .agg(count(lit(1)).as("n_cand_pairs"),
+          coalesce(sum(when(col("n_agree") * 2L >= 8L, 1L).otherwise(0L)),
+            lit(0L)).as("n_est_ge_50"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_cand_pairs"), col("n_est_ge_50"),
+          expr("n_est_ge_50 * 1000000 div greatest(n_cand_pairs, 1)")
+            .as("precision_ppm"))
+    }
+    perCfg.reduce(_ unionAll _).orderBy(col("bands").desc)
+  }
+  private val n10Sql = {
+    val agreeSum = As.indices
+      .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val blocks = SweepConfigs.map { case (b, r) =>
+      val bandSelects = (0 until b).map { i =>
+        val keyCols = (0 until r).map(j => s"mh${i * r + j}").mkString(", ")
+        s"SELECT doc_id, $i AS band_id, concat_ws(':', $keyCols) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""bands$b AS (
+         |  $bandSelects),
+         |kept$b AS (
+         |  SELECT band_id, band_key FROM bands$b
+         |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $MaxBucket),
+         |pairs$b AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands$b a JOIN bands$b b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |  JOIN kept$b k ON a.band_id = k.band_id AND a.band_key = k.band_key),
+         |stat$b AS (
+         |  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN 2 * ($agreeSum) >= 8
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_est_ge_50
+         |  FROM pairs$b
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b)""".stripMargin
+    }.mkString(",\n")
+    val union = SweepConfigs.map { case (b, _) => s"SELECT * FROM stat$b" }
+      .mkString(" UNION ALL ")
+    s"""$minhashBaseSql,
+       |$blocks
+       |SELECT bands, rows_per_band, n_cand_pairs, n_est_ge_50,
+       |  CAST(n_est_ge_50 * 1000000 // greatest(n_cand_pairs, 1) AS BIGINT)
+       |    AS precision_ppm
+       |FROM ($union)
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("n01_minhash_signatures", n01, Some(n01Sql), headline = true),
     QueryDef("n02_minhash_lsh_pairs", n02, Some(n02Sql), headline = true),
@@ -796,5 +891,6 @@ object Dedup {
     QueryDef("n08_simhash_neardup", n08, Some(n08Sql)),
     // n09's oracle IS n06's SQL: the served path must return exactly
     // what the inline incremental probe returns.
-    QueryDef("n09_served_lsh_probe", n09, Some(n06Sql), headline = true))
+    QueryDef("n09_served_lsh_probe", n09, Some(n06Sql), headline = true),
+    QueryDef("n10_lsh_banding_audit", n10, Some(n10Sql)))
 }

@@ -565,6 +565,31 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("n10 banding sweep: S-curve monotone, (4,2) row equals n02 exactly") {
+    val rows = SparkEntry.queries("n10_lsh_banding_audit")(
+        spark, SharedSpark.sf0001).collect()
+    assert(rows.map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")))
+      .toSeq == Seq((8L, 1L), (4L, 2L), (2L, 4L)))
+    // precision formula holds and estimates never exceed candidates
+    rows.foreach { r =>
+      val cand = r.getAs[Long]("n_cand_pairs")
+      val est = r.getAs[Long]("n_est_ge_50")
+      assert(est <= cand)
+      assert(r.getAs[Long]("precision_ppm") ==
+        est * 1000000L / math.max(cand, 1L))
+    }
+    // the S-curve: longer rows => fewer candidates, no lower precision
+    val cands = rows.map(_.getAs[Long]("n_cand_pairs"))
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2))
+    val prec = rows.map(_.getAs[Long]("precision_ppm"))
+    assert(prec(0) <= prec(1) && prec(1) <= prec(2))
+    assert(cands(2) > 0, "even the strictest banding must catch exact dups")
+    // config (4,2) IS n02's production banding — counts must agree
+    val n02 = SparkEntry.queries("n02_minhash_lsh_pairs")(
+      spark, SharedSpark.sf0001).count()
+    assert(cands(1) == n02)
+  }
+
   test("n08 equals the all-pairs Hamming brute force (banding exact below the bucket cap)") {
     val fps = run("n03_simhash").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))

@@ -105,14 +105,16 @@ object Dedup {
   /** bands + capped-buckets CTE bodies following [[minhashCtesSql]] —
     * the SQL mirror of [[bandRows]] + the bucket cap in
     * [[cappedLshPairs]]. */
-  def lshBandsCtesSql(maxBucket: Int = MaxBucket): String = {
-    val bandSelects = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_id, concat_ws(':', mh${2 * b}, mh${2 * b + 1}) AS band_key FROM sigs"
+  def lshBandsCtesSql(maxBucket: Int = MaxBucket, bands: Int = 4,
+      rows: Int = 2, suffix: String = ""): String = {
+    val bandSelects = (0 until bands).map { b =>
+      val keyCols = (0 until rows).map(j => s"mh${b * rows + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws(':', $keyCols) AS band_key FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""bands AS (
+    s"""bands$suffix AS (
        |  $bandSelects),
-       |kept_buckets AS (
-       |  SELECT band_id, band_key FROM bands
+       |kept_buckets$suffix AS (
+       |  SELECT band_id, band_key FROM bands$suffix
        |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket)""".stripMargin
   }
 
@@ -161,16 +163,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Signature rows → exploded (doc_id, band_id, band_key) rows. */
-  def bandRows(sig: DataFrame): DataFrame = {
-    val bandStructs = array((0 until 4).map { b =>
-      struct(
-        lit(b).as("band_id"),
-        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
-    }: _*)
-    sig.select(col("doc_id"), explode(bandStructs).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-  }
+  /** Signature rows → exploded (doc_id, band_id, band_key) rows — the
+    * production 4×2 instantiation of [[bandRowsCfg]], so the two can
+    * never drift apart structurally. */
+  def bandRows(sig: DataFrame): DataFrame = bandRowsCfg(sig, 4, 2)
 
   private def n02(s: SparkSession, dir: String): DataFrame =
     cappedLshPairs(bandRows(minhashDf(s, dir)))
@@ -845,21 +841,14 @@ object Dedup {
       .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
       .mkString(" + ")
     val blocks = SweepConfigs.map { case (b, r) =>
-      val bandSelects = (0 until b).map { i =>
-        val keyCols = (0 until r).map(j => s"mh${i * r + j}").mkString(", ")
-        s"SELECT doc_id, $i AS band_id, concat_ws(':', $keyCols) AS band_key FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""bands$b AS (
-         |  $bandSelects),
-         |kept$b AS (
-         |  SELECT band_id, band_key FROM bands$b
-         |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $MaxBucket),
+      s"""${lshBandsCtesSql(MaxBucket, b, r, s"$b")},
          |pairs$b AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands$b a JOIN bands$b b
          |    ON a.band_id = b.band_id AND a.band_key = b.band_key
          |   AND a.doc_id < b.doc_id
-         |  JOIN kept$b k ON a.band_id = k.band_id AND a.band_key = k.band_key),
+         |  JOIN kept_buckets$b k
+         |    ON a.band_id = k.band_id AND a.band_key = k.band_key),
          |stat$b AS (
          |  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
          |    CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,

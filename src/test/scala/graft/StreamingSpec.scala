@@ -236,6 +236,25 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("avg_w_milli"), r.getAs[String]("ppl_bucket"))).toMap
     assert(batch == got)
+
+    // the production shape: APPEND mode with a real watermark — finals
+    // emit only for windows the watermark has passed. With delay 0 the
+    // watermark lands on the last hour window's start, so the two
+    // earlier windows close (their docs emit with the complete-mode
+    // values) and the last stays open (its docs are withheld).
+    val q2 = DocStreams.perplexityGate(
+        DocStreams.readDocStream(spark, path), target, Some("0 seconds"))
+      .writeStream.format("memory").queryName("ppl_gate_append")
+      .outputMode("append").start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val append = spark.table("ppl_gate_append").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("avg_w_milli"), r.getAs[String]("ppl_bucket"))).toMap
+    assert(append.nonEmpty)
+    append.foreach { case (id, v) => assert(got(id) == v) }
+    val openWindow = got.keySet.filter(_ % 3 == 2)
+    assert(append.keySet == got.keySet -- openWindow)
   }
 
   test("streaming PII audit equals the batch audit on an injected-PII feed") {

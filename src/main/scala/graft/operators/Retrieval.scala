@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -439,10 +439,95 @@ object Retrieval {
        |ORDER BY rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // r06 — query-likelihood retrieval (the language-modeling family,
+  // Ponte & Croft 1998): each document is a smoothed unigram LM and
+  // documents rank by the likelihood of generating the query,
+  //   score(d) = Σ_{t∈Q} log p(t|d),  p(t|d) = (tf+1)/(dl+V+1)
+  // — add-one smoothing against the corpus vocabulary, in the same
+  // exact-integer half-bit log domain as d26/d29 (Classifier's ilog ∘
+  // pratio), so the ranking is bit-reproducible cross-engine. The
+  // smoothing term for a query word ABSENT from the doc depends only on
+  // dl, so missing terms cost arithmetic, not joins: score =
+  // Σ_present w(tf) + (|Q| − n_present)·w(0). Candidates are docs
+  // matching ≥1 query term (the r01 discipline — pure-smoothing scores
+  // only rank by shortness).
+  //
+  // Scale shape: r01/r03's postings plan — the term filter lands before
+  // any shuffle, one (doc, term) groupBy, one doc-grain groupBy, the
+  // vocab size V is a single broadcast scalar, and the global top-k
+  // lowers to TakeOrderedAndProject.
+  // ---------------------------------------------------------------------
+  /** Exact floor(2·log2(x)) — the d26/d29 integer half-bit log. */
+  private def ilog(x: Column): Column =
+    (length(bin(x * x)) - 1).cast(LongType)
+  private def ilogS(x: String): String =
+    s"CAST(length(bin(CAST($x AS BIGINT) * CAST($x AS BIGINT))) - 1 AS BIGINT)"
+  private def pratio(cnt: Column, denom: Column): Column =
+    floor(cnt.cast("double") * lit(1048576.0) / denom.cast("double"))
+      .cast(LongType)
+  private def pratioS(cnt: String, denom: String): String =
+    s"CAST(FLOOR(CAST($cnt AS DOUBLE) * 1048576 / CAST($denom AS DOUBLE)) AS BIGINT)"
+
+  private def r06(s: SparkSession, dir: String): DataFrame = {
+    val nq = QueryTerms.length.toLong
+    val withDl = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("term"))
+    val vocab = withDl.agg(count_distinct(col("term")).as("v"))
+    val postings = withDl
+      .where(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = ilog(pratio(col("tf") + 1L, col("dl") + col("v") + 1L) + 1L)
+    val w0 = ilog(pratio(lit(1L), col("dl") + col("v") + 1L) + 1L)
+    postings.crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("dl"), col("v"))
+      .agg(sum(w).as("present_w"), count(lit(1)).as("n_terms_matched"))
+      .select(col("doc_id"), col("dl"), col("n_terms_matched"),
+        (col("present_w") + (lit(nq) - col("n_terms_matched")) * w0)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(TopK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast(LongType))
+      .orderBy(col("rk"))
+  }
+  private val r06Sql = {
+    val terms = QueryTerms.map(q => s"'$q'").mkString(", ")
+    val nq = QueryTerms.length
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len(${TextOps.tokensSql}) AS BIGINT) AS dl,
+       |    unnest(${TextOps.tokensSql}) AS term
+       |  FROM documents),
+       |vv AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM toks),
+       |postings AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT doc_id, dl,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       |    CAST(SUM(${ilogS(pratioS("tf + 1", "dl + v + 1") + " + 1")})
+       |      + ($nq - COUNT(*))
+       |        * min(${ilogS(pratioS("1", "dl + v + 1") + " + 1")}) AS BIGINT)
+       |      AS score
+       |  FROM postings CROSS JOIN vv
+       |  GROUP BY doc_id, dl),
+       |top AS (
+       |  SELECT doc_id, dl, n_terms_matched, score
+       |  FROM scored ORDER BY score DESC, doc_id LIMIT $TopK)
+       |SELECT doc_id, dl, n_terms_matched, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |FROM top
+       |ORDER BY rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("r01_keyword_search", r01, Some(r01Sql)),
     QueryDef("r02_phrase_search", r02, Some(r02Sql)),
     QueryDef("r03_bm25_search", r03, Some(r03Sql)),
     QueryDef("r04_proximity_search", r04, Some(r04Sql)),
-    QueryDef("r05_rrf_fusion", r05, Some(r05Sql)))
+    QueryDef("r05_rrf_fusion", r05, Some(r05Sql)),
+    QueryDef("r06_query_likelihood", r06, Some(r06Sql)))
 }

@@ -164,6 +164,37 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("r06 query likelihood: exact integer recompute, ranks dense") {
+    def ilog(x: Long): Long =
+      if (x <= 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(x * x)
+    def pratio(cnt: Long, denom: Long): Long =
+      math.floor(cnt.toDouble * 1048576.0 / denom.toDouble).toLong
+    val qTerms = Seq("hash", "merge", "dup")
+    val docs = graft.sources.Tables.load(spark, SharedSpark.sf0001, "documents")
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      }.toMap
+    val v = docs.values.flatten.toSet.size.toLong
+    val out = SparkEntry.queries("r06_query_likelihood")(
+      spark, SharedSpark.sf0001).collect()
+    assert(out.length == 20)
+    assert(out.map(_.getAs[Long]("rk")).toSeq == (1L to 20L))
+    val scores = out.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+      val dl = toks.length.toLong
+      val tfs = qTerms.map(t => toks.count(_ == t).toLong)
+      assert(tfs.count(_ > 0).toLong == r.getAs[Long]("n_terms_matched"))
+      assert(r.getAs[Long]("n_terms_matched") > 0)
+      val want = tfs.map(tf => ilog(pratio(tf + 1L, dl + v + 1L) + 1L)).sum
+      assert(r.getAs[Long]("dl") == dl)
+      assert(r.getAs[Long]("score") == want,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("r05 RRF: ppm formula exact, ranks dense, fused order consistent") {
     val out = SparkEntry.queries("r05_rrf_fusion")(spark, SharedSpark.sf0001)
       .collect()

@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed BPE tokenizer TRAINING primitives — the inner loop that
   * turns a curated corpus into a merge table (d06 consumes a trained
@@ -286,7 +287,10 @@ object Bpe {
   // would wrap by codepoint (the `codepointSyms` rule) via the same
   // regexp_replace on a codepoint class.
   // ---------------------------------------------------------------------
-  private def d28(s: SparkSession, dir: String): DataFrame = {
+  /** The trained-tokenizer encode over the corpus — (doc_id, n_pieces,
+    * encoded) — shared by d28 (per-doc report) and d30 (per-source
+    * fertility census). */
+  private def encodeDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val merges = train(docs, NMerges)
     val wrapped = // ' a  b  c ' per token, tokens joined by '|'
@@ -306,17 +310,21 @@ object Bpe {
         size(col("pieces")).cast(org.apache.spark.sql.types.LongType)
           .as("n_pieces"),
         concat_ws(" ", col("pieces")).as("encoded"))
-      .orderBy(col("doc_id"))
   }
 
-  private val d28Sql = {
+  private def d28(s: SparkSession, dir: String): DataFrame =
+    encodeDocs(s, dir).orderBy(col("doc_id"))
+
+  /** The d28 oracle pipeline through the `encoded` CTE (train replay +
+    * replace-chain encode) — shared by d28Sql and d30Sql. */
+  private val encodeCtesSql = {
     val stages = (1 to NMerges).map(mergeStageSql).mkString(",\n")
     val chain = (1 to NMerges).foldLeft("stream") { (acc, k) =>
       s"""replace($acc,
          |      (SELECT ' ' || sym_a || '  ' || sym_b || ' ' FROM top$k),
          |      (SELECT ' ' || sym_a || sym_b || ' ' FROM top$k))""".stripMargin
     }
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT unnest(${TextOps.tokensSql}) AS w FROM documents),
        |wf AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY w),
@@ -335,15 +343,74 @@ object Bpe {
        |  SELECT doc_id,
        |    list_filter(string_split_regex(replace($chain, '|', ' '), ' +'),
        |      p -> p <> '') AS pieces
-       |  FROM streams)
+       |  FROM streams)""".stripMargin
+  }
+
+  private val d28Sql =
+    s"""WITH $encodeCtesSql
        |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
        |  array_to_string(pieces, ' ') AS encoded
        |FROM encoded
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d30 — tokenizer fertility census: the per-source report a tokenizer
+  // ships with. Fertility (pieces per word) and compression (chars per
+  // piece) tell you where the trained vocabulary serves the corpus well
+  // and where a source pays a token tax (the standard multi-source /
+  // multi-lingual tokenizer health metric). Integer-ppm ratios, exact.
+  //
+  // Scale: the encode is d28's one narrow codegen pass; the census is a
+  // source-grain aggregate of three longs per doc — nothing new shuffles
+  // beyond the |sources|-row groupBy.
+  // ---------------------------------------------------------------------
+  private def d30(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val stats = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast(LongType).as("n_words"),
+        coalesce(aggregate(transform(col("toks"),
+            t => length(t).cast(LongType)), lit(0L), (a, b) => a + b), lit(0L))
+          .as("n_chars"))
+    stats.join(encodeDocs(s, dir).select(col("doc_id"), col("n_pieces")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_words"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_pieces"),
+        expr("n_pieces * 1000000 div greatest(n_words, 1)")
+          .as("fertility_ppm"),
+        expr("n_chars * 1000000 div greatest(n_pieces, 1)")
+          .as("compression_ppm"))
+      .orderBy(col("source"))
   }
+  private val d30Sql =
+    s"""WITH $encodeCtesSql,
+       |stats AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(${TextOps.tokensSql},
+       |      t -> CAST(length(t) AS BIGINT))), 0) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |census AS (
+       |  SELECT source,
+       |    CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces
+       |  FROM stats JOIN encoded USING (doc_id)
+       |  GROUP BY source)
+       |SELECT source, n_words, n_chars, n_pieces,
+       |  CAST(n_pieces * 1000000 // greatest(n_words, 1) AS BIGINT)
+       |    AS fertility_ppm,
+       |  CAST(n_chars * 1000000 // greatest(n_pieces, 1) AS BIGINT)
+       |    AS compression_ppm
+       |FROM census
+       |ORDER BY source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d20_bpe_pair_counts", d20, Some(d20Sql), headline = true),
     QueryDef("d25_bpe_merge_table", d25, Some(d25Sql), headline = true),
-    QueryDef("d28_bpe_encode", d28, Some(d28Sql), headline = true))
+    QueryDef("d28_bpe_encode", d28, Some(d28Sql), headline = true),
+    QueryDef("d30_tokenizer_fertility", d30, Some(d30Sql)))
 }

@@ -79,4 +79,31 @@ class BpeSpec extends AnyFunSuite {
     val excluded = expected.filterNot(e => got.exists(_._1 == e._1))
     excluded.foreach { case (_, n) => assert(n <= floor) }
   }
+
+  test("d30 fertility census: bounds, ppm formulas, sums match d28's encode") {
+    import org.apache.spark.sql.functions._
+    val dir = SharedSpark.sf0001
+    val rows = SparkEntry.queries("d30_tokenizer_fertility")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, p) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_pieces"))
+      // every word is at least one piece; merges only shrink the stream
+      assert(w <= p && p <= c, s"${r.getAs[String]("source")}: $w/$p/$c")
+      assert(r.getAs[Long]("fertility_ppm") == p * 1000000L / math.max(w, 1L))
+      assert(r.getAs[Long]("compression_ppm") == c * 1000000L / math.max(p, 1L))
+    }
+    // census totals equal the per-doc encode aggregated by source
+    val bySrc = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val encPieces = SparkEntry.queries("d28_bpe_encode")(spark, dir)
+      .select(col("doc_id"), col("n_pieces")).collect()
+      .groupBy(r => bySrc(r.getAs[Long]("doc_id")))
+      .view.mapValues(_.map(_.getAs[Long]("n_pieces")).sum).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pieces") == encPieces(r.getAs[String]("source")))
+    }
+  }
 }

@@ -1341,6 +1341,123 @@ object TextOps {
        |FROM base b LEFT JOIN perdoc p USING (doc_id) LEFT JOIN cov c USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d31 — n-gram repetition filters (the Gopher/MassiveText rule family,
+  // Rae et al. 2021 Table A1): per document, the fraction of characters
+  // covered by the heaviest word {2,3,4}-gram and by all DUPLICATED
+  // 2-grams, as exact integer ppm of the document's characters, plus the
+  // per-rule flags and the admission verdict. "Coverage" is
+  // occurrences × n-gram string length, so the top gram is the
+  // max-coverage one — a total order without a tie-break (the published
+  // "most frequent n-gram" is tie-ambiguous across engines). The
+  // duplicate-gram leg is instantiated at n=2 rather than Gopher's n≥5:
+  // this corpus has ZERO repeated 5-grams at every graded SF (measured
+  // at sf0.001 and sf0.01), so the n≥5 legs would be vacuously-green
+  // columns, while duplicated bigrams split the corpus cleanly. The
+  // thresholds are calibrated on the sf0.001 AND sf0.01 distributions
+  // so every rule fires on a real slice and both verdicts stay
+  // populated (spec-pinned in TextDedupSpec).
+  //
+  // Scale shape: ONE explode over the concatenated (n, gram) arrays →
+  // one gram-grain groupBy with map-side partials (the d16 census
+  // shape) → one doc-grain conditional aggregate; the doc-grain left
+  // join back to `documents` only restores gram-less (< 2 token) docs.
+  // Nothing is all-pairs and nothing is per-doc quadratic.
+  // ---------------------------------------------------------------------
+  private val Top2Max = 90000L   // max-2-gram coverage ppm admission bound
+  private val Top3Max = 100000L
+  private val Top4Max = 130000L
+  private val Dup2Max = 200000L  // duplicated-2-gram total coverage bound
+
+  private def d31(s: SparkSession, dir: String): DataFrame = {
+    def grams(toks: Column, n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          struct(lit(n).as("n"), concat_ws(" ", slice(toks, i, lit(n))).as("gram"))))
+        .otherwise(array().cast(ArrayType(new StructType()
+          .add("n", IntegerType, nullable = false).add("gram", StringType))))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("nc"),
+        tokens(col("text")).as("toks"))
+    val counted = base
+      .select(col("doc_id"),
+        explode(concat(grams(col("toks"), 2), grams(col("toks"), 3),
+          grams(col("toks"), 4))).as("g"))
+      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cov", col("cnt") * length(col("gram")).cast(LongType))
+    val perDoc = counted.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("cov"))).as("c2"),
+        max(when(col("n") === 3, col("cov"))).as("c3"),
+        max(when(col("n") === 4, col("cov"))).as("c4"),
+        sum(when(col("n") === 2 && col("cnt") >= 2L, col("cov"))
+          .otherwise(0L)).as("cd"))
+    base.select(col("doc_id"), col("nc"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("coalesce(c2, 0) * 1000000 div greatest(nc, 1)").as("top2_ppm"),
+        expr("coalesce(c3, 0) * 1000000 div greatest(nc, 1)").as("top3_ppm"),
+        expr("coalesce(c4, 0) * 1000000 div greatest(nc, 1)").as("top4_ppm"),
+        expr("coalesce(cd, 0) * 1000000 div greatest(nc, 1)").as("dup2_ppm"))
+      .withColumn("top2_ok", when(col("top2_ppm") <= Top2Max, 1L).otherwise(0L))
+      .withColumn("top3_ok", when(col("top3_ppm") <= Top3Max, 1L).otherwise(0L))
+      .withColumn("top4_ok", when(col("top4_ppm") <= Top4Max, 1L).otherwise(0L))
+      .withColumn("dup2_ok", when(col("dup2_ppm") <= Dup2Max, 1L).otherwise(0L))
+      .withColumn("verdict",
+        when(col("top2_ok") + col("top3_ok") + col("top4_ok")
+          + col("dup2_ok") === 4L, "keep").otherwise("drop"))
+      .orderBy(col("doc_id"))
+  }
+  private val d31Sql = {
+    def gramCte(n: Int): String =
+      s"""SELECT doc_id, $n AS n,
+         |    unnest(CASE WHEN len(toks) >= $n
+         |      THEN list_transform(range(1, len(toks) - ${n - 2}), i ->
+         |        array_to_string(toks[i:i + ${n - 1}], ' '))
+         |      ELSE [] END) AS gram
+         |  FROM toks""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+       |    $tokensSql AS toks
+       |  FROM documents),
+       |grams AS (
+       |  ${gramCte(2)}
+       |  UNION ALL
+       |  ${gramCte(3)}
+       |  UNION ALL
+       |  ${gramCte(4)}),
+       |counted AS (
+       |  SELECT doc_id, n, gram, COUNT(*) AS cnt,
+       |    COUNT(*) * length(gram) AS cov
+       |  FROM grams GROUP BY 1, 2, 3),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN n = 2 THEN cov END) AS c2,
+       |    max(CASE WHEN n = 3 THEN cov END) AS c3,
+       |    max(CASE WHEN n = 4 THEN cov END) AS c4,
+       |    sum(CASE WHEN n = 2 AND cnt >= 2 THEN cov ELSE 0 END) AS cd
+       |  FROM counted GROUP BY 1),
+       |ppm AS (
+       |  SELECT t.doc_id,
+       |    CAST(coalesce(p.c2, 0) * 1000000 // greatest(t.nc, 1) AS BIGINT) AS top2_ppm,
+       |    CAST(coalesce(p.c3, 0) * 1000000 // greatest(t.nc, 1) AS BIGINT) AS top3_ppm,
+       |    CAST(coalesce(p.c4, 0) * 1000000 // greatest(t.nc, 1) AS BIGINT) AS top4_ppm,
+       |    CAST(coalesce(p.cd, 0) * 1000000 // greatest(t.nc, 1) AS BIGINT) AS dup2_ppm
+       |  FROM toks t LEFT JOIN perdoc p USING (doc_id))
+       |SELECT doc_id, top2_ppm, top3_ppm, top4_ppm, dup2_ppm,
+       |  CAST(CASE WHEN top2_ppm <= $Top2Max THEN 1 ELSE 0 END AS BIGINT) AS top2_ok,
+       |  CAST(CASE WHEN top3_ppm <= $Top3Max THEN 1 ELSE 0 END AS BIGINT) AS top3_ok,
+       |  CAST(CASE WHEN top4_ppm <= $Top4Max THEN 1 ELSE 0 END AS BIGINT) AS top4_ok,
+       |  CAST(CASE WHEN dup2_ppm <= $Dup2Max THEN 1 ELSE 0 END AS BIGINT) AS dup2_ok,
+       |  CASE WHEN top2_ppm <= $Top2Max AND top3_ppm <= $Top3Max
+       |    AND top4_ppm <= $Top4Max AND dup2_ppm <= $Dup2Max
+       |    THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM ppm
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -1365,5 +1482,6 @@ object TextOps {
     QueryDef("d22_source_drift", d22, Some(d22Sql)),
     QueryDef("d23_ngram_novelty", d23, Some(d23Sql)),
     QueryDef("d24_pack_utilization", d24, Some(d24Sql)),
-    QueryDef("d27_substring_dedup", d27, Some(d27Sql), headline = true))
+    QueryDef("d27_substring_dedup", d27, Some(d27Sql), headline = true),
+    QueryDef("d31_ngram_repetition", d31, Some(d31Sql)))
 }

@@ -609,6 +609,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("d31 crafted corpus: coverage ppms exact, gram-less doc survives as keep") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d31").toString
+    Seq(
+      (1L, "x y x y x y"), // nc=11; top2 = "x y"x3 (cov 9), dup2 = 9+6
+      (2L, "z"))           // no 2-grams at all -> zero ppms, keep
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("d31_ngram_repetition")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("top2_ppm"), r.getAs[Long]("top3_ppm"),
+          r.getAs[Long]("top4_ppm"), r.getAs[Long]("dup2_ppm")),
+          r.getAs[String]("verdict"))).toMap
+    // 9e6/11, 10e6/11 ("x y x"x2, cov 10), 14e6/11 ("x y x y"x2), 15e6/11
+    assert(got(1L) == (((818181L, 909090L, 1272727L, 1363636L), "drop")))
+    assert(got(2L) == (((0L, 0L, 0L, 0L), "keep")))
+  }
+
+  test("d31 on testdata: doc grain, every rule fires, verdict = AND of flags") {
+    val rows = run("d31_ngram_repetition").collect()
+    assert(rows.length.toLong == docs.count())
+    for (flag <- Seq("top2_ok", "top3_ok", "top4_ok", "dup2_ok"))
+      assert(rows.map(_.getAs[Long](flag)).toSet == Set(0L, 1L),
+        s"$flag must split the corpus — recalibrate the threshold")
+    assert(rows.map(_.getAs[String]("verdict")).toSet == Set("keep", "drop"))
+    rows.foreach { r =>
+      val allOk = Seq("top2_ok", "top3_ok", "top4_ok", "dup2_ok")
+        .forall(f => r.getAs[Long](f) == 1L)
+      assert(r.getAs[String]("verdict") == (if (allOk) "keep" else "drop"))
+    }
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

@@ -134,30 +134,38 @@ object Retrieval {
 
   private def r02(s: SparkSession, dir: String): DataFrame =
     phraseMatches(t(s, dir, "documents"), Phrase)
-  private val r02Sql = {
-    val joins = Phrase.zipWithIndex.tail.map { case (_, i) =>
-      s"JOIN postings p$i ON p0.doc_id = p$i.doc_id AND p$i.pos = p0.pos + $i"
-    }.mkString("\n      |  ")
-    val preds = Phrase.zipWithIndex
-      .map { case (term, i) => s"p$i.term = '$term'" }.mkString(" AND ")
-    s"""WITH tk AS (
+
+  /** r02's positional-phrase CTE chain (`<p>tk`, `<p>postings`, `<p>m`),
+    * name-prefixed so it can coexist with other CTE families inside one
+    * oracle (the splitCaseSql discipline — r02 and r07 share ONE
+    * source for the phrase-match SQL). */
+  private def phraseCtesSql(phrase: Seq[String], p: String): String = {
+    val joins = phrase.zipWithIndex.tail.map { case (_, i) =>
+      s"JOIN ${p}postings ${p}p$i ON ${p}p0.doc_id = ${p}p$i.doc_id AND ${p}p$i.pos = ${p}p0.pos + $i"
+    }.mkString("\n  ")
+    val preds = phrase.zipWithIndex
+      .map { case (term, i) => s"${p}p$i.term = '$term'" }.mkString(" AND ")
+    s"""${p}tk AS (
        |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
-       |postings AS (
+       |${p}postings AS (
        |  SELECT doc_id, pos, toks[pos + 1] AS term FROM (
        |    SELECT doc_id, toks,
        |      CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos
-       |    FROM tk)),
-       |m AS (
-       |  SELECT p0.doc_id, p0.pos AS start
-       |  FROM postings p0
+       |    FROM ${p}tk)),
+       |${p}m AS (
+       |  SELECT ${p}p0.doc_id, ${p}p0.pos AS start
+       |  FROM ${p}postings ${p}p0
        |  $joins
-       |  WHERE $preds)
+       |  WHERE $preds)""".stripMargin
+  }
+
+  private val r02Sql =
+    s"""WITH ${phraseCtesSql(Phrase, "")}
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
        |  CAST(MIN(start) AS BIGINT) AS first_pos
        |FROM m
        |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // r03 — BM25-ranked search: r01's postings plan plus the BM25
@@ -223,11 +231,13 @@ object Retrieval {
   private def r03(s: SparkSession, dir: String): DataFrame =
     bm25TopK(t(s, dir, "documents"), QueryTerms, TopK)
 
-  /** The BM25 pipeline CTEs shared by r03's and r05's oracles (the
-    * splitCaseSql discipline — one source, so the scoring rationals
-    * cannot silently desynchronize between the two graded queries). */
-  private val bm25CtesSql: String = {
-    val terms = QueryTerms.map(q => s"'$q'").mkString(", ")
+  /** The BM25 pipeline CTEs shared by r03's, r05's, and r07's oracles
+    * (the splitCaseSql discipline — one source, so the scoring
+    * rationals cannot silently desynchronize between graded queries).
+    * Parameterized by the query term set: r03/r05 rank QueryTerms,
+    * r07 ranks the phrase's bag of words. */
+  private def bm25CtesSqlFor(queryTerms: Seq[String]): String = {
+    val terms = queryTerms.map(q => s"'$q'").mkString(", ")
     s"""dls AS (
        |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
        |toks AS (
@@ -251,6 +261,7 @@ object Retrieval {
        |    CAST(COUNT(*) AS BIGINT) AS n_terms_matched
        |  FROM postings JOIN idf USING (term) CROSS JOIN totals GROUP BY 1)""".stripMargin
   }
+  private val bm25CtesSql: String = bm25CtesSqlFor(QueryTerms)
 
   private val r03Sql =
     s"""WITH $bm25CtesSql,
@@ -523,11 +534,84 @@ object Retrieval {
        |ORDER BY rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // r07 — ranking-quality audit (the v08/v12 recall-audit discipline for
+  // the lexical rankers): BM25 ranks the bag of words of r02's phrase,
+  // and the audit grades that ranking against phrase-EXACT relevance —
+  // a deterministic in-engine label set (a doc is relevant iff the
+  // phrase occurs verbatim), so precision@k / recall@k / reciprocal
+  // rank need no human judgments yet measure the real question "does
+  // the bag-of-words ranker surface the phrase-exact documents". All
+  // metrics are exact integer ppm.
+  //
+  // Scale shape: both legs are already-audited bounded plans (r03's
+  // postings + TakeOrderedAndProject top-k; r02's positional
+  // intersection); the audit itself joins a ≤ TopK-row ranked list
+  // against the relevance set and aggregates over the fixed k
+  // enumeration — driver-scale work after the heavy lifting, the same
+  // shape as v08.
+  // ---------------------------------------------------------------------
+  private val AuditKs = Seq(1, 5, 10, 20)
+
+  /** Ranking audit over any (doc_id, text) frame — r07's core, public
+    * for crafted-corpus specs: BM25-rank `query`, label docs containing
+    * `phrase` verbatim as relevant, report hits/precision/recall/RR at
+    * each cutoff in `ks`. */
+  def rankingAudit(docs: DataFrame, query: Seq[String], phrase: Seq[String],
+      ks: Seq[Int], k: Int): DataFrame = {
+    val ranked = bm25TopK(docs, query, k).select(col("doc_id"), col("rk"))
+    val rel = phraseMatches(docs, phrase).select(col("doc_id"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val hits = ranked.join(rel, Seq("doc_id"), "left_semi")
+    val ksDf = docs.sparkSession
+      .range(1).select(explode(array(ks.map(x => lit(x.toLong)): _*)).as("k"))
+    ksDf.join(broadcast(hits), col("rk") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(count(col("rk")).as("hits_at_k"), min(col("rk")).as("mn"))
+      .crossJoin(broadcast(nRel))
+      .select(col("k"), col("n_relevant"), col("hits_at_k"),
+        expr("hits_at_k * 1000000 div k").as("precision_ppm"),
+        expr("hits_at_k * 1000000 div greatest(n_relevant, 1)").as("recall_ppm"),
+        coalesce(col("mn"), lit(0L)).as("first_rel_rank"),
+        expr("coalesce(1000000 div mn, 0)").as("rr_ppm"))
+      .orderBy(col("k"))
+  }
+
+  private def r07(s: SparkSession, dir: String): DataFrame =
+    rankingAudit(t(s, dir, "documents"), Phrase, Phrase, AuditKs, TopK)
+  private val r07Sql = {
+    val ksList = AuditKs.mkString(", ")
+    s"""WITH ${bm25CtesSqlFor(Phrase)},
+       |top AS (
+       |  SELECT doc_id, score FROM bm25_scored
+       |  ORDER BY score DESC, doc_id LIMIT $TopK),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM top),
+       |${phraseCtesSql(Phrase, "ph_")},
+       |relset AS (SELECT DISTINCT doc_id FROM ph_m),
+       |nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM relset),
+       |hits AS (SELECT rk FROM ranked JOIN relset USING (doc_id)),
+       |ks AS (SELECT CAST(unnest([$ksList]) AS BIGINT) AS k),
+       |per_k AS (
+       |  SELECT k, CAST(count(h.rk) AS BIGINT) AS hits_at_k, min(h.rk) AS mn
+       |  FROM ks LEFT JOIN hits h ON h.rk <= ks.k GROUP BY k)
+       |SELECT k, n_relevant, hits_at_k,
+       |  CAST(hits_at_k * 1000000 // k AS BIGINT) AS precision_ppm,
+       |  CAST(hits_at_k * 1000000 // greatest(n_relevant, 1) AS BIGINT) AS recall_ppm,
+       |  CAST(coalesce(mn, 0) AS BIGINT) AS first_rel_rank,
+       |  CAST(coalesce(1000000 // mn, 0) AS BIGINT) AS rr_ppm
+       |FROM per_k CROSS JOIN nrel
+       |ORDER BY k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("r01_keyword_search", r01, Some(r01Sql)),
     QueryDef("r02_phrase_search", r02, Some(r02Sql)),
     QueryDef("r03_bm25_search", r03, Some(r03Sql)),
     QueryDef("r04_proximity_search", r04, Some(r04Sql)),
     QueryDef("r05_rrf_fusion", r05, Some(r05Sql)),
-    QueryDef("r06_query_likelihood", r06, Some(r06Sql)))
+    QueryDef("r06_query_likelihood", r06, Some(r06Sql)),
+    QueryDef("r07_ranking_audit", r07, Some(r07Sql)))
 }

@@ -229,4 +229,47 @@ class RetrievalSpec extends AnyFunSuite {
         assert(b.getAs[Long]("rk") < s.getAs[Long]("rk"))
     }
   }
+
+  test("r07 audit: crafted corpus, every metric hand-checked at each k") {
+    // 4 docs contain 'hash' and/or 'join'; docs 1 and 4 contain the
+    // exact phrase. Doc 4 repeats the terms so BM25 ranks it first;
+    // doc 3 (no phrase) still outranks doc 1 by term frequency.
+    val docs = corpus(
+      (1L, "a hash join here"),                     // relevant
+      (2L, "hash only text"),
+      (3L, "hash hash filler join join join"),      // bag-heavy, no phrase
+      (4L, "hash join hash join hash join"),        // relevant, heaviest
+      (5L, "nothing matching at all"))
+    val got = Retrieval.rankingAudit(docs, Seq("hash", "join"),
+      Seq("hash", "join"), Seq(1, 2, 4), 4).collect()
+    assert(got.map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L, 4L))
+    val byK = got.map(r => r.getAs[Long]("k") -> r).toMap
+    // BM25 order: 4 (heaviest), 3, then 1, 2 — so hits are 1@k=1, 1@k=2
+    // (doc 3 is a miss), 2@k=4; n_relevant = 2 everywhere.
+    assert(got.forall(_.getAs[Long]("n_relevant") == 2L))
+    assert(byK(1L).getAs[Long]("hits_at_k") == 1L)
+    assert(byK(2L).getAs[Long]("hits_at_k") == 1L)
+    assert(byK(4L).getAs[Long]("hits_at_k") == 2L)
+    assert(byK(2L).getAs[Long]("precision_ppm") == 500000L)
+    assert(byK(4L).getAs[Long]("recall_ppm") == 1000000L)
+    assert(got.forall(_.getAs[Long]("first_rel_rank") == 1L))
+    assert(got.forall(_.getAs[Long]("rr_ppm") == 1000000L))
+  }
+
+  test("r07 on testdata: grain, monotonicity, and metric identities hold") {
+    val rows = SparkEntry.queries("r07_ranking_audit")(spark, SharedSpark.sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L, 20L))
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("hits_at_k") <= b.getAs[Long]("hits_at_k"))
+      assert(a.getAs[Long]("recall_ppm") <= b.getAs[Long]("recall_ppm"))
+    }
+    rows.foreach { r =>
+      val (k, h) = (r.getAs[Long]("k"), r.getAs[Long]("hits_at_k"))
+      assert(h <= k && h <= r.getAs[Long]("n_relevant"))
+      assert(r.getAs[Long]("precision_ppm") == h * 1000000L / k)
+      val fr = r.getAs[Long]("first_rel_rank")
+      assert(r.getAs[Long]("rr_ppm") == (if (fr == 0L) 0L else 1000000L / fr))
+    }
+  }
 }

@@ -1484,6 +1484,104 @@ object Similarity {
        |GROUP BY e.q_id
        |ORDER BY e.q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v17 — truncated-dimension two-stage retrieval (the Matryoshka /
+  // progressive-dims serving pattern): stage 1 scans the corpus with
+  // cosine over only the FIRST MrlPrefixDims of the embedding — at
+  // scale a 4× narrower index that fits 4× more vectors per executor
+  // page — keeping a per-query shortlist; stage 2 re-scores just the
+  // shortlist with full-dimension cosine. v15 reranks along the
+  // CODEBOOK axis (PQ → exact); this is the same two-stage discipline
+  // along the DIMENSION axis. The audit is baked into the graded
+  // output: in_exact flags whether each served row is in the exact
+  // full-dim top-10 (both 0s and 1s at every graded SF — the prefix
+  // deliberately loses enough to make the rerank visible).
+  //
+  // Scale shape: stage 1 is the v01 broadcast-probe scan on a 4×
+  // narrower vector; stage 2 and the audit intersection run on
+  // ≤ MrlShortlist rows per query. Ranking ties break on c_id, and the
+  // fold order of the prefix dot matches the full dot, so both engines
+  // agree bit-for-bit before the rounded display column.
+  // ---------------------------------------------------------------------
+  private val MrlPrefixDims = 16
+  private val MrlShortlist = 50
+
+  private def v17(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        slice(col("embedding"), 1, MrlPrefixDims).as("q_pre"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      slice(col("embedding"), 1, MrlPrefixDims).as("c_pre"))
+    val wPre = Window.partitionBy(col("q_id"))
+      .orderBy(col("pre_cos").desc, col("c_id"))
+    val short = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_emb"), col("c_id"), col("c_emb"),
+        (dot(col("q_pre"), col("c_pre"))
+          / (norm(col("q_pre")) * norm(col("c_pre")))).as("pre_cos"))
+      .withColumn("pre_rk", row_number().over(wPre).cast(LongType))
+      .where(col("pre_rk") <= MrlShortlist)
+    val wFull = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val reranked = short
+      .select(col("q_id"), col("c_id"), col("pre_rk"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .withColumn("rk", row_number().over(wFull).cast(LongType))
+      .where(col("rk") <= 10)
+    val exact = broadcast(q.select(col("q_id"), col("q_emb")))
+      .join(c.select(col("c_id"), col("c_emb")), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("xcos"))
+      .withColumn("xrk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("xcos").desc, col("c_id"))))
+      .where(col("xrk") <= 10)
+      .select(col("q_id"), col("c_id"), lit(1L).as("in_exact"))
+    reranked.join(exact, Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine_r"),
+        col("rk"), col("pre_rk"), coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v17Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    embedding[1:$MrlPrefixDims] AS q_pre
+       |  FROM embeddings WHERE vec_id < 5),
+       |c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb,
+       |    embedding[1:$MrlPrefixDims] AS c_pre
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT q_id, c_id, q_emb, c_emb, pre_rk FROM (
+       |    SELECT q_id, c_id, q_emb, c_emb,
+       |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+       |        ${dotS("q_pre", "c_pre")} / (${normS("q_pre")} * ${normS("c_pre")})
+       |          DESC, c_id) AS BIGINT) AS pre_rk
+       |    FROM q JOIN c ON q_id <> c_id)
+       |  WHERE pre_rk <= $MrlShortlist),
+       |reranked AS (
+       |  SELECT q_id, c_id, pre_rk, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id)
+       |      AS BIGINT) AS rk
+       |  FROM (
+       |    SELECT q_id, c_id, pre_rk,
+       |      ${dotS("q_emb", "c_emb")} / (${normS("q_emb")} * ${normS("c_emb")}) AS cosine
+       |    FROM short)),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        ${dotS("q_emb", "c_emb")} / (${normS("q_emb")} * ${normS("c_emb")})
+       |          DESC, c_id) AS xrk
+       |    FROM q JOIN c ON q_id <> c_id)
+       |  WHERE xrk <= 10)
+       |SELECT r.q_id, r.c_id, round(r.cosine, 6) AS cosine_r, r.rk, r.pre_rk,
+       |  CAST(CASE WHEN e.c_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+       |FROM reranked r LEFT JOIN exact e ON r.q_id = e.q_id AND r.c_id = e.c_id
+       |WHERE r.rk <= 10
+       |ORDER BY r.q_id, r.rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -1501,5 +1599,6 @@ object Similarity {
     QueryDef("v14_semantic_dedup", v14, Some(v14Sql)),
     QueryDef("c11_semantic_contamination", c11, Some(c11Sql)),
     QueryDef("v15_pq_rerank", v15, Some(v15Sql)),
-    QueryDef("v16_ivfadc", v16, Some(v16Sql)))
+    QueryDef("v16_ivfadc", v16, Some(v16Sql)),
+    QueryDef("v17_truncated_rerank", v17, Some(v17Sql)))
 }

@@ -472,4 +472,30 @@ class SimilaritySpec extends AnyFunSuite {
         s"eval $evalId: expected train ${best._1}, got ${r.getAs[Long]("train_id")}")
     }
   }
+
+  test("v17 truncated rerank: grain, order, audit flags consistent with v01") {
+    val out = run("v17_truncated_rerank").collect()
+    assert(out.length == 50)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (0L to 4L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 10L))
+      // full-dim rerank order: rounded cosine non-increasing with rk
+      val byRk = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine_r"))
+      byRk.zip(byRk.tail).foreach { case (a, b) => assert(a >= b) }
+      // every served row came from the prefix shortlist
+      assert(rows.forall(_.getAs[Long]("pre_rk") <= 50L))
+      // the prefix deliberately loses some of the exact top-10 per query
+      val hits = rows.map(_.getAs[Long]("in_exact")).sum
+      assert(hits >= 1L && hits < 10L,
+        s"in_exact must split (prefix loss visible), got $hits/10")
+    }
+    // in_exact agrees with v01's exact top-10 pair set row-for-row
+    val exact = run("v01_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    out.foreach { r =>
+      val hit = exact.contains((r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+      assert(r.getAs[Long]("in_exact") == (if (hit) 1L else 0L))
+    }
+  }
 }

@@ -119,8 +119,12 @@ object CurationPipeline {
   private def c01(s: SparkSession, dir: String): DataFrame =
     curate(Tables.load(s, dir, "documents"))
 
-  private val c01Sql =
-    s"""WITH base AS (
+  /** The curation chain's CTE ladder (base → scored → kept → deduped →
+    * curated) shared by c01's and c13's oracles — one source, so a
+    * stage-rule change cannot desynchronize the funnel report from the
+    * graded corpus (the splitCaseSql discipline). */
+  private val curateCtesSql: String =
+    s"""base AS (
        |  SELECT doc_id, text, lang, source,
        |    CAST(length(text) AS BIGINT) AS nc,
        |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS nt,
@@ -138,7 +142,7 @@ object CurationPipeline {
        |    CAST(COUNT(*) AS BIGINT) AS n_copies
        |  FROM kept GROUP BY 1),
        |deduped AS (
-       |  SELECT k.doc_id, k.text, k.lang, k.nt, k.q_points, g.n_copies
+       |  SELECT k.doc_id, k.text, k.lang, k.source, k.nt, k.q_points, g.n_copies
        |  FROM kept k JOIN groups g ON k.doc_id = g.keeper),
        |${Dedup.minhashCtesSql("deduped")},
        |${Dedup.lshBandsCtesSql()},
@@ -150,7 +154,10 @@ object CurationPipeline {
        |  JOIN kept_buckets kb
        |    ON a.band_id = kb.band_id AND a.band_key = kb.band_key),
        |curated AS (
-       |  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+       |  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drops))""".stripMargin
+
+  private val c01Sql =
+    s"""WITH $curateCtesSql
        |SELECT doc_id, lang, nt AS n_tokens, q_points, n_copies,
        |  ${TextOps.splitCaseSql} AS split
        |FROM curated
@@ -659,6 +666,72 @@ object CurationPipeline {
        |FROM c WHERE n_copies >= 1
        |ORDER BY doc_id, copy_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c13 — the funnel-attrition report: per source, how many documents
+  // survive each curation stage (raw → quality → exact-unique →
+  // near-dup-final) with per-stage drop rates in exact ppm — the loss
+  // accounting every production pipeline ships next to its curated
+  // corpus, and the first place a mis-weighted source or a
+  // crawl-duplicate storm shows up. The stages are the REAL stage
+  // functions (annotate/qualityFilter/exactDedup/nearDupDrop) counted
+  // per frame, and the oracle reads the intermediate CTEs of c01's
+  // shared ladder — so the report cannot drift from the graded corpus.
+  //
+  // Scale: the annotated doc-grain frame (doc_id, source, text,
+  // q_points) is persisted ONCE and all four stage counts derive from
+  // it — the narrowest frame that kills the recompute (the c05 grain
+  // rule); each count is a source-grain aggregate with map-side
+  // partials, and the final report joins at source grain (bounded by
+  // the source enumeration, broadcast-sized).
+  // ---------------------------------------------------------------------
+  private def c13(s: SparkSession, dir: String): DataFrame = {
+    val ann = annotate(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"), col("q_points"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = qualityFilter(ann)
+    val d = exactDedup(q)
+    val f = nearDupDrop(d)
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    cnt(ann, "n_raw")
+      .join(cnt(q, "n_quality"), Seq("source"), "left")
+      .join(cnt(d, "n_unique"), Seq("source"), "left")
+      .join(cnt(f, "n_final"), Seq("source"), "left")
+      .na.fill(0L, Seq("n_quality", "n_unique", "n_final"))
+      .withColumn("quality_drop_ppm",
+        expr("(n_raw - n_quality) * 1000000 div greatest(n_raw, 1)"))
+      .withColumn("dup_drop_ppm",
+        expr("(n_quality - n_unique) * 1000000 div greatest(n_quality, 1)"))
+      .withColumn("neardup_drop_ppm",
+        expr("(n_unique - n_final) * 1000000 div greatest(n_unique, 1)"))
+      .withColumn("survival_ppm",
+        expr("n_final * 1000000 div greatest(n_raw, 1)"))
+      .orderBy(col("source"))
+  }
+  private val c13Sql =
+    s"""WITH $curateCtesSql,
+       |raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw FROM base GROUP BY 1),
+       |qual AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality FROM kept GROUP BY 1),
+       |uniq AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unique FROM deduped GROUP BY 1),
+       |fin AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final FROM curated GROUP BY 1)
+       |SELECT r.source, n_raw,
+       |  CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
+       |  CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+       |  CAST(coalesce(n_final, 0) AS BIGINT) AS n_final,
+       |  CAST((n_raw - coalesce(n_quality, 0)) * 1000000
+       |    // greatest(n_raw, 1) AS BIGINT) AS quality_drop_ppm,
+       |  CAST((coalesce(n_quality, 0) - coalesce(n_unique, 0)) * 1000000
+       |    // greatest(coalesce(n_quality, 0), 1) AS BIGINT) AS dup_drop_ppm,
+       |  CAST((coalesce(n_unique, 0) - coalesce(n_final, 0)) * 1000000
+       |    // greatest(coalesce(n_unique, 0), 1) AS BIGINT) AS neardup_drop_ppm,
+       |  CAST(coalesce(n_final, 0) * 1000000 // greatest(n_raw, 1) AS BIGINT)
+       |    AS survival_ppm
+       |FROM raw r
+       |LEFT JOIN qual USING (source)
+       |LEFT JOIN uniq USING (source)
+       |LEFT JOIN fin USING (source)
+       |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
@@ -669,7 +742,8 @@ object CurationPipeline {
     QueryDef("c07_cluster_keeper", c07, Some(c07Sql)),
     QueryDef("c08_curriculum_order", c08, Some(c08Sql)),
     QueryDef("c09_token_apportionment", c09, Some(c09Sql)),
-    QueryDef("c12_epoch_materialize", c12, Some(c12Sql)))
+    QueryDef("c12_epoch_materialize", c12, Some(c12Sql)),
+    QueryDef("c13_funnel_report", c13, Some(c13Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

@@ -275,4 +275,24 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Long]("alloc") - quota) < 1.0 + 1e-9)
     }
   }
+
+  test("c13 funnel: per-source monotone, totals tie to the corpus and c01") {
+    val rows = SparkEntry.queries("c13_funnel_report")(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("source")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val (raw, q, u, f) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("n_final"))
+      assert(raw >= q && q >= u && u >= f && f >= 0L)
+      assert(r.getAs[Long]("quality_drop_ppm") == (raw - q) * 1000000L / math.max(raw, 1L))
+      assert(r.getAs[Long]("dup_drop_ppm") == (q - u) * 1000000L / math.max(q, 1L))
+      assert(r.getAs[Long]("neardup_drop_ppm") == (u - f) * 1000000L / math.max(u, 1L))
+      assert(r.getAs[Long]("survival_ppm") == f * 1000000L / math.max(raw, 1L))
+    }
+    assert(rows.map(_.getAs[Long]("n_raw")).sum == docs.count())
+    // the funnel's final total IS the graded curated corpus
+    val curated = SparkEntry.queries("c01_curation_pipeline")(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_final")).sum == curated)
+    // attrition is real at this SF: some stage drops something somewhere
+    assert(rows.exists(r => r.getAs[Long]("n_final") < r.getAs[Long]("n_raw")))
+  }
 }

@@ -91,14 +91,7 @@ object CurationPipeline {
   /** d08's deterministic content-hash split (80/10/10), keyed on doc_id
     * so a revised text never migrates a document between splits. */
   def withSplit(df: DataFrame): DataFrame =
-    df.withColumn("bucket",
-        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast(LongType), lit(100L)))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
-      .drop("bucket")
+    df.withColumn("split", TextOps.splitFor(col("doc_id")))
 
   /** The full curated corpus: doc_id, lang, n_tokens, q_points,
     * n_copies, split — deterministically ordered. */

@@ -292,16 +292,26 @@ object TextOps {
   // layout, engine, or scale, and keys on doc_id so revised text
   // doesn't migrate documents between splits.
   // ---------------------------------------------------------------------
+  /** d08's deterministic content-hash bucket (0..99) of a doc_id column —
+    * THE single Spark-side source of the split derivation (mirror of
+    * [[splitCaseSql]]); d08, d32, and CurationPipeline.withSplit all
+    * compose these, so the split rule cannot fork. */
+  def splitBucket(docId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("split:"), docId)), 1, 15), 16, 10)
+      .cast(LongType), lit(100L))
+
+  /** Bucket → train/val/test (80/10/10). */
+  def splitOf(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** The full doc_id → split column. */
+  def splitFor(docId: Column): Column = splitOf(splitBucket(docId))
+
   private def d08(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.select(col("doc_id"), col("lang"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast(LongType), lit(100L)))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .withColumn("split", splitOf(col("bucket")))
       .orderBy(col("doc_id"))
   }
   /** d08's train/val/test CASE over a column named `doc_id` (DuckDB
@@ -1458,6 +1468,101 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d32 — span-level eval decontamination: every stride-1 SubW-token
+  // window of a TRAIN document that also occurs in any val/test
+  // document is excised (its token positions removed) and the document
+  // is rebuilt from the surviving tokens — the surgical counterpart of
+  // c05, which drops whole documents on n-gram overlap. Span excision
+  // is what production decontamination actually does (the GPT-3/PaLM
+  // reports excise contaminated windows, not documents) because a long
+  // document with one quoted benchmark line is still 99% good training
+  // text. Same window geometry as d27 (SubW=8, md5 keys), same split
+  // rule as d08 (splitFor — one source), same rebuild idiom as d21.
+  //
+  // Scale shape: window keys shuffle as 32-byte digests; the eval key
+  // set is ~20% of corpus windows and joins hash-to-hash — only TRAIN
+  // windows that MATCH an eval key (the tainted sliver) re-explode to
+  // positions; the position anti-join and the rebuild are co-keyed on
+  // doc_id, and collect_list gathers at most one document's own tokens
+  // (bounded by doc size, never corpus size — the d21 argument).
+  // ---------------------------------------------------------------------
+  private def d32(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("nt"),
+        splitFor(col("doc_id")).as("split"))
+    val wins = base
+      .select(col("doc_id"), col("split"), col("toks"),
+        explode(when(col("nt") >= SubW, sequence(lit(0L), col("nt") - SubW))
+          .otherwise(array().cast(ArrayType(LongType)))).as("p"))
+      .select(col("doc_id"), col("split"), col("p"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("p") + 1).cast(IntegerType), lit(SubW)))).as("wkey"))
+    val evalKeys = wins.where(col("split") =!= "train")
+      .select(col("wkey")).distinct()
+    val tainted = wins.where(col("split") === "train")
+      .join(evalKeys, Seq("wkey"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SubW - 1))).as("pos"))
+      .distinct()
+    val trainToks = base.where(col("split") === "train")
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("tok"))
+    val rebuilt = trainToks
+      .join(tainted, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")))).as("clean_digest"))
+    base.where(col("split") === "train").select(col("doc_id"), col("nt"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        (col("nt") - coalesce(col("n_kept"), lit(0L))).as("n_excised"),
+        coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+      .orderBy(col("doc_id"))
+  }
+  private val d32Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS toks,
+       |    CAST(len($tokensSql) AS BIGINT) AS nt,
+       |    $splitCaseSql AS split
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, split, p,
+       |    md5(array_to_string(
+       |      toks[CAST(p + 1 AS BIGINT):CAST(p + $SubW AS BIGINT)], ' ')) AS wkey
+       |  FROM (SELECT doc_id, split, toks,
+       |          CAST(unnest(range(0, nt - ${SubW - 1})) AS BIGINT) AS p
+       |        FROM base WHERE nt >= $SubW)),
+       |evalkeys AS (SELECT DISTINCT wkey FROM wins WHERE split <> 'train'),
+       |tainted AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT w.doc_id, CAST(unnest(range(w.p, w.p + $SubW)) AS BIGINT) AS pos
+       |    FROM wins w JOIN evalkeys USING (wkey) WHERE w.split = 'train')),
+       |ttoks AS (
+       |  SELECT doc_id, pos, toks[pos + 1] AS tok FROM (
+       |    SELECT doc_id, toks, CAST(unnest(range(0, nt)) AS BIGINT) AS pos
+       |    FROM base WHERE split = 'train')),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM ttoks t LEFT JOIN tainted x
+       |    ON t.doc_id = x.doc_id AND t.pos = x.pos
+       |  WHERE x.doc_id IS NULL),
+       |rebuilt AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_digest
+       |  FROM kept GROUP BY 1)
+       |SELECT b.doc_id, b.nt AS n_tokens,
+       |  CAST(b.nt - coalesce(r.n_kept, 0) AS BIGINT) AS n_excised,
+       |  coalesce(r.clean_digest, md5('')) AS clean_digest
+       |FROM base b LEFT JOIN rebuilt r USING (doc_id)
+       |WHERE b.split = 'train'
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql), headline = true),
     QueryDef("d02_text_stats", d02, Some(d02Sql), headline = true),
@@ -1483,5 +1588,6 @@ object TextOps {
     QueryDef("d23_ngram_novelty", d23, Some(d23Sql)),
     QueryDef("d24_pack_utilization", d24, Some(d24Sql)),
     QueryDef("d27_substring_dedup", d27, Some(d27Sql), headline = true),
-    QueryDef("d31_ngram_repetition", d31, Some(d31Sql)))
+    QueryDef("d31_ngram_repetition", d31, Some(d31Sql)),
+    QueryDef("d32_span_decontamination", d32, Some(d32Sql)))
 }

@@ -640,6 +640,51 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d32 crafted corpus: one shared window excised, bystander untouched") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // pick real split members so the crafted corpus follows d08's rule
+    val splits = (1L to 60L).map(id => id ->
+      spark.range(1).select(graft.operators.TextOps.splitFor(lit(id)))
+        .head().getString(0)).toMap
+    val trainA = splits.collectFirst { case (id, "train") => id }.get
+    val trainB = splits.collect { case (id, "train") => id }
+      .find(_ != trainA).get
+    val evalId = splits.collectFirst {
+      case (id, s) if s != "train" => id }.get
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("d32").toString
+    Seq(
+      (trainA, s"$shared a b c"),          // window 0 matches eval -> excised
+      (trainB, "p q r s t u v w x"),       // no overlap -> untouched
+      (evalId, s"$shared x y z"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("d32_span_decontamination")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_excised"),
+          r.getAs[String]("clean_digest")))).toMap
+    assert(got.keySet == Set(trainA, trainB))
+    assert(got(trainA) == ((11L, 8L, md5hex("a b c"))))
+    assert(got(trainB) == ((9L, 0L, md5hex("p q r s t u v w x"))))
+  }
+
+  test("d32 on testdata: train grain, both excised and untouched docs exist") {
+    val rows = run("d32_span_decontamination").collect()
+    val nTrain = docs.select(col("doc_id"))
+      .where(graft.operators.TextOps.splitFor(col("doc_id")) === "train").count()
+    assert(rows.length.toLong == nTrain)
+    assert(rows.exists(_.getAs[Long]("n_excised") > 0L))
+    assert(rows.exists(_.getAs[Long]("n_excised") == 0L))
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    rows.foreach { r =>
+      val (nt, ex) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_excised"))
+      assert(ex >= 0L && ex <= nt)
+      assert((r.getAs[String]("clean_digest") == emptyMd5) == (ex == nt))
+    }
+  }
+
   test("d17 on testdata: copies partition the corpus, raw forms <= copies") {
     val df = run("d17_normalized_dedup")
     assert(df.agg(sum("n_copies")).head().getLong(0) == docs.count())

@@ -45,8 +45,18 @@ object Similarity {
   // ---------------------------------------------------------------------
   // v01 — brute-force cosine top-k: queries = vec_id < 5, candidates =
   // everything else. The query side is broadcast; per-candidate work is
-  // one fused codegen'd array fold; ranking is a window over the query id.
-  // This is the correctness baseline ANN; v02/n-LSH is the scale path.
+  // one fused codegen'd array fold; ranking is the BOUNDED
+  // [[graft.functions.TopKSmallest]] aggregate keyed on −cosine (the
+  // double sort key rides the order-preserving IEEE-754→long transform,
+  // so −key on the way out is the exact cosine). A rank window here
+  // would hash-shuffle |corpus| scored rows per query onto ONE task and
+  // fully sort them to keep 10 — at 100 TB each query is a single-task
+  // corpus sort. The aggregate instead caps map-side state at k pairs
+  // per query, so the q_id shuffle carries ≤ mappers·k rows; ties break
+  // on ascending c_id exactly like the oracle's rank-window ORDER BY
+  // (DuckDB proves the bounded plan ≡ the textbook semantics, the d18
+  // pattern). This is the correctness baseline ANN; v02/n-LSH is the
+  // scale path.
   // ---------------------------------------------------------------------
   private def v01(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -55,14 +65,15 @@ object Similarity {
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val sim = (dot(col("q_emb"), col("c_emb"))
       / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine")
-    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), sim)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
-      .where(col("rk") <= 10)
-      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine_r"),
-        col("rk"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(-col("cosine"), col("c_id"), 10).as("kept"))
+      .select(col("q_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv.payload").as("c_id"),
+        round(-col("kv.key"), 6).as("cosine_r"),
+        (col("pos") + 1).cast(LongType).as("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
   private val v01Sql =
@@ -639,17 +650,23 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
     val c = e.select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
       col("qn").as("c_qn"))
-    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+    // Bounded top-k on −cosine_q (the v01 shape); dot_q rides along as a
+    // trailing struct-payload field — carried through the aggregation,
+    // never part of the (key, c_id) ordering, so no second corpus scan
+    // to recover it and the q_id shuffle stays ≤ mappers·k rows.
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         dot(col("q_qv"), col("c_qv")).cast(LongType).as("dot_q"),
         (dot(col("q_qv"), col("c_qv")) / (col("q_qn") * col("c_qn")))
           .as("cosine_q"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine_q").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
-      .where(col("rk") <= 10)
-      .select(col("q_id"), col("c_id"), col("dot_q"),
-        round(col("cosine_q"), 6).as("cosine_q_r"), col("rk"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(-col("cosine_q"), struct(col("c_id"), col("dot_q")), 10).as("kept"))
+      .select(col("q_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv.payload.c_id").as("c_id"),
+        col("kv.payload.dot_q").as("dot_q"),
+        round(-col("kv.key"), 6).as("cosine_q_r"),
+        (col("pos") + 1).cast(LongType).as("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
   private val v06Sql =
@@ -1513,14 +1530,26 @@ object Similarity {
         slice(col("embedding"), 1, MrlPrefixDims).as("q_pre"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       slice(col("embedding"), 1, MrlPrefixDims).as("c_pre"))
-    val wPre = Window.partitionBy(col("q_id"))
-      .orderBy(col("pre_cos").desc, col("c_id"))
-    val short = broadcast(q).join(c, col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("q_emb"), col("c_id"), col("c_emb"),
+    // Stage 1 keeps only (q_id, c_id, pre_rk) through the bounded
+    // TopKSmallest aggregate (the v01 shape — a rank window here would
+    // sort the full scored corpus per query on one task); the
+    // ≤ MrlShortlist·|q| id list is then broadcast back against the
+    // corpus to refetch c_emb (arrays can't ride the long-payload
+    // aggregate), and q is broadcast for q_emb — both joins are
+    // broadcast-hash over narrow scans, zero added shuffle.
+    val shortIds = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
         (dot(col("q_pre"), col("c_pre"))
           / (norm(col("q_pre")) * norm(col("c_pre")))).as("pre_cos"))
-      .withColumn("pre_rk", row_number().over(wPre).cast(LongType))
-      .where(col("pre_rk") <= MrlShortlist)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(-col("pre_cos"), col("c_id"), MrlShortlist).as("kept"))
+      .select(col("q_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv.payload").as("c_id"),
+        (col("pos") + 1).cast(LongType).as("pre_rk"))
+    val short = c.select(col("c_id"), col("c_emb"))
+      .join(broadcast(shortIds), Seq("c_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), Seq("q_id"))
     val wFull = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     val reranked = short
@@ -1529,15 +1558,19 @@ object Similarity {
           / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
       .withColumn("rk", row_number().over(wFull).cast(LongType))
       .where(col("rk") <= 10)
+    // The audit's exact top-10 rides the same bounded aggregate — the
+    // audit scan is deliberate (see header) but it must not reintroduce
+    // the corpus-grain rank window the stage-1 rewrite removed.
     val exact = broadcast(q.select(col("q_id"), col("q_emb")))
       .join(c.select(col("c_id"), col("c_emb")), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dot(col("q_emb"), col("c_emb"))
           / (norm(col("q_emb")) * norm(col("c_emb")))).as("xcos"))
-      .withColumn("xrk", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("xcos").desc, col("c_id"))))
-      .where(col("xrk") <= 10)
-      .select(col("q_id"), col("c_id"), lit(1L).as("in_exact"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(-col("xcos"), col("c_id"), 10).as("kept"))
+      .select(col("q_id"), explode(col("kept")).as("kv"))
+      .select(col("q_id"), col("kv.payload").as("c_id"), lit(1L).as("in_exact"))
     reranked.join(exact, Seq("q_id", "c_id"), "left")
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine_r"),
         col("rk"), col("pre_rk"), coalesce(col("in_exact"), lit(0L)).as("in_exact"))

@@ -155,14 +155,87 @@ class FunctionsSpec extends AnyFunSuite {
   test("TopKSmallest serialize/deserialize round-trips the bounded buffer") {
     val agg = graft.functions.TopKSmallest(
       Bridge.expression(lit(0L)), Bridge.expression(lit(0L)), 3)
+    def pairs(b: TopKSmallest.Buffer) =
+      b.sortedEntries.toSeq.map(e => (e.key, e.payload(0)))
     val buf = agg.createAggregationBuffer()
-    Seq((9L, 1L), (2L, 2L), (2L, 1L), (7L, 3L), (1L, 9L)).foreach(buf.offer)
+    Seq((9L, 1L), (2L, 2L), (2L, 1L), (7L, 3L), (1L, 9L))
+      .foreach { case (k, p) => buf.offer(k, Array(p)) }
     val back = agg.deserialize(agg.serialize(buf))
-    assert(back.sortedPairs.toSeq == Seq((1L, 9L), (2L, 1L), (2L, 2L)))
+    assert(pairs(back) == Seq((1L, 9L), (2L, 1L), (2L, 2L)))
     // merging two buffers keeps the global k smallest
     val other = agg.createAggregationBuffer()
-    Seq((0L, 5L), (8L, 8L)).foreach(other.offer)
+    Seq((0L, 5L), (8L, 8L)).foreach { case (k, p) => other.offer(k, Array(p)) }
     val merged = agg.merge(back, other)
-    assert(merged.sortedPairs.toSeq == Seq((0L, 5L), (1L, 9L), (2L, 1L)))
+    assert(pairs(merged) == Seq((0L, 5L), (1L, 9L), (2L, 1L)))
+  }
+
+  test("TopKSmallest sortable transform: order-preserving involution") {
+    val ds = Seq(Double.NegativeInfinity, -1.5e300, -2.0, -1.0, -1e-300,
+      -0.0, 0.0, 1e-300, 0.5, 1.0, 3.14, 1.5e300, Double.PositiveInfinity)
+    // strict order preservation (±0.0 collapse: equal, not inverted)
+    for (a <- ds; b <- ds) {
+      val (sa, sb) = (TopKSmallest.sortableOf(a), TopKSmallest.sortableOf(b))
+      if (a < b) assert(sa < sb || (a == 0.0 && b == 0.0), s"$a vs $b")
+      if (a == b) assert(sa == sb, s"$a vs $b")
+    }
+    // exact round-trip (−0.0 comes back as the numerically-equal +0.0)
+    ds.foreach { d =>
+      val back = TopKSmallest.doubleOf(TopKSmallest.sortableOf(d))
+      assert(back == d || (d == 0.0 && back == 0.0), s"round-trip $d")
+    }
+    // NaN sorts greatest, like Spark/DuckDB ascending sorts place it
+    assert(TopKSmallest.sortableOf(Double.NaN) >
+      TopKSmallest.sortableOf(Double.PositiveInfinity))
+  }
+
+  test("TopKSmallest DOUBLE keys == rank window, exact values, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate double keys (quantized to 1/8ths) force payload tie-breaks;
+    // negatives and sign flips exercise the sortable transform
+    val rows = (0L until 1500L).map { i =>
+      val g = if (rnd.nextInt(4) > 0) "hot" else s"g${rnd.nextInt(10)}"
+      (g, (rnd.nextInt(64) - 32) / 8.0, i)
+    }
+    def windowRef(df: org.apache.spark.sql.DataFrame, k: Int) = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("key"), col("payload"))))
+        .where(col("rk") <= k)
+        .select(col("g"), col("key"), col("payload"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    }
+    for (parts <- Seq(1, 13); k <- Seq(1, 5)) {
+      val df = rows.toDF("g", "key", "payload").repartition(parts)
+      val got = df.groupBy(col("g"))
+        .agg(TopKSmallest.of(col("key"), col("payload"), k).as("kept"))
+        .select(col("g"), explode(col("kept")).as("kv"))
+        .select(col("g"), col("kv.key"), col("kv.payload"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == windowRef(df, k), s"mismatch at parts=$parts k=$k")
+    }
+  }
+
+  test("TopKSmallest struct payload: carried columns, tie-break on first field") {
+    import spark.implicits._
+    // key ties everywhere → selection is by (key, id); `extra` must ride
+    // along without influencing which rows survive
+    val df = Seq(
+      ("a", 1.0, 3L, 30L), ("a", 1.0, 1L, 999L), ("a", 1.0, 2L, 20L),
+      ("a", 0.5, 9L, 90L), ("b", 2.0, 7L, 70L))
+      .toDF("g", "key", "id", "extra").repartition(3)
+    val got = df.groupBy(col("g"))
+      .agg(TopKSmallest.of(col("key"), struct(col("id"), col("extra")), 2)
+        .as("kept"))
+      .select(col("g"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("g"), col("pos"), col("kv.key"),
+        col("kv.payload.id"), col("kv.payload.extra"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("a", 0, 0.5, 9L, 90L), ("a", 1, 1.0, 1L, 999L), ("b", 0, 2.0, 7L, 70L)))
   }
 }

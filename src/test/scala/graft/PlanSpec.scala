@@ -257,6 +257,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), s"d29 grew an Expand:\n$p")
   }
 
+  test("v01/v06/v17: vector top-k is a bounded aggregate, never a corpus rank window") {
+    // the flat-scan ANN queries score |corpus| rows per query; ranking
+    // them with row_number() would hash-shuffle the whole scored corpus
+    // into ONE task per query and sort it to keep 10–50 survivors. The
+    // TopKSmallest aggregate caps map-side state at k pairs per query,
+    // so the q_id exchange carries ≤ mappers·k rows (the d18 discipline,
+    // proved ≡ the oracle's rank-window SQL by the hash gate).
+    Seq("v01_cosine_topk", "v06_quantized_topk").foreach { n =>
+      val p = fmt(n)
+      assert(p.contains("partial_topk_smallest"),
+        s"$n map-side partial top-k lost:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$n regressed to a rank window:\n$p")
+    }
+    // v17 keeps ONE window — the full-dim rerank over the ≤ shortlist·|q|
+    // broadcast-joined frame (bounded by construction); neither the
+    // stage-1 prefix scan (pre_cos) nor the exact audit (xcos) may rank
+    // corpus-grain rows via a window
+    val p17 = fmt("v17_truncated_rerank")
+    assert(p17.contains("partial_topk_smallest"),
+      s"v17 map-side partial top-k lost:\n$p17")
+    Seq("pre_cos", "xcos").foreach { c =>
+      assert(!p17.linesIterator.exists(l =>
+        l.contains("windowspecdefinition") && l.contains(c)),
+        s"v17 $c ranking regressed to a corpus-grain window:\n$p17")
+    }
+  }
+
   test("r05: both RRF input lists lower to TakeOrderedAndProject") {
     val p = fmt("r05_rrf_fusion")
     val hits = "TakeOrderedAndProject".r.findAllIn(p).length

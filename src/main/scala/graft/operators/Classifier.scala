@@ -95,8 +95,7 @@ object Classifier {
             + when(col("nt") >= 20L, 1L).otherwise(0L)
             + when(col("ndt") * 10L >= col("nt") * 3L, 1L).otherwise(0L)
             >= 2L, 1L).otherwise(0L).as("label"),
-        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast(LongType), lit(100L)).as("bucket"))
+        TextOps.splitBucket(col("doc_id")).as("bucket"))
     val train = docs.where(col("bucket") < 80L)
     val held  = docs.where(col("bucket") >= 80L)
 

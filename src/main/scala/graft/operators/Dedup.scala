@@ -722,21 +722,14 @@ object Dedup {
     * count) — the plan shape is bucket-count-independent. */
   val ServeBuckets = 8
 
-  // Per-process serving dir (PID suffix: a concurrent test JVM and a
-  // driver Verify must not write the same files), deleted on JVM exit —
-  // repeated bench/verify rounds would otherwise accumulate one full
-  // band index per process in the temp dir.
-  private lazy val serveRoot: String = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft-serving-${ProcessHandle.current().pid()}"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(root))
-    }))
-    root
-  }
+  // Per-process serving dir + catalog names (PID suffix via Sink.procTag:
+  // a concurrent test JVM and a driver Verify must not write the same
+  // files, and — metastores being per-process in-memory Derby here, but
+  // not necessarily elsewhere — must not race DROP TABLE/saveAsTable on
+  // shared catalog names either). Files are deleted on JVM exit.
+  private def serveRoot: String = graft.sources.Sink.artifactRoot
+  private val indexTable = s"graft_lsh_index_${graft.sources.Sink.procTag}"
+  private val probeTable = s"graft_lsh_probe_${graft.sources.Sink.procTag}"
 
   /** Build + SAVE the corpus band index and the probe batch's bands as
     * co-bucketed tables (corpus = even doc_ids, batch = odd, mirroring
@@ -759,17 +752,17 @@ object Dedup {
       val probes = bands.where(pmod(col("doc_id"), lit(2L)) === 1L)
         .select(col("bkey"), col("doc_id").as("batch_doc"))
       graft.sources.Sink.saveBucketedTableAt(
-        keptCorpus, "graft_lsh_index", s"$serveRoot/lsh_index", "bkey", ServeBuckets)
+        keptCorpus, indexTable, s"$serveRoot/lsh_index", "bkey", ServeBuckets)
       graft.sources.Sink.saveBucketedTableAt(
-        probes, "graft_lsh_probe", s"$serveRoot/lsh_probe", "bkey", ServeBuckets)
+        probes, probeTable, s"$serveRoot/lsh_probe", "bkey", ServeBuckets)
     } finally bands.unpersist()
   }
 
   /** The serving-time join over the SAVED tables — no Exchange on either
     * side (PlanSpec). Callers must have run [[buildServedLshIndex]]. */
   def servedLshJoin(s: SparkSession): DataFrame =
-    s.table("graft_lsh_probe")
-      .join(s.table("graft_lsh_index"), Seq("bkey"))
+    s.table(probeTable)
+      .join(s.table(indexTable), Seq("bkey"))
 
   private def n09(s: SparkSession, dir: String): DataFrame = {
     buildServedLshIndex(s, dir)

@@ -345,6 +345,32 @@ object Similarity {
     cent
   }
 
+  /** Build-once/serve-many for the trained coarse codebook (the n09/BPE
+    * artifact discipline): the first consumer of a corpus in this
+    * process runs the Lloyd loop and publishes the k-row centroid table
+    * under the per-process artifact root; every later consumer — v04,
+    * v09, v10, v13, v16, and in production every index build and every
+    * query batch — reads k rows instead of re-running IvfIters corpus
+    * passes. The table is driver-scale (k × dims integers) so the
+    * read-back stays a broadcast-friendly local relation. */
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${graft.sources.Sink.artifactRoot}/ivf_centroids/$tag"
+    if (!new java.io.File(path).exists())
+      trainCentroids(s, dir).coalesce(1).write.parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** [[trainPqCodebook]] behind the same published-artifact seam:
+    * m·k rows of PqDim doubles, trained once per corpus per process. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${graft.sources.Sink.artifactRoot}/pq_codebook/$tag"
+    if (!new java.io.File(path).exists())
+      trainPqCodebook(s, dir).coalesce(1).write.parquet(path)
+    s.read.parquet(path)
+  }
+
   /** The IVF ranked centroid assignment shared by v04/v09/v10: every
     * vector crossed with the broadcast TRAINED codebook
     * ([[trainCentroids]]), quantized cosine per pair, ranked per vector
@@ -357,7 +383,7 @@ object Similarity {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         quant(col("embedding")).as("q"))
-    val cent = trainCentroids(s, dir)
+    val cent = ivfCentroids(s, dir)
       .select(col("cent_id"), col("c"), norm(col("c")).as("cent_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
@@ -554,13 +580,11 @@ object Similarity {
   private val ContamTau = 0.3
 
   private def c11(s: SparkSession, dir: String): DataFrame = {
-    // d08's split formula keyed on vec_id (documents and embeddings
-    // share ids — the v07 contract); bucket computed once, the d08 idiom
-    val bucket =
-      pmod(conv(substring(md5(concat(lit("split:"), col("vec_id"))), 1, 15), 16, 10)
-        .cast(LongType), lit(100L))
-    val split =
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    // d08's split rule keyed on vec_id (documents and embeddings share
+    // ids — the v07 contract): composed from TextOps.splitBucket/splitOf
+    // so the Spark-side split derivation has ONE source; only the SQL
+    // mirror restates it under the doc_id→vec_id rename
+    val split = TextOps.splitOf(TextOps.splitBucket(col("vec_id")))
     val assigned = rankedAssignment(s, dir, maxArn = 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         split.as("split"))
@@ -1142,7 +1166,7 @@ object Similarity {
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
       .select(col("vec_id"), col("m"),
         expr(s"slice(embedding, m * $PqDim + 1, $PqDim)").as("sub"))
-    val cb = trainPqCodebook(s, dir)
+    val cb = pqCodebook(s, dir)
     val wCode = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("cent_id"))
     val dists = subs.join(broadcast(cb), Seq("m"))

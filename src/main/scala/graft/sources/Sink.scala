@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions.col
   */
 object Sink {
 
+  /** Per-process discriminator for serving/model artifacts: a concurrent
+    * test JVM and a driver Verify sharing one metastore (in-memory Derby
+    * per process, but the temp FILESYSTEM is shared) must never write
+    * the same paths or race DROP TABLE/saveAsTable on the same catalog
+    * names — suffix both with this tag. */
+  val procTag: String = ProcessHandle.current().pid().toString
+
+  /** Per-process root for build-once/serve-many artifacts (the served
+    * LSH index, trained tokenizer merge tables, …), deleted on JVM exit
+    * so repeated bench/verify rounds don't accumulate copies in tmp. */
+  lazy val artifactRoot: String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-serving-$procTag"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }))
+    root
+  }
+
   /** Atomic overwrite (reference: TRUNCATE + append, non-atomic). */
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
@@ -123,11 +145,17 @@ object Sink {
           // wildcard, so an unescaped NATION_T_OLD could match a
           // similarly named table and trigger a spurious DROP/RENAME.
           val md = conn.getMetaData
+          // Some drivers report no escape string (null/""): replace("",…)
+          // would insert the replacement between every character, so fall
+          // back to the raw name — at worst the pre-escape wildcard
+          // behavior, never a corrupted pattern.
           val esc = md.getSearchStringEscape
-          val pat = t.toUpperCase
-            .replace(esc, esc + esc)
-            .replace("_", esc + "_")
-            .replace("%", esc + "%")
+          val pat =
+            if (esc == null || esc.isEmpty) t.toUpperCase
+            else t.toUpperCase
+              .replace(esc, esc + esc)
+              .replace("_", esc + "_")
+              .replace("%", esc + "%")
           val rs = md.getTables(null, null, pat, null)
           try rs.next() finally rs.close()
         }

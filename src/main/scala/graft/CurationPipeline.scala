@@ -3,7 +3,7 @@ package graft
 import graft.operators.Dedup
 import graft.operators.TextOps
 import graft.sources.{Sink, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -289,38 +289,73 @@ object CurationPipeline {
   // Scale shape: the eval side collapses to a DISTINCT shingle set
   // before the join, so the join is at most one match per train shingle
   // — no hot-shingle pair explosion possible (contrast n04, where both
-  // sides carry doc ids). One shuffle on `shingle`, one narrow
-  // per-doc count. The eval set is left to AQE rather than force-
-  // broadcast: real decontamination runs against a FIXED benchmark
-  // suite (MBs — AQE broadcasts it), but here eval = 20% of the corpus,
+  // sides carry doc ids). The train side is Bloom-PREFILTERED (the d13
+  // shape): a bloom over the eval shingle hashes — built in one narrow
+  // pass with NO shuffle (partial blooms merge) — probes every train
+  // shingle in the scan filter, so definitely-clean shingles (the
+  // overwhelming mass: decontamination overlap is ppm-scale) never
+  // shuffle at all; only the maybe-contaminated sliver (true overlaps +
+  // bloom FPs) pays the exact shingle join, and per-doc totals ride the
+  // explode as a doc-grain column instead of a second aggregation of
+  // the full stream. Bloom FPs cost only wasted join rows — matches are
+  // still counted exactly against the DISTINCT eval set, so the result
+  // is exact at any FP rate (no false negatives). The eval set is left
+  // to AQE rather than force-broadcast: here eval = 20% of the corpus,
   // which grows with the data — the r5 lesson on unbounded-cardinality
-  // broadcast hints.
+  // broadcast hints; c14 is the fixed-benchmark variant where the
+  // broadcast claim is real (and pinned).
   // ---------------------------------------------------------------------
+
+  /** Bloom sizing for the eval shingle set: 2^22 expected items at
+    * 2^25 bits (4 MiB, ~8 bits/item ⇒ ~2% FP) — broadcast-scale even
+    * sized for a benchmark suite far larger than any real one. */
+  private val EvalBloomItems = 1L << 22
+  private val EvalBloomBits = 1L << 25
+
   private def c05(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
     val sp = withSplit(Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text")))
-    // Both branches (eval-distinct side, train side) need the tokenized
-    // corpus; without persist() it is scanned and tokenized twice per
-    // run, and tokenization dominates at scale. Persist at DOC grain
-    // (doc_id, split, toks) — the narrowest frame that kills the
-    // recompute — NOT the exploded shingle frame, which is ~shingle×
-    // larger and spills at scale (the r10 c05 regression). Each branch
-    // re-derives explode(array_distinct(shingles)) from cache; the
-    // shingle explode is cheap relative to tokenization. Cleanup is
-    // Verify/Bench's per-query clearCache, same as v07's stage-1 list.
+    // All three branches (bloom build, eval-distinct side, train side)
+    // need the tokenized corpus; without persist() it is scanned and
+    // tokenized once per branch, and tokenization dominates at scale.
+    // Persist at DOC grain (doc_id, split, toks) — the narrowest frame
+    // that kills the recompute — NOT the exploded shingle frame, which
+    // is ~shingle× larger and spills at scale (the r10 c05 regression).
+    // Each branch re-derives explode(array_distinct(shingles)) from
+    // cache; the shingle explode is cheap relative to tokenization.
+    // Cleanup is Verify/Bench's per-query clearCache, same as v07.
     val toksDf = sp.select(col("doc_id"), col("split"),
       TextOps.tokens(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def shingled = toksDf.select(col("doc_id"), col("split"),
-      explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
-    val evalShingles = shingled.where(col("split") =!= "train")
-      .select(col("shingle")).distinct()
-      .withColumn("in_eval", lit(1L))
-    shingled.where(col("split") === "train")
+    def evalStream = toksDf.where(col("split") =!= "train")
+      .select(explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
+    // bloom_filter_agg / might_contain are internal Catalyst nodes (the
+    // runtime-filter machinery), constructed through the Bridge; the
+    // aggregate becomes a scalar subquery probed in the train-side scan.
+    val bloomPlan = evalStream.select(Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("shingle"))),
+        Literal(EvalBloomItems), Literal(EvalBloomBits))
+        .toAggregateExpression()).as("bf"))
+    val maybeContam: Column = Bridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloomPlan.queryExecution.analyzed, Seq.empty),
+      Bridge.expression(xxhash64(col("shingle")))))
+    val evalShingles = evalStream.distinct().withColumn("in_eval", lit(1L))
+    toksDf.where(col("split") === "train")
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("toks"))).as("shings"))
+      .select(col("doc_id"),
+        size(col("shings")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_shingles"),
+        explode(col("shings")).as("shingle"))
+      .where(maybeContam)
       .join(evalShingles, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_shingles"),
+        min(col("n_shingles")).as("n_shingles"),
         count(col("in_eval")).as("n_contaminated"))
       .where(col("n_contaminated") > 0L)
       .withColumn("contamination_ppm",

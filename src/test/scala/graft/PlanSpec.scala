@@ -126,6 +126,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"c05 join degraded:\n$p")
     assert(p.contains("HashAggregate"), s"eval dedup/agg missing:\n$p")
+    // the eval-shingle bloom must probe the train stream BEFORE the join
+    // (the d13 shape): definitely-clean shingles — the overwhelming mass
+    // — never reach the shuffle; only the maybe sliver pays the equi-join
+    assert(p.contains("might_contain"), s"c05 bloom prefilter lost:\n$p")
+    assert(p.contains("Subquery"), s"c05 bloom not a scalar subquery:\n$p")
   }
 
   test("d13: bloom probe is a reused scalar subquery; one anti-join only") {

@@ -343,21 +343,23 @@ object CurationPipeline {
     val maybeContam: Column = Bridge.column(BloomFilterMightContain(
       ScalarSubquery(bloomPlan.queryExecution.analyzed, Seq.empty),
       Bridge.expression(xxhash64(col("shingle")))))
-    val evalShingles = evalStream.distinct().withColumn("in_eval", lit(1L))
+    val evalShingles = evalStream.distinct()
     toksDf.where(col("split") === "train")
       .select(col("doc_id"),
         array_distinct(Dedup.shingles(col("toks"))).as("shings"))
       .select(col("doc_id"),
-        size(col("shings")).cast(org.apache.spark.sql.types.LongType)
-          .as("n_shingles"),
+        size(col("shings")).cast(LongType).as("n_shingles"),
         explode(col("shings")).as("shingle"))
       .where(maybeContam)
-      .join(evalShingles, Seq("shingle"), "left")
+      // INNER join against the distinct eval set: each train shingle
+      // matches at most once, so survivors are exactly the true overlaps
+      // (bloom FPs die here, before the doc-grain shuffle) and the
+      // contaminated-only output needs no post-aggregation filter
+      .join(evalShingles, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(
         min(col("n_shingles")).as("n_shingles"),
-        count(col("in_eval")).as("n_contaminated"))
-      .where(col("n_contaminated") > 0L)
+        count(lit(1)).as("n_contaminated"))
       .withColumn("contamination_ppm",
         expr("n_contaminated * 1000000 div n_shingles"))
       .orderBy(col("doc_id"))
@@ -378,6 +380,60 @@ object CurationPipeline {
        |    CAST(COUNT(e.shingle) AS BIGINT) AS n_contaminated
        |  FROM shingled t LEFT JOIN ev e ON t.shingle = e.shingle
        |  WHERE t.split = 'train'
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  CAST(n_contaminated * 1000000 // n_shingles AS BIGINT) AS contamination_ppm
+       |FROM agg
+       |WHERE n_contaminated > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // c14 — FIXED-benchmark decontamination: c05's semantics when the eval
+  // side is a real benchmark suite (here doc_id % 97 == 0 — a handful of
+  // documents that does NOT grow with the corpus, standing in for
+  // MMLU/GSM8K/etc). This is the mode c05's scaladoc argues about: with
+  // a bounded eval set there is no need for the bloom machinery — the
+  // distinct benchmark shingle set is KBs, AQE broadcasts it, and the
+  // corpus-side shingle stream joins map-side with ZERO shuffle before
+  // the contaminated-only doc-grain count (the inner join drops every
+  // clean shingle at the broadcast probe). PlanSpec executes the query
+  // and pins the broadcast in the final adaptive plan, turning the c05
+  // comment's claim into a regression gate.
+  // ---------------------------------------------------------------------
+  private def c14(s: SparkSession, dir: String): DataFrame = {
+    val toksDf = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchShingles = toksDf.where(pmod(col("doc_id"), lit(97L)) === 0L)
+      .select(explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
+      .distinct()
+    toksDf.where(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("toks"))).as("shings"))
+      .select(col("doc_id"),
+        size(col("shings")).cast(LongType).as("n_shingles"),
+        explode(col("shings")).as("shingle"))
+      .join(benchShingles, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_contaminated"))
+      .withColumn("contamination_ppm",
+        expr("n_contaminated * 1000000 div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+  private val c14Sql =
+    s"""WITH shingled AS (
+       |  SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql})) AS shingle
+       |  FROM documents),
+       |bench AS (
+       |  SELECT DISTINCT shingle FROM shingled WHERE doc_id % 97 = 0),
+       |agg AS (
+       |  SELECT t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(COUNT(b.shingle) AS BIGINT) AS n_contaminated
+       |  FROM shingled t LEFT JOIN bench b ON t.shingle = b.shingle
+       |  WHERE t.doc_id % 97 <> 0
        |  GROUP BY 1)
        |SELECT doc_id, n_shingles, n_contaminated,
        |  CAST(n_contaminated * 1000000 // n_shingles AS BIGINT) AS contamination_ppm
@@ -766,6 +822,7 @@ object CurationPipeline {
     QueryDef("c03_balanced_sample", c03, Some(c03Sql)),
     QueryDef("c04_split_contamination", c04, Some(c04Sql)),
     QueryDef("c05_ngram_decontamination", c05, Some(c05Sql), headline = true),
+    QueryDef("c14_benchmark_decontamination", c14, Some(c14Sql)),
     QueryDef("c06_temperature_mix", c06, Some(c06Sql)),
     QueryDef("c07_cluster_keeper", c07, Some(c07Sql)),
     QueryDef("c08_curriculum_order", c08, Some(c08Sql)),

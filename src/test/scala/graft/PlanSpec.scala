@@ -262,6 +262,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), s"d29 grew an Expand:\n$p")
   }
 
+  test("c14: fixed benchmark suite broadcasts — the corpus never shuffles on shingle") {
+    // the claim c05's scaladoc makes (a bounded eval set is broadcast by
+    // AQE, so the corpus-side shingle stream joins map-side) — proven on
+    // the FINAL adaptive plan, which requires executing the query
+    val df = SparkEntry.queries("c14_benchmark_decontamination")(
+      spark, SharedSpark.sf0001)
+    try {
+      assert(df.count() > 0, "c14 must be non-vacuous at sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"benchmark shingles not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"corpus shuffled on shingle:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("v01/v06/v17: vector top-k is a bounded aggregate, never a corpus rank window") {
     // the flat-scan ANN queries score |corpus| rows per query; ranking
     // them with row_number() would hash-shuffle the whole scored corpus

@@ -38,20 +38,21 @@ object DocStreams {
     StructField("lang", StringType),
     StructField("source", StringType)))
 
+  /** Document stream from any configured source
+    * ([[StreamSources.FileSource]] in tests, [[StreamSources.KafkaSource]]
+    * in production — same intake plan either way). */
+  def readDocStream(spark: SparkSession,
+      source: StreamSources.StreamSource): DataFrame =
+    StreamSources.read(spark, docSchema, source)
+
   /** JSON-lines document stream (splittable; schema explicit — a
     * streaming source can't infer one). */
   def readJsonDocStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", "1")
-      .json(dir)
+    readDocStream(spark, StreamSources.FileSource(dir, format = "json"))
 
   /** Parquet document stream for replayable staging dirs. */
   def readDocStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    readDocStream(spark, StreamSources.FileSource(dir))
 
   /** The streaming intake: quality gate → digest dedup (watermark-bounded
     * under streaming, plain dropDuplicates in batch) → split. Output one

@@ -39,13 +39,16 @@ object EventStreams {
         col("n_events"), col("total_value"), col("approx_users"))
   }
 
-  /** Streaming read of the events table (parquet source used as the
-    * replayable stream in tests; swap format for kafka/json in prod). */
+  /** Streaming read of the events table from any configured source
+    * ([[StreamSources.FileSource]] in tests, [[StreamSources.KafkaSource]]
+    * in production — the transform downstream is identical). */
+  def readEventStream(spark: SparkSession,
+      source: StreamSources.StreamSource): DataFrame =
+    StreamSources.read(spark, eventSchema, source)
+
+  /** Parquet-dir convenience used by tests/backfills. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    readEventStream(spark, StreamSources.FileSource(dir))
 
   /** JSON-lines event stream — the reference's declared wire format
     * ("simulated high-velocity stream … JSON events", report p.2).
@@ -53,10 +56,7 @@ object EventStreams {
     * inference would be a full extra pass anyway. JSONL (not multiLine)
     * keeps files splittable. */
   def readJsonEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", "1")
-      .json(dir)
+    readEventStream(spark, StreamSources.FileSource(dir, format = "json"))
 
   /** Stream-static join: enrich a value-threshold alert stream with a
     * static dimension — the report's "late-shipment alert" shape. The

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet star-schema loader for the driver-generated testdata
   * (TESTDATA.md). Mirrors the reference's catalog-scan entry points
@@ -19,10 +20,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Session configs every graft entry point must set at build time
-    * (Verify / Bench / test fixtures do). nanosAsLong: events.ts is
-    * parquet TIMESTAMP(NANOS), which Spark 4 rejects by default; we read
+    * (Verify / Bench / test fixtures do). nanosAsLong: when events.ts is
+    * parquet TIMESTAMP(NANOS) — which Spark 4 rejects by default — we read
     * it as raw nanos and convert with integer division (a double
-    * round-trip would lose precision on 63-bit nano values). */
+    * round-trip would lose precision on 63-bit nano values). Harmless when
+    * the column is already micros. */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
@@ -33,8 +35,21 @@ object Tables {
       // value is constant, so this can never make behavior order-dependent.
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // Real deployments see mixed timestamp encodings across file
+      // snapshots, so dispatch on the footer schema instead of assuming one
+      // physical type: TIMESTAMP(NANOS) surfaces as LongType under
+      // nanosAsLong and needs the integer-division shim; micros arrives as
+      // TIMESTAMP / TIMESTAMP_NTZ and casts losslessly (session TZ is UTC).
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => raw
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported parquet type $other (expected int64 nanos or timestamp)")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view named after itself. */

@@ -35,6 +35,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // --- events.ts timestamp-encoding drift (VERDICT r12 #1/#2) -------------
+  // The driver regenerated events.ts from TIMESTAMP(NANOS) to timestamp[us]
+  // and the old unconditional nanos shim broke 8 queries. These fixtures pin
+  // both encodings so a future regeneration can't silently zero the family.
+
+  private def loadEventsFixture(name: String): org.apache.spark.sql.DataFrame = {
+    val dir = tmp(s"graft-$name")
+    val in = getClass.getResourceAsStream(s"/fixtures/$name.parquet")
+    assert(in != null, s"missing fixture $name")
+    Files.copy(in, java.nio.file.Paths.get(dir, "events.parquet"))
+    Tables.load(spark, dir, "events")
+  }
+
+  test("events loader dispatches on footer schema: nanos and micros fixtures agree") {
+    val micros = loadEventsFixture("events_micros")
+    val nanos = loadEventsFixture("events_nanos")
+    assert(micros.schema("ts").dataType == TimestampType)
+    assert(nanos.schema("ts").dataType == TimestampType)
+    def instants(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("event_id"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val a = instants(micros)
+    val b = instants(nanos)
+    assert(a == b, s"encodings disagree: $a vs $b")
+    assert(a.size == 5 && a.head._2 == 1700000000000000L)
+  }
+
   test("CSV malformed rows land in the corrupt-record column, not dropped") {
     val dir = tmp("graft-csv-bad")
     Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),

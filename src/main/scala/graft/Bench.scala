@@ -59,26 +59,39 @@ object Bench {
     // external load with identical bytecode, and min-of-2 makes a real
     // regression attributable on sight. Both raw runs ship in "runs" so
     // the noise itself stays inspectable.
-    def emit(results: Seq[(String, Seq[Double])], partial: Boolean): Unit = {
+    def emit(results: Seq[(String, Seq[Double])],
+             loads: Seq[(String, Seq[Double])], partial: Boolean): Unit = {
       def best(rs: Seq[Double]): Double = {
         val ok = rs.filter(_ >= 0)
         if (ok.isEmpty) -1.0 else ok.min
       }
+      def rawMap(m: Seq[(String, Seq[Double])]): String =
+        m.map { case (k, rs) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
+          .mkString("{", ",", "}")
       val qs = results.map { case (k, rs) => "\"" + k + "\":" + best(rs) }
         .mkString("{", ",", "}")
-      val raw = results.map { case (k, rs) =>
-        "\"" + k + "\":" + rs.mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
       val total = results.map(r => best(r._2)).filter(_ >= 0).sum
       val tag = if (partial) ""","partial":true""" else ""
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg$tag}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${rawMap(results)},"load":${rawMap(loads)},"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg$tag}""")
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    // Per-query load evidence (VERDICT r12 #3): the 1-min loadavg sampled
+    // immediately before each individual run ships alongside the timing, so
+    // an outlier (q05 16 s vs 3.2 s quiet-box) is attributable to external
+    // contention from the artifact alone, per query rather than per round.
+    val loads = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    def timed(n: String): Double = {
+      val l = loadAvg
+      val i = loads.indexWhere(_._1 == n)
+      if (i < 0) loads += n -> Seq(l)
+      else loads(i) = n -> (loads(i)._2 :+ l)
+      runOnce(n)
+    }
     try SparkEntry.headlines.foreach { n =>
       // append after EACH run, not after the pair: a fatal error in run 2
       // must not drop run 1's completed timing from the partial emit
-      results += n -> Seq(runOnce(n))
-      results(results.length - 1) = n -> (results.last._2 :+ runOnce(n))
+      results += n -> Seq(timed(n))
+      results(results.length - 1) = n -> (results.last._2 :+ timed(n))
     }
     catch { case fatal: Throwable =>
       // A fatal error (OOM etc.) still aborts the run — runOnce only eats
@@ -87,11 +100,11 @@ object Bench {
       // The emit itself is guarded: under the very OOM this path exists
       // for, string building/printing can throw too, and that secondary
       // failure must not replace the original fatal cause.
-      try emit(results.toSeq, partial = true)
+      try emit(results.toSeq, loads.toSeq, partial = true)
       catch { case e: Throwable => fatal.addSuppressed(e) }
       throw fatal
     }
-    emit(results.toSeq, partial = false)
+    emit(results.toSeq, loads.toSeq, partial = false)
     spark.stop()
   }
 }

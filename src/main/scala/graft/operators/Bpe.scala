@@ -200,7 +200,9 @@ object Bpe {
       nMerges: Int = NMerges): Seq[(String, String, Long)] = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${graft.sources.Sink.artifactRoot}/bpe_merges/${tag}_$nMerges"
-    if (!new java.io.File(path).exists()) {
+    // staged atomic publish (Sink.publishedArtifact): on shared storage a
+    // second job must find the whole merge table or none of it
+    graft.sources.Sink.publishedArtifact(s, path) {
       import s.implicits._
       val merges = train(Tables.load(s, dir, "documents"), nMerges)
       val ranked = merges.zipWithIndex.map { case ((a, b, c), i) =>
@@ -209,9 +211,8 @@ object Bpe {
       // one file: the artifact is |merges| rows — a read should cost one
       // task, not a listing of 32 shuffle-partition shards
       s.createDataset(ranked).toDF("merge_rank", "sym_a", "sym_b", "pair_count")
-        .coalesce(1).write.parquet(path)
-    }
-    s.read.parquet(path).orderBy(col("merge_rank")).collect()
+        .coalesce(1)
+    }.orderBy(col("merge_rank")).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
   }
 

@@ -356,9 +356,8 @@ object Similarity {
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${graft.sources.Sink.artifactRoot}/ivf_centroids/$tag"
-    if (!new java.io.File(path).exists())
-      trainCentroids(s, dir).coalesce(1).write.parquet(path)
-    s.read.parquet(path)
+    graft.sources.Sink.publishedArtifact(s, path)(
+      trainCentroids(s, dir).coalesce(1))
   }
 
   /** [[trainPqCodebook]] behind the same published-artifact seam:
@@ -366,9 +365,8 @@ object Similarity {
   private def pqCodebook(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${graft.sources.Sink.artifactRoot}/pq_codebook/$tag"
-    if (!new java.io.File(path).exists())
-      trainPqCodebook(s, dir).coalesce(1).write.parquet(path)
-    s.read.parquet(path)
+    graft.sources.Sink.publishedArtifact(s, path)(
+      trainPqCodebook(s, dir).coalesce(1))
   }
 
   /** The IVF ranked centroid assignment shared by v04/v09/v10: every

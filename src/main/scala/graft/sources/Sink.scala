@@ -45,6 +45,47 @@ object Sink {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Build-once/serve-many artifact publish with shared-storage-safe
+    * semantics: write to a staging dir, then atomically rename into
+    * place. A bare `exists + write.parquet(path)` lets a concurrent
+    * reader observe a half-written directory; here `path` either does
+    * not exist or holds a COMPLETE artifact, because rename is atomic
+    * on a single filesystem (HDFS guarantees it; object stores need a
+    * rename-capable committer, same contract). Concurrent publishers
+    * race on the rename: the loser discards its staging copy and reads
+    * the winner's — training is idempotent, so either copy is valid.
+    * Goes through Hadoop-FS (not java.io.File) so the same code serves
+    * file://, hdfs:// and s3a:// artifact roots. */
+  def publishedArtifact(spark: SparkSession, path: String)
+                       (build: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      // dot-prefixed staging: Spark/Hadoop readers skip hidden paths, so
+      // even a mid-copy staging dir can never leak rows into a listing
+      val staging = new org.apache.hadoop.fs.Path(p.getParent,
+        s".staging-${p.getName}-$procTag-${java.util.UUID.randomUUID()}")
+      build.write.parquet(staging.toString)
+      fs.mkdirs(p.getParent)
+      if (!fs.rename(staging, p)) {
+        // rename refused: either a concurrent winner is already in place
+        // (drop ours) or the filesystem genuinely failed (surface it —
+        // silently serving a missing artifact would fail downstream
+        // with a confusing path-not-found instead).
+        if (!fs.exists(p))
+          throw new IllegalStateException(s"artifact publish failed: $path")
+        fs.delete(staging, true): Unit
+      } else {
+        // POSIX-style local rename can move staging INSIDE an existing
+        // target instead of refusing; the winner's files are intact at
+        // `path`, so just remove the nested loser copy.
+        val nested = new org.apache.hadoop.fs.Path(p, staging.getName)
+        if (fs.exists(nested)) fs.delete(nested, true): Unit
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Single-pass keyed write: n shuffle partitions hashed on key — the
     * reference's N-bucket driver loop as one distributed write. */
   def overwriteBucketed(df: DataFrame, path: String, key: String, n: Int): Unit =

@@ -62,6 +62,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.size == 5 && a.head._2 == 1700000000000000L)
   }
 
+  test("artifact publish is staged + atomic: racing writers never leave a partial dir") {
+    val root = tmp("graft-artifact")
+    val path = s"$root/model_artifact"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sess = spark // materialize the lazy session on the main thread
+    // Two unsynchronized publishers race on the same path (the cross-job
+    // shared-storage scenario): both must observe a complete artifact.
+    val runs = Seq("a", "b").map { who =>
+      Future {
+        Sink.publishedArtifact(sess, path) {
+          import sess.implicits._
+          Seq((1L, "x"), (2L, "y")).toDF("k", "v").coalesce(1)
+        }.collect().map(r => (r.getLong(0), r.getString(1))).toSet -> who
+      }
+    }
+    val out = Await.result(Future.sequence(runs), 120.seconds)
+    assert(out.forall(_._1 == Set((1L, "x"), (2L, "y"))))
+    // the published dir is complete (committed marker present) and no
+    // staging residue survives next to or inside it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sess.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+    val residue = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.contains(".staging-")) ++
+      new java.io.File(path).listFiles().map(_.getName).filter(_.contains(".staging-"))
+    assert(residue.isEmpty, s"staging residue: ${residue.toSeq}")
+    // a later (second-job) publisher finds the artifact and never rebuilds
+    val again = Sink.publishedArtifact(sess, path) {
+      fail("artifact exists; build must not run"): org.apache.spark.sql.DataFrame
+    }
+    assert(again.count() == 2)
+  }
+
   test("CSV malformed rows land in the corrupt-record column, not dropped") {
     val dir = tmp("graft-csv-bad")
     Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),

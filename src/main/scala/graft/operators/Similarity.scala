@@ -1545,6 +1545,21 @@ object Similarity {
   private val MrlPrefixDims = 16
   private val MrlShortlist = 50
 
+  /** Audit sampling modulus: the exact full-dim audit is a second corpus
+    * scan per query, so at scale it rides a deterministic hash-sample of
+    * the query set (1/MrlAuditMod of queries, md5-keyed like d08's split
+    * so the sample is stable under any partitioning). Served rows carry
+    * `audited` + the sample rate; `in_exact` is NULL for unaudited
+    * queries — unknown, not "missed". */
+  private val MrlAuditMod = 2L
+
+  /** The audit-sample predicate (d08's md5 bucket discipline, mirrored
+    * verbatim in [[v17Sql]]'s `auditedSql`). */
+  private def auditSampled(qId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("audit:"),
+      qId.cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType), lit(MrlAuditMod)) === 0
+
   private def v17(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.where(col("vec_id") < 5)
@@ -1582,8 +1597,11 @@ object Similarity {
       .where(col("rk") <= 10)
     // The audit's exact top-10 rides the same bounded aggregate — the
     // audit scan is deliberate (see header) but it must not reintroduce
-    // the corpus-grain rank window the stage-1 rewrite removed.
-    val exact = broadcast(q.select(col("q_id"), col("q_emb")))
+    // the corpus-grain rank window the stage-1 rewrite removed. The
+    // query set is hash-sampled BEFORE the scan, so at scale the second
+    // corpus pass costs 1/MrlAuditMod of the serving scan, not 1×.
+    val exact = broadcast(q.select(col("q_id"), col("q_emb"))
+        .where(auditSampled(col("q_id"))))
       .join(c.select(col("c_id"), col("c_emb")), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dot(col("q_emb"), col("c_emb"))
@@ -1594,10 +1612,22 @@ object Similarity {
       .select(col("q_id"), explode(col("kept")).as("kv"))
       .select(col("q_id"), col("kv.payload").as("c_id"), lit(1L).as("in_exact"))
     reranked.join(exact, Seq("q_id", "c_id"), "left")
+      .withColumn("audited", auditSampled(col("q_id")).cast(LongType))
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine_r"),
-        col("rk"), col("pre_rk"), coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+        col("rk"), col("pre_rk"),
+        when(col("audited") === 1L, coalesce(col("in_exact"), lit(0L)))
+          .as("in_exact"),
+        col("audited"),
+        lit(1000000L / MrlAuditMod).as("audit_sample_ppm"))
       .orderBy(col("q_id"), col("rk"))
   }
+  /** DuckDB mirror of [[auditSampled]] over a column ref (1 = audited). */
+  private def auditedSqlOn(ref: String): String =
+    s"CASE WHEN CAST(concat('0x', substr(md5(concat('audit:', $ref)), 1, 15)) " +
+      s"AS BIGINT) % $MrlAuditMod = 0 THEN 1 ELSE 0 END"
+  private val auditedSql = auditedSqlOn("q_id")
+  private val auditedSqlR = auditedSqlOn("r.q_id")
+
   private val v17Sql =
     s"""WITH q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb,
@@ -1629,10 +1659,15 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q_id ORDER BY
        |        ${dotS("q_emb", "c_emb")} / (${normS("q_emb")} * ${normS("c_emb")})
        |          DESC, c_id) AS xrk
-       |    FROM q JOIN c ON q_id <> c_id)
+       |    FROM q JOIN c ON q_id <> c_id
+       |    WHERE $auditedSql = 1)
        |  WHERE xrk <= 10)
        |SELECT r.q_id, r.c_id, round(r.cosine, 6) AS cosine_r, r.rk, r.pre_rk,
-       |  CAST(CASE WHEN e.c_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+       |  CASE WHEN $auditedSqlR = 1
+       |    THEN CAST(CASE WHEN e.c_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |    ELSE NULL END AS in_exact,
+       |  CAST($auditedSqlR AS BIGINT) AS audited,
+       |  CAST(${1000000L / MrlAuditMod} AS BIGINT) AS audit_sample_ppm
        |FROM reranked r LEFT JOIN exact e ON r.q_id = e.q_id AND r.c_id = e.c_id
        |WHERE r.rk <= 10
        |ORDER BY r.q_id, r.rk""".stripMargin

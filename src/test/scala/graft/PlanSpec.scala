@@ -304,6 +304,10 @@ class PlanSpec extends AnyFunSuite {
         l.contains("windowspecdefinition") && l.contains(c)),
         s"v17 $c ranking regressed to a corpus-grain window:\n$p17")
     }
+    // the exact audit's query scan is gated by the md5 hash-sample
+    // predicate, so the second corpus pass prices at 1/MrlAuditMod
+    assert(p17.contains("audit:"),
+      s"v17 exact audit not gated by the sample predicate:\n$p17")
   }
 
   test("r05: both RRF input lists lower to TakeOrderedAndProject") {

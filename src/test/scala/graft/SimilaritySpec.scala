@@ -485,15 +485,26 @@ class SimilaritySpec extends AnyFunSuite {
       byRk.zip(byRk.tail).foreach { case (a, b) => assert(a >= b) }
       // every served row came from the prefix shortlist
       assert(rows.forall(_.getAs[Long]("pre_rk") <= 50L))
-      // the prefix deliberately loses some of the exact top-10 per query
-      val hits = rows.map(_.getAs[Long]("in_exact")).sum
-      assert(hits >= 1L && hits < 10L,
-        s"in_exact must split (prefix loss visible), got $hits/10")
+      // sample rate is published on every row
+      assert(rows.forall(_.getAs[Long]("audit_sample_ppm") == 500000L))
+      if (rows.head.getAs[Long]("audited") == 1L) {
+        // the prefix deliberately loses some of the exact top-10 per query
+        val hits = rows.map(_.getAs[Long]("in_exact")).sum
+        assert(hits >= 1L && hits < 10L,
+          s"in_exact must split (prefix loss visible), got $hits/10")
+      } else {
+        // unaudited query: in_exact is unknown, not "missed"
+        assert(rows.forall(r => r.isNullAt(r.fieldIndex("in_exact"))))
+      }
     }
-    // in_exact agrees with v01's exact top-10 pair set row-for-row
+    // the md5 sample must leave both audited and unaudited queries at sf
+    val auditedByQ = byQ.map { case (q, rows) => q -> rows.head.getAs[Long]("audited") }
+    assert(auditedByQ.values.toSet == Set(0L, 1L), s"sample degenerate: $auditedByQ")
+    // in_exact agrees with v01's exact top-10 pair set row-for-row on the
+    // audited sample
     val exact = run("v01_cosine_topk").collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
-    out.foreach { r =>
+    out.filter(_.getAs[Long]("audited") == 1L).foreach { r =>
       val hit = exact.contains((r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
       assert(r.getAs[Long]("in_exact") == (if (hit) 1L else 0L))
     }

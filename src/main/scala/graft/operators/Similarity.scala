@@ -1672,6 +1672,115 @@ object Similarity {
        |WHERE r.rk <= 10
        |ORDER BY r.q_id, r.rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v18 — binary sign-quantization + Hamming prefilter + exact rerank
+  // (the modern binary-quantization serving path: 64 float dims → one
+  // 64-bit sign sketch, a 32× compression that makes the stage-1 scan
+  // pure register arithmetic — XOR + POPCNT per candidate — with the
+  // fidelity recovered by an exact rerank over the shortlist). v06
+  // compresses magnitude (int8); this compresses to 1 bit/dim, the
+  // densest index tier a vector store serves.
+  //
+  // Engine-exactness: the sketch is two BIGINT words (dims 1-32 and
+  // 33-64 — one word would need bit 63, whose 2^63 term overflows the
+  // sum-of-powers construction both engines share), each the sum of
+  // 2^(i-1) over dims with x > 0; sums of distinct powers of two ARE
+  // the bitwise OR, exactly representable. Hamming = bit_count(xor) per
+  // word, integers end-to-end, so stage 1 is hash-exact across engines.
+  //
+  // Scale shape: stage 1 is the v01 broadcast-probe scan over 16 bytes
+  // per candidate (not 256), ranked by the bounded TopKSmallest
+  // aggregate on (hamming, c_id); stage 2 re-scores ≤ BqShortlist·|q|
+  // rows with full-precision cosine — the v15/v17 two-stage discipline
+  // along the PRECISION axis.
+  // ---------------------------------------------------------------------
+  private val BqShortlist = 50
+
+  /** One 32-dim sign word: Σ 2^i over i where embedding[offset+i+1] > 0
+    * (exact OR via distinct powers of two — see the v18 header). */
+  private def signWord(embCol: String, offset: Int): Column =
+    expr(s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+      (acc, i) -> acc + IF(element_at($embCol, i + ${offset + 1}) > 0,
+        shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
+
+  private def v18(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        signWord("embedding", 0).as("q_lo"), signWord("embedding", 32).as("q_hi"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      signWord("embedding", 0).as("c_lo"), signWord("embedding", 32).as("c_hi"))
+    // stage 1: Hamming scan over the sketches only (c_emb pruned), the
+    // shortlist refetched by id afterwards — the v17 narrow-scan shape
+    val shortIds = broadcast(q.select(col("q_id"), col("q_lo"), col("q_hi")))
+      .join(c.select(col("c_id"), col("c_lo"), col("c_hi")),
+        col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)"))
+          .cast(LongType).as("ham"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(col("ham"), col("c_id"), BqShortlist).as("kept"))
+      .select(col("q_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv.payload").as("c_id"),
+        col("kv.key").as("ham"),
+        (col("pos") + 1).cast(LongType).as("ham_rk"))
+    val wFull = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    c.select(col("c_id"), col("c_emb"))
+      .join(broadcast(shortIds), Seq("c_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("ham"), col("ham_rk"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .withColumn("rk", row_number().over(wFull).cast(LongType))
+      .where(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine_r"),
+        col("rk"), col("ham"), col("ham_rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** DuckDB sign-word mirror over a 1-based dim slice (lo = 1..32,
+    * hi = 33..64); list_transform's index i is 1-based within the slice. */
+  private def signWordSql(embRef: String, lo: Int, hi: Int): String =
+    s"CAST(list_sum(list_transform($embRef[$lo:$hi], " +
+      "(x, i) -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) << (i - 1) " +
+      "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  private val v18Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    ${signWordSql("embedding", 1, 32)} AS q_lo,
+       |    ${signWordSql("embedding", 33, 64)} AS q_hi
+       |  FROM embeddings WHERE vec_id < 5),
+       |c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb,
+       |    ${signWordSql("embedding", 1, 32)} AS c_lo,
+       |    ${signWordSql("embedding", 33, 64)} AS c_hi
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT q_id, c_id, q_emb, c_emb, ham,
+       |    CAST(ham_rk AS BIGINT) AS ham_rk FROM (
+       |    SELECT q_id, c_id, q_emb, c_emb,
+       |      CAST(bit_count(xor(q_lo, c_lo)) + bit_count(xor(q_hi, c_hi))
+       |        AS BIGINT) AS ham,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        bit_count(xor(q_lo, c_lo)) + bit_count(xor(q_hi, c_hi)), c_id)
+       |        AS ham_rk
+       |    FROM q JOIN c ON q_id <> c_id)
+       |  WHERE ham_rk <= $BqShortlist)
+       |SELECT q_id, c_id, round(cosine, 6) AS cosine_r, rk, ham, ham_rk
+       |FROM (
+       |  SELECT q_id, c_id, ham, ham_rk, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id)
+       |      AS BIGINT) AS rk
+       |  FROM (
+       |    SELECT q_id, c_id, ham, ham_rk,
+       |      ${dotS("q_emb", "c_emb")} / (${normS("q_emb")} * ${normS("c_emb")}) AS cosine
+       |    FROM short))
+       |WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -1690,5 +1799,6 @@ object Similarity {
     QueryDef("c11_semantic_contamination", c11, Some(c11Sql)),
     QueryDef("v15_pq_rerank", v15, Some(v15Sql)),
     QueryDef("v16_ivfadc", v16, Some(v16Sql)),
-    QueryDef("v17_truncated_rerank", v17, Some(v17Sql)))
+    QueryDef("v17_truncated_rerank", v17, Some(v17Sql)),
+    QueryDef("v18_binary_hamming_rerank", v18, Some(v18Sql)))
 }

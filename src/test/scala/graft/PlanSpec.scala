@@ -308,6 +308,14 @@ class PlanSpec extends AnyFunSuite {
     // predicate, so the second corpus pass prices at 1/MrlAuditMod
     assert(p17.contains("audit:"),
       s"v17 exact audit not gated by the sample predicate:\n$p17")
+    // v18's Hamming prefilter is likewise a bounded aggregate — ranking
+    // the sketch scan with a window would sort |corpus| rows per query
+    val p18 = fmt("v18_binary_hamming_rerank")
+    assert(p18.contains("partial_topk_smallest"),
+      s"v18 map-side partial top-k lost:\n$p18")
+    assert(!p18.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("ham#")),
+      s"v18 hamming ranking regressed to a corpus-grain window:\n$p18")
   }
 
   test("r05: both RRF input lists lower to TakeOrderedAndProject") {

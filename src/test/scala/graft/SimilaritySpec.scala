@@ -509,4 +509,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Long]("in_exact") == (if (hit) 1L else 0L))
     }
   }
+
+  test("v18 binary sketch: hamming matches a driver-side sign recompute") {
+    val out = run("v18_binary_hamming_rerank").collect()
+    assert(out.length == 50)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (0L to 4L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 10L))
+      val byRk = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine_r"))
+      byRk.zip(byRk.tail).foreach { case (a, b) => assert(a >= b) }
+      assert(rows.forall(r => r.getAs[Long]("ham_rk") >= 1L &&
+        r.getAs[Long]("ham_rk") <= 50L))
+    }
+    // recompute every served pair's sign sketch + Hamming in pure Scala
+    val embs = graft.sources.Tables.load(spark, SharedSpark.sf0001, "embeddings")
+      .collect().map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding"))
+        val sketch = v.zipWithIndex.collect { case (x, i) if x > 0 => i }.toSet
+        r.getAs[Long]("vec_id") -> sketch
+      }.toMap
+    out.foreach { r =>
+      val a = embs(r.getAs[Long]("q_id"))
+      val b = embs(r.getAs[Long]("c_id"))
+      val ham = (a.diff(b) ++ b.diff(a)).size.toLong
+      assert(r.getAs[Long]("ham") == ham,
+        s"(${r.getAs[Long]("q_id")},${r.getAs[Long]("c_id")}): " +
+          s"ham ${r.getAs[Long]("ham")} != recomputed $ham")
+      assert(ham >= 0L && ham <= 64L)
+    }
+  }
 }

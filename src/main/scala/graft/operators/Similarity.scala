@@ -1688,11 +1688,14 @@ object Similarity {
   // the bitwise OR, exactly representable. Hamming = bit_count(xor) per
   // word, integers end-to-end, so stage 1 is hash-exact across engines.
   //
-  // Scale shape: stage 1 is the v01 broadcast-probe scan over 16 bytes
-  // per candidate (not 256), ranked by the bounded TopKSmallest
-  // aggregate on (hamming, c_id); stage 2 re-scores ≤ BqShortlist·|q|
-  // rows with full-precision cosine — the v15/v17 two-stage discipline
-  // along the PRECISION axis.
+  // Scale shape: here the sketch is computed inline from the embedding
+  // scan (one pass, no extra shuffle — everything after the scan carries
+  // 16-byte sketch rows); at production the sketch rides a precomputed
+  // index column (the n09 build-once discipline), making stage 1 a scan
+  // of 16 bytes per candidate instead of 256. Ranking is the bounded
+  // TopKSmallest aggregate on (hamming, c_id); stage 2 re-scores
+  // ≤ BqShortlist·|q| rows with full-precision cosine — the v15/v17
+  // two-stage discipline along the PRECISION axis.
   // ---------------------------------------------------------------------
   private val BqShortlist = 50
 

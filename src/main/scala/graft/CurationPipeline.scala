@@ -47,10 +47,13 @@ object CurationPipeline {
       .withColumn("nc", length(col("text")).cast(LongType))
       .withColumn("nt", size(toks).cast(LongType))
       .withColumn("ndt", size(array_distinct(toks)).cast(LongType))
-      .withColumn("q_points",
-        when(col("nc").between(100L, 400L), 1L).otherwise(0L)
-          + when(col("nt") >= 20L, 1L).otherwise(0L)
-          + when(col("ndt") * 10L >= col("nt") * 3L, 1L).otherwise(0L))
+      // individual rule flags exposed so c15's ablation census and
+      // q_points share one derivation (the oracle's `scored` CTE is the
+      // DuckDB mirror of exactly these three conditions)
+      .withColumn("f_len", when(col("nc").between(100L, 400L), 1L).otherwise(0L))
+      .withColumn("f_tok", when(col("nt") >= 20L, 1L).otherwise(0L))
+      .withColumn("f_ttr", when(col("ndt") * 10L >= col("nt") * 3L, 1L).otherwise(0L))
+      .withColumn("q_points", col("f_len") + col("f_tok") + col("f_ttr"))
   }
 
   /** Keep documents scoring at least 2 of the 3 quality points. */
@@ -816,6 +819,114 @@ object CurationPipeline {
        |LEFT JOIN fin USING (source)
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c15 — quality-rule ablation census: for every admission rule in the
+  // suite — the three c01 quality points (length band, minimum tokens,
+  // type-token ratio), d31's Gopher repetition verdict, d29's
+  // perplexity-tail cut — how many documents fail it, how many ONLY it
+  // kills (its unique contribution), where the fixed cascade first stops
+  // each document, and how many survive the cascade prefix. This is the
+  // table a data team reads before touching thresholds: a rule with zero
+  // unique kills is redundant at the margin; one that dominates
+  // first-fails is doing all the work.
+  //
+  // Single-source discipline: the rule signals are CONSUMED from their
+  // graded queries, never restated — d31/d29 run via their own QueryDef
+  // fns Spark-side and ride their own oracle SQL as nested CTEs
+  // oracle-side; the three quality flags come from annotate's f_len/
+  // f_tok/f_ttr (Spark) and the same `scored` CTE c01 grades (oracle).
+  // Docs the perplexity filter never scores (the DSIR target sources
+  // that TRAIN its LM) pass that rule by definition — both sides.
+  //
+  // Scale shape: each signal is doc-grain (one narrow id-join), the
+  // census is ONE conditional aggregate to a single row, and the 5-row
+  // long format is a driver-side stack of that row — no per-rule corpus
+  // passes, no shuffle beyond the id-joins the signals already pay.
+  // ---------------------------------------------------------------------
+  private def ruleDef(name: String): QueryDef =
+    (TextOps.defs ++ graft.operators.Classifier.defs)
+      .find(_.name == name)
+      .getOrElse(throw new IllegalStateException(s"missing rule query $name"))
+
+  private val c15Rules = Seq(
+    ("len_band", 1L), ("min_tokens", 2L), ("ttr", 3L),
+    ("gopher_repetition", 4L), ("ppl_not_tail", 5L))
+
+  private def c15(s: SparkSession, dir: String): DataFrame = {
+    val ann = annotate(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("f_len").as("f1"), col("f_tok").as("f2"),
+        col("f_ttr").as("f3"))
+    val rep = ruleDef("d31_ngram_repetition").fn(s, dir)
+      .select(col("doc_id"),
+        when(col("verdict") === "keep", 1L).otherwise(0L).as("f4"))
+    val ppl = ruleDef("d29_perplexity_filter").fn(s, dir)
+      .select(col("doc_id"),
+        when(col("ppl_bucket") =!= "tail", 1L).otherwise(0L).as("f5"))
+    val flags = ann
+      .join(rep, Seq("doc_id"))
+      .join(ppl, Seq("doc_id"), "left")
+      .na.fill(1L, Seq("f5")) // unscored target-source docs pass the ppl rule
+      .withColumn("n_fails",
+        lit(5L) - col("f1") - col("f2") - col("f3") - col("f4") - col("f5"))
+    def nf(k: Int) = sum(lit(1L) - col(s"f$k")).as(s"nf$k")
+    def uq(k: Int) = sum(when(col(s"f$k") === 0L && col("n_fails") === 1L, 1L)
+      .otherwise(0L)).as(s"uq$k")
+    def ff(k: Int) = sum(when(
+      (1 until k).foldLeft(col(s"f$k") === 0L) { (acc, j) =>
+        acc && col(s"f$j") === 1L
+      }, 1L).otherwise(0L)).as(s"ff$k")
+    def sa(k: Int) = sum((1 to k).map(j => col(s"f$j")).reduce(_ * _)).as(s"sa$k")
+    val one = flags.agg(
+      count(lit(1L)).as("n_docs"),
+      (1 to 5).flatMap(k => Seq(nf(k), uq(k), ff(k), sa(k))): _*)
+    val stackArgs = c15Rules.map { case (name, k) =>
+      s"'$name', ${k}L, nf$k, uq$k, ff$k, sa$k"
+    }.mkString(", ")
+    one.selectExpr("n_docs",
+      s"stack(${c15Rules.size}, $stackArgs) AS " +
+        "(rule, rule_order, n_fail, n_unique_kill, n_first_fail, n_survive_after)")
+      .select(col("rule"), col("rule_order"), col("n_docs"), col("n_fail"),
+        col("n_unique_kill"), col("n_first_fail"), col("n_survive_after"))
+      .orderBy(col("rule_order"))
+  }
+
+  private val c15Sql = {
+    val d31Sql = ruleDef("d31_ngram_repetition").oracle.get
+    val d29Sql = ruleDef("d29_perplexity_filter").oracle.get
+    // one row per rule via per-rule aggregate branches over ONE flags
+    // CTE; `scored` comes from the shared curation ladder (unused later
+    // CTEs of the ladder are never evaluated)
+    val branches = c15Rules.map { case (name, k) =>
+      val prefix = (1 to k.toInt).map(j => s"f$j").mkString(" * ")
+      val earlier = (1 until k.toInt).map(j => s"f$j = 1 AND ").mkString
+      s"""SELECT '$name' AS rule, CAST($k AS BIGINT) AS rule_order,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) FILTER (WHERE f$k = 0) AS BIGINT) AS n_fail,
+         |  CAST(COUNT(*) FILTER (WHERE f$k = 0 AND f1+f2+f3+f4+f5 = 4)
+         |    AS BIGINT) AS n_unique_kill,
+         |  CAST(COUNT(*) FILTER (WHERE ${earlier}f$k = 0 ) AS BIGINT)
+         |    AS n_first_fail,
+         |  CAST(SUM($prefix) AS BIGINT) AS n_survive_after
+         |FROM flags""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $curateCtesSql,
+       |r31 AS ($d31Sql),
+       |r29 AS ($d29Sql),
+       |flags AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.nc BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN s.nt >= 20 THEN 1 ELSE 0 END AS f2,
+       |    CASE WHEN s.ndt * 10 >= s.nt * 3 THEN 1 ELSE 0 END AS f3,
+       |    CASE WHEN g.verdict = 'keep' THEN 1 ELSE 0 END AS f4,
+       |    CASE WHEN p.doc_id IS NULL OR p.ppl_bucket <> 'tail'
+       |      THEN 1 ELSE 0 END AS f5
+       |  FROM scored s
+       |  JOIN r31 g ON s.doc_id = g.doc_id
+       |  LEFT JOIN r29 p ON s.doc_id = p.doc_id)
+       |$branches
+       |ORDER BY rule_order""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
@@ -828,7 +939,8 @@ object CurationPipeline {
     QueryDef("c08_curriculum_order", c08, Some(c08Sql)),
     QueryDef("c09_token_apportionment", c09, Some(c09Sql)),
     QueryDef("c12_epoch_materialize", c12, Some(c12Sql)),
-    QueryDef("c13_funnel_report", c13, Some(c13Sql)))
+    QueryDef("c13_funnel_report", c13, Some(c13Sql)),
+    QueryDef("c15_quality_ablation", c15, Some(c15Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

@@ -295,4 +295,42 @@ class CurationSpec extends AnyFunSuite {
     // attrition is real at this SF: some stage drops something somewhere
     assert(rows.exists(r => r.getAs[Long]("n_final") < r.getAs[Long]("n_raw")))
   }
+
+  test("c15 ablation: cascade accounting closes, signals tie to their graded queries") {
+    val rows = SparkEntry.queries("c15_quality_ablation")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rule_order"))
+    assert(rows.map(_.getAs[String]("rule")).toSeq ==
+      Seq("len_band", "min_tokens", "ttr", "gopher_repetition", "ppl_not_tail"))
+    val n = rows.head.getAs[Long]("n_docs")
+    assert(rows.forall(_.getAs[Long]("n_docs") == n))
+    rows.foreach { r =>
+      val (nf, uq, ff) = (r.getAs[Long]("n_fail"),
+        r.getAs[Long]("n_unique_kill"), r.getAs[Long]("n_first_fail"))
+      assert(uq <= nf && ff <= nf && nf <= n)
+    }
+    // survivors are non-increasing along the cascade and the first-fail
+    // column is exactly the per-stage attrition: sa_{k-1} - sa_k = ff_k
+    val sa = rows.map(_.getAs[Long]("n_survive_after"))
+    val ff = rows.map(_.getAs[Long]("n_first_fail"))
+    sa.zip(sa.tail).foreach { case (a, b) => assert(a >= b) }
+    assert(n - sa.head == ff.head)
+    sa.zip(sa.tail).zip(ff.tail).foreach { case ((prev, next), f) =>
+      assert(prev - next == f)
+    }
+    // independent recount of each rule's fail set from its graded source
+    val ann = CurationPipeline.annotate(docs)
+    assert(rows(0).getAs[Long]("n_fail") == ann.where(col("f_len") === 0L).count())
+    assert(rows(1).getAs[Long]("n_fail") == ann.where(col("f_tok") === 0L).count())
+    assert(rows(2).getAs[Long]("n_fail") == ann.where(col("f_ttr") === 0L).count())
+    assert(rows(3).getAs[Long]("n_fail") ==
+      SparkEntry.queries("d31_ngram_repetition")(spark, dir)
+        .where(col("verdict") === "drop").count())
+    assert(rows(4).getAs[Long]("n_fail") ==
+      SparkEntry.queries("d29_perplexity_filter")(spark, dir)
+        .where(col("ppl_bucket") === "tail").count())
+    // the suite is non-degenerate at this SF: something fails, something
+    // survives, and at least one rule carries unique kills
+    assert(sa.last > 0L && sa.last < n)
+    assert(rows.exists(_.getAs[Long]("n_unique_kill") > 0L))
+  }
 }

@@ -1784,6 +1784,61 @@ object Similarity {
        |WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v19 — v18 behind the published-sketch seam (the n09/BPE/IVF/PQ
+  // build-once/serve-many discipline applied to the binary index): the
+  // first consumer of a corpus in this process computes all sign
+  // sketches ONCE and publishes the (vec_id, lo, hi) table through the
+  // staged-atomic artifact store; every later consumer — and in
+  // production every query batch — scans 16-byte sketch rows with ZERO
+  // sign-extraction arithmetic in its plan (PlanSpec pins the absence).
+  // Same output as v18 (the oracle is literally v18's SQL), so the hash
+  // gate doubles as the served ≡ inline equivalence proof. The sketch
+  // table scales with the corpus, so unlike the k-row model artifacts
+  // it keeps its write partitioning (no coalesce).
+  // ---------------------------------------------------------------------
+  private def bqSketches(s: SparkSession, dir: String): DataFrame = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${graft.sources.Sink.artifactRoot}/bq_sketch/$tag"
+    graft.sources.Sink.publishedArtifact(s, path)(
+      t(s, dir, "embeddings").select(col("vec_id"),
+        signWord("embedding", 0).as("lo"), signWord("embedding", 32).as("hi")))
+  }
+
+  private def v19(s: SparkSession, dir: String): DataFrame = {
+    val sk = bqSketches(s, dir)
+    val e = t(s, dir, "embeddings")
+    val qSk = sk.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val cSk = sk.select(col("vec_id").as("c_id"),
+      col("lo").as("c_lo"), col("hi").as("c_hi"))
+    val shortIds = broadcast(qSk).join(cSk, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)"))
+          .cast(LongType).as("ham"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(col("ham"), col("c_id"), BqShortlist).as("kept"))
+      .select(col("q_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv.payload").as("c_id"),
+        col("kv.key").as("ham"),
+        (col("pos") + 1).cast(LongType).as("ham_rk"))
+    val wFull = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .join(broadcast(shortIds), Seq("c_id"))
+      .join(broadcast(e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("ham"), col("ham_rk"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .withColumn("rk", row_number().over(wFull).cast(LongType))
+      .where(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine_r"),
+        col("rk"), col("ham"), col("ham_rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -1803,5 +1858,7 @@ object Similarity {
     QueryDef("v15_pq_rerank", v15, Some(v15Sql)),
     QueryDef("v16_ivfadc", v16, Some(v16Sql)),
     QueryDef("v17_truncated_rerank", v17, Some(v17Sql)),
-    QueryDef("v18_binary_hamming_rerank", v18, Some(v18Sql)))
+    QueryDef("v18_binary_hamming_rerank", v18, Some(v18Sql)),
+    // served ≡ inline: v19 grades against v18's oracle verbatim
+    QueryDef("v19_served_binary_probe", v19, Some(v18Sql)))
 }

@@ -510,6 +510,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v19 served sketch probe equals inline v18; plan never re-extracts signs") {
+    val served = run("v19_served_binary_probe").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("cosine_r"), r.getAs[Long]("ham"), r.getAs[Long]("ham_rk")))
+      .toSeq.sorted
+    val inline = run("v18_binary_hamming_rerank").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("cosine_r"), r.getAs[Long]("ham"), r.getAs[Long]("ham_rk")))
+      .toSeq.sorted
+    assert(served == inline)
+    // the served plan scans the published sketch table — no sign-word
+    // extraction arithmetic may appear anywhere in it
+    val plan = run("v19_served_binary_probe").queryExecution.executedPlan.toString
+    assert(!plan.contains("shiftleft"), s"v19 recomputes sketches:\n$plan")
+  }
+
   test("v18 binary sketch: hamming matches a driver-side sign recompute") {
     val out = run("v18_binary_hamming_rerank").collect()
     assert(out.length == 50)

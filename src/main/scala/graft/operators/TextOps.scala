@@ -810,6 +810,78 @@ object TextOps {
        |FROM packed
        |ORDER BY shard, doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d33 — packed-sequence attention manifest: the per-sequence sidecar a
+  // trainer consumes next to d15's packed corpus — chunk/doc counts,
+  // token fill (ppm of the budget; >10⁶ marks the deliberate boundary
+  // spill), and the sorted WITHIN-SEQUENCE start offsets where a new
+  // document begins. Those offsets are the segment boundaries of
+  // block-diagonal attention masking (tokens must not attend across the
+  // document seam packing introduced) and of per-doc loss masking; a
+  // doc continuing from the previous sequence starts at its first chunk
+  // here, exactly where its mask segment resumes.
+  //
+  // Offsets ship as one canonical comma-joined string: the manifest is
+  // read row-at-a-time by a data loader, and a string column hash-gates
+  // across engines without depending on nested-list comparator
+  // behavior.
+  //
+  // Scale shape: rides [[packedChunks]] (one shard shuffle, already
+  // paid by d15) + two seq-grain aggregates; sequences are ≤ budget
+  // tokens ≈ a dozen chunks, so per-group state is bounded and the
+  // manifest is ~1/10 the chunk table's rows. Single source both
+  // sides: the Spark frame IS packedChunks, the oracle rides
+  // `packedCtesSql` — "a packed sequence" is defined once.
+  // ---------------------------------------------------------------------
+  private def d33(s: SparkSession, dir: String): DataFrame = {
+    val local = packedChunks(s, dir)
+      .withColumn("start_local", col("cum_tokens") - col("chunk_n_tokens")
+        - col("seq_in_shard") * lit(SeqBudget.toLong))
+    val starts = local
+      .groupBy(col("shard"), col("seq_in_shard"), col("doc_id"))
+      .agg(min(col("start_local")).as("doc_start"))
+      .groupBy(col("shard"), col("seq_in_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_list(col("doc_start"))), ",")
+          .as("doc_starts_csv"))
+    local.groupBy(col("shard"), col("seq_in_shard"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_n_tokens")).as("n_tokens"))
+      .join(starts, Seq("shard", "seq_in_shard"))
+      .select(col("shard"), col("seq_in_shard"), col("n_chunks"), col("n_docs"),
+        col("n_tokens"),
+        expr(s"n_tokens * 1000000 div $SeqBudget").as("fill_ppm"),
+        col("doc_starts_csv"))
+      .orderBy(col("shard"), col("seq_in_shard"))
+  }
+  private val d33Sql =
+    s"""WITH $packedCtesSql,
+       |seqs AS (
+       |  SELECT shard,
+       |    CAST((cum_tokens - chunk_n_tokens) // $SeqBudget AS BIGINT) AS seq_in_shard,
+       |    doc_id, chunk_n_tokens,
+       |    cum_tokens - chunk_n_tokens
+       |      - ((cum_tokens - chunk_n_tokens) // $SeqBudget) * $SeqBudget
+       |      AS start_local
+       |  FROM packed),
+       |ds AS (
+       |  SELECT shard, seq_in_shard, doc_id, MIN(start_local) AS doc_start
+       |  FROM seqs GROUP BY 1, 2, 3),
+       |starts AS (
+       |  SELECT shard, seq_in_shard,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    array_to_string(list_sort(list(doc_start)), ',') AS doc_starts_csv
+       |  FROM ds GROUP BY 1, 2)
+       |SELECT q.shard, q.seq_in_shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks, s.n_docs,
+       |  CAST(SUM(q.chunk_n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(q.chunk_n_tokens) * 1000000 // $SeqBudget AS BIGINT) AS fill_ppm,
+       |  s.doc_starts_csv
+       |FROM seqs q
+       |JOIN starts s ON q.shard = s.shard AND q.seq_in_shard = s.seq_in_shard
+       |GROUP BY q.shard, q.seq_in_shard, s.n_docs, s.doc_starts_csv
+       |ORDER BY q.shard, q.seq_in_shard""".stripMargin
+
 
   // ---------------------------------------------------------------------
   // d16 — corpus vocabulary heavy hitters: the exact top-50 tokens by
@@ -1579,6 +1651,7 @@ object TextOps {
     QueryDef("d13_bloom_incremental_dedup", d13, Some(d13Sql), headline = true),
     QueryDef("d14_chunk_boilerplate", d14, Some(d14Sql)),
     QueryDef("d15_sequence_pack", d15, Some(d15Sql), headline = true),
+    QueryDef("d33_pack_manifest", d33, Some(d33Sql)),
     QueryDef("d16_vocab_heavy_hitters", d16, Some(d16Sql)),
     QueryDef("d17_normalized_dedup", d17, Some(d17Sql)),
     QueryDef("d18_source_cap", d18, Some(d18Sql), headline = true),

@@ -344,6 +344,36 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d33 manifest: counts, fill, and doc-start offsets tie to d15's packing") {
+    val packed = run("d15_sequence_pack").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_in_shard"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_n_tokens"),
+        r.getAs[Long]("cum_tokens")))
+    val manifest = run("d33_pack_manifest").collect()
+    // one manifest row per packed sequence, nothing invented or dropped
+    assert(manifest.length == packed.map(p => (p._1, p._2)).distinct.length)
+    val byKey = packed.groupBy(p => (p._1, p._2))
+    manifest.foreach { r =>
+      val key = (r.getAs[Long]("shard"), r.getAs[Long]("seq_in_shard"))
+      val chunks = byKey(key)
+      assert(r.getAs[Long]("n_chunks") == chunks.length)
+      assert(r.getAs[Long]("n_docs") == chunks.map(_._3).distinct.length)
+      val nTok = chunks.map(_._4).sum
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("fill_ppm") == nTok * 1000000L / 512L)
+      // recompute within-sequence doc starts from the packing geometry
+      val starts = chunks.groupBy(_._3).values.map { dc =>
+        dc.map(c => c._5 - c._4 - key._2 * 512L).min
+      }.toSeq.sorted
+      assert(r.getAs[String]("doc_starts_csv") == starts.mkString(","))
+      // segment offsets live inside the sequence span (spill ≤ one chunk)
+      assert(starts.head >= 0L && starts.forall(_ < 512L))
+    }
+    // fill is meaningful at this SF: most sequences are near-full, and at
+    // least one boundary spill (>10^6 ppm) exists somewhere
+    assert(manifest.count(_.getAs[Long]("fill_ppm") >= 900000L) > manifest.length / 2)
+  }
+
   test("d17 normalized dedup collapses case/punct/space variants d01 keeps") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("d17").toString

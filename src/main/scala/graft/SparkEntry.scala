@@ -33,7 +33,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             reconstruction, per-source snapshot
   *                             drift (histogram total variation),
   *                             n-gram novelty scoring, packing
-  *                             utilization report
+  *                             utilization report; d27/d31-d33: exact
+  *                             substring dedup, Gopher n-gram repetition
+  *                             filters, span-level eval decontamination,
+  *                             and the packed-sequence attention
+  *                             manifest
   *  - [[operators.Bpe]]        d20, d25: distributed BPE tokenizer
   *                             training — corpus→vocab funnel +
   *                             iterative merges, with the merge loop
@@ -60,7 +64,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             quantization ANN + its recall audit,
   *                             trained-IVF recall audit (centroids and
   *                             codebooks via deterministic integer
-  *                             k-means, mirrored in the oracle CTEs)
+  *                             k-means, mirrored in the oracle CTEs);
+  *                             v14-v19: SemDeDup semantic dedup, PQ
+  *                             rerank, IVFADC, truncated-dim two-stage
+  *                             retrieval with a hash-sampled exact
+  *                             audit, binary sign-quantization Hamming
+  *                             prefilter + rerank, and its served
+  *                             published-sketch variant
   *  - [[operators.Multimodal]] m01-m05: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV
@@ -76,7 +86,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             temperature-scaled language mixing,
   *                             best-of-cluster representative selection,
   *                             deterministic curriculum ordering, and
-  *                             exact token-budget apportionment
+  *                             exact token-budget apportionment;
+  *                             c10-c15: DSIR importance weighting,
+  *                             semantic split contamination, epoch
+  *                             materialization, funnel attrition,
+  *                             fixed-benchmark decontamination, and the
+  *                             quality-rule ablation census
   */
 object SparkEntry {
 

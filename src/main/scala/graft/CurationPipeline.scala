@@ -820,6 +820,64 @@ object CurationPipeline {
        |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // c16 — delivery shuffle + shard manifest: the step between c12's
+  // epoch corpus and the trainer's data loader. c08 orders by
+  // curriculum; this is the OTHER delivery mode — a seed-stable uniform
+  // shuffle (i.i.d. batches) sharded for parallel readers. Each epoch
+  // row gets an md5 shuffle key from (seed, doc_id, copy_idx) — the
+  // d08 layout-stable idiom, so re-partitioning or re-running never
+  // re-deals the order, and changing the seed re-deals ALL of it —
+  // then a shard from the same key, a dense position within its shard,
+  // and the running token offset a reader needs to seek its slice.
+  //
+  // Scale shape: the naive version is one GLOBAL row_number over the
+  // shuffled corpus — the single-partition scale-killer (the d15
+  // lesson). Instead the shard is assigned FIRST from the key and both
+  // the position and the token offset are per-shard windows over the
+  // same (partition, order), so Catalyst plans ONE shard shuffle + one
+  // sort serving both window functions, every shard runs in parallel,
+  // and a loader streams shard files concurrently. Uniformity across
+  // shards is the hash's, so no shard is a straggler.
+  // ---------------------------------------------------------------------
+  private val ShuffleSeed = 1337
+  private val DeliveryShards = 16L
+
+  private def c16(s: SparkSession, dir: String): DataFrame = {
+    val keyed = c12(s, dir)
+      .withColumn("skey", md5(concat(lit(s"shuffle:$ShuffleSeed:"),
+        col("doc_id").cast(StringType), lit(":"),
+        col("copy_idx").cast(StringType))))
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast(LongType),
+          lit(DeliveryShards)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"), col("copy_idx"))
+    keyed
+      .withColumn("pos_in_shard", row_number().over(w).cast(LongType))
+      .withColumn("cum_tokens", sum(col("nt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("shard"), col("pos_in_shard"), col("doc_id"), col("copy_idx"),
+        col("nt"), col("cum_tokens"))
+      .orderBy(col("shard"), col("pos_in_shard"))
+  }
+  private val c16Sql =
+    s"""WITH epoch AS ($c12Sql),
+       |keyed AS (
+       |  SELECT doc_id, copy_idx, nt,
+       |    md5(concat('shuffle:$ShuffleSeed:', doc_id, ':', copy_idx)) AS skey,
+       |    CAST(concat('0x', substr(md5(concat('shuffle:$ShuffleSeed:', doc_id,
+       |      ':', copy_idx)), 1, 15)) AS BIGINT) % $DeliveryShards AS shard
+       |  FROM epoch)
+       |SELECT shard,
+       |  CAST(row_number() OVER w AS BIGINT) AS pos_in_shard,
+       |  doc_id, copy_idx, nt,
+       |  CAST(SUM(nt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_tokens
+       |FROM keyed
+       |WINDOW w AS (PARTITION BY shard ORDER BY skey, doc_id, copy_idx)
+       |ORDER BY shard, pos_in_shard""".stripMargin
+
+  // ---------------------------------------------------------------------
   // c15 — quality-rule ablation census: for every admission rule in the
   // suite — the three c01 quality points (length band, minimum tokens,
   // type-token ratio), d31's Gopher repetition verdict, d29's
@@ -940,7 +998,8 @@ object CurationPipeline {
     QueryDef("c09_token_apportionment", c09, Some(c09Sql)),
     QueryDef("c12_epoch_materialize", c12, Some(c12Sql)),
     QueryDef("c13_funnel_report", c13, Some(c13Sql)),
-    QueryDef("c15_quality_ablation", c15, Some(c15Sql)))
+    QueryDef("c15_quality_ablation", c15, Some(c15Sql)),
+    QueryDef("c16_delivery_shuffle", c16, Some(c16Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

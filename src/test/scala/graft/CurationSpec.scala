@@ -296,6 +296,40 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("n_final") < r.getAs[Long]("n_raw")))
   }
 
+  test("c16 delivery shuffle: dense sharded positions, exact offsets, a real permutation") {
+    val rows = SparkEntry.queries("c16_delivery_shuffle")(spark, dir).collect()
+    val epoch = SparkEntry.queries("c12_epoch_materialize")(spark, dir).collect()
+    // every epoch row delivered exactly once
+    assert(rows.length == epoch.length)
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet ==
+      epoch.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.forall(s => s >= 0L && s < 16L))
+    byShard.values.foreach { sr =>
+      val ordered = sr.sortBy(_.getAs[Long]("pos_in_shard"))
+      // dense positions from 1 and an exact running token offset
+      assert(ordered.map(_.getAs[Long]("pos_in_shard")).toSeq ==
+        (1L to sr.length.toLong))
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r.getAs[Long]("nt")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+      }
+      // the order is a real shuffle, not doc_id order (a shard of any
+      // size beyond a handful is astronomically unlikely to stay sorted)
+      if (sr.length > 10) {
+        val ids = ordered.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSeq
+        assert(ids != ids.sorted, s"shard not shuffled: $ids")
+      }
+    }
+    // determinism: a second run deals the identical order
+    val again = SparkEntry.queries("c16_delivery_shuffle")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSeq.sorted
+    assert(again == rows.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSeq.sorted)
+  }
+
   test("c15 ablation: cascade accounting closes, signals tie to their graded queries") {
     val rows = SparkEntry.queries("c15_quality_ablation")(spark, dir).collect()
       .sortBy(_.getAs[Long]("rule_order"))

@@ -200,9 +200,11 @@ object Bpe {
       nMerges: Int = NMerges): Seq[(String, String, Long)] = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${graft.sources.Sink.artifactRoot}/bpe_merges/${tag}_$nMerges"
-    // staged atomic publish (Sink.publishedArtifact): on shared storage a
-    // second job must find the whole merge table or none of it
-    graft.sources.Sink.publishedArtifact(s, path) {
+    // staged atomic publish keyed by corpus CONTENT (Sink
+    // .fingerprintedArtifact): on shared storage a second job must find
+    // the whole merge table or none of it, and a documents corpus
+    // regenerated in place must retrain instead of serving stale merges
+    graft.sources.Sink.fingerprintedArtifact(s, path, s"$dir/documents.parquet") {
       import s.implicits._
       val merges = train(Tables.load(s, dir, "documents"), nMerges)
       val ranked = merges.zipWithIndex.map { case ((a, b, c), i) =>

@@ -356,7 +356,9 @@ object Similarity {
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${graft.sources.Sink.artifactRoot}/ivf_centroids/$tag"
-    graft.sources.Sink.publishedArtifact(s, path)(
+    // content-keyed (not just path-keyed): a regenerated embeddings
+    // corpus must retrain, never serve the previous corpus' centroids
+    graft.sources.Sink.fingerprintedArtifact(s, path, s"$dir/embeddings.parquet")(
       trainCentroids(s, dir).coalesce(1))
   }
 
@@ -365,7 +367,7 @@ object Similarity {
   private def pqCodebook(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${graft.sources.Sink.artifactRoot}/pq_codebook/$tag"
-    graft.sources.Sink.publishedArtifact(s, path)(
+    graft.sources.Sink.fingerprintedArtifact(s, path, s"$dir/embeddings.parquet")(
       trainPqCodebook(s, dir).coalesce(1))
   }
 
@@ -1800,7 +1802,7 @@ object Similarity {
   private def bqSketches(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${graft.sources.Sink.artifactRoot}/bq_sketch/$tag"
-    graft.sources.Sink.publishedArtifact(s, path)(
+    graft.sources.Sink.fingerprintedArtifact(s, path, s"$dir/embeddings.parquet")(
       t(s, dir, "embeddings").select(col("vec_id"),
         signWord("embedding", 0).as("lo"), signWord("embedding", 32).as("hi")))
   }

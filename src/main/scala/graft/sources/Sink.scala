@@ -45,6 +45,46 @@ object Sink {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Content fingerprint of a corpus path: digest of the recursive data-
+    * file listing — (relative path, byte length, mtime) per file, sorted.
+    * Hidden/metadata entries (`_SUCCESS`, `.staging-*`, checksums) are
+    * excluded so a republish of identical data files keeps its print.
+    *
+    * This is the staleness key for trained artifacts: an in-place
+    * regeneration of the corpus (same path, new files) changes the
+    * print, so a path-keyed artifact can never be served against data it
+    * was not trained on. A listing digest is the filesystem-generic
+    * fallback; on a table format with real snapshots (Delta/Iceberg) the
+    * snapshot id is the same key for free, and on an object store the
+    * listing is one LIST call per thousand files — cheap next to the
+    * training job it gates. */
+  def corpusFingerprint(spark: SparkSession, corpusPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(p).toString
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        entries += s"${f.getPath.toString.stripPrefix(base)}|${f.getLen}|${f.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** [[publishedArtifact]] keyed by corpus CONTENT, not just path: the
+    * artifact lands under `base/fp_<fingerprint>`, so retraining happens
+    * exactly when the corpus actually changed and reuse happens exactly
+    * when it did not. Closes the staleness hole where a corpus
+    * regenerated in place (same dir, new rows) kept serving the old
+    * trained artifact because only the path was checked. */
+  def fingerprintedArtifact(spark: SparkSession, base: String, corpusPath: String)
+                           (build: => DataFrame): DataFrame =
+    publishedArtifact(spark, s"$base/fp_${corpusFingerprint(spark, corpusPath)}")(build)
+
   /** Build-once/serve-many artifact publish with shared-storage-safe
     * semantics: write to a staging dir, then atomically rename into
     * place. A bare `exists + write.parquet(path)` lets a concurrent
@@ -60,6 +100,15 @@ object Sink {
                        (build: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The exists() fast-path only proves a DIRECTORY is there, not that a
+    // write COMPLETED: a legacy unstaged writer (or a non-atomic committer
+    // on an object store) that died mid-write leaves a partial dir this
+    // code did not publish. Gate reuse on the committer's _SUCCESS marker
+    // — our own staged writes always carry it through the rename — and
+    // clear anything without one so it is rebuilt, not served.
+    if (fs.exists(p) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      fs.delete(p, true): Unit
     if (!fs.exists(p)) {
       // dot-prefixed staging: Spark/Hadoop readers skip hidden paths, so
       // even a mid-copy staging dir can never leak rows into a listing

@@ -241,13 +241,13 @@ class PlanSpec extends AnyFunSuite {
     // The serving contract: once the band index and the probe batch are
     // saved co-bucketed on the band key, the probe join itself must not
     // shuffle EITHER side — the whole point of paying the bucketed write.
-    operators.Dedup.buildServedLshIndex(spark, SharedSpark.sf0001)
+    val tables = operators.Dedup.buildServedLshIndex(spark, SharedSpark.sf0001)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // force the sort-merge path: a broadcast would also avoid an
       // Exchange, but only the bucketed SMJ proves the co-partitioning
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val p = operators.Dedup.servedLshJoin(spark)
+      val p = operators.Dedup.servedLshJoin(spark, tables)
         .queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"served probe join shuffled:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

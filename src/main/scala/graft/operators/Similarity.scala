@@ -1841,6 +1841,144 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---------------------------------------------------------------------
+  // v20 — binary-sketch recall audit: the v08/v12/v13 discipline applied
+  // to the binary tier, closing the last ANN family without a graded
+  // recall loop. Per query it grades BOTH stages of v18 against v01's
+  // exact cosine top-10: the raw Hamming top-10 (what a sketch-only
+  // index would serve) and the reranked top-10 (Hamming shortlist of
+  // BqShortlist, exact cosine rerank). recall(rerank) ≥ recall(raw) is
+  // an invariant, not an observation: raw-top-10 ⊆ shortlist, and every
+  // exact-top-10 member inside the shortlist out-ranks every non-member
+  // under the rerank's own (cosine, c_id) order — SimilaritySpec pins it.
+  //
+  // Scale: the audit runs over the small query sample (cost = sample ×
+  // corpus, a sliver of one full search — the v08 contract); the Hamming
+  // ranking is computed ONCE through the bounded TopKSmallest aggregate
+  // and its two prefixes (top-10, shortlist) are sliced from the same
+  // 50-row-per-query frame. Both tiny intermediates are persisted so the
+  // three overlap consumers do not rescan the corpus.
+  // ---------------------------------------------------------------------
+  private def v20(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        signWord("embedding", 0).as("q_lo"), signWord("embedding", 32).as("q_hi"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      signWord("embedding", 0).as("c_lo"), signWord("embedding", 32).as("c_hi"))
+    // exact side — v01's ranking through the bounded aggregate (no
+    // corpus-grain rank window; the v17-audit shape)
+    val exact = broadcast(q.select(col("q_id"), col("q_emb")))
+      .join(c.select(col("c_id"), col("c_emb")), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(-col("cosine"), col("c_id"), 10).as("kept"))
+      .select(col("q_id"), explode(col("kept")).as("kv"))
+      .select(col("q_id"), col("kv.payload").as("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one Hamming ranking; raw top-10 and the rerank shortlist are its
+    // prefixes (v18's stage 1 verbatim)
+    val ham = broadcast(q.select(col("q_id"), col("q_lo"), col("q_hi")))
+      .join(c.select(col("c_id"), col("c_lo"), col("c_hi")),
+        col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)"))
+          .cast(LongType).as("ham"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(col("ham"), col("c_id"), BqShortlist).as("kept"))
+      .select(col("q_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv.payload").as("c_id"),
+        (col("pos") + 1).cast(LongType).as("ham_rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw10 = ham.where(col("ham_rk") <= 10).select(col("q_id"), col("c_id"))
+    // rerank — v18's stage 2: shortlist ids refetch full vectors, exact
+    // cosine ranks within the ≤ BqShortlist·|q| rows
+    val wFull = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val rerank = c.select(col("c_id"), col("c_emb"))
+      .join(broadcast(ham.select(col("q_id"), col("c_id"))), Seq("c_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .withColumn("rk", row_number().over(wFull))
+      .where(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"))
+    val nRaw = exact.join(raw10, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_raw_overlap"))
+    val nRerank = exact.join(rerank, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_rerank_overlap"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(nRaw, Seq("q_id"), "left")
+      .join(nRerank, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_raw_overlap", "n_rerank_overlap"))
+      .withColumn("recall_raw_ppm", expr("n_raw_overlap * 1000000 div n_exact"))
+      .withColumn("recall_rerank_ppm",
+        expr("n_rerank_overlap * 1000000 div n_exact"))
+      .orderBy(col("q_id"))
+  }
+  private val v20Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    ${signWordSql("embedding", 1, 32)} AS q_lo,
+       |    ${signWordSql("embedding", 33, 64)} AS q_hi
+       |  FROM embeddings WHERE vec_id < 5),
+       |c AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb,
+       |    ${signWordSql("embedding", 1, 32)} AS c_lo,
+       |    ${signWordSql("embedding", 33, 64)} AS c_hi
+       |  FROM embeddings),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        ${dotS("q_emb", "c_emb")} / (${normS("q_emb")} * ${normS("c_emb")})
+       |          DESC, c_id) AS rk
+       |    FROM q JOIN c ON q_id <> c_id)
+       |  WHERE rk <= 10),
+       |ham AS (
+       |  SELECT q_id, c_id, ham_rk FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        bit_count(xor(q_lo, c_lo)) + bit_count(xor(q_hi, c_hi)), c_id)
+       |        AS ham_rk
+       |    FROM q JOIN c ON q_id <> c_id)
+       |  WHERE ham_rk <= $BqShortlist),
+       |raw10 AS (
+       |  SELECT q_id, c_id FROM ham WHERE ham_rk <= 10),
+       |rerank AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT h.q_id, h.c_id,
+       |      row_number() OVER (PARTITION BY h.q_id ORDER BY
+       |        ${dotS("qq.q_emb", "cc.c_emb")}
+       |          / (${normS("qq.q_emb")} * ${normS("cc.c_emb")}) DESC, h.c_id)
+       |        AS rk
+       |    FROM ham h
+       |    JOIN q qq ON h.q_id = qq.q_id
+       |    JOIN c cc ON h.c_id = cc.c_id)
+       |  WHERE rk <= 10),
+       |ov_raw AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_raw_overlap
+       |  FROM exact JOIN raw10 USING (q_id, c_id) GROUP BY 1),
+       |ov_rr AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rerank_overlap
+       |  FROM exact JOIN rerank USING (q_id, c_id) GROUP BY 1),
+       |ex AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1)
+       |SELECT q_id, n_exact,
+       |  COALESCE(n_raw_overlap, 0) AS n_raw_overlap,
+       |  COALESCE(n_rerank_overlap, 0) AS n_rerank_overlap,
+       |  CAST(COALESCE(n_raw_overlap, 0) * 1000000 // n_exact AS BIGINT)
+       |    AS recall_raw_ppm,
+       |  CAST(COALESCE(n_rerank_overlap, 0) * 1000000 // n_exact AS BIGINT)
+       |    AS recall_rerank_ppm
+       |FROM ex LEFT JOIN ov_raw USING (q_id) LEFT JOIN ov_rr USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -1862,5 +2000,6 @@ object Similarity {
     QueryDef("v17_truncated_rerank", v17, Some(v17Sql)),
     QueryDef("v18_binary_hamming_rerank", v18, Some(v18Sql)),
     // served ≡ inline: v19 grades against v18's oracle verbatim
-    QueryDef("v19_served_binary_probe", v19, Some(v18Sql)))
+    QueryDef("v19_served_binary_probe", v19, Some(v18Sql)),
+    QueryDef("v20_binary_recall_audit", v20, Some(v20Sql)))
 }

@@ -526,6 +526,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("shiftleft"), s"v19 recomputes sketches:\n$plan")
   }
 
+  test("v20 binary recall audit: rerank recall dominates raw, agrees with v01/v18") {
+    val out = run("v20_binary_recall_audit").collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("q_id")).toSet == (0L to 4L).toSet)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 10L)
+      // the invariant the audit exists to certify: the exact rerank can
+      // only recover exact-top-10 members the raw Hamming cut lost
+      // (raw-top-10 ⊆ shortlist, and shortlist∩exact out-ranks the rest)
+      assert(r.getAs[Long]("recall_rerank_ppm") >= r.getAs[Long]("recall_raw_ppm"),
+        s"q${r.getAs[Long]("q_id")}: rerank recall below raw")
+      assert(r.getAs[Long]("recall_raw_ppm") ==
+        r.getAs[Long]("n_raw_overlap") * 1000000L / 10L)
+      assert(r.getAs[Long]("recall_rerank_ppm") ==
+        r.getAs[Long]("n_rerank_overlap") * 1000000L / 10L)
+    }
+    // rerank overlap recomputed from the graded v01 and v18 outputs: v18's
+    // served top-10 IS the reranked set, so |v18 ∩ v01| per query must
+    // equal the audit's n_rerank_overlap
+    val exact = run("v01_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val rerank = run("v18_binary_hamming_rerank").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    val byQ = rerank.filter(exact.contains).groupBy(_._1).view.mapValues(_.length.toLong)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      assert(r.getAs[Long]("n_rerank_overlap") == byQ.getOrElse(q, 0L),
+        s"q$q: audit overlap disagrees with v18∩v01")
+    }
+  }
+
   test("v18 binary sketch: hamming matches a driver-side sign recompute") {
     val out = run("v18_binary_hamming_rerank").collect()
     assert(out.length == 50)

@@ -97,7 +97,17 @@ object Sink {
     * Goes through Hadoop-FS (not java.io.File) so the same code serves
     * file://, hdfs:// and s3a:// artifact roots. */
   def publishedArtifact(spark: SparkSession, path: String)
-                       (build: => DataFrame): DataFrame = {
+                       (build: => DataFrame): DataFrame =
+    publishedArtifactUsing(spark, path)(stg => build.write.parquet(stg))
+
+  /** [[publishedArtifact]] with a caller-supplied staging writer, for
+    * artifacts whose LAYOUT matters (e.g. a `partitionBy` serving copy):
+    * `write` receives the staging path and must produce a complete
+    * Spark-readable directory there (including the committer's _SUCCESS
+    * marker — any `df.write...` does); the publish/rename/read contract
+    * is unchanged. */
+  def publishedArtifactUsing(spark: SparkSession, path: String)
+                            (write: String => Unit): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // The exists() fast-path only proves a DIRECTORY is there, not that a
@@ -114,7 +124,7 @@ object Sink {
       // even a mid-copy staging dir can never leak rows into a listing
       val staging = new org.apache.hadoop.fs.Path(p.getParent,
         s".staging-${p.getName}-$procTag-${java.util.UUID.randomUUID()}")
-      build.write.parquet(staging.toString)
+      write(staging.toString)
       fs.mkdirs(p.getParent)
       if (!fs.rename(staging, p)) {
         // rename refused: either a concurrent winner is already in place

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, to_date}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet star-schema loader for the driver-generated testdata
@@ -55,4 +55,29 @@ object Tables {
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Date-partitioned serving copy of the events table (Hive layout,
+    * `event_date=YYYY-MM-DD/` dirs), published once per corpus
+    * fingerprint through the staged-atomic artifact store. At 100 TB an
+    * events table is ALWAYS laid out this way — the reference's own BI
+    * queries are date-keyed — because a date predicate then prunes whole
+    * partitions at planning time (PartitionFilters in the scan,
+    * PlanSpec-pinned) instead of reading every file and filtering rows.
+    *
+    * Write shape: one shuffle on event_date so each date lands in a
+    * single file — at production scale add a second in-partition key to
+    * the repartition (or spark.sql.files.maxRecordsPerFile) so a hot
+    * date splits across several, but the layout and pruning contract
+    * are identical. */
+  def eventsByDate(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(spark, s"$dir/events.parquet")
+    val path = s"${Sink.artifactRoot}/events_by_date/${tag}/fp_$fp"
+    Sink.publishedArtifactUsing(spark, path) { stg =>
+      load(spark, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .write.partitionBy("event_date").parquet(stg)
+    }
+  }
 }

@@ -253,6 +253,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q41: events week predicate prunes date PARTITIONS, not just rows") {
+    // The 100 TB contract for date-keyed tables: the predicate must reach
+    // the scan as a PartitionFilter (planning-time directory pruning),
+    // and the pruned scan must select strictly fewer partitions than the
+    // full layout — fewer files read, not all-files-then-filter.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def eventsScan(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events_by_date")) => f
+      }.head
+    val pruned = eventsScan(
+      SparkEntry.queries("q41_partition_pruned_events")(spark, SharedSpark.sf0001))
+    assert(pruned.partitionFilters.exists(_.references.exists(_.name == "event_date")),
+      s"week predicate not a partition filter: ${pruned.partitionFilters}")
+    val full = eventsScan(graft.sources.Tables.eventsByDate(spark, SharedSpark.sf0001))
+    val nPruned = pruned.selectedPartitions.partitionCount
+    val nFull = full.selectedPartitions.partitionCount
+    assert(nPruned < nFull,
+      s"pruning read $nPruned of $nFull partitions — nothing pruned")
+    // the filtered scan also reads fewer FILES than the layout holds
+    assert(pruned.selectedPartitions.totalNumberOfFiles <
+      full.selectedPartitions.totalNumberOfFiles)
+    // and the report itself prunes columns: props (the wide payload
+    // column) must not be read
+    val p = fmt("q41_partition_pruned_events")
+    assert(!p.contains("props"), s"q41 reads the unused payload column:\n$p")
+  }
+
   test("d29: LM scoring is windowless — no Window, no Expand, no Sort before agg") {
     // the bigram LM trains and scores through joins + hash aggregates
     // only; a Window or Expand here means the plan regressed to a

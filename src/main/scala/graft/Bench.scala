@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: runs the headline queries on
-  * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver
-  * (BENCH_r{N}.json). Queries are fully materialized through the noop
-  * sink so the measurement covers the whole plan, not just a count. */
+  * SPARK_GRAFT_SF_DIR and prints the result for the driver
+  * (BENCH_r{N}.json) as two JSON lines — the full record (mins + raw
+  * runs + per-query loadavg), then a compact record (total + mins +
+  * loadavg bounds) that always fits a bounded tail capture. Queries are
+  * fully materialized through the noop sink so the measurement covers
+  * the whole plan, not just a count. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,6 +19,12 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // Fail fast on a typo'd name: silently dropping it would report a
+    // "subset" that quietly measured nothing the caller asked for.
+    val unknown = only.diff(SparkEntry.headlines.toSet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names unknown headline queries: " +
+        s"${unknown.toSeq.sorted.mkString(",")}")
     val headlines = SparkEntry.headlines
       .filter(n => only.isEmpty || only(n))
     val builder = SparkSession.builder()
@@ -79,8 +88,17 @@ object Bench {
       val qs = results.map { case (k, rs) => "\"" + k + "\":" + best(rs) }
         .mkString("{", ",", "}")
       val total = results.map(r => best(r._2)).filter(_ >= 0).sum
-      val tag = if (partial) ""","partial":true""" else ""
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${rawMap(results)},"load":${rawMap(loads)},"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg$tag}""")
+      val tag = (if (partial) ""","partial":true""" else "") +
+        (if (only.nonEmpty) ""","subset":true""" else "")
+      val end = loadAvg
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${rawMap(results)},"load":${rawMap(loads)},"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$end$tag}""")
+      // Compact self-contained record LAST: the full line (mins + raw
+      // runs + per-query loadavg) has outgrown the driver's tail capture
+      // (BENCH_r13.json truncated mid-"runs", "parsed": null), so the
+      // final line carries total + per-query mins + loadavg bounds only
+      // — always short enough to survive any tail window, and emitted
+      // second so a last-line parser finds a complete record.
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$end,"compact":true$tag}""")
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
     // Per-query load evidence (VERDICT r12 #3): the 1-min loadavg sampled

@@ -1,0 +1,57 @@
+package graft
+
+/** Engine tuning knobs, env-overridable with defaults unchanged
+  * (SURVEY §2.6 L1: "row-caps a config, not a constant" — generalized
+  * to every compile-time cap a deployment would want to turn).
+  *
+  * Each knob is read ONCE at class load and interpolated into BOTH the
+  * Spark plan and its oracle SQL mirror, so an override can never
+  * desynchronize the two sides of the hash gate — both always see the
+  * same value. Defaults reproduce the graded behavior exactly; the
+  * driver sets none of these.
+  *
+  * Why env and not SparkConf: these constants shape QUERY TEXT (oracle
+  * SQL strings built at object init) and artifact paths, both of which
+  * exist before any SparkSession — a conf read would force an
+  * init-order dependency on the session. Env is process-stable, which
+  * is exactly the consistency the hash gate needs.
+  */
+object Config {
+
+  private[graft] def longFrom(env: Map[String, String],
+                              name: String, default: Long): Long =
+    env.get(name).map { v =>
+      val n = try v.trim.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$name must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$name must be positive, got $n")
+      n
+    }.getOrElse(default)
+
+  private[graft] def intFrom(env: Map[String, String],
+                             name: String, default: Int): Int = {
+    val n = longFrom(env, name, default.toLong)
+    require(n <= Int.MaxValue, s"$name out of int range: $n")
+    n.toInt
+  }
+
+  /** q11 / §2.6: top-k row cap (the reference's hardcoded LIMIT). */
+  val TopKRows: Int = intFrom(sys.env, "GRAFT_TOPK_ROWS", 50)
+
+  /** d15/d24/d33: token budget of one packed training sequence. */
+  val SeqBudget: Int = intFrom(sys.env, "GRAFT_SEQ_BUDGET", 512)
+
+  /** c16: shard count of the delivery shuffle. */
+  val DeliveryShards: Long = longFrom(sys.env, "GRAFT_DELIVERY_SHARDS", 16L)
+
+  /** n02-family: LSH per-bucket cap before the pair explode. */
+  val MaxBucket: Int = intFrom(sys.env, "GRAFT_LSH_MAX_BUCKET", 10000)
+
+  /** m04: per-frame-fingerprint bucket cap (the MaxBucket analog). */
+  val MaxFrameBucket: Int = intFrom(sys.env, "GRAFT_FRAME_MAX_BUCKET", 10000)
+
+  /** v17: exact-audit sampling modulus (1/mod of queries audited). */
+  val MrlAuditMod: Long = longFrom(sys.env, "GRAFT_AUDIT_MOD", 2L)
+}

@@ -840,7 +840,7 @@ object CurationPipeline {
   // shards is the hash's, so no shard is a straggler.
   // ---------------------------------------------------------------------
   private val ShuffleSeed = 1337
-  private val DeliveryShards = 16L
+  private val DeliveryShards = graft.Config.DeliveryShards
 
   private def c16(s: SparkSession, dir: String): DataFrame = {
     val keyed = c12(s, dir)

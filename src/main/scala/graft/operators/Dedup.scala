@@ -146,7 +146,7 @@ object Dedup {
   /** Default per-bucket cap: far above anything the test corpora hit
     * (sf0.01 max bucket ≈ corpus dup cluster size), binding only on
     * pathological band keys at scale. */
-  val MaxBucket = 10000
+  val MaxBucket: Int = graft.Config.MaxBucket
 
   /** Candidate pairs from (doc_id, band_id, band_key) rows; one shuffle,
     * per-bucket capped pair explode. */

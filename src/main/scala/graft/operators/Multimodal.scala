@@ -383,7 +383,7 @@ object Multimodal {
   // ---------------------------------------------------------------------
 
   /** Per-fingerprint bucket cap, the n02/`Dedup.MaxBucket` analog. */
-  val MaxFrameBucket = 10000
+  val MaxFrameBucket: Int = graft.Config.MaxFrameBucket
 
   /** Minimum shared frame digests (of the 4 sampled) for a pair. */
   val MinSharedFrames = 2

@@ -417,15 +417,15 @@ object Parity {
   private def q11(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(50)
+      .limit(graft.Config.TopKRows)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         to_date(col("o_orderdate")).as("order_date"))
       .orderBy(col("o_orderkey"))
   private val q11Sql =
-    """SELECT o_orderkey, o_custkey, o_totalprice, order_date FROM (
+    s"""SELECT o_orderkey, o_custkey, o_totalprice, order_date FROM (
       |  SELECT o_orderkey, o_custkey, o_totalprice,
       |    CAST(o_orderdate AS DATE) AS order_date
-      |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+      |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT ${graft.Config.TopKRows})
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -1553,7 +1553,7 @@ object Similarity {
     * so the sample is stable under any partitioning). Served rows carry
     * `audited` + the sample rate; `in_exact` is NULL for unaudited
     * queries — unknown, not "missed". */
-  private val MrlAuditMod = 2L
+  private val MrlAuditMod = graft.Config.MrlAuditMod
 
   /** The audit-sample predicate (d08's md5 bucket discipline, mirrored
     * verbatim in [[v17Sql]]'s `auditedSql`). */

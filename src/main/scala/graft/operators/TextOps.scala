@@ -747,7 +747,7 @@ object TextOps {
   // sequence per shard).
   //
   // ---------------------------------------------------------------------
-  private val SeqBudget = 512
+  private val SeqBudget = graft.Config.SeqBudget
   private val PackShards = 32
   private def packedChunks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -847,6 +847,12 @@ object CurationPipeline {
       .withColumn("skey", md5(concat(lit(s"shuffle:$ShuffleSeed:"),
         col("doc_id").cast(StringType), lit(":"),
         col("copy_idx").cast(StringType))))
+      // INVARIANT the oracle mirror depends on: exactly 15 hex digits
+      // (never 16) enter conv(), so the value is < 16^15 = 2^60 — always
+      // NON-NEGATIVE in a signed 64-bit long. That is what makes Spark's
+      // pmod and DuckDB's % interchangeable here (they differ only on
+      // negative operands). A 16th digit could set the sign bit and
+      // silently split the hash gate. CurationSpec pins shard ∈ [0, n).
       .withColumn("shard",
         pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast(LongType),
           lit(DeliveryShards)))

@@ -18,7 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             sliding-window aggregation, correlated
   *                             scalar subqueries (decorrelation-proved),
   *                             salted skew join (result-invariance
-  *                             proved against the plain-join oracle)
+  *                             proved against the plain-join oracle);
+  *                             q41: partition-pruned report over the
+  *                             date-partitioned events serving layout
+  *                             (PartitionFilters PlanSpec-pinned)
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,
@@ -65,12 +68,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             trained-IVF recall audit (centroids and
   *                             codebooks via deterministic integer
   *                             k-means, mirrored in the oracle CTEs);
-  *                             v14-v19: SemDeDup semantic dedup, PQ
+  *                             v14-v20: SemDeDup semantic dedup, PQ
   *                             rerank, IVFADC, truncated-dim two-stage
   *                             retrieval with a hash-sampled exact
   *                             audit, binary sign-quantization Hamming
-  *                             prefilter + rerank, and its served
-  *                             published-sketch variant
+  *                             prefilter + rerank, its served
+  *                             published-sketch variant, and the
+  *                             binary-tier recall audit (raw Hamming
+  *                             vs reranked, graded against v01)
   *  - [[operators.Multimodal]] m01-m05: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV

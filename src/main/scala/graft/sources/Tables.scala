@@ -45,7 +45,17 @@ object Tables {
         case LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampType => raw
-        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampNTZType =>
+          // The NTZ→instant cast interprets the wall-clock value in the
+          // SESSION time zone; only UTC reproduces the stored instants.
+          // Mirror the nanosAsLong discipline above: pin it here so a
+          // session not built through our entry points cannot silently
+          // shift every NTZ-encoded instant while nanos files stay
+          // correct (the exact cross-encoding divergence this dispatch
+          // exists to close). Constant value → never order-dependent.
+          if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+          raw.withColumn("ts", col("ts").cast(TimestampType))
         case other =>
           throw new IllegalStateException(
             s"events.ts: unsupported parquet type $other (expected int64 nanos or timestamp)")

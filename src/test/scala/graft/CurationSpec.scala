@@ -304,7 +304,9 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet ==
       epoch.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet)
     val byShard = rows.groupBy(_.getAs[Long]("shard"))
-    assert(byShard.keySet.forall(s => s >= 0L && s < 16L))
+    // non-negativity is the pmod≡% bridge the oracle depends on (the
+    // 15-hex-digit invariant in c16's shard derivation)
+    assert(byShard.keySet.forall(s => s >= 0L && s < graft.Config.DeliveryShards))
     byShard.values.foreach { sr =>
       val ordered = sr.sortBy(_.getAs[Long]("pos_in_shard"))
       // dense positions from 1 and an exact running token offset
@@ -337,6 +339,11 @@ class CurationSpec extends AnyFunSuite {
       Seq("len_band", "min_tokens", "ttr", "gopher_repetition", "ppl_not_tail"))
     val n = rows.head.getAs[Long]("n_docs")
     assert(rows.forall(_.getAs[Long]("n_docs") == n))
+    // coverage: the census inner-joins d31's output on doc_id in BOTH
+    // engines, so a d31 grain change would shrink n_docs identically on
+    // both sides and slip past the hash gate — pin full coverage here
+    assert(n == graft.sources.Tables.load(spark, dir, "documents").count(),
+      "c15 census no longer covers every document (signal grain changed)")
     rows.foreach { r =>
       val (nf, uq, ff) = (r.getAs[Long]("n_fail"),
         r.getAs[Long]("n_unique_kill"), r.getAs[Long]("n_first_fail"))

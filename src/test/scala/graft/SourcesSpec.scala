@@ -62,6 +62,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.size == 5 && a.head._2 == 1700000000000000L)
   }
 
+  test("NTZ events under a non-UTC session: load pins UTC before the cast") {
+    // ADVICE r13: the NTZ→instant cast reads the SESSION time zone, so a
+    // session built without UTC would silently shift every NTZ-encoded
+    // instant while nanos-encoded files stayed correct. load() must pin
+    // the zone the same way it pins nanosAsLong.
+    val dir = tmp("graft-ntz")
+    spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS event_id,
+        |  timestamp_ntz'2023-11-14 22:13:20' AS ts,
+        |  CAST(1 AS BIGINT) AS user_id, 'click' AS event_type,
+        |  CAST(1.0 AS DOUBLE) AS value, '' AS props""".stripMargin)
+      .write.parquet(s"$dir/events.parquet")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Tables.load(spark, dir, "events")
+      assert(df.schema("ts").dataType == TimestampType)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "load() must pin the session zone before the NTZ cast")
+      val micros = df.select(unix_micros(col("ts"))).collect().head.getLong(0)
+      assert(micros == 1700000000000000L,
+        s"NTZ instant shifted by the session zone: $micros")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("artifact publish is staged + atomic: racing writers never leave a partial dir") {
     val root = tmp("graft-artifact")
     val path = s"$root/model_artifact"

@@ -85,6 +85,30 @@ object Sink {
                            (build: => DataFrame): DataFrame =
     publishedArtifact(spark, s"$base/fp_${corpusFingerprint(spark, corpusPath)}")(build)
 
+  /** Retention sweep for a fingerprinted artifact family: under `base`,
+    * keep `current` (the live print) plus the `keepPrevious` most
+    * recently modified other `fp_*` publishes, delete the rest. NOT
+    * called from the serve path — a pinned reader may still be
+    * mid-scan on an older print, so retiring prints is an operational
+    * decision with a retention window, exactly like table-format
+    * snapshot expiry. Returns the deleted paths. */
+  def pruneStaleFingerprints(spark: SparkSession, base: String,
+                             current: String, keepPrevious: Int = 1): Seq[String] = {
+    val b = new org.apache.hadoop.fs.Path(base)
+    val fs = b.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(b)) Seq.empty
+    else {
+      val prints = fs.listStatus(b).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("fp_"))
+        .filterNot(_.getPath.getName == s"fp_$current")
+      val stale = prints.sortBy(-_.getModificationTime).drop(keepPrevious)
+      stale.map { s =>
+        fs.delete(s.getPath, true)
+        s.getPath.toString
+      }
+    }
+  }
+
   /** Build-once/serve-many artifact publish with shared-storage-safe
     * semantics: write to a staging dir, then atomically rename into
     * place. A bare `exists + write.parquet(path)` lets a concurrent
@@ -154,6 +178,18 @@ object Sink {
     * 100 TB default: prune before you read). */
   def overwritePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Surgical partition refresh (dynamic partition overwrite): replaces
+    * ONLY the partitions present in `df`, leaving every other
+    * partition's files physically untouched — the 100 TB daily-refresh
+    * idiom for a date-partitioned table, where rewriting the whole
+    * layout to land one day (static Overwrite's behavior) would cost a
+    * full-table write per day. SourcesSpec proves untouched partitions
+    * keep their exact files. */
+  def refreshPartitions(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
 
   /** Catalog-backed bucketed + sorted table: two tables bucketed the
     * same way join with ZERO shuffle (no Exchange in the plan — proven

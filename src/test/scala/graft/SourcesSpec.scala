@@ -149,6 +149,57 @@ class SourcesSpec extends AnyFunSuite {
     assert(builds == 2)
   }
 
+  test("refreshPartitions replaces only the targeted date; other files untouched") {
+    import spark.implicits._
+    val path = s"${tmp("graft-dyn")}/events_by_date"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("event_id", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    def files(date: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/event_date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = Map("2024-01-01" -> files("2024-01-01"),
+      "2024-01-03" -> files("2024-01-03"))
+    // daily refresh: re-land ONLY 2024-01-02 with corrected rows
+    Sink.refreshPartitions(
+      Seq((20L, "2024-01-02"), (21L, "2024-01-02"))
+        .toDF("event_id", "event_date").coalesce(1),
+      path, "event_date")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 4)
+    assert(back.where(col("event_date") === "2024-01-02")
+      .select("event_id").collect().map(_.getLong(0)).toSet == Set(20L, 21L))
+    // untouched partitions keep their exact physical files — this is
+    // what makes the daily refresh O(day), not O(table)
+    assert(files("2024-01-01") == before("2024-01-01"))
+    assert(files("2024-01-03") == before("2024-01-03"))
+  }
+
+  test("fingerprint retention sweep keeps current + N, deletes older prints") {
+    import spark.implicits._
+    val base = s"${tmp("graft-gc")}/family"
+    // three published prints with distinct mtimes (oldest → newest)
+    Seq("aaa", "bbb", "ccc").foreach { fp =>
+      Seq(1L).toDF("k").coalesce(1).write.parquet(s"$base/fp_$fp")
+      new java.io.File(s"$base/fp_$fp")
+        .setLastModified(System.currentTimeMillis() - (if (fp == "aaa") 200000L
+          else if (fp == "bbb") 100000L else 0L)): Unit
+    }
+    val deleted = Sink.pruneStaleFingerprints(spark, base, current = "ccc",
+      keepPrevious = 1)
+    // current ccc survives by name, bbb survives as the 1 newest other,
+    // aaa (oldest) is retired
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("fp_aaa"))
+    val left = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(left == Set("fp_bbb", "fp_ccc"))
+    // live print still reads
+    assert(spark.read.parquet(s"$base/fp_ccc").count() == 1)
+    // a second sweep is a no-op
+    assert(Sink.pruneStaleFingerprints(spark, base, "ccc", 1).isEmpty)
+  }
+
   test("a partial (uncommitted) artifact dir is rebuilt, not served") {
     // ADVICE r13: exists() alone would trust a dir a crashed legacy
     // writer left half-written; the committed _SUCCESS marker gates reuse.

@@ -908,7 +908,8 @@ object CurationPipeline {
   // passes, no shuffle beyond the id-joins the signals already pay.
   // ---------------------------------------------------------------------
   private def ruleDef(name: String): QueryDef =
-    (TextOps.defs ++ graft.operators.Classifier.defs)
+    (TextOps.defs ++ graft.operators.Classifier.defs ++
+      graft.operators.Similarity.defs)
       .find(_.name == name)
       .getOrElse(throw new IllegalStateException(s"missing rule query $name"))
 
@@ -991,6 +992,133 @@ object CurationPipeline {
        |ORDER BY rule_order""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // c17 — decontamination ablation census (c15's discipline applied to
+  // the OTHER admission suite): for each of the five leakage detectors —
+  // cross-split near-dup pairs (c04), exact n-gram doc contamination
+  // (c05), semantic paraphrase sources (c11, train side), span-level
+  // window excision (d32), fixed-benchmark n-gram hits (c14) — how many
+  // TRAIN documents each flags, how many only it flags (its unique
+  // contribution), where a fixed review cascade first catches each doc,
+  // and how many remain clean after the cascade prefix. This is the
+  // table that decides whether a detector earns its corpus pass: a
+  // method with zero unique flags is subsumed at the margin; the clean-
+  // after column prices each additional method in remaining risk.
+  //
+  // Single-source discipline (the c15 rule): every signal is CONSUMED
+  // from its graded query — the QueryDef fns run Spark-side, their
+  // oracle SQL rides as nested CTEs oracle-side — with only the grain
+  // adapter stated here (c04 pairs → train-side ids; c11 eval rows →
+  // implicated train_id set; d32 → n_excised > 0; c14 restricted to
+  // d08-train docs by the census join itself).
+  //
+  // Scale shape: each signal is doc-grain or collapses to a distinct id
+  // set far smaller than the corpus (flag sets are ppm–%-scale), so the
+  // census is five narrow left joins on doc_id, one conditional
+  // aggregate to a single row, and a 5-row driver-side stack — the
+  // detectors themselves already paid their (bounded) corpus passes as
+  // graded queries.
+  // ---------------------------------------------------------------------
+  private val c17Methods = Seq(
+    ("xsplit_neardup", 1L), ("ngram_doc", 2L), ("semantic_source", 3L),
+    ("span_excision", 4L), ("benchmark_ngram", 5L))
+
+  private def c17(s: SparkSession, dir: String): DataFrame = {
+    val train = withSplit(Tables.load(s, dir, "documents"))
+      .where(col("split") === "train").select(col("doc_id"))
+    val c04o = c04(s, dir)
+    val m1 = c04o.where(col("split_a") === "train")
+      .select(col("doc_a").as("doc_id"))
+      .union(c04o.where(col("split_b") === "train")
+        .select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("g1", lit(1L))
+    val m2 = c05(s, dir).select(col("doc_id")).withColumn("g2", lit(1L))
+    val m3 = ruleDef("c11_semantic_contamination").fn(s, dir)
+      .select(col("train_id").as("doc_id")).distinct().withColumn("g3", lit(1L))
+    val m4 = ruleDef("d32_span_decontamination").fn(s, dir)
+      .where(col("n_excised") > 0L).select(col("doc_id")).withColumn("g4", lit(1L))
+    val m5 = c14(s, dir).select(col("doc_id")).withColumn("g5", lit(1L))
+    val flags = train
+      .join(m1, Seq("doc_id"), "left")
+      .join(m2, Seq("doc_id"), "left")
+      .join(m3, Seq("doc_id"), "left")
+      .join(m4, Seq("doc_id"), "left")
+      .join(m5, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("g1", "g2", "g3", "g4", "g5"))
+      .withColumn("n_flags",
+        col("g1") + col("g2") + col("g3") + col("g4") + col("g5"))
+    def fl(k: Int) = sum(col(s"g$k")).as(s"fl$k")
+    def uq(k: Int) = sum(when(col(s"g$k") === 1L && col("n_flags") === 1L, 1L)
+      .otherwise(0L)).as(s"uq$k")
+    def ff(k: Int) = sum(when(
+      (1 until k).foldLeft(col(s"g$k") === 1L) { (acc, j) =>
+        acc && col(s"g$j") === 0L
+      }, 1L).otherwise(0L)).as(s"ff$k")
+    def cl(k: Int) = sum((1 to k).map(j => lit(1L) - col(s"g$j"))
+      .reduce(_ * _)).as(s"cl$k")
+    val one = flags.agg(
+      count(lit(1L)).as("n_train"),
+      (1 to 5).flatMap(k => Seq(fl(k), uq(k), ff(k), cl(k))): _*)
+    val stackArgs = c17Methods.map { case (name, k) =>
+      s"'$name', ${k}L, fl$k, uq$k, ff$k, cl$k"
+    }.mkString(", ")
+    one.selectExpr("n_train",
+      s"stack(${c17Methods.size}, $stackArgs) AS " +
+        "(method, method_order, n_flagged, n_unique_flag, n_first_flag, n_clean_after)")
+      .select(col("method"), col("method_order"), col("n_train"),
+        col("n_flagged"), col("n_unique_flag"), col("n_first_flag"),
+        col("n_clean_after"))
+      .orderBy(col("method_order"))
+  }
+
+  private val c17Sql = {
+    val c11SqlText = ruleDef("c11_semantic_contamination").oracle.get
+    val d32SqlText = ruleDef("d32_span_decontamination").oracle.get
+    val branches = c17Methods.map { case (name, k) =>
+      val prefix = (1 to k.toInt).map(j => s"(1 - g$j)").mkString(" * ")
+      val earlier = (1 until k.toInt).map(j => s"g$j = 0 AND ").mkString
+      s"""SELECT '$name' AS method, CAST($k AS BIGINT) AS method_order,
+         |  CAST(COUNT(*) AS BIGINT) AS n_train,
+         |  CAST(SUM(g$k) AS BIGINT) AS n_flagged,
+         |  CAST(COUNT(*) FILTER (WHERE g$k = 1 AND g1+g2+g3+g4+g5 = 1)
+         |    AS BIGINT) AS n_unique_flag,
+         |  CAST(COUNT(*) FILTER (WHERE ${earlier}g$k = 1 ) AS BIGINT)
+         |    AS n_first_flag,
+         |  CAST(SUM($prefix) AS BIGINT) AS n_clean_after
+         |FROM flags""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH r04 AS ($c04Sql),
+       |r05 AS ($c05Sql),
+       |r11 AS ($c11SqlText),
+       |r32 AS ($d32SqlText),
+       |r14 AS ($c14Sql),
+       |train AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE ${TextOps.splitCaseSql} = 'train'),
+       |m1 AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM r04 WHERE split_a = 'train'
+       |    UNION ALL
+       |    SELECT doc_b AS doc_id FROM r04 WHERE split_b = 'train')),
+       |m3 AS (SELECT DISTINCT train_id AS doc_id FROM r11),
+       |m4 AS (SELECT doc_id FROM r32 WHERE n_excised > 0),
+       |flags AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g1,
+       |    CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g2,
+       |    CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g3,
+       |    CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g4,
+       |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g5
+       |  FROM train t
+       |  LEFT JOIN m1 a ON t.doc_id = a.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM r05) b ON t.doc_id = b.doc_id
+       |  LEFT JOIN m3 c ON t.doc_id = c.doc_id
+       |  LEFT JOIN m4 d ON t.doc_id = d.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM r14) e ON t.doc_id = e.doc_id)
+       |$branches
+       |ORDER BY method_order""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
@@ -1005,7 +1133,8 @@ object CurationPipeline {
     QueryDef("c12_epoch_materialize", c12, Some(c12Sql)),
     QueryDef("c13_funnel_report", c13, Some(c13Sql)),
     QueryDef("c15_quality_ablation", c15, Some(c15Sql)),
-    QueryDef("c16_delivery_shuffle", c16, Some(c16Sql)))
+    QueryDef("c16_delivery_shuffle", c16, Some(c16Sql)),
+    QueryDef("c17_decontamination_ablation", c17, Some(c17Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

@@ -92,11 +92,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             best-of-cluster representative selection,
   *                             deterministic curriculum ordering, and
   *                             exact token-budget apportionment;
-  *                             c10-c15: DSIR importance weighting,
+  *                             c10-c17: DSIR importance weighting,
   *                             semantic split contamination, epoch
   *                             materialization, funnel attrition,
-  *                             fixed-benchmark decontamination, and the
-  *                             quality-rule ablation census
+  *                             fixed-benchmark decontamination, the
+  *                             quality-rule ablation census, the
+  *                             delivery shuffle, and the
+  *                             decontamination ablation census
   */
 object SparkEntry {
 

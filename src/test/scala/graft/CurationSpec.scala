@@ -332,6 +332,47 @@ class CurationSpec extends AnyFunSuite {
       r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSeq.sorted)
   }
 
+  test("c17 decon ablation: cascade closes, signals tie to graded queries") {
+    val rows = SparkEntry.queries("c17_decontamination_ablation")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("method_order"))
+    assert(rows.map(_.getAs[String]("method")).toSeq ==
+      Seq("xsplit_neardup", "ngram_doc", "semantic_source",
+        "span_excision", "benchmark_ngram"))
+    // census coverage: exactly the d08-train docs, every row agrees
+    val n = rows.head.getAs[Long]("n_train")
+    assert(rows.forall(_.getAs[Long]("n_train") == n))
+    val trainCount = SparkEntry.queries("d08_hash_split")(spark, dir).collect()
+      .count(_.getAs[String]("split") == "train").toLong
+    assert(n == trainCount, "census no longer covers every train doc")
+    rows.foreach { r =>
+      val (fl, uq, ff) = (r.getAs[Long]("n_flagged"),
+        r.getAs[Long]("n_unique_flag"), r.getAs[Long]("n_first_flag"))
+      assert(uq <= fl && ff <= fl && fl <= n)
+    }
+    // the cascade accounting closes: clean-after shrinks by exactly the
+    // docs this method catches first (cl_{k-1} - cl_k = ff_k, cl_0 = n)
+    var prev = n
+    rows.foreach { r =>
+      assert(prev - r.getAs[Long]("n_clean_after") == r.getAs[Long]("n_first_flag"),
+        s"cascade leak at ${r.getAs[String]("method")}")
+      prev = r.getAs[Long]("n_clean_after")
+    }
+    // single-source ties: each count equals the graded query it consumes
+    assert(rows(1).getAs[Long]("n_flagged") ==
+      SparkEntry.queries("c05_ngram_decontamination")(spark, dir).count())
+    val d32Flagged = SparkEntry.queries("d32_span_decontamination")(spark, dir)
+      .collect().count(_.getAs[Long]("n_excised") > 0L).toLong
+    assert(rows(3).getAs[Long]("n_flagged") == d32Flagged)
+    // c14's own grain (%97 benchmark) is wider than the train split, so
+    // the census row is a restriction of it, never an extension
+    assert(rows(4).getAs[Long]("n_flagged") <=
+      SparkEntry.queries("c14_benchmark_decontamination")(spark, dir).count())
+    // the census is informative at this SF: something flags, nothing
+    // flags everything
+    assert(rows.exists(_.getAs[Long]("n_flagged") > 0L))
+    assert(rows.forall(_.getAs[Long]("n_flagged") < n))
+  }
+
   test("c15 ablation: cascade accounting closes, signals tie to their graded queries") {
     val rows = SparkEntry.queries("c15_quality_ablation")(spark, dir).collect()
       .sortBy(_.getAs[Long]("rule_order"))

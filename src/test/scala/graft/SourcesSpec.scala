@@ -149,6 +149,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(builds == 2)
   }
 
+  test("eventsByDate partitions identically across ts encodings") {
+    // the partitioned serving layout rides Tables.load, so both pinned
+    // encodings (nanos fixture, micros fixture) must produce the same
+    // event_date dirs and the same rows-per-date — a regeneration that
+    // flips the encoding cannot silently shift the layout's dates
+    def layout(name: String): Seq[(String, Long)] = {
+      val dir = tmp(s"graft-ebd-$name")
+      val in = getClass.getResourceAsStream(s"/fixtures/$name.parquet")
+      Files.copy(in, java.nio.file.Paths.get(dir, "events.parquet"))
+      Tables.eventsByDate(spark, dir)
+        .groupBy(col("event_date").cast(StringType)).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    }
+    val a = layout("events_micros")
+    val b = layout("events_nanos")
+    assert(a == b, s"layouts diverge across encodings: $a vs $b")
+    assert(a.nonEmpty && a.head._1 == "2023-11-14")
+  }
+
   test("refreshPartitions replaces only the targeted date; other files untouched") {
     import spark.implicits._
     val path = s"${tmp("graft-dyn")}/events_by_date"

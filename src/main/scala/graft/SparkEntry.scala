@@ -73,9 +73,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             retrieval with a hash-sampled exact
   *                             audit, binary sign-quantization Hamming
   *                             prefilter + rerank, its served
-  *                             published-sketch variant, and the
+  *                             published-sketch variant, the
   *                             binary-tier recall audit (raw Hamming
-  *                             vs reranked, graded against v01)
+  *                             vs reranked, graded against v01), and
+  *                             v21: IVF-pruned binary ANN (coarse
+  *                             quantizer × sign sketches × exact
+  *                             rerank — the three-tier serving stack)
   *  - [[operators.Multimodal]] m01-m05: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV

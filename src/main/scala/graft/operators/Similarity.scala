@@ -1979,6 +1979,105 @@ object Similarity {
        |FROM ex LEFT JOIN ov_raw USING (q_id) LEFT JOIN ov_rr USING (q_id)
        |ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v21 — IVF-pruned binary ANN (coarse quantizer × binary sketches ×
+  // exact rerank): the three-tier serving stack production vector stores
+  // actually run. v16 composes IVF with PQ codes; this composes it with
+  // the v18 binary tier — stage 0 prunes the candidate set to the
+  // query's own trained-IVF inverted list (|corpus|/k candidates), stage
+  // 1 ranks the list by XOR+popcount Hamming over 16-byte sign sketches,
+  // stage 2 full-cosine reranks the ≤ BqShortlist shortlist to top-10.
+  // Completes the composition matrix: every fine tier (PQ, BQ) now has
+  // both a flat-scan and an IVF-pruned graded variant.
+  //
+  // Scale shape: the assignment frame is the v04 index (persisted — it
+  // is consumed by the query side, the candidate side, and the rerank
+  // refetch); the Hamming join is cent_id-equi (never all-pairs), ranked
+  // through the bounded TopKSmallest; rerank is an id-gather over
+  // ≤ BqShortlist·|q| rows. cent_id rides the output so cluster
+  // confinement is visible (and spec-pinned against v14's assignment).
+  // ---------------------------------------------------------------------
+  private def v21(s: SparkSession, dir: String): DataFrame = {
+    val assigned = rankedAssignment(s, dir, maxArn = 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        signWord("embedding", 0).as("lo"), signWord("embedding", 32).as("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = assigned.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("cent_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val shortIds = broadcast(q.select(col("q_id"), col("cent_id"),
+        col("q_lo"), col("q_hi")))
+      .join(assigned.select(col("vec_id").as("c_id"), col("cent_id"),
+        col("lo").as("c_lo"), col("hi").as("c_hi")), Seq("cent_id"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("cent_id"), col("c_id"),
+        (expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)"))
+          .cast(LongType).as("ham"))
+      .groupBy(col("q_id"), col("cent_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(col("ham"), col("c_id"), BqShortlist).as("kept"))
+      .select(col("q_id"), col("cent_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("cent_id"), col("kv.payload").as("c_id"),
+        col("kv.key").as("ham"),
+        (col("pos") + 1).cast(LongType).as("ham_rk"))
+    val wFull = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    assigned.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+      .join(broadcast(shortIds), Seq("c_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("cent_id").cast(LongType).as("cent_id"),
+        col("c_id"), col("ham"), col("ham_rk"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(wFull).cast(LongType))
+      .where(col("rk") <= 10)
+      .select(col("q_id"), col("cent_id"), col("c_id"),
+        round(col("cosine"), 6).as("cosine_r"), col("rk"),
+        col("ham"), col("ham_rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v21Sql =
+    s"""WITH ${ivfCtesSql()},
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |sk AS (
+       |  SELECT vec_id, cent_id, embedding, nrm,
+       |    ${signWordSql("embedding", 1, 32)} AS lo,
+       |    ${signWordSql("embedding", 33, 64)} AS hi
+       |  FROM assigned),
+       |q AS (
+       |  SELECT vec_id AS q_id, cent_id, embedding AS q_emb, nrm AS q_nrm,
+       |    lo AS q_lo, hi AS q_hi
+       |  FROM sk WHERE vec_id < 5),
+       |shortl AS (
+       |  SELECT q_id, cent_id, c_id, ham, CAST(ham_rk AS BIGINT) AS ham_rk
+       |  FROM (
+       |    SELECT q.q_id, q.cent_id, c.vec_id AS c_id,
+       |      CAST(bit_count(xor(q.q_lo, c.lo)) + bit_count(xor(q.q_hi, c.hi))
+       |        AS BIGINT) AS ham,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        bit_count(xor(q.q_lo, c.lo)) + bit_count(xor(q.q_hi, c.hi)),
+       |        c.vec_id) AS ham_rk
+       |    FROM q JOIN sk c ON q.cent_id = c.cent_id AND q.q_id <> c.vec_id)
+       |  WHERE ham_rk <= $BqShortlist)
+       |SELECT q_id, CAST(cent_id AS BIGINT) AS cent_id, c_id,
+       |  round(cosine, 6) AS cosine_r, rk, ham, ham_rk
+       |FROM (
+       |  SELECT s.q_id, s.cent_id, s.c_id, s.ham, s.ham_rk,
+       |    ${dotS("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |      ${dotS("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) DESC,
+       |      s.c_id) AS BIGINT) AS rk
+       |  FROM shortl s
+       |  JOIN q ON s.q_id = q.q_id
+       |  JOIN assigned c ON s.c_id = c.vec_id)
+       |WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2001,5 +2100,6 @@ object Similarity {
     QueryDef("v18_binary_hamming_rerank", v18, Some(v18Sql)),
     // served ≡ inline: v19 grades against v18's oracle verbatim
     QueryDef("v19_served_binary_probe", v19, Some(v18Sql)),
-    QueryDef("v20_binary_recall_audit", v20, Some(v20Sql)))
+    QueryDef("v20_binary_recall_audit", v20, Some(v20Sql)),
+    QueryDef("v21_ivf_binary_ann", v21, Some(v21Sql)))
 }

@@ -557,6 +557,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v21 IVF-pruned binary ANN: cluster-confined, rerank-ordered, bounded") {
+    val out = run("v21_ivf_binary_ann").collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (0L to 4L).toSet)
+    // the graded v14 output IS the trained assignment (vec_id → cent_id)
+    val assign = run("v14_semantic_dedup").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    byQ.foreach { case (qid, rows) =>
+      val cent = assign(qid)
+      assert(rows.forall(_.getAs[Long]("cent_id") == cent))
+      // stage-0 pruning is real: every candidate sits in the query's own
+      // inverted list
+      rows.foreach(r => assert(assign(r.getAs[Long]("c_id")) == cent,
+        s"q$qid: candidate ${r.getAs[Long]("c_id")} escaped the cluster"))
+      val ordered = rows.sortBy(_.getAs[Long]("rk"))
+      assert(ordered.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to rows.length.toLong))
+      val cos = ordered.map(_.getAs[Double]("cosine_r"))
+      cos.zip(cos.tail).foreach { case (a, b) => assert(a >= b) }
+      assert(rows.forall(r => r.getAs[Long]("ham") >= 0L &&
+        r.getAs[Long]("ham") <= 64L))
+      assert(rows.forall(r => r.getAs[Long]("ham_rk") >= 1L &&
+        r.getAs[Long]("ham_rk") <= 50L))
+    }
+  }
+
   test("v18 binary sketch: hamming matches a driver-side sign recompute") {
     val out = run("v18_binary_hamming_rerank").collect()
     assert(out.length == 50)

@@ -54,4 +54,9 @@ object Config {
 
   /** v17: exact-audit sampling modulus (1/mod of queries audited). */
   val MrlAuditMod: Long = longFrom(sys.env, "GRAFT_AUDIT_MOD", 2L)
+
+  /** eventsClustered: range-partition count of the ts-clustered serving
+    * layout (at 100 TB this is files-per-date-partition; here it is the
+    * whole layout's file count). */
+  val ClusterFiles: Int = intFrom(sys.env, "GRAFT_CLUSTER_FILES", 8)
 }

@@ -905,6 +905,44 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q42 — clustered time-slice report: hourly event-type measures for one
+  // 12-hour slice, served from the ts-CLUSTERED events layout
+  // (Tables.eventsClustered — range-partitioned + sorted on ts, so each
+  // file is a disjoint time slice whose parquet footer min/max bounds it).
+  // The slice predicate reaches the scan as a PushedFilter and the reader
+  // skips every row group outside the slice — sub-partition-grain data
+  // skipping, complementing q41's directory-level partition pruning.
+  // PlanSpec proves the skip on the executed plan (scan numOutputRows ≪
+  // layout rows); the oracle grades the same report from the FLAT events
+  // table, so the clustered copy is value-proven against its source.
+  // ---------------------------------------------------------------------
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.eventsClustered(s, dir)
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType)
+        && col("ts") < lit("2024-01-10 12:00:00").cast(TimestampType))
+      .groupBy(
+        date_format(date_trunc("HOUR", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  private val q42Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-10 12:00:00'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -925,5 +963,6 @@ object Analytics {
     QueryDef("q37_asof_tolerance", q37, Some(q37Sql)),
     QueryDef("q38_sliding_window", q38, Some(q38Sql)),
     QueryDef("q39_correlated_subquery", q39, Some(q39Sql)),
-    QueryDef("q41_partition_pruned_events", q41, Some(q41Sql), headline = true))
+    QueryDef("q41_partition_pruned_events", q41, Some(q41Sql), headline = true),
+    QueryDef("q42_clustered_time_slice", q42, Some(q42Sql), headline = true))
 }

@@ -282,6 +282,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("props"), s"q41 reads the unused payload column:\n$p")
   }
 
+  test("q42: time predicate skips row groups in the ts-clustered layout") {
+    // The sub-partition data-skipping contract: the slice predicate must
+    // reach parquet as a PushedFilter on ts, and on the range-clustered
+    // layout (disjoint per-file ts slices, footer min/max) the reader
+    // must DECODE only the slice's neighborhood — proven on the executed
+    // plan's scan metric, not inferred from the layout.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE wraps executed scans in leaf query stages that hide them from
+    // plan.collect; the skip under test is reader-level (footer stats),
+    // unaffected by adaptive planning — assert on the plain plan.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("q42_clustered_time_slice")(spark, SharedSpark.sf0001)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events_clustered")) => f
+      }.head
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"slice predicate not pushed to parquet: $pushed")
+    // the skip is real: the scan decoded a fraction of the layout — a
+    // 12-hour slice of a 30-day corpus on 8 range files must read ≤ 2
+    // files' worth of rows (the slice's file + at most one boundary)
+    val total = graft.sources.Tables.eventsClustered(spark, SharedSpark.sf0001).count()
+    val decoded = scan.metrics("numOutputRows").value
+    assert(decoded > 0, "q42 scan decoded nothing — slice predicate degenerate")
+    assert(decoded * 2 <= total,
+      s"no row-group skipping: scan decoded $decoded of $total layout rows")
+    // and the report prunes columns: props (the wide payload) never read
+    val p = fmt("q42_clustered_time_slice")
+    assert(!p.contains("props"), s"q42 reads the unused payload column:\n$p")
+  }
+
   test("d29: LM scoring is windowless — no Window, no Expand, no Sort before agg") {
     // the bigram LM trains and scores through joins + hash aggregates
     // only; a Window or Expand here means the plan regressed to a

@@ -168,6 +168,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.head._1 == "2023-11-14")
   }
 
+  test("eventsClustered: files are disjoint ts slices covering every row") {
+    // the mechanism row-group skipping rests on: range-partition + sort
+    // on ts means each data file's [min,max] is a tight, pairwise-
+    // disjoint slice — so a footer-stats check can discard whole files
+    val layout = Tables.eventsClustered(spark, SharedSpark.sf0001)
+    val ranges = layout
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("lo").getTime,
+        r.getAs[java.sql.Timestamp]("hi").getTime, r.getAs[Long]("n")))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "clustered layout collapsed to one file")
+    assert(ranges.map(_._3).sum == 1000L)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA, _), (loB, _, _)) =>
+        assert(hiA <= loB, s"file slices overlap: $hiA > $loB")
+      case _ =>
+    }
+    // serving copy is value-complete: same rows as the source of truth
+    assert(layout.count() ==
+      Tables.load(spark, SharedSpark.sf0001, "events").count())
+  }
+
   test("refreshPartitions replaces only the targeted date; other files untouched") {
     import spark.implicits._
     val path = s"${tmp("graft-dyn")}/events_by_date"

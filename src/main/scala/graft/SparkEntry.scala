@@ -21,7 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             proved against the plain-join oracle);
   *                             q41: partition-pruned report over the
   *                             date-partitioned events serving layout
-  *                             (PartitionFilters PlanSpec-pinned)
+  *                             (PartitionFilters PlanSpec-pinned);
+  *                             q42: row-group-skipping time slice over
+  *                             the ts-clustered layout (skip proven on
+  *                             the executed scan metric)
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,
@@ -78,7 +81,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             vs reranked, graded against v01), and
   *                             v21: IVF-pruned binary ANN (coarse
   *                             quantizer × sign sketches × exact
-  *                             rerank — the three-tier serving stack)
+  *                             rerank — the three-tier serving stack),
+  *                             v22: its recall audit with the
+  *                             compound loss decomposed into the IVF
+  *                             ceiling and the Hamming-shortlist gap,
+  *                             and v23: the same decomposed audit for
+  *                             v16's IVF×PQ stack (gap = pure ADC
+  *                             quantization error)
   *  - [[operators.Multimodal]] m01-m05: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV

@@ -2078,6 +2078,254 @@ object Similarity {
        |WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v22 — composed-tier recall audit: the v13 discipline applied to v21,
+  // so the three-tier stack (IVF × binary × rerank) ships with a recall
+  // number like every other tier. Per query it grades v21's final top-10
+  // against v01's exact cosine top-10 — AND decomposes the compound loss
+  // into its two stages: `cell_ceiling_ppm` is the recall the coarse
+  // quantizer alone permits (|exact-top-10 ∩ query's inverted list| /
+  // n_exact — no fine tier can recover a neighbor IVF pruned away), and
+  // the gap between ceiling and `recall_ppm` is what the Hamming
+  // shortlist cut costs. recall_ppm ≤ cell_ceiling_ppm is structural
+  // (v21's candidates ⊆ the cell), and when the cell fits inside
+  // BqShortlist the rerank is exhaustive so recall MUST equal the
+  // ceiling — SimilaritySpec pins both.
+  //
+  // Scale: audit cost = |sample| × corpus for the exact side (the
+  // v08/v13 contract) plus the graded v21 search itself; overlaps are
+  // narrow (q_id, c_id) set intersections, integer-ppm output.
+  // ---------------------------------------------------------------------
+  private def v22(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // exact top-10 through the bounded aggregate (v01's ranking verbatim)
+    val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(-col("cosine"), col("c_id"), 10).as("kept"))
+      .select(col("q_id"), explode(col("kept")).as("kv"))
+      .select(col("q_id"), col("kv.payload").as("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cell membership under the trained coarse quantizer: what stage 0
+    // leaves reachable per query (three consumers — persist)
+    val assigned = rankedAssignment(s, dir, maxArn = 1)
+      .select(col("vec_id"), col("cent_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cell = broadcast(assigned.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("cent_id")))
+      .join(assigned.select(col("vec_id").as("c_id"), col("cent_id")),
+        Seq("cent_id"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+    val approx = v21(s, dir).select(col("q_id"), col("c_id"))
+    val nCell = cell.groupBy(col("q_id")).agg(count(lit(1)).as("n_cell"))
+    val ovCell = exact.join(cell, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cell_overlap"))
+    val ovAppr = exact.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(nCell, Seq("q_id"), "left")
+      .join(ovCell, Seq("q_id"), "left")
+      .join(ovAppr, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_cell", "n_cell_overlap", "n_overlap"))
+      .withColumn("cell_ceiling_ppm",
+        expr("n_cell_overlap * 1000000 div n_exact"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div n_exact"))
+      .orderBy(col("q_id"))
+  }
+  private val v22Sql =
+    s"""WITH ${ivfCtesSql()},
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |sk AS (
+       |  SELECT vec_id, cent_id, embedding, nrm,
+       |    ${signWordSql("embedding", 1, 32)} AS lo,
+       |    ${signWordSql("embedding", 33, 64)} AS hi
+       |  FROM assigned),
+       |q AS (
+       |  SELECT vec_id AS q_id, cent_id, embedding AS q_emb, nrm AS q_nrm,
+       |    lo AS q_lo, hi AS q_hi
+       |  FROM sk WHERE vec_id < 5),
+       |shortl AS (
+       |  SELECT q_id, cent_id, c_id FROM (
+       |    SELECT q.q_id, q.cent_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        bit_count(xor(q.q_lo, c.lo)) + bit_count(xor(q.q_hi, c.hi)),
+       |        c.vec_id) AS ham_rk
+       |    FROM q JOIN sk c ON q.cent_id = c.cent_id AND q.q_id <> c.vec_id)
+       |  WHERE ham_rk <= $BqShortlist),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT s.q_id, s.c_id,
+       |      row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |        ${dotS("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm) DESC,
+       |        s.c_id) AS rk
+       |    FROM shortl s
+       |    JOIN q ON s.q_id = q.q_id
+       |    JOIN assigned c ON s.c_id = c.vec_id)
+       |  WHERE rk <= 10),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT qq.vec_id AS q_id, cc.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |        ${dotS("qq.embedding", "cc.embedding")}
+       |          / (${normS("qq.embedding")} * ${normS("cc.embedding")}) DESC,
+       |        cc.vec_id) AS rk
+       |    FROM embeddings qq JOIN embeddings cc ON qq.vec_id <> cc.vec_id
+       |    WHERE qq.vec_id < 5)
+       |  WHERE rk <= 10),
+       |cell AS (
+       |  SELECT q.q_id, c.vec_id AS c_id
+       |  FROM q JOIN assigned c
+       |    ON q.cent_id = c.cent_id AND q.q_id <> c.vec_id),
+       |ncell AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cell FROM cell GROUP BY 1),
+       |ovc AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cell_overlap
+       |  FROM exact JOIN cell USING (q_id, c_id) GROUP BY 1),
+       |ova AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM exact JOIN approx USING (q_id, c_id) GROUP BY 1),
+       |ex AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1)
+       |SELECT q_id, n_exact,
+       |  COALESCE(n_cell, 0) AS n_cell,
+       |  COALESCE(n_cell_overlap, 0) AS n_cell_overlap,
+       |  COALESCE(n_overlap, 0) AS n_overlap,
+       |  CAST(COALESCE(n_cell_overlap, 0) * 1000000 // n_exact AS BIGINT)
+       |    AS cell_ceiling_ppm,
+       |  CAST(COALESCE(n_overlap, 0) * 1000000 // n_exact AS BIGINT)
+       |    AS recall_ppm
+       |FROM ex
+       |LEFT JOIN ncell USING (q_id)
+       |LEFT JOIN ovc USING (q_id)
+       |LEFT JOIN ova USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // v23 — IVFADC recall audit: v22's decomposed discipline applied to the
+  // OTHER composition (v16 = IVF × PQ), so both composed stacks ship
+  // recall numbers, not just their constituent tiers. Per query, v16's
+  // ADC top-5 is graded against exact squared-L2 top-5 (the v12 metric —
+  // the PQ family ranks by L2, not cosine), with the same per-stage
+  // split: `cell_ceiling_ppm` is what coarse pruning alone permits;
+  // since v16 ADC-scores the ENTIRE cell (no shortlist truncation), the
+  // ceiling−recall gap here isolates pure PQ quantization error on the
+  // reachable set — the complementary diagnostic to v22, where the exact
+  // rerank made the gap pure shortlist-truncation cost.
+  // ---------------------------------------------------------------------
+  private def v23(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // exact L2 top-5 through the bounded aggregate
+    val exact = broadcast(q)
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+        col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        sqDist(col("q_emb"), col("c_emb")).as("d"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(col("d"), col("c_id"), 5).as("kept"))
+      .select(col("q_id"), explode(col("kept")).as("kv"))
+      .select(col("q_id"), col("kv.payload").as("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = rankedAssignment(s, dir, maxArn = 1)
+      .select(col("vec_id"), col("cent_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cell = broadcast(assigned.where(col("vec_id").between(100, 104))
+        .select(col("vec_id").as("q_id"), col("cent_id")))
+      .join(assigned.select(col("vec_id").as("c_id"), col("cent_id")),
+        Seq("cent_id"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+    val approx = v16(s, dir).select(col("q_id"), col("c_id"))
+    val nCell = cell.groupBy(col("q_id")).agg(count(lit(1)).as("n_cell"))
+    val ovCell = exact.join(cell, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cell_overlap"))
+    val ovAppr = exact.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(nCell, Seq("q_id"), "left")
+      .join(ovCell, Seq("q_id"), "left")
+      .join(ovAppr, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_cell", "n_cell_overlap", "n_overlap"))
+      .withColumn("cell_ceiling_ppm",
+        expr("n_cell_overlap * 1000000 div n_exact"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div n_exact"))
+      .orderBy(col("q_id"))
+  }
+  private val v23Sql = {
+    val lutJoins = lutJoinsSql("el")
+    s"""WITH ${ivfCtesSql()},
+       |$pqCtesSql,
+       |ivf_assigned AS (
+       |  SELECT vec_id, cent_id FROM ranked_assign WHERE arn = 1),
+       |qc AS (
+       |  SELECT q.q_id, a.cent_id
+       |  FROM (SELECT DISTINCT q_id FROM lut) q
+       |  JOIN ivf_assigned a ON a.vec_id = q.q_id),
+       |elig AS (
+       |  SELECT qc.q_id, a.vec_id AS c_id, qc.cent_id
+       |  FROM qc JOIN ivf_assigned a
+       |    ON a.cent_id = qc.cent_id AND a.vec_id <> qc.q_id),
+       |ivfadc_scored AS (
+       |  SELECT el.q_id, el.c_id, el.cent_id,
+       |    l0.d + l1.d + l2.d + l3.d AS adist
+       |  FROM elig el
+       |  JOIN codes c ON c.vec_id = el.c_id
+       |  $lutJoins),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+       |    FROM ivfadc_scored)
+       |  WHERE rk <= 5),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT qq.vec_id AS q_id, cc.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |        ${distSqS("qq.embedding", "cc.embedding")}, cc.vec_id) AS rk
+       |    FROM embeddings qq JOIN embeddings cc ON qq.vec_id <> cc.vec_id
+       |    WHERE qq.vec_id BETWEEN 100 AND 104)
+       |  WHERE rk <= 5),
+       |cell AS (
+       |  SELECT qa.vec_id AS q_id, ca.vec_id AS c_id
+       |  FROM ivf_assigned qa JOIN ivf_assigned ca
+       |    ON qa.cent_id = ca.cent_id AND qa.vec_id <> ca.vec_id
+       |  WHERE qa.vec_id BETWEEN 100 AND 104),
+       |ncell AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cell FROM cell GROUP BY 1),
+       |ovc AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cell_overlap
+       |  FROM exact JOIN cell USING (q_id, c_id) GROUP BY 1),
+       |ova AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM exact JOIN approx USING (q_id, c_id) GROUP BY 1),
+       |ex AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1)
+       |SELECT q_id, n_exact,
+       |  COALESCE(n_cell, 0) AS n_cell,
+       |  COALESCE(n_cell_overlap, 0) AS n_cell_overlap,
+       |  COALESCE(n_overlap, 0) AS n_overlap,
+       |  CAST(COALESCE(n_cell_overlap, 0) * 1000000 // n_exact AS BIGINT)
+       |    AS cell_ceiling_ppm,
+       |  CAST(COALESCE(n_overlap, 0) * 1000000 // n_exact AS BIGINT)
+       |    AS recall_ppm
+       |FROM ex
+       |LEFT JOIN ncell USING (q_id)
+       |LEFT JOIN ovc USING (q_id)
+       |LEFT JOIN ova USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2101,5 +2349,7 @@ object Similarity {
     // served ≡ inline: v19 grades against v18's oracle verbatim
     QueryDef("v19_served_binary_probe", v19, Some(v18Sql)),
     QueryDef("v20_binary_recall_audit", v20, Some(v20Sql)),
-    QueryDef("v21_ivf_binary_ann", v21, Some(v21Sql)))
+    QueryDef("v21_ivf_binary_ann", v21, Some(v21Sql)),
+    QueryDef("v22_ivf_binary_recall", v22, Some(v22Sql)),
+    QueryDef("v23_ivfadc_recall", v23, Some(v23Sql)))
 }

@@ -584,6 +584,87 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("v22 composed-tier recall: ceiling dominates, decomposition is exact") {
+    val out = run("v22_ivf_binary_recall").collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("q_id")).toSet == (0L to 4L).toSet)
+    // v21's graded output and v01's exact top-10 recompute the audit's
+    // overlap; v14's graded assignment recomputes the cell sizes
+    val exact = run("v01_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val approx = run("v21_ivf_binary_ann").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    val assign = run("v14_semantic_dedup").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    val cellSize = assign.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val apprOv = approx.filter(exact.contains).groupBy(_._1)
+      .view.mapValues(_.length.toLong)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      assert(r.getAs[Long]("n_exact") == 10L)
+      // cell size = the query's inverted list minus the query itself
+      assert(r.getAs[Long]("n_cell") == cellSize(assign(q)) - 1L,
+        s"q$q: n_cell disagrees with v14's assignment")
+      // the audit's overlap must equal |v21 ∩ v01| recomputed from the
+      // graded outputs themselves
+      assert(r.getAs[Long]("n_overlap") == apprOv.getOrElse(q, 0L),
+        s"q$q: n_overlap disagrees with v21∩v01")
+      // structural: v21's candidates never leave the cell, so its recall
+      // can never exceed what IVF pruning left reachable
+      assert(r.getAs[Long]("recall_ppm") <= r.getAs[Long]("cell_ceiling_ppm"),
+        s"q$q: recall above the IVF ceiling")
+      // when the whole cell fits in the Hamming shortlist the rerank is
+      // exhaustive over the reachable set: recall IS the ceiling
+      if (r.getAs[Long]("n_cell") <= 50L)
+        assert(r.getAs[Long]("recall_ppm") == r.getAs[Long]("cell_ceiling_ppm"),
+          s"q$q: exhaustive rerank below its ceiling")
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_overlap") * 1000000L / 10L)
+      assert(r.getAs[Long]("cell_ceiling_ppm") ==
+        r.getAs[Long]("n_cell_overlap") * 1000000L / 10L)
+    }
+  }
+
+  test("v23 IVFADC recall: ceiling dominates, overlap ties to v16 and v12") {
+    val out = run("v23_ivfadc_recall").collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("q_id")).toSet == (100L to 104L).toSet)
+    // the audit's overlap recomputed from the graded v16 output against
+    // v12's exact-L2 machinery: v12 already grades v11 vs the same exact
+    // set, so exact∩v16 per query is reconstructible from graded outputs
+    val approx = run("v16_ivfadc").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    // exact L2 top-5 recomputed driver-side (the v12 spec's technique)
+    val embs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding"))
+      }.toMap
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val exact = (100L to 104L).flatMap { qid =>
+      embs.keys.filter(_ != qid).toSeq
+        .map(c => (d2(embs(qid), embs(c)), c)).sorted.take(5)
+        .map { case (_, c) => (qid, c) }
+    }.toSet
+    val apprOv = approx.filter(exact.contains).groupBy(_._1)
+      .view.mapValues(_.length.toLong)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      assert(r.getAs[Long]("n_exact") == 5L)
+      assert(r.getAs[Long]("n_overlap") == apprOv.getOrElse(q, 0L),
+        s"q$q: n_overlap disagrees with v16∩exact")
+      // structural: v16's candidates never leave the cell
+      assert(r.getAs[Long]("recall_ppm") <= r.getAs[Long]("cell_ceiling_ppm"),
+        s"q$q: recall above the IVF ceiling")
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_overlap") * 1000000L / 5L)
+      assert(r.getAs[Long]("cell_ceiling_ppm") ==
+        r.getAs[Long]("n_cell_overlap") * 1000000L / 5L)
+      assert(r.getAs[Long]("n_cell_overlap") <= r.getAs[Long]("n_cell"))
+    }
+  }
+
   test("v18 binary sketch: hamming matches a driver-side sign recompute") {
     val out = run("v18_binary_hamming_rerank").collect()
     assert(out.length == 50)

@@ -168,6 +168,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.head._1 == "2023-11-14")
   }
 
+  test("eventsByDate files are ts-sorted inside each date partition") {
+    // the two-level skip: q41's layout prunes DIRECTORIES by date; rows
+    // inside each date file must be ts-clustered so an intra-day
+    // predicate can also skip row groups (tight footer min/max per
+    // group). Single-file reads preserve row order, so sortedness is
+    // directly observable.
+    val files = Tables.eventsByDate(spark, SharedSpark.sf0001).inputFiles
+    assert(files.length > 1)
+    files.take(5).foreach { f =>
+      val ts = spark.read.parquet(f).select(col("ts"))
+        .collect().map(_.getTimestamp(0).getTime)
+      assert(ts.nonEmpty && ts.sameElements(ts.sorted), s"$f not ts-sorted")
+    }
+  }
+
   test("eventsClustered: files are disjoint ts slices covering every row") {
     // the mechanism row-group skipping rests on: range-partition + sort
     // on ts means each data file's [min,max] is a tight, pairwise-

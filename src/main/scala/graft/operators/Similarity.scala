@@ -305,9 +305,39 @@ object Similarity {
     * centroids + one shuffle keyed (cent_id, pos) with map-side partial
     * sums — the textbook distributed Lloyd step. */
   private def trainCentroids(s: SparkSession, dir: String): DataFrame = {
+    val qe = t(s, dir, "embeddings")
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+    lloyd(s, qe,
+      qe.where(col("vec_id") < IvfK)
+        .select(col("vec_id").as("cent_id"), col("q").as("c")))
+  }
+
+  /** [[trainCentroids]] over a SUBSET of the corpus (the pre-growth
+    * snapshot of the incremental-index story, v24): the training corpus
+    * is `pred`-filtered and — because the subset's smallest ids are no
+    * longer 0..k−1 — seeded from the k SMALLEST surviving vec_ids with
+    * dense cent_ids 0..k−1 (rank-based, mirrored in
+    * [[ivfCtesSql]]'s seedByRank variant). For the full corpus the rank
+    * rule degenerates to the `vec_id < k` rule, but the graded full-
+    * corpus path keeps its original seeds untouched. */
+  private def trainCentroidsOn(s: SparkSession, dir: String, pred: Column): DataFrame = {
     import s.implicits._
     val qe = t(s, dir, "embeddings")
       .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .where(pred)
+    // k-row driver step (same training-loop boundary as lloyd's local()):
+    // take the IvfK smallest vec_ids, re-key densely as cent_id 0..k-1.
+    val seedRows = qe.orderBy(col("vec_id")).limit(IvfK).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, q), i) => (i.toLong, q) }.toSeq
+    lloyd(s, qe, s.createDataset(seedRows).toDF("cent_id", "c"))
+  }
+
+  /** The shared deterministic Lloyd loop: `qe` is the TRAINING corpus
+    * (vec_id, q), `seed` the initial (cent_id, c) table. */
+  private def lloyd(s: SparkSession, qe: DataFrame, seed: DataFrame): DataFrame = {
+    import s.implicits._
     // Each Lloyd generation is COLLECTED to the driver and rebuilt as a
     // local literal relation: k rows × dims integers, driver-scale by
     // construction. Without this the iterations chain lazily — cent_k's
@@ -323,8 +353,7 @@ object Similarity {
         .sortBy(_._1).toSeq
       s.createDataset(rows).toDF("cent_id", "c")
     }
-    var cent = local(qe.where(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cent_id"), col("q").as("c")))
+    var cent = local(seed)
     for (_ <- 0 until IvfIters) {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cent_id"))
@@ -362,6 +391,41 @@ object Similarity {
       trainCentroids(s, dir).coalesce(1))
   }
 
+  /** Test seam: the served full-corpus codebook ([[ivfCentroids]]). */
+  private[graft] def servedCentroids(s: SparkSession, dir: String): DataFrame =
+    ivfCentroids(s, dir)
+
+  /** Delta membership for the incremental-index scenario (v24): vectors
+    * with vec_id ≡ 3 (mod 4) are the POST-TRAINING arrivals — 25% of the
+    * corpus, deterministic and SF-proportional. Mirrored verbatim in the
+    * v24 oracle. */
+  private val DeltaMod = 4
+  private[graft] def isDelta(vecId: Column): Column =
+    pmod(vecId, lit(DeltaMod)) === lit(DeltaMod - 1)
+
+  /** Cluster assignment of the `pred`-selected corpus slice under an
+    * explicit (frozen) centroid table — the incremental-index append
+    * primitive: new arrivals are assigned against the served quantizer
+    * and appended to the inverted lists; no retrain, no touch of the
+    * already-assigned base. SimilaritySpec proves
+    * assign(base) ∪ assign(delta) ≡ assign(full) row-for-row. */
+  private[graft] def assignWithCentroids(s: SparkSession, dir: String,
+                                         cents: DataFrame, pred: Column,
+                                         maxArn: Int = 1): DataFrame =
+    rankedAssignmentWith(s, dir, maxArn, cents, pred)
+
+  /** Coarse codebook trained ONLY on the pre-growth base corpus
+    * (¬[[isDelta]]), published as its own fingerprinted artifact: the
+    * "stale quantizer" of the incremental-index lifecycle — at 100 TB a
+    * grown corpus keeps serving centroids trained before the delta
+    * arrived, and v24 measures what that staleness costs in recall. */
+  private[graft] def staleCentroids(s: SparkSession, dir: String): DataFrame = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${graft.sources.Sink.artifactRoot}/ivf_centroids_base/$tag"
+    graft.sources.Sink.fingerprintedArtifact(s, path, s"$dir/embeddings.parquet")(
+      trainCentroidsOn(s, dir, !isDelta(col("vec_id"))).coalesce(1))
+  }
+
   /** [[trainPqCodebook]] behind the same published-artifact seam:
     * m·k rows of PqDim doubles, trained once per corpus per process. */
   private def pqCodebook(s: SparkSession, dir: String): DataFrame = synchronized {
@@ -379,11 +443,23 @@ object Similarity {
     * the result when they consume it more than once (it IS the index —
     * the v04 pattern); candidate scoring inside clusters stays on the
     * original float embeddings. */
-  private def rankedAssignment(s: SparkSession, dir: String, maxArn: Int): DataFrame = {
+  private def rankedAssignment(s: SparkSession, dir: String, maxArn: Int): DataFrame =
+    rankedAssignmentWith(s, dir, maxArn, ivfCentroids(s, dir))
+
+  /** [[rankedAssignment]] against an EXPLICIT centroid table — the seam
+    * the incremental-index path (v24 / [[assignWithCentroids]]) uses to
+    * assign any corpus slice under a FROZEN quantizer. Assignment is
+    * per-row against the broadcast k-row codebook, so assigning base
+    * and delta separately and unioning is literally the same plan as
+    * assigning the full corpus — the property SimilaritySpec pins. */
+  private def rankedAssignmentWith(s: SparkSession, dir: String, maxArn: Int,
+                                   cents: DataFrame,
+                                   pred: Column = lit(true)): DataFrame = {
     val e = t(s, dir, "embeddings")
+      .where(pred)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         quant(col("embedding")).as("q"))
-    val cent = ivfCentroids(s, dir)
+    val cent = cents
       .select(col("cent_id"), col("c"), norm(col("c")).as("cent_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
@@ -401,15 +477,37 @@ object Similarity {
     * assign→sum→coalesce rounds. Exposes `cent` (cent_id, c, cent_nrm)
     * and `ranked_assign` (vec_id, embedding, nrm, cent_id, cent_cos,
     * arn). */
-  private def ivfCtesSql(dims: Int = 64): String = {
+  private def ivfCtesSql(dims: Int = 64, trainPred: String = ""): String = {
+    // trainPred restricts the TRAINING corpus (the v24 base snapshot);
+    // the final assignment always covers the full corpus. With a
+    // predicate, seeds come from the k smallest surviving vec_ids
+    // re-keyed densely (mirroring trainCentroidsOn); without one, the
+    // original `vec_id < k` seeds — same SQL as ever.
+    val trainSrc = if (trainPred.isEmpty) "qe" else "qet"
+    val trainCte =
+      if (trainPred.isEmpty) ""
+      else s"""qet AS (
+              |  SELECT vec_id, q FROM qe WHERE $trainPred),
+              |""".stripMargin
+    val seedCte =
+      if (trainPred.isEmpty)
+        s"""c0 AS (
+           |  SELECT vec_id AS cent_id, q AS c FROM qe WHERE vec_id < $IvfK)""".stripMargin
+      else
+        s"""c0 AS (
+           |  SELECT cent_id, c FROM (
+           |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+           |      q AS c
+           |    FROM $trainSrc)
+           |  WHERE cent_id < $IvfK)""".stripMargin
     def assignCte(centCte: String): String =
       s"""  SELECT vec_id, q, cent_id FROM (
-         |    SELECT qe.vec_id, qe.q, $centCte.cent_id,
-         |      row_number() OVER (PARTITION BY qe.vec_id
-         |        ORDER BY ${dotS("qe.q", s"$centCte.c")}
-         |                   / (${normS("qe.q")} * ${normS(s"$centCte.c")}) DESC,
+         |    SELECT $trainSrc.vec_id, $trainSrc.q, $centCte.cent_id,
+         |      row_number() OVER (PARTITION BY $trainSrc.vec_id
+         |        ORDER BY ${dotS(s"$trainSrc.q", s"$centCte.c")}
+         |                   / (${normS(s"$trainSrc.q")} * ${normS(s"$centCte.c")}) DESC,
          |                 $centCte.cent_id) AS arn
-         |    FROM qe CROSS JOIN $centCte)
+         |    FROM $trainSrc CROSS JOIN $centCte)
          |  WHERE arn = 1""".stripMargin
     def sumCte(assignCte: String): String =
       s"""  SELECT cent_id, list(sx ORDER BY i) AS cs FROM (
@@ -432,8 +530,7 @@ object Similarity {
        |    list_transform(embedding, x ->
        |      floor(CAST(x AS DOUBLE) * $QuantScale + 0.5)) AS q
        |  FROM embeddings),
-       |c0 AS (
-       |  SELECT vec_id AS cent_id, q AS c FROM qe WHERE vec_id < $IvfK),
+       |$trainCte$seedCte,
        |$rounds,
        |cent AS (
        |  SELECT cent_id, c, ${normS("c")} AS cent_nrm FROM c$IvfIters),
@@ -2326,6 +2423,106 @@ object Similarity {
        |ORDER BY q_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // v24 — stale-quantizer recall audit: the missing lifecycle loop of the
+  // train-once/serve-many story. In production the corpus GROWS under a
+  // served index: new arrivals are assigned to the FROZEN centroids
+  // ([[assignWithCentroids]] — appending inverted-list entries costs one
+  // broadcast pass over the delta, no retrain), and the coarse quantizer
+  // slowly goes stale — it has never seen the delta's distribution. This
+  // audit measures exactly that cost: centroids trained only on the base
+  // snapshot (¬[[isDelta]], 75%), the FULL grown corpus assigned under
+  // them, multi-probe search (v09's plan shape) graded against exact
+  // full-corpus cosine per query. n_delta_exact counts how many of each
+  // query's true top-5 are post-training arrivals — the drift driver: a
+  // deployment alerts on recall_ppm (vs v13's fresh-centroid number) and
+  // retrains when the gap crosses its SLO. Queries 100–104 include
+  // vec_id 103 — itself a delta arrival probing an index that predates
+  // it. Scale shape: identical to v13 (broadcast k-row codebook, pruned
+  // probe join, narrow intersection) — the audit adds nothing beyond the
+  // exact scan it shares with every other recall audit.
+  // ---------------------------------------------------------------------
+  private def v24(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedAssignmentWith(s, dir, NProbe, staleCentroids(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = ranked.where(col("arn") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cent_id"))
+    val probes = ranked.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id").as("probe_cent"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val approx = broadcast(probes)
+      .join(corpus,
+        col("probe_cent") === col("cent_id") && col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val overlap = exact.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(isDelta(col("c_id")), 1L).otherwise(0L)).as("n_delta_exact"))
+      .join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div n_exact"))
+      .select(col("q_id"), col("n_exact"), col("n_delta_exact"),
+        col("n_overlap"), col("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+  private val v24Sql =
+    s"""WITH ${ivfCtesSql(trainPred = s"vec_id % $DeltaMod <> ${DeltaMod - 1}")},
+       |corpus AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+       |    cent_id AS probe_cent
+       |  FROM ranked_assign
+       |  WHERE arn <= $NProbe AND vec_id BETWEEN 100 AND 104),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        ${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) DESC, c_id) AS rk
+       |    FROM probes JOIN corpus
+       |      ON probe_cent = cent_id AND q_id <> c_id)
+       |  WHERE rk <= 5),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotS("q.embedding", "c.embedding")}
+       |          / (${normS("q.embedding")} * ${normS("c.embedding")}) DESC,
+       |        c.vec_id) AS rk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id BETWEEN 100 AND 104)
+       |  WHERE rk <= 5),
+       |ov AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM exact JOIN approx USING (q_id, c_id) GROUP BY 1)
+       |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN e.c_id % $DeltaMod = ${DeltaMod - 1} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_delta_exact,
+       |  CAST(coalesce(min(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(min(ov.n_overlap), 0) * 1000000 // count(*) AS BIGINT)
+       |    AS recall_ppm
+       |FROM exact e LEFT JOIN ov ON e.q_id = ov.q_id
+       |GROUP BY e.q_id
+       |ORDER BY e.q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2351,5 +2548,6 @@ object Similarity {
     QueryDef("v20_binary_recall_audit", v20, Some(v20Sql)),
     QueryDef("v21_ivf_binary_ann", v21, Some(v21Sql)),
     QueryDef("v22_ivf_binary_recall", v22, Some(v22Sql)),
-    QueryDef("v23_ivfadc_recall", v23, Some(v23Sql)))
+    QueryDef("v23_ivfadc_recall", v23, Some(v23Sql)),
+    QueryDef("v24_stale_centroid_recall", v24, Some(v24Sql)))
 }

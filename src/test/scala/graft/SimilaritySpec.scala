@@ -694,4 +694,53 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ham >= 0L && ham <= 64L)
     }
   }
+
+  test("v24 incremental append: base∪delta under frozen centroids ≡ full assign") {
+    import graft.operators.Similarity
+    val cents = Similarity.staleCentroids(spark, dir)
+    val delta = Similarity.isDelta(col("vec_id"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cent_id"), col("cent_cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the append primitive: assign ONLY the delta slice against the
+    // frozen quantizer, union with the already-assigned base — must be
+    // row-for-row the same index as assigning the grown corpus whole
+    val base  = Similarity.assignWithCentroids(spark, dir, cents, !delta)
+    val grown = Similarity.assignWithCentroids(spark, dir, cents, delta)
+    val full  = Similarity.assignWithCentroids(spark, dir, cents, lit(true))
+    val unioned = key(base) ++ key(grown)
+    assert(key(base).nonEmpty && key(grown).nonEmpty)
+    assert(unioned == key(full),
+      "incremental union diverged from whole-corpus assignment")
+    // every corpus vector is in the served index exactly once
+    val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    assert(unioned.size.toLong == n)
+  }
+
+  test("v24 stale audit: quantizer differs from fresh, grades are consistent") {
+    import graft.operators.Similarity
+    // non-vacuous: base-trained centroids must differ from full-corpus
+    // ones (the delta actually moved the training distribution) …
+    val stale = Similarity.staleCentroids(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val fresh = Similarity.servedCentroids(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(stale.keySet == fresh.keySet)
+    assert(stale.exists { case (k, v) => fresh(k) != v },
+      "stale and fresh centroids identical — the audit measures nothing")
+    // … and the graded output is internally consistent
+    val out = run("v24_stale_centroid_recall").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0L && ov <= 5L)
+      assert(r.getAs[Long]("recall_ppm") == ov * 1000000L / 5L)
+      val d = r.getAs[Long]("n_delta_exact")
+      assert(d >= 0L && d <= 5L)
+    }
+    // the scenario is real at this SF: some true top-5 neighbor is a
+    // post-training arrival for at least one query
+    assert(out.map(_.getAs[Long]("n_delta_exact")).sum > 0L)
+  }
 }

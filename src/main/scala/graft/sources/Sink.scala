@@ -191,6 +191,85 @@ object Sink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(path)
 
+  /** Freeze a RETIRED streaming file-sink output into a plain Hive
+    * layout by removing the sink's `_spark_metadata` transaction log.
+    * While the log exists it is the authoritative file listing — root
+    * reads consult it instead of the directory, so
+    * [[compactPartitions]]' renames would dangle (the log still names
+    * the replaced files) and externally-landed files are invisible.
+    * Once removed, the directory is exactly an [[overwritePartitioned]]
+    * layout: partition-pruned reads, [[refreshPartitions]] and
+    * [[compactPartitions]] all apply. One-way door — the retired
+    * stream's checkpoint can no longer append here; resuming ingest
+    * means a fresh sink dir. A table format (Delta/Iceberg) subsumes
+    * both roles in one commit log and removes the hand-off entirely. */
+  def freezeFileSinkOutput(spark: SparkSession, path: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(meta, true): Unit
+  }
+
+  /** Small-file compaction for a Hive-partitioned layout — the
+    * maintenance half of the partitioned-serving story: incremental /
+    * streaming ingest ([[refreshPartitions]], `writeStream`) lands each
+    * micro-batch as its own files, and at 100 TB a hot partition
+    * accumulates thousands of KB-scale files whose open/footer/seek
+    * overhead dominates scans and whose per-file row groups defeat
+    * min/max skipping. Per partition: if the file count exceeds the
+    * bin-packed target ceil(bytes/targetBytes), the partition is
+    * rewritten into exactly that many files — range-partitioned and
+    * sorted on `sortCols` when given, so compaction RESTORES the
+    * clustering contract (tight per-file min/max) instead of merely
+    * merging — and swapped in via rename. Partitions already at target
+    * are not read, not rewritten, not touched (their exact files
+    * survive — proven in SourcesSpec).
+    *
+    * Atomicity: the rewrite stages to a hidden dir (readers skip it),
+    * then partition-dir swap is two renames (old→trash, staged→live);
+    * a reader listing in that window can miss the partition briefly —
+    * the raw-Hive-layout limit. A table format (Delta/Iceberg) closes
+    * it by committing the same file swap as a metadata snapshot; the
+    * FILE mechanics modeled here are identical.
+    *
+    * Returns (partition name, files before, files after) per compacted
+    * partition. */
+  def compactPartitions(spark: SparkSession, path: String, partitionCol: String,
+                        targetBytes: Long, sortCols: Seq[String] = Nil)
+      : Seq[(String, Int, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    parts.flatMap { part =>
+      val dataFiles = fs.listStatus(part.getPath).toSeq.filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      val bytes = dataFiles.map(_.getLen).sum
+      val nTarget = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (dataFiles.size <= nTarget) None
+      else {
+        // Hive layout keeps the partition column in the DIR NAME, not the
+        // data files, so reading the partition dir directly yields exactly
+        // the data-file schema and writing it back preserves the layout.
+        val rows = spark.read.parquet(part.getPath.toString)
+        val packed =
+          if (sortCols.isEmpty) rows.repartition(nTarget)
+          else rows.repartitionByRange(nTarget, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        val tag = s"${part.getPath.getName}-$procTag-${java.util.UUID.randomUUID()}"
+        val stg = new org.apache.hadoop.fs.Path(root, s".staging-compact-$tag")
+        packed.write.parquet(stg.toString)
+        val trash = new org.apache.hadoop.fs.Path(root, s".trash-compact-$tag")
+        if (!fs.rename(part.getPath, trash) || !fs.rename(stg, part.getPath))
+          throw new IllegalStateException(
+            s"compaction swap failed for ${part.getPath}")
+        fs.delete(trash, true): Unit
+        Some((part.getPath.getName, dataFiles.size, nTarget))
+      }
+    }
+  }
+
   /** Catalog-backed bucketed + sorted table: two tables bucketed the
     * same way join with ZERO shuffle (no Exchange in the plan — proven
     * in SourcesSpec). At 100 TB this is the layout for fact↔fact joins

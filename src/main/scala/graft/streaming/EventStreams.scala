@@ -58,6 +58,32 @@ object EventStreams {
   def readJsonEventStream(spark: SparkSession, dir: String): DataFrame =
     readEventStream(spark, StreamSources.FileSource(dir, format = "json"))
 
+  /** Stream events into the date-partitioned serving layout — the
+    * STREAMING path into the same `event_date=…` pruning contract
+    * `Tables.eventsByDate` publishes in batch (q41): each micro-batch's
+    * rows land under their date dirs via the exactly-once parquet file
+    * sink, whose `_spark_metadata` transaction log commits the batch's
+    * files atomically, so at-least-once replays after a crash never
+    * double rows. `Trigger.AvailableNow` drains the source backlog and
+    * stops — the backfill / catch-up shape; a production tail run drops
+    * the trigger and keeps the same plan. Maintenance composition:
+    * micro-batches accumulate per-partition file debris — after the
+    * stream is retired, [[graft.sources.Sink.freezeFileSinkOutput]] +
+    * [[graft.sources.Sink.compactPartitions]] restore file health
+    * (StreamingSpec drives the full cycle). */
+  def ingestPartitioned(spark: SparkSession, source: StreamSources.StreamSource,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readEventStream(spark, source)
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream.format("parquet")
+      .partitionBy("event_date")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-static join: enrich a value-threshold alert stream with a
     * static dimension — the report's "late-shipment alert" shape. The
     * static side is re-planned per micro-batch and broadcast. */

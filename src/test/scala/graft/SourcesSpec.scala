@@ -236,6 +236,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(files("2024-01-03") == before("2024-01-03"))
   }
 
+  test("compactPartitions bin-packs only oversplit partitions, restores clustering") {
+    import spark.implicits._
+    val path = s"${tmp("graft-compact")}/events_by_date"
+    // day 1 lands compact (one file); day 2 arrives as 8 micro-batch
+    // files with interleaved timestamps — the streaming-ingest debris
+    // compaction exists for
+    Seq((1L, 10L, "2024-01-01"), (2L, 11L, "2024-01-01"))
+      .toDF("event_id", "ts_ms", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    Sink.refreshPartitions(
+      (0 until 16).map(i => (100L + i, 50L - i, "2024-01-02"))
+        .toDF("event_id", "ts_ms", "event_date").repartition(8),
+      path, "event_date")
+    def files(date: String): Set[(String, Long)] =
+      new java.io.File(s"$path/event_date=$date")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val day1Before = files("2024-01-01")
+    assert(files("2024-01-02").size == 8)
+    val res = Sink.compactPartitions(spark, path, "event_date",
+      targetBytes = 1L << 30, sortCols = Seq("ts_ms"))
+    // only the oversplit day is rewritten, to its bin-packed target of 1
+    assert(res == Seq(("event_date=2024-01-02", 8, 1)))
+    assert(files("2024-01-02").size == 1)
+    // the partition already at target keeps its exact physical files
+    assert(files("2024-01-01") == day1Before)
+    // value-complete, and compaction RESTORED the ts clustering the
+    // micro-batches destroyed
+    val back = spark.read.parquet(path)
+    assert(back.count() == 18)
+    assert(back.where(col("event_date") === "2024-01-02")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+      == (100L until 116L).toSet)
+    val ts = spark.read.parquet(s"$path/event_date=2024-01-02")
+      .select("ts_ms").collect().map(_.getLong(0))
+    assert(ts.sameElements(ts.sorted))
+    // idempotent: a second sweep finds nothing to do
+    assert(Sink.compactPartitions(spark, path, "event_date",
+      1L << 30, Seq("ts_ms")).isEmpty)
+  }
+
   test("fingerprint retention sweep keeps current + N, deletes older prints") {
     import spark.implicits._
     val base = s"${tmp("graft-gc")}/family"

@@ -98,6 +98,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming ingest lands the partitioned layout; freeze+compact keep it pruned") {
+    import graft.sources.Sink
+    val outDir = Files.createTempDirectory("graft-ingest-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toFile.getAbsolutePath
+    val q = EventStreams.ingestPartitioned(spark,
+      graft.streaming.StreamSources.FileSource(stagedDir), outDir, ckpt)
+    q.awaitTermination()
+    val batch = Tables.load(spark, SharedSpark.sf0001, "events")
+    val n = batch.count()
+    assert(spark.read.parquet(outDir).count() == n)
+    // three micro-batches left per-partition file debris
+    val dateDirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    def filesOf(d: java.io.File) =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(dateDirs.nonEmpty && dateDirs.exists(filesOf(_).length > 1))
+    // retire the stream → freeze the sink's transaction log → compact
+    Sink.freezeFileSinkOutput(spark, outDir)
+    val res = Sink.compactPartitions(spark, outDir, "event_date",
+      targetBytes = 1L << 30, sortCols = Seq("ts"))
+    assert(res.nonEmpty)
+    val after = spark.read.parquet(outDir)
+    assert(after.count() == n)
+    assert(after.agg(sum(col("event_id"))).head().getLong(0) ==
+      batch.agg(sum(col("event_id"))).head().getLong(0))
+    assert(dateDirs.forall(filesOf(_).length == 1))
+    // the pruning contract survives the whole cycle: a date predicate's
+    // executed plan references no other partition's files
+    val d0 = dateDirs.map(_.getName.stripPrefix("event_date=")).min
+    val pruned = after.where(col("event_date") === lit(d0))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(dateDirs.map(_.getName).filterNot(_ == s"event_date=$d0")
+      .forall(o => !plan.contains(o)))
+    assert(pruned.count() ==
+      batch.where(to_date(col("ts")) === lit(d0)).count())
+  }
+
   test("sessionizeStateful emits exactly the closed sessions of session_window") {
     import spark.implicits._
     val gap = "2 hours"

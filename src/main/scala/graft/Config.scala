@@ -59,4 +59,13 @@ object Config {
     * layout (at 100 TB this is files-per-date-partition; here it is the
     * whole layout's file count). */
   val ClusterFiles: Int = intFrom(sys.env, "GRAFT_CLUSTER_FILES", 8)
+
+  /** eventsByDate: rows-per-file cap inside a date partition. The
+    * default (one file per date) is right at graded SFs; a 100 TB
+    * deployment caps it so a HOT date splits into several ts-sorted
+    * files instead of one giant single-writer file — the write stays
+    * one shuffle, the layout contract (partition pruning + in-file ts
+    * clustering) is unchanged. */
+  val MaxRecordsPerFile: Long =
+    longFrom(sys.env, "GRAFT_MAX_RECORDS_PER_FILE", Long.MaxValue)
 }

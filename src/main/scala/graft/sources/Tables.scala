@@ -83,10 +83,16 @@ object Tables {
     * the repartition (or spark.sql.files.maxRecordsPerFile) so a hot
     * date splits across several, but the layout and pruning contract
     * are identical. */
-  def eventsByDate(spark: SparkSession, dir: String): DataFrame = {
+  def eventsByDate(spark: SparkSession, dir: String,
+                   maxRecordsPerFile: Long = graft.Config.MaxRecordsPerFile)
+      : DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val fp = Sink.corpusFingerprint(spark, s"$dir/events.parquet")
-    val path = s"${Sink.artifactRoot}/events_by_date/${tag}/fp_$fp"
+    // a non-default cap is part of the layout's identity (different
+    // file shape), so it keys the publish path alongside the corpus fp
+    val capTag =
+      if (maxRecordsPerFile == Long.MaxValue) "" else s"_cap$maxRecordsPerFile"
+    val path = s"${Sink.artifactRoot}/events_by_date/${tag}/fp_$fp$capTag"
     Sink.publishedArtifactUsing(spark, path) { stg =>
       load(spark, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
@@ -97,7 +103,11 @@ object Tables {
         // mechanism composed with the date layout (partition by date,
         // cluster by ts inside: the two-level skip at 100 TB)
         .sortWithinPartitions(col("event_date"), col("ts"))
-        .write.partitionBy("event_date").parquet(stg)
+        // hot-date safety valve (Config knob, default uncapped): a date
+        // whose row count exceeds the cap splits into several files —
+        // still ts-sorted, so each file keeps tight footer min/max
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("event_date").parquet(stg)
     }
   }
 

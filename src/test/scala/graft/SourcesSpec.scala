@@ -183,6 +183,26 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("eventsByDate hot-date cap splits files without breaking sort or pruning") {
+    val cap = 20L // hottest sf0.001 date has 50 events → must split
+    val layout = Tables.eventsByDate(spark, SharedSpark.sf0001,
+      maxRecordsPerFile = cap)
+    // same rows as the uncapped layout
+    assert(layout.count() ==
+      Tables.load(spark, SharedSpark.sf0001, "events").count())
+    val byDir = layout.inputFiles.groupBy(f =>
+      f.substring(0, f.lastIndexOf('/')))
+    // at least one hot date actually split…
+    assert(byDir.exists(_._2.length > 1))
+    // …and every file respects the cap and keeps its ts clustering
+    byDir.values.flatten.foreach { f =>
+      val ts = spark.read.parquet(f).select(col("ts"))
+        .collect().map(_.getTimestamp(0).getTime)
+      assert(ts.length <= cap, s"$f exceeds cap: ${ts.length}")
+      assert(ts.sameElements(ts.sorted), s"$f not ts-sorted")
+    }
+  }
+
   test("eventsClustered: files are disjoint ts slices covering every row") {
     // the mechanism row-group skipping rests on: range-partition + sort
     // on ts means each data file's [min,max] is a tight, pairwise-

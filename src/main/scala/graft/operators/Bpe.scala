@@ -197,16 +197,29 @@ object Bpe {
     * of re-running 10 sequential Spark jobs. (Before this, each bench
     * round paid the training loop three times: d25, d28, d30.) */
   def trainedMerges(s: SparkSession, dir: String,
-      nMerges: Int = NMerges): Seq[(String, String, Long)] = synchronized {
+      nMerges: Int = NMerges): Seq[(String, String, Long)] =
+    publishedMerges(s, dir, "bpe_merges", nMerges,
+      Tables.load(s, dir, "documents"))
+
+  /** [[trainedMerges]] over ONLY the pre-growth base cohort
+    * (¬[[isDeltaDoc]]) — the frozen tokenizer of the d34 drift audit,
+    * published as its own artifact family. */
+  private[graft] def baseTrainedMerges(s: SparkSession, dir: String,
+      nMerges: Int = NMerges): Seq[(String, String, Long)] =
+    publishedMerges(s, dir, "bpe_merges_base", nMerges,
+      Tables.load(s, dir, "documents").where(!isDeltaDoc(col("doc_id"))))
+
+  private def publishedMerges(s: SparkSession, dir: String, family: String,
+      nMerges: Int, docs: DataFrame): Seq[(String, String, Long)] = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${graft.sources.Sink.artifactRoot}/bpe_merges/${tag}_$nMerges"
+    val path = s"${graft.sources.Sink.artifactRoot}/$family/${tag}_$nMerges"
     // staged atomic publish keyed by corpus CONTENT (Sink
     // .fingerprintedArtifact): on shared storage a second job must find
     // the whole merge table or none of it, and a documents corpus
     // regenerated in place must retrain instead of serving stale merges
     graft.sources.Sink.fingerprintedArtifact(s, path, s"$dir/documents.parquet") {
       import s.implicits._
-      val merges = train(Tables.load(s, dir, "documents"), nMerges)
+      val merges = train(docs, nMerges)
       val ranked = merges.zipWithIndex.map { case ((a, b, c), i) =>
         (i + 1L, a, b, c)
       }
@@ -320,9 +333,14 @@ object Bpe {
   /** The trained-tokenizer encode over the corpus — (doc_id, n_pieces,
     * encoded) — shared by d28 (per-doc report) and d30 (per-source
     * fertility census). */
-  private def encodeDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    val merges = trainedMerges(s, dir)
+  private def encodeDocs(s: SparkSession, dir: String): DataFrame =
+    encodeWith(Tables.load(s, dir, "documents"), trainedMerges(s, dir))
+
+  /** The replace-chain encode against an EXPLICIT merge table — the
+    * seam d34 uses to run a FROZEN (base-trained) tokenizer over the
+    * grown corpus. */
+  private[graft] def encodeWith(docs: DataFrame,
+      merges: Seq[(String, String, Long)]): DataFrame = {
     val wrapped = // ' a  b  c ' per token, tokens joined by '|'
       concat_ws("|", transform(TextOps.tokens(col("text")),
         tok => regexp_replace(tok, "(.)", " $1 ")))
@@ -346,8 +364,11 @@ object Bpe {
     encodeDocs(s, dir).orderBy(col("doc_id"))
 
   /** The d28 oracle pipeline through the `encoded` CTE (train replay +
-    * replace-chain encode) — shared by d28Sql and d30Sql. */
-  private val encodeCtesSql = {
+    * replace-chain encode) — shared by d28Sql and d30Sql; `trainPred`
+    * restricts the TRAINING corpus (the d34 base cohort) while the
+    * encode always covers every document. */
+  private def encodeCtes(trainPred: String = ""): String = {
+    val trainWhere = if (trainPred.isEmpty) "" else s" WHERE $trainPred"
     val stages = (1 to NMerges).map(mergeStageSql).mkString(",\n")
     val chain = (1 to NMerges).foldLeft("stream") { (acc, k) =>
       s"""replace($acc,
@@ -355,7 +376,7 @@ object Bpe {
          |      (SELECT ' ' || sym_a || sym_b || ' ' FROM top$k))""".stripMargin
     }
     s"""words AS (
-       |  SELECT unnest(${TextOps.tokensSql}) AS w FROM documents),
+       |  SELECT unnest(${TextOps.tokensSql}) AS w FROM documents$trainWhere),
        |wf AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY w),
        |idx0 AS (
@@ -375,6 +396,8 @@ object Bpe {
        |      p -> p <> '') AS pieces
        |  FROM streams)""".stripMargin
   }
+
+  private val encodeCtesSql = encodeCtes()
 
   private val d28Sql =
     s"""WITH $encodeCtesSql
@@ -438,9 +461,78 @@ object Bpe {
        |FROM census
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d34 — tokenizer drift audit: v24's lifecycle discipline applied to
+  // the OTHER trained-artifact family. In production the corpus grows
+  // under a frozen tokenizer — retraining one (and re-encoding every
+  // shard downstream) is a heavyweight operational event — so the merge
+  // table trained on the pre-growth base cohort keeps encoding the
+  // arrivals, and the question a deployment actually asks is "what token
+  // tax are the arrivals paying under the frozen vocabulary?" The audit:
+  // merges trained ONLY on the base cohort (75%, doc_id % 4 <> 3, the
+  // v24 split), the FULL corpus encoded under them, fertility (pieces
+  // per word, integer ppm) reported per cohort. fertility(delta) −
+  // fertility(base) is the drift number: near zero when arrivals match
+  // the training distribution (this synthetic corpus' i.i.d. split),
+  // climbing as new domains/languages arrive — the retrain trigger,
+  // exactly as v24's recall gap is for the ANN index.
+  //
+  // Scale shape: training pays its vocab-grain loop once on the base
+  // (published artifact); the encode is d28's one narrow codegen pass
+  // over the grown corpus; the census is a 2-row conditional aggregate.
+  // The oracle replays base-cohort training (encodeCtes' trainPred) and
+  // the full-corpus encode, so the hash proves train-on-subset +
+  // frozen-apply end-to-end.
+  // ---------------------------------------------------------------------
+  /** Post-training arrival cohort (mirrors v24's `isDelta` discipline
+    * on the documents table; mirrored verbatim in [[d34Sql]]). */
+  private val DeltaMod = 4
+  private[graft] def isDeltaDoc(docId: org.apache.spark.sql.Column) =
+    pmod(docId, lit(DeltaMod)) === lit(DeltaMod - 1)
+
+  private def d34(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val enc = encodeWith(docs, baseTrainedMerges(s, dir))
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        when(isDeltaDoc(col("doc_id")), lit("delta")).otherwise(lit("base"))
+          .as("cohort"),
+        size(toks).cast(LongType).as("n_words"))
+      .join(enc.select(col("doc_id"), col("n_pieces")), Seq("doc_id"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col("cohort"), col("n_docs"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000 div greatest(n_words, 1)")
+          .as("fertility_ppm"))
+      .orderBy(col("cohort"))
+  }
+  private val d34Sql =
+    s"""WITH ${encodeCtes(s"doc_id % $DeltaMod <> ${DeltaMod - 1}")},
+       |cohorts AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $DeltaMod = ${DeltaMod - 1}
+       |         THEN 'delta' ELSE 'base' END AS cohort,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_words
+       |  FROM documents),
+       |census AS (
+       |  SELECT cohort,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces
+       |  FROM cohorts JOIN encoded USING (doc_id)
+       |  GROUP BY cohort)
+       |SELECT cohort, n_docs, n_words, n_pieces,
+       |  CAST(n_pieces * 1000000 // greatest(n_words, 1) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM census
+       |ORDER BY cohort""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d20_bpe_pair_counts", d20, Some(d20Sql), headline = true),
     QueryDef("d25_bpe_merge_table", d25, Some(d25Sql), headline = true),
     QueryDef("d28_bpe_encode", d28, Some(d28Sql), headline = true),
-    QueryDef("d30_tokenizer_fertility", d30, Some(d30Sql)))
+    QueryDef("d30_tokenizer_fertility", d30, Some(d30Sql)),
+    QueryDef("d34_tokenizer_drift", d34, Some(d34Sql)))
 }

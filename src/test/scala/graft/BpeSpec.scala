@@ -106,4 +106,27 @@ class BpeSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_pieces") == encPieces(r.getAs[String]("source")))
     }
   }
+
+  test("d34 drift audit: full cohort coverage, frozen-tokenizer pieces tie out") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Bpe
+    val dir = SharedSpark.sf0001
+    val rows = SparkEntry.queries("d34_tokenizer_drift")(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("cohort")).toSeq == Seq("base", "delta"))
+    // every document is censused exactly once (the c15 coverage rule)
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val (w, p) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"))
+      assert(w <= p, s"${r.getAs[String]("cohort")}: merges cannot add words")
+      assert(r.getAs[Long]("fertility_ppm") == p * 1000000L / math.max(w, 1L))
+    }
+    // the frozen tokenizer is depth-NMerges and its encode is what the
+    // census aggregated: recompute total pieces through the same seam
+    val baseMerges = Bpe.baseTrainedMerges(spark, dir)
+    assert(baseMerges.length == Bpe.NMerges)
+    val totalPieces = Bpe.encodeWith(docs, baseMerges)
+      .agg(sum(col("n_pieces"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_pieces")).sum == totalPieces)
+  }
 }

@@ -395,6 +395,10 @@ object Similarity {
   private[graft] def servedCentroids(s: SparkSession, dir: String): DataFrame =
     ivfCentroids(s, dir)
 
+  /** Test seam: the served full-corpus PQ codebook ([[pqCodebook]]). */
+  private[graft] def servedPqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCodebook(s, dir)
+
   /** Delta membership for the incremental-index scenario (v24): vectors
     * with vec_id ≡ 3 (mod 4) are the POST-TRAINING arrivals — 25% of the
     * corpus, deterministic and SF-proportional. Mirrored verbatim in the
@@ -434,6 +438,17 @@ object Similarity {
     graft.sources.Sink.fingerprintedArtifact(s, path, s"$dir/embeddings.parquet")(
       trainPqCodebook(s, dir).coalesce(1))
   }
+
+  /** PQ codebook trained ONLY on the pre-growth base corpus — the
+    * stale fine quantizer of the v25 audit ([[staleCentroids]]' PQ
+    * sibling), its own fingerprinted artifact family. */
+  private[graft] def stalePqCodebook(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.sources.Sink.artifactRoot}/pq_codebook_base/$tag"
+      graft.sources.Sink.fingerprintedArtifact(s, path, s"$dir/embeddings.parquet")(
+        trainPqCodebookOn(s, dir, !isDelta(col("vec_id"))).coalesce(1))
+    }
 
   /** The IVF ranked centroid assignment shared by v04/v09/v10: every
     * vector crossed with the broadcast TRAINED codebook
@@ -1158,12 +1173,47 @@ object Similarity {
     * scale-invariant, so the state is the exact integer pair
     * (sum vector, count) and assignment uses [[scaledSqDist]]. */
   private def trainPqCodebook(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val qsubs = t(s, dir, "embeddings")
+    val qsubs = pqQuantSubs(s, dir)
+    pqLloyd(s, qsubs,
+      qsubs.where(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("cent_id"), col("qsub").as("cs"),
+          lit(1L).as("n")))
+  }
+
+  /** (vec_id, m, quantized subvector) over the full corpus. */
+  private def pqQuantSubs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
       .select(col("vec_id"), col("m"),
         quant(expr(s"slice(embedding, m * $PqDim + 1, $PqDim)")).as("qsub"))
+
+  /** [[trainPqCodebook]] over a `pred`-restricted training corpus (the
+    * v25 pre-growth snapshot), seeded — like [[trainCentroidsOn]] — from
+    * the PqK smallest surviving vec_ids' subvectors, densely re-keyed as
+    * cent_id 0..k−1 (the same vec_ids seed every subspace, so one k-row
+    * driver mapping covers all m). The graded full-corpus path keeps its
+    * original `vec_id < k` seeds untouched. */
+  private def trainPqCodebookOn(s: SparkSession, dir: String,
+                                pred: Column): DataFrame = {
+    val qsubs = pqQuantSubs(s, dir).where(pred)
+    val seedIds = qsubs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(PqK).collect().map(_.getLong(0))
+      .sorted.zipWithIndex
+    val denseKey = seedIds.foldLeft(lit(-1L)) { case (acc, (v, i)) =>
+      when(col("vec_id") === v, lit(i.toLong)).otherwise(acc)
+    }
+    pqLloyd(s, qsubs,
+      qsubs.where(col("vec_id").isin(seedIds.map(_._1).toSeq: _*))
+        .select(col("m"), denseKey.as("cent_id"), col("qsub").as("cs"),
+          lit(1L).as("n")))
+  }
+
+  /** The shared deterministic per-subspace Lloyd loop: `qsubs` is the
+    * TRAINING corpus, `seed` the initial (m, cent_id, cs, n) table. */
+  private def pqLloyd(s: SparkSession, qsubs: DataFrame,
+                      seed: DataFrame): DataFrame = {
+    import s.implicits._
     // Same driver-local generation boundary as trainCentroids: m·k rows
     // of PqDim integers + a count — collected and rebuilt per iteration
     // so lineage never chains corpus passes across Lloyd rounds.
@@ -1173,9 +1223,7 @@ object Similarity {
         .sortBy(x => (x._1, x._2)).toSeq
       s.createDataset(rows).toDF("m", "cent_id", "cs", "n")
     }
-    var cb = local(qsubs.where(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").as("cent_id"), col("qsub").as("cs"),
-        lit(1L).as("n")))
+    var cb = local(seed)
     for (_ <- 0 until IvfIters) {
       val w = Window.partitionBy(col("vec_id"), col("m"))
         .orderBy(col("d"), col("cent_id"))
@@ -1208,15 +1256,38 @@ object Similarity {
   }
 
   /** Oracle CTEs mirroring [[trainPqCodebook]]; exposes `cbt`
-    * (m, cent_id, csub). */
-  private def pqTrainCtesSql: String = {
+    * (m, cent_id, csub). `trainPred` restricts the TRAINING corpus
+    * (v25's base snapshot) with rank-re-keyed seeds, mirroring
+    * [[trainPqCodebookOn]]; the default is the graded full-corpus
+    * training, byte-identical to before. */
+  private def pqTrainCtes(trainPred: String = ""): String = {
+    val trainSrc = if (trainPred.isEmpty) "qsubs" else "qsubst"
+    val trainCte =
+      if (trainPred.isEmpty) ""
+      else s"""qsubst AS (
+              |  SELECT vec_id, m, qsub FROM qsubs WHERE $trainPred),
+              |""".stripMargin
+    val seedCte =
+      if (trainPred.isEmpty)
+        s"""pc0 AS (
+           |  SELECT m, vec_id AS cent_id, qsub AS cs, CAST(1 AS BIGINT) AS n
+           |  FROM qsubs WHERE vec_id < $PqK)""".stripMargin
+      else
+        s"""seed_ids AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+           |    FROM (SELECT DISTINCT vec_id FROM $trainSrc))
+           |  WHERE cent_id < $PqK),
+           |pc0 AS (
+           |  SELECT q.m, s.cent_id, q.qsub AS cs, CAST(1 AS BIGINT) AS n
+           |  FROM $trainSrc q JOIN seed_ids s USING (vec_id))""".stripMargin
     def assignCte(cbCte: String): String =
       s"""  SELECT vec_id, m, cent_id, qsub FROM (
          |    SELECT q.vec_id, q.m, c.cent_id, q.qsub,
          |      row_number() OVER (PARTITION BY q.vec_id, q.m
          |        ORDER BY ${scaledSqDistS("c.n", "q.qsub", "c.cs")}, c.cent_id)
          |        AS rn
-         |    FROM qsubs q JOIN $cbCte c ON q.m = c.m)
+         |    FROM $trainSrc q JOIN $cbCte c ON q.m = c.m)
          |  WHERE rn = 1""".stripMargin
     def sumCte(aCte: String): String =
       s"""  SELECT m, cent_id, list(sx ORDER BY i) AS cs2,
@@ -1245,9 +1316,7 @@ object Similarity {
        |        CAST((r.m + 1) * $PqDim AS BIGINT)),
        |      x -> floor(CAST(x AS DOUBLE) * $QuantScale + 0.5)) AS qsub
        |  FROM embeddings, range(0, $PqM) r(m)),
-       |pc0 AS (
-       |  SELECT m, vec_id AS cent_id, qsub AS cs, CAST(1 AS BIGINT) AS n
-       |  FROM qsubs WHERE vec_id < $PqK),
+       |$trainCte$seedCte,
        |$rounds,
        |cbt AS (
        |  SELECT m, cent_id,
@@ -1257,13 +1326,18 @@ object Similarity {
 
   /** The PQ index artifacts shared by v11/v15/v16: per-vector codes
     * (vec_id, c0..c3) and the per-query LUTs (q_id, m, cent_id, d). */
-  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqIndexWith(s, dir, pqCodebook(s, dir))
+
+  /** [[pqIndex]] against an EXPLICIT codebook — the frozen-quantizer
+    * seam of the v25 staleness audit. */
+  private def pqIndexWith(s: SparkSession, dir: String,
+                          cb: DataFrame): (DataFrame, DataFrame) = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val subs = e.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
       .select(col("vec_id"), col("m"),
         expr(s"slice(embedding, m * $PqDim + 1, $PqDim)").as("sub"))
-    val cb = pqCodebook(s, dir)
     val wCode = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("cent_id"))
     val dists = subs.join(broadcast(cb), Seq("m"))
@@ -1294,8 +1368,12 @@ object Similarity {
 
   /** The full ADC ranking (q_id, c_id, adist, rk) shared by v11 (top-5
     * report) and v15 (top-[[RerankShortlist]] shortlist). */
-  private def pqRanked(s: SparkSession, dir: String): DataFrame = {
-    val (codes, lut) = pqIndex(s, dir)
+  private def pqRanked(s: SparkSession, dir: String): DataFrame =
+    pqRankedWith(s, dir, pqIndex(s, dir))
+
+  private def pqRankedWith(s: SparkSession, dir: String,
+                           index: (DataFrame, DataFrame)): DataFrame = {
+    val (codes, lut) = index
     val base = codes.select(col("vec_id").as("c_id"),
         col("c0"), col("c1"), col("c2"), col("c3"))
       .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
@@ -1326,8 +1404,10 @@ object Similarity {
       .mkString("\n  ")
 
   /** The PQ pipeline CTEs shared by v11's and v12's oracles: encode the
-    * corpus, build the query LUTs, ADC-score, rank. */
-  private val pqCtesSql: String = {
+    * corpus, build the query LUTs, ADC-score, rank. `trainPred`
+    * restricts only the TRAINING corpus (v25); encode/LUT/rank always
+    * cover every vector. */
+  private def pqCtes(trainPred: String = ""): String = {
     val dSubCsub = distSqS("sub", "csub")
     val codeCols = (0 until PqM).map(m =>
       s"CAST(max(CASE WHEN m = $m THEN cent_id END) AS BIGINT) AS c$m")
@@ -1338,7 +1418,7 @@ object Similarity {
        |    list_slice(embedding, CAST(r.m * $PqDim + 1 AS BIGINT),
        |      CAST((r.m + 1) * $PqDim AS BIGINT)) AS sub
        |  FROM embeddings, range(0, $PqM) r(m)),
-       |$pqTrainCtesSql,
+       |${pqTrainCtes(trainPred)},
        |cb AS (
        |  SELECT m, cent_id, csub FROM cbt),
        |dists AS (
@@ -1364,6 +1444,8 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
        |  FROM pq_scored)""".stripMargin
   }
+
+  private val pqCtesSql: String = pqCtes()
 
   private val v11Sql =
     s"""WITH $pqCtesSql
@@ -2523,6 +2605,78 @@ object Similarity {
        |GROUP BY e.q_id
        |ORDER BY e.q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v25 — stale-codebook PQ recall audit: v24 closed the staleness loop
+  // for the COARSE quantizer; this closes it for the FINE one, which
+  // completes the trained-tier staleness matrix (IVF → v24, PQ → v25,
+  // BPE → d34; the BQ sign sketch and LSH band hashes are training-free
+  // — nothing in them can go stale). Production reality: re-encoding
+  // 100 TB of codes after a codebook retrain is the single most
+  // expensive index operation there is, so deployments serve codes from
+  // a codebook trained snapshots ago and need the recall cost measured.
+  // The audit: per-subspace codebook trained only on the base cohort
+  // (¬isDelta, rank-re-keyed seeds), the FULL grown corpus encoded and
+  // ADC-ranked under it (v11's plan via the pqIndexWith seam), graded
+  // against exact squared-L2 top-5 (v12's metric), with n_delta_exact
+  // marking post-training arrivals in each true top-5. Read against
+  // v12's fresh-codebook recall, the gap is the re-encode trigger.
+  // ---------------------------------------------------------------------
+  private def v25(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d"), col("c_id"))
+    val exact = broadcast(q)
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+        col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        sqDist(col("q_emb"), col("c_emb")).as("d"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val approx = pqRankedWith(s, dir,
+        pqIndexWith(s, dir, stalePqCodebook(s, dir)))
+      .where(col("rk") <= 5).select(col("q_id"), col("c_id"))
+    val overlap = exact.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(isDelta(col("c_id")), 1L).otherwise(0L)).as("n_delta_exact"))
+      .join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 div n_exact"))
+      .select(col("q_id"), col("n_exact"), col("n_delta_exact"),
+        col("n_overlap"), col("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+  private val v25Sql =
+    s"""WITH ${pqCtes(s"vec_id % $DeltaMod <> ${DeltaMod - 1}")},
+       |approx AS (
+       |  SELECT q_id, c_id FROM pq_ranked WHERE rk <= 5),
+       |exact0 AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${distSqS("q.embedding", "c.embedding")} AS d
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id BETWEEN 100 AND 104),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rk
+       |    FROM exact0)
+       |  WHERE rk <= 5),
+       |ov AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM exact JOIN approx USING (q_id, c_id) GROUP BY 1)
+       |SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN e.c_id % $DeltaMod = ${DeltaMod - 1} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_delta_exact,
+       |  CAST(coalesce(min(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(min(ov.n_overlap), 0) * 1000000 // count(*) AS BIGINT)
+       |    AS recall_ppm
+       |FROM exact e LEFT JOIN ov ON e.q_id = ov.q_id
+       |GROUP BY e.q_id
+       |ORDER BY e.q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2549,5 +2703,6 @@ object Similarity {
     QueryDef("v21_ivf_binary_ann", v21, Some(v21Sql)),
     QueryDef("v22_ivf_binary_recall", v22, Some(v22Sql)),
     QueryDef("v23_ivfadc_recall", v23, Some(v23Sql)),
-    QueryDef("v24_stale_centroid_recall", v24, Some(v24Sql)))
+    QueryDef("v24_stale_centroid_recall", v24, Some(v24Sql)),
+    QueryDef("v25_stale_codebook_recall", v25, Some(v25Sql)))
 }

@@ -743,4 +743,30 @@ class SimilaritySpec extends AnyFunSuite {
     // post-training arrival for at least one query
     assert(out.map(_.getAs[Long]("n_delta_exact")).sum > 0L)
   }
+
+  test("v25 stale PQ audit: codebook differs from fresh, grades are consistent") {
+    import graft.operators.Similarity
+    // the base-trained codebook must actually differ from the
+    // full-corpus one, else the audit measures nothing
+    def cb(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    val stale = cb(Similarity.stalePqCodebook(spark, dir))
+    val fresh = cb(Similarity.servedPqCodebook(spark, dir))
+    assert(stale.keySet == fresh.keySet)
+    assert(stale.exists { case (k, v) => fresh(k) != v },
+      "stale and fresh PQ codebooks identical — the audit measures nothing")
+    val out = run("v25_stale_codebook_recall").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0L && ov <= 5L)
+      assert(r.getAs[Long]("recall_ppm") == ov * 1000000L / 5L)
+      val d = r.getAs[Long]("n_delta_exact")
+      assert(d >= 0L && d <= 5L)
+    }
+    // the growth scenario is real here too: some exact-L2 top-5
+    // neighbor is a post-training arrival for at least one query
+    assert(out.map(_.getAs[Long]("n_delta_exact")).sum > 0L)
+  }
 }

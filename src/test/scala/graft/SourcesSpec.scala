@@ -183,6 +183,36 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: merged read sees every generation's columns") {
+    // two snapshot generations of an events table in ONE directory:
+    // gen1 predates the `channel` column, gen2 carries it — the shape a
+    // long-lived table always reaches
+    val dir = tmp("graft-evolve")
+    val base = Tables.load(spark, SharedSpark.sf0001, "events")
+    base.where(col("event_id") % 2 === 0)
+      .write.parquet(s"$dir/events.parquet")
+    base.where(col("event_id") % 2 === 1)
+      .withColumn("channel", concat(lit("ch-"), col("event_id") % 3))
+      .write.mode("append").parquet(s"$dir/events.parquet")
+    val merged = Tables.load(spark, dir, "events", mergeSchema = true)
+    // deterministic union schema: the late column is always visible
+    assert(merged.columns.contains("channel"))
+    assert(merged.count() == base.count())
+    // pre-addition rows read as null, post-addition rows keep values
+    assert(merged.where(col("event_id") % 2 === 0)
+      .where(col("channel").isNotNull).count() == 0)
+    assert(merged.where(col("event_id") % 2 === 1)
+      .where(col("channel").isNull).count() == 0)
+    // ts dispatch still applies through the merged read (micros cast
+    // path here), and filters still reach the scan
+    assert(merged.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val filtered = merged.where(col("event_type") === "view")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"filter not pushed through merged scan:\n$scan")
+  }
+
   test("eventsByDate hot-date cap splits files without breaking sort or pruning") {
     val cap = 20L // hottest sf0.001 date has 50 events → must split
     val layout = Tables.eventsByDate(spark, SharedSpark.sf0001,

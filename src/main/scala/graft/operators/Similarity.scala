@@ -2677,6 +2677,58 @@ object Similarity {
        |GROUP BY e.q_id
        |ORDER BY e.q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v26 — the PQ index behind the published-codes seam, completing the
+  // serving-parity matrix (LSH → n09, BQ → v19, PQ → this): at 100 TB
+  // the encoded CODES are the index's expensive artifact — one
+  // corpus-scale encode pass and 4 bytes/vector of storage — and no
+  // deployment recomputes them per query batch, yet until now only the
+  // k·m-row codebook was served while every consumer re-encoded the
+  // corpus. The codes table is published once per corpus fingerprint
+  // (corpus-scale, so it keeps its write partitioning — the v19 rule);
+  // a query batch then computes ONLY its own LUTs (|q|·m·k rows against
+  // the broadcast codebook) and ADC-ranks by scanning 4-BIGINT code
+  // rows — zero encode arithmetic on the candidate path (PlanSpec-style
+  // pin in SimilaritySpec: no code-election aggregate in the serving
+  // plan). Same output as v11 — the oracle is literally v11's SQL, so
+  // the hash gate doubles as the served ≡ inline equivalence proof.
+  // ---------------------------------------------------------------------
+  private[graft] def servedPqCodes(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.sources.Sink.artifactRoot}/pq_codes/$tag"
+      graft.sources.Sink.fingerprintedArtifact(s, path,
+        s"$dir/embeddings.parquet")(pqIndex(s, dir)._1)
+    }
+
+  private def v26(s: SparkSession, dir: String): DataFrame = {
+    val codes = servedPqCodes(s, dir)
+    // the query batch's own LUTs, computed fresh per batch: query
+    // subvectors × broadcast codebook = |q|·m·k rows
+    val cb = pqCodebook(s, dir)
+    val lut = t(s, dir, "embeddings")
+      .where(col("vec_id").between(100, 104))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(embedding, m * $PqDim + 1, $PqDim)").as("sub"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("cent_id"),
+        sqDist(col("sub"), col("csub")).as("d"))
+    val base = codes.select(col("vec_id").as("c_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
+      .where(col("q_id") =!= col("c_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("c_id"))
+    adcScore(base, lut)
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), round(col("adist"), 6).as("adist_r"),
+        col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2704,5 +2756,7 @@ object Similarity {
     QueryDef("v22_ivf_binary_recall", v22, Some(v22Sql)),
     QueryDef("v23_ivfadc_recall", v23, Some(v23Sql)),
     QueryDef("v24_stale_centroid_recall", v24, Some(v24Sql)),
-    QueryDef("v25_stale_codebook_recall", v25, Some(v25Sql)))
+    QueryDef("v25_stale_codebook_recall", v25, Some(v25Sql)),
+    // served ≡ inline: v26 grades against v11's oracle verbatim
+    QueryDef("v26_served_pq_codes", v26, Some(v11Sql)))
 }

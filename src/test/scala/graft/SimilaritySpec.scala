@@ -769,4 +769,20 @@ class SimilaritySpec extends AnyFunSuite {
     // neighbor is a post-training arrival for at least one query
     assert(out.map(_.getAs[Long]("n_delta_exact")).sum > 0L)
   }
+
+  test("v26 served PQ codes equal inline v11; serving plan never re-encodes") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("adist_r"), r.getAs[Long]("rk"))).toSeq
+    // served ≡ inline, row for row
+    assert(rows("v26_served_pq_codes") == rows("v11_pq_ann"))
+    val served = run("v26_served_pq_codes")
+    val plan = served.queryExecution.executedPlan.toString
+    // the candidate path scans the published 4-BIGINT code rows …
+    assert(plan.contains("pq_codes"), s"served codes not scanned:\n$plan")
+    // … and the plan contains NO code election (the partial_max pivot
+    // that encodes the corpus) — encoding happened once at publish time
+    assert(!plan.contains("partial_max"),
+      s"serving plan re-encodes the corpus:\n$plan")
+  }
 }

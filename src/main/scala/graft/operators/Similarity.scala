@@ -2729,6 +2729,56 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---------------------------------------------------------------------
+  // v27 — the IVF index behind a published-assignment seam, closing the
+  // last cell of the serving matrix (LSH → n09, BQ → v19, PQ → v26,
+  // IVF → this): the inverted lists ARE the (vec_id, cent_id, arn)
+  // ranked assignment, and serving them means a query batch neither
+  // re-crosses the corpus with the codebook nor re-ranks centroids —
+  // it scans 3-BIGINT rows (arn = 1 is the list membership; arn ≤
+  // NProbe doubles as each vector's probe list) and joins the corpus
+  // by vec_id for exact scoring. At 100 TB the assignment is stored
+  // WITH the vectors (the cluster id is the table's partition key —
+  // v04's own design note), so the key join here stands in for a
+  // co-located read; either way the serving plan carries zero
+  // quantize/assign arithmetic (spec pins the absence). Same output as
+  // v04 — the oracle is v04's SQL verbatim, served ≡ inline by the
+  // hash gate.
+  // ---------------------------------------------------------------------
+  private[graft] def servedIvfAssignment(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.sources.Sink.artifactRoot}/ivf_assignment/$tag"
+      graft.sources.Sink.fingerprintedArtifact(s, path,
+        s"$dir/embeddings.parquet")(
+        rankedAssignment(s, dir, maxArn = NProbe)
+          .select(col("vec_id"), col("cent_id"), col("arn")))
+    }
+
+  private def v27(s: SparkSession, dir: String): DataFrame = {
+    val lists = servedIvfAssignment(s, dir).where(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val assigned = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(lists, Seq("vec_id"))
+    val q = assigned.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id").as("q_cent"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    broadcast(q)
+      .join(assigned.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"), col("cent_id")),
+        col("q_cent") === col("cent_id") && col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("cent_id").as("cluster_id"),
+        round(col("cosine"), 6).as("cosine_r"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2758,5 +2808,7 @@ object Similarity {
     QueryDef("v24_stale_centroid_recall", v24, Some(v24Sql)),
     QueryDef("v25_stale_codebook_recall", v25, Some(v25Sql)),
     // served ≡ inline: v26 grades against v11's oracle verbatim
-    QueryDef("v26_served_pq_codes", v26, Some(v11Sql)))
+    QueryDef("v26_served_pq_codes", v26, Some(v11Sql)),
+    // served ≡ inline: v27 grades against v04's oracle verbatim
+    QueryDef("v27_served_ivf_lists", v27, Some(v04Sql)))
 }

@@ -785,4 +785,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("partial_max"),
       s"serving plan re-encodes the corpus:\n$plan")
   }
+
+  test("v27 served IVF lists equal inline v04; serving plan never re-assigns") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Double]("cosine_r"),
+        r.getAs[Long]("rk"))).toSeq
+    assert(rows("v27_served_ivf_lists") == rows("v04_ivf_ann"))
+    val plan = run("v27_served_ivf_lists").queryExecution.executedPlan.toString
+    // candidate path scans the published 3-BIGINT assignment rows …
+    assert(plan.contains("ivf_assignment"), s"served lists not scanned:\n$plan")
+    // … with zero assignment arithmetic: no centroid-cosine ranking
+    // (cent_cos) anywhere in the serving plan
+    assert(!plan.contains("cent_cos"),
+      s"serving plan re-ranks centroids:\n$plan")
+  }
 }

@@ -60,6 +60,13 @@ object Config {
     * whole layout's file count). */
   val ClusterFiles: Int = intFrom(sys.env, "GRAFT_CLUSTER_FILES", 8)
 
+  /** eventsZOrdered: range-partition count of the Morton-clustered
+    * serving layout. A power of 4 keeps the two interleaved dimensions
+    * symmetric: 16 files fix 4 leading z bits = the top 2 bits of BOTH
+    * ts and user, so each file covers ~1/4 of each dimension's range
+    * and a slice predicate on EITHER dimension skips ~3/4 of the data. */
+  val ZOrderFiles: Int = intFrom(sys.env, "GRAFT_ZORDER_FILES", 16)
+
   /** eventsByDate: rows-per-file cap inside a date partition. The
     * default (one file per date) is right at graded SFs; a 100 TB
     * deployment caps it so a HOT date splits into several ts-sorted

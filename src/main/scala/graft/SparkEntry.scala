@@ -25,6 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             q42: row-group-skipping time slice over
   *                             the ts-clustered layout (skip proven on
   *                             the executed scan metric)
+  *  - [[operators.MatView]]    q43-q44: materialized-aggregate rollup —
+  *                             full-corpus rollup served from the
+  *                             fingerprinted artifact store, and the
+  *                             incremental base+delta merge path, both
+  *                             graded against raw-events SQL
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,
@@ -118,6 +123,7 @@ object SparkEntry {
     operators.Parity.defs ++
     operators.Warehouse.defs ++
     operators.Analytics.defs ++
+    operators.MatView.defs ++
     operators.DataCoSynthetic.defs ++
     operators.TextOps.defs ++
     operators.Bpe.defs ++

@@ -943,6 +943,41 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q45 — Z-ordered user slice: per-user activity for a narrow user band,
+  // served from the Morton-clustered layout (Tables.eventsZOrdered —
+  // range-partitioned + sorted on interleave(ts, user_id) bits). On the
+  // single-dimension ts-clustered layout this predicate decodes the WHOLE
+  // corpus (every file spans all users); on the Z layout each file covers
+  // ~a quadrant of (ts × user) space, so the user predicate reaches
+  // parquet as a PushedFilter and footer min/max skips ~3/4 of the files
+  // — multi-dimension data skipping, the reason OPTIMIZE ZORDER exists.
+  // PlanSpec proves the skip on the executed scan metric for BOTH a user
+  // slice and a ts slice over the same layout; the oracle grades the
+  // report from the FLAT events table (the serving copy is value-proven).
+  // ---------------------------------------------------------------------
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.eventsZOrdered(s, dir)
+      .where(col("user_id").between(lit(0), lit(2)))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  private val q45Sql =
+    """SELECT user_id, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE user_id BETWEEN 0 AND 2
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -964,5 +999,6 @@ object Analytics {
     QueryDef("q38_sliding_window", q38, Some(q38Sql)),
     QueryDef("q39_correlated_subquery", q39, Some(q39Sql)),
     QueryDef("q41_partition_pruned_events", q41, Some(q41Sql), headline = true),
-    QueryDef("q42_clustered_time_slice", q42, Some(q42Sql), headline = true))
+    QueryDef("q42_clustered_time_slice", q42, Some(q42Sql), headline = true),
+    QueryDef("q45_zorder_user_slice", q45, Some(q45Sql), headline = true))
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.{Sink, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Materialized-aggregate maintenance — the "never recompute the
+  * aggregate from the raw corpus" discipline every 100 TB warehouse
+  * runs on (the reference's dashboards re-scan the fact table per
+  * refresh, ref: etl_jobs/glue_master_etl.py:291-364; at scale that
+  * re-scan IS the cost, so production serves reports from maintained
+  * rollups and touches raw data only for the delta).
+  *
+  * The rollup is the events table pre-aggregated at its finest common
+  * report grain (event_date, event_type, user_id) with ALGEBRAIC
+  * partials only — counts, exact-decimal sums, id extrema — so two
+  * rollups merge by re-aggregating the union: merge(R(A), R(B)) ≡
+  * R(A ∪ B) row-for-row (MatViewSpec proves it on an overlapping-key
+  * split). COUNT(DISTINCT user) is NOT algebraic, which is exactly why
+  * user_id stays IN the grain: any report's distinct-user count is a
+  * count over rollup rows, never a re-scan of events.
+  *
+  * Lifecycle mirrors the trained-ANN artifact family (v24-v27): the
+  * full-corpus rollup publishes once per corpus fingerprint through the
+  * staged-atomic store (q43 serves from it — the plan scans ONLY the
+  * rollup, PlanSpec-pinned); growth is handled by merging a delta's
+  * partials against the frozen base rollup without re-reading the base
+  * corpus (q44 grades that merge path against the raw-events oracle —
+  * a wrong sum/min/max fold cannot pass the hash gate).
+  *
+  * Scale: the rollup's row count is |active (date, type, user) triples|
+  * — orders of magnitude below the event count — and the merge shuffles
+  * only rollup-grain rows on the grain key. At 100 TB the base rollup
+  * partitions by event_date, so a daily delta merge rewrites only the
+  * touched dates (Sink.compactPartitions' surgical-refresh discipline).
+  */
+object MatView {
+
+  /** Algebraic partials of `events` at (event_date, event_type, user_id)
+    * grain. sum_value is exact DECIMAL(18,4) — float fold-order never
+    * enters the maintained state, so merge order cannot drift it. */
+  def eventPartials(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy(col("event_date"), col("event_type"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).as("sum_value"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+
+  /** Merge two rollups: union + one grain-key re-aggregation. Every
+    * partial is algebraic (sum-of-counts, sum-of-sums, min-of-mins,
+    * max-of-maxs), so this is exact and associative — the property that
+    * makes incremental maintenance possible at all. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_date"), col("event_type"), col("user_id"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).cast(DecimalType(18, 4)).as("sum_value"),
+        min(col("min_event")).as("min_event"),
+        max(col("max_event")).as("max_event"))
+
+  /** The full-corpus rollup, published once per corpus fingerprint
+    * (staged-atomic, `_SUCCESS`-gated): consumers scan rollup rows, the
+    * events corpus is re-read only when its fingerprint changes. */
+  def servedRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Sink.fingerprintedArtifact(
+      spark, s"${Sink.artifactRoot}/events_rollup/$tag", s"$dir/events.parquet") {
+      eventPartials(Tables.load(spark, dir, "events"))
+    }
+  }
+
+  private val grain = Seq("event_date", "event_type", "user_id")
+
+  /** Retract `deleted` events from a maintained rollup WITHOUT a full
+    * rebuild — the right-to-be-forgotten / bad-ingest-recall path every
+    * long-lived 100 TB aggregate needs. Counts and sums form a GROUP
+    * (invertible — they could simply subtract), but min/max are only a
+    * semilattice: if a deleted row held a grain's extremum, the new
+    * extremum is unrecoverable from partials alone. So retraction is
+    * surgical recompute: grains untouched by the deletion keep their
+    * rollup row byte-for-byte (never re-read); touched grains are
+    * rebuilt from their REMAINING raw rows only — a semi-join-bounded
+    * rescan (at 100 TB: only the touched date partitions, the
+    * compactPartitions pruning), never a full-corpus rebuild. Grains
+    * whose rows are all deleted disappear, matching R(events ∖ deleted)
+    * exactly (MatViewSpec proves row-for-row equality; q46 grades the
+    * served report through the hash gate).
+    *
+    * `remaining` is the post-deletion raw table (events ∖ deleted) —
+    * the caller owns how deletion is expressed (predicate, tombstone
+    * join, partition rewrite). */
+  def retract(rollup: DataFrame, deleted: DataFrame, remaining: DataFrame): DataFrame = {
+    val touched = eventPartials(deleted).select(grain.map(col): _*)
+    val untouched = rollup.join(touched, grain, "left_anti")
+    val patched = eventPartials(
+      remaining.withColumn("event_date", to_date(col("ts")))
+        .join(touched, grain, "left_semi")
+        .drop("event_date"))
+    untouched.unionByName(patched)
+  }
+
+  // ---------------------------------------------------------------------
+  // q43 — rollup serving: the per-type corpus report computed entirely
+  // from the maintained rollup. n_events / total_value fold the partials;
+  // n_users and active_days are counts over rollup rows (grain carries
+  // user_id and event_date, so distincts never touch raw events). The
+  // oracle computes the SAME report from raw events — the hash gate is
+  // the rollup-correctness proof. PlanSpec pins that the serving plan's
+  // only file scan is the rollup artifact.
+  // ---------------------------------------------------------------------
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    servedRollup(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(col("event_date")).as("active_days"),
+        sum(col("sum_value")).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_type"))
+  private val q43Sql =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q44 — incremental maintenance graded end-to-end: the rollup is built
+  // as merge(base partials, delta partials) over the v24 growth cohorts
+  // (base = event_id % 4 <> 3, delta = the rest — an id split, so grain
+  // keys OVERLAP between cohorts and the merge must actually fold
+  // counts/sums/extrema, not just concatenate). The base rollup is its
+  // own fingerprinted artifact (frozen once, as a deployment would);
+  // only the delta's partials are computed at merge time. The daily
+  // report from the merged rollup grades against raw full-corpus SQL:
+  // any dropped row, double count, or wrong fold breaks the hash.
+  // ---------------------------------------------------------------------
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val events = Tables.load(s, dir, "events")
+    val base = Sink.fingerprintedArtifact(
+      s, s"${Sink.artifactRoot}/events_rollup_base/$tag", s"$dir/events.parquet") {
+      eventPartials(events.where(pmod(col("event_id"), lit(4)) =!= 3))
+    }
+    val delta = eventPartials(events.where(pmod(col("event_id"), lit(4)) === 3))
+    merge(base, delta)
+      .groupBy(col("event_date"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(col("event_type")).as("n_types"),
+        min(col("min_event")).as("min_event"),
+        max(col("max_event")).as("max_event"),
+        sum(col("sum_value")).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  private val q44Sql =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q46 — retraction graded end-to-end: a bad-ingest recall (every 10th
+  // event id) retracted from the served rollup via surgical recompute
+  // (retract() above), then the per-type report from the retracted
+  // rollup graded against raw SQL over the surviving events. The
+  // deletion is deliberately NOT aligned with any grain key, so most
+  // grains lose SOME rows (counts/sums must shrink) and some grains
+  // lose their extremum (min/max must be re-derived) — a subtract-only
+  // retraction or a dropped-grain bug cannot pass the hash gate.
+  // min/max fold per type over patched grains, so the patch path is on
+  // the graded surface, not just the spec's.
+  // ---------------------------------------------------------------------
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(s, dir, "events")
+    val deleted = events.where(pmod(col("event_id"), lit(10)) === 7)
+    val remaining = events.where(pmod(col("event_id"), lit(10)) =!= 7)
+    retract(servedRollup(s, dir), deleted, remaining)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("min_event")).as("min_event"),
+        max(col("max_event")).as("max_event"),
+        sum(col("sum_value")).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+  private val q46Sql =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE event_id % 10 <> 7
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
+    QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
+    QueryDef("q46_rollup_retraction", q46, Some(q46Sql)))
+}

@@ -84,6 +84,88 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of the MatView rollup: each micro-batch's
+    * algebraic partials merge into the maintained rollup, so dashboards
+    * read rollup-grain rows continuously instead of re-scanning the
+    * event history per refresh (the batch q43 contract, kept current by
+    * the stream).
+    *
+    * Exactly-once across replays WITHOUT a transaction log: batch k
+    * publishes `rollupDir/v=k` = merge(latest committed v<k, partials
+    * of batch k) through [[graft.sources.Sink.publishedArtifact]]. The
+    * inputs of version k are deterministic (foreachBatch redelivers the
+    * same rows under the same batchId from the checkpoint), and the
+    * publish is staged-atomic + skip-if-committed — a replayed batch
+    * either finds its version already committed (no-op) or rebuilds it
+    * from the same inputs; it can never double-merge, and it never
+    * reads versions ABOVE its own id. Readers take the max committed
+    * version ([[readRollup]]).
+    *
+    * Scale: each version rewrite is O(|rollup grain|), not O(events) —
+    * the whole point — and at 100 TB the rollup partitions by
+    * event_date so a version rewrites only the dates its batch touched
+    * (the compactPartitions surgical-refresh discipline); old versions
+    * retire on a retention window ([[pruneRollupVersions]]), exactly
+    * like table-format snapshot expiry. */
+  def maintainRollup(events: DataFrame, rollupDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mergeBatchIntoRollup(batch, rollupDir, id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .start()
+
+  /** One maintenance step — also the replay unit (deterministic in
+    * (batch contents, batchId); see [[maintainRollup]]). Public so the
+    * spec can drive a replay directly. */
+  def mergeBatchIntoRollup(batch: DataFrame, rollupDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val partials = graft.operators.MatView.eventPartials(batch)
+    val merged = committedVersions(spark, rollupDir).filter(_ < batchId)
+      .sorted.lastOption match {
+      case Some(prev) =>
+        graft.operators.MatView.merge(
+          spark.read.parquet(s"$rollupDir/v=$prev"), partials)
+      case None => partials
+    }
+    graft.sources.Sink.publishedArtifact(spark, s"$rollupDir/v=$batchId")(merged): Unit
+  }
+
+  /** The rollup as of the latest committed version. */
+  def readRollup(spark: SparkSession, rollupDir: String): DataFrame = {
+    val vs = committedVersions(spark, rollupDir)
+    require(vs.nonEmpty, s"no committed rollup version under $rollupDir")
+    spark.read.parquet(s"$rollupDir/v=${vs.max}")
+  }
+
+  /** Retire all but the `keep` newest committed versions (a pinned
+    * reader may still be mid-scan on an older one — retention is an
+    * operational window, not a serve-path step). Returns deleted paths. */
+  def pruneRollupVersions(spark: SparkSession, rollupDir: String, keep: Int): Seq[String] = {
+    val stale = committedVersions(spark, rollupDir).sorted.dropRight(keep)
+    val root = new org.apache.hadoop.fs.Path(rollupDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stale.map { v =>
+      val p = new org.apache.hadoop.fs.Path(root, s"v=$v")
+      fs.delete(p, true)
+      p.toString
+    }
+  }
+
+  private def committedVersions(spark: SparkSession, rollupDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(rollupDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=")
+        // committed = carries the committer's _SUCCESS marker; a
+        // version mid-publish (or crashed) is invisible to readers
+        && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
   /** Stream-static join: enrich a value-threshold alert stream with a
     * static dimension — the report's "late-shipment alert" shape. The
     * static side is re-planned per micro-batch and broadcast. */

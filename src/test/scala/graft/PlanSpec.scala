@@ -318,6 +318,92 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("props"), s"q42 reads the unused payload column:\n$p")
   }
 
+  test("q43: the report is served from the rollup artifact — raw events never scanned") {
+    // the materialized-view contract: after the one-time publish, a
+    // report's plan touches ONLY rollup-grain rows; the events corpus
+    // re-enters a plan only when its fingerprint changes
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val scans = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("q43_rollup_serving")(spark, SharedSpark.sf0001)
+      df.collect()
+      df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(scans.nonEmpty, "no file scan found in the q43 plan")
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.contains("events_rollup")),
+      s"q43 read something besides the rollup artifact: $roots")
+    // and serving is cheaper than scanning: the rollup has fewer rows
+    // than the corpus it summarizes
+    val rollupRows = graft.operators.MatView
+      .servedRollup(spark, SharedSpark.sf0001).count()
+    val eventRows = graft.sources.Tables
+      .load(spark, SharedSpark.sf0001, "events").count()
+    assert(rollupRows < eventRows,
+      s"rollup ($rollupRows rows) does not compress events ($eventRows)")
+  }
+
+  test("q45: user predicate skips files in the Z-ordered layout") {
+    // the multi-dimension skipping contract: on the Morton layout a
+    // USER slice — the predicate the ts-clustered layout cannot serve —
+    // must reach parquet as a PushedFilter and decode a fraction of the
+    // corpus, proven on the executed scan metric like q42
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("q45_zorder_user_slice")(spark, SharedSpark.sf0001)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events_zorder")) => f
+      }.head
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(user_id")
+      && pushed.contains("LessThanOrEqual(user_id"),
+      s"user predicate not pushed to parquet: $pushed")
+    val layout = graft.sources.Tables.eventsZOrdered(spark, SharedSpark.sf0001)
+    val total = layout.count()
+    val decoded = scan.metrics("numOutputRows").value
+    assert(decoded > 0, "q45 scan decoded nothing — slice predicate degenerate")
+    assert(decoded * 2 <= total,
+      s"no user-dimension skipping: scan decoded $decoded of $total layout rows")
+    // value-completeness of the serving copy against its source of truth
+    val src = graft.sources.Tables.load(spark, SharedSpark.sf0001, "events")
+    assert(layout.count() == src.count()
+      && layout.select("event_id").exceptAll(src.select("event_id")).isEmpty,
+      "Z-ordered layout lost or duplicated rows")
+  }
+
+  test("zorder layout: a ts slice skips too — locality holds in BOTH dimensions") {
+    // same layout, other dimension: a 12-hour slice of the 30-day corpus
+    // must also decode a fraction — this is what Z-order buys over
+    // single-key clustering (which serves only its own sort key)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.sql.functions.{col, lit}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.sources.Tables.eventsZOrdered(spark, SharedSpark.sf0001)
+        .where(col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType)
+          && col("ts") < lit("2024-01-10 12:00:00").cast(TimestampType))
+        .groupBy(col("event_type")).count()
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events_zorder")) => f
+      }.head
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val total = graft.sources.Tables.eventsZOrdered(spark, SharedSpark.sf0001).count()
+    val decoded = scan.metrics("numOutputRows").value
+    assert(decoded > 0)
+    assert(decoded * 2 <= total,
+      s"no ts-dimension skipping on the Z layout: decoded $decoded of $total")
+  }
+
   test("d29: LM scoring is windowless — no Window, no Expand, no Sort before agg") {
     // the bigram LM trains and scores through joins + hash aggregates
     // only; a Window or Expand here means the plan regressed to a

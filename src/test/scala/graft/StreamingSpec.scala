@@ -620,4 +620,45 @@ class StreamingSpec extends AnyFunSuite {
     val dupCopies = want.count(_.getAs[Long]("n_copies") == 2L)
     assert(dupCopies > 0, "no collapsed re-upload reached the compaction")
   }
+
+  test("streaming rollup maintenance ≡ batch rollup; replay no-op; retention keeps the head") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, uid: Long, typ: String, t: String, v: Double) =
+      EventStreams.Event(id, java.sql.Timestamp.valueOf(t), uid, typ, v)
+    // three micro-batches; (2026-01-01, view, 3) spans batches 1 and 2 and
+    // (2026-01-02, click, 9) spans 2 and 3, so the maintained rollup must
+    // actually FOLD partials across versions, not just append rows
+    val b1 = Seq(ev(1, 3, "view", "2026-01-01 10:00:00", 1.5),
+                 ev(2, 3, "view", "2026-01-01 11:00:00", 2.25))
+    val b2 = Seq(ev(3, 3, "view", "2026-01-01 12:00:00", 3.0),
+                 ev(4, 9, "click", "2026-01-02 09:00:00", 4.0))
+    val b3 = Seq(ev(5, 9, "click", "2026-01-02 10:00:00", 0.5))
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    val ck = Files.createTempDirectory("graft-rollup-ck").toString
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.maintainRollup(input.toDS().toDF(), dir, ck)
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val expected = graft.operators.MatView
+      .eventPartials((b1 ++ b2 ++ b3).toDS().toDF())
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(EventStreams.readRollup(spark, dir), expected),
+      "stream-maintained rollup diverged from the batch rollup")
+    // replay safety: redelivering the LAST batch under its own id finds
+    // the version committed and must not double-merge
+    EventStreams.mergeBatchIntoRollup(b3.toDS().toDF(), dir, 2L)
+    assert(same(EventStreams.readRollup(spark, dir), expected),
+      "replayed batch double-merged into the rollup")
+    // retention: retiring all but the newest version never touches the
+    // serving head
+    val deleted = EventStreams.pruneRollupVersions(spark, dir, keep = 1)
+    assert(deleted.size == 2, s"expected v=0,v=1 retired, got $deleted")
+    assert(same(EventStreams.readRollup(spark, dir), expected))
+  }
 }

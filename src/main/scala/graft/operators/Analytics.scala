@@ -978,6 +978,33 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q47 — bloom-filtered point lookup: fetch a handful of events by id
+  // from the bloom layout (Tables.eventsBloom — hash-partitioned by id,
+  // so min/max stats are USELESS by construction and only content-based
+  // skipping can prune). The IN probe reaches parquet as a pushed
+  // filter; row groups whose bloom/dictionary sketch excludes all probed
+  // ids are never decoded — PlanSpec proves it on the executed scan
+  // metric. The oracle fetches the same rows from the flat table. This
+  // is the needle-in-haystack serving shape (audit trail, sample
+  // inspection, provenance lookup) that at 100 TB must not scan.
+  // ---------------------------------------------------------------------
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.eventsBloom(s, dir)
+      .where(col("event_id").isin(101L, 507L, 833L))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        col("value"))
+      .orderBy(col("event_id"))
+  private val q47Sql =
+    """SELECT event_id, user_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+      |  value
+      |FROM events
+      |WHERE event_id IN (101, 507, 833)
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1000,5 +1027,6 @@ object Analytics {
     QueryDef("q39_correlated_subquery", q39, Some(q39Sql)),
     QueryDef("q41_partition_pruned_events", q41, Some(q41Sql), headline = true),
     QueryDef("q42_clustered_time_slice", q42, Some(q42Sql), headline = true),
-    QueryDef("q45_zorder_user_slice", q45, Some(q45Sql), headline = true))
+    QueryDef("q45_zorder_user_slice", q45, Some(q45Sql), headline = true),
+    QueryDef("q47_bloom_point_lookup", q47, Some(q47Sql), headline = true))
 }

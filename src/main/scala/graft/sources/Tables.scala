@@ -217,4 +217,40 @@ object Tables {
         .write.parquet(stg)
     }
   }
+
+  /** Point-lookup serving copy: parquet BLOOM FILTERS on event_id. The
+    * third data-skipping mechanism, orthogonal to the other two — range
+    * stats ([[eventsClustered]]) and Z-order ([[eventsZOrdered]]) serve
+    * RANGE predicates on clustered columns, but an id point lookup on an
+    * UNCLUSTERED high-cardinality column defeats min/max entirely (every
+    * file spans nearly the full id range; this layout hash-partitions by
+    * id to pin that worst case). Bloom filters skip by CONTENT: each row
+    * group's footer carries a hash-set sketch of its event_id values, so
+    * an `id IN (…)` probe decodes only row groups whose sketch claims a
+    * possible hit (false positives decode harmlessly; false negatives
+    * are impossible). At small row groups parquet's dictionary filter
+    * gives the same skip; the bloom filter is what survives at 100 TB
+    * when high-cardinality columns fall back to plain encoding and the
+    * dictionary disappears — which is why it is enabled explicitly here.
+    *
+    * Published once per corpus fingerprint, staged-atomic. PlanSpec
+    * proves the skip on the executed scan metric (decoded ≪ layout). */
+  def eventsBloom(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(spark, s"$dir/events.parquet")
+    val path = s"${Sink.artifactRoot}/events_bloom/${tag}/fp_$fp"
+    Sink.publishedArtifactUsing(spark, path) { stg =>
+      if (!spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+            .contains("TIMESTAMP_MICROS"))
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      load(spark, dir, "events")
+        .repartition(graft.Config.ZOrderFiles, col("event_id"))
+        .write
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        // sized for the per-file id count at the target scale; parquet
+        // clamps the bitset, so an overestimate costs footer bytes only
+        .option("parquet.bloom.filter.expected.ndv#event_id", "100000")
+        .parquet(stg)
+    }
+  }
 }

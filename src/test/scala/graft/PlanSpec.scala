@@ -404,6 +404,31 @@ class PlanSpec extends AnyFunSuite {
       s"no ts-dimension skipping on the Z layout: decoded $decoded of $total")
   }
 
+  test("q47: id point lookup skips row groups by CONTENT in the bloom layout") {
+    // min/max cannot help here by construction (the layout hash-
+    // partitions by id, so every file spans ~the full id range); only
+    // the content sketches — bloom filter, dictionary — can prune, and
+    // the executed scan metric proves they did
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("q47_bloom_point_lookup")(spark, SharedSpark.sf0001)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events_bloom")) => f
+      }.head
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("event_id"), s"id probe not pushed to parquet: $pushed")
+    val total = graft.sources.Tables.eventsBloom(spark, SharedSpark.sf0001).count()
+    val decoded = scan.metrics("numOutputRows").value
+    assert(decoded > 0, "q47 scan decoded nothing — probe ids missing from corpus")
+    assert(decoded * 2 <= total,
+      s"no content-based skipping: scan decoded $decoded of $total layout rows")
+  }
+
   test("d29: LM scoring is windowless — no Window, no Expand, no Sort before agg") {
     // the bigram LM trains and scores through joins + hash aggregates
     // only; a Window or Expand here means the plan regressed to a

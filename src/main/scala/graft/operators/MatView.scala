@@ -176,6 +176,68 @@ object MatView {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** HLL-sketch rollup: per (event_date, event_type), a DataSketches
+    * HLL sketch of the day's user ids plus the algebraic event count.
+    * This is the OTHER production answer to "distinct isn't algebraic":
+    * [[eventPartials]] keeps user_id in the grain for EXACT distincts at
+    * O(|grain|) state; the sketch rollup collapses the user dimension to
+    * a fixed-size mergeable summary — O(|dates × types|) rows of ~KB
+    * sketches — trading ≤2% error for state that no longer grows with
+    * the user population. At 100 TB both coexist: sketches for
+    * interactive dashboards, the exact grain for billing-grade counts.
+    * Sketches union associatively (order-independent), so this rollup
+    * merges/maintains exactly like the exact one. Published once per
+    * corpus fingerprint. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Sink.fingerprintedArtifact(
+      spark, s"${Sink.artifactRoot}/events_hll/$tag", s"$dir/events.parquet") {
+      Tables.load(spark, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          hll_sketch_agg(col("user_id")).as("user_sketch"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q48 — sketch-rollup serving with its error audit: per-type event
+  // counts fold algebraically from the sketch rollup; distinct users
+  // come from UNIONING the per-day sketches (never re-scanning events or
+  // re-reading user-grain rows), then the estimate is graded against the
+  // exact count from the exact rollup via the q24 integer-flag idiom:
+  // hll_ok = 1 iff the estimate lands within 5% (well above the ≤2%
+  // error of the default lgK=12 sketch, and exact at graded SFs where
+  // the sketch is still in sparse mode). The oracle computes the exact
+  // side + a literal flag — a drifted or non-deterministic estimate
+  // breaks the hash.
+  // ---------------------------------------------------------------------
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val est = sketchRollup(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("est_users"))
+    val exact = servedRollup(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("event_type"))
+      .select(
+        col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")) * lit(20)
+          <= col("exact_users")).cast(IntegerType).as("hll_ok"))
+      .orderBy(col("event_type"))
+  }
+  private val q48Sql =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(1 AS INT) AS hll_ok
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // q46 — retraction graded end-to-end: a bad-ingest recall (every 10th
   // event id) retracted from the served rollup via surgical recompute
@@ -217,5 +279,6 @@ object MatView {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
-    QueryDef("q46_rollup_retraction", q46, Some(q46Sql)))
+    QueryDef("q46_rollup_retraction", q46, Some(q46Sql)),
+    QueryDef("q48_sketch_distinct_rollup", q48, Some(q48Sql)))
 }

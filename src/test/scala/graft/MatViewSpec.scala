@@ -61,6 +61,26 @@ class MatViewSpec extends AnyFunSuite {
     assert(got.exceptAll(r).isEmpty && r.exceptAll(got).isEmpty)
   }
 
+  test("sketch mergeability: unioning per-day sketches ≡ sketching the whole slice") {
+    // the property that makes the sketch rollup maintainable at all:
+    // a union of partial sketches must estimate exactly what one
+    // whole-slice sketch estimates (associative, order-independent)
+    val ev = Tables.load(spark, SharedSpark.sf0001, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val viaUnion = ev.groupBy(col("event_date"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"))
+    val joined = viaUnion.join(direct, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est_union") == r.getAs[Long]("est_direct"),
+        s"sketch union drifted for ${r.getAs[String]("event_type")}")
+    }
+  }
+
   test("rollup compresses: grain rows strictly below event rows, totals conserved") {
     val ev = Tables.load(spark, SharedSpark.sf0001, "events")
     val r = MatView.eventPartials(ev)

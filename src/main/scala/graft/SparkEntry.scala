@@ -24,11 +24,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             (PartitionFilters PlanSpec-pinned);
   *                             q42: row-group-skipping time slice over
   *                             the ts-clustered layout (skip proven on
-  *                             the executed scan metric)
-  *  - [[operators.MatView]]    q43-q44: materialized-aggregate rollup —
-  *                             full-corpus rollup served from the
-  *                             fingerprinted artifact store, and the
-  *                             incremental base+delta merge path, both
+  *                             the executed scan metric); q45: Z-order
+  *                             (Morton) layout — slice predicates on
+  *                             EITHER of (ts, user) skip ~3/4 of files;
+  *                             q47: bloom-filtered id point lookup
+  *                             (content-based skipping where min/max is
+  *                             useless by construction)
+  *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
+  *                             rollup — full-corpus rollup served from
+  *                             the fingerprinted artifact store, the
+  *                             incremental base+delta merge path, the
+  *                             surgical retraction path (deletes with
+  *                             exact min/max repair), and the mergeable
+  *                             HLL-sketch sibling for distincts, all
   *                             graded against raw-events SQL
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
@@ -65,7 +73,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             band index + zero-Exchange probe join)
   *  - [[operators.Retrieval]]  r01-r04: tf·idf keyword search (integer
   *                             idf), positional phrase search, BM25
-  *                             ranking, min-gap proximity ranking
+  *                             ranking, min-gap proximity ranking;
+  *                             r08: BM25 behind a served inverted index
+  *                             (term-clustered postings artifact, zero
+  *                             tokenization on the probe path, graded
+  *                             against r03's oracle verbatim)
   *  - [[operators.Similarity]] v01-v13: cosine top-k, near-dup, LSH-ANN,
   *                             IVF, LSH-blocked near-dup, int8-quantized
   *                             top-k, hybrid semantic+lexical rescore,

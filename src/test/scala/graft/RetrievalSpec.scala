@@ -272,4 +272,48 @@ class RetrievalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("rr_ppm") == (if (fr == 0L) 0L else 1000000L / fr))
     }
   }
+
+  test("r08: the served-index probe reproduces r03 row-for-row") {
+    // served ≡ inline, asserted directly (the oracle hash gate proves it
+    // against DuckDB; this pins it inside the engine too, so a future
+    // index-build change that breaks parity fails here first)
+    val inline = SparkEntry.queries("r03_bm25_search")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    val served = SparkEntry.queries("r08_served_bm25_probe")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    assert(served == inline, "served BM25 diverged from the inline ranker")
+  }
+
+  test("r08: probe path never tokenizes — and the term probe skips row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val (plan, scan) = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("r08_served_bm25_probe")(spark, SharedSpark.sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      (p.toString,
+        p.collect {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("bm25_postings")) => f
+        }.head)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // zero tokenization on the serve path: no explode, no regexp scan of
+    // documents — only artifact reads
+    assert(!plan.contains("Generate") && !plan.contains("explode"),
+      s"r08 re-tokenized the corpus at query time:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"r08 scanned the raw corpus at query time:\n$plan")
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(term") || pushed.contains("EqualTo(term"),
+      s"term probe not pushed to parquet: $pushed")
+    // the term-clustered layout makes the probe decode a sliver: three
+    // query terms against the full vocabulary's postings
+    val total = graft.operators.Retrieval
+      .servedPostings(spark, SharedSpark.sf0001).count()
+    val decoded = scan.metrics("numOutputRows").value
+    assert(decoded > 0, "probe decoded nothing — query terms missing")
+    assert(decoded * 2 <= total,
+      s"no term skipping on the postings layout: decoded $decoded of $total")
+  }
 }

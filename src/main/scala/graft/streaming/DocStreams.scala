@@ -190,6 +190,46 @@ object DocStreams {
         col("content_md5"))
   }
 
+  /** One micro-batch of the streaming near-dup screen: the batch's docs
+    * are MinHash-signed and banded (row-level — the MinHashSig
+    * expression needs no aggregation, so this is the same code the batch
+    * path runs), then the band keys join the FROZEN served corpus index
+    * (the n09 bucketed table: the index side is never re-banded or
+    * re-shuffled; the batch side is micro-batch-sized and broadcasts).
+    * Emits one row per batch doc with corpus near-dup candidates. */
+  def screenBatch(batch: DataFrame, indexTable: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.bandRows(Dedup.minhashSignatures(batch))
+      .withColumn("bkey", concat_ws("|", col("band_id"), col("band_key")))
+      .join(batch.sparkSession.table(indexTable), Seq("bkey"))
+      .groupBy(col("doc_id").as("batch_doc"))
+      .agg(
+        count_distinct(col("corpus_doc")).as("n_corpus_neardups"),
+        min(col("corpus_doc")).as("min_corpus_doc"))
+  }
+
+  /** Streaming near-dup screen against the served LSH index — the
+    * steady-state composition of the two disciplines: the index is the
+    * n09 build-once artifact (paid one corpus shuffle at build time),
+    * the stream pays only its own micro-batch's signatures per trigger.
+    * Results publish idempotently under `outDir/v=batchId` through the
+    * staged-atomic store (the maintainRollup replay contract: a
+    * redelivered batch finds its version committed and no-ops).
+    * StreamingSpec proves the streamed screen's union ≡ n09's graded
+    * batch output for the same docs — streamed ≡ served ≡ inline. */
+  def lshScreen(docs: DataFrame, indexTable: String,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Sink.publishedArtifact(
+          batch.sparkSession, s"$outDir/v=$id")(
+          screenBatch(batch, indexTable)): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .start()
+
   /** Streaming keyword alerting — the r01 term-match semantics (same
     * tokenizer, same "only watched terms matter" filter) run against the
     * live document feed: one alert row per arriving document that

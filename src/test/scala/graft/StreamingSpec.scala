@@ -621,6 +621,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupCopies > 0, "no collapsed re-upload reached the compaction")
   }
 
+  test("streaming LSH screen over the served index ≡ n09's batch probe") {
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the frozen corpus index (even doc_ids — the n09 build)
+    val (indexTable, _) =
+      graft.operators.Dedup.buildServedLshIndex(spark, SharedSpark.sf0001)
+    // stream the SAME probe cohort n09 grades (odd doc_ids), split
+    // across two micro-batches
+    val odd = Tables.load(spark, SharedSpark.sf0001, "documents")
+      .where(pmod(col("doc_id"), lit(2L)) === 1L)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(odd.size >= 4)
+    val (batch1, batch2) = odd.splitAt(odd.size / 2)
+    val input = MemoryStream[(Long, String)]
+    val dir = Files.createTempDirectory("graft-screen").toString
+    val ck = Files.createTempDirectory("graft-screen-ck").toString
+    val q = DocStreams.lshScreen(
+      input.toDS().toDF("doc_id", "text"), indexTable, dir, ck)
+    try {
+      Seq(batch1, batch2).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // union of the per-batch publishes ≡ the graded served-probe output
+    val got = spark.read.parquet(dir)
+      .select("batch_doc", "n_corpus_neardups", "min_corpus_doc")
+    val want = SparkEntry.queries("n09_served_lsh_probe")(spark, SharedSpark.sf0001)
+      .select("batch_doc", "n_corpus_neardups", "min_corpus_doc")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed screen diverged from the batch served probe")
+    // and the screen is replay-safe: re-publishing batch 0 under its id
+    // finds v=0 committed and must not change anything
+    graft.sources.Sink.publishedArtifact(spark, s"$dir/v=0")(
+      DocStreams.screenBatch(batch1.toDF("doc_id", "text"), indexTable))
+    val after = spark.read.parquet(dir)
+      .select("batch_doc", "n_corpus_neardups", "min_corpus_doc")
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
+  }
+
   test("streaming rollup maintenance ≡ batch rollup; replay no-op; retention keeps the head") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

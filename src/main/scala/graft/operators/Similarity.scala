@@ -2779,6 +2779,116 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---------------------------------------------------------------------
+  // v28 — IVF operating-curve sweep (the n10 discipline applied to the
+  // coarse index): recall@5 AND candidate volume for nprobe ∈ {1, 2, 4}
+  // over the k=8 trained clusters, in one report. v13 prices the
+  // production point (nprobe = 2); this is the curve AROUND it — the
+  // table a deployment reads to trade scan cost (candidates grow
+  // ~linearly in nprobe) against recall (grows with diminishing returns
+  // as probes pass the boundary-crossing neighbors v09 exists to
+  // recover). Recall is monotone in nprobe BY CONSTRUCTION (probe sets
+  // nest: arn ≤ 1 ⊂ arn ≤ 2 ⊂ arn ≤ 4 — larger candidate sets can only
+  // add true neighbors), which SimilaritySpec pins along with the
+  // nprobe=2 row's consistency with v13's graded per-query audit.
+  //
+  // Scale shape: ONE ranked assignment serves all three configs (arn ≤
+  // max is computed once and persisted; each config is a filter), the
+  // exact side is the v13 exact plan computed once, and each config
+  // adds only its candidate join over the 5-query probe sliver.
+  // ---------------------------------------------------------------------
+  private val SweepProbes = Seq(1, 2, 4)
+
+  private def v28(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedAssignment(s, dir, maxArn = SweepProbes.max)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        col("arn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = ranked.where(col("arn") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cent_id"))
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cAll = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    val exact = broadcast(q).join(cAll, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (norm(col("q_emb")) * norm(col("c_emb")))).as("cosine"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val rows = SweepProbes.map { p =>
+      val probes = ranked
+        .where(col("arn") <= p && col("vec_id").between(100, 104))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("cent_id").as("probe_cent"))
+      val cand = broadcast(probes).join(corpus,
+        col("probe_cent") === col("cent_id") && col("q_id") =!= col("c_id"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val approx = cand
+        .withColumn("cosine",
+          dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val nOvl = exact.join(approx, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      nCand.crossJoin(nExact).crossJoin(nOvl)
+        .select(lit(p.toLong).as("nprobe"), col("n_candidates"),
+          col("n_exact"), col("n_overlap"),
+          expr("n_overlap * 1000000 div n_exact").as("recall_ppm"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+  private val v28Sql = {
+    def cfg(p: Int): String =
+      s"""probes_$p AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |    cent_id AS probe_cent
+         |  FROM ranked_assign
+         |  WHERE arn <= $p AND vec_id BETWEEN 100 AND 104),
+         |cand_$p AS (
+         |  SELECT q_id, c_id,
+         |    ${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine
+         |  FROM probes_$p JOIN corpus
+         |    ON probe_cent = cent_id AND q_id <> c_id),
+         |approx_$p AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, c_id) AS rk
+         |    FROM cand_$p)
+         |  WHERE rk <= 5),
+         |row_$p AS (
+         |  SELECT CAST($p AS BIGINT) AS nprobe,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand_$p) AS n_candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM exact JOIN approx_$p USING (q_id, c_id)) AS n_overlap)""".stripMargin
+    s"""WITH ${ivfCtesSql()},
+       |corpus AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotS("q.embedding", "c.embedding")}
+       |          / (${normS("q.embedding")} * ${normS("c.embedding")}) DESC,
+       |        c.vec_id) AS rk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id BETWEEN 100 AND 104)
+       |  WHERE rk <= 5),
+       |${SweepProbes.map(cfg).mkString(",\n")}
+       |SELECT nprobe, n_candidates, n_exact, n_overlap,
+       |  CAST(n_overlap * 1000000 // n_exact AS BIGINT) AS recall_ppm
+       |FROM (${SweepProbes.map(p => s"SELECT * FROM row_$p").mkString(" UNION ALL ")})
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2810,5 +2920,6 @@ object Similarity {
     // served ≡ inline: v26 grades against v11's oracle verbatim
     QueryDef("v26_served_pq_codes", v26, Some(v11Sql)),
     // served ≡ inline: v27 grades against v04's oracle verbatim
-    QueryDef("v27_served_ivf_lists", v27, Some(v04Sql)))
+    QueryDef("v27_served_ivf_lists", v27, Some(v04Sql)),
+    QueryDef("v28_nprobe_sweep", v28, Some(v28Sql)))
 }

@@ -800,4 +800,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("cent_cos"),
       s"serving plan re-ranks centroids:\n$plan")
   }
+
+  test("v28: sweep is monotone in nprobe and its production point matches v13") {
+    val rows = SparkEntry.queries("v28_nprobe_sweep")(spark, SharedSpark.sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    // probe sets nest, so candidates and recall are monotone — a broken
+    // probe-list filter (e.g. arn == p instead of arn <= p) fails here
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_candidates") < b.getAs[Long]("n_candidates"),
+        "candidate volume not growing with nprobe")
+      assert(a.getAs[Long]("recall_ppm") <= b.getAs[Long]("recall_ppm"),
+        "recall not monotone in nprobe — probe sets failed to nest")
+    }
+    // the nprobe=2 row aggregates exactly v13's graded per-query audit
+    val v13 = SparkEntry.queries("v13_ivf_recall")(spark, SharedSpark.sf0001)
+      .collect()
+    val p2 = rows.find(_.getAs[Long]("nprobe") == 2L).get
+    assert(p2.getAs[Long]("n_overlap") == v13.map(_.getAs[Long]("n_overlap")).sum)
+    assert(p2.getAs[Long]("n_exact") == v13.map(_.getAs[Long]("n_exact")).sum)
+  }
 }

@@ -407,7 +407,9 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  private def m04(s: SparkSession, dir: String): DataFrame = {
+  /** The m04 graded media set: corpus payloads plus the deterministic
+    * re-encode variants. Shared by m04 (inline) and m06 (served). */
+  private def m04MediaSet(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
     val originals = docs.select(
@@ -421,8 +423,11 @@ object Multimodal {
         (col("doc_id") * 10L + 1L).as("media_id"),
         concat(expr("repeat('x', CAST(q AS INT))"),
           expr("substring(text, CAST(q + 1 AS INT))")).as("payload"))
-    sharedFramePairs(frameRowsOf(originals.unionByName(variants)))
+    originals.unionByName(variants)
   }
+
+  private def m04(s: SparkSession, dir: String): DataFrame =
+    sharedFramePairs(frameRowsOf(m04MediaSet(s, dir)))
   private val m04Sql =
     s"""WITH media AS (
        |  SELECT doc_id * 10 AS media_id, text AS payload FROM documents
@@ -510,10 +515,37 @@ object Multimodal {
       |FROM sized GROUP BY 1 HAVING count(*) > 1
       |ORDER BY payload_digest""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m06 — media near-dup behind a SERVED fingerprint store: the serving
+  // matrix's media cell (LSH → n09, BQ → v19, PQ → v26, IVF → v27,
+  // BM25 → r08, frames → m06). Frame digests are the expensive artifact
+  // of perceptual media dedup — one corpus-scale decode+hash pass over
+  // the raw payloads — and no deployment recomputes them per audit: the
+  // digest table publishes once per corpus fingerprint (16-byte rows,
+  // payloads never re-read), and every later pairing/report scans
+  // digests only. Graded against m04's oracle VERBATIM, so the hash
+  // gate is the served ≡ inline proof; MultimodalSpec pins a serving
+  // plan with zero payload arithmetic (no hex/md5 over payload bytes).
+  // ---------------------------------------------------------------------
+  def servedFrameDigests(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Sink.fingerprintedArtifact(
+      s, s"${graft.sources.Sink.artifactRoot}/media_frames/$tag",
+      s"$dir/documents.parquet") {
+      frameRowsOf(m04MediaSet(s, dir))
+        .select(col("media_id"), col("frame_idx"), col("frame_digest"))
+    }
+  }
+
+  private def m06(s: SparkSession, dir: String): DataFrame =
+    sharedFramePairs(servedFrameDigests(s, dir))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_metadata", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
     QueryDef("m03_media_text_pairs", m03, Some(m03Sql)),
     QueryDef("m04_media_neardup", m04, Some(m04Sql)),
-    QueryDef("m05_storage_dedup", m05, Some(m05Sql)))
+    QueryDef("m05_storage_dedup", m05, Some(m05Sql)),
+    // m04's oracle verbatim: served ≡ inline
+    QueryDef("m06_served_frame_index", m06, Some(m04Sql)))
 }

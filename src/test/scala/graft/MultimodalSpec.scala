@@ -260,4 +260,23 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[String]("pair_digest").matches("[0-9a-f]{32}"))
     }
   }
+
+  test("m06: served frame index ≡ m04 inline, with zero payload arithmetic at serve time") {
+    val inline = SparkEntry.queries("m04_media_neardup")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    val served = SparkEntry.queries("m06_served_frame_index")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    assert(served == inline, "served frame index diverged from the inline pairing")
+    // the serving plan reads the published digest table and never
+    // re-touches payload bytes (no hex/md5 over payloads, no variant
+    // re-encode): the corpus-scale decode+hash pass is paid once at
+    // publish, 16-byte digest rows after
+    val plan = SparkEntry.queries("m06_served_frame_index")(spark, SharedSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("media_frames"), s"m06 not reading the served digests:\n$plan")
+    assert(!plan.contains("md5(") && !plan.contains("hex("),
+      s"m06 recomputed digests at serve time:\n$plan")
+    assert(!plan.contains("repeat("),
+      s"m06 re-encoded the variants at serve time:\n$plan")
+  }
 }

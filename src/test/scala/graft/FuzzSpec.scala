@@ -275,4 +275,43 @@ class FuzzSpec extends AnyFunSuite {
         s"copy $id should lose every segment to doc 1")
     }
   }
+
+  test("rollup algebra: merge ≡ full and retract ≡ rebuild on 600 collision-heavy random events") {
+    // deliberately tiny key space (3 dates × 2 types × 4 users = 24
+    // grains for 600 events) so every grain spans cohorts and most
+    // grains lose extrema to the deletion — the folds that a wrong
+    // merge/retract cannot survive
+    import spark.implicits._
+    import graft.operators.MatView
+    val rnd = new Random(4242)
+    val rows = (1 to 600).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(
+          f"2026-02-${1 + rnd.nextInt(3)}%02d 0${rnd.nextInt(10)}:00:00"),
+        rnd.nextInt(4).toLong,
+        if (rnd.nextBoolean()) "a" else "b",
+        math.round(rnd.nextDouble() * 1e4) / 1e4)
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val full = MatView.eventPartials(ev)
+    // random 3-way split, merged pairwise in both association orders
+    val (c0, c1, c2) = (
+      ev.where(pmod(col("event_id"), lit(3)) === 0),
+      ev.where(pmod(col("event_id"), lit(3)) === 1),
+      ev.where(pmod(col("event_id"), lit(3)) === 2))
+    val left = MatView.merge(
+      MatView.merge(MatView.eventPartials(c0), MatView.eventPartials(c1)),
+      MatView.eventPartials(c2))
+    val right = MatView.merge(MatView.eventPartials(c0),
+      MatView.merge(MatView.eventPartials(c1), MatView.eventPartials(c2)))
+    assert(same(left, full), "3-way merge (left assoc) diverged from full")
+    assert(same(right, full), "3-way merge (right assoc) diverged from full")
+    // random deletion: retract ≡ rebuild-from-remaining
+    val del = ev.where(pmod(col("event_id"), lit(7)) === 3)
+    val rem = ev.where(pmod(col("event_id"), lit(7)) =!= 3)
+    assert(same(MatView.retract(full, del, rem), MatView.eventPartials(rem)),
+      "retract diverged from the rebuild")
+  }
 }

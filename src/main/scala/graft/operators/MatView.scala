@@ -188,16 +188,36 @@ object MatView {
     * Sketches union associatively (order-independent), so this rollup
     * merges/maintains exactly like the exact one. Published once per
     * corpus fingerprint. */
+  /** Sketch partials of any events frame — [[sketchRollup]]'s build
+    * unit and the delta side of [[mergeSketch]]. */
+  def sketchPartials(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        hll_sketch_agg(col("user_id")).as("user_sketch"))
+
+  /** Merge two sketch rollups: counts sum, sketches UNION — both
+    * algebraic, so the sketch rollup maintains exactly like the exact
+    * one (incremental merge, streaming upkeep, growth under a frozen
+    * base). What it gives up is [[retract]]: an HLL sketch is a
+    * semilattice with no inverse (you cannot un-add a user), so
+    * deletions fall back to surgical recompute of the touched grains —
+    * same remedy as the exact rollup's min/max, for the same algebraic
+    * reason. MatViewSpec pins merge ≡ rebuild on the estimates. */
+  def mergeSketch(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        hll_union_agg(col("user_sketch")).as("user_sketch"))
+
   def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     Sink.fingerprintedArtifact(
       spark, s"${Sink.artifactRoot}/events_hll/$tag", s"$dir/events.parquet") {
-      Tables.load(spark, dir, "events")
-        .withColumn("event_date", to_date(col("ts")))
-        .groupBy(col("event_date"), col("event_type"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          hll_sketch_agg(col("user_id")).as("user_sketch"))
+      sketchPartials(Tables.load(spark, dir, "events"))
     }
   }
 

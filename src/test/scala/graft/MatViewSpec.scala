@@ -81,6 +81,20 @@ class MatViewSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch rollup maintains: mergeSketch(base, delta) ≡ rebuild, grain-for-grain") {
+    val ev = Tables.load(spark, SharedSpark.sf0001, "events")
+    val base = MatView.sketchPartials(ev.where(pmod(col("event_id"), lit(4)) =!= 3))
+    val delta = MatView.sketchPartials(ev.where(pmod(col("event_id"), lit(4)) === 3))
+    val merged = MatView.mergeSketch(base, delta)
+      .select(col("event_date"), col("event_type"), col("n_events"),
+        hll_sketch_estimate(col("user_sketch")).as("est"))
+    val full = MatView.sketchPartials(ev)
+      .select(col("event_date"), col("event_type"), col("n_events"),
+        hll_sketch_estimate(col("user_sketch")).as("est"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "sketch merge diverged from the full-corpus sketch rollup")
+  }
+
   test("rollup compresses: grain rows strictly below event rows, totals conserved") {
     val ev = Tables.load(spark, SharedSpark.sf0001, "events")
     val r = MatView.eventPartials(ev)

@@ -270,6 +270,65 @@ object Sink {
     }
   }
 
+  /** Storage-level row deletion for a Hive-partitioned layout — the
+    * right-to-be-forgotten path at the FILE level, completing the
+    * maintenance triad ([[refreshPartitions]] lands data,
+    * [[compactPartitions]] repacks it, deleteWhere removes it) and
+    * complementing `MatView.retract`, which repairs the AGGREGATE view
+    * over the same deletion. Parquet files are immutable, so deletion
+    * is rewrite: per partition, a pushed-down existence probe decides
+    * whether the partition holds matching rows at all — reading only
+    * the predicate's columns, skipping row groups by footer stats on a
+    * clustered layout, and leaving clean partitions' files physically
+    * untouched (at 100 TB most partitions are clean: a user's rows
+    * live in a handful of dates). Dirty partitions rewrite to the
+    * surviving rows — re-clustered on `sortCols` so the skipping
+    * contract survives the delete — and swap in by the
+    * [[compactPartitions]] rename dance; a partition whose every row
+    * matches is removed outright. Returns (partition, rows deleted)
+    * per touched partition.
+    *
+    * Same raw-Hive atomicity caveat as compaction (two-rename window);
+    * a table format commits the identical file swap as one snapshot. */
+  def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
+                  predicate: org.apache.spark.sql.Column,
+                  sortCols: Seq[String] = Nil): Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    parts.flatMap { part =>
+      val rows = spark.read.parquet(part.getPath.toString)
+      val nDel = rows.where(predicate).count()
+      if (nDel == 0L) None // clean partition: never rewritten, files untouched
+      else {
+        val dataFiles = fs.listStatus(part.getPath).toSeq.count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        val remaining = rows.where(!predicate)
+        if (remaining.isEmpty) {
+          fs.delete(part.getPath, true): Unit
+          Some((part.getPath.getName, nDel))
+        } else {
+          val n = math.max(1, dataFiles)
+          val packed =
+            if (sortCols.isEmpty) remaining.repartition(n)
+            else remaining.repartitionByRange(n, sortCols.map(col): _*)
+              .sortWithinPartitions(sortCols.map(col): _*)
+          val tag = s"${part.getPath.getName}-$procTag-${java.util.UUID.randomUUID()}"
+          val stg = new org.apache.hadoop.fs.Path(root, s".staging-delete-$tag")
+          packed.write.parquet(stg.toString)
+          val trash = new org.apache.hadoop.fs.Path(root, s".trash-delete-$tag")
+          if (!fs.rename(part.getPath, trash) || !fs.rename(stg, part.getPath))
+            throw new IllegalStateException(
+              s"delete swap failed for ${part.getPath}")
+          fs.delete(trash, true): Unit
+          Some((part.getPath.getName, nDel))
+        }
+      }
+    }
+  }
+
   /** Catalog-backed bucketed + sorted table: two tables bucketed the
     * same way join with ZERO shuffle (no Exchange in the plan — proven
     * in SourcesSpec). At 100 TB this is the layout for fact↔fact joins

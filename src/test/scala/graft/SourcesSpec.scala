@@ -327,6 +327,50 @@ class SourcesSpec extends AnyFunSuite {
       1L << 30, Seq("ts_ms")).isEmpty)
   }
 
+  test("deleteWhere rewrites only dirty partitions, drops emptied ones, keeps clustering") {
+    import spark.implicits._
+    val path = s"${tmp("graft-delete")}/events_by_date"
+    // day 1: mixed users (dirty after the delete); day 2: no user 3
+    // (clean — must stay physically untouched); day 3: ONLY user 3
+    // (emptied — the whole partition dir must go)
+    Seq((1L, 3L, 10L, "2024-01-01"), (2L, 7L, 11L, "2024-01-01"),
+        (3L, 9L, 12L, "2024-01-01"))
+      .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    Sink.refreshPartitions(
+      Seq((4L, 7L, 20L, "2024-01-02"), (5L, 9L, 21L, "2024-01-02"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1),
+      path, "event_date")
+    Sink.refreshPartitions(
+      Seq((6L, 3L, 30L, "2024-01-03"), (7L, 3L, 31L, "2024-01-03"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1),
+      path, "event_date")
+    def files(date: String): Set[(String, Long)] =
+      new java.io.File(s"$path/event_date=$date")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val day2Before = files("2024-01-02")
+    // the right-to-be-forgotten request: user 3, everywhere
+    val res = Sink.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L, sortCols = Seq("ts_ms")).toMap
+    assert(res == Map("event_date=2024-01-01" -> 1L, "event_date=2024-01-03" -> 2L))
+    // clean partition: exact physical files survive (O(dirty dates),
+    // never O(table))
+    assert(files("2024-01-02") == day2Before)
+    // emptied partition: directory gone, not an empty husk
+    assert(!new java.io.File(s"$path/event_date=2024-01-03").exists())
+    // value-exact remainder, clustering restored in the rewritten day
+    val back = spark.read.parquet(path)
+    assert(back.count() == 4)
+    assert(back.where(col("user_id") === 3L).isEmpty)
+    val ts = spark.read.parquet(s"$path/event_date=2024-01-01")
+      .select("ts_ms").collect().map(_.getLong(0))
+    assert(ts.sameElements(ts.sorted))
+    // idempotent: nothing left to delete
+    assert(Sink.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L, Seq("ts_ms")).isEmpty)
+  }
+
   test("fingerprint retention sweep keeps current + N, deletes older prints") {
     import spark.implicits._
     val base = s"${tmp("graft-gc")}/family"

@@ -1005,6 +1005,59 @@ object Analytics {
       |WHERE event_id IN (101, 507, 833)
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q49 — right-to-be-forgotten, graded end-to-end at the STORAGE layer:
+  // a date-partitioned serving copy is published, user 3's rows are
+  // deleted from it via Sink.deleteWhere (dirty partitions rewritten to
+  // survivors, clean ones physically untouched, ts clustering restored),
+  // and the report is computed from the MUTATED layout — graded against
+  // SQL over the flat table excluding the user. A delete that drops a
+  // survivor, misses a partition, or double-rewrites cannot hash-match.
+  // q46 grades the same request at the VIEW layer (rollup retraction);
+  // together they are the complete forget-user path: storage + derived
+  // aggregates. The layout copy is private to this query (its own
+  // artifact family) so the mutation never leaks into q41's pristine
+  // date layout; reruns find the deletion already applied (deleteWhere
+  // is idempotent) and pay nothing.
+  // ---------------------------------------------------------------------
+  private val ForgottenUser = 3L
+
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_forget/$tag/fp_$fp"
+    graft.sources.Sink.publishedArtifactUsing(s, path) { stg =>
+      graft.sources.Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(stg)
+    }
+    graft.sources.Sink.deleteWhere(
+      s, path, "event_date", col("user_id") === ForgottenUser, Seq("ts"))
+    s.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
+  private val q49Sql =
+    s"""SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  MIN(event_id) AS min_event,
+       |  MAX(event_id) AS max_event,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE user_id <> $ForgottenUser
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1028,5 +1081,6 @@ object Analytics {
     QueryDef("q41_partition_pruned_events", q41, Some(q41Sql), headline = true),
     QueryDef("q42_clustered_time_slice", q42, Some(q42Sql), headline = true),
     QueryDef("q45_zorder_user_slice", q45, Some(q45Sql), headline = true),
-    QueryDef("q47_bloom_point_lookup", q47, Some(q47Sql), headline = true))
+    QueryDef("q47_bloom_point_lookup", q47, Some(q47Sql), headline = true),
+    QueryDef("q49_forget_user", q49, Some(q49Sql)))
 }

@@ -29,7 +29,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             EITHER of (ts, user) skip ~3/4 of files;
   *                             q47: bloom-filtered id point lookup
   *                             (content-based skipping where min/max is
-  *                             useless by construction)
+  *                             useless by construction); q49:
+  *                             forget-user graded through the
+  *                             partition-surgical storage delete
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the
@@ -104,13 +106,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             ceiling and the Hamming-shortlist gap,
   *                             and v23: the same decomposed audit for
   *                             v16's IVF×PQ stack (gap = pure ADC
-  *                             quantization error)
+  *                             quantization error); v24-v27: staleness
+  *                             audits + served-index seams for the
+  *                             trained tiers; v28: the nprobe
+  *                             operating-curve sweep (recall vs
+  *                             candidate volume around v13's point)
   *  - [[operators.Multimodal]] m01-m05: binary columns, frame sampling,
   *                             real javax.imageio decode + bilinear
   *                             resize, real javax.sound.sampled WAV
   *                             decode, single-pass media+text pairing,
   *                             shared-frame media near-dup pairs,
-  *                             storage dedup report
+  *                             storage dedup report; m06: the near-dup
+  *                             pairing behind a served frame-digest
+  *                             store (zero payload arithmetic at serve
+  *                             time, m04's oracle verbatim)
   *  - [[CurationPipeline]]     c01-c09: quality filter → exact dedup →
   *                             LSH near-dup removal → split, graded
   *                             end-to-end, plus the corpus budget report,
@@ -121,13 +130,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             best-of-cluster representative selection,
   *                             deterministic curriculum ordering, and
   *                             exact token-budget apportionment;
-  *                             c10-c17: DSIR importance weighting,
+  *                             c10-c18: DSIR importance weighting,
   *                             semantic split contamination, epoch
   *                             materialization, funnel attrition,
   *                             fixed-benchmark decontamination, the
   *                             quality-rule ablation census, the
-  *                             delivery shuffle, and the
-  *                             decontamination ablation census
+  *                             delivery shuffle, the decontamination
+  *                             ablation census, and the loader resume
+  *                             manifest
   */
 object SparkEntry {
 

@@ -188,6 +188,31 @@ object MatView {
     * Sketches union associatively (order-independent), so this rollup
     * merges/maintains exactly like the exact one. Published once per
     * corpus fingerprint. */
+  /** Bootstrap a DATE-PARTITIONED rollup store — the physical layout
+    * [[maintainPartitioned]] maintains. Grain includes event_date, so
+    * each `event_date=…` dir holds exactly its own grains: maintenance
+    * is partition-local by construction. */
+  def bootstrapPartitioned(events: DataFrame, path: String): Unit =
+    Sink.overwritePartitioned(eventPartials(events), path, "event_date")
+
+  /** Incremental maintenance against the partitioned store, rewriting
+    * ONLY the dates the delta touches — the claim the scaladoc above
+    * makes, implemented: the delta's partials name their dates; the
+    * store's rows for THOSE dates (a partition-pruned read) merge with
+    * them; `Sink.refreshPartitions` (dynamic overwrite) swaps in just
+    * those partitions. A daily batch carrying yesterday plus a few
+    * late stragglers rewrites a handful of date dirs out of years —
+    * O(touched dates), never O(table) — and untouched partitions keep
+    * their exact physical files (MatViewSpec proves it, plus read-back
+    * ≡ the full-corpus rollup). */
+  def maintainPartitioned(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    val dp = eventPartials(delta)
+    val touched = dp.select(col("event_date")).distinct()
+    val existing = spark.read.parquet(path)
+      .join(touched, Seq("event_date"), "left_semi")
+    Sink.refreshPartitions(merge(existing, dp), path, "event_date")
+  }
+
   /** Sketch partials of any events frame — [[sketchRollup]]'s build
     * unit and the delta side of [[mergeSketch]]. */
   def sketchPartials(events: DataFrame): DataFrame =

@@ -873,6 +873,45 @@ object Dedup {
        |ORDER BY bands DESC""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // n11 — near-dup SOURCE attribution census: n02's candidate pairs
+  // rolled up by the (source, source) pair that produced them — the
+  // table a data team reads to learn WHICH scrapes overlap (two crawls
+  // of the same sites, a mirror ingested twice, boilerplate shared
+  // across a domain family) before deciding what to stop ingesting.
+  // Pairs are CONSUMED from the graded n02 (fn Spark-side, its SQL as a
+  // nested CTE oracle-side — the c15 discipline); this census adds only
+  // two narrow id-joins to attach sources and one aggregate to
+  // |sources|² rows. The (least, greatest) normalization makes the pair
+  // class orientation-free, so (web, wiki) and (wiki, web) land on one
+  // row. CurationSpec-style tie: Σ n_pairs equals n02's pair count.
+  // ---------------------------------------------------------------------
+  private def n11(s: SparkSession, dir: String): DataFrame = {
+    val pairs = n02(s, dir).select(col("doc_a"), col("doc_b"))
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+  private val n11Sql =
+    s"""WITH pairs AS ($n02Sql),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS src_a,
+       |  greatest(a.source, b.source) AS src_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs p
+       |JOIN src a ON p.doc_a = a.doc_id
+       |JOIN src b ON p.doc_b = b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("n01_minhash_signatures", n01, Some(n01Sql), headline = true),
     QueryDef("n02_minhash_lsh_pairs", n02, Some(n02Sql), headline = true),
@@ -885,5 +924,6 @@ object Dedup {
     // n09's oracle IS n06's SQL: the served path must return exactly
     // what the inline incremental probe returns.
     QueryDef("n09_served_lsh_probe", n09, Some(n06Sql), headline = true),
-    QueryDef("n10_lsh_banding_audit", n10, Some(n10Sql)))
+    QueryDef("n10_lsh_banding_audit", n10, Some(n10Sql)),
+    QueryDef("n11_neardup_source_census", n11, Some(n11Sql)))
 }

@@ -723,4 +723,17 @@ class TextDedupSpec extends AnyFunSuite {
     // normalized grouping is at least as coarse as byte-exact grouping
     assert(df.count() <= run("d01_dedup_exact").count())
   }
+
+  test("n11 source census conserves n02's pairs and normalizes orientation") {
+    val census = run("n11_neardup_source_census").collect()
+    // every n02 pair lands in exactly one census cell
+    val total = census.map(_.getAs[Long]("n_pairs")).sum
+    assert(total == run("n02_minhash_lsh_pairs").count(),
+      "census lost or double-counted candidate pairs")
+    // orientation-free: src_a ≤ src_b on every row, and no mirrored cell
+    val cells = census.map(r =>
+      (r.getAs[String]("src_a"), r.getAs[String]("src_b")))
+    assert(cells.forall { case (a, b) => a <= b })
+    assert(cells.distinct.length == cells.length)
+  }
 }

@@ -742,7 +742,7 @@ object Retrieval {
     QueryDef("r06_query_likelihood", r06, Some(r06Sql)),
     QueryDef("r07_ranking_audit", r07, Some(r07Sql)),
     // r03's oracle verbatim: the hash gate proves served ≡ inline
-    QueryDef("r08_served_bm25_probe", r08, Some(r03Sql)),
+    QueryDef("r08_served_bm25_probe", r08, Some(r03Sql), headline = true),
     // r03's oracle verbatim again: base-segment ∪ delta-segment ≡ rebuild
     QueryDef("r09_segmented_index_growth", r09, Some(r03Sql)))
 }

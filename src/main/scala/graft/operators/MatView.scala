@@ -321,9 +321,59 @@ object MatView {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q50 — growth accounting from the rollup: per day, active users
+  // (DAU), first-time users, and the cumulative distinct-user count —
+  // the product-analytics staple whose naive form (COUNT(DISTINCT) over
+  // an expanding window) rescans the corpus per day. Served from the
+  // rollup it is three bounded steps: the (date, user) activity set is
+  // a projection of the grain (raw events never read), first-seen is
+  // one min per user, and the cumulative series is a running sum over
+  // |dates| rows — the ONLY window, over a frame bounded by the
+  // calendar, not the data. Exact (set semantics via the grain), not
+  // sketched: this is the billing-grade counterpart of q48.
+  // ---------------------------------------------------------------------
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val du = servedRollup(s, dir)
+      .select(col("event_date"), col("user_id")).distinct()
+    val dau = du.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("dau"))
+    val newu = du.groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("event_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_date"))
+      .rowsBetween(Long.MinValue, 0)
+    dau.join(newu, Seq("event_date"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("event_date"))
+  }
+  private val q50Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS event_date, user_id FROM events),
+      |dau AS (
+      |  SELECT event_date, CAST(COUNT(*) AS BIGINT) AS dau
+      |  FROM du GROUP BY 1),
+      |firstd AS (
+      |  SELECT user_id, MIN(event_date) AS event_date FROM du GROUP BY 1),
+      |newu AS (
+      |  SELECT event_date, CAST(COUNT(*) AS BIGINT) AS new_users
+      |  FROM firstd GROUP BY 1)
+      |SELECT dau.event_date, dau.dau,
+      |  CAST(coalesce(newu.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(SUM(coalesce(newu.new_users, 0)) OVER (
+      |    ORDER BY dau.event_date
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM dau LEFT JOIN newu USING (event_date)
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
     QueryDef("q46_rollup_retraction", q46, Some(q46Sql)),
-    QueryDef("q48_sketch_distinct_rollup", q48, Some(q48Sql)))
+    QueryDef("q48_sketch_distinct_rollup", q48, Some(q48Sql)),
+    QueryDef("q50_growth_accounting", q50, Some(q50Sql)))
 }

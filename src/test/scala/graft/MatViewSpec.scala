@@ -119,6 +119,26 @@ class MatViewSpec extends AnyFunSuite {
       "maintained partitioned rollup diverged from the full rollup")
   }
 
+  test("q50 growth identities: dau ≥ new, cum monotone, final cum = total users") {
+    val rows = SparkEntry.queries("q50_growth_accounting")(spark, SharedSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_users") <= r.getAs[Long]("dau"),
+        "more first-time users than active users on a day")
+    }
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("cum_users") <= b.getAs[Long]("cum_users"))
+    }
+    assert(rows.map(_.getAs[Long]("new_users")).sum
+      == rows.last.getAs[Long]("cum_users"),
+      "cumulative series is not the running sum of first-times")
+    val totalUsers = Tables.load(spark, SharedSpark.sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") == totalUsers,
+      "growth accounting lost or invented users")
+  }
+
   test("sketch rollup maintains: mergeSketch(base, delta) ≡ rebuild, grain-for-grain") {
     val ev = Tables.load(spark, SharedSpark.sf0001, "events")
     val base = MatView.sketchPartials(ev.where(pmod(col("event_id"), lit(4)) =!= 3))

@@ -2889,6 +2889,79 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // v29 — attribute-FILTERED ANN (the "filtered vector search" every
+  // production store names: FAISS IDSelector, Milvus expr filter,
+  // pgvector WHERE): top-5 cosine restricted to candidates whose label
+  // is in the query's filter set, over the multi-probe IVF index. The
+  // load-bearing choice is PRE-filter: the predicate lands on the
+  // candidate side BEFORE ranking, so the top-5 is taken over matching
+  // vectors only. The tempting alternative — post-filtering an
+  // unfiltered top-k — STARVES: with ~20% selectivity an unfiltered
+  // top-5 keeps ~1 matching row (SimilaritySpec demonstrates exactly
+  // that against v09's output). Filtering also interacts with nprobe:
+  // a filter thins every cell ~5×, so the probe count that met the
+  // recall SLO unfiltered may not filtered — the v28 sweep is the tool
+  // for re-picking it. Plan shape is v09's with one broadcast-joined
+  // label column and the filter pushed below the rank.
+  // ---------------------------------------------------------------------
+  private val FilterLabels = Seq(2, 7)
+
+  private def v29(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedAssignment(s, dir, maxArn = NProbe)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        col("arn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = t(s, dir, "embeddings")
+      .select(col("vec_id").as("c_id"), col("label"))
+    val corpus = ranked.where(col("arn") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cent_id"))
+      .join(labels, Seq("c_id"))
+      .where(col("label").isin(FilterLabels: _*)) // PRE-filter, below the rank
+    val probes = ranked
+      .where(col("arn") <= NProbe && col("vec_id").between(100, 104))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id").as("probe_cent"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    broadcast(probes)
+      .join(corpus,
+        col("probe_cent") === col("cent_id") && col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wTop).cast(LongType))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("label"),
+        round(col("cosine"), 6).as("cosine_r"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v29Sql =
+    s"""WITH ${ivfCtesSql()},
+       |corpus AS (
+       |  SELECT r.vec_id AS c_id, r.embedding AS c_emb, r.nrm AS c_nrm,
+       |    r.cent_id, e.label
+       |  FROM ranked_assign r JOIN embeddings e ON r.vec_id = e.vec_id
+       |  WHERE r.arn = 1 AND e.label IN (${FilterLabels.mkString(", ")})),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+       |    cent_id AS probe_cent
+       |  FROM ranked_assign
+       |  WHERE arn <= $NProbe AND vec_id BETWEEN 100 AND 104),
+       |scored AS (
+       |  SELECT q_id, c_id, label,
+       |    ${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine
+       |  FROM probes JOIN corpus
+       |    ON probe_cent = cent_id AND q_id <> c_id),
+       |rk AS (
+       |  SELECT q_id, c_id, label, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, c_id, label, round(cosine, 6) AS cosine_r,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2921,5 +2994,6 @@ object Similarity {
     QueryDef("v26_served_pq_codes", v26, Some(v11Sql)),
     // served ≡ inline: v27 grades against v04's oracle verbatim
     QueryDef("v27_served_ivf_lists", v27, Some(v04Sql)),
-    QueryDef("v28_nprobe_sweep", v28, Some(v28Sql)))
+    QueryDef("v28_nprobe_sweep", v28, Some(v28Sql)),
+    QueryDef("v29_filtered_ann", v29, Some(v29Sql)))
 }

@@ -820,4 +820,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p2.getAs[Long]("n_overlap") == v13.map(_.getAs[Long]("n_overlap")).sum)
     assert(p2.getAs[Long]("n_exact") == v13.map(_.getAs[Long]("n_exact")).sum)
   }
+
+  test("v29: every hit satisfies the filter, and post-filtering would have starved") {
+    val rows = SparkEntry.queries("v29_filtered_ann")(spark, SharedSpark.sf0001)
+      .collect()
+    assert(rows.length == 25, s"expected 5 queries × top-5, got ${rows.length}")
+    val allowed = Set(2, 7)
+    rows.foreach(r => assert(allowed(r.getAs[Int]("label")),
+      s"candidate ${r.getAs[Long]("c_id")} violates the label filter"))
+    // the lesson pre-filtering exists for: filtering the UNFILTERED
+    // top-5 after the fact keeps only the few matching rows that
+    // happened to rank — far fewer than the filtered search returns
+    val post = SparkEntry.queries("v09_multiprobe_ivf")(spark, SharedSpark.sf0001)
+      .join(graft.sources.Tables.load(spark, SharedSpark.sf0001, "embeddings")
+        .select(org.apache.spark.sql.functions.col("vec_id").as("c_id"),
+          org.apache.spark.sql.functions.col("label")), Seq("c_id"))
+      .where(org.apache.spark.sql.functions.col("label").isin(2, 7))
+      .count()
+    assert(post < rows.length,
+      s"post-filter kept $post rows — starvation demo degenerate")
+  }
 }

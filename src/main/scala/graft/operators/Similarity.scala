@@ -2962,6 +2962,62 @@ object Similarity {
        |FROM rk WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v30 — corpus kNN graph: EVERY vector's top-3 cosine neighbors, not
+  // just a query sample's — the artifact cluster-based curation methods
+  // (SemDeDup keepers, density filtering, graph-connected dedup) start
+  // from. Brute force is |corpus|² and dead at scale; here the pair
+  // space is cell-confined by the trained IVF assignment (one shuffle
+  // on cent_id, Σ|cell|² pairs — bounded by the balance v10 audits) and
+  // per-vector state is capped by the bounded TopKSmallest aggregate
+  // (never a corpus-wide rank window: with every vector a query, a
+  // window would sort |corpus|²/k rows per cell task). Within-cell
+  // truncation vs the exact graph is the v13 recall trade, priced by
+  // the same audits. Oracle replays the trained-IVF CTEs and takes the
+  // same cell-confined top-3 via a rank window — DuckDB proving the
+  // bounded aggregate ≡ textbook semantics (the v01/d18 pattern).
+  // ---------------------------------------------------------------------
+  private val KnnK = 3
+
+  private def v30(s: SparkSession, dir: String): DataFrame = {
+    val assigned = rankedAssignment(s, dir, maxArn = 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("cent_id"))
+    val b = assigned.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("cent_id"))
+    a.join(b, Seq("cent_id")).where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm"))).as("cosine"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKSmallest
+        .of(-col("cosine"), col("c_id"), KnnK).as("kept"))
+      .select(col("q_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv.payload").as("c_id"),
+        round(-col("kv.key"), 6).as("cosine_r"),
+        (col("pos") + 1).cast(LongType).as("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  private val v30Sql =
+    s"""WITH ${ivfCtesSql()},
+       |m AS (
+       |  SELECT vec_id, embedding, nrm, cent_id
+       |  FROM ranked_assign WHERE arn = 1),
+       |scored AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM m a JOIN m b
+       |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, c_id, round(cosine, 6) AS cosine_r, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $KnnK
+       |ORDER BY q_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -2995,5 +3051,6 @@ object Similarity {
     // served ≡ inline: v27 grades against v04's oracle verbatim
     QueryDef("v27_served_ivf_lists", v27, Some(v04Sql)),
     QueryDef("v28_nprobe_sweep", v28, Some(v28Sql)),
-    QueryDef("v29_filtered_ann", v29, Some(v29Sql)))
+    QueryDef("v29_filtered_ann", v29, Some(v29Sql)),
+    QueryDef("v30_knn_graph", v30, Some(v30Sql)))
 }

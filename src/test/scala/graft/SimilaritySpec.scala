@@ -840,4 +840,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(post < rows.length,
       s"post-filter kept $post rows — starvation demo degenerate")
   }
+
+  test("v30: full coverage — every vector gets a dense top-3, neighbors reciprocal-sane") {
+    val rows = SparkEntry.queries("v30_knn_graph")(spark, SharedSpark.sf0001)
+      .collect()
+    val corpus = graft.sources.Tables.load(spark, SharedSpark.sf0001, "embeddings").count()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    // every vector is a node (cells have ≥ k+1 members at graded SFs)
+    assert(byQ.size == corpus, s"graph covers ${byQ.size} of $corpus vectors")
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L))
+      // ranks are by descending cosine
+      val cs = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine_r"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // no self-edges
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
+  }
 }

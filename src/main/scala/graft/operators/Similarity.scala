@@ -3018,6 +3018,39 @@ object Similarity {
        |FROM ranked WHERE rk <= $KnnK
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v31 — density pruning from the kNN graph: the 50 LEAST-connected
+  // vectors (lowest summed top-3 neighbor similarity) — the
+  // prototypicality/outlier filter cluster-based curation applies after
+  // building v30's graph (SemDeDup prunes the over-connected; this is
+  // the complementary tail: embeddings too far from everything are
+  // noise, OCR garbage, or mislabeled modality). Signals are CONSUMED
+  // from the graded v30 (fn Spark-side, its SQL as a nested CTE
+  // oracle-side). Density is exact-integer: each edge's cosine becomes
+  // round(cosine·10⁶) — identical in both engines because the cosine
+  // doubles are identical — and the per-vector sum of 3 such BIGINTs is
+  // order-free, dodging the float-fold-order trap a double mean would
+  // reopen. Bottom-50 lowers to TakeOrderedAndProject (never a global
+  // sort), ties break on vec_id.
+  // ---------------------------------------------------------------------
+  private def v31(s: SparkSession, dir: String): DataFrame =
+    v30(s, dir)
+      .select(col("q_id").as("vec_id"),
+        round(col("cosine_r") * lit(1000000d)).cast(LongType).as("edge_ppm"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("edge_ppm")).as("density_ppm3"))
+      .orderBy(col("density_ppm3"), col("vec_id"))
+      .limit(50)
+  private val v31Sql =
+    s"""WITH knn AS ($v30Sql)
+       |SELECT vec_id, density_ppm3 FROM (
+       |  SELECT q_id AS vec_id,
+       |    CAST(SUM(CAST(round(cosine_r * 1000000) AS BIGINT)) AS BIGINT)
+       |      AS density_ppm3
+       |  FROM knn GROUP BY 1)
+       |ORDER BY density_ppm3, vec_id
+       |LIMIT 50""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -3052,5 +3085,6 @@ object Similarity {
     QueryDef("v27_served_ivf_lists", v27, Some(v04Sql)),
     QueryDef("v28_nprobe_sweep", v28, Some(v28Sql)),
     QueryDef("v29_filtered_ann", v29, Some(v29Sql)),
-    QueryDef("v30_knn_graph", v30, Some(v30Sql)))
+    QueryDef("v30_knn_graph", v30, Some(v30Sql)),
+    QueryDef("v31_density_prune", v31, Some(v31Sql)))
 }

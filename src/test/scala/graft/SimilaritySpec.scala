@@ -857,4 +857,20 @@ class SimilaritySpec extends AnyFunSuite {
     // no self-edges
     assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
   }
+
+  test("v31: pruned set is the true bottom-50 of v30's densities, top-k plan") {
+    val knn = SparkEntry.queries("v30_knn_graph")(spark, SharedSpark.sf0001)
+      .collect()
+    val density = knn.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
+      q -> rs.map(r => math.round(r.getAs[Double]("cosine_r") * 1e6)).sum
+    }
+    val wantBottom = density.toSeq.sortBy { case (q, d) => (d, q) }.take(50)
+    val got = SparkEntry.queries("v31_density_prune")(spark, SharedSpark.sf0001)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("density_ppm3")))
+    assert(got.toSeq == wantBottom, "pruned set is not the bottom-50 by density")
+    // scale shape: the bottom-k lowers to TakeOrderedAndProject
+    val p = SparkEntry.queries("v31_density_prune")(spark, SharedSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"v31 regressed to a global sort:\n$p")
+  }
 }

@@ -522,6 +522,53 @@ object Analytics {
       |ORDER BY cust_key, version""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q51 — SCD-2 point-in-time join: every order joined to the dimension
+  // VERSION in effect at its date (valid_from ≤ d < valid_to, open
+  // current interval) — the canonical temporal-warehouse read that SCD-2
+  // histories exist to serve ("what priority tier WAS this customer in
+  // when they ordered?"). q23/q37 are event-to-event as-of joins; this
+  // is fact-to-versioned-dimension. The history is CONSUMED from the
+  // graded q32 (fn Spark-side, its SQL as a nested CTE oracle-side).
+  //
+  // Shape: the equi key (cust_key) bounds the join — Catalyst extracts
+  // it and applies the interval predicate as a residual filter, so the
+  // shuffle is the key join's, never an interval cross product; SCD-2
+  // intervals partition each key's timeline, so every order matches
+  // EXACTLY one version (WarehouseSpec pins the exactly-once property
+  // — the invariant a boundary-condition bug in valid_from/valid_to
+  // handling breaks first).
+  // ---------------------------------------------------------------------
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val hist = q32(s, dir)
+      .select(col("cust_key"), col("priority").as("eff_priority"),
+        col("valid_from"), col("valid_to"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    o.join(hist,
+        col("o_custkey") === col("cust_key")
+          && col("o_orderdate") >= col("valid_from")
+          && (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .groupBy(col("eff_priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_custs"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_price"))
+      .orderBy(col("eff_priority"))
+  }
+  private val q51Sql =
+    s"""WITH hist AS ($q32Sql)
+       |SELECT h.priority AS eff_priority,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_custs,
+       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+       |FROM orders o JOIN hist h ON o.o_custkey = h.cust_key
+       |  AND o.o_orderdate >= h.valid_from
+       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q34 — strict ordered funnel over the event stream: of the users who
   // viewed, how many then clicked AFTER their first view, and then
   // purchased AFTER that first qualifying click. Product-analytics
@@ -1082,5 +1129,6 @@ object Analytics {
     QueryDef("q42_clustered_time_slice", q42, Some(q42Sql), headline = true),
     QueryDef("q45_zorder_user_slice", q45, Some(q45Sql), headline = true),
     QueryDef("q47_bloom_point_lookup", q47, Some(q47Sql), headline = true),
-    QueryDef("q49_forget_user", q49, Some(q49Sql)))
+    QueryDef("q49_forget_user", q49, Some(q49Sql)),
+    QueryDef("q51_scd2_pointintime", q51, Some(q51Sql)))
 }

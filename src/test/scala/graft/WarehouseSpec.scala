@@ -271,4 +271,17 @@ class WarehouseSpec extends AnyFunSuite {
       assert(rs.forall(r => r.getAs[Long]("c_id") != r.getAs[Long]("q_id")))
     }
   }
+
+  test("q51: SCD-2 intervals partition the timeline — every order matches exactly once") {
+    // the invariant a valid_from/valid_to boundary bug breaks first: an
+    // off-by-one (≤ vs <) double-matches orders landing on a change
+    // date, a gap drops them. Conservation of n_orders against the raw
+    // table proves exactly-once across every boundary in the data.
+    val rows = SparkEntry.queries("q51_scd2_pointintime")(spark, SharedSpark.sf0001)
+      .collect()
+    val matched = rows.map(_.getAs[Long]("n_orders")).sum
+    val total = graft.sources.Tables.load(spark, SharedSpark.sf0001, "orders").count()
+    assert(matched == total,
+      s"point-in-time join matched $matched of $total orders — boundary bug")
+  }
 }

@@ -297,15 +297,22 @@ object Sink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    // Three-valued-logic guard: delete exactly where the predicate is
+    // TRUE. A bare `where(!predicate)` silently LOSES rows where the
+    // predicate evaluates to NULL (e.g. `col === x` on a null cell):
+    // NULL is neither deleted nor kept. Collapse NULL → false first so
+    // such rows are kept, matching SQL DELETE semantics.
+    val del = org.apache.spark.sql.functions
+      .coalesce(predicate, org.apache.spark.sql.functions.lit(false))
     parts.flatMap { part =>
       val rows = spark.read.parquet(part.getPath.toString)
-      val nDel = rows.where(predicate).count()
+      val nDel = rows.where(del).count()
       if (nDel == 0L) None // clean partition: never rewritten, files untouched
       else {
         val dataFiles = fs.listStatus(part.getPath).toSeq.count(f =>
           f.isFile && !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
-        val remaining = rows.where(!predicate)
+        val remaining = rows.where(!del)
         if (remaining.isEmpty) {
           fs.delete(part.getPath, true): Unit
           Some((part.getPath.getName, nDel))

@@ -333,8 +333,12 @@ class SourcesSpec extends AnyFunSuite {
     // day 1: mixed users (dirty after the delete); day 2: no user 3
     // (clean — must stay physically untouched); day 3: ONLY user 3
     // (emptied — the whole partition dir must go)
-    Seq((1L, 3L, 10L, "2024-01-01"), (2L, 7L, 11L, "2024-01-01"),
-        (3L, 9L, 12L, "2024-01-01"))
+    // day 1 includes a NULL user_id row: `user_id === 3` is NULL there,
+    // and three-valued logic must KEEP it (a bare !pred filter loses it)
+    Seq((1L, java.lang.Long.valueOf(3L), 10L, "2024-01-01"),
+        (2L, java.lang.Long.valueOf(7L), 11L, "2024-01-01"),
+        (3L, java.lang.Long.valueOf(9L), 12L, "2024-01-01"),
+        (8L, null.asInstanceOf[java.lang.Long], 13L, "2024-01-01"))
       .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)
       .write.partitionBy("event_date").parquet(path)
     Sink.refreshPartitions(
@@ -361,8 +365,10 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/event_date=2024-01-03").exists())
     // value-exact remainder, clustering restored in the rewritten day
     val back = spark.read.parquet(path)
-    assert(back.count() == 4)
+    assert(back.count() == 5)
     assert(back.where(col("user_id") === 3L).isEmpty)
+    // the NULL-user row survived the delete (three-valued logic guard)
+    assert(back.where(col("user_id").isNull).count() == 1)
     val ts = spark.read.parquet(s"$path/event_date=2024-01-01")
       .select("ts_ms").collect().map(_.getLong(0))
     assert(ts.sameElements(ts.sorted))

@@ -912,6 +912,68 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // n12 — planted near-dup RECALL audit (audit-the-detector): every doc
+  // gets a deterministic mutated twin (every 10th token dropped — ~70%
+  // shingle Jaccard, squarely in the band the detector is tuned for),
+  // the production LSH pipeline runs over the augmented corpus, and the
+  // report grades how many planted (doc, twin) pairs it caught, in
+  // integer ppm. n07/n10 audit the ESTIMATOR against candidates the
+  // detector already surfaced; this is the complement — labeled ground
+  // truth the detector never saw, measuring end-to-end recall including
+  // what banding MISSES (1−(1−J²)⁴ leaves a deterministic tail at this
+  // mutation strength; the number is the detector's operating point, not
+  // 10⁶). Twin ids ride at +100000, so a caught pair is recognizable by
+  // id arithmetic and organic near-dups can't collide with the label.
+  // Single-source: Spark side runs the REAL minhashSignatures → bandRows
+  // → cappedLshPairs; oracle side reuses minhashCtesSql/lshBandsCtesSql
+  // over the same augmented CTE (index semantics aligned: Spark lambda i
+  // is 0-based, DuckDB's is 1-based — both drop tokens 1, 11, 21, …).
+  // ---------------------------------------------------------------------
+  private val PlantOffset = 100000L
+
+  private def n12(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mutated = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        array_join(filter(col("toks"), (_, i) => i % 10 =!= 0), " ").as("text"))
+    val pairs = cappedLshPairs(bandRows(minhashSignatures(
+      docs.unionByName(mutated))))
+    val caught = pairs
+      .where(col("doc_b") === col("doc_a") + PlantOffset)
+      .agg(count(lit(1)).as("n_caught"))
+    docs.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(caught)
+      .select(col("n_planted"), col("n_caught"),
+        expr("n_caught * 1000000 div n_planted").as("recall_ppm"))
+  }
+  private val n12Sql =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset AS doc_id,
+       |    array_to_string(
+       |      list_filter(${TextOps.tokensSql}, (t, i) -> i % 10 != 1),
+       |      ' ') AS text
+       |  FROM documents),
+       |${minhashCtesSql("aug")},
+       |${lshBandsCtesSql()},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key),
+       |caught AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_caught
+       |  FROM pairs WHERE doc_b = doc_a + $PlantOffset),
+       |planted AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM documents)
+       |SELECT n_planted, n_caught,
+       |  CAST(n_caught * 1000000 // n_planted AS BIGINT) AS recall_ppm
+       |FROM planted CROSS JOIN caught""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("n01_minhash_signatures", n01, Some(n01Sql), headline = true),
     QueryDef("n02_minhash_lsh_pairs", n02, Some(n02Sql), headline = true),
@@ -925,5 +987,6 @@ object Dedup {
     // what the inline incremental probe returns.
     QueryDef("n09_served_lsh_probe", n09, Some(n06Sql), headline = true),
     QueryDef("n10_lsh_banding_audit", n10, Some(n10Sql)),
-    QueryDef("n11_neardup_source_census", n11, Some(n11Sql)))
+    QueryDef("n11_neardup_source_census", n11, Some(n11Sql)),
+    QueryDef("n12_planted_recall_audit", n12, Some(n12Sql)))
 }

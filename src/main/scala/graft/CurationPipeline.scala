@@ -1177,6 +1177,89 @@ object CurationPipeline {
        |WHERE rn = 1
        |ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c19 — planted-leak CONTRACT audit for the benchmark decontaminator
+  // (the n12 discipline applied to c14's fixed-benchmark rule): a
+  // synthetic one-doc benchmark whose tokens cannot occur organically
+  // ("zzleak1 zzleak2 zzleak3" — zero base contamination BY
+  // CONSTRUCTION, which is what makes the contract visible: the real
+  // corpus is organically saturated against its own eval split, so a
+  // corpus-eval plant audit degenerates to all-caught). Three cohorts
+  // prove all three sides of the rule: FULL plants (doc_id % 10 = 1,
+  // the whole 3-gram appended) must ALL be caught; PARTIAL plants
+  // (% 10 = 2, only 2 of the 3 tokens — below the shingle width) must
+  // NONE be caught; UNPLANTED docs are the false-positive control and
+  // must also be zero. A 'zzseparator' token isolates each plant so
+  // boundary shingles never match. Unlike n12's probabilistic LSH
+  // tail, this detector is exact — its contract is all-or-nothing, and
+  // CurationSpec pins the 10⁶/0/0 column. Single-source: tokens and
+  // shingles come from the shared builders on both sides.
+  // ---------------------------------------------------------------------
+  private val LeakText = "zzleak1 zzleak2 zzleak3"
+
+  private def c19(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 1,
+        concat(col("text"), lit(s" zzseparator $LeakText")))
+        .when(pmod(col("doc_id"), lit(10)) === 2,
+          concat(col("text"), lit(" zzseparator zzleak1 zzleak2")))
+        .otherwise(col("text")).as("text"),
+      when(pmod(col("doc_id"), lit(10)) === 1, lit("full_plant"))
+        .when(pmod(col("doc_id"), lit(10)) === 2, lit("partial_plant"))
+        .otherwise(lit("unplanted")).as("kind"))
+    val benchSh = s.range(1).select(lit(LeakText).as("text"))
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(explode(array_distinct(graft.operators.Dedup.shingles(col("toks"))))
+        .as("shingle"))
+      .distinct()
+    val flagged = planted
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.operators.Dedup.shingles(col("toks"))))
+          .as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle")) // c14's broadcast shape
+      .select(col("doc_id")).distinct()
+      .withColumn("f", lit(1L))
+    planted
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("f")).as("n_caught"))
+      .withColumn("catch_ppm", expr("n_caught * 1000000 div n_docs"))
+      .orderBy(col("kind"))
+  }
+  private val c19Sql = {
+    val sh = graft.operators.Dedup.shinglesSql
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 1
+       |           THEN concat(text, ' zzseparator $LeakText')
+       |         WHEN doc_id % 10 = 2
+       |           THEN concat(text, ' zzseparator zzleak1 zzleak2')
+       |         ELSE text END AS text,
+       |    CASE WHEN doc_id % 10 = 1 THEN 'full_plant'
+       |         WHEN doc_id % 10 = 2 THEN 'partial_plant'
+       |         ELSE 'unplanted' END AS kind
+       |  FROM documents),
+       |bench AS (SELECT '$LeakText' AS text),
+       |bench_sh AS (SELECT DISTINCT unnest($sh) AS shingle FROM bench),
+       |flagged AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest($sh) AS shingle FROM planted) p
+       |  JOIN bench_sh USING (shingle))
+       |SELECT kind,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(f.doc_id) AS BIGINT) AS n_caught,
+       |  CAST(COUNT(f.doc_id) * 1000000 // COUNT(*) AS BIGINT) AS catch_ppm
+       |FROM planted
+       |LEFT JOIN flagged f USING (doc_id)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c01_curation_pipeline", c01, Some(c01Sql), headline = true),
     QueryDef("c02_corpus_budget", c02, Some(c02Sql)),
@@ -1193,7 +1276,8 @@ object CurationPipeline {
     QueryDef("c15_quality_ablation", c15, Some(c15Sql)),
     QueryDef("c16_delivery_shuffle", c16, Some(c16Sql)),
     QueryDef("c17_decontamination_ablation", c17, Some(c17Sql)),
-    QueryDef("c18_resume_manifest", c18, Some(c18Sql)))
+    QueryDef("c18_resume_manifest", c18, Some(c18Sql)),
+    QueryDef("c19_planted_leak_audit", c19, Some(c19Sql)))
 
   /** Usage: runMain graft.CurationPipeline <sfDir> <outDir> — writes the
     * curated corpus Hive-partitioned by split and prints per-stage

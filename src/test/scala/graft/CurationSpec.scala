@@ -416,6 +416,21 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_unique_kill") > 0L))
   }
 
+  test("c19: the planted-leak contract is all-or-nothing — 10⁶ / 0 / 0") {
+    val rows = SparkEntry.queries("c19_planted_leak_audit")(spark, dir)
+      .collect().map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_caught"),
+         r.getAs[Long]("catch_ppm"))).toMap
+    val (fp, fc, fppm) = rows("full_plant")
+    assert(fp > 0 && fc == fp && fppm == 1000000L,
+      "a whole planted 3-gram escaped the exact detector")
+    val (_, pc, pppm) = rows("partial_plant")
+    assert(pc == 0L && pppm == 0L,
+      "a below-threshold plant was caught — the rule lost its width contract")
+    val (u, uc, _) = rows("unplanted")
+    assert(u > 0 && uc == 0L, "false positive on an unplanted doc")
+  }
+
   test("c18: resume points bracket the half-epoch mark and exist in c16's manifest") {
     val manifest = SparkEntry.queries("c16_delivery_shuffle")(spark, dir)
       .collect().map(r => ((r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")),

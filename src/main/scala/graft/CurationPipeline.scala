@@ -1140,7 +1140,11 @@ object CurationPipeline {
   // manifest plus the per-shard totals aggregate.
   // ---------------------------------------------------------------------
   private def c18(s: SparkSession, dir: String): DataFrame = {
+    // the manifest feeds both the totals aggregate and the resume scan —
+    // persist at manifest grain so c16's window pass runs once (the c05
+    // persist rule; Verify/Bench's per-query clearCache frees it)
     val m = c16(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = m.groupBy(col("shard"))
       .agg(count(lit(1)).as("rows_total"), max(col("cum_tokens")).as("tokens_total"))
     m.join(tot, Seq("shard"))

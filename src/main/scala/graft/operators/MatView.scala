@@ -370,10 +370,62 @@ object MatView {
       |FROM dau LEFT JOIN newu USING (event_date)
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q52 — partitioned maintenance graded end-to-end: the rollup store is
+  // BOOTSTRAPPED from the pre-growth corpus (everything up to Jan 23,
+  // minus a held-back straggler sliver of Jan 10), then ONE maintenance
+  // batch lands the realistic daily delta — the tail dates plus the
+  // late-arriving Jan 10 stragglers — via maintainPartitioned, and the
+  // daily report is computed from the MAINTAINED store against raw
+  // full-corpus SQL. A maintenance bug (double-merged date, dropped
+  // straggler, unwritten new partition) cannot hash-match. Idempotence
+  // across reruns comes from an applied-delta marker inside the
+  // fingerprinted store dir — the ledger every incremental system keeps
+  // (a table format's commit log plays this role): a rerun finds the
+  // delta applied and serves, exactly like q49's idempotent delete.
+  // ---------------------------------------------------------------------
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val root = s"${Sink.artifactRoot}/events_rollup_part/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("d", to_date(col("ts")))
+    val late = col("d") === "2024-01-10" && pmod(col("event_id"), lit(5)) === 0
+    val isDelta = col("d") > "2024-01-23" || late
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_DELTA_APPLIED_1")
+    if (!fs.exists(marker)) {
+      bootstrapPartitioned(events.where(!isDelta).drop("d"), root)
+      maintainPartitioned(s, root, events.where(isDelta).drop("d"))
+      fs.create(marker, true).close()
+    }
+    s.read.parquet(root)
+      .groupBy(col("event_date"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("min_event")).as("min_event"),
+        max(col("max_event")).as("max_event"),
+        sum(col("sum_value")).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  private val q52Sql =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
     QueryDef("q46_rollup_retraction", q46, Some(q46Sql)),
     QueryDef("q48_sketch_distinct_rollup", q48, Some(q48Sql)),
-    QueryDef("q50_growth_accounting", q50, Some(q50Sql)))
+    QueryDef("q50_growth_accounting", q50, Some(q50Sql)),
+    QueryDef("q52_maintained_rollup_serving", q52, Some(q52Sql)))
 }

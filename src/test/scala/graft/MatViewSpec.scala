@@ -139,6 +139,17 @@ class MatViewSpec extends AnyFunSuite {
       "growth accounting lost or invented users")
   }
 
+  test("q52 is rerun-safe: the applied-delta marker makes maintenance exactly-once") {
+    // a second invocation must find the delta applied and serve the
+    // same rows — without the marker it would re-merge the delta and
+    // double-count every touched grain
+    val first = SparkEntry.queries("q52_maintained_rollup_serving")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    val second = SparkEntry.queries("q52_maintained_rollup_serving")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    assert(first == second, "rerun re-applied the delta — maintenance not exactly-once")
+  }
+
   test("sketch rollup maintains: mergeSketch(base, delta) ≡ rebuild, grain-for-grain") {
     val ev = Tables.load(spark, SharedSpark.sf0001, "events")
     val base = MatView.sketchPartials(ev.where(pmod(col("event_id"), lit(4)) =!= 3))

@@ -344,6 +344,30 @@ class PlanSpec extends AnyFunSuite {
       s"rollup ($rollupRows rows) does not compress events ($eventRows)")
   }
 
+  test("q50/q52: rollup-served reports never scan raw events; q50 has one calendar window") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    for ((name, artifact) <- Seq(
+        "q50_growth_accounting" -> "events_rollup",
+        "q52_maintained_rollup_serving" -> "events_rollup_part")) {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      val scans = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val df = SparkEntry.queries(name)(spark, SharedSpark.sf0001)
+        df.collect()
+        df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+      assert(roots.nonEmpty && roots.forall(_.contains(artifact)),
+        s"$name read something besides its store: $roots")
+    }
+    // q50's only window is the cumulative series over |dates| rows —
+    // calendar-bounded, not data-bounded; a second window means the
+    // distinct/first-seen steps regressed to window form
+    val p = fmt("q50_growth_accounting")
+    assert(p.sliding("Window".length).count(_ == "Window") <= 2, // plan text: node + detail line
+      s"q50 grew extra windows:\n$p")
+  }
+
   test("q45: user predicate skips files in the Z-ordered layout") {
     // the multi-dimension skipping contract: on the Morton layout a
     // USER slice — the predicate the ts-clustered layout cannot serve —

@@ -3051,6 +3051,37 @@ object Similarity {
        |ORDER BY density_ppm3, vec_id
        |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v32 — the kNN graph behind the artifact store: v30's graph is the
+  // expensive product (cell-confined pair scoring over the whole
+  // corpus), and EVERY downstream curation consumer — density pruning,
+  // SemDeDup-style keeper election, duplicate-cluster audits — reads the
+  // same edges. Publishing it once per corpus fingerprint (the serving
+  // matrix's graph cell, after LSH/BQ/PQ/IVF/BM25/frames) turns each
+  // consumer into a scan of 4-column edge rows with ZERO embedding
+  // arithmetic (SimilaritySpec pins no dot-product fold in the serving
+  // plan). v32 replays v31's density pruning as such a consumer, graded
+  // against v31's oracle VERBATIM — the hash gate is the served ≡
+  // inline proof.
+  // ---------------------------------------------------------------------
+  def servedKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Sink.fingerprintedArtifact(
+      s, s"${graft.sources.Sink.artifactRoot}/knn_graph/$tag",
+      s"$dir/embeddings.parquet") {
+      v30(s, dir)
+    }
+  }
+
+  private def v32(s: SparkSession, dir: String): DataFrame =
+    servedKnnGraph(s, dir)
+      .select(col("q_id").as("vec_id"),
+        round(col("cosine_r") * lit(1000000d)).cast(LongType).as("edge_ppm"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("edge_ppm")).as("density_ppm3"))
+      .orderBy(col("density_ppm3"), col("vec_id"))
+      .limit(50)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", v01, Some(v01Sql), headline = true),
     QueryDef("v02_embedding_neardup", v02, Some(v02Sql), headline = true),
@@ -3086,5 +3117,7 @@ object Similarity {
     QueryDef("v28_nprobe_sweep", v28, Some(v28Sql)),
     QueryDef("v29_filtered_ann", v29, Some(v29Sql)),
     QueryDef("v30_knn_graph", v30, Some(v30Sql)),
-    QueryDef("v31_density_prune", v31, Some(v31Sql)))
+    QueryDef("v31_density_prune", v31, Some(v31Sql)),
+    // v31's oracle verbatim: served graph ≡ inline graph
+    QueryDef("v32_served_knn_consumer", v32, Some(v31Sql)))
 }

@@ -873,4 +873,19 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"v31 regressed to a global sort:\n$p")
   }
+
+  test("v32: served graph consumer ≡ inline, zero embedding arithmetic at serve time") {
+    val inline = SparkEntry.queries("v31_density_prune")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    val served = SparkEntry.queries("v32_served_knn_consumer")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    assert(served == inline, "served kNN consumer diverged from the inline pruning")
+    val plan = SparkEntry.queries("v32_served_knn_consumer")(spark, SharedSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("knn_graph"), s"v32 not reading the served graph:\n$plan")
+    // no per-pair dot-product fold, no norm, no centroid assignment —
+    // consumers scan edge rows only
+    assert(!plan.contains("vecdot") && !plan.toLowerCase.contains("embedding"),
+      s"v32 recomputed embedding arithmetic at serve time:\n$plan")
+  }
 }

@@ -569,6 +569,45 @@ object Analytics {
        |ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q53 — DYNAMIC partition pruning: the report's date set comes through
+  // a JOIN (a dim of qualifying dates), not a literal predicate — q41's
+  // static planning-time pruning cannot apply, which at 100 TB is the
+  // difference between scanning 7 partitions and scanning all of them
+  // whenever "which dates" is itself data ("dates in the holiday dim",
+  // "dates the campaign ran"). Spark's DPP closes it at RUNTIME: the dim
+  // side evaluates first, broadcasts its dates as a subquery, and the
+  // partitioned scan prunes on the result — PlanSpec pins the
+  // `dynamicpruningexpression` inside the layout scan's
+  // PartitionFilters. The oracle computes the same report from the flat
+  // table with the dim's defining predicate inlined, so the pruned
+  // serving path is value-proven.
+  // ---------------------------------------------------------------------
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.sources.Tables.eventsByDate(s, dir)
+    // the "campaign dates" dim: membership known only after evaluation
+    val dim = t(s, dir, "events")
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .where(pmod(dayofmonth(col("event_date")), lit(4)) === 1)
+    layout.join(dim, Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  private val q53Sql =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE EXTRACT(DAY FROM CAST(ts AS DATE)) % 4 = 1
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q34 — strict ordered funnel over the event stream: of the users who
   // viewed, how many then clicked AFTER their first view, and then
   // purchased AFTER that first qualifying click. Product-analytics
@@ -1130,5 +1169,6 @@ object Analytics {
     QueryDef("q45_zorder_user_slice", q45, Some(q45Sql), headline = true),
     QueryDef("q47_bloom_point_lookup", q47, Some(q47Sql), headline = true),
     QueryDef("q49_forget_user", q49, Some(q49Sql)),
-    QueryDef("q51_scd2_pointintime", q51, Some(q51Sql)))
+    QueryDef("q51_scd2_pointintime", q51, Some(q51Sql)),
+    QueryDef("q53_dynamic_partition_pruning", q53, Some(q53Sql)))
 }

@@ -368,6 +368,28 @@ class PlanSpec extends AnyFunSuite {
       s"q50 grew extra windows:\n$p")
   }
 
+  test("q53: the join-derived date set prunes partitions at RUNTIME (DPP)") {
+    // the date set arrives through a join, so static pruning cannot
+    // apply; the layout scan must carry a dynamicpruningexpression in
+    // its PartitionFilters — Spark's runtime partition pruning, the
+    // mechanism that keeps dim-driven date reports O(qualifying dates)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("q53_dynamic_partition_pruning")(spark, SharedSpark.sf0001)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events_by_date"))
+            && f.output.map(_.name).contains("user_id") => f
+      }.head
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val pf = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("dynamicpruning"),
+      s"no runtime partition pruning on the layout scan: $pf")
+  }
+
   test("q45: user predicate skips files in the Z-ordered layout") {
     // the multi-dimension skipping contract: on the Morton layout a
     // USER slice — the predicate the ts-clustered layout cannot serve —

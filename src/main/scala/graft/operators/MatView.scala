@@ -204,7 +204,15 @@ object MatView {
     * late stragglers rewrites a handful of date dirs out of years —
     * O(touched dates), never O(table) — and untouched partitions keep
     * their exact physical files (MatViewSpec proves it, plus read-back
-    * ≡ the full-corpus rollup). */
+    * ≡ the full-corpus rollup).
+    *
+    * NOT idempotent on its own: re-applying the same delta folds it
+    * twice. The caller must gate each delta behind an applied ledger
+    * (q52's marker; in production a table format's commit log commits
+    * the partition swap and the ledger entry atomically — on a raw
+    * Hive layout a crash between the overwrite and the marker leaves a
+    * window where a rerun double-applies, the same class of gap as
+    * compactPartitions' two-rename swap). */
   def maintainPartitioned(spark: SparkSession, path: String, delta: DataFrame): Unit = {
     val dp = eventPartials(delta)
     val touched = dp.select(col("event_date")).distinct()

@@ -137,6 +137,31 @@ object DataCoSynthetic {
       DataCoWarehouse.profitByHierarchy(wh.fact, wh.prod, wh.cat, wh.dept),
       "total_profit")
   }
+
+  // ---------------------------------------------------------------------
+  // b05 — the reference's OWN dashboard behind the rollup-serving
+  // discipline: the profit-by-hierarchy measure's (dept, cat) partials —
+  // exact-decimal sums + counts, algebraic, the q43 contract applied to
+  // the DataCo warehouse — publish once per CORPUS-DIR fingerprint
+  // (the derivation reads five tables, so the print covers the whole
+  // dir, not one file), and every dashboard refresh reads |hierarchy|
+  // rows instead of re-running the dim dedup + fact assembly + measure.
+  // This is precisely the refresh loop the reference pays per dashboard
+  // load through Redshift (ref: report pp.16-18): b01 grades the build,
+  // b05 grades the serving path against b01's oracle VERBATIM — a stale
+  // or wrongly-merged rollup cannot hash-match. DataCoSpec pins row
+  // equality with b01 and a serving plan free of fact-table scans.
+  // ---------------------------------------------------------------------
+  private def b05(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val art = graft.sources.Sink.fingerprintedArtifact(
+      s, s"${graft.sources.Sink.artifactRoot}/dataco_profit_rollup/$tag", dir) {
+      val wh = warehouse(s, dir)
+      DataCoWarehouse.profitByHierarchy(wh.fact, wh.prod, wh.cat, wh.dept)
+    }
+    asDouble(art, "total_profit")
+      .orderBy(col("dept_name"), col("cat_name"))
+  }
   private val b01Sql =
     """SELECT concat('DEPT_', CAST((l_partkey % 25) % 5 AS VARCHAR)) AS dept_name,
       |  concat('CAT_', CAST(l_partkey % 25 AS VARCHAR)) AS cat_name,
@@ -195,5 +220,7 @@ object DataCoSynthetic {
     QueryDef("b01_dataco_profit_hierarchy", b01, Some(b01Sql)),
     QueryDef("b02_dataco_sales_by_month", b02, Some(b02Sql)),
     QueryDef("b03_dataco_schedule_adherence", b03, Some(b03Sql)),
-    QueryDef("b04_dataco_late_risk_by_country", b04, Some(b04Sql)))
+    QueryDef("b04_dataco_late_risk_by_country", b04, Some(b04Sql)),
+    // b01's oracle verbatim: served dashboard ≡ rebuilt dashboard
+    QueryDef("b05_dataco_profit_served", b05, Some(b01Sql)))
 }

@@ -182,4 +182,20 @@ class DataCoSpec extends AnyFunSuite {
     assert(f.where(col("route_shape_key").isNull).count() == 0)
     assert(f.select("route_shape_key").distinct().count() == 1)
   }
+
+  test("b05: served dashboard ≡ rebuilt dashboard, no fact scan at serve time") {
+    val inline = SparkEntry.queries("b01_dataco_profit_hierarchy")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    val served = SparkEntry.queries("b05_dataco_profit_served")(spark, SharedSpark.sf0001)
+      .collect().toSeq
+    assert(served == inline, "served dashboard diverged from the warehouse rebuild")
+    // the refresh loop reads |hierarchy| rollup rows — the warehouse
+    // build (dim dedup, fact assembly, measure joins) never re-runs
+    val plan = SparkEntry.queries("b05_dataco_profit_served")(spark, SharedSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dataco_profit_rollup"),
+      s"b05 not reading the served rollup:\n$plan")
+    assert(!plan.contains("lineitem") && !plan.contains("BroadcastHashJoin"),
+      s"b05 re-ran the warehouse at serve time:\n$plan")
+  }
 }

@@ -608,6 +608,66 @@ object Analytics {
       |ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q54 — referential-integrity + coverage census: per FK edge of the
+  // star, the orphan count (child rows whose parent is missing — must be
+  // 0, the invariant every warehouse load job asserts before publishing)
+  // and the childless-parent count (parents no child references — real
+  // nonzero signal here: customers who never ordered, parts never
+  // ordered — the coverage number capacity planning reads). The DQ
+  // check every pipeline runs before a snapshot goes live, as a graded
+  // query: the q24 discipline — the CHECK is the product, and the
+  // oracle re-derives both counts per edge so a broken anti-join or a
+  // dropped edge cannot hash-match. Scale: each edge is two left-anti
+  // joins on its own key (the child side pre-projected to the FK
+  // column), nothing cross-edge; 6 rows out.
+  // ---------------------------------------------------------------------
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(fk).as("k"))
+      val p = parent.select(col(pk).as("k"))
+      val orphans = c.join(p, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val childless = p.join(c.distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless"))
+      orphans.crossJoin(childless).select(lit(name).as("edge"),
+        col("n_orphans"), col("n_childless"))
+    }
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    val r = t(s, dir, "region"); val p = t(s, dir, "part")
+    val su = t(s, dir, "supplier")
+    Seq(
+      edge("lineitem>orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem>part", li, "l_partkey", p, "p_partkey"),
+      edge("lineitem>supplier", li, "l_suppkey", su, "s_suppkey"),
+      edge("orders>customer", o, "o_custkey", c, "c_custkey"),
+      edge("customer>nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("nation>region", n, "n_regionkey", r, "r_regionkey"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("edge"))
+  }
+  private val q54Sql = {
+    def edge(name: String, child: String, fk: String,
+             parent: String, pk: String): String =
+      s"""SELECT '$name' AS edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+         |    AS n_orphans,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $parent p
+         |   WHERE NOT EXISTS (SELECT 1 FROM $child c WHERE c.$fk = p.$pk))
+         |    AS n_childless""".stripMargin
+    Seq(
+      edge("lineitem>orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem>part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem>supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders>customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer>nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("nation>region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
+  // ---------------------------------------------------------------------
   // q34 — strict ordered funnel over the event stream: of the users who
   // viewed, how many then clicked AFTER their first view, and then
   // purchased AFTER that first qualifying click. Product-analytics
@@ -1170,5 +1230,6 @@ object Analytics {
     QueryDef("q47_bloom_point_lookup", q47, Some(q47Sql), headline = true),
     QueryDef("q49_forget_user", q49, Some(q49Sql)),
     QueryDef("q51_scd2_pointintime", q51, Some(q51Sql)),
-    QueryDef("q53_dynamic_partition_pruning", q53, Some(q53Sql)))
+    QueryDef("q53_dynamic_partition_pruning", q53, Some(q53Sql)),
+    QueryDef("q54_referential_integrity", q54, Some(q54Sql)))
 }

@@ -284,4 +284,17 @@ class WarehouseSpec extends AnyFunSuite {
     assert(matched == total,
       s"point-in-time join matched $matched of $total orders — boundary bug")
   }
+
+  test("q54: the star is orphan-free on every FK edge, all six edges present") {
+    val rows = SparkEntry.queries("q54_referential_integrity")(spark, SharedSpark.sf0001)
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") == 0L,
+        s"orphans on ${r.getAs[String]("edge")} — load-order bug in the fixture or a broken anti-join")
+    }
+    // the coverage side carries real signal somewhere (orders without
+    // line items exist in TPC-H-shaped data) — the census isn't vacuous
+    assert(rows.exists(_.getAs[Long]("n_childless") > 0L))
+  }
 }

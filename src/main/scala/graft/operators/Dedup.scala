@@ -923,25 +923,33 @@ object Dedup {
   // truth the detector never saw, measuring end-to-end recall including
   // what banding MISSES (1−(1−J²)⁴ leaves a deterministic tail at this
   // mutation strength; the number is the detector's operating point, not
-  // 10⁶). Twin ids ride at +100000, so a caught pair is recognizable by
-  // id arithmetic and organic near-dups can't collide with the label.
+  // 10⁶). Twin ids ride at +PLANT_OFF where PLANT_OFF = max(doc_id)+1,
+  // derived from the corpus itself (ADVICE r14: a fixed 100000 collides
+  // with organic ids on any corpus above 100k docs): every twin id then
+  // exceeds every organic id, so twins can never collide with organic
+  // rows, and no organic pair can sit exactly PLANT_OFF apart (doc_a ≥ 0
+  // ⇒ doc_a + PLANT_OFF > max organic id) — caught pairs are
+  // recognizable by id arithmetic at any corpus size.
   // Single-source: Spark side runs the REAL minhashSignatures → bandRows
   // → cappedLshPairs; oracle side reuses minhashCtesSql/lshBandsCtesSql
   // over the same augmented CTE (index semantics aligned: Spark lambda i
   // is 0-based, DuckDB's is 1-based — both drop tokens 1, 11, 21, …).
   // ---------------------------------------------------------------------
-  private val PlantOffset = 100000L
-
   private def n12(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // one 1-row scalar, broadcast to both the plant and the label check —
+    // never a driver constant, so the scheme holds at any corpus size
+    val off = broadcast(docs.agg((max(col("doc_id")) + 1L).as("plant_off")))
     val mutated = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select((col("doc_id") + PlantOffset).as("doc_id"),
+      .crossJoin(off)
+      .select((col("doc_id") + col("plant_off")).as("doc_id"),
         array_join(filter(col("toks"), (_, i) => i % 10 =!= 0), " ").as("text"))
     val pairs = cappedLshPairs(bandRows(minhashSignatures(
       docs.unionByName(mutated))))
     val caught = pairs
-      .where(col("doc_b") === col("doc_a") + PlantOffset)
+      .crossJoin(off)
+      .where(col("doc_b") === col("doc_a") + col("plant_off"))
       .agg(count(lit(1)).as("n_caught"))
     docs.agg(count(lit(1)).as("n_planted"))
       .crossJoin(caught)
@@ -949,10 +957,12 @@ object Dedup {
         expr("n_caught * 1000000 div n_planted").as("recall_ppm"))
   }
   private val n12Sql =
-    s"""WITH aug AS (
+    s"""WITH off AS (
+       |  SELECT MAX(doc_id) + 1 AS plant_off FROM documents),
+       |aug AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $PlantOffset AS doc_id,
+       |  SELECT doc_id + (SELECT plant_off FROM off) AS doc_id,
        |    array_to_string(
        |      list_filter(${TextOps.tokensSql}, (t, i) -> i % 10 != 1),
        |      ' ') AS text
@@ -967,7 +977,7 @@ object Dedup {
        |  JOIN kept_buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key),
        |caught AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_caught
-       |  FROM pairs WHERE doc_b = doc_a + $PlantOffset),
+       |  FROM pairs WHERE doc_b = doc_a + (SELECT plant_off FROM off)),
        |planted AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM documents)
        |SELECT n_planted, n_caught,

@@ -39,8 +39,14 @@ import org.apache.spark.sql.types._
 object MatView {
 
   /** Algebraic partials of `events` at (event_date, event_type, user_id)
-    * grain. sum_value is exact DECIMAL(18,4) — float fold-order never
-    * enters the maintained state, so merge order cannot drift it. */
+    * grain. sum_value is exact decimal — float fold-order never enters
+    * the maintained state, so merge order cannot drift it. The STORED
+    * precision is the naturally widened DECIMAL(28,4) (Spark's sum over
+    * DECIMAL(18,4) inputs), NOT the input's 18,4: under default non-ANSI
+    * mode a downcast of an overflowing grain sum becomes NULL silently
+    * and downstream sum() skips it — a hot grain's total would vanish
+    * from every served report at 100 TB with no error. 28,4 gives ten
+    * orders of magnitude of headroom per grain. */
   def eventPartials(events: DataFrame): DataFrame =
     events
       .withColumn("event_date", to_date(col("ts")))
@@ -48,7 +54,7 @@ object MatView {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 4)))
-          .cast(DecimalType(18, 4)).as("sum_value"),
+          .cast(DecimalType(28, 4)).as("sum_value"),
         min(col("event_id")).as("min_event"),
         max(col("event_id")).as("max_event"))
 
@@ -61,7 +67,9 @@ object MatView {
       .groupBy(col("event_date"), col("event_type"), col("user_id"))
       .agg(
         sum(col("n_events")).as("n_events"),
-        sum(col("sum_value")).cast(DecimalType(18, 4)).as("sum_value"),
+        // back to the STORED precision (28,4) — see eventPartials: wide
+        // enough that a real overflow means the grain itself is broken
+        sum(col("sum_value")).cast(DecimalType(28, 4)).as("sum_value"),
         min(col("min_event")).as("min_event"),
         max(col("max_event")).as("max_event"))
 
@@ -214,12 +222,48 @@ object MatView {
     * window where a rerun double-applies, the same class of gap as
     * compactPartitions' two-rename swap). */
   def maintainPartitioned(spark: SparkSession, path: String, delta: DataFrame): Unit = {
-    val dp = eventPartials(delta)
-    val touched = dp.select(col("event_date")).distinct()
-    val existing = spark.read.parquet(path)
-      .join(touched, Seq("event_date"), "left_semi")
-    Sink.refreshPartitions(merge(existing, dp), path, "event_date")
+    // partials are used twice (date probe + merge input): pin them so the
+    // delta aggregation runs once, not per consumer
+    val dp = eventPartials(delta).persist()
+    try {
+      // The touched-date set is tiny BY CONSTRUCTION (a daily batch names
+      // yesterday plus a few stragglers), so collect it into a LITERAL
+      // isin filter: the store read then prunes partitions at PLANNING
+      // time and the merge reads O(touched dates) — matching the
+      // O(touched) write below. The previous semi-join form could not be
+      // planning-pruned (the date set was data-derived) and nothing
+      // guaranteed DPP on a plain parquet read, so at 100 TB the merge's
+      // read side scanned every date partition of the store. (VERDICT r14)
+      val dates = dp.select(col("event_date")).distinct()
+        .collect().map(_.getDate(0)).toSeq
+      if (dates.nonEmpty) {
+        val merged = merge(storeSlice(spark, path, dates), dp)
+        // Stage the merged partials OUTSIDE the live partitions before
+        // the dynamic overwrite: reading and rewriting the same path in
+        // one job happens to work (input listing at planning time,
+        // deletes at commit), but a crash during the multi-partition
+        // commit would leave some dates merged and others not WITH the
+        // pre-merge input already gone — unrepairable because the merge
+        // is not idempotent. From the staged copy the refresh can always
+        // be retried. Dot-prefixed: readers and the overwrite's own
+        // listing skip hidden dirs. (ADVICE r14)
+        val stg = new org.apache.hadoop.fs.Path(
+          path, s".staging-maintain-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+        val fs = stg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        merged.write.parquet(stg.toString)
+        Sink.refreshPartitions(
+          spark.read.parquet(stg.toString), path, "event_date")
+        fs.delete(stg, true): Unit
+      }
+    } finally dp.unpersist(): Unit
   }
+
+  /** The maintained store restricted to `dates` as a PLANNING-TIME
+    * partition-pruned read (literal isin over the partition column —
+    * PlanSpec pins the PartitionFilters and the pruned file count). */
+  def storeSlice(spark: SparkSession, path: String,
+      dates: Seq[java.sql.Date]): DataFrame =
+    spark.read.parquet(path).where(col("event_date").isin(dates: _*))
 
   /** Sketch partials of any events frame — [[sketchRollup]]'s build
     * unit and the delta side of [[mergeSketch]]. */

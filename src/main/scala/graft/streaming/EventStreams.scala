@@ -108,20 +108,94 @@ object EventStreams {
     * retire on a retention window ([[pruneRollupVersions]]), exactly
     * like table-format snapshot expiry. */
   def maintainRollup(events: DataFrame, rollupDir: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Bind the (checkpoint, rollup) pair BEFORE the stream starts: the
+    // exactly-once scheme is only sound while batch ids and committed
+    // versions advance together, and that pairing must fail loudly, not
+    // open — see [[runToken]] / [[mergeBatchIntoRollup]] (ADVICE r14).
+    val token = runToken(events.sparkSession, checkpointDir)
     events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        mergeBatchIntoRollup(batch, rollupDir, id)
+        mergeBatchIntoRollup(batch, rollupDir, id, Some(token))
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .start()
+  }
+
+  /** The run identity that pairs a checkpoint with its rollup: a UUID
+    * created ONCE inside the checkpoint dir, so it lives and dies with
+    * the batch-id sequence. Rationale (ADVICE r14): batch ids restart at
+    * 0 when a checkpoint is lost or recreated; against a SURVIVING
+    * rollupDir every replayed publish would find `v=k` already committed
+    * and no-op — new events silently dropped from the rollup forever.
+    * With the token embedded in the rollup's root marker, that scenario
+    * is a token mismatch and [[mergeBatchIntoRollup]] throws instead. */
+  def runToken(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p.getParent)
+      // create-exclusive: two racing starts both end up READING one token
+      try {
+        val out = fs.create(p, false)
+        try out.write(java.util.UUID.randomUUID().toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => /* concurrent winner */ }
+    }
+    readSmallFile(fs, p)
+  }
+
+  /** Whole-file read of a tiny marker (tokens are one UUID line). */
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+  }
 
   /** One maintenance step — also the replay unit (deterministic in
     * (batch contents, batchId); see [[maintainRollup]]). Public so the
-    * spec can drive a replay directly. */
-  def mergeBatchIntoRollup(batch: DataFrame, rollupDir: String, batchId: Long): Unit = {
+    * spec can drive a replay directly (runId = None skips the pairing
+    * guard — the caller owns the batch-id sequence in that case). */
+  def mergeBatchIntoRollup(batch: DataFrame, rollupDir: String, batchId: Long,
+      runId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    runId.foreach { token =>
+      // Pairing guard: the rollup remembers which run's batch-id sequence
+      // built it. A committed marker under a DIFFERENT token means the
+      // checkpoint this stream runs from is not the one the rollup was
+      // maintained against (lost/recreated checkpoint, or two streams
+      // pointed at one rollup) — its batch ids are meaningless here, and
+      // no-opping on "version already committed" would silently drop
+      // every new event. Fail loudly instead.
+      val marker = new org.apache.hadoop.fs.Path(rollupDir, "_RUN_ID")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker)) {
+        val bound = readSmallFile(fs, marker)
+        if (bound != token)
+          throw new IllegalStateException(
+            s"rollup $rollupDir was maintained by run $bound, but this " +
+            s"stream's checkpoint carries run $token — the checkpoint/" +
+            "rollup pairing is broken (lost or recreated checkpoint?); " +
+            "refusing to no-op against a foreign version sequence")
+      } else if (committedVersions(spark, rollupDir).nonEmpty) {
+        throw new IllegalStateException(
+          s"rollup $rollupDir has committed versions but no _RUN_ID " +
+          "marker — cannot verify it belongs to this stream's checkpoint")
+      } else {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(rollupDir))
+        try {
+          val out = fs.create(marker, false)
+          try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch { case _: java.io.IOException => /* concurrent winner; next
+          batch re-checks */ }
+      }
+    }
     val partials = graft.operators.MatView.eventPartials(batch)
     val merged = committedVersions(spark, rollupDir).filter(_ < batchId)
       .sorted.lastOption match {

@@ -101,6 +101,10 @@ class MatViewSpec extends AnyFunSuite {
     val before = files()
     MatView.maintainPartitioned(spark, path, delta)
     val after = files()
+    // the staged merge copy (crash-retry safety, ADVICE r14) is cleaned up
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith(".staging-maintain")),
+      "maintenance left its staging dir behind")
     // untouched dates keep their exact physical files — O(touched), not O(table)
     before.keys.filterNot(k => k == "event_date=2024-01-10").foreach { k =>
       assert(after(k) == before(k), s"$k was rewritten without cause")

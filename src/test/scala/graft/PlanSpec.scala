@@ -368,6 +368,28 @@ class PlanSpec extends AnyFunSuite {
       s"q50 grew extra windows:\n$p")
   }
 
+  test("maintainPartitioned's merge read prunes to the touched dates at PLANNING time") {
+    // VERDICT r14: the merge's read side must be O(touched dates), not a
+    // full-store scan semi-joined down at runtime. storeSlice is that
+    // read — a literal isin over the partition column — and this pins
+    // both the PartitionFilters and the pruned partition count.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = graft.sources.Tables.load(spark, SharedSpark.sf0001, "events")
+    val path = s"${java.nio.file.Files.createTempDirectory("graft-slice")}/rollup"
+    graft.operators.MatView.bootstrapPartitioned(ev, path)
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }.head
+    val full = scanOf(spark.read.parquet(path))
+    val nFull = full.selectedPartitions.partitionCount
+    assert(nFull > 2, s"store has only $nFull date partitions — test degenerate")
+    val slice = scanOf(graft.operators.MatView.storeSlice(
+      spark, path, Seq(java.sql.Date.valueOf("2024-01-10"))))
+    assert(slice.partitionFilters.exists(_.references.exists(_.name == "event_date")),
+      s"touched-date set not a partition filter: ${slice.partitionFilters}")
+    assert(slice.selectedPartitions.partitionCount == 1,
+      s"slice read ${slice.selectedPartitions.partitionCount} of $nFull partitions")
+  }
+
   test("q53: the join-derived date set prunes partitions at RUNTIME (DPP)") {
     // the date set arrives through a join, so static pruning cannot
     // apply; the layout scan must carry a dynamicpruningexpression in

@@ -377,6 +377,61 @@ class SourcesSpec extends AnyFunSuite {
       col("user_id") === 3L, Seq("ts_ms")).isEmpty)
   }
 
+  test("deleteWhere discovery costs a CONSTANT job count, independent of partition count") {
+    // VERDICT r14 #2: the dirty-partition probe must be ONE distributed
+    // job over the layout (per-partition delete/keep counts from a single
+    // aggregate), not one-plus driver-sequential jobs per partition — at
+    // 10 years of daily partitions the loop form is ~3,650 blocking jobs
+    // before any rewrite. Pin: the same delete against 3× the partitions
+    // launches exactly the same number of Spark jobs.
+    import spark.implicits._
+    def build(nParts: Int): String = {
+      val path = s"${tmp("graft-jobcount")}/layout"
+      val rows = (0 until nParts * 4).map { i =>
+        (i.toLong, if (i % (nParts * 4) == 1) 3L else 7L,
+          f"2024-01-${i % nParts + 1}%02d")
+      }
+      rows.toDF("event_id", "user_id", "event_date")
+        .repartition(2).write.partitionBy("event_date").parquet(path)
+      path
+    }
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is async: wait until the count stabilizes
+        var prev = -1
+        var stable = 0
+        while (stable < 3) {
+          val c = n.get()
+          if (c == prev) stable += 1 else { stable = 0; prev = c }
+          Thread.sleep(100)
+        }
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val small = build(3)
+    val big = build(9)
+    // same dirty shape both times: user 3 lives in exactly one partition
+    val jobsSmall = jobsDuring {
+      assert(Sink.deleteWhere(spark, small, "event_date",
+        col("user_id") === 3L).size == 1)
+    }
+    val jobsBig = jobsDuring {
+      assert(Sink.deleteWhere(spark, big, "event_date",
+        col("user_id") === 3L).size == 1)
+    }
+    assert(jobsSmall == jobsBig,
+      s"probe scales with partition count: $jobsSmall jobs at 3 parts, " +
+        s"$jobsBig at 9 — the per-partition loop is back")
+  }
+
   test("fingerprint retention sweep keeps current + N, deletes older prints") {
     import spark.implicits._
     val base = s"${tmp("graft-gc")}/family"

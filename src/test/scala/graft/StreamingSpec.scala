@@ -703,4 +703,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(deleted.size == 2, s"expected v=0,v=1 retired, got $deleted")
     assert(same(EventStreams.readRollup(spark, dir), expected))
   }
+
+  test("rollup maintenance fails LOUDLY when the checkpoint/rollup pairing breaks") {
+    // ADVICE r14: a lost/recreated checkpoint restarts batch ids at 0;
+    // against a surviving rollup every publish finds v=k committed and
+    // no-ops — new events silently vanish. The run-id marker must turn
+    // that silent fail-open into an explicit failure.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String) = EventStreams.Event(
+      id, java.sql.Timestamp.valueOf(t), 1L, "view", 1.0)
+    val dir = Files.createTempDirectory("graft-rollup-guard").toString
+    val ck1 = Files.createTempDirectory("graft-rollup-guard-ck1").toString
+    // run 1 maintains the rollup and binds it to ck1's run token
+    val in1 = MemoryStream[EventStreams.Event]
+    val q1 = EventStreams.maintainRollup(in1.toDS().toDF(), dir, ck1)
+    try { in1.addData(Seq(ev(1, "2026-01-01 10:00:00"))); q1.processAllAvailable() }
+    finally q1.stop()
+    val head = EventStreams.readRollup(spark, dir).collect().toSeq
+    // run 2: FRESH checkpoint (the "checkpoint dir lost and recreated"
+    // scenario), same rollup dir — its batch ids restart at 0
+    val ck2 = Files.createTempDirectory("graft-rollup-guard-ck2").toString
+    val in2 = MemoryStream[EventStreams.Event]
+    val q2 = EventStreams.maintainRollup(in2.toDS().toDF(), dir, ck2)
+    val thrown = intercept[Exception] {
+      try { in2.addData(Seq(ev(2, "2026-01-01 11:00:00"))); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(thrown).exists(c => c.isInstanceOf[IllegalStateException]
+        && c.getMessage.contains("pairing")),
+      s"foreign-run publish did not fail on the pairing guard: $thrown")
+    // and the guarded failure left the rollup exactly as run 1 committed it
+    assert(EventStreams.readRollup(spark, dir).collect().toSeq == head,
+      "failed foreign-run batch mutated the rollup")
+    // a rollup with committed versions but NO marker (pre-guard layout)
+    // is also refused — pairing cannot be verified
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_RUN_ID"), false)
+    val bare = intercept[IllegalStateException] {
+      EventStreams.mergeBatchIntoRollup(
+        Seq(ev(3, "2026-01-01 12:00:00")).toDS().toDF(), dir, 1L, Some("tok"))
+    }
+    assert(bare.getMessage.contains("_RUN_ID"))
+  }
 }

@@ -1204,6 +1204,63 @@ object Analytics {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q55 — forget-user committed through the SNAPSHOT MANIFEST: the same
+  // right-to-be-forgotten request as q49, but the storage layer is the
+  // reader-isolated store (Snapshot.scala) instead of raw-Hive renames.
+  // The layout is published deliberately OVERSPLIT (several files per
+  // date), so the graded pass exercises the full maintenance cycle:
+  // init (manifest bootstrap) → deleteWhere (single-job probe, dirty
+  // partitions rewritten to survivors, one atomic commit) → compact
+  // (file-count repair, second atomic commit) → report served from
+  // readSnapshot, which lists the MANIFEST, never the directory — the
+  // replaced pre-delete files still sit in the partition dirs until
+  // expiry, and a hash match proves the reader never saw them. Graded
+  // against raw SQL over surviving events; reruns find nothing dirty
+  // and commit nothing (idempotent, like q49). SnapshotSpec proves the
+  // concurrent-reader isolation this store exists for.
+  // ---------------------------------------------------------------------
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_snapstore/$tag/fp_$fp"
+    graft.sources.Sink.publishedArtifactUsing(s, path) { stg =>
+      graft.sources.Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        // oversplit on purpose: a per-date salt fans each date across
+        // several files — the micro-batch debris compaction exists for
+        .repartition(col("event_date"), pmod(col("event_id"), lit(4)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(stg)
+    }
+    graft.sources.Snapshot.init(s, path, "event_date")
+    graft.sources.Snapshot.deleteWhere(s, path, "event_date",
+      col("user_id") === ForgottenUser, Seq("ts"))
+    graft.sources.Snapshot.compact(s, path, "event_date",
+      targetBytes = 1L << 30, sortCols = Seq("ts"))
+    graft.sources.Snapshot.readSnapshot(s, path)
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  private val q55Sql =
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  MIN(event_id) AS min_event,
+       |  MAX(event_id) AS max_event,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE user_id <> $ForgottenUser
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1231,5 +1288,6 @@ object Analytics {
     QueryDef("q49_forget_user", q49, Some(q49Sql)),
     QueryDef("q51_scd2_pointintime", q51, Some(q51Sql)),
     QueryDef("q53_dynamic_partition_pruning", q53, Some(q53Sql)),
-    QueryDef("q54_referential_integrity", q54, Some(q54Sql)))
+    QueryDef("q54_referential_integrity", q54, Some(q54Sql)),
+    QueryDef("q55_snapshot_forget_user", q55, Some(q55Sql), headline = true))
 }

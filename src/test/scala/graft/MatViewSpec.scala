@@ -168,6 +168,43 @@ class MatViewSpec extends AnyFunSuite {
       "sketch merge diverged from the full-corpus sketch rollup")
   }
 
+  test("retractSketch ≡ rebuild-from-remaining; untouched grains keep their sketch BYTES") {
+    val ev = Tables.load(spark, SharedSpark.sf0001, "events")
+    val deleted = ev.where(pmod(col("event_id"), lit(10)) === 7)
+    val remaining = ev.where(pmod(col("event_id"), lit(10)) =!= 7)
+    val full = MatView.sketchPartials(ev)
+    val key = Seq("event_date", "event_type")
+    // non-vacuity: the deletion must leave BOTH touched grains (the
+    // recompute path) and untouched grains (the pass-through path)
+    val touched = MatView.sketchPartials(deleted).select(key.map(col): _*)
+    val nTouched = touched.count()
+    val nUntouched = full.join(touched, key, "left_anti").count()
+    assert(nTouched > 0 && nUntouched > 0,
+      s"degenerate split: $nTouched touched / $nUntouched untouched grains")
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_date"), col("event_type"), col("n_events"),
+        hll_sketch_estimate(col("user_sketch")).as("est"))
+    val got = MatView.retractSketch(full, deleted, remaining)
+    val want = MatView.sketchPartials(remaining)
+    assert(view(got).exceptAll(view(want)).isEmpty
+        && view(want).exceptAll(view(got)).isEmpty,
+      "sketch retraction diverged from the rebuild-from-remaining rollup")
+    // pass-through is literal: untouched grains carry the ORIGINAL sketch
+    // bytes (their stored state is never re-aggregated by a retraction)
+    val origUntouched = full.join(touched, key, "left_anti")
+    val gotUntouched = got.join(touched, key, "left_anti")
+    assert(gotUntouched.exceptAll(origUntouched).isEmpty
+        && origUntouched.exceptAll(gotUntouched).isEmpty,
+      "retraction re-aggregated untouched grains")
+  }
+
+  test("retractSketch with nothing deleted is identity") {
+    val ev = Tables.load(spark, SharedSpark.sf0001, "events")
+    val r = MatView.sketchPartials(ev)
+    val got = MatView.retractSketch(r, ev.where(lit(false)), ev)
+    assert(got.exceptAll(r).isEmpty && r.exceptAll(got).isEmpty)
+  }
+
   test("rollup compresses: grain rows strictly below event rows, totals conserved") {
     val ev = Tables.load(spark, SharedSpark.sf0001, "events")
     val r = MatView.eventPartials(ev)

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Snapshot
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The snapshot-manifest contract (VERDICT r14 #1): readers list from a
+  * committed manifest, writers commit a whole maintenance pass with one
+  * atomic rename — so a reader concurrent with compaction or deletion
+  * sees exactly the old or the new snapshot, never an error or a gap
+  * (the two-rename window of the raw-Hive ops, closed). */
+class SnapshotSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** 3 dates × users {3,5,7}, several files per date (compaction fodder). */
+  private def buildLayout(): String = {
+    import spark.implicits._
+    val path = s"${tmp("graft-snap")}/events_by_date"
+    val rows = for {
+      d <- 1 to 3
+      u <- Seq(3L, 5L, 7L)
+      i <- 0 until 4
+    } yield (d * 100L + u * 10 + i, u, (d * 100 + i).toLong, f"2024-01-0$d%d")
+    rows.toDF("event_id", "user_id", "ts_ms", "event_date")
+      .repartition(4)
+      .write.partitionBy("event_date").parquet(path)
+    path
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("event_id").collect().map(_.getLong(0)).toSet
+
+  test("init bootstraps v1; readSnapshot ≡ the directory read, partition column intact") {
+    val path = buildLayout()
+    assert(Snapshot.init(spark, path, "event_date") == 1L)
+    // idempotent: a second init adopts the existing manifest
+    assert(Snapshot.init(spark, path, "event_date") == 1L)
+    val snap = Snapshot.readSnapshot(spark, path)
+    val dir = spark.read.parquet(path)
+    assert(snap.columns.sorted.sameElements(dir.columns.sorted),
+      s"snapshot lost columns: ${snap.columns.mkString(",")}")
+    assert(ids(snap) == ids(dir))
+    // the partition column came through the basePath read
+    assert(snap.select("event_date").distinct().count() == 3)
+  }
+
+  test("a concurrent reader NEVER sees a gap or an error across delete + compact commits") {
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    val s0 = ids(Snapshot.readSnapshot(spark, path))
+    val s1 = s0.filterNot(id => (id / 10) % 10 == 3) // after forget-user 3
+    val s2 = s1.filterNot(id => (id / 10) % 10 == 5) // after forget-user 5
+    val valid = Set(s0, s1, s2)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val nReads = new java.util.concurrent.atomic.AtomicInteger()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = ids(Snapshot.readSnapshot(spark, path))
+          nReads.incrementAndGet(): Unit
+          if (!valid(got))
+            bad.add(s"inconsistent snapshot: ${got.toSeq.sorted.mkString(",")}"): Unit
+        } catch {
+          case e: Throwable => bad.add(s"reader failed: $e"): Unit
+        }
+      }
+    })
+    reader.start()
+    try {
+      // four maintenance commits interleaving with the reader: two
+      // deletes (row-set transitions) and two compactions (file-set
+      // transitions at a FIXED row set — the pure swap case the raw-Hive
+      // two-rename window breaks)
+      assert(Snapshot.deleteWhere(spark, path, "event_date",
+        col("user_id") === 3L, Seq("ts_ms")).map(_._2).sum == 12L)
+      Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms"))
+      assert(Snapshot.deleteWhere(spark, path, "event_date",
+        col("user_id") === 5L, Seq("ts_ms")).map(_._2).sum == 12L)
+      Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms"))
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(bad.isEmpty, s"reader observed: ${bad.toArray.mkString("; ")}")
+    assert(nReads.get() > 0, "reader never completed a snapshot read")
+    assert(ids(Snapshot.readSnapshot(spark, path)) == s2)
+    // compaction restored clustering inside the rewritten partitions
+    val ts = Snapshot.readSnapshot(spark, path)
+      .where(col("event_date") === "2024-01-02")
+      .select("ts_ms").collect().map(_.getLong(0))
+    assert(ts.sameElements(ts.sorted), "compaction lost the sort contract")
+  }
+
+  test("delete leaves clean partitions' manifest entries and files untouched") {
+    import spark.implicits._
+    val path = s"${tmp("graft-snap-clean")}/layout"
+    Seq((1L, 3L, "2024-01-01"), (2L, 7L, "2024-01-01"), (3L, 7L, "2024-01-02"))
+      .toDF("event_id", "user_id", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    Snapshot.init(spark, path, "event_date")
+    val before = Snapshot.currentFiles(spark, path)._2
+      .filter(_.startsWith("event_date=2024-01-02"))
+    def fileStats(rel: Seq[String]): Set[(String, Long)] = rel.map { r =>
+      val f = new java.io.File(s"$path/$r")
+      (r, f.lastModified())
+    }.toSet
+    val statsBefore = fileStats(before)
+    val res = Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L)
+    assert(res.map(_._1) == Seq("event_date=2024-01-01"))
+    val after = Snapshot.currentFiles(spark, path)._2
+      .filter(_.startsWith("event_date=2024-01-02"))
+    assert(after == before, "clean partition's manifest entries changed")
+    assert(fileStats(after) == statsBefore, "clean partition's files rewritten")
+    // NULL-predicate and idempotence contracts carry over from Sink
+    assert(Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L).isEmpty)
+  }
+
+  test("a fully-matching partition drops from the manifest with zero data work") {
+    import spark.implicits._
+    val path = s"${tmp("graft-snap-drop")}/layout"
+    Seq((1L, 3L, "2024-01-01"), (2L, 7L, "2024-01-02"))
+      .toDF("event_id", "user_id", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    Snapshot.init(spark, path, "event_date")
+    val res = Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L).toMap
+    assert(res == Map("event_date=2024-01-01" -> 1L))
+    assert(Snapshot.currentFiles(spark, path)._2
+      .forall(_.startsWith("event_date=2024-01-02")))
+    assert(ids(Snapshot.readSnapshot(spark, path)) == Set(2L))
+    // the emptied partition's FILES still exist (an older snapshot may be
+    // pinned) — they retire at expiry, not at commit
+    assert(Snapshot.readVersion(spark, path, 1L).count() == 2)
+  }
+
+  test("uncommitted files in partition dirs are invisible to snapshot readers") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    // a crashed writer's debris: a valid parquet file landed in a live
+    // partition dir but never committed to any manifest
+    Seq((999L, 9L, 9L)).toDF("event_id", "user_id", "ts_ms").coalesce(1)
+      .write.parquet(s"$path/.orphan")
+    val orphan = new java.io.File(s"$path/.orphan").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$path/event_date=2024-01-01/${orphan.getName}")
+    assert(orphan.renameTo(dst))
+    assert(ids(Snapshot.readSnapshot(spark, path)) == before,
+      "snapshot read picked up an uncommitted file")
+    // ... while a DIRECTORY read cannot tell debris from data — the
+    // exact failure mode the manifest exists to prevent
+    assert(ids(spark.read.parquet(path)) == before + 999L)
+  }
+
+  test("expire retires old versions and unreferenced files; current version unharmed") {
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L, Seq("ts_ms"))
+    Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms"))
+    val (v, live) = Snapshot.currentFiles(spark, path)
+    assert(v == 3L)
+    val expected = ids(Snapshot.readSnapshot(spark, path))
+    // pinned time travel works pre-expiry
+    assert(ids(Snapshot.readVersion(spark, path, 1L)).size > expected.size)
+    val deleted = Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(deleted.exists(_.startsWith("_manifests/")), "old manifests kept")
+    assert(Snapshot.currentVersion(spark, path).contains(v))
+    assert(ids(Snapshot.readSnapshot(spark, path)) == expected)
+    // on-disk files now = exactly the live set (plus nothing)
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("event_date=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"${f.getParentFile.getName}/${f.getName}").toSet
+    assert(onDisk == live.toSet,
+      s"expiry left garbage or deleted live files: ${onDisk.diff(live.toSet)}")
+  }
+}

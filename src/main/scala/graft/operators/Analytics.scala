@@ -1261,6 +1261,72 @@ object Analytics {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q58 — TIME TRAVEL graded through the hash gate: q55 proved the
+  // snapshot store serves the post-maintenance state; this proves the
+  // pinned PRE-maintenance version stays value-exact AFTER a delete
+  // committed on top of it — the property audits, reproducible
+  // backfills, and as-of debugging depend on ("what did the table say
+  // before the forget-user ran?"). One layout, one deleteWhere commit
+  // (v1 → v2); the report reads BOTH versions side by side — readVersion
+  // pins v1, readSnapshot follows the current pointer — and grades
+  // against a UNION of full-corpus and user-excluded SQL: a pinned read
+  // that leaks the deletion (or a current read that misses it) cannot
+  // hash-match. The replaced files v1 needs still sit in the partition
+  // dirs (retirement is expire's job, deliberately not run here) — the
+  // manifest, not the directory, decides which a reader sees.
+  // ---------------------------------------------------------------------
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_timetravel/$tag/fp_$fp"
+    if (graft.sources.Snapshot.currentVersion(s, path).isEmpty) {
+      // manifest-as-success-marker: data without a manifest is an
+      // aborted bootstrap — rebuild it
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      graft.sources.Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(path)
+      graft.sources.Snapshot.init(s, path, "event_date"): Unit
+    }
+    // idempotent: a rerun probes, finds nothing dirty, commits nothing —
+    // the version history stays exactly (v1 full, v2 post-delete)
+    graft.sources.Snapshot.deleteWhere(s, path, "event_date",
+      col("user_id") === ForgottenUser, Seq("ts")): Unit
+    def report(rows: DataFrame, label: String): DataFrame =
+      rows.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("snapshot", lit(label))
+    report(graft.sources.Snapshot.readVersion(s, path, 1L), "v1_pre_delete")
+      .unionByName(
+        report(graft.sources.Snapshot.readSnapshot(s, path), "v2_post_delete"))
+      .orderBy(col("snapshot"), col("event_type"))
+  }
+  private val q58Sql =
+    s"""SELECT 'v1_pre_delete' AS snapshot, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'v2_post_delete' AS snapshot, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE user_id <> $ForgottenUser
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1289,5 +1355,6 @@ object Analytics {
     QueryDef("q51_scd2_pointintime", q51, Some(q51Sql)),
     QueryDef("q53_dynamic_partition_pruning", q53, Some(q53Sql)),
     QueryDef("q54_referential_integrity", q54, Some(q54Sql)),
-    QueryDef("q55_snapshot_forget_user", q55, Some(q55Sql), headline = true))
+    QueryDef("q55_snapshot_forget_user", q55, Some(q55Sql), headline = true),
+    QueryDef("q58_snapshot_time_travel", q58, Some(q58Sql)))
 }

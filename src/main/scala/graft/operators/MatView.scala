@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.sources.{Sink, Tables}
+import graft.sources.{Sink, Snapshot, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -539,6 +539,57 @@ object MatView {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q57 — rollup maintenance from the SNAPSHOT CHANGE FEED: the q44
+  // base+delta merge, but the delta arrives through Snapshot.changes —
+  // the incremental-consumption contract a maintenance job runs on at
+  // 100 TB (read ONE batch's files, never re-scan the table, and never
+  // re-derive "what's new" from data predicates). The base cohort
+  // (event_id % 4 <> 3) bootstraps the snapshot layout as v1; the delta
+  // cohort lands as ONE manifest append (v2); the consumer reads the
+  // pinned v1 for its frozen base rollup and changes(1→2) for the delta
+  // partials, merges, and reports daily — graded against raw FULL-corpus
+  // SQL (q44's oracle verbatim), so a change feed that misses a file,
+  // re-reads a base file, or crosses versions wrongly cannot hash-match.
+  // The feed refuses to cross rewrite commits (spec-pinned) — this query
+  // grades the append-only happy path that property protects.
+  // ---------------------------------------------------------------------
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val root = s"${Sink.artifactRoot}/events_snapfeed/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val isDelta = pmod(col("event_id"), lit(4)) === 3
+    if (Snapshot.currentVersion(s, root).isEmpty) {
+      // a data dir without a manifest is an aborted bootstrap — the
+      // manifest is the success marker here; rebuild, don't serve
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(!isDelta)
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(root)
+      Snapshot.init(s, root, "event_date"): Unit
+    }
+    if (Snapshot.currentVersion(s, root).contains(1L))
+      Snapshot.append(s, root, "event_date", events.where(isDelta),
+        Map("source" -> "delta-cohort")): Unit
+    val base = eventPartials(Snapshot.readVersion(s, root, 1L))
+    val feed = Snapshot.changes(s, root, 1L, 2L)
+    merge(base, eventPartials(feed))
+      .groupBy(col("event_date"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(col("event_type")).as("n_types"),
+        min(col("min_event")).as("min_event"),
+        max(col("max_event")).as("max_event"),
+        sum(col("sum_value")).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_date"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
@@ -546,5 +597,9 @@ object MatView {
     QueryDef("q48_sketch_distinct_rollup", q48, Some(q48Sql)),
     QueryDef("q50_growth_accounting", q50, Some(q50Sql)),
     QueryDef("q52_maintained_rollup_serving", q52, Some(q52Sql)),
-    QueryDef("q56_sketch_retraction", q56, Some(q56Sql)))
+    QueryDef("q56_sketch_retraction", q56, Some(q56Sql)),
+    // oracle = q44's SQL VERBATIM: the feed-driven merge must reproduce
+    // the full-corpus daily report exactly — that hash match IS the
+    // "change feed ≡ the delta" proof
+    QueryDef("q57_snapshot_change_feed", q57, Some(q44Sql), headline = true))
 }

@@ -54,24 +54,35 @@ object Sink {
     * regeneration of the corpus (same path, new files) changes the
     * print, so a path-keyed artifact can never be served against data it
     * was not trained on. A listing digest is the filesystem-generic
-    * fallback; on a table format with real snapshots (Delta/Iceberg) the
-    * snapshot id is the same key for free, and on an object store the
-    * listing is one LIST call per thousand files — cheap next to the
-    * training job it gates. */
+    * fallback; a SNAPSHOT-MANAGED corpus ([[Snapshot]]) short-circuits to
+    * a digest of its current manifest — every content change commits a
+    * new manifest, so the manifest bytes ARE the content key, and the
+    * probe is O(1) reads at any file count (the "at 100 TB the
+    * fingerprint is a manifest read, not a listing" path; a table
+    * format's snapshot id is the same idea). */
   def corpusFingerprint(spark: SparkSession, corpusPath: String): String = {
-    val p = new org.apache.hadoop.fs.Path(corpusPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = fs.makeQualified(p).toString
-    val it = fs.listFiles(p, true)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
-        entries += s"${f.getPath.toString.stripPrefix(base)}|${f.getLen}|${f.getModificationTime}"
-    }
     val md = java.security.MessageDigest.getInstance("MD5")
-    entries.sorted.foreach(e => md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    Snapshot.currentVersion(spark, corpusPath) match {
+      case Some(v) =>
+        md.update(s"snapshot-manifest\nv=$v\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Snapshot.filesOf(spark, corpusPath, v).sorted.foreach(f =>
+          md.update(s"$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(corpusPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val base = fs.makeQualified(p).toString
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith("."))
+            entries += s"${f.getPath.toString.stripPrefix(base)}|${f.getLen}|${f.getModificationTime}"
+        }
+        entries.sorted.foreach(e =>
+          md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 

@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
   * This unifies the engine's four ad-hoc commit protocols (staged
   * renames, q52's applied-delta marker, streaming v=batchId versions,
   * the `_spark_metadata` freeze hand-off) into the one shape they were
-  * all approximating: stage files, swing a single pointer.
+  * all approximating: stage files, swing a single pointer. [[append]]
+  * closes the loop on the ingest side — streaming micro-batches commit
+  * through the same manifest (run/batch identity in the header, so
+  * replays are detectable), which retires the `_spark_metadata` freeze
+  * hand-off entirely: maintenance and ingest speak one protocol, and
+  * [[changes]] gives consumers an incremental feed over the appends.
   *
   * Scale: a manifest is O(files) text — at 100 TB that is the same
   * metadata a table format keeps, and the commit cost is one rename
@@ -65,8 +70,14 @@ object Snapshot {
     committedVersions(fsOf(spark, root), root).lastOption
   }
 
-  /** The file list of snapshot `v` (root-relative paths, sorted). */
-  def filesOf(spark: SparkSession, path: String, v: Long): Seq[String] = {
+  /** All committed snapshot versions, oldest first — the time-travel /
+    * change-feed enumeration surface. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    committedVersions(fsOf(spark, root), root)
+  }
+
+  private def manifestText(spark: SparkSession, path: String, v: Long): String = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val p = manifestPath(root, v)
@@ -74,8 +85,26 @@ object Snapshot {
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
-    new String(buf, Charset).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    new String(buf, Charset)
   }
+
+  /** The file list of snapshot `v` (root-relative paths, sorted).
+    * Metadata lines (`#key=value` — see [[metaOf]]) are skipped, so
+    * pre-metadata manifests parse identically. */
+  def filesOf(spark: SparkSession, path: String, v: Long): Seq[String] =
+    manifestText(spark, path, v).split("\n").toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** Commit metadata of snapshot `v`: the `#key=value` header lines the
+    * committing op wrote — `op` (init/append/compact/delete) always,
+    * plus caller-supplied pairs (e.g. the streaming ingest's run/batch
+    * identity). Manifests from before the metadata format return empty. */
+  def metaOf(spark: SparkSession, path: String, v: Long): Map[String, String] =
+    manifestText(spark, path, v).split("\n").toSeq
+      .map(_.trim).filter(_.startsWith("#"))
+      .map(_.stripPrefix("#").split("=", 2))
+      .collect { case Array(k, value) => k -> value }
+      .toMap
 
   /** (current version, its file list). */
   def currentFiles(spark: SparkSession, path: String): (Long, Seq[String]) = {
@@ -90,14 +119,19 @@ object Snapshot {
     * fails — a reader can never observe a half-written one. */
   private def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, prev: Option[Long],
-      files: Seq[String]): Long = {
+      files: Seq[String], meta: Map[String, String]): Long = {
+    meta.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
+        !v.contains("\n"), s"invalid manifest metadata pair: '$k'='$v'")
+    }
     val next = prev.getOrElse(0L) + 1
     val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    val header = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val out = fs.create(tmp, false)
-    try out.write(files.sorted.mkString("\n").getBytes(Charset))
+    try out.write((header ++ files.sorted).mkString("\n").getBytes(Charset))
     finally out.close()
     val target = manifestPath(root, next)
     // single-writer contract: a pre-existing target means a concurrent
@@ -121,7 +155,7 @@ object Snapshot {
       val rel = listDataFiles(fs, root, partitionCol)
         .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
       require(rel.nonEmpty, s"no data files under $path to snapshot")
-      commit(fs, root, None, rel)
+      commit(fs, root, None, rel, Map("op" -> "init"))
     }
   }
 
@@ -228,7 +262,7 @@ object Snapshot {
         moved
       }
     }
-    if (changed) commit(fs, root, Some(v), newList): Unit
+    if (changed) commit(fs, root, Some(v), newList, Map("op" -> "compact")): Unit
     results.toSeq
   }
 
@@ -279,8 +313,96 @@ object Snapshot {
     val newList = byPart.toSeq.flatMap { case (part, old) =>
       replacements.getOrElse(part, old)
     }
-    commit(fs, root, Some(v), newList): Unit
+    commit(fs, root, Some(v), newList, Map("op" -> "delete")): Unit
     dirty.toSeq.map { case (value, nDel, _) => (partDirName(value), nDel) }
+  }
+
+  /** Atomic APPEND: land `rows` as a new snapshot version — the ingest
+    * half of the manifest protocol ([[compact]]/[[deleteWhere]] are the
+    * maintenance half). Files stage through a hidden dir, move into
+    * their `partitionCol=…` dirs (unique writer names — nothing
+    * collides, nothing is referenced until the commit), and the new
+    * manifest = previous files + new files lands with ONE atomic rename:
+    * a concurrent reader sees the pre-append or post-append snapshot,
+    * never a partial batch. On a layout with no manifest yet, the append
+    * bootstraps version 1 (batch backfill and streaming ingest share one
+    * code path).
+    *
+    * `meta` rides in the manifest header (`#key=value`) — the streaming
+    * ingest stores its (run, batch) identity there, which is what makes
+    * micro-batch replays detectable WITHOUT a separate transaction log
+    * (see [[graft.streaming.EventStreams.appendBatchToSnapshot]]).
+    * An empty `rows` still commits (metadata-only version): an empty
+    * micro-batch must advance the batch marker or its replay would
+    * re-run forever.
+    *
+    * Scale: the data write is the caller's partitioned write (same cost
+    * as any ingest); the commit adds one manifest write + one rename
+    * regardless of batch size or partition count. */
+  def append(spark: SparkSession, path: String, partitionCol: String,
+      rows: DataFrame, meta: Map[String, String] = Map.empty): Long = {
+    require(rows.columns.contains(partitionCol),
+      s"append rows lack partition column '$partitionCol'")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    fs.mkdirs(root)
+    val prev = committedVersions(fs, root).lastOption
+    val prevFiles = prev.map(v => filesOf(spark, path, v)).getOrElse(Seq.empty)
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-append-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    rows.write.partitionBy(partitionCol).parquet(stg.toString)
+    val moved = fs.listStatus(stg).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partitionCol="))
+      .flatMap { d =>
+        val partDir = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+        fs.mkdirs(partDir)
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map { f =>
+            val dst = new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)
+            if (!fs.rename(f.getPath, dst))
+              throw new IllegalStateException(s"append staging move failed: $dst")
+            s"${partDir.getName}/${f.getPath.getName}"
+          }
+      }
+    fs.delete(stg, true): Unit
+    commit(fs, root, prev, prevFiles ++ moved, Map("op" -> "append") ++ meta)
+  }
+
+  /** Incremental change feed: the rows APPENDED between snapshot `fromV`
+    * (exclusive) and `toV` (inclusive) — what a downstream consumer
+    * (rollup maintenance, index append, replication) reads instead of
+    * re-scanning the table. Sound because appends only ADD manifest
+    * entries, so file-list difference IS the row delta; a rewrite commit
+    * (compact/delete) breaks that attribution — its files carry old rows
+    * under new names — so the feed REFUSES to cross one and the consumer
+    * must re-sync from a full snapshot read (the Delta/Iceberg CDC
+    * contract at its minimum size). At 100 TB this is the difference
+    * between maintenance jobs that read one batch and jobs that re-read
+    * the table. */
+  def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"change feed needs fromV < toV, got $fromV -> $toV")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val committed = committedVersions(fs, root)
+    require(committed.contains(fromV) && committed.contains(toV),
+      s"change feed $fromV -> $toV references uncommitted/expired versions " +
+      s"(committed: ${committed.mkString(",")})")
+    committed.filter(v => v > fromV && v <= toV).foreach { v =>
+      val op = metaOf(spark, path, v).getOrElse("op", "unknown")
+      if (op != "append")
+        throw new IllegalStateException(
+          s"change feed $fromV -> $toV crosses commit v=$v (op=$op): a " +
+          "rewrite re-files existing rows, so file-list difference no " +
+          "longer equals the row delta — re-sync from a full snapshot read")
+    }
+    val added = (filesOf(spark, path, toV).toSet --
+      filesOf(spark, path, fromV).toSet).toSeq.sorted
+    if (added.isEmpty) readVersion(spark, path, toV).limit(0)
+    else spark.read.option("basePath", qualified)
+      .parquet(added.map(f => s"$qualified/$f"): _*)
   }
 
   /** Snapshot expiry — the retention sweep: keep the newest `keep`

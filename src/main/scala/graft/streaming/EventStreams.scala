@@ -84,6 +84,86 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Stream events into a SNAPSHOT-MANAGED layout ([[graft.sources.Snapshot]])
+    * — the successor to [[ingestPartitioned]]'s `_spark_metadata` path:
+    * each micro-batch commits through the manifest ([[Snapshot.append]]),
+    * so ingest and maintenance speak ONE protocol. Consequences the
+    * file-sink path cannot offer:
+    *
+    *  - no freeze hand-off: [[graft.sources.Snapshot.compact]] /
+    *    [[graft.sources.Snapshot.deleteWhere]] apply between batches with
+    *    no transaction-log surgery (the `_spark_metadata` log made the
+    *    sink the directory's owner; here everyone commits manifests).
+    *    An append racing a maintenance commit loses the manifest rename,
+    *    fails loudly, and the batch replays — never a silent clobber.
+    *  - readers get snapshot isolation DURING ingest, not just after
+    *    retirement, and [[graft.sources.Snapshot.changes]] hands
+    *    downstream consumers the exact batch delta.
+    *
+    * Exactly-once across replays: the batch's (run, batch) identity rides
+    * in the manifest header. A replayed batch finds its id already
+    * committed under this run and no-ops; a FOREIGN run id (lost or
+    * recreated checkpoint against a surviving layout — ADVICE r14's
+    * failure class) fails loudly instead of double-ingesting from source
+    * start. */
+  def ingestSnapshot(spark: SparkSession, source: StreamSources.StreamSource,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = runToken(spark, checkpointDir)
+    readEventStream(spark, source)
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendBatchToSnapshot(batch, outDir, id, Some(token))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One snapshot-ingest step — also the replay unit. Deterministic in
+    * (batch contents, batchId); public so the spec can drive replay and
+    * broken-pairing scenarios directly. Guard logic reads the NEWEST
+    * append commit's manifest header (maintenance commits between stream
+    * runs carry no run identity and are skipped over):
+    *  - same run, batch already committed → replay, no-op;
+    *  - different run → the checkpoint this stream runs from is not the
+    *    one the layout was ingested against; its batch ids are
+    *    meaningless here and its source offsets restart from the
+    *    beginning — appending would double every row, so fail loudly;
+    *  - no append history (fresh or batch-bootstrapped layout) → this
+    *    run adopts it.
+    * Retention caveat: [[graft.sources.Snapshot.expire]] must not retire
+    * the last append's manifest while its batch could still replay —
+    * quiesce the stream before expiry (the usual maintenance-window
+    * contract; only the in-flight batch is ever redelivered). */
+  def appendBatchToSnapshot(batch: DataFrame, outDir: String, batchId: Long,
+      runId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Snapshot
+    val isReplay = runId.exists { token =>
+      Snapshot.versions(spark, outDir).reverse.iterator
+        .map(v => Snapshot.metaOf(spark, outDir, v))
+        .find(_.get("op").contains("append"))
+        .exists { m =>
+          m.get("run") match {
+            case Some(bound) if bound != token =>
+              throw new IllegalStateException(
+                s"snapshot layout $outDir was ingested by run $bound, but " +
+                s"this stream's checkpoint carries run $token — the " +
+                "checkpoint/layout pairing is broken (lost or recreated " +
+                "checkpoint?); refusing to re-ingest from source start")
+            case Some(_) => m.get("batch").exists(_.toLong >= batchId)
+            case None => false
+          }
+        }
+    }
+    if (!isReplay)
+      Snapshot.append(spark, outDir, "event_date", batch,
+        runId.map("run" -> _).toMap + ("batch" -> batchId.toString)): Unit
+  }
+
   /** Streaming maintenance of the MatView rollup: each micro-batch's
     * algebraic partials merge into the maintained rollup, so dashboards
     * read rollup-grain rows continuously instead of re-scanning the

@@ -164,6 +164,94 @@ class SnapshotSpec extends AnyFunSuite {
     assert(ids(spark.read.parquet(path)) == before + 999L)
   }
 
+  test("append lands atomically with metadata; old files, pinned versions and new partitions coexist") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    val (v1, files1) = Snapshot.currentFiles(spark, path)
+    val delta = Seq(
+      (9001L, 9L, 1L, "2024-01-03"), // existing partition
+      (9002L, 9L, 2L, "2024-01-04")) // brand-new partition
+      .toDF("event_id", "user_id", "ts_ms", "event_date")
+    val v2 = Snapshot.append(spark, path, "event_date", delta,
+      Map("source" -> "spec"))
+    assert(v2 == v1 + 1)
+    val meta = Snapshot.metaOf(spark, path, v2)
+    assert(meta.get("op").contains("append"))
+    assert(meta.get("source").contains("spec"))
+    val files2 = Snapshot.currentFiles(spark, path)._2
+    assert(files1.toSet.subsetOf(files2.toSet),
+      "append dropped pre-existing manifest entries")
+    assert(files2.exists(_.startsWith("event_date=2024-01-04/")),
+      "append did not create the new partition")
+    val before = ids(Snapshot.readVersion(spark, path, v1))
+    assert(ids(Snapshot.readSnapshot(spark, path)) == before ++ Set(9001L, 9002L))
+    // the pinned pre-append version never sees the new rows
+    assert(!ids(Snapshot.readVersion(spark, path, v1)).contains(9001L))
+  }
+
+  test("an empty append advances the version carrying metadata only") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    val empty = Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "user_id", "ts_ms", "event_date")
+    val v2 = Snapshot.append(spark, path, "event_date", empty, Map("batch" -> "7"))
+    assert(v2 == 2L)
+    assert(Snapshot.metaOf(spark, path, 2L).get("batch").contains("7"))
+    assert(Snapshot.changes(spark, path, 1L, 2L).count() == 0)
+    assert(ids(Snapshot.readSnapshot(spark, path)) ==
+      ids(Snapshot.readVersion(spark, path, 1L)))
+  }
+
+  test("changes returns exactly the appended rows and refuses to cross a rewrite") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date") // v1
+    def delta(id: Long) = Seq((id, 9L, id, "2024-01-05"))
+      .toDF("event_id", "user_id", "ts_ms", "event_date")
+    Snapshot.append(spark, path, "event_date", delta(9001L)) // v2
+    Snapshot.append(spark, path, "event_date", delta(9002L)) // v3
+    assert(ids(Snapshot.changes(spark, path, 1L, 2L)) == Set(9001L))
+    assert(ids(Snapshot.changes(spark, path, 2L, 3L)) == Set(9002L))
+    assert(ids(Snapshot.changes(spark, path, 1L, 3L)) == Set(9001L, 9002L))
+    // the partition column rides the feed (basePath read)
+    assert(Snapshot.changes(spark, path, 1L, 3L)
+      .select("event_date").distinct().count() == 1)
+    // a delete commit re-files surviving rows — incremental attribution
+    // breaks, and the feed says so instead of double-reading
+    Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L, Seq("ts_ms")) // v4
+    val ex = intercept[IllegalStateException](
+      Snapshot.changes(spark, path, 1L, 4L))
+    assert(ex.getMessage.contains("op=delete"))
+    // ...while a window that stops before the rewrite still serves
+    assert(ids(Snapshot.changes(spark, path, 1L, 3L)) == Set(9001L, 9002L))
+  }
+
+  test("a snapshot-managed corpus fingerprints from the manifest, not the listing") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    val fp1 = graft.sources.Sink.corpusFingerprint(spark, path)
+    assert(graft.sources.Sink.corpusFingerprint(spark, path) == fp1)
+    // uncommitted debris in a live partition dir moves a LISTING print but
+    // not the manifest print — the staleness key tracks committed content
+    Seq((999L, 9L, 9L)).toDF("event_id", "user_id", "ts_ms").coalesce(1)
+      .write.parquet(s"$path/.orphan")
+    val orphan = new java.io.File(s"$path/.orphan").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(orphan.renameTo(
+      new java.io.File(s"$path/event_date=2024-01-01/${orphan.getName}")))
+    assert(graft.sources.Sink.corpusFingerprint(spark, path) == fp1,
+      "uncommitted debris moved the manifest-keyed fingerprint")
+    // every commit moves it
+    Snapshot.append(spark, path, "event_date",
+      Seq((9001L, 9L, 1L, "2024-01-05"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date"))
+    assert(graft.sources.Sink.corpusFingerprint(spark, path) != fp1)
+  }
+
   test("expire retires old versions and unreferenced files; current version unharmed") {
     val path = buildLayout()
     Snapshot.init(spark, path, "event_date")

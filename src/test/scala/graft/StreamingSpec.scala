@@ -135,6 +135,54 @@ class StreamingSpec extends AnyFunSuite {
       batch.where(to_date(col("ts")) === lit(d0)).count())
   }
 
+  test("snapshot ingest: batches commit through the manifest; replay no-ops; foreign run fails; maintenance needs no freeze") {
+    import graft.sources.Snapshot
+    val outDir = Files.createTempDirectory("graft-snapingest-out")
+      .toFile.getAbsolutePath + "/layout"
+    val ckpt = Files.createTempDirectory("graft-snapingest-ckpt")
+      .toFile.getAbsolutePath
+    val q = EventStreams.ingestSnapshot(spark,
+      graft.streaming.StreamSources.FileSource(stagedDir), outDir, ckpt)
+    q.awaitTermination()
+    val batch = spark.read.parquet(stagedDir)
+    val n = batch.count()
+    // every micro-batch became one append commit, batch identity in order
+    val vs = Snapshot.versions(spark, outDir)
+    assert(vs.size >= 2, s"expected several micro-batch commits, got $vs")
+    assert(vs.forall(v =>
+      Snapshot.metaOf(spark, outDir, v).get("op").contains("append")))
+    val batchIds = vs.map(v => Snapshot.metaOf(spark, outDir, v)("batch").toLong)
+    assert(batchIds == batchIds.sorted)
+    assert(Snapshot.readSnapshot(spark, outDir).count() == n)
+    val staged = batch.withColumn("event_date", to_date(col("ts")))
+    val token = EventStreams.runToken(spark, ckpt)
+    // replay of the last committed batch: detected from the manifest
+    // header, no new version, no double rows
+    EventStreams.appendBatchToSnapshot(staged, outDir, batchIds.max, Some(token))
+    assert(Snapshot.versions(spark, outDir) == vs)
+    assert(Snapshot.readSnapshot(spark, outDir).count() == n)
+    // a foreign checkpoint's run id fails loudly instead of re-ingesting
+    // the source from offset zero (ADVICE r14's failure class)
+    val ex = intercept[IllegalStateException] {
+      EventStreams.appendBatchToSnapshot(staged, outDir, 0L, Some("foreign-run"))
+    }
+    assert(ex.getMessage.contains("pairing is broken"))
+    // the change feed hands a downstream consumer exactly the post-v1
+    // arrivals — incremental maintenance input without a table re-scan
+    val feed = Snapshot.changes(spark, outDir, vs.head, vs.last)
+    assert(feed.count() == n - Snapshot.readVersion(spark, outDir, vs.head).count())
+    // maintenance speaks the same protocol — no _spark_metadata, no
+    // freeze hand-off; the micro-batch debris compacts directly
+    assert(!new java.io.File(s"$outDir/_spark_metadata").exists())
+    val res = Snapshot.compact(spark, outDir, "event_date",
+      targetBytes = 1L << 30, sortCols = Seq("ts"))
+    assert(res.nonEmpty)
+    val after = Snapshot.readSnapshot(spark, outDir)
+    assert(after.count() == n)
+    assert(after.agg(sum(col("event_id"))).head().getLong(0) ==
+      batch.agg(sum(col("event_id"))).head().getLong(0))
+  }
+
   test("sessionizeStateful emits exactly the closed sessions of session_window") {
     import spark.implicits._
     val gap = "2 hours"

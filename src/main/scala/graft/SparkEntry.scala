@@ -31,7 +31,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             (content-based skipping where min/max is
   *                             useless by construction); q49:
   *                             forget-user graded through the
-  *                             partition-surgical storage delete
+  *                             partition-surgical storage delete;
+  *                             q55/q58: the snapshot-manifest store —
+  *                             forget-user with reader isolation, and
+  *                             pinned-version time travel graded
+  *                             against UNION SQL
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the
@@ -39,7 +43,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             surgical retraction path (deletes with
   *                             exact min/max repair), and the mergeable
   *                             HLL-sketch sibling for distincts, all
-  *                             graded against raw-events SQL
+  *                             graded against raw-events SQL; q57:
+  *                             rollup maintenance consumed from the
+  *                             snapshot change feed, graded against the
+  *                             full-corpus oracle verbatim
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,

@@ -576,7 +576,13 @@ object MatView {
     if (Snapshot.currentVersion(s, root).contains(1L))
       Snapshot.append(s, root, "event_date", events.where(isDelta),
         Map("source" -> "delta-cohort")): Unit
-    val base = eventPartials(Snapshot.readVersion(s, root, 1L))
+    // the base rollup is FROZEN once against snapshot v1 (the q44
+    // discipline — a deployment never re-aggregates its base corpus per
+    // serve); at serve time only the feed's partials are computed, so
+    // the maintenance cost is O(delta) + O(rollup grain), not O(corpus)
+    val base = Sink.publishedArtifact(s, s"$root-baserollup") {
+      eventPartials(Snapshot.readVersion(s, root, 1L))
+    }
     val feed = Snapshot.changes(s, root, 1L, 2L)
     merge(base, eventPartials(feed))
       .groupBy(col("event_date"))

@@ -368,6 +368,36 @@ class PlanSpec extends AnyFunSuite {
       s"q50 grew extra windows:\n$p")
   }
 
+  test("q57: feed-maintained serve scans the frozen base rollup plus ONLY the appended files") {
+    // the change-feed maintenance contract at scale: after the one-time
+    // base publish, a maintenance serve reads O(rollup grain) + O(delta)
+    // — if either the base-rollup artifact drops out of the plan (base
+    // corpus re-aggregated per serve) or a v1 data file appears in the
+    // feed read (the table re-scanned), the O(batch) claim is gone
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val scans = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("q57_snapshot_change_feed")(spark, SharedSpark.sf0001)
+      df.collect()
+      df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty && roots.forall(_.contains("events_snapfeed")),
+      s"q57 read outside its snapshot family: $roots")
+    assert(roots.exists(_.contains("-baserollup")),
+      "q57 lost the frozen base rollup — it would re-aggregate the base corpus per serve")
+    val tag = SharedSpark.sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(
+      spark, s"${SharedSpark.sf0001}/events.parquet")
+    val layout = s"${graft.sources.Sink.artifactRoot}/events_snapfeed/$tag/fp_$fp"
+    val v1Files = graft.sources.Snapshot.filesOf(spark, layout, 1L).toSet
+    val dataRoots = roots.filterNot(_.contains("-baserollup"))
+    assert(dataRoots.nonEmpty, "q57's feed read vanished from the plan")
+    assert(dataRoots.forall(r => !v1Files.exists(f => r.endsWith(f))),
+      s"q57's feed read touched base (v1) files: $dataRoots")
+  }
+
   test("maintainPartitioned's merge read prunes to the touched dates at PLANNING time") {
     // VERDICT r14: the merge's read side must be O(touched dates), not a
     // full-store scan semi-joined down at runtime. storeSlice is that

@@ -46,7 +46,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             graded against raw-events SQL; q57:
   *                             rollup maintenance consumed from the
   *                             snapshot change feed, graded against the
-  *                             full-corpus oracle verbatim
+  *                             full-corpus oracle verbatim; q59: the
+  *                             maintained store on the snapshot
+  *                             manifest — applied-delta ledger atomic
+  *                             with the partition swap, q52's oracle
+  *                             verbatim
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,

@@ -258,6 +258,77 @@ object MatView {
     } finally dp.unpersist(): Unit
   }
 
+  /** [[maintainPartitioned]] on a SNAPSHOT-MANAGED rollup store — the
+    * version that closes the crash window its raw-Hive sibling
+    * documents: the merged touched-date partials and the applied-delta
+    * ledger entry (`delta=<id>` in the manifest header) commit in ONE
+    * atomic manifest rename via [[Snapshot.replacePartitions]], so
+    * "partition swapped but ledger unwritten" (or vice versa) is not a
+    * reachable state; a crash before the commit leaves only invisible
+    * staged files and a rerun redoes the pass. Replays are detected
+    * from the manifests themselves: a committed version already
+    * carrying this (runId, deltaId) no-ops. A FOREIGN runId against a
+    * store whose maintenance history names a different run fails loudly
+    * (the [[graft.streaming.EventStreams.appendBatchToSnapshot]]
+    * pairing discipline — a lost checkpoint replays deltas from source
+    * start and would double-merge every grain). Readers get snapshot
+    * isolation during maintenance and time travel to pre-maintenance
+    * versions for free. Same scale shape as maintainPartitioned:
+    * touched-date manifest entries swap, untouched dates' files are
+    * never read or rewritten. */
+  def maintainSnapshot(spark: SparkSession, path: String, delta: DataFrame,
+      deltaId: String, runId: Option[String] = None): Unit = {
+    val committed = Snapshot.versions(spark, path).reverse
+      .map(v => Snapshot.metaOf(spark, path, v))
+    runId.foreach { token =>
+      committed.find(_.contains("run")).foreach { m =>
+        if (!m.get("run").contains(token))
+          throw new IllegalStateException(
+            s"rollup store $path was maintained by run ${m("run")}, but " +
+            s"this caller carries run $token — the checkpoint/store " +
+            "pairing is broken (lost or recreated checkpoint?); refusing " +
+            "to re-apply a foreign delta sequence")
+      }
+    }
+    val applied = committed.exists(m => m.get("delta").contains(deltaId) &&
+      m.get("run") == runId)
+    if (!applied) {
+      val dp = eventPartials(delta)
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("event_type"),
+          col("user_id"))
+        .persist()
+      try {
+        val dates = dp.select(col("event_date")).distinct()
+          .collect().map(_.getDate(0)).toSeq
+        val ledger = runId.map("run" -> _).toMap + ("delta" -> deltaId)
+        if (dates.nonEmpty) Snapshot.currentVersion(spark, path) match {
+          case None =>
+            // first delta bootstraps the store, ledger entry riding the
+            // init commit; a manifest-less dir is an aborted bootstrap
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true): Unit
+            dp.write.partitionBy("event_date").parquet(path)
+            Snapshot.init(spark, path, "event_date", ledger): Unit
+          case Some(_) =>
+            // manifest-listed read; the isin filter prunes to the
+            // touched date partitions at planning time (partition
+            // values parse from the listed file paths exactly as a
+            // directory read would)
+            val existing = Snapshot.readSnapshot(spark, path)
+              .where(col("event_date").isin(dates: _*))
+            val merged = merge(existing, dp)
+              .repartition(col("event_date"))
+              .sortWithinPartitions(col("event_date"), col("event_type"),
+                col("user_id"))
+            Snapshot.replacePartitions(spark, path, "event_date", merged,
+              ledger): Unit
+        }
+      } finally dp.unpersist(): Unit
+    }
+  }
+
   /** The maintained store restricted to `dates` as a PLANNING-TIME
     * partition-pruned read (literal isin over the partition column —
     * PlanSpec pins the PartitionFilters and the pruned file count). */
@@ -596,6 +667,49 @@ object MatView {
       .orderBy(col("event_date"))
   }
 
+  // ---------------------------------------------------------------------
+  // q59 — q52's maintained-store lifecycle moved onto the SNAPSHOT
+  // manifest (maintainSnapshot above): same cohorts (pre-growth
+  // bootstrap = everything to Jan 23 minus a held-back Jan-10 straggler
+  // sliver; one maintenance batch lands the tail dates + stragglers),
+  // same daily report, same raw full-corpus oracle VERBATIM — but the
+  // applied-delta ledger is IN the commit, not a sidecar marker, so the
+  // crash window q52's comment documents ("a rerun double-applies if we
+  // die between overwrite and marker") is structurally gone, reruns
+  // no-op off the manifest header, and the pre-maintenance rollup stays
+  // time-travelable. A double-merged date, dropped straggler, or
+  // unwritten partition cannot hash-match.
+  // ---------------------------------------------------------------------
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val root = s"${Sink.artifactRoot}/events_rollup_snap/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("d", to_date(col("ts")))
+    val late = col("d") === "2024-01-10" && pmod(col("event_id"), lit(5)) === 0
+    val isDelta = col("d") > "2024-01-23" || late
+    if (Snapshot.currentVersion(s, root).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      eventPartials(events.where(!isDelta).drop("d"))
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("event_type"), col("user_id"))
+        .write.partitionBy("event_date").parquet(root)
+      Snapshot.init(s, root, "event_date"): Unit
+    }
+    maintainSnapshot(s, root, events.where(isDelta).drop("d"), deltaId = "delta-1")
+    Snapshot.readSnapshot(s, root)
+      .groupBy(col("event_date"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("min_event")).as("min_event"),
+        max(col("max_event")).as("max_event"),
+        sum(col("sum_value")).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_date"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
@@ -607,5 +721,8 @@ object MatView {
     // oracle = q44's SQL VERBATIM: the feed-driven merge must reproduce
     // the full-corpus daily report exactly — that hash match IS the
     // "change feed ≡ the delta" proof
-    QueryDef("q57_snapshot_change_feed", q57, Some(q44Sql), headline = true))
+    QueryDef("q57_snapshot_change_feed", q57, Some(q44Sql), headline = true),
+    // oracle = q52's SQL VERBATIM: the manifest-committed maintenance
+    // must reproduce the raw full-corpus daily report exactly
+    QueryDef("q59_snapshot_maintained_rollup", q59, Some(q52Sql)))
 }

@@ -146,8 +146,11 @@ object Snapshot {
 
   /** Bootstrap a manifest over an existing Hive layout: ONE recursive
     * listing of the `partitionCol=` dirs becomes snapshot 1. Idempotent
-    * — an already-initialized layout returns its current version. */
-  def init(spark: SparkSession, path: String, partitionCol: String): Long = {
+    * — an already-initialized layout returns its current version.
+    * `meta` rides the init commit's header (a bootstrapping maintenance
+    * step can land its ledger entry atomically with the bootstrap). */
+  def init(spark: SparkSession, path: String, partitionCol: String,
+      meta: Map[String, String] = Map.empty): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     committedVersions(fs, root).lastOption.getOrElse {
@@ -155,7 +158,7 @@ object Snapshot {
       val rel = listDataFiles(fs, root, partitionCol)
         .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
       require(rel.nonEmpty, s"no data files under $path to snapshot")
-      commit(fs, root, None, rel, Map("op" -> "init"))
+      commit(fs, root, None, rel, Map("op" -> "init") ++ meta)
     }
   }
 
@@ -368,6 +371,54 @@ object Snapshot {
       }
     fs.delete(stg, true): Unit
     commit(fs, root, prev, prevFiles ++ moved, Map("op" -> "append") ++ meta)
+  }
+
+  /** Rewrite-commit for a partition subset: every partition named by
+    * `replacement`'s `partitionCol` values gets its files REPLACED by
+    * the replacement rows; every other partition keeps its exact
+    * manifest entries and physical files. The whole rewrite lands as ONE
+    * atomic manifest commit — which makes this the table-format answer
+    * to the maintenance-ledger problem: the caller's `meta` (e.g. a
+    * delta id) commits in the SAME rename as the data, so "was this
+    * delta applied?" is a manifest read and a crash can never separate
+    * the ledger from the rewrite (the raw-Hive marker scheme q52
+    * documents has exactly that window). Crash before the commit leaves
+    * only invisible staged files — a rerun redoes the whole pass.
+    *
+    * The caller shapes the replacement's file layout (repartition /
+    * sortWithinPartitions before the call — same contract as a
+    * partitioned write). Partitions absent from `replacement` are
+    * untouched; producing an EMPTY partition is not expressible here
+    * (use [[deleteWhere]] to drop rows). */
+  def replacePartitions(spark: SparkSession, path: String, partitionCol: String,
+      replacement: DataFrame, meta: Map[String, String] = Map.empty): Long = {
+    require(replacement.columns.contains(partitionCol),
+      s"replacement rows lack partition column '$partitionCol'")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val (v, files) = currentFiles(spark, path)
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-replace-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    replacement.write.partitionBy(partitionCol).parquet(stg.toString)
+    val stagedParts = fs.listStatus(stg).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partitionCol="))
+    val touched = stagedParts.map(_.getPath.getName).toSet
+    val moved = stagedParts.flatMap { d =>
+      val partDir = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+      fs.mkdirs(partDir)
+      fs.listStatus(d.getPath).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map { f =>
+          val dst = new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)
+          if (!fs.rename(f.getPath, dst))
+            throw new IllegalStateException(s"replace staging move failed: $dst")
+          s"${partDir.getName}/${f.getPath.getName}"
+        }
+    }
+    fs.delete(stg, true): Unit
+    val kept = files.filterNot(f => touched(f.split("/")(0)))
+    commit(fs, root, Some(v), kept ++ moved, Map("op" -> "replace") ++ meta)
   }
 
   /** Incremental change feed: the rows APPENDED between snapshot `fromV`

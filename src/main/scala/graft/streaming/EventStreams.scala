@@ -203,6 +203,42 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming rollup maintenance on the SNAPSHOT-MANAGED store — the
+    * manifest-protocol successor to [[maintainRollup]]'s `v=batchId`
+    * whole-store versions: each micro-batch's partials merge into ONLY
+    * their touched date partitions via
+    * [[graft.operators.MatView.maintainSnapshot]], with the (run,
+    * batch) ledger entry committed IN the same manifest rename as the
+    * data. What the v=batchId scheme could not offer:
+    *
+    *  - O(touched dates) per batch instead of rewriting the whole
+    *    rollup per version (the difference at 100 TB: a daily batch
+    *    touches a handful of partitions out of years);
+    *  - replay detection and the run-pairing guard come from the
+    *    manifest header itself — no separate `_RUN_ID` marker, no
+    *    version-numbering convention to keep in sync;
+    *  - readers take [[graft.sources.Snapshot.readSnapshot]] at any
+    *    instant (isolation during the merge, time travel until expiry).
+    *
+    * An empty store self-bootstraps off the first non-empty batch (the
+    * ledger entry rides the init commit); equally valid is a batch
+    * bootstrap ([[graft.operators.MatView.bootstrapPartitioned]]-shaped
+    * write + `Snapshot.init`) before the stream starts — the catch-up
+    * deployment shape. */
+  def maintainRollupSnapshot(events: DataFrame, rollupDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = runToken(events.sparkSession, checkpointDir)
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.MatView.maintainSnapshot(
+          batch.sparkSession, rollupDir, batch,
+          deltaId = id.toString, runId = Some(token))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .start()
+  }
+
   /** The run identity that pairs a checkpoint with its rollup: a UUID
     * created ONCE inside the checkpoint dir, so it lives and dies with
     * the batch-id sequence. Rationale (ADVICE r14): batch ids restart at

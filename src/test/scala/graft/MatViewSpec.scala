@@ -123,6 +123,60 @@ class MatViewSpec extends AnyFunSuite {
       "maintained partitioned rollup diverged from the full rollup")
   }
 
+  test("snapshot maintenance: atomic data+ledger commit, touched-only swaps, replay no-op, foreign run refused, time travel") {
+    import graft.sources.Snapshot
+    val ev = Tables.load(spark, SharedSpark.sf0001, "events")
+      .withColumn("d", to_date(col("ts")))
+    val late = col("d") === "2024-01-10" && pmod(col("event_id"), lit(5)) === 0
+    val isDelta = col("d") > "2024-01-23" || late
+    val base = ev.where(!isDelta).drop("d")
+    val delta = ev.where(isDelta).drop("d")
+    val path = s"${java.nio.file.Files.createTempDirectory("graft-rollup-snap")}/rollup"
+    MatView.eventPartials(base).repartition(col("event_date"))
+      .write.partitionBy("event_date").parquet(path)
+    Snapshot.init(spark, path, "event_date")
+    val v1Files = Snapshot.currentFiles(spark, path)._2
+    MatView.maintainSnapshot(spark, path, delta, deltaId = "d1", runId = Some("run-A"))
+    val (v2, v2Files) = Snapshot.currentFiles(spark, path)
+    assert(v2 == 2L)
+    // the ledger entry committed IN the same manifest as the data
+    val meta = Snapshot.metaOf(spark, path, 2L)
+    assert(meta.get("op").contains("replace"))
+    assert(meta.get("delta").contains("d1"))
+    assert(meta.get("run").contains("run-A"))
+    // untouched dates keep their exact manifest entries; the straggler
+    // date swapped; the new dates appeared
+    def byPart(fs: Seq[String]) = fs.groupBy(_.split("/")(0))
+    val b = byPart(v1Files)
+    val a = byPart(v2Files)
+    b.keys.filterNot(_ == "event_date=2024-01-10").foreach { k =>
+      assert(a(k).toSet == b(k).toSet, s"$k was rewritten without cause")
+    }
+    assert(a("event_date=2024-01-10").toSet != b("event_date=2024-01-10").toSet)
+    assert(a.keySet.exists(_ > "event_date=2024-01-23"))
+    // read-back ≡ the full-corpus rollup
+    val cols = Seq("event_date", "event_type", "user_id", "n_events",
+      "sum_value", "min_event", "max_event")
+    val got = Snapshot.readSnapshot(spark, path).select(cols.map(col): _*)
+    val want = MatView.eventPartials(ev.drop("d")).select(cols.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "snapshot-maintained rollup diverged from the full rollup")
+    // replay of the same (run, delta): detected from the manifest, no
+    // new version, no double merge
+    MatView.maintainSnapshot(spark, path, delta, deltaId = "d1", runId = Some("run-A"))
+    assert(Snapshot.currentVersion(spark, path).contains(2L))
+    // a foreign run id fails loudly instead of re-merging from scratch
+    val ex = intercept[IllegalStateException] {
+      MatView.maintainSnapshot(spark, path, delta, deltaId = "d1", runId = Some("run-B"))
+    }
+    assert(ex.getMessage.contains("pairing is broken"))
+    // time travel: the pre-maintenance version still reads as the base rollup
+    val v1got = Snapshot.readVersion(spark, path, 1L).select(cols.map(col): _*)
+    val v1want = MatView.eventPartials(base).select(cols.map(col): _*)
+    assert(v1got.exceptAll(v1want).isEmpty && v1want.exceptAll(v1got).isEmpty,
+      "maintenance leaked into the pinned pre-maintenance version")
+  }
+
   test("q50 growth identities: dau ≥ new, cum monotone, final cum = total users") {
     val rows = SparkEntry.queries("q50_growth_accounting")(spark, SharedSpark.sf0001)
       .collect()

@@ -183,6 +183,42 @@ class StreamingSpec extends AnyFunSuite {
       batch.agg(sum(col("event_id"))).head().getLong(0))
   }
 
+  test("snapshot rollup maintenance from a stream: self-bootstraps, maintained ≡ batch, replay no-op") {
+    import graft.operators.MatView
+    import graft.sources.Snapshot
+    val dir = Files.createTempDirectory("graft-rollup-snapstream")
+      .toFile.getAbsolutePath + "/rollup"
+    val ck = Files.createTempDirectory("graft-rollup-snapck")
+      .toFile.getAbsolutePath
+    val q = EventStreams.maintainRollupSnapshot(
+      EventStreams.readEventStream(spark, stagedDir), dir, ck)
+    try q.processAllAvailable() finally q.stop()
+    val vs = Snapshot.versions(spark, dir)
+    assert(vs.size >= 2, s"expected several maintenance commits, got $vs")
+    // the first batch bootstrapped the store WITH its ledger entry; every
+    // commit carries (run, delta) in the header
+    assert(Snapshot.metaOf(spark, dir, vs.head).get("op").contains("init"))
+    val token = EventStreams.runToken(spark, ck)
+    vs.foreach { v =>
+      val m = Snapshot.metaOf(spark, dir, v)
+      assert(m.get("delta").isDefined && m.get("run").contains(token),
+        s"v=$v missing its maintenance ledger entry: $m")
+    }
+    // stream-maintained ≡ the batch rollup of the whole corpus
+    val cols = Seq("event_date", "event_type", "user_id", "n_events",
+      "sum_value", "min_event", "max_event")
+    val got = Snapshot.readSnapshot(spark, dir).select(cols.map(col): _*)
+    val want = MatView.eventPartials(spark.read.parquet(stagedDir))
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-maintained snapshot rollup diverged from the batch rollup")
+    // replay of the last committed delta: manifest-detected, no new version
+    val lastId = Snapshot.metaOf(spark, dir, vs.last)("delta")
+    MatView.maintainSnapshot(spark, dir, spark.read.parquet(stagedDir),
+      deltaId = lastId, runId = Some(token))
+    assert(Snapshot.versions(spark, dir) == vs)
+  }
+
   test("streaming CDC loop: feed-maintained rollup over snapshot ingest equals the batch rollup") {
     import graft.operators.MatView
     import graft.sources.Snapshot

@@ -277,11 +277,16 @@ object MatView {
     * touched-date manifest entries swap, untouched dates' files are
     * never read or rewritten. */
   def maintainSnapshot(spark: SparkSession, path: String, delta: DataFrame,
-      deltaId: String, runId: Option[String] = None): Unit = {
-    val committed = Snapshot.versions(spark, path).reverse
-      .map(v => Snapshot.metaOf(spark, path, v))
+      deltaId: Long, runId: Option[String] = None): Unit = {
+    // ONE current-manifest read answers both guards at any history depth:
+    // (run, delta) are inherited transaction state — every later commit
+    // carries them forward and expiry keeps the current manifest. Delta
+    // ids must be monotone per run (a stream's batchId is; a batch
+    // caller owns its sequence): applied = last committed id ≥ this id,
+    // exactly the table-format txn-version check.
+    val current = Snapshot.currentMeta(spark, path)
     runId.foreach { token =>
-      committed.find(_.contains("run")).foreach { m =>
+      current.filter(_.contains("run")).foreach { m =>
         if (!m.get("run").contains(token))
           throw new IllegalStateException(
             s"rollup store $path was maintained by run ${m("run")}, but " +
@@ -290,8 +295,8 @@ object MatView {
             "to re-apply a foreign delta sequence")
       }
     }
-    val applied = committed.exists(m => m.get("delta").contains(deltaId) &&
-      m.get("run") == runId)
+    val applied = current.exists(m =>
+      m.get("delta").exists(_.toLong >= deltaId) && m.get("run") == runId)
     if (!applied) {
       val dp = eventPartials(delta)
         .repartition(col("event_date"))
@@ -301,7 +306,7 @@ object MatView {
       try {
         val dates = dp.select(col("event_date")).distinct()
           .collect().map(_.getDate(0)).toSeq
-        val ledger = runId.map("run" -> _).toMap + ("delta" -> deltaId)
+        val ledger = runId.map("run" -> _).toMap + ("delta" -> deltaId.toString)
         if (dates.nonEmpty) Snapshot.currentVersion(spark, path) match {
           case None =>
             // first delta bootstraps the store, ledger entry riding the
@@ -698,7 +703,7 @@ object MatView {
         .write.partitionBy("event_date").parquet(root)
       Snapshot.init(s, root, "event_date"): Unit
     }
-    maintainSnapshot(s, root, events.where(isDelta).drop("d"), deltaId = "delta-1")
+    maintainSnapshot(s, root, events.where(isDelta).drop("d"), deltaId = 1L)
     Snapshot.readSnapshot(s, root)
       .groupBy(col("event_date"))
       .agg(

@@ -77,9 +77,12 @@ object Snapshot {
     committedVersions(fsOf(spark, root), root)
   }
 
-  private def manifestText(spark: SparkSession, path: String, v: Long): String = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = fsOf(spark, root)
+  private def manifestText(spark: SparkSession, path: String, v: Long): String =
+    manifestTextFs(fsOf(spark, new org.apache.hadoop.fs.Path(path)),
+      new org.apache.hadoop.fs.Path(path), v)
+
+  private def manifestTextFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): String = {
     val p = manifestPath(root, v)
     val len = fs.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
@@ -88,6 +91,13 @@ object Snapshot {
     new String(buf, Charset)
   }
 
+  private def parseMeta(text: String): Map[String, String] =
+    text.split("\n").toSeq
+      .map(_.trim).filter(_.startsWith("#"))
+      .map(_.stripPrefix("#").split("=", 2))
+      .collect { case Array(k, value) => k -> value }
+      .toMap
+
   /** The file list of snapshot `v` (root-relative paths, sorted).
     * Metadata lines (`#key=value` — see [[metaOf]]) are skipped, so
     * pre-metadata manifests parse identically. */
@@ -95,16 +105,30 @@ object Snapshot {
     manifestText(spark, path, v).split("\n").toSeq
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
 
-  /** Commit metadata of snapshot `v`: the `#key=value` header lines the
-    * committing op wrote — `op` (init/append/compact/delete) always,
-    * plus caller-supplied pairs (e.g. the streaming ingest's run/batch
-    * identity). Manifests from before the metadata format return empty. */
+  /** Commit metadata of snapshot `v`: the `#key=value` header lines —
+    * `op` (init/append/replace/compact/delete) set by the committing op,
+    * caller-supplied pairs (e.g. the streaming ingest's run/batch
+    * identity), and the INHERITED transaction keys ([[InheritedMeta]])
+    * carried forward from the previous manifest when the commit did not
+    * set them itself. Manifests from before the metadata format return
+    * empty. */
   def metaOf(spark: SparkSession, path: String, v: Long): Map[String, String] =
-    manifestText(spark, path, v).split("\n").toSeq
-      .map(_.trim).filter(_.startsWith("#"))
-      .map(_.stripPrefix("#").split("=", 2))
-      .collect { case Array(k, value) => k -> value }
-      .toMap
+    parseMeta(manifestText(spark, path, v))
+
+  /** The CURRENT manifest's metadata, if the layout has one — the O(1)
+    * transaction-state read replay guards use (sound at any history
+    * depth because [[InheritedMeta]] keys survive every commit). */
+  def currentMeta(spark: SparkSession, path: String): Option[Map[String, String]] =
+    currentVersion(spark, path).map(v => metaOf(spark, path, v))
+
+  /** Transaction-identity keys that persist across commits: ingest and
+    * maintenance ledger state is TABLE state (the Delta-txn-appId
+    * discipline), so it must survive maintenance commits and snapshot
+    * expiry — a replay guard that reads only the CURRENT manifest stays
+    * sound no matter how many compactions ran or how much history was
+    * expired since the last append/maintenance. A commit that sets one
+    * of these keys overrides the carried value. */
+  private val InheritedMeta = Set("run", "batch", "delta")
 
   /** (current version, its file list). */
   def currentFiles(spark: SparkSession, path: String): (Long, Seq[String]) = {
@@ -124,12 +148,18 @@ object Snapshot {
       require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
         !v.contains("\n"), s"invalid manifest metadata pair: '$k'='$v'")
     }
+    // transaction identity is table state: carry the inherited keys
+    // forward from the previous manifest unless this commit sets them
+    val carried = prev.map(v => parseMeta(manifestTextFs(fs, root, v)))
+      .getOrElse(Map.empty)
+      .view.filterKeys(InheritedMeta).toMap
+    val full = carried ++ meta
     val next = prev.getOrElse(0L) + 1
     val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
-    val header = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val header = full.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val out = fs.create(tmp, false)
     try out.write((header ++ files.sorted).mkString("\n").getBytes(Charset))
     finally out.close()

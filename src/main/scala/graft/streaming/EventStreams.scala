@@ -124,40 +124,37 @@ object EventStreams {
 
   /** One snapshot-ingest step — also the replay unit. Deterministic in
     * (batch contents, batchId); public so the spec can drive replay and
-    * broken-pairing scenarios directly. Guard logic reads the NEWEST
-    * append commit's manifest header (maintenance commits between stream
-    * runs carry no run identity and are skipped over):
-    *  - same run, batch already committed → replay, no-op;
+    * broken-pairing scenarios directly. The guard is ONE read of the
+    * CURRENT manifest's header — sound at any history depth because the
+    * (run, batch) keys are inherited transaction state: every later
+    * commit (compaction, delete, replace) carries them forward and
+    * snapshot expiry keeps the current manifest, so "what did this
+    * layout last ingest?" never requires the append commit itself to
+    * survive:
+    *  - same run, batch ≤ last committed → replay, no-op;
     *  - different run → the checkpoint this stream runs from is not the
     *    one the layout was ingested against; its batch ids are
     *    meaningless here and its source offsets restart from the
     *    beginning — appending would double every row, so fail loudly;
-    *  - no append history (fresh or batch-bootstrapped layout) → this
-    *    run adopts it.
-    * Retention caveat: [[graft.sources.Snapshot.expire]] must not retire
-    * the last append's manifest while its batch could still replay —
-    * quiesce the stream before expiry (the usual maintenance-window
-    * contract; only the in-flight batch is ever redelivered). */
+    *  - no ingest history (fresh or batch-bootstrapped layout) → this
+    *    run adopts it. */
   def appendBatchToSnapshot(batch: DataFrame, outDir: String, batchId: Long,
       runId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import graft.sources.Snapshot
     val isReplay = runId.exists { token =>
-      Snapshot.versions(spark, outDir).reverse.iterator
-        .map(v => Snapshot.metaOf(spark, outDir, v))
-        .find(_.get("op").contains("append"))
-        .exists { m =>
-          m.get("run") match {
-            case Some(bound) if bound != token =>
-              throw new IllegalStateException(
-                s"snapshot layout $outDir was ingested by run $bound, but " +
-                s"this stream's checkpoint carries run $token — the " +
-                "checkpoint/layout pairing is broken (lost or recreated " +
-                "checkpoint?); refusing to re-ingest from source start")
-            case Some(_) => m.get("batch").exists(_.toLong >= batchId)
-            case None => false
-          }
+      Snapshot.currentMeta(spark, outDir).exists { m =>
+        m.get("run") match {
+          case Some(bound) if bound != token =>
+            throw new IllegalStateException(
+              s"snapshot layout $outDir was ingested by run $bound, but " +
+              s"this stream's checkpoint carries run $token — the " +
+              "checkpoint/layout pairing is broken (lost or recreated " +
+              "checkpoint?); refusing to re-ingest from source start")
+          case Some(_) => m.get("batch").exists(_.toLong >= batchId)
+          case None => false
         }
+      }
     }
     if (!isReplay)
       Snapshot.append(spark, outDir, "event_date", batch,
@@ -232,7 +229,7 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.operators.MatView.maintainSnapshot(
           batch.sparkSession, rollupDir, batch,
-          deltaId = id.toString, runId = Some(token))
+          deltaId = id, runId = Some(token))
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")

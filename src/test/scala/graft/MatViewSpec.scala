@@ -136,13 +136,13 @@ class MatViewSpec extends AnyFunSuite {
       .write.partitionBy("event_date").parquet(path)
     Snapshot.init(spark, path, "event_date")
     val v1Files = Snapshot.currentFiles(spark, path)._2
-    MatView.maintainSnapshot(spark, path, delta, deltaId = "d1", runId = Some("run-A"))
+    MatView.maintainSnapshot(spark, path, delta, deltaId = 1L, runId = Some("run-A"))
     val (v2, v2Files) = Snapshot.currentFiles(spark, path)
     assert(v2 == 2L)
     // the ledger entry committed IN the same manifest as the data
     val meta = Snapshot.metaOf(spark, path, 2L)
     assert(meta.get("op").contains("replace"))
-    assert(meta.get("delta").contains("d1"))
+    assert(meta.get("delta").contains("1"))
     assert(meta.get("run").contains("run-A"))
     // untouched dates keep their exact manifest entries; the straggler
     // date swapped; the new dates appeared
@@ -163,11 +163,11 @@ class MatViewSpec extends AnyFunSuite {
       "snapshot-maintained rollup diverged from the full rollup")
     // replay of the same (run, delta): detected from the manifest, no
     // new version, no double merge
-    MatView.maintainSnapshot(spark, path, delta, deltaId = "d1", runId = Some("run-A"))
+    MatView.maintainSnapshot(spark, path, delta, deltaId = 1L, runId = Some("run-A"))
     assert(Snapshot.currentVersion(spark, path).contains(2L))
     // a foreign run id fails loudly instead of re-merging from scratch
     val ex = intercept[IllegalStateException] {
-      MatView.maintainSnapshot(spark, path, delta, deltaId = "d1", runId = Some("run-B"))
+      MatView.maintainSnapshot(spark, path, delta, deltaId = 1L, runId = Some("run-B"))
     }
     assert(ex.getMessage.contains("pairing is broken"))
     // time travel: the pre-maintenance version still reads as the base rollup

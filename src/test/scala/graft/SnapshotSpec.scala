@@ -229,6 +229,38 @@ class SnapshotSpec extends AnyFunSuite {
     assert(ids(Snapshot.changes(spark, path, 1L, 3L)) == Set(9001L, 9002L))
   }
 
+  test("transaction identity survives maintenance commits and expiry; O(1) replay guard stays sound") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    Snapshot.append(spark, path, "event_date",
+      Seq((9001L, 9L, 1L, "2024-01-05"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date"),
+      Map("run" -> "run-X", "batch" -> "7"))
+    // a rewrite commit carries the ingest identity forward (table state,
+    // the Delta txn-appId discipline)...
+    assert(Snapshot.compact(spark, path, "event_date", 1L << 30,
+      Seq("ts_ms")).nonEmpty)
+    val m = Snapshot.currentMeta(spark, path).get
+    assert(m.get("op").contains("compact"))
+    assert(m.get("run").contains("run-X") && m.get("batch").contains("7"),
+      s"maintenance commit dropped the ingest identity: $m")
+    // ...and survives expiring the append manifest itself
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    val m2 = Snapshot.currentMeta(spark, path).get
+    assert(m2.get("run").contains("run-X") && m2.get("batch").contains("7"))
+    // so the current-manifest-only replay guard still works: a replayed
+    // batch no-ops, a foreign run still fails loudly
+    val before = Snapshot.versions(spark, path)
+    val batch = Seq((9002L, 9L, 2L, "2024-01-05"))
+      .toDF("event_id", "user_id", "ts_ms", "event_date")
+    graft.streaming.EventStreams.appendBatchToSnapshot(batch, path, 7L, Some("run-X"))
+    assert(Snapshot.versions(spark, path) == before, "replay was re-ingested")
+    intercept[IllegalStateException] {
+      graft.streaming.EventStreams.appendBatchToSnapshot(batch, path, 8L, Some("run-Y"))
+    }
+  }
+
   test("a snapshot-managed corpus fingerprints from the manifest, not the listing") {
     import spark.implicits._
     val path = buildLayout()

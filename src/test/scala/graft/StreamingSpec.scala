@@ -213,7 +213,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "stream-maintained snapshot rollup diverged from the batch rollup")
     // replay of the last committed delta: manifest-detected, no new version
-    val lastId = Snapshot.metaOf(spark, dir, vs.last)("delta")
+    val lastId = Snapshot.metaOf(spark, dir, vs.last)("delta").toLong
     MatView.maintainSnapshot(spark, dir, spark.read.parquet(stagedDir),
       deltaId = lastId, runId = Some(token))
     assert(Snapshot.versions(spark, dir) == vs)

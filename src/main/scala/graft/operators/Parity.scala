@@ -497,11 +497,16 @@ object Parity {
   // ---------------------------------------------------------------------
   private def q14(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    // float→double BEFORE the scale-up, mirrored in the oracle: both
+    // engines must round the same double, not one a float product (a
+    // borderline mantissa otherwise rounds apart — seen at sf1)
     val scaled = e.withColumn("pts",
       transform(sequence(lit(0), lit(3)), i =>
         concat_ws(" ",
-          round(element_at(col("embedding"), i * 2 + 1) * 1000, 0).cast(IntegerType),
-          round(element_at(col("embedding"), i * 2 + 2) * 1000, 0).cast(IntegerType))))
+          round(element_at(col("embedding"), i * 2 + 1).cast(DoubleType) * 1000, 0)
+            .cast(IntegerType),
+          round(element_at(col("embedding"), i * 2 + 2).cast(DoubleType) * 1000, 0)
+            .cast(IntegerType))))
     scaled.select(
       col("vec_id"),
       concat(lit("LINESTRING("), array_join(col("pts"), ", "), lit(")"))
@@ -515,8 +520,8 @@ object Parity {
       |  SELECT vec_id,
       |    list_transform(range(0, 4), i ->
       |      concat_ws(' ',
-      |        CAST(round(embedding[i*2+1] * 1000, 0) AS INT),
-      |        CAST(round(embedding[i*2+2] * 1000, 0) AS INT))) AS pts
+      |        CAST(round(CAST(embedding[i*2+1] AS DOUBLE) * 1000, 0) AS INT),
+      |        CAST(round(CAST(embedding[i*2+2] AS DOUBLE) * 1000, 0) AS INT))) AS pts
       |  FROM embeddings)
       |SELECT vec_id,
       |  concat('LINESTRING(', array_to_string(pts, ', '), ')') AS shape_wkt,

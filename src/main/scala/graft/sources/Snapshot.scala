@@ -3,6 +3,15 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
 
+/** A snapshot commit lost its optimistic race in a way rebase cannot
+  * repair: a concurrent rewrite re-filed data files this commit had
+  * replaced, so the two results can no longer be merged by file-list
+  * algebra. The operation made NO change to the table (staged files are
+  * unreferenced and retire via [[Snapshot.expire]]); rerun it against
+  * the new snapshot. */
+final class SnapshotConflictException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Snapshot manifests for a Hive-partitioned layout — the missing
   * reader-isolation layer VERDICT r14 named as the engine's one real
   * architectural gap. The raw-Hive maintenance ops ([[Sink.compactPartitions]],
@@ -39,8 +48,16 @@ import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
   * metadata a table format keeps, and the commit cost is one rename
   * regardless of how many partitions a maintenance pass rewrote (the
   * whole pass commits atomically, where the raw-Hive path exposed each
-  * partition swap separately). Concurrency contract: single maintenance
-  * writer (the usual table-maintenance lock), any number of readers.
+  * partition swap separately). Concurrency contract: any number of
+  * readers, and OPTIMISTIC multi-writer commits — a commit is (base
+  * version, removed files, added files); a writer that loses the
+  * version race rebases onto the new snapshot when its change still
+  * applies (appends remove nothing, so they always commute; a rewrite
+  * revalidates that every file it replaced is still live) and aborts
+  * with [[SnapshotConflictException]] only on a TRUE conflict: two
+  * rewrites re-filing the same data files, whose results file-list
+  * algebra cannot merge. The caller of an aborted rewrite reruns it
+  * against the new snapshot — the standard table-format contract.
   */
 object Snapshot {
 
@@ -138,40 +155,96 @@ object Snapshot {
     (v, filesOf(spark, path, v))
   }
 
-  /** Atomic commit: write the list to a hidden temp file, rename to the
-    * next version. Rename either installs the complete manifest or
-    * fails — a reader can never observe a half-written one. */
+  private def filesOfFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
+    manifestTextFs(fs, root, v).split("\n").toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  private val MaxCommitAttempts = 24
+
+  // Commit publication must be write-if-absent. HDFS `rename` refuses
+  // an existing destination, giving that atomically; the LOCAL
+  // filesystem's rename REPLACES one (POSIX rename(2)) — a bare
+  // exists+rename pair would let two same-version winners silently
+  // clobber each other. Same-process writers therefore serialize the
+  // exists+rename through a per-root JVM lock (the local-LogStore
+  // discipline); an object-store deployment swaps this seam for a
+  // conditional put (if-none-match), which is the same contract.
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: org.apache.hadoop.fs.Path): Object =
+    commitLocks.computeIfAbsent(root.toString, _ => new Object)
+
+  /** Atomic OPTIMISTIC commit. The change is (base version, removed
+    * files, added files); the manifest written is latest ∖ removed ∪
+    * added, installed by renaming a hidden temp file to the next
+    * version number — one filesystem op, so a reader can never observe
+    * a half-written manifest. If another writer took that version
+    * number first, REBASE and retry: re-list the latest snapshot,
+    * re-validate, re-write. Rebase is sound exactly when every file
+    * this commit removed is still live in the latest snapshot — then
+    * "remove mine, add mine" applies verbatim on top of the concurrent
+    * commit (appends remove nothing, so they always pass; concurrent
+    * rewrites of DISJOINT files pass; two rewrites re-filing the SAME
+    * file cannot be merged by file-list algebra and abort with
+    * [[SnapshotConflictException]], caller reruns). `allowRebase=false`
+    * (bootstrap) refuses instead — two concurrent inits would both
+    * list the same pre-manifest files and a rebase would double-count
+    * them. */
   private def commit(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, prev: Option[Long],
-      files: Seq[String], meta: Map[String, String]): Long = {
+      root: org.apache.hadoop.fs.Path, baseV: Option[Long],
+      removed: Set[String], added: Seq[String],
+      meta: Map[String, String], allowRebase: Boolean = true): Long = {
     meta.foreach { case (k, v) =>
       require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
         !v.contains("\n"), s"invalid manifest metadata pair: '$k'='$v'")
     }
-    // transaction identity is table state: carry the inherited keys
-    // forward from the previous manifest unless this commit sets them
-    val carried = prev.map(v => parseMeta(manifestTextFs(fs, root, v)))
-      .getOrElse(Map.empty)
-      .view.filterKeys(InheritedMeta).toMap
-    val full = carried ++ meta
-    val next = prev.getOrElse(0L) + 1
-    val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
-    fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
-    val header = full.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-    val out = fs.create(tmp, false)
-    try out.write((header ++ files.sorted).mkString("\n").getBytes(Charset))
-    finally out.close()
-    val target = manifestPath(root, next)
-    // single-writer contract: a pre-existing target means a concurrent
-    // maintenance pass — refuse rather than clobber its commit
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val latest = committedVersions(fs, root).lastOption
+      val latestFiles =
+        latest.map(filesOfFs(fs, root, _)).getOrElse(Seq.empty)
+      if (latest != baseV) {
+        if (!allowRebase)
+          throw new SnapshotConflictException(
+            s"snapshot under $root moved $baseV -> $latest during a " +
+            "non-rebaseable commit")
+        val gone = removed -- latestFiles.toSet
+        if (gone.nonEmpty)
+          throw new SnapshotConflictException(
+            s"concurrent rewrite already re-filed ${gone.size} file(s) " +
+            s"this commit replaced (base v=${baseV.getOrElse(0L)}, " +
+            s"latest v=${latest.getOrElse(0L)}): " +
+            gone.toSeq.sorted.take(3).mkString(", "))
+      }
+      // transaction identity is table state: carry the inherited keys
+      // forward from the latest manifest unless this commit sets them
+      val carried = latest.map(v => parseMeta(manifestTextFs(fs, root, v)))
+        .getOrElse(Map.empty)
+        .view.filterKeys(InheritedMeta).toMap
+      val full = carried ++ meta
+      val next = latest.getOrElse(0L) + 1
+      val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+      val header = full.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+      val newList = latestFiles.filterNot(removed) ++ added
+      val out = fs.create(tmp, false)
+      try out.write((header ++ newList.sorted).mkString("\n").getBytes(Charset))
+      finally out.close()
+      val target = manifestPath(root, next)
+      val won = lockFor(root).synchronized {
+        !fs.exists(target) && fs.rename(tmp, target)
+      }
+      if (won) return next
+      // lost the race for this version number — rebase and go again
       fs.delete(tmp, false): Unit
-      throw new IllegalStateException(
-        s"snapshot commit race on $target — concurrent maintenance writer?")
+      Thread.sleep(5L + scala.util.Random.nextInt(20).toLong)
     }
-    next
+    throw new IllegalStateException(
+      s"snapshot commit on $root still contended after $MaxCommitAttempts attempts")
   }
 
   /** Bootstrap a manifest over an existing Hive layout: ONE recursive
@@ -188,7 +261,8 @@ object Snapshot {
       val rel = listDataFiles(fs, root, partitionCol)
         .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
       require(rel.nonEmpty, s"no data files under $path to snapshot")
-      commit(fs, root, None, rel, Map("op" -> "init") ++ meta)
+      commit(fs, root, None, Set.empty, rel, Map("op" -> "init") ++ meta,
+        allowRebase = false)
     }
   }
 
@@ -278,24 +352,26 @@ object Snapshot {
       .map(f => f.getPath.toString.stripPrefix(qualified).stripPrefix("/") -> f.getLen)
       .toMap
     val byPart = files.groupBy(f => f.split("/")(0)).toSeq.sortBy(_._1)
-    var changed = false
+    val removed = scala.collection.mutable.Set.empty[String]
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-    val newList = byPart.flatMap { case (part, fsOfPart) =>
+    byPart.foreach { case (part, fsOfPart) =>
       val bytes = fsOfPart.map(f => sizes.getOrElse(f,
         throw new IllegalStateException(s"manifest names missing file $f"))).sum
       val nTarget = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (fsOfPart.size <= nTarget) fsOfPart
-      else {
+      if (fsOfPart.size > nTarget) {
         val rows = spark.read.parquet(fsOfPart.map(f => s"$qualified/$f"): _*)
         val moved = stageInto(spark, fs, root,
           new org.apache.hadoop.fs.Path(root, part),
           repack(rows, nTarget, sortCols))
-        changed = true
+        removed ++= fsOfPart
+        added ++= moved
         results += ((part, fsOfPart.size, moved.size))
-        moved
       }
     }
-    if (changed) commit(fs, root, Some(v), newList, Map("op" -> "compact")): Unit
+    if (removed.nonEmpty)
+      commit(fs, root, Some(v), removed.toSet, added.toSeq,
+        Map("op" -> "compact")): Unit
     results.toSeq
   }
 
@@ -329,24 +405,29 @@ object Snapshot {
     if (dirty.isEmpty) return Seq.empty
     def partDirName(value: String): String =
       s"$partitionCol=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)}"
-    val replacements: Map[String, Seq[String]] = dirty.map { case (value, nDel, nRows) =>
+    val removed = scala.collection.mutable.Set.empty[String]
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    dirty.foreach { case (value, nDel, nRows) =>
       val part = partDirName(value)
       val old = byPart.getOrElse(part,
         throw new IllegalStateException(
           s"probe returned partition '$part' not present in snapshot v=$v"))
-      if (nDel == nRows) part -> Seq.empty[String]
-      else {
-        val remaining = spark.read
+      removed ++= old
+      if (nDel < nRows) {
+        // basePath read so a predicate referencing the PARTITION column
+        // resolves here exactly as in the probe; the column is inferred
+        // from the dir name, so drop it before staging — data files
+        // inside a `part=` dir must not carry it
+        val remaining = spark.read.option("basePath", qualified)
           .parquet(old.map(f => s"$qualified/$f"): _*).where(!del)
-        part -> stageInto(spark, fs, root,
+          .drop(partitionCol)
+        added ++= stageInto(spark, fs, root,
           new org.apache.hadoop.fs.Path(root, part),
           repack(remaining, math.max(1, old.size), sortCols))
       }
-    }.toMap
-    val newList = byPart.toSeq.flatMap { case (part, old) =>
-      replacements.getOrElse(part, old)
     }
-    commit(fs, root, Some(v), newList, Map("op" -> "delete")): Unit
+    commit(fs, root, Some(v), removed.toSet, added.toSeq,
+      Map("op" -> "delete")): Unit
     dirty.toSeq.map { case (value, nDel, _) => (partDirName(value), nDel) }
   }
 
@@ -380,7 +461,6 @@ object Snapshot {
     val fs = fsOf(spark, root)
     fs.mkdirs(root)
     val prev = committedVersions(fs, root).lastOption
-    val prevFiles = prev.map(v => filesOf(spark, path, v)).getOrElse(Seq.empty)
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-append-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     rows.write.partitionBy(partitionCol).parquet(stg.toString)
@@ -400,7 +480,9 @@ object Snapshot {
           }
       }
     fs.delete(stg, true): Unit
-    commit(fs, root, prev, prevFiles ++ moved, Map("op" -> "append") ++ meta)
+    // removes nothing → commutes with ANY concurrent commit: a lost
+    // version race rebases onto the winner's file list and retries
+    commit(fs, root, prev, Set.empty, moved, Map("op" -> "append") ++ meta)
   }
 
   /** Rewrite-commit for a partition subset: every partition named by
@@ -447,8 +529,8 @@ object Snapshot {
         }
     }
     fs.delete(stg, true): Unit
-    val kept = files.filterNot(f => touched(f.split("/")(0)))
-    commit(fs, root, Some(v), kept ++ moved, Map("op" -> "replace") ++ meta)
+    val replaced = files.filter(f => touched(f.split("/")(0))).toSet
+    commit(fs, root, Some(v), replaced, moved, Map("op" -> "replace") ++ meta)
   }
 
   /** Incremental change feed: the rows APPENDED between snapshot `fromV`
@@ -492,9 +574,17 @@ object Snapshot {
     * Operational step with a retention window, never part of a serve or
     * maintenance path — a pinned reader on a retired version loses it
     * here, exactly like table-format snapshot expiry. Returns deleted
-    * paths. */
+    * paths.
+    *
+    * `orphanGraceMs` protects IN-FLIGHT writers: a concurrent commit
+    * has moved its staged files into the partition dirs but not yet
+    * swung the manifest, so they look unreferenced. An expiry running
+    * alongside live writers must pass a grace window longer than any
+    * write (the orphan-removal age threshold every table format
+    * applies); unreferenced files younger than it are left for the
+    * next sweep. The default 0 is the quiesced-table sweep. */
   def expire(spark: SparkSession, path: String, partitionCol: String,
-      keep: Int = 1): Seq[String] = {
+      keep: Int = 1, orphanGraceMs: Long = 0L): Seq[String] = {
     require(keep >= 1, s"must keep at least the current snapshot, got $keep")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
@@ -503,9 +593,11 @@ object Snapshot {
     val (stale, retained) = versions.splitAt(math.max(0, versions.size - keep))
     val referenced = retained.flatMap(filesOf(spark, path, _)).toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     listDataFiles(fs, root, partitionCol).foreach { f =>
       val rel = f.getPath.toString.stripPrefix(qualified).stripPrefix("/")
-      if (!referenced(rel)) {
+      if (!referenced(rel) &&
+          (orphanGraceMs <= 0 || f.getModificationTime <= cutoff)) {
         fs.delete(f.getPath, false)
         deleted += rel
         // drop the partition dir too once its last file is gone, so a

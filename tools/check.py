@@ -41,12 +41,41 @@ def frame_sig(cols, rows):
         h.update(("|".join(r) + "\n").encode())
     return sorted_cols, len(rows), h.hexdigest()
 
+def run_oracle(con, sql, timeout_s):
+    """Execute with an optional wall-clock budget: a timer thread calls
+    con.interrupt() so a super-linear replay oracle (the DuckDB side can
+    be far worse than the Spark side at big SF) can't wedge the sweep."""
+    if not timeout_s:
+        return con.execute(sql).df()
+    import threading
+    done = threading.Event()
+    def killer():
+        if not done.wait(timeout_s):
+            con.interrupt()
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        done.set()
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    timeout_s = 0
+    if "--oracle-timeout" in argv:
+        i = argv.index("--oracle-timeout")
+        timeout_s = float(argv[i + 1])
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single parquet FILES; GenTestData fixtures
+        # are Spark parquet DIRECTORIES — glob the parts in that case
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     # queries with no oracle SQL get the driver's weaker rows-only check
@@ -89,8 +118,12 @@ def main():
             n_fail += 1
             continue
         try:
-            w_df = con.execute(sql).df()
+            w_df = run_oracle(con, sql, timeout_s)
             w_cols, w_rows = df_rows(w_df)
+        except duckdb.InterruptException:
+            print(f"SKIP {name}: oracle exceeded {timeout_s:.0f}s "
+                  "(DuckDB-side replay cost, not an engine result)", flush=True)
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1

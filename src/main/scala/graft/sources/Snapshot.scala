@@ -70,7 +70,7 @@ object Snapshot {
   private def manifestPath(root: org.apache.hadoop.fs.Path, v: Long) =
     new org.apache.hadoop.fs.Path(root, f"$ManifestDir/m-$v%012d")
 
-  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
     if (!fs.exists(dir)) Seq.empty
@@ -155,25 +155,43 @@ object Snapshot {
     (v, filesOf(spark, path, v))
   }
 
-  private def filesOfFs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def filesOfFs(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
     manifestTextFs(fs, root, v).split("\n").toSeq
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
 
   private val MaxCommitAttempts = 24
 
-  // Commit publication must be write-if-absent. HDFS `rename` refuses
-  // an existing destination, giving that atomically; the LOCAL
-  // filesystem's rename REPLACES one (POSIX rename(2)) — a bare
-  // exists+rename pair would let two same-version winners silently
-  // clobber each other. Same-process writers therefore serialize the
-  // exists+rename through a per-root JVM lock (the local-LogStore
-  // discipline); an object-store deployment swaps this seam for a
-  // conditional put (if-none-match), which is the same contract.
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(root: org.apache.hadoop.fs.Path): Object =
-    commitLocks.computeIfAbsent(root.toString, _ => new Object)
+  /** Publish a staged manifest as `target` with WRITE-IF-ABSENT
+    * semantics — the one primitive the whole commit protocol rests on.
+    * Exactly one of N same-version racers returns true; every loser
+    * returns false with `target` untouched. Per scheme:
+    *
+    *  - `file`: POSIX hard-link creation (`link(2)`) fails with EEXIST
+    *    if the target name exists — atomic create-if-absent ACROSS
+    *    PROCESSES, not just across threads (a bare exists+rename pair
+    *    is not: POSIX `rename(2)` silently REPLACES an existing
+    *    destination, so two same-version winners would clobber each
+    *    other; a JVM lock fixes threads but not a second driver on the
+    *    same volume). The tmp name keeps pointing at the same inode —
+    *    the caller unlinks it after.
+    *  - HDFS: `rename` refuses an existing destination atomically at
+    *    the NameNode — the contract comes free.
+    *  - An object store swaps this seam for a conditional put
+    *    (if-none-match) — same contract, one method to replace. */
+  private[graft] def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file") {
+      val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val dst = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
+      try { java.nio.file.Files.createLink(dst, src); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      !fs.exists(target) && fs.rename(tmp, target)
+    }
 
   /** Atomic OPTIMISTIC commit. The change is (base version, removed
     * files, added files); the manifest written is latest ∖ removed ∪
@@ -191,7 +209,7 @@ object Snapshot {
     * (bootstrap) refuses instead — two concurrent inits would both
     * list the same pre-manifest files and a rebase would double-count
     * them. */
-  private def commit(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, baseV: Option[Long],
       removed: Set[String], added: Seq[String],
       meta: Map[String, String], allowRebase: Boolean = true): Long = {
@@ -235,12 +253,13 @@ object Snapshot {
       try out.write((header ++ newList.sorted).mkString("\n").getBytes(Charset))
       finally out.close()
       val target = manifestPath(root, next)
-      val won = lockFor(root).synchronized {
-        !fs.exists(target) && fs.rename(tmp, target)
-      }
+      val won = publishIfAbsent(fs, tmp, target)
+      // either way the tmp NAME is done: the winner's manifest lives
+      // under the version name (hard link / rename), the loser's bytes
+      // are garbage — unlink it so no debris outlives the commit
+      fs.delete(tmp, false): Unit
       if (won) return next
       // lost the race for this version number — rebase and go again
-      fs.delete(tmp, false): Unit
       Thread.sleep(5L + scala.util.Random.nextInt(20).toLong)
     }
     throw new IllegalStateException(
@@ -568,6 +587,30 @@ object Snapshot {
       .parquet(added.map(f => s"$qualified/$f"): _*)
   }
 
+  /** Commit history of the layout, one row per snapshot version oldest
+    * first — the DESCRIBE HISTORY ops surface: which op landed each
+    * version, its live-file count, and the file-list delta against the
+    * previous version (an append shows n_removed=0; a compact shows
+    * both sides; a pure-metadata commit shows 0/0). `meta` carries the
+    * full manifest header, so run/batch identity and caller ledger
+    * entries (delta ids) read straight off the history. Driver-side
+    * O(versions × files) — manifest metadata, never data. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed snapshot under $path")
+    var prev = Set.empty[String]
+    val rows = vs.map { v =>
+      val fl = filesOf(spark, path, v).toSet
+      val m = metaOf(spark, path, v)
+      val r = (v, m.getOrElse("op", "unknown"), fl.size.toLong,
+        (fl -- prev).size.toLong, (prev -- fl).size.toLong, m)
+      prev = fl
+      r
+    }
+    rows.toDF("version", "op", "n_files", "n_added", "n_removed", "meta")
+  }
+
   /** Snapshot expiry — the retention sweep: keep the newest `keep`
     * manifests, delete older ones plus every data file no retained
     * manifest references (including orphans from crashed writers).
@@ -611,6 +654,18 @@ object Snapshot {
       fs.delete(manifestPath(root, sv), false)
       deleted += f"$ManifestDir/m-$sv%012d"
     }
+    // a writer that crashed between writing and publishing its staged
+    // manifest leaves a `.tmp-*` file here — invisible to readers
+    // (committedVersions matches only m-<digits>) but debris; sweep it
+    // under the same grace rule that protects in-flight commits
+    val mdir = new org.apache.hadoop.fs.Path(root, ManifestDir)
+    if (fs.exists(mdir)) fs.listStatus(mdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-") &&
+        (orphanGraceMs <= 0 || s.getModificationTime <= cutoff))
+      .foreach { s =>
+        fs.delete(s.getPath, false)
+        deleted += s"$ManifestDir/${s.getPath.getName}"
+      }
     deleted.toSeq
   }
 }

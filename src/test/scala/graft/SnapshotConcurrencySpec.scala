@@ -250,6 +250,101 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
     assert(got.exists(id => id >= 100 && id < 200))
   }
 
+  test("publish primitive: exactly one of two same-version racers wins, loser untouched") {
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    def stage(content: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(mdir, s".tmp-test-${java.util.UUID.randomUUID()}")
+      val out = fs.create(p, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val a = stage("winner-bytes")
+    val b = stage("loser-bytes")
+    val target = new org.apache.hadoop.fs.Path(mdir, "m-000000000099")
+    assert(Snapshot.publishIfAbsent(fs, a, target))
+    assert(!Snapshot.publishIfAbsent(fs, b, target),
+      "second publish to the same version must lose")
+    // the target holds the WINNER's bytes — the loser clobbered nothing
+    val len = fs.getFileStatus(target).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(target)
+    try in.readFully(0, buf) finally in.close()
+    assert(new String(buf, "UTF-8") == "winner-bytes")
+    // loser's staged bytes are intact for its rebase retry
+    assert(fs.exists(b))
+    Seq(a, b, target).foreach(p => fs.delete(p, false): Unit)
+  }
+
+  test("CROSS-PROCESS commits: racing JVMs land dense versions, no lost update") {
+    val path = s"${tmp("graft-snapcc")}/xproc"
+    val nProcs = 3
+    val nCommits = 4
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cp = sys.props("java.class.path")
+    val procs = (0 until nProcs).map { w =>
+      val pb = new ProcessBuilder(
+        javaBin, "-cp", cp, "graft.CommitRaceProbe", path, s"w$w", s"$nCommits")
+      pb.redirectErrorStream(true)
+      (w, pb.start())
+    }
+    val outputs = procs.map { case (w, p) =>
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(120, TimeUnit.SECONDS), s"probe w$w timed out")
+      (w, p.exitValue(), out)
+    }
+    outputs.foreach { case (w, code, out) =>
+      assert(code == 0 && out.contains(s"PROBE-OK w$w"),
+        s"probe w$w failed (exit $code):\n$out")
+    }
+    // the write-if-absent publish is per-PROCESS atomic (hard link):
+    // all 12 commits landed, versions dense, every entry exactly once
+    val vs = Snapshot.versions(spark, path)
+    assert(vs == (1L to (nProcs * nCommits).toLong), s"versions not dense: $vs")
+    val (_, files) = Snapshot.currentFiles(spark, path)
+    val want = (for (w <- 0 until nProcs; i <- 0 until nCommits)
+      yield s"event_date=d0/w$w-$i.parquet").toSet
+    assert(files.toSet == want && files.size == want.size,
+      s"lost/duplicated commit: ${files.sorted}")
+    // each version's header names the single writer that won it
+    vs.foreach { v =>
+      val m = Snapshot.metaOf(spark, path, v)
+      assert(m.contains("writer") && m.contains("seq"), s"v=$v missing identity")
+    }
+  }
+
+  test("torn commit: a staged-but-unpublished manifest is invisible, swept under the grace rule") {
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    // simulate a writer that died between writing and publishing
+    val torn = new org.apache.hadoop.fs.Path(mdir, ".tmp-dead-writer-1234")
+    val out = fs.create(torn, false)
+    try out.write("event_date=2024-01-01/ghost.parquet".getBytes("UTF-8"))
+    finally out.close()
+    // readers never see it: not a committed version, snapshot unchanged
+    assert(Snapshot.versions(spark, path) == Seq(1L))
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    // the NEXT commit is unobstructed (takes v2, ignores the debris)
+    import spark.implicits._
+    Snapshot.append(spark, path, "event_date",
+      Seq((9901L, 9L, 1L, "2024-01-01"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+    assert(Snapshot.currentVersion(spark, path).contains(2L))
+    assert(ids(Snapshot.readSnapshot(spark, path)) == before + 9901L)
+    // expiry protects it while young, reclaims it once aged out
+    val guarded = Snapshot.expire(spark, path, "event_date",
+      keep = 2, orphanGraceMs = 3600000L)
+    assert(!guarded.exists(_.contains(".tmp-dead-writer")) && fs.exists(torn))
+    val swept = Snapshot.expire(spark, path, "event_date", keep = 2)
+    assert(swept.exists(_.contains(".tmp-dead-writer")) && !fs.exists(torn))
+  }
+
   test("expire's orphan grace protects an in-flight writer's moved files") {
     val path = buildLayout()
     Snapshot.init(spark, path, "event_date")

@@ -284,6 +284,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(graft.sources.Sink.corpusFingerprint(spark, path) != fp1)
   }
 
+  test("history reads the full commit story: op, live count, file-list delta per version") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")                       // v1
+    Snapshot.append(spark, path, "event_date",                     // v2
+      Seq((9001L, 9L, 1L, "2024-01-05"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1),
+      Map("run" -> "ingest-7", "batch" -> "42"))
+    Snapshot.deleteWhere(spark, path, "event_date",                // v3
+      col("user_id") === 3L, Seq("ts_ms"))
+    Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms")) // v4
+    val h = Snapshot.history(spark, path)
+      .orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "init"), (2L, "append"), (3L, "delete"), (4L, "compact")))
+    // the delta columns reconstruct each op's shape
+    val byV = h.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byV(1L)._2 == byV(1L)._1 && byV(1L)._3 == 0L, "init adds everything")
+    assert(byV(2L)._2 == 1L && byV(2L)._3 == 0L, "append adds 1 file, removes none")
+    assert(byV(3L)._3 > 0L, "delete removed dirty partitions' files")
+    assert(byV(4L)._1 < byV(3L)._1, "compact shrank the live file count")
+    // the manifest header reads straight off the history — including
+    // INHERITED identity keys surviving the maintenance commits
+    val meta = h.map(r => r.getLong(0) -> r.getMap[String, String](5)).toMap
+    assert(meta(2L).get("run").contains("ingest-7"))
+    assert(meta(4L).get("run").contains("ingest-7") &&
+      meta(4L).get("batch").contains("42"),
+      "inherited txn identity missing from a maintenance commit's history row")
+  }
+
   test("expire retires old versions and unreferenced files; current version unharmed") {
     val path = buildLayout()
     Snapshot.init(spark, path, "event_date")

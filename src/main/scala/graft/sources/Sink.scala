@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, floor,
+  greatest, hash, least, lit, max, min, pmod}
 
 /** Warehouse sinks. Replaces the reference's write patterns:
   *
@@ -226,14 +227,15 @@ object Sink {
     * micro-batch as its own files, and at 100 TB a hot partition
     * accumulates thousands of KB-scale files whose open/footer/seek
     * overhead dominates scans and whose per-file row groups defeat
-    * min/max skipping. Per partition: if the file count exceeds the
-    * bin-packed target ceil(bytes/targetBytes), the partition is
-    * rewritten into exactly that many files — range-partitioned and
-    * sorted on `sortCols` when given, so compaction RESTORES the
-    * clustering contract (tight per-file min/max) instead of merely
-    * merging — and swapped in via rename. Partitions already at target
-    * are not read, not rewritten, not touched (their exact files
-    * survive — proven in SourcesSpec).
+    * min/max skipping. A partition whose file count exceeds its
+    * bin-packed target ceil(bytes/targetBytes) is rewritten toward that
+    * many files — every oversplit partition in ONE distributed job,
+    * range-partitioned on (partition, `sortCols`) so compaction
+    * RESTORES the clustering contract (tight per-file min/max) instead
+    * of merely merging, then swapped in via rename (constant Spark
+    * jobs whether the sweep touches 3 partitions or 3,650). Partitions
+    * already at target are not read, not rewritten, not touched (their
+    * exact files survive — proven in SourcesSpec).
     *
     * Atomicity: the rewrite stages to a hidden dir (readers skip it),
     * then partition-dir swap is two renames (old→trash, staged→live);
@@ -273,6 +275,101 @@ object Sink {
       .sortBy(_._1.getName)
   }
 
+  /** Cluster `rows` so a `partitionBy(partitionCol)` write hits each
+    * partition's file-count target EXACTLY, in one distributed pass.
+    * The DataFrame shuffle primitives can't express this routing —
+    * hash repartitioning merges buckets on collision (over-sized
+    * files), range repartitioning splits by row quantiles (a large
+    * partition overshoots its target) — so each row gets a GLOBAL file
+    * index and an exact custom partitioner routes index i to task i:
+    *
+    *  - within a partition targeted at n files, rows bucket by linear
+    *    interpolation of the primary sort column between the
+    *    partition's min/max (ONE tiny aggregate job), so every bucket
+    *    is a contiguous sort range → every staged file carries tight,
+    *    non-overlapping min/max on the sort key (the data-skipping
+    *    contract), ~bytes/target sized on evenly-spread keys (key skew
+    *    shifts bytes between a partition's files, never across
+    *    partitions);
+    *  - without sort columns there is no clustering contract and rows
+    *    spread by row hash;
+    *  - the file index = the partition's offset + its bucket; the
+    *    custom partitioner is the identity on it. The RDD hop costs a
+    *    row conversion on this write-only path; job count stays
+    *    constant no matter how many partitions the rewrite touches. */
+  private[sources] def packPartitioned(rows: DataFrame, partitionCol: String,
+      sortCols: Seq[String], targets: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = rows.sparkSession
+    val norm = targets.view.mapValues(n => math.max(1, n)).toMap
+    val offsets = {
+      var acc = 0
+      norm.toSeq.sortBy(_._1).map { case (p, n) =>
+        val o = acc; acc += n; (p, o, n)
+      }
+    }
+    val total = offsets.map(_._3).sum
+    val keys = (partitionCol +: sortCols).map(col)
+    val pstr = col(partitionCol).cast("string")
+    val sortKey: Option[org.apache.spark.sql.Column] =
+      sortCols.headOption.flatMap { c =>
+        rows.schema(c).dataType match {
+          case _: NumericType => Some(col(c).cast("double"))
+          case TimestampType | TimestampNTZType => Some(col(c).cast("double"))
+          case DateType => Some(col(c).cast("timestamp").cast("double"))
+          case _ => None
+        }
+      }
+    import spark.implicits._
+    val route = offsets.toDF("__gp", "__goff", "__gn")
+    sortKey match {
+      case Some(key) if total != offsets.size =>
+        // some partition packs to 2+ files: bucket by sort-key range
+        val stats = rows.groupBy(pstr.as("__gsp"))
+          .agg(min(key).as("__gmn"), max(key).as("__gmx"))
+        val frac = (key - col("__gmn")) /
+          greatest(col("__gmx") - col("__gmn"), lit(1e-9))
+        packRouted(
+          rows.join(broadcast(stats), pstr === col("__gsp"), "left"),
+          route, pstr, keys, total,
+          greatest(lit(0), least(floor(frac * col("__gn")),
+            col("__gn") - 1)).cast("int"),
+          dropExtra = Seq("__gsp", "__gmn", "__gmx"))
+      case None if total != offsets.size =>
+        packRouted(rows, route, pstr, keys, total,
+          pmod(hash(rows.columns.map(col): _*), col("__gn")), Nil)
+      case _ => // every partition → one file
+        packRouted(rows, route, pstr, keys, total, lit(0), Nil)
+    }
+  }
+
+  /** The exact-routing tail of [[packPartitioned]]: attach (offset, n),
+    * compute the global file index, route index i to task i, restore
+    * the sort clustering inside each task. */
+  private def packRouted(rows: DataFrame, route: DataFrame,
+      pstr: org.apache.spark.sql.Column,
+      keys: Seq[org.apache.spark.sql.Column], total: Int,
+      bucket: org.apache.spark.sql.Column,
+      dropExtra: Seq[String]): DataFrame = {
+    val spark = rows.sparkSession
+    val withIdx = rows.join(broadcast(route), pstr === col("__gp"), "left")
+      .withColumn("__gidx",
+        (coalesce(col("__goff"), lit(0)) + coalesce(bucket, lit(0))).cast("int"))
+      .drop((Seq("__gp", "__goff", "__gn") ++ dropExtra): _*)
+    val schema = withIdx.schema
+    val idxAt = schema.fieldIndex("__gidx")
+    val routed = withIdx.rdd
+      .map(r => (r.getInt(idxAt), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = math.max(1, total)
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    spark.createDataFrame(routed, schema)
+      .sortWithinPartitions(keys: _*)
+      .drop("__gidx")
+  }
+
   def compactPartitions(spark: SparkSession, path: String, partitionCol: String,
                         targetBytes: Long, sortCols: Seq[String] = Nil)
       : Seq[(String, Int, Int)] = {
@@ -281,30 +378,49 @@ object Sink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // probe = ONE recursive listing, no Spark jobs: file counts and byte
     // sizes decide compaction without reading any data
-    partitionDataFiles(fs, root, partitionCol).flatMap { case (partPath, dataFiles) =>
-      val bytes = dataFiles.map(_.getLen).sum
-      val nTarget = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (dataFiles.size <= nTarget) None
-      else {
-        // Hive layout keeps the partition column in the DIR NAME, not the
-        // data files, so reading the partition dir directly yields exactly
-        // the data-file schema and writing it back preserves the layout.
-        val rows = spark.read.parquet(partPath.toString)
-        val packed =
-          if (sortCols.isEmpty) rows.repartition(nTarget)
-          else rows.repartitionByRange(nTarget, sortCols.map(col): _*)
-            .sortWithinPartitions(sortCols.map(col): _*)
-        val tag = s"${partPath.getName}-$procTag-${java.util.UUID.randomUUID()}"
-        val stg = new org.apache.hadoop.fs.Path(root, s".staging-compact-$tag")
-        packed.write.parquet(stg.toString)
-        val trash = new org.apache.hadoop.fs.Path(root, s".trash-compact-$tag")
-        if (!fs.rename(partPath, trash) || !fs.rename(stg, partPath))
-          throw new IllegalStateException(
-            s"compaction swap failed for $partPath")
-        fs.delete(trash, true): Unit
-        Some((partPath.getName, dataFiles.size, nTarget))
-      }
+    val plan = partitionDataFiles(fs, root, partitionCol).flatMap {
+      case (partPath, dataFiles) =>
+        val bytes = dataFiles.map(_.getLen).sum
+        val nTarget = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (dataFiles.size > nTarget) Some((partPath, dataFiles.size, nTarget))
+        else None
     }
+    if (plan.isEmpty) return Seq.empty
+    // ONE rewrite job for every oversplit partition, each landing at
+    // its exact bin-packed file target (packPartitioned). A nightly
+    // sweep over 3,650 oversplit dates costs the same number of Spark
+    // jobs as one over 3 (the per-partition loop form would be 3,650
+    // sequential jobs). basePath keeps the partition column resolvable;
+    // partitionBy strips it from the staged data files, as the layout
+    // requires.
+    val tag = s"$procTag-${java.util.UUID.randomUUID()}"
+    val stg = new org.apache.hadoop.fs.Path(root, s".staging-compact-$tag")
+    val rows = spark.read
+      .option("basePath", fs.makeQualified(root).toString)
+      .parquet(plan.map(_._1.toString): _*)
+    val targets = plan.map { case (partPath, _, nTarget) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(partPath.getName.stripPrefix(s"$partitionCol=")) ->
+        nTarget
+    }.toMap
+    packPartitioned(rows, partitionCol, sortCols, targets)
+      .write.partitionBy(partitionCol).parquet(stg.toString)
+    val out = plan.map { case (partPath, nOld, _) =>
+      val stgPart = new org.apache.hadoop.fs.Path(stg, partPath.getName)
+      // a planned partition whose files hold zero rows stages nothing
+      // (partitionBy writes no dir for it) — it compacts to empty
+      if (!fs.exists(stgPart)) fs.mkdirs(stgPart): Unit
+      val trash = new org.apache.hadoop.fs.Path(root,
+        s".trash-compact-$tag-${partPath.getName}")
+      if (!fs.rename(partPath, trash) || !fs.rename(stgPart, partPath))
+        throw new IllegalStateException(s"compaction swap failed for $partPath")
+      fs.delete(trash, true): Unit
+      val nNew = fs.listStatus(partPath).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      (partPath.getName, nOld, nNew)
+    }
+    fs.delete(stg, true): Unit
+    out
   }
 
   /** Storage-level row deletion for a Hive-partitioned layout — the
@@ -326,14 +442,17 @@ object Sink {
     * is one. The same pass returns both counts, so no partition ever
     * pays a separate count + isEmpty + rewrite triple (#6).
     *
-    * REWRITE stays O(dirty partitions): clean partitions' files are
-    * physically untouched (at 100 TB most are — a user's rows live in a
-    * handful of dates); a partition whose every row matches is removed
-    * outright (known from the probe's keep-count, no extra action);
-    * survivors rewrite re-clustered on `sortCols` so the skipping
-    * contract survives the delete, swapped in by the
-    * [[compactPartitions]] rename dance. Returns (partition, rows
-    * deleted) per touched partition.
+    * REWRITE is ONE distributed job across every partially-dirty
+    * partition (survivors range-clustered on (partition, `sortCols`),
+    * staged with `partitionBy`, swapped in by the [[compactPartitions]]
+    * rename dance — O(dirty) METADATA renames, constant Spark jobs):
+    * the case that matters is forget-user, whose rows live in every
+    * date partition — the per-partition rewrite loop would be ~3,650
+    * sequential jobs there, this is one. Clean partitions' files are
+    * physically untouched (at 100 TB most are); a partition whose every
+    * row matches is removed outright (known from the probe's keep-count,
+    * no extra action). Returns (partition, rows deleted) per touched
+    * partition.
     *
     * Same raw-Hive atomicity caveat as compaction (two-rename window);
     * [[Snapshot]] commits the identical file swap as one manifest. */
@@ -373,32 +492,45 @@ object Sink {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    dirty.map { case (value, nDel, nRows) =>
+    val resolved = dirty.map { case (value, nDel, nRows) =>
       val (partPath, nFiles) = byValue.getOrElse(value,
         throw new IllegalStateException(
           s"probe returned partition value '$value' with no matching " +
           s"$partitionCol= directory under $path"))
+      (value, partPath, nFiles, nDel, nRows)
+    }
+    // ONE survivor-rewrite job for ALL partially-dirty partitions, each
+    // keeping its old file width (packPartitioned re-clusters on
+    // sortCols). basePath keeps the partition column resolvable in the
+    // predicate; partitionBy strips it from the staged data files.
+    val partial = resolved.filter { case (_, _, _, nDel, nRows) => nDel < nRows }
+    val tag = s"$procTag-${java.util.UUID.randomUUID()}"
+    val stg = new org.apache.hadoop.fs.Path(root, s".staging-delete-$tag")
+    if (partial.nonEmpty) {
+      val survivors = spark.read
+        .option("basePath", fs.makeQualified(root).toString)
+        .parquet(partial.map(_._2.toString): _*).where(!del)
+      packPartitioned(survivors, partitionCol, sortCols,
+        partial.map { case (value, _, nFiles, _, _) => value -> nFiles }.toMap)
+        .write.partitionBy(partitionCol).parquet(stg.toString)
+    }
+    val out = resolved.map { case (_, partPath, _, nDel, nRows) =>
       if (nDel == nRows) {
         // every row matches: drop the whole partition — known from the
         // probe alone, no per-partition emptiness check
         fs.delete(partPath, true): Unit
       } else {
-        val remaining = spark.read.parquet(partPath.toString).where(!del)
-        val n = math.max(1, nFiles)
-        val packed =
-          if (sortCols.isEmpty) remaining.repartition(n)
-          else remaining.repartitionByRange(n, sortCols.map(col): _*)
-            .sortWithinPartitions(sortCols.map(col): _*)
-        val tag = s"${partPath.getName}-$procTag-${java.util.UUID.randomUUID()}"
-        val stg = new org.apache.hadoop.fs.Path(root, s".staging-delete-$tag")
-        packed.write.parquet(stg.toString)
-        val trash = new org.apache.hadoop.fs.Path(root, s".trash-delete-$tag")
-        if (!fs.rename(partPath, trash) || !fs.rename(stg, partPath))
+        val stgPart = new org.apache.hadoop.fs.Path(stg, partPath.getName)
+        val trash = new org.apache.hadoop.fs.Path(root,
+          s".trash-delete-$tag-${partPath.getName}")
+        if (!fs.rename(partPath, trash) || !fs.rename(stgPart, partPath))
           throw new IllegalStateException(s"delete swap failed for $partPath")
         fs.delete(trash, true): Unit
       }
       (partPath.getName, nDel)
     }.toSeq
+    if (partial.nonEmpty) fs.delete(stg, true): Unit
+    out
   }
 
   /** Catalog-backed bucketed + sorted table: two tables bucketed the

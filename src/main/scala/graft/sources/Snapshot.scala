@@ -325,29 +325,27 @@ object Snapshot {
       .parquet(files.map(f => s"$qualified/$f"): _*)
   }
 
-  private def repack(rows: DataFrame, n: Int, sortCols: Seq[String]): DataFrame =
-    if (sortCols.isEmpty) rows.repartition(n)
-    else rows.repartitionByRange(n, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-
-  /** Write `rows` through a hidden staging dir, then MOVE the data files
-    * into `partDir` (unique writer-UUID names — nothing collides, and
-    * nothing references them until the manifest commit). Returns the
-    * moved files' root-relative paths. */
-  private def stageInto(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, partDir: org.apache.hadoop.fs.Path,
-      rows: DataFrame): Seq[String] = {
-    val stg = new org.apache.hadoop.fs.Path(root,
-      s".staging-snap-${Sink.procTag}-${java.util.UUID.randomUUID()}")
-    rows.write.parquet(stg.toString)
+  /** MOVE a `partitionBy`-staged write's data files into the live
+    * `partitionCol=` dirs (unique task-UUID names — nothing collides,
+    * and nothing references them until the manifest commit). Deletes
+    * the staging dir. Returns the moved files' root-relative paths. */
+  private def movePartitionedStaging(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, stg: org.apache.hadoop.fs.Path,
+      partitionCol: String): Seq[String] = {
     val moved = fs.listStatus(stg).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith("."))
-      .map { f =>
-        val dst = new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)
-        if (!fs.rename(f.getPath, dst))
-          throw new IllegalStateException(s"staging move failed: $dst")
-        s"${partDir.getName}/${f.getPath.getName}"
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partitionCol="))
+      .flatMap { d =>
+        val partDir = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+        fs.mkdirs(partDir)
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map { f =>
+            val dst = new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)
+            if (!fs.rename(f.getPath, dst))
+              throw new IllegalStateException(s"staging move failed: $dst")
+            s"${partDir.getName}/${f.getPath.getName}"
+          }
       }
     fs.delete(stg, true): Unit
     moved
@@ -359,7 +357,15 @@ object Snapshot {
     * readers see the fully-old or fully-new file set, never a partition
     * mid-swap (the [[Sink.compactPartitions]] two-rename window, closed).
     * Partitions already at target keep their exact manifest entries and
-    * physical files. Returns (partition, files before, files after). */
+    * physical files. Returns (partition, files before, files after).
+    *
+    * The rewrite is ONE distributed job over every oversplit partition
+    * (range-clustered on (partition, sortCols), `partitionBy` staged,
+    * metadata-renamed into place), not a job per partition — a nightly
+    * compaction that touches 3,650 date partitions costs the same
+    * number of Spark jobs as one that touches 3. Per-partition file
+    * counts follow the range partitioner's row balance, so the byte
+    * target is a bin-packing hint, exact at uniform row width. */
   def compact(spark: SparkSession, path: String, partitionCol: String,
       targetBytes: Long, sortCols: Seq[String] = Nil): Seq[(String, Int, Int)] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -371,27 +377,32 @@ object Snapshot {
       .map(f => f.getPath.toString.stripPrefix(qualified).stripPrefix("/") -> f.getLen)
       .toMap
     val byPart = files.groupBy(f => f.split("/")(0)).toSeq.sortBy(_._1)
-    val removed = scala.collection.mutable.Set.empty[String]
-    val added = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-    byPart.foreach { case (part, fsOfPart) =>
+    // the compaction plan: (partition, its files, its bin-packed target)
+    val plan = byPart.flatMap { case (part, fsOfPart) =>
       val bytes = fsOfPart.map(f => sizes.getOrElse(f,
         throw new IllegalStateException(s"manifest names missing file $f"))).sum
       val nTarget = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (fsOfPart.size > nTarget) {
-        val rows = spark.read.parquet(fsOfPart.map(f => s"$qualified/$f"): _*)
-        val moved = stageInto(spark, fs, root,
-          new org.apache.hadoop.fs.Path(root, part),
-          repack(rows, nTarget, sortCols))
-        removed ++= fsOfPart
-        added ++= moved
-        results += ((part, fsOfPart.size, moved.size))
-      }
+      if (fsOfPart.size > nTarget) Some((part, fsOfPart, nTarget)) else None
     }
-    if (removed.nonEmpty)
-      commit(fs, root, Some(v), removed.toSet, added.toSeq,
-        Map("op" -> "compact")): Unit
-    results.toSeq
+    if (plan.isEmpty) return Seq.empty
+    val oldFiles = plan.flatMap(_._2)
+    val rows = spark.read.option("basePath", qualified)
+      .parquet(oldFiles.map(f => s"$qualified/$f"): _*)
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-compact-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    val targets = plan.map { case (part, _, nTarget) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(part.stripPrefix(s"$partitionCol=")) -> nTarget
+    }.toMap
+    Sink.packPartitioned(rows, partitionCol, sortCols, targets)
+      .write.partitionBy(partitionCol).parquet(stg.toString)
+    val moved = movePartitionedStaging(fs, root, stg, partitionCol)
+    commit(fs, root, Some(v), oldFiles.toSet, moved,
+      Map("op" -> "compact")): Unit
+    val movedByPart = moved.groupBy(_.split("/")(0))
+    plan.map { case (part, fsOfPart, _) =>
+      (part, fsOfPart.size, movedByPart.getOrElse(part, Seq.empty).size)
+    }
   }
 
   /** Row deletion committed through the manifest. Discovery is the same
@@ -401,7 +412,13 @@ object Snapshot {
     * emptied partitions simply drop out of the manifest (zero data
     * work), clean partitions keep their exact entries and files. One
     * atomic commit for the whole delete. Returns (partition, rows
-    * deleted). */
+    * deleted).
+    *
+    * The rewrite is ALSO one distributed job across every partially-
+    * dirty partition ([[compact]]'s staged `partitionBy` discipline) —
+    * the case that matters is forget-user, whose rows live in EVERY
+    * date partition: probe + rewrite stay a constant number of Spark
+    * jobs whether the delete dirties 3 partitions or 3,650. */
   def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
       predicate: Column, sortCols: Seq[String] = Nil): Seq[(String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -425,27 +442,34 @@ object Snapshot {
     def partDirName(value: String): String =
       s"$partitionCol=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)}"
     val removed = scala.collection.mutable.Set.empty[String]
-    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    val partial = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
     dirty.foreach { case (value, nDel, nRows) =>
       val part = partDirName(value)
       val old = byPart.getOrElse(part,
         throw new IllegalStateException(
           s"probe returned partition '$part' not present in snapshot v=$v"))
       removed ++= old
-      if (nDel < nRows) {
-        // basePath read so a predicate referencing the PARTITION column
-        // resolves here exactly as in the probe; the column is inferred
-        // from the dir name, so drop it before staging — data files
-        // inside a `part=` dir must not carry it
-        val remaining = spark.read.option("basePath", qualified)
-          .parquet(old.map(f => s"$qualified/$f"): _*).where(!del)
-          .drop(partitionCol)
-        added ++= stageInto(spark, fs, root,
-          new org.apache.hadoop.fs.Path(root, part),
-          repack(remaining, math.max(1, old.size), sortCols))
-      }
+      if (nDel < nRows) partial += ((value, old))
     }
-    commit(fs, root, Some(v), removed.toSet, added.toSeq,
+    val added =
+      if (partial.isEmpty) Seq.empty[String]
+      else {
+        // ONE survivor-rewrite job for ALL partially-dirty partitions,
+        // each keeping its old file width (Sink.packPartitioned).
+        // basePath read so a predicate referencing the PARTITION column
+        // resolves exactly as in the probe; partitionBy strips it from
+        // the staged data files, as a Hive layout requires.
+        val oldFiles = partial.flatMap(_._2).toSeq
+        val survivors = spark.read.option("basePath", qualified)
+          .parquet(oldFiles.map(f => s"$qualified/$f"): _*).where(!del)
+        val stg = new org.apache.hadoop.fs.Path(root,
+          s".staging-delete-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+        Sink.packPartitioned(survivors, partitionCol, sortCols,
+          partial.map { case (value, old) => value -> old.size }.toMap)
+          .write.partitionBy(partitionCol).parquet(stg.toString)
+        movePartitionedStaging(fs, root, stg, partitionCol)
+      }
+    commit(fs, root, Some(v), removed.toSet, added,
       Map("op" -> "delete")): Unit
     dirty.toSeq.map { case (value, nDel, _) => (partDirName(value), nDel) }
   }
@@ -483,22 +507,7 @@ object Snapshot {
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-append-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     rows.write.partitionBy(partitionCol).parquet(stg.toString)
-    val moved = fs.listStatus(stg).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partitionCol="))
-      .flatMap { d =>
-        val partDir = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
-        fs.mkdirs(partDir)
-        fs.listStatus(d.getPath).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-            !f.getPath.getName.startsWith("."))
-          .map { f =>
-            val dst = new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)
-            if (!fs.rename(f.getPath, dst))
-              throw new IllegalStateException(s"append staging move failed: $dst")
-            s"${partDir.getName}/${f.getPath.getName}"
-          }
-      }
-    fs.delete(stg, true): Unit
+    val moved = movePartitionedStaging(fs, root, stg, partitionCol)
     // removes nothing → commutes with ANY concurrent commit: a lost
     // version race rebases onto the winner's file list and retries
     commit(fs, root, prev, Set.empty, moved, Map("op" -> "append") ++ meta)
@@ -531,23 +540,8 @@ object Snapshot {
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-replace-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     replacement.write.partitionBy(partitionCol).parquet(stg.toString)
-    val stagedParts = fs.listStatus(stg).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partitionCol="))
-    val touched = stagedParts.map(_.getPath.getName).toSet
-    val moved = stagedParts.flatMap { d =>
-      val partDir = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
-      fs.mkdirs(partDir)
-      fs.listStatus(d.getPath).toSeq
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-        .map { f =>
-          val dst = new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)
-          if (!fs.rename(f.getPath, dst))
-            throw new IllegalStateException(s"replace staging move failed: $dst")
-          s"${partDir.getName}/${f.getPath.getName}"
-        }
-    }
-    fs.delete(stg, true): Unit
+    val moved = movePartitionedStaging(fs, root, stg, partitionCol)
+    val touched = moved.map(_.split("/")(0)).toSet
     val replaced = files.filter(f => touched(f.split("/")(0))).toSet
     commit(fs, root, Some(v), replaced, moved, Map("op" -> "replace") ++ meta)
   }

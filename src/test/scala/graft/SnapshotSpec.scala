@@ -284,6 +284,66 @@ class SnapshotSpec extends AnyFunSuite {
     assert(graft.sources.Sink.corpusFingerprint(spark, path) != fp1)
   }
 
+  test("snapshot delete + compact rewrites are ONE job: constant count vs dirty-partition count") {
+    import spark.implicits._
+    def build(nParts: Int): String = {
+      val path = s"${tmp("graft-snapjobs")}/layout"
+      // every date: users 3 and 7 interleaved, 4 files (oversplit AND
+      // partially dirty for user-3 deletion) — the forget-user shape
+      val rows = (0 until nParts * 8).map { i =>
+        (i.toLong, if (i % 4 == 0) 3L else 7L, i.toLong,
+          f"2024-01-${i % nParts + 1}%02d")
+      }
+      rows.toDF("event_id", "user_id", "ts_ms", "event_date")
+        .repartition(4).write.partitionBy("event_date").parquet(path)
+      Snapshot.init(spark, path, "event_date")
+      path
+    }
+    val small = build(3)
+    val big = build(9)
+    val delSmall = TestJobs.jobsDuring(spark) {
+      assert(Snapshot.deleteWhere(spark, small, "event_date",
+        col("user_id") === 3L, Seq("ts_ms")).size == 3)
+    }
+    val delBig = TestJobs.jobsDuring(spark) {
+      assert(Snapshot.deleteWhere(spark, big, "event_date",
+        col("user_id") === 3L, Seq("ts_ms")).size == 9)
+    }
+    assert(delSmall == delBig,
+      s"snapshot delete scales with dirty count: $delSmall vs $delBig jobs")
+    // fresh layouts for the compact pin with file counts on the same
+    // side of Spark's parallel-listing threshold (the snapshot read
+    // lists EXACT manifest files; past 32 paths Spark adds one parallel
+    // listing job — a scale feature, not a per-partition loop)
+    def build2(nParts: Int): String = {
+      val path = s"${tmp("graft-snapjobs")}/layout2"
+      val rows = (0 until nParts * 8).map { i =>
+        (i.toLong, 7L, i.toLong, f"2024-01-${i % nParts + 1}%02d")
+      }
+      rows.toDF("event_id", "user_id", "ts_ms", "event_date")
+        .repartition(2).write.partitionBy("event_date").parquet(path)
+      Snapshot.init(spark, path, "event_date")
+      path
+    }
+    val small2 = build2(3)
+    val big2 = build2(9)
+    val cmpSmall = TestJobs.jobsDuring(spark) {
+      assert(Snapshot.compact(spark, small2, "event_date", 1L << 30,
+        Seq("ts_ms")).size == 3)
+    }
+    val cmpBig = TestJobs.jobsDuring(spark) {
+      assert(Snapshot.compact(spark, big2, "event_date", 1L << 30,
+        Seq("ts_ms")).size == 9)
+    }
+    assert(cmpSmall == cmpBig,
+      s"snapshot compact scales with partition count: $cmpSmall vs $cmpBig jobs")
+    // the one-job passes still produced the right tables
+    val snap = Snapshot.readSnapshot(spark, big)
+    assert(snap.where(col("user_id") === 3L).count() == 0)
+    assert(snap.count() == 9 * 8 * 3 / 4)
+    assert(Snapshot.readSnapshot(spark, big2).count() == 9 * 8)
+  }
+
   test("history reads the full commit story: op, live count, file-list delta per version") {
     import spark.implicits._
     val path = buildLayout()

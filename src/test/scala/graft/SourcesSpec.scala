@@ -432,6 +432,82 @@ class SourcesSpec extends AnyFunSuite {
         s"$jobsBig at 9 — the per-partition loop is back")
   }
 
+  test("deleteWhere REWRITE is one job: constant count when EVERY partition is dirty") {
+    // the forget-user shape: the deleted user's rows live in every date
+    // partition, so the rewrite side (not just the probe) must be a
+    // single distributed job — the per-partition loop form is ~3,650
+    // sequential jobs at 10 years of daily partitions
+    import spark.implicits._
+    def build(nParts: Int): String = {
+      val path = s"${tmp("graft-jobcount-rw")}/layout"
+      // every date holds users 3 and 7 (gcd(4, nParts)=1 for 3 and 9),
+      // so every partition is PARTIALLY dirty — all must rewrite
+      val rows = (0 until nParts * 8).map { i =>
+        (i.toLong, if (i % 4 == 0) 3L else 7L, i.toLong,
+          f"2024-01-${i % nParts + 1}%02d")
+      }
+      rows.toDF("event_id", "user_id", "ts_ms", "event_date")
+        .repartition(2).write.partitionBy("event_date").parquet(path)
+      path
+    }
+    val small = build(3)
+    val big = build(9)
+    val jobsSmall = TestJobs.jobsDuring(spark) {
+      assert(Sink.deleteWhere(spark, small, "event_date",
+        col("user_id") === 3L, Seq("ts_ms")).size == 3)
+    }
+    val jobsBig = TestJobs.jobsDuring(spark) {
+      assert(Sink.deleteWhere(spark, big, "event_date",
+        col("user_id") === 3L, Seq("ts_ms")).size == 9)
+    }
+    assert(jobsSmall == jobsBig,
+      s"rewrite scales with dirty-partition count: $jobsSmall jobs at 3 " +
+        s"dirty, $jobsBig at 9 — the per-partition rewrite loop is back")
+    // correctness of the one-job rewrite: user gone, survivors intact,
+    // clustering restored per partition
+    val after = spark.read.parquet(big)
+    assert(after.where(col("user_id") === 3L).count() == 0)
+    assert(after.count() == 9 * 8 * 3 / 4)
+    // the clustering contract is per-FILE: every staged file holds a
+    // sorted ts range (what footer min/max skipping needs)
+    new java.io.File(s"$big/event_date=2024-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val ts = spark.read.parquet(f.getAbsolutePath)
+          .select("ts_ms").collect().map(_.getLong(0))
+        assert(ts.sameElements(ts.sorted),
+          s"sort clustering lost in rewrite file ${f.getName}")
+      }
+  }
+
+  test("compactPartitions is one job: constant count vs oversplit-partition count") {
+    import spark.implicits._
+    def build(nParts: Int): String = {
+      val path = s"${tmp("graft-jobcount-cp")}/layout"
+      val rows = (0 until nParts * 8).map { i =>
+        (i.toLong, i.toLong, f"2024-01-${i % nParts + 1}%02d")
+      }
+      // 4+ files per date: every partition oversplit vs a 1-file target
+      rows.toDF("event_id", "ts_ms", "event_date")
+        .repartition(4).write.partitionBy("event_date").parquet(path)
+      path
+    }
+    val small = build(3)
+    val big = build(9)
+    val jobsSmall = TestJobs.jobsDuring(spark) {
+      assert(Sink.compactPartitions(spark, small, "event_date",
+        1L << 30, Seq("ts_ms")).size == 3)
+    }
+    val jobsBig = TestJobs.jobsDuring(spark) {
+      assert(Sink.compactPartitions(spark, big, "event_date",
+        1L << 30, Seq("ts_ms")).size == 9)
+    }
+    assert(jobsSmall == jobsBig,
+      s"compaction scales with partition count: $jobsSmall jobs at 3 " +
+        s"oversplit, $jobsBig at 9 — the per-partition loop is back")
+    val after = spark.read.parquet(big)
+    assert(after.count() == 9 * 8)
+  }
+
   test("fingerprint retention sweep keeps current + N, deletes older prints") {
     import spark.implicits._
     val base = s"${tmp("graft-gc")}/family"

@@ -123,6 +123,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.count() == n)
     assert(after.agg(sum(col("event_id"))).head().getLong(0) ==
       batch.agg(sum(col("event_id"))).head().getLong(0))
+    // the ONE-JOB rewrite still lands each date at its exact bin-packed
+    // target (packPartitioned's exact file routing)
     assert(dateDirs.forall(filesOf(_).length == 1))
     // the pruning contract survives the whole cycle: a date predicate's
     // executed plan references no other partition's files

@@ -185,6 +185,50 @@ class StreamingSpec extends AnyFunSuite {
       batch.agg(sum(col("event_id"))).head().getLong(0))
   }
 
+  test("snapshot ingest RESTART: same checkpoint resumes with no duplicates, new arrivals only, stable run identity") {
+    import graft.sources.Snapshot
+    // a source dir the test controls: first wave of files, then a
+    // second wave that arrives while the stream is DOWN
+    val srcDir = Files.createTempDirectory("graft-restart-src")
+      .toFile.getAbsolutePath
+    val all = spark.read.parquet(stagedDir)
+    val wave1 = all.where(pmod(col("event_id"), lit(2)) === 0)
+    val wave2 = all.where(pmod(col("event_id"), lit(2)) === 1)
+    wave1.repartition(2).write.mode("append").parquet(srcDir)
+    val outDir = Files.createTempDirectory("graft-restart-out")
+      .toFile.getAbsolutePath + "/layout"
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt")
+      .toFile.getAbsolutePath
+    val q1 = EventStreams.ingestSnapshot(spark,
+      graft.streaming.StreamSources.FileSource(srcDir), outDir, ckpt)
+    q1.awaitTermination()
+    val vs1 = Snapshot.versions(spark, outDir)
+    val n1 = Snapshot.readSnapshot(spark, outDir).count()
+    assert(n1 == wave1.count())
+    val token1 = EventStreams.runToken(spark, ckpt)
+    // second wave lands while no query is running; restart from the
+    // SAME checkpoint — the file source must skip wave 1 entirely
+    wave2.repartition(2).write.mode("append").parquet(srcDir)
+    val q2 = EventStreams.ingestSnapshot(spark,
+      graft.streaming.StreamSources.FileSource(srcDir), outDir, ckpt)
+    q2.awaitTermination()
+    assert(EventStreams.runToken(spark, ckpt) == token1,
+      "run identity changed across a clean restart")
+    val snap = Snapshot.readSnapshot(spark, outDir)
+    assert(snap.count() == all.count(), "restart lost or duplicated rows")
+    assert(snap.select("event_id").distinct().count() == all.count(),
+      "restart double-ingested wave 1")
+    // the restart CONTINUED the commit sequence: strictly increasing
+    // batch ids under the same run, across versions from both runs
+    val vs2 = Snapshot.versions(spark, outDir)
+    assert(vs2.size > vs1.size)
+    val idsAll = vs2.map(v => Snapshot.metaOf(spark, outDir, v)("batch").toLong)
+    assert(idsAll == idsAll.sorted && idsAll.distinct == idsAll,
+      s"batch ids not strictly increasing across the restart: $idsAll")
+    assert(vs2.forall(v =>
+      Snapshot.metaOf(spark, outDir, v).get("run").contains(token1)))
+  }
+
   test("snapshot rollup maintenance from a stream: self-bootstraps, maintained ≡ batch, replay no-op") {
     import graft.operators.MatView
     import graft.sources.Snapshot

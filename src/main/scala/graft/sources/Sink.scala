@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, floor,
-  greatest, hash, least, lit, max, min, pmod}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
+  floor, greatest, hash, least, lit, max, min, pmod, raise_error, when}
 
 /** Warehouse sinks. Replaces the reference's write patterns:
   *
@@ -275,6 +275,28 @@ object Sink {
       .sortBy(_._1.getName)
   }
 
+  /** Maintenance-internal read of a partitioned layout with the
+    * partition column typed STRING — the raw (unescaped) dir value, no
+    * partition-type inference. Inference would turn dir
+    * `event_date=01` into int 1 and break the maintenance identity
+    * chain (probe value ↔ rewrite-plan key ↔ staged dir name); with an
+    * explicit schema the value IS the dir string at every step.
+    * `sampleFile` supplies the data schema (one footer read — the same
+    * single-file schema an inferred non-mergeSchema read would use).
+    * Serving reads keep inference; only maintenance needs dir-name
+    * identity. */
+  private[sources] def readForMaintenance(spark: SparkSession,
+      basePath: String, paths: Seq[String], sampleFile: String,
+      partitionCol: String): DataFrame = {
+    val dataSchema = spark.read.parquet(sampleFile).schema
+    require(!dataSchema.fieldNames.contains(partitionCol),
+      s"data files already carry partition column '$partitionCol'")
+    spark.read
+      .schema(dataSchema.add(partitionCol, org.apache.spark.sql.types.StringType))
+      .option("basePath", basePath)
+      .parquet(paths: _*)
+  }
+
   /** Cluster `rows` so a `partitionBy(partitionCol)` write hits each
     * partition's file-count target EXACTLY, in one distributed pass.
     * The DataFrame shuffle primitives can't express this routing —
@@ -317,6 +339,17 @@ object Sink {
           case _: NumericType => Some(col(c).cast("double"))
           case TimestampType | TimestampNTZType => Some(col(c).cast("double"))
           case DateType => Some(col(c).cast("timestamp").cast("double"))
+          case StringType =>
+            // lexicographic proxy: the first 4 bytes packed into a
+            // number, monotone in string order up to 4-byte ties —
+            // files keep contiguous key ranges (ties past the prefix
+            // can blur only ADJACENT file boundaries), which range
+            // bucketing needs and a hash spread would destroy
+            val b = (i: Int) => coalesce(
+              org.apache.spark.sql.functions.ascii(
+                org.apache.spark.sql.functions.substring(col(c), i, 1)),
+              lit(0)).cast("double")
+            Some(b(1) * 16777216d + b(2) * 65536d + b(3) * 256d + b(4))
           case _ => None
         }
       }
@@ -352,9 +385,22 @@ object Sink {
       bucket: org.apache.spark.sql.Column,
       dropExtra: Seq[String]): DataFrame = {
     val spark = rows.sparkSession
+    // Partition identity guard: `targets` is keyed by the caller's
+    // partition-value string, the rows carry the INFERRED partition
+    // column — if the two disagree (a value that does not round-trip
+    // Spark's partition-type inference, e.g. dir "event_date=01"
+    // inferred as int 1), routing silently misfiles the partition and
+    // the caller's staged-dir swap could destroy it. Fail the STAGING
+    // write instead, before anything destructive: a row matching no
+    // route entry aborts the job with the offending value named.
+    val guardedOff = when(col("__goff").isNull,
+      raise_error(concat(
+        lit(s"partition value not in the rewrite plan (dir-name vs " +
+          "inferred-value mismatch?): '"), pstr, lit("'"))))
+      .otherwise(col("__goff"))
     val withIdx = rows.join(broadcast(route), pstr === col("__gp"), "left")
       .withColumn("__gidx",
-        (coalesce(col("__goff"), lit(0)) + coalesce(bucket, lit(0))).cast("int"))
+        (guardedOff + coalesce(bucket, lit(0))).cast("int"))
       .drop((Seq("__gp", "__goff", "__gn") ++ dropExtra): _*)
     val schema = withIdx.schema
     val idxAt = schema.fieldIndex("__gidx")
@@ -382,7 +428,9 @@ object Sink {
       case (partPath, dataFiles) =>
         val bytes = dataFiles.map(_.getLen).sum
         val nTarget = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        if (dataFiles.size > nTarget) Some((partPath, dataFiles.size, nTarget))
+        if (dataFiles.size > nTarget)
+          Some((partPath, dataFiles.size, nTarget,
+            dataFiles.head.getPath.toString))
         else None
     }
     if (plan.isEmpty) return Seq.empty
@@ -395,21 +443,31 @@ object Sink {
     // requires.
     val tag = s"$procTag-${java.util.UUID.randomUUID()}"
     val stg = new org.apache.hadoop.fs.Path(root, s".staging-compact-$tag")
-    val rows = spark.read
-      .option("basePath", fs.makeQualified(root).toString)
-      .parquet(plan.map(_._1.toString): _*)
-    val targets = plan.map { case (partPath, _, nTarget) =>
+    val rows = readForMaintenance(spark, fs.makeQualified(root).toString,
+      plan.map(_._1.toString), plan.head._4, partitionCol)
+    val targets = plan.map { case (partPath, _, nTarget, _) =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(partPath.getName.stripPrefix(s"$partitionCol=")) ->
         nTarget
     }.toMap
     packPartitioned(rows, partitionCol, sortCols, targets)
       .write.partitionBy(partitionCol).parquet(stg.toString)
-    val out = plan.map { case (partPath, nOld, _) =>
+    // validate the WHOLE staged set before any destructive rename: a
+    // planned partition with no staged dir means its rows landed under
+    // a different name (non-canonical escaping in an externally-written
+    // dir name) or were lost — swap nothing, fail with the table intact.
+    // (A genuinely zero-row partition also trips this; compacting
+    // empty-file debris needs manual handling, never a silent swap for
+    // an empty dir.)
+    plan.foreach { case (partPath, _, _, _) =>
       val stgPart = new org.apache.hadoop.fs.Path(stg, partPath.getName)
-      // a planned partition whose files hold zero rows stages nothing
-      // (partitionBy writes no dir for it) — it compacts to empty
-      if (!fs.exists(stgPart)) fs.mkdirs(stgPart): Unit
+      if (!fs.exists(stgPart))
+        throw new IllegalStateException(
+          s"staged rewrite missing for $partPath (non-canonical dir " +
+          "name, or zero rows?) — aborting with the table untouched")
+    }
+    val out = plan.map { case (partPath, nOld, _, _) =>
+      val stgPart = new org.apache.hadoop.fs.Path(stg, partPath.getName)
       val trash = new org.apache.hadoop.fs.Path(root,
         s".trash-compact-$tag-${partPath.getName}")
       if (!fs.rename(partPath, trash) || !fs.rename(stgPart, partPath))
@@ -479,12 +537,15 @@ object Sink {
           .unescapePathName(p.getName.stripPrefix(s"$partitionCol=")) ->
           (p, files.size)
       }.toMap
-    // THE probe: one job, per-partition delete/keep counts. basePath
-    // keeps the partition column visible; cast-to-string matches the
-    // unescaped dir value for every Hive-layout partition type.
-    val dirty = spark.read.option("basePath", fs.makeQualified(root).toString)
-      .parquet(parts.map(_._1.toString): _*)
-      .groupBy(col(partitionCol).cast("string").as("__part"))
+    // THE probe: one job, per-partition delete/keep counts. The
+    // maintenance read types the partition column STRING (the unescaped
+    // dir value, no inference), so the probe value, the byValue key and
+    // the staged dir name share one identity for every layout —
+    // including values inference would mangle (dir "01" → int 1).
+    val sampleFile = parts.head._2.head.getPath.toString
+    val dirty = readForMaintenance(spark, fs.makeQualified(root).toString,
+        parts.map(_._1.toString), sampleFile, partitionCol)
+      .groupBy(col(partitionCol).as("__part"))
       .agg(
         sum(when(del, 1L).otherwise(0L)).as("n_del"),
         count(lit(1)).as("n_rows"))
@@ -507,9 +568,9 @@ object Sink {
     val tag = s"$procTag-${java.util.UUID.randomUUID()}"
     val stg = new org.apache.hadoop.fs.Path(root, s".staging-delete-$tag")
     if (partial.nonEmpty) {
-      val survivors = spark.read
-        .option("basePath", fs.makeQualified(root).toString)
-        .parquet(partial.map(_._2.toString): _*).where(!del)
+      val survivors = readForMaintenance(spark,
+        fs.makeQualified(root).toString, partial.map(_._2.toString),
+        sampleFile, partitionCol).where(!del)
       packPartitioned(survivors, partitionCol, sortCols,
         partial.map { case (value, _, nFiles, _, _) => value -> nFiles }.toMap)
         .write.partitionBy(partitionCol).parquet(stg.toString)
@@ -521,6 +582,14 @@ object Sink {
         fs.delete(partPath, true): Unit
       } else {
         val stgPart = new org.apache.hadoop.fs.Path(stg, partPath.getName)
+        // verify the staged side BEFORE renaming the live partition
+        // away — a missing staged dir must abort with the table intact,
+        // not strand the partition in trash (partial partitions always
+        // have survivors, so an absent dir is a bug, never a no-op)
+        if (!fs.exists(stgPart))
+          throw new IllegalStateException(
+            s"staged survivors missing for $partPath — aborting swap " +
+            "with the live partition untouched")
         val trash = new org.apache.hadoop.fs.Path(root,
           s".trash-delete-$tag-${partPath.getName}")
         if (!fs.rename(partPath, trash) || !fs.rename(stgPart, partPath))

@@ -115,12 +115,15 @@ object Snapshot {
       .collect { case Array(k, value) => k -> value }
       .toMap
 
+  private def parseFiles(text: String): Seq[String] =
+    text.split("\n").toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+
   /** The file list of snapshot `v` (root-relative paths, sorted).
     * Metadata lines (`#key=value` — see [[metaOf]]) are skipped, so
     * pre-metadata manifests parse identically. */
   def filesOf(spark: SparkSession, path: String, v: Long): Seq[String] =
-    manifestText(spark, path, v).split("\n").toSeq
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    parseFiles(manifestText(spark, path, v))
 
   /** Commit metadata of snapshot `v`: the `#key=value` header lines —
     * `op` (init/append/replace/compact/delete) set by the committing op,
@@ -157,8 +160,7 @@ object Snapshot {
 
   private[graft] def filesOfFs(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
-    manifestTextFs(fs, root, v).split("\n").toSeq
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    parseFiles(manifestTextFs(fs, root, v))
 
   private val MaxCommitAttempts = 24
 
@@ -221,8 +223,11 @@ object Snapshot {
     while (attempt < MaxCommitAttempts) {
       attempt += 1
       val latest = committedVersions(fs, root).lastOption
-      val latestFiles =
-        latest.map(filesOfFs(fs, root, _)).getOrElse(Seq.empty)
+      // ONE read of the latest manifest per attempt feeds both the file
+      // list and the inherited-metadata header (a manifest is O(live
+      // files) of text — don't read it twice in a contended loop)
+      val latestText = latest.map(v => manifestTextFs(fs, root, v))
+      val latestFiles = latestText.map(parseFiles).getOrElse(Seq.empty)
       if (latest != baseV) {
         if (!allowRebase)
           throw new SnapshotConflictException(
@@ -238,7 +243,7 @@ object Snapshot {
       }
       // transaction identity is table state: carry the inherited keys
       // forward from the latest manifest unless this commit sets them
-      val carried = latest.map(v => parseMeta(manifestTextFs(fs, root, v)))
+      val carried = latestText.map(parseMeta)
         .getOrElse(Map.empty)
         .view.filterKeys(InheritedMeta).toMap
       val full = carried ++ meta
@@ -248,7 +253,11 @@ object Snapshot {
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
       val header = full.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-      val newList = latestFiles.filterNot(removed) ++ added
+      // distinct: an init that raced an in-flight append can have listed
+      // the append's already-moved files into its bootstrap manifest —
+      // when the append then rebases, its adds would otherwise appear
+      // twice and every row in those files would double-count
+      val newList = (latestFiles.filterNot(removed) ++ added).distinct
       val out = fs.create(tmp, false)
       try out.write((header ++ newList.sorted).mkString("\n").getBytes(Charset))
       finally out.close()
@@ -259,8 +268,12 @@ object Snapshot {
       // are garbage — unlink it so no debris outlives the commit
       fs.delete(tmp, false): Unit
       if (won) return next
-      // lost the race for this version number — rebase and go again
-      Thread.sleep(5L + scala.util.Random.nextInt(20).toLong)
+      // lost the race for this version number — rebase and go again,
+      // backing off exponentially so sustained multi-writer contention
+      // cannot exhaust the attempt budget (flat jitter has a failure
+      // cliff at ~6 steady writers; growing sleeps de-synchronize them)
+      Thread.sleep((5L << math.min(attempt, 6)) +
+        scala.util.Random.nextInt(25).toLong)
     }
     throw new IllegalStateException(
       s"snapshot commit on $root still contended after $MaxCommitAttempts attempts")
@@ -280,8 +293,17 @@ object Snapshot {
       val rel = listDataFiles(fs, root, partitionCol)
         .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
       require(rel.nonEmpty, s"no data files under $path to snapshot")
-      commit(fs, root, None, Set.empty, rel, Map("op" -> "init") ++ meta,
+      try commit(fs, root, None, Set.empty, rel, Map("op" -> "init") ++ meta,
         allowRebase = false)
+      catch {
+        // two inits racing list the SAME pre-manifest files — the loser
+        // adopts the winner's bootstrap instead of double-counting
+        // (idempotent init, same answer as the sequential second call)
+        case _: SnapshotConflictException =>
+          committedVersions(fs, root).lastOption.getOrElse(
+            throw new IllegalStateException(
+              s"init conflict under $root but no committed version found"))
+      }
     }
   }
 
@@ -386,8 +408,12 @@ object Snapshot {
     }
     if (plan.isEmpty) return Seq.empty
     val oldFiles = plan.flatMap(_._2)
-    val rows = spark.read.option("basePath", qualified)
-      .parquet(oldFiles.map(f => s"$qualified/$f"): _*)
+    // maintenance read: partition column typed STRING (raw dir value,
+    // no inference) so the plan key ↔ routed value ↔ staged dir name
+    // identity holds for values inference would mangle ("01" → int 1)
+    val rows = Sink.readForMaintenance(spark, qualified,
+      oldFiles.map(f => s"$qualified/$f"),
+      s"$qualified/${oldFiles.head}", partitionCol)
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-compact-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     val targets = plan.map { case (part, _, nTarget) =>
@@ -397,11 +423,23 @@ object Snapshot {
     Sink.packPartitioned(rows, partitionCol, sortCols, targets)
       .write.partitionBy(partitionCol).parquet(stg.toString)
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
+    val movedByPart = moved.groupBy(_.split("/")(0))
+    // every planned partition must have restaged under ITS dir name
+    // before the commit removes its old entries — a miss (non-canonical
+    // dir name from an external writer, zero-row debris) aborts with
+    // the snapshot untouched; the moved files are unreferenced and
+    // retire via expire
+    plan.foreach { case (part, _, _) =>
+      if (!movedByPart.contains(part))
+        throw new IllegalStateException(
+          s"staged rewrite missing for partition '$part' (non-canonical " +
+          "dir name, or zero rows?) — aborting before the commit; the " +
+          "snapshot is unchanged")
+    }
     commit(fs, root, Some(v), oldFiles.toSet, moved,
       Map("op" -> "compact")): Unit
-    val movedByPart = moved.groupBy(_.split("/")(0))
     plan.map { case (part, fsOfPart, _) =>
-      (part, fsOfPart.size, movedByPart.getOrElse(part, Seq.empty).size)
+      (part, fsOfPart.size, movedByPart(part).size)
     }
   }
 
@@ -428,9 +466,13 @@ object Snapshot {
     val byPart = files.groupBy(f => f.split("/")(0))
     // NULL-predicate guard: same SQL DELETE semantics as Sink.deleteWhere
     val del = coalesce(predicate, lit(false))
-    val dirty = spark.read.option("basePath", qualified)
-      .parquet(files.map(f => s"$qualified/$f"): _*)
-      .groupBy(col(partitionCol).cast("string").as("__part"))
+    // maintenance read: partition column typed STRING (raw dir value,
+    // no inference) — probe value ↔ manifest dir name ↔ staged dir
+    // name stay one identity (see Sink.readForMaintenance)
+    val sampleFile = s"$qualified/${files.head}"
+    val dirty = Sink.readForMaintenance(spark, qualified,
+        files.map(f => s"$qualified/$f"), sampleFile, partitionCol)
+      .groupBy(col(partitionCol).as("__part"))
       .agg(
         sum(when(del, 1L).otherwise(0L)).as("n_del"),
         count(lit(1)).as("n_rows"))
@@ -460,14 +502,27 @@ object Snapshot {
         // resolves exactly as in the probe; partitionBy strips it from
         // the staged data files, as a Hive layout requires.
         val oldFiles = partial.flatMap(_._2).toSeq
-        val survivors = spark.read.option("basePath", qualified)
-          .parquet(oldFiles.map(f => s"$qualified/$f"): _*).where(!del)
+        val survivors = Sink.readForMaintenance(spark, qualified,
+          oldFiles.map(f => s"$qualified/$f"), sampleFile, partitionCol)
+          .where(!del)
         val stg = new org.apache.hadoop.fs.Path(root,
           s".staging-delete-${Sink.procTag}-${java.util.UUID.randomUUID()}")
         Sink.packPartitioned(survivors, partitionCol, sortCols,
           partial.map { case (value, old) => value -> old.size }.toMap)
           .write.partitionBy(partitionCol).parquet(stg.toString)
-        movePartitionedStaging(fs, root, stg, partitionCol)
+        val moved = movePartitionedStaging(fs, root, stg, partitionCol)
+        // every partially-dirty partition has survivors by construction
+        // — each must have restaged under its own dir name before the
+        // commit removes its old entries (same guard as compact)
+        val movedParts = moved.map(_.split("/")(0)).toSet
+        partial.foreach { case (value, _) =>
+          val part = partDirName(value)
+          if (!movedParts(part))
+            throw new IllegalStateException(
+              s"staged survivors missing for partition '$part' — " +
+              "aborting before the commit; the snapshot is unchanged")
+        }
+        moved
       }
     commit(fs, root, Some(v), removed.toSet, added,
       Map("op" -> "delete")): Unit
@@ -595,8 +650,10 @@ object Snapshot {
     require(vs.nonEmpty, s"no committed snapshot under $path")
     var prev = Set.empty[String]
     val rows = vs.map { v =>
-      val fl = filesOf(spark, path, v).toSet
-      val m = metaOf(spark, path, v)
+      // one manifest read feeds both the file list and the header
+      val text = manifestText(spark, path, v)
+      val fl = parseFiles(text).toSet
+      val m = parseMeta(text)
       val r = (v, m.getOrElse("op", "unknown"), fl.size.toLong,
         (fl -- prev).size.toLong, (prev -- fl).size.toLong, m)
       prev = fl

@@ -45,8 +45,13 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
     d.getAbsolutePath
   }
 
-  /** 3 dates × users {3,5,7}, 4 files per date (compaction fodder). */
-  private def buildLayout(): String = {
+  /** 3 dates × users {3,5,7}, `filesPerDate` files per date. Default 4
+    * (compaction fodder); the gated-probe races use 1 — the probe gets
+    * one scan task per file, and the test session is local[4], so a
+    * 12-file layout's blocked probe would pin every executor slot and
+    * starve the competing commit it is supposed to race (three blocked
+    * tasks leave a slot free for the single-task competing write). */
+  private def buildLayout(filesPerDate: Int = 4): String = {
     import spark.implicits._
     val path = s"${tmp("graft-snapcc")}/events_by_date"
     val rows = for {
@@ -55,27 +60,7 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
       i <- 0 until 4
     } yield (d * 100L + u * 10 + i, u, (d * 100 + i).toLong, f"2024-01-0$d%d")
     rows.toDF("event_id", "user_id", "ts_ms", "event_date")
-      .repartition(4)
-      .write.partitionBy("event_date").parquet(path)
-    path
-  }
-
-  /** Same rows as [[buildLayout]] but ONE file per date: the gated
-    * delete probe gets one scan task per file, and the test session is
-    * local[4] — a 12-file layout's probe would pin every executor slot
-    * and starve the competing commit it is supposed to race. Three
-    * blocked tasks leave a slot free for the single-task competing
-    * write. */
-  private def buildLayoutOneFilePerDate(): String = {
-    import spark.implicits._
-    val path = s"${tmp("graft-snapcc")}/events_one_file"
-    val rows = for {
-      d <- 1 to 3
-      u <- Seq(3L, 5L, 7L)
-      i <- 0 until 4
-    } yield (d * 100L + u * 10 + i, u, (d * 100 + i).toLong, f"2024-01-0$d%d")
-    rows.toDF("event_id", "user_id", "ts_ms", "event_date")
-      .repartition(1)
+      .repartition(filesPerDate)
       .write.partitionBy("event_date").parquet(path)
     path
   }
@@ -166,7 +151,7 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
 
   test("delete racing a rewrite of the same partition aborts cleanly, rerun succeeds") {
     import spark.implicits._
-    val path = buildLayoutOneFilePerDate()
+    val path = buildLayout(filesPerDate = 1)
     Snapshot.init(spark, path, "event_date")
     val before = ids(Snapshot.readSnapshot(spark, path))
 
@@ -212,7 +197,7 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
 
   test("rewrites of DISJOINT partitions rebase past each other") {
     import spark.implicits._
-    val path = buildLayoutOneFilePerDate()
+    val path = buildLayout(filesPerDate = 1)
     Snapshot.init(spark, path, "event_date")
 
     SnapshotConcurrencySpec.started = new CountDownLatch(1)
@@ -248,6 +233,33 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
     assert(!got.exists(id => id >= 300 && id < 400 && id != 9301L))
     assert(!got.exists(id => id >= 100 && id < 200 && (id / 10) % 10 == 3))
     assert(got.exists(id => id >= 100 && id < 200))
+  }
+
+  test("rebase dedups a file the winner already listed: no double-counted rows") {
+    import spark.implicits._
+    // the init-vs-in-flight-append race: an append MOVES its staged
+    // files into the partition dirs before committing; a concurrent
+    // init's bootstrap listing sees them and wins v1 with them included.
+    // When the append then rebases (removes nothing — appends commute),
+    // its adds are already in the winner's list and must not appear
+    // twice, or every row in those files double-counts.
+    val path = s"${tmp("graft-snapcc")}/dedup"
+    Seq((1L, "d0"), (2L, "d0")).toDF("event_id", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    assert(Snapshot.init(spark, path, "event_date") == 1L)
+    val (_, files) = Snapshot.currentFiles(spark, path)
+    val theFile = files.head
+    // replay the loser's rebase at the commit layer: base=None (it
+    // started before init won), adding the file init already listed
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2 = Snapshot.commit(fs, root, None, Set.empty, Seq(theFile),
+      Map("op" -> "append"))
+    assert(v2 == 2L)
+    assert(Snapshot.filesOf(spark, path, v2).count(_ == theFile) == 1,
+      "rebase listed the same data file twice")
+    assert(Snapshot.readSnapshot(spark, path).count() == 2L,
+      "double-listed file double-counted its rows")
   }
 
   test("publish primitive: exactly one of two same-version racers wins, loser untouched") {

@@ -344,6 +344,32 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.readSnapshot(spark, big2).count() == 9 * 8)
   }
 
+  test("snapshot reads keep the partition-pruning contract: a date predicate is a PartitionFilter") {
+    // manifest isolation must not cost data skipping: readSnapshot feeds
+    // Spark an explicit file list, and a partition-column predicate on it
+    // must still prune at PLANNING time — fewer partitions and files
+    // selected, not all-files-then-filter (the 100 TB serving contract,
+    // same pin as q41's raw layout)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }.head
+    val full = scanOf(Snapshot.readSnapshot(spark, path))
+    val pruned = scanOf(Snapshot.readSnapshot(spark, path)
+      .where(col("event_date") === "2024-01-02"))
+    assert(pruned.partitionFilters.exists(_.references.exists(_.name == "event_date")),
+      s"date predicate not a partition filter: ${pruned.partitionFilters}")
+    assert(pruned.selectedPartitions.partitionCount <
+      full.selectedPartitions.partitionCount)
+    assert(pruned.selectedPartitions.totalNumberOfFiles <
+      full.selectedPartitions.totalNumberOfFiles)
+    // and the pruned read returns exactly that date's rows
+    assert(ids(Snapshot.readSnapshot(spark, path)
+      .where(col("event_date") === "2024-01-02")) ==
+      ids(Snapshot.readSnapshot(spark, path)).filter(id => id >= 200 && id < 300))
+  }
+
   test("history reads the full commit story: op, live count, file-list delta per version") {
     import spark.implicits._
     val path = buildLayout()

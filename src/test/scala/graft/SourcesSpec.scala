@@ -508,6 +508,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(after.count() == 9 * 8)
   }
 
+  test("tricky partition values: round-trip-safe ones compact; a non-canonical dir aborts intact") {
+    import spark.implicits._
+    // "01" tempts integer inference (would become 1 and break the
+    // plan-key ↔ routed-value match); Spark's round-trip-safe inference
+    // keeps it a string, and the rewrite must preserve value and rows
+    val path = s"${tmp("graft-badpart")}/layout"
+    Seq((1L, 20L, "01")).toDF("event_id", "ts_ms", "event_date")
+      .coalesce(1).write.partitionBy("event_date").parquet(path)
+    Seq((2L, 10L, "01")).toDF("event_id", "ts_ms", "event_date")
+      .coalesce(1).write.mode("append").partitionBy("event_date").parquet(path)
+    val res = Sink.compactPartitions(spark, path, "event_date",
+      1L << 30, Seq("ts_ms"))
+    assert(res == Seq(("event_date=01", 2, 1)))
+    val after = spark.read.parquet(path)
+    assert(after.select("event_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    // storage identity preserved: the dir keeps its exact name (a
+    // serving read infers "01" as int 1 — same before and after, that
+    // is reader semantics; maintenance must not rewrite the dir to
+    // "event_date=1" or lose it)
+    assert(new java.io.File(s"$path/event_date=01").exists())
+    assert(!new java.io.File(s"$path/event_date=1").exists())
+
+    // an EXTERNALLY-written dir with non-canonical escaping ("a%62"
+    // unescapes to "ab", which re-escapes to "ab" — a different dir
+    // name): the staged rewrite lands under the canonical name, so the
+    // pre-swap validation must abort with the table untouched instead
+    // of swapping the live partition for nothing
+    val path2 = s"${tmp("graft-badpart")}/external"
+    val flat = s"${tmp("graft-badpart")}/flat"
+    Seq((3L, 30L)).toDF("event_id", "ts_ms").coalesce(1).write.parquet(flat)
+    Seq((4L, 40L)).toDF("event_id", "ts_ms").coalesce(1)
+      .write.mode("append").parquet(flat)
+    val dir = new java.io.File(s"$path2/event_date=a%62")
+    assert(dir.mkdirs())
+    new java.io.File(flat).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(dir, f.getName).toPath)
+      }
+    val ex = intercept[IllegalStateException] {
+      Sink.compactPartitions(spark, path2, "event_date", 1L << 30, Seq("ts_ms"))
+    }
+    assert(ex.getMessage.contains("staged rewrite missing"),
+      s"wrong failure mode: ${ex.getMessage}")
+    // nothing destructive: the live dir and both files survive
+    assert(dir.exists() && dir.listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    assert(spark.read.option("basePath", path2)
+      .parquet(dir.getAbsolutePath)
+      .select("event_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
   test("fingerprint retention sweep keeps current + N, deletes older prints") {
     import spark.implicits._
     val base = s"${tmp("graft-gc")}/family"

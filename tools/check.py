@@ -43,21 +43,28 @@ def frame_sig(cols, rows):
 
 def run_oracle(con, sql, timeout_s):
     """Execute with an optional wall-clock budget: a timer thread calls
-    con.interrupt() so a super-linear replay oracle (the DuckDB side can
-    be far worse than the Spark side at big SF) can't wedge the sweep."""
+    interrupt() so a super-linear replay oracle (the DuckDB side can be
+    far worse than the Spark side at big SF) can't wedge the sweep.
+    Runs on a throwaway cursor (a sibling connection to the same
+    in-memory db, sharing the views): if the query finishes right at the
+    deadline, the late interrupt lands on the discarded cursor instead
+    of poisoning the shared connection's NEXT query."""
     if not timeout_s:
         return con.execute(sql).df()
     import threading
+    cur = con.cursor()
     done = threading.Event()
     def killer():
         if not done.wait(timeout_s):
-            con.interrupt()
+            cur.interrupt()
     t = threading.Thread(target=killer, daemon=True)
     t.start()
     try:
-        return con.execute(sql).df()
+        return cur.execute(sql).df()
     finally:
         done.set()
+        t.join()
+        cur.close()
 
 def main():
     argv = list(sys.argv[1:])

@@ -636,6 +636,31 @@ object Snapshot {
       .parquet(added.map(f => s"$qualified/$f"): _*)
   }
 
+  /** ROLL BACK the table to snapshot `toVersion` — as a NEW commit
+    * whose file list is the target version's, never by deleting
+    * history (the table-format RESTORE): readers pinned to intermediate
+    * versions keep them, the change feed sees the restore as a rewrite
+    * crossing (op=restore — consumers re-sync, which is correct: a
+    * restore un-happens rows), and a second restore can roll the
+    * rollback back. The target must not be expired. Works because
+    * replaced data files are retained until [[expire]] — restoring v3
+    * re-references exactly the files v3's manifest names. Returns the
+    * new version. No-op (still commits, marking the intent) when the
+    * current file list already equals the target's. */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val committed = committedVersions(fs, root)
+    require(committed.contains(toVersion),
+      s"cannot restore $path to v=$toVersion: not a committed version " +
+      s"(committed: ${committed.mkString(",")}) — expired or never existed")
+    val (cur, curFiles) = currentFiles(spark, path)
+    val target = filesOfFs(fs, root, toVersion).toSet
+    commit(fs, root, Some(cur), curFiles.toSet -- target,
+      (target -- curFiles.toSet).toSeq,
+      Map("op" -> "restore", "restore_of" -> toVersion.toString))
+  }
+
   /** Commit history of the layout, one row per snapshot version oldest
     * first — the DESCRIBE HISTORY ops surface: which op landed each
     * version, its live-file count, and the file-list delta against the

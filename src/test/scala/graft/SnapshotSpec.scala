@@ -401,6 +401,47 @@ class SnapshotSpec extends AnyFunSuite {
       "inherited txn identity missing from a maintenance commit's history row")
   }
 
+  test("restore rolls the table back as a new commit: un-deletes, preserves history, feeds expire correctly") {
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")                       // v1
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L, Seq("ts_ms"))                         // v2
+    val afterDelete = ids(Snapshot.readSnapshot(spark, path))
+    assert(afterDelete.size < before.size)
+    // restore to pre-delete: a NEW version with v1's exact file list
+    val v3 = Snapshot.restore(spark, path, 1L)
+    assert(v3 == 3L)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == before)
+    assert(Snapshot.filesOf(spark, path, 3L).toSet ==
+      Snapshot.filesOf(spark, path, 1L).toSet)
+    assert(Snapshot.metaOf(spark, path, 3L).get("restore_of").contains("1"))
+    // intermediate history intact: the delete's version still reads
+    assert(ids(Snapshot.readVersion(spark, path, 2L)) == afterDelete)
+    // the change feed refuses to cross the rollback span (rows
+    // un-happened; the span also contains the delete — either rewrite
+    // must trip the guard). A feed STARTING at the restore also refuses.
+    val ex = intercept[IllegalStateException] {
+      Snapshot.changes(spark, path, 1L, 3L)
+    }
+    assert(ex.getMessage.contains("re-sync from a full snapshot read"))
+    val ex2 = intercept[IllegalStateException] {
+      Snapshot.changes(spark, path, 2L, 3L)
+    }
+    assert(ex2.getMessage.contains("op=restore"))
+    // a rollback can itself be rolled back
+    assert(Snapshot.restore(spark, path, 2L) == 4L)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == afterDelete)
+    // expire keeps exactly the current (post-restore) file set live
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == afterDelete)
+    // and a restore to an EXPIRED version refuses loudly
+    val gone = intercept[IllegalArgumentException] {
+      Snapshot.restore(spark, path, 1L)
+    }
+    assert(gone.getMessage.contains("expired or never existed"))
+  }
+
   test("expire retires old versions and unreferenced files; current version unharmed") {
     val path = buildLayout()
     Snapshot.init(spark, path, "event_date")

@@ -32,10 +32,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             useless by construction); q49:
   *                             forget-user graded through the
   *                             partition-surgical storage delete;
-  *                             q55/q58: the snapshot-manifest store —
-  *                             forget-user with reader isolation, and
+  *                             q55/q58/q60: the snapshot-manifest store —
+  *                             forget-user with reader isolation,
   *                             pinned-version time travel graded
-  *                             against UNION SQL
+  *                             against UNION SQL, and manifest-level
+  *                             file skipping (per-file stats bounds
+  *                             plan the scan's file subset with zero
+  *                             listing or footer IO)
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the

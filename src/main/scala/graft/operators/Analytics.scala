@@ -1327,6 +1327,74 @@ object Analytics {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q60 — MANIFEST-LEVEL FILE SKIPPING graded through the hash gate: the
+  // third tier of the data-skipping story. q41 prunes directories
+  // (partition values), q42 skips row groups (parquet footer min/max) —
+  // both need the layout's dirs listed or its footers opened. This
+  // layout's manifest carries per-file ts bounds (Snapshot.init
+  // statsCol), so the reader plans its file subset from ONE manifest
+  // read before any data IO — at 100 TB, a metadata lookup instead of
+  // 100k footer GETs. The layout is built so the OTHER tiers can't help:
+  // partitioned by event_type (the window wants every type — directory
+  // pruning prunes nothing) and range-clustered on ts across ~64 slices,
+  // so only the manifest bounds cut the 300+ files down to the window's
+  // overlap set. readSnapshotRange returns a file SUPERSET of the
+  // window; the exact ts predicate still applies on top, and the oracle
+  // grades the report against the FLAT events table — a skip that drops
+  // an in-window file cannot hash-match. SnapshotSpec pins the subset
+  // arithmetic (inputFiles == planned subset < all files) and that
+  // every commit kind re-states its new files.
+  // ---------------------------------------------------------------------
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_statstore/$tag/fp_$fp"
+    graft.sources.Sink.publishedArtifactUsing(s, path) { stg =>
+      graft.sources.Tables.load(s, dir, "events")
+        .repartitionByRange(64, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.partitionBy("event_type").parquet(stg)
+    }
+    graft.sources.Snapshot.init(s, path, "event_type",
+      statsCol = Some("ts"))
+    // window bounds in the stats domain (ts cast LONG = epoch seconds),
+    // resolved in the SESSION timezone — the zone the stats were written
+    // under and the zone the lit() casts below parse in; a JVM-zone
+    // Timestamp.valueOf here would shift the prune window by the offset
+    // and could skip an in-window file
+    val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    def sec(t: String): Long =
+      java.time.LocalDateTime.parse(t, fmt).atZone(zone).toEpochSecond
+    val lo = sec("2024-01-10 00:00:00")
+    val hi = sec("2024-01-13 00:00:00")
+    graft.sources.Snapshot.readSnapshotRange(s, path, lo, hi)
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType)
+        && col("ts") < lit("2024-01-13 00:00:00").cast(TimestampType))
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+  private val q60Sql =
+    """SELECT event_type, CAST(ts AS DATE) AS event_date,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1356,5 +1424,6 @@ object Analytics {
     QueryDef("q53_dynamic_partition_pruning", q53, Some(q53Sql)),
     QueryDef("q54_referential_integrity", q54, Some(q54Sql)),
     QueryDef("q55_snapshot_forget_user", q55, Some(q55Sql), headline = true),
-    QueryDef("q58_snapshot_time_travel", q58, Some(q58Sql)))
+    QueryDef("q58_snapshot_time_travel", q58, Some(q58Sql)),
+    QueryDef("q60_manifest_skip_slice", q60, Some(q60Sql), headline = true))
 }

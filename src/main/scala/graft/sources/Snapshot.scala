@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, sum, when, max => fmax, min => fmin}
+import org.apache.spark.sql.types.LongType
 
 /** A snapshot commit lost its optimistic race in a way rebase cannot
   * repair: a concurrent rewrite re-filed data files this commit had
@@ -115,9 +116,28 @@ object Snapshot {
       .collect { case Array(k, value) => k -> value }
       .toMap
 
-  private def parseFiles(text: String): Seq[String] =
+  /** Raw manifest entry lines (path, optionally `\tmin\tmax` file
+    * statistics — see [[entriesOf]]), metadata header skipped. */
+  private def parseLines(text: String): Seq[String] =
     text.split("\n").toSeq
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** The data-file path of a manifest entry line (stats suffix, if any,
+    * stripped). */
+  private def pathOf(line: String): String = {
+    val t = line.indexOf('\t')
+    if (t < 0) line else line.substring(0, t)
+  }
+
+  /** The `(min, max)` statistics of a manifest entry line, if it
+    * carries them. */
+  private def statsOf(line: String): Option[(Long, Long)] = {
+    val parts = line.split("\t")
+    if (parts.length == 3) Some((parts(1).toLong, parts(2).toLong)) else None
+  }
+
+  private def parseFiles(text: String): Seq[String] =
+    parseLines(text).map(pathOf)
 
   /** The file list of snapshot `v` (root-relative paths, sorted).
     * Metadata lines (`#key=value` — see [[metaOf]]) are skipped, so
@@ -147,8 +167,11 @@ object Snapshot {
     * expiry — a replay guard that reads only the CURRENT manifest stays
     * sound no matter how many compactions ran or how much history was
     * expired since the last append/maintenance. A commit that sets one
-    * of these keys overrides the carried value. */
-  private val InheritedMeta = Set("run", "batch", "delta")
+    * of these keys overrides the carried value. `stats` (the layout's
+    * file-statistics column, see [[entriesOf]]) rides here too: it is
+    * a property of the TABLE, declared once at [[init]], that every
+    * later commit must keep honoring. */
+  private val InheritedMeta = Set("run", "batch", "delta", "stats")
 
   /** (current version, its file list). */
   def currentFiles(spark: SparkSession, path: String): (Long, Seq[String]) = {
@@ -210,7 +233,10 @@ object Snapshot {
     * [[SnapshotConflictException]], caller reruns). `allowRebase=false`
     * (bootstrap) refuses instead — two concurrent inits would both
     * list the same pre-manifest files and a rebase would double-count
-    * them. */
+    * them. `removed` holds data-file PATHS; `added` holds manifest entry
+    * LINES (a path, optionally `\tmin\tmax` file statistics — see
+    * [[statLines]]), so stats attach in the same atomic commit as the
+    * files they describe. */
   private[graft] def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, baseV: Option[Long],
       removed: Set[String], added: Seq[String],
@@ -227,13 +253,13 @@ object Snapshot {
       // list and the inherited-metadata header (a manifest is O(live
       // files) of text — don't read it twice in a contended loop)
       val latestText = latest.map(v => manifestTextFs(fs, root, v))
-      val latestFiles = latestText.map(parseFiles).getOrElse(Seq.empty)
+      val latestLines = latestText.map(parseLines).getOrElse(Seq.empty)
       if (latest != baseV) {
         if (!allowRebase)
           throw new SnapshotConflictException(
             s"snapshot under $root moved $baseV -> $latest during a " +
             "non-rebaseable commit")
-        val gone = removed -- latestFiles.toSet
+        val gone = removed -- latestLines.map(pathOf).toSet
         if (gone.nonEmpty)
           throw new SnapshotConflictException(
             s"concurrent rewrite already re-filed ${gone.size} file(s) " +
@@ -253,11 +279,17 @@ object Snapshot {
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
       val header = full.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-      // distinct: an init that raced an in-flight append can have listed
-      // the append's already-moved files into its bootstrap manifest —
-      // when the append then rebases, its adds would otherwise appear
-      // twice and every row in those files would double-count
-      val newList = (latestFiles.filterNot(removed) ++ added).distinct
+      // dedup BY PATH: an init that raced an in-flight append can have
+      // listed the append's already-moved files into its bootstrap
+      // manifest — when the append then rebases, its adds would
+      // otherwise appear twice and every row in those files would
+      // double-count. Entries are lines (path + optional stats suffix),
+      // so the dedup keys on the path, keeping the later line — the
+      // rebasing writer's, which carries the stats if anyone's does.
+      val dedup = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      (latestLines.filterNot(l => removed(pathOf(l))) ++ added)
+        .foreach(l => dedup.update(pathOf(l), l))
+      val newList = dedup.values.toSeq
       val out = fs.create(tmp, false)
       try out.write((header ++ newList.sorted).mkString("\n").getBytes(Charset))
       finally out.close()
@@ -283,9 +315,23 @@ object Snapshot {
     * listing of the `partitionCol=` dirs becomes snapshot 1. Idempotent
     * — an already-initialized layout returns its current version.
     * `meta` rides the init commit's header (a bootstrapping maintenance
-    * step can land its ledger entry atomically with the bootstrap). */
+    * step can land its ledger entry atomically with the bootstrap).
+    *
+    * `statsCol` declares a file-statistics column for the LAYOUT: every
+    * manifest entry, here and in every later commit, carries that
+    * column's per-file min/max so readers can plan a file subset from
+    * the manifest alone (see [[filesInRange]]). Declare the column the
+    * files are clustered on (the write's sort key) — stats on an
+    * unclustered column are valid but prune nothing, since every file
+    * spans the whole value range. The bootstrap pays ONE job over the
+    * existing files to backfill their bounds (the one-off table-format
+    * migration cost); each later commit stats only its new files. */
   def init(spark: SparkSession, path: String, partitionCol: String,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      statsCol: Option[String] = None): Long = {
+    require(!statsCol.contains(partitionCol),
+      s"statsCol '$partitionCol' is the partition column — partition " +
+      "values prune at the directory level already; stats bound a DATA column")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     committedVersions(fs, root).lastOption.getOrElse {
@@ -293,7 +339,9 @@ object Snapshot {
       val rel = listDataFiles(fs, root, partitionCol)
         .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
       require(rel.nonEmpty, s"no data files under $path to snapshot")
-      try commit(fs, root, None, Set.empty, rel, Map("op" -> "init") ++ meta,
+      val lines = statLines(spark, qualified, rel, statsCol)
+      try commit(fs, root, None, Set.empty, lines,
+        Map("op" -> "init") ++ statsCol.map("stats" -> _) ++ meta,
         allowRebase = false)
       catch {
         // two inits racing list the SAME pre-manifest files — the loser
@@ -347,6 +395,52 @@ object Snapshot {
       .parquet(files.map(f => s"$qualified/$f"): _*)
   }
 
+  /** Manifest entries of snapshot `v`: (path, optional (min, max) bounds
+    * of the layout's declared stats column — see [[init]]'s `statsCol`).
+    * Bounds are the column cast to LONG at file-write time. */
+  def entriesOf(spark: SparkSession, path: String,
+      v: Long): Seq[(String, Option[(Long, Long)])] =
+    parseLines(manifestText(spark, path, v)).map(l => (pathOf(l), statsOf(l)))
+
+  /** MANIFEST-LEVEL FILE SKIPPING: the current snapshot's files whose
+    * stats bounds overlap `[lo, hi]` (both inclusive, in the stats
+    * column's long domain — timestamps floor to epoch seconds). This is
+    * the pruning tier ABOVE q41's directory pruning and q42's row-group
+    * skipping: it needs no directory listing and no parquet footer —
+    * the file subset is planned from one manifest read, which at 100 TB
+    * is the difference between a metadata lookup and 100k footer GETs
+    * before the first data byte. Conservative: files without bounds
+    * (no stats column declared, all-NULL stats values, or entries
+    * predating the declaration) are always kept. Returns root-relative
+    * paths; the caller still applies the exact row predicate — skipping
+    * yields a file SUPERSET of the matching rows, never a subset. */
+  def filesInRange(spark: SparkSession, path: String, lo: Long,
+      hi: Long): Seq[String] = {
+    require(lo <= hi, s"filesInRange needs lo <= hi, got [$lo, $hi]")
+    val (v, _) = currentFiles(spark, path)
+    entriesOf(spark, path, v).collect {
+      case (f, None) => f
+      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+    }
+  }
+
+  /** The current snapshot restricted to files overlapping `[lo, hi]` on
+    * the stats column ([[filesInRange]]) — rows OUTSIDE the range can
+    * still appear (file grain is coarse); apply the exact predicate on
+    * top. The point is what the scan never touches: files whose bounds
+    * exclude the range contribute no IO, no tasks, no footer reads. */
+  def readSnapshotRange(spark: SparkSession, path: String, lo: Long,
+      hi: Long): DataFrame = {
+    val files = filesInRange(spark, path, lo, hi)
+    if (files.isEmpty) readSnapshot(spark, path).limit(0)
+    else {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val qualified = fsOf(spark, root).makeQualified(root).toString
+      spark.read.option("basePath", qualified)
+        .parquet(files.map(f => s"$qualified/$f"): _*)
+    }
+  }
+
   /** MOVE a `partitionBy`-staged write's data files into the live
     * `partitionCol=` dirs (unique task-UUID names — nothing collides,
     * and nothing references them until the manifest commit). Deletes
@@ -372,6 +466,57 @@ object Snapshot {
     fs.delete(stg, true): Unit
     moved
   }
+
+  /** The layout's declared file-statistics column, if any — an
+    * [[InheritedMeta]] key, so ONE current-manifest read answers it at
+    * any history depth. */
+  def statsColumn(spark: SparkSession, path: String): Option[String] =
+    currentMeta(spark, path).flatMap(_.get("stats"))
+
+  /** Turn freshly written data files into manifest entry LINES, attaching
+    * per-file `min\tmax` bounds of `statsCol` when the layout declares
+    * one — the Iceberg-manifest discipline: the bounds live in table
+    * METADATA, so a reader plans its file set without opening a single
+    * parquet footer (at 100 TB, the difference between one manifest read
+    * and 100k footer GETs). ONE distributed job over the new files only
+    * (never the table); bounds are the column cast to LONG (timestamps
+    * floor to epoch seconds), which keeps the overlap test conservative:
+    * a file is skipped only if its floored bounds provably exclude the
+    * floored query range. A file whose stats column is all-NULL gets no
+    * bounds and is always read. */
+  private def statLines(spark: SparkSession, qualified: String,
+      moved: Seq[String], statsCol: Option[String]): Seq[String] =
+    statsCol match {
+      case None => moved
+      case Some(_) if moved.isEmpty => moved
+      case Some(c) =>
+        // join key back from input_file_name()'s URI form (whose
+        // scheme/authority rendering differs from makeQualified's): the
+        // last two path segments = `partdir/basename`, exactly the
+        // root-relative entry shape. Basenames alone are NOT unique — a
+        // partitionBy write reuses one job UUID across every partition
+        // dir it touches.
+        def relKey(p: String): String = p.split("/").takeRight(2).mkString("/")
+        require(moved.map(relKey).distinct.size == moved.size,
+          s"duplicate partdir/basename entries in one commit: $moved")
+        val stats = spark.read.option("basePath", qualified)
+          .parquet(moved.map(f => s"$qualified/$f"): _*)
+          .select(input_file_name().as("__file"),
+            col(c).cast(LongType).as("__v"))
+          .groupBy(col("__file"))
+          .agg(fmin(col("__v")).as("mn"), fmax(col("__v")).as("mx"))
+          .collect()
+          .flatMap { r =>
+            if (r.isNullAt(1)) None
+            else Some(relKey(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+          }.toMap
+        moved.map { f =>
+          stats.get(relKey(f)) match {
+            case Some((mn, mx)) => s"$f\t$mn\t$mx"
+            case None => f
+          }
+        }
+    }
 
   /** Small-file compaction committed through the manifest: oversplit
     * partitions rewrite to their bin-packed target (re-clustered on
@@ -436,7 +581,8 @@ object Snapshot {
           "dir name, or zero rows?) — aborting before the commit; the " +
           "snapshot is unchanged")
     }
-    commit(fs, root, Some(v), oldFiles.toSet, moved,
+    commit(fs, root, Some(v), oldFiles.toSet,
+      statLines(spark, qualified, moved, metaOf(spark, path, v).get("stats")),
       Map("op" -> "compact")): Unit
     plan.map { case (part, fsOfPart, _) =>
       (part, fsOfPart.size, movedByPart(part).size)
@@ -524,7 +670,8 @@ object Snapshot {
         }
         moved
       }
-    commit(fs, root, Some(v), removed.toSet, added,
+    commit(fs, root, Some(v), removed.toSet,
+      statLines(spark, qualified, added, metaOf(spark, path, v).get("stats")),
       Map("op" -> "delete")): Unit
     dirty.toSeq.map { case (value, nDel, _) => (partDirName(value), nDel) }
   }
@@ -563,9 +710,14 @@ object Snapshot {
       s".staging-append-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     rows.write.partitionBy(partitionCol).parquet(stg.toString)
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
+    // honor the layout's declared stats column (inherited manifest
+    // state) — an appended batch's files must prune like any others
+    val statsCol = prev.map(v => parseMeta(manifestTextFs(fs, root, v)))
+      .getOrElse(Map.empty).get("stats").orElse(meta.get("stats"))
+    val lines = statLines(spark, fs.makeQualified(root).toString, moved, statsCol)
     // removes nothing → commutes with ANY concurrent commit: a lost
     // version race rebases onto the winner's file list and retries
-    commit(fs, root, prev, Set.empty, moved, Map("op" -> "append") ++ meta)
+    commit(fs, root, prev, Set.empty, lines, Map("op" -> "append") ++ meta)
   }
 
   /** Rewrite-commit for a partition subset: every partition named by
@@ -598,7 +750,9 @@ object Snapshot {
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
     val touched = moved.map(_.split("/")(0)).toSet
     val replaced = files.filter(f => touched(f.split("/")(0))).toSet
-    commit(fs, root, Some(v), replaced, moved, Map("op" -> "replace") ++ meta)
+    val lines = statLines(spark, fs.makeQualified(root).toString, moved,
+      metaOf(spark, path, v).get("stats"))
+    commit(fs, root, Some(v), replaced, lines, Map("op" -> "replace") ++ meta)
   }
 
   /** Incremental change feed: the rows APPENDED between snapshot `fromV`
@@ -655,9 +809,12 @@ object Snapshot {
       s"cannot restore $path to v=$toVersion: not a committed version " +
       s"(committed: ${committed.mkString(",")}) — expired or never existed")
     val (cur, curFiles) = currentFiles(spark, path)
-    val target = filesOfFs(fs, root, toVersion).toSet
-    commit(fs, root, Some(cur), curFiles.toSet -- target,
-      (target -- curFiles.toSet).toSeq,
+    // entry LINES from the target manifest, so restored entries keep
+    // their file statistics (a path-level diff would strip them)
+    val targetLines = parseLines(manifestTextFs(fs, root, toVersion))
+    val targetPaths = targetLines.map(pathOf).toSet
+    commit(fs, root, Some(cur), curFiles.toSet -- targetPaths,
+      targetLines.filterNot(l => curFiles.contains(pathOf(l))),
       Map("op" -> "restore", "restore_of" -> toVersion.toString))
   }
 

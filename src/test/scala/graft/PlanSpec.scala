@@ -398,6 +398,23 @@ class PlanSpec extends AnyFunSuite {
       s"q57's feed read touched base (v1) files: $dataRoots")
   }
 
+  test("q60: the manifest alone plans the scan's file subset — a fraction of the store") {
+    // manifest-level skipping (tier above q41's directory pruning and
+    // q42's footer skipping): the query's scan must read only the files
+    // whose manifest bounds overlap the 3-day window — a fraction of
+    // the ~300-file store — and the subset is planned from manifest
+    // text, no listing and no footer IO. inputFiles IS the planned set.
+    val df = SparkEntry.queries("q60_manifest_skip_slice")(spark, SharedSpark.sf0001)
+    val pruned = df.inputFiles.length
+    val tag = SharedSpark.sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(
+      spark, s"${SharedSpark.sf0001}/events.parquet")
+    val store = s"${graft.sources.Sink.artifactRoot}/events_statstore/$tag/fp_$fp"
+    val total = graft.sources.Snapshot.currentFiles(spark, store)._2.size
+    assert(pruned > 0 && pruned * 2 < total,
+      s"manifest skipping pruned nothing: $pruned of $total files read")
+  }
+
   test("maintainPartitioned's merge read prunes to the touched dates at PLANNING time") {
     // VERDICT r14: the merge's read side must be O(touched dates), not a
     // full-store scan semi-joined down at runtime. storeSlice is that

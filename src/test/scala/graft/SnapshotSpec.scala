@@ -442,6 +442,62 @@ class SnapshotSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("expired or never existed"))
   }
 
+  test("manifest file stats plan a pruned file subset with zero data IO; every commit keeps them") {
+    import spark.implicits._
+    val path = s"${tmp("graft-snap-stats")}/layout"
+    // 2 type dirs × ts_ms 0..199, range-clustered on ts_ms into ~8
+    // slices — each data file covers a disjoint ts_ms band, so bounds
+    // in the manifest can prune where the partition dirs cannot (a ts
+    // window wants ALL types)
+    val rows = for { t <- Seq("a", "b"); i <- 0 until 200 }
+      yield (t.hashCode * 1000L + i, i.toLong, t)
+    rows.toDF("event_id", "ts_ms", "event_type")
+      .repartitionByRange(8, col("ts_ms"))
+      .sortWithinPartitions(col("ts_ms"))
+      .write.partitionBy("event_type").parquet(path)
+    assert(Snapshot.init(spark, path, "event_type",
+      statsCol = Some("ts_ms")) == 1L)
+    assert(Snapshot.statsColumn(spark, path).contains("ts_ms"))
+    assert(Snapshot.entriesOf(spark, path, 1L).forall(_._2.isDefined),
+      "bootstrap left entries without bounds")
+    val all = Snapshot.currentFiles(spark, path)._2
+    val hit = Snapshot.filesInRange(spark, path, 40L, 59L)
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"stats pruned nothing: ${hit.size}/${all.size} files")
+    def slice(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      ids(df.where(col("ts_ms").between(40L, 59L)))
+    val expected = slice(Snapshot.readSnapshot(spark, path))
+    val pruned = Snapshot.readSnapshotRange(spark, path, 40L, 59L)
+    // the scan's file set IS the planned subset — nothing else is touched
+    assert(pruned.inputFiles.length == hit.size)
+    assert(slice(pruned) == expected, "pruned read lost in-range rows")
+    // a survivor rewrite (delete) re-states its new files in the same
+    // commit; pruning and exactness hold on the rewritten snapshot
+    Snapshot.deleteWhere(spark, path, "event_type",
+      col("event_id") % 10L === 0L, Seq("ts_ms"))
+    val v2 = Snapshot.currentVersion(spark, path).get
+    assert(Snapshot.entriesOf(spark, path, v2).forall(_._2.isDefined),
+      "rewrite dropped file bounds")
+    val hit2 = Snapshot.filesInRange(spark, path, 40L, 59L)
+    assert(hit2.size < Snapshot.currentFiles(spark, path)._2.size)
+    assert(slice(Snapshot.readSnapshotRange(spark, path, 40L, 59L)) ==
+      slice(Snapshot.readSnapshot(spark, path)))
+    // append honors the inherited declaration without being told
+    Snapshot.append(spark, path, "event_type",
+      Seq((9001L, 45L, "c")).toDF("event_id", "ts_ms", "event_type"))
+    val v3 = Snapshot.currentVersion(spark, path).get
+    assert(Snapshot.entriesOf(spark, path, v3).forall(_._2.isDefined),
+      "appended files missing bounds")
+    assert(slice(Snapshot.readSnapshotRange(spark, path, 40L, 59L))
+      .contains(9001L), "pruned read missed the appended in-range row")
+    // a layout that never declared stats keeps every file — conservative
+    val plain = buildLayout()
+    Snapshot.init(spark, plain, "event_date")
+    assert(Snapshot.statsColumn(spark, plain).isEmpty)
+    assert(Snapshot.filesInRange(spark, plain, 0L, 0L).size ==
+      Snapshot.currentFiles(spark, plain)._2.size)
+  }
+
   test("expire retires old versions and unreferenced files; current version unharmed") {
     val path = buildLayout()
     Snapshot.init(spark, path, "event_date")

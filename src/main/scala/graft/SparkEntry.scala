@@ -32,13 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             useless by construction); q49:
   *                             forget-user graded through the
   *                             partition-surgical storage delete;
-  *                             q55/q58/q60: the snapshot-manifest store —
-  *                             forget-user with reader isolation,
-  *                             pinned-version time travel graded
-  *                             against UNION SQL, and manifest-level
+  *                             q55/q58/q60/q61: the snapshot-manifest
+  *                             store — forget-user with reader
+  *                             isolation, pinned-version time travel
+  *                             graded against UNION SQL, manifest-level
   *                             file skipping (per-file stats bounds
   *                             plan the scan's file subset with zero
-  *                             listing or footer IO)
+  *                             listing or footer IO), and merge-on-read
+  *                             deletion vectors (O(matched rows)
+  *                             forget-user, both phases graded)
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the

@@ -1395,6 +1395,78 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q61 — forget-user as a MERGE-ON-READ delete, graded in BOTH phases
+  // against the same user-excluded SQL. q55 pays the copy-on-write bill
+  // up front: every dirty partition rewritten before the commit. At
+  // 100 TB a forget-user's rows sit in every date partition, so that
+  // bill is a table-width rewrite for a few-thousand-row request —
+  // which is why table formats made deletion vectors their default
+  // delete path. Here the delete commits O(matched rows): one vector
+  // sidecar of (file, row-position) pairs, zero data files touched
+  // (SnapshotSpec pins byte-identity), readers subtract it with one
+  // anti-join. Phase 1 ("mor_served") grades that subtraction — a
+  // vector that misses a row or hides a wrong one cannot hash-match.
+  // materializeDeletes then folds the vector into a file-grain rewrite
+  // (only the files the vector references; vectors and old files retire
+  // in one atomic commit); phase 2 ("materialized") grades that the
+  // fold changed nothing. Reruns are exact no-ops: vector-aware reads
+  // make the predicate match nothing, and an empty match commits
+  // nothing.
+  // ---------------------------------------------------------------------
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_morstore/$tag/fp_$fp"
+    graft.sources.Sink.publishedArtifactUsing(s, path) { stg =>
+      graft.sources.Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"), pmod(col("event_id"), lit(4)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(stg)
+    }
+    graft.sources.Snapshot.init(s, path, "event_date")
+    graft.sources.Snapshot.deleteWhereMoR(s, path, "event_date",
+      col("user_id") === ForgottenUser)
+    def report(rows: DataFrame, phase: String): DataFrame =
+      rows.groupBy(col("event_date"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("phase", lit(phase))
+    val mor = report(graft.sources.Snapshot.readSnapshot(s, path), "mor_served")
+    graft.sources.Snapshot.materializeDeletes(s, path, "event_date", Seq("ts"))
+    val mat = report(graft.sources.Snapshot.readSnapshot(s, path), "materialized")
+    mor.unionByName(mat).orderBy(col("phase"), col("event_date"))
+  }
+  private val q61Sql =
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  MIN(event_id) AS min_event,
+       |  MAX(event_id) AS max_event,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       |  'materialized' AS phase
+       |FROM events
+       |WHERE user_id <> $ForgottenUser
+       |GROUP BY 1
+       |UNION ALL
+       |SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  MIN(event_id) AS min_event,
+       |  MAX(event_id) AS max_event,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       |  'mor_served' AS phase
+       |FROM events
+       |WHERE user_id <> $ForgottenUser
+       |GROUP BY 1
+       |ORDER BY phase, event_date""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1425,5 +1497,6 @@ object Analytics {
     QueryDef("q54_referential_integrity", q54, Some(q54Sql)),
     QueryDef("q55_snapshot_forget_user", q55, Some(q55Sql), headline = true),
     QueryDef("q58_snapshot_time_travel", q58, Some(q58Sql)),
-    QueryDef("q60_manifest_skip_slice", q60, Some(q60Sql), headline = true))
+    QueryDef("q60_manifest_skip_slice", q60, Some(q60Sql), headline = true),
+    QueryDef("q61_mor_forget_user", q61, Some(q61Sql), headline = true))
 }

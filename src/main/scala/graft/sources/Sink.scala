@@ -67,7 +67,10 @@ object Sink {
       case Some(v) =>
         md.update(s"snapshot-manifest\nv=$v\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        Snapshot.filesOf(spark, corpusPath, v).sorted.foreach(f =>
+        // ALL entry lines (data + stats + deletion vectors): anything
+        // that changes what a reader sees must change this digest — a
+        // merge-on-read delete alters content while touching no data file
+        Snapshot.manifestLines(spark, corpusPath, v).sorted.foreach(f =>
           md.update(s"$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case None =>
         val p = new org.apache.hadoop.fs.Path(corpusPath)

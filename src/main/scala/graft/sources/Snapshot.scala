@@ -63,7 +63,15 @@ final class SnapshotConflictException(msg: String)
 object Snapshot {
 
   private val ManifestDir = "_manifests"
+  private val DeletesDir = "_deletes"
   private val Charset = java.nio.charset.StandardCharsets.UTF_8
+
+  /** A manifest entry under `_deletes/` is a DELETION VECTOR file —
+    * (data-file, row-position) pairs a reader subtracts — not a data
+    * file. Unambiguous: data entries live under `partitionCol=…/` dirs,
+    * which always carry an `=`; nothing else starts with `_deletes/`. */
+  private def isDeleteEntry(line: String): Boolean =
+    pathOf(line).startsWith(DeletesDir + "/")
 
   private def fsOf(spark: SparkSession, root: org.apache.hadoop.fs.Path) =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -136,14 +144,33 @@ object Snapshot {
     if (parts.length == 3) Some((parts(1).toLong, parts(2).toLong)) else None
   }
 
+  /** DATA-file paths only — deletion-vector entries are not data. */
   private def parseFiles(text: String): Seq[String] =
-    parseLines(text).map(pathOf)
+    parseLines(text).filterNot(isDeleteEntry).map(pathOf)
 
-  /** The file list of snapshot `v` (root-relative paths, sorted).
-    * Metadata lines (`#key=value` — see [[metaOf]]) are skipped, so
-    * pre-metadata manifests parse identically. */
+  private def parseDeletes(text: String): Seq[String] =
+    parseLines(text).filter(isDeleteEntry).map(pathOf)
+
+  /** The DATA-file list of snapshot `v` (root-relative paths, sorted).
+    * Metadata lines (`#key=value` — see [[metaOf]]) and deletion-vector
+    * entries ([[deletesOf]]) are skipped, so pre-metadata manifests
+    * parse identically. */
   def filesOf(spark: SparkSession, path: String, v: Long): Seq[String] =
     parseFiles(manifestText(spark, path, v))
+
+  /** The deletion-vector files of snapshot `v` — outstanding
+    * merge-on-read deletes a reader of that version subtracts
+    * (see [[deleteWhereMoR]]). Empty on a fully-materialized layout. */
+  def deletesOf(spark: SparkSession, path: String, v: Long): Seq[String] =
+    parseDeletes(manifestText(spark, path, v))
+
+  /** ALL entry lines of snapshot `v` verbatim (data entries with their
+    * stats, deletion vectors) — the content-identity surface
+    * [[Sink.corpusFingerprint]] digests: anything that changes what a
+    * reader of the snapshot sees must change these bytes. */
+  private[graft] def manifestLines(spark: SparkSession, path: String,
+      v: Long): Seq[String] =
+    parseLines(manifestText(spark, path, v))
 
   /** Commit metadata of snapshot `v`: the `#key=value` header lines —
     * `op` (init/append/replace/compact/delete) set by the committing op,
@@ -236,11 +263,16 @@ object Snapshot {
     * them. `removed` holds data-file PATHS; `added` holds manifest entry
     * LINES (a path, optionally `\tmin\tmax` file statistics — see
     * [[statLines]]), so stats attach in the same atomic commit as the
-    * files they describe. */
+    * files they describe. `mustBeLive` names files this commit DEPENDS
+    * on without removing them — a deletion vector's referenced data
+    * files: its row positions are meaningless against a rewrite's new
+    * files, so a rebase over a commit that re-filed any of them is a
+    * TRUE conflict exactly like a double rewrite. */
   private[graft] def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, baseV: Option[Long],
       removed: Set[String], added: Seq[String],
-      meta: Map[String, String], allowRebase: Boolean = true): Long = {
+      meta: Map[String, String], allowRebase: Boolean = true,
+      mustBeLive: Set[String] = Set.empty): Long = {
     meta.foreach { case (k, v) =>
       require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
         !v.contains("\n"), s"invalid manifest metadata pair: '$k'='$v'")
@@ -259,12 +291,13 @@ object Snapshot {
           throw new SnapshotConflictException(
             s"snapshot under $root moved $baseV -> $latest during a " +
             "non-rebaseable commit")
-        val gone = removed -- latestLines.map(pathOf).toSet
+        val livePaths = latestLines.map(pathOf).toSet
+        val gone = (removed ++ mustBeLive) -- livePaths
         if (gone.nonEmpty)
           throw new SnapshotConflictException(
             s"concurrent rewrite already re-filed ${gone.size} file(s) " +
-            s"this commit replaced (base v=${baseV.getOrElse(0L)}, " +
-            s"latest v=${latest.getOrElse(0L)}): " +
+            s"this commit replaced or depends on (base " +
+            s"v=${baseV.getOrElse(0L)}, latest v=${latest.getOrElse(0L)}): " +
             gone.toSeq.sorted.take(3).mkString(", "))
       }
       // transaction identity is table state: carry the inherited keys
@@ -389,18 +422,56 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
-    val files = filesOf(spark, path, v)
+    val text = manifestText(spark, path, v)
+    val files = parseFiles(text)
     require(files.nonEmpty, s"snapshot v=$v of $path is empty")
-    spark.read.option("basePath", qualified)
+    val data = spark.read.option("basePath", qualified)
       .parquet(files.map(f => s"$qualified/$f"): _*)
+    applyDeletes(spark, qualified, data, parseDeletes(text))
   }
+
+  /** The row identity a deletion vector records: (root-relative data
+    * file, position within it) — `_metadata` is the file source's hidden
+    * column, so the identity costs no stored bytes and survives nothing
+    * short of rewriting the file (exactly when [[materializeDeletes]]
+    * retires the vector). Both the DV writer and every DV-applying
+    * reader derive the relative path the same way, so scheme-rendering
+    * differences can never split the join key. */
+  private def dvKeyCols(qualified: String): Seq[Column] = Seq(
+    org.apache.spark.sql.functions.replace(
+      col("_metadata.file_path"), lit(s"$qualified/"), lit("")).as("dv_file"),
+    col("_metadata.row_index").as("dv_pos"))
+
+  /** Subtract outstanding deletion vectors from a data read — the
+    * merge-on-read half of [[deleteWhereMoR]]'s contract. No vectors →
+    * the untouched fast path (zero plan change for the common case).
+    * With vectors: one anti-join on (file, position); the DV side is
+    * O(deleted rows) — forget-user sized, not table sized — and carries
+    * no join hint, so AQE broadcasts it while it fits and degrades to
+    * shuffle instead of OOMing when someone deletes half the corpus. */
+  private def applyDeletes(spark: SparkSession, qualified: String,
+      data: DataFrame, dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) data
+    else {
+      val dv = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
+        .select(col("dv_file"), col("dv_pos"))
+      val keyCols = dvKeyCols(qualified)
+      val keyed = data.withColumn("__dv_file", keyCols(0))
+        .withColumn("__dv_pos", keyCols(1))
+      keyed.join(dv,
+          keyed("__dv_file") === dv("dv_file") &&
+            keyed("__dv_pos") === dv("dv_pos"),
+          "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
 
   /** Manifest entries of snapshot `v`: (path, optional (min, max) bounds
     * of the layout's declared stats column — see [[init]]'s `statsCol`).
     * Bounds are the column cast to LONG at file-write time. */
   def entriesOf(spark: SparkSession, path: String,
       v: Long): Seq[(String, Option[(Long, Long)])] =
-    parseLines(manifestText(spark, path, v)).map(l => (pathOf(l), statsOf(l)))
+    parseLines(manifestText(spark, path, v)).filterNot(isDeleteEntry)
+      .map(l => (pathOf(l), statsOf(l)))
 
   /** MANIFEST-LEVEL FILE SKIPPING: the current snapshot's files whose
     * stats bounds overlap `[lo, hi]` (both inclusive, in the stats
@@ -436,8 +507,12 @@ object Snapshot {
     else {
       val root = new org.apache.hadoop.fs.Path(path)
       val qualified = fsOf(spark, root).makeQualified(root).toString
-      spark.read.option("basePath", qualified)
+      val data = spark.read.option("basePath", qualified)
         .parquet(files.map(f => s"$qualified/$f"): _*)
+      // outstanding merge-on-read deletes apply here too — a pruned
+      // read must never resurrect rows the full read hides
+      val (v, _) = currentFiles(spark, path)
+      applyDeletes(spark, qualified, data, deletesOf(spark, path, v))
     }
   }
 
@@ -465,6 +540,22 @@ object Snapshot {
       }
     fs.delete(stg, true): Unit
     moved
+  }
+
+  /** Partition-grain rewrite ops must not run over outstanding deletion
+    * vectors: they read files directly (NOT DV-aware — their probes
+    * count raw rows) and re-file them, which would resurrect deleted
+    * rows AND orphan the vectors' file-position references. The
+    * minimum-viable contract is the loud refusal; [[materializeDeletes]]
+    * first is the documented pipeline (a table format interleaves the
+    * two transparently — same ordering, hidden). */
+  private def requireNoDeletes(spark: SparkSession, path: String, v: Long,
+      op: String): Unit = {
+    val dvs = deletesOf(spark, path, v)
+    require(dvs.isEmpty,
+      s"$op on $path with ${dvs.size} outstanding deletion vector(s) — " +
+      "run materializeDeletes first: a partition rewrite would resurrect " +
+      "merge-on-read deleted rows and orphan the vectors' positions")
   }
 
   /** The layout's declared file-statistics column, if any — an
@@ -540,6 +631,7 @@ object Snapshot {
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
     val (v, files) = currentFiles(spark, path)
+    requireNoDeletes(spark, path, v, "compact")
     val sizes: Map[String, Long] = listDataFiles(fs, root, partitionCol)
       .map(f => f.getPath.toString.stripPrefix(qualified).stripPrefix("/") -> f.getLen)
       .toMap
@@ -609,6 +701,7 @@ object Snapshot {
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
     val (v, files) = currentFiles(spark, path)
+    requireNoDeletes(spark, path, v, "deleteWhere")
     val byPart = files.groupBy(f => f.split("/")(0))
     // NULL-predicate guard: same SQL DELETE semantics as Sink.deleteWhere
     val del = coalesce(predicate, lit(false))
@@ -674,6 +767,142 @@ object Snapshot {
       statLines(spark, qualified, added, metaOf(spark, path, v).get("stats")),
       Map("op" -> "delete")): Unit
     dirty.toSeq.map { case (value, nDel, _) => (partDirName(value), nDel) }
+  }
+
+  /** MERGE-ON-READ row deletion: where [[deleteWhere]] REWRITES every
+    * dirty partition (copy-on-write), this commits a DELETION VECTOR —
+    * the matched rows' (file, position) pairs as a parquet sidecar under
+    * `_deletes/` — and readers subtract it ([[applyDeletes]]). Write
+    * cost is O(matched rows), not O(dirty partitions): at 100 TB a
+    * forget-user request whose rows touch every date partition commits
+    * in one small write instead of rewriting the table's width, which
+    * is why Delta/Iceberg v2 made this their default delete path. The
+    * read-side anti-join is the price, paid until
+    * [[materializeDeletes]] folds the vectors into a file-grain rewrite.
+    *
+    * Idempotent stacking: vectors accumulate across calls, rows an
+    * outstanding vector already hides are never re-marked, and a rerun
+    * of the same predicate matches nothing (reads are DV-aware).
+    * Concurrency: the commit removes nothing but DEPENDS on the
+    * referenced data files (`mustBeLive`) — racing a rewrite that
+    * re-files them aborts instead of committing positions into files
+    * that no longer exist. Returns (version, rows marked); a no-match
+    * call makes no commit and returns the current version. */
+  def deleteWhereMoR(spark: SparkSession, path: String, partitionCol: String,
+      predicate: Column): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val (v, files) = currentFiles(spark, path)
+    val dvs = deletesOf(spark, path, v)
+    val del = coalesce(predicate, lit(false))
+    val keyCols = dvKeyCols(qualified)
+    val markedAll = spark.read.option("basePath", qualified)
+      .parquet(files.map(f => s"$qualified/$f"): _*)
+      .where(del)
+      .select(keyCols(0), keyCols(1))
+    val marked =
+      if (dvs.isEmpty) markedAll
+      else markedAll.join(
+        spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*),
+        Seq("dv_file", "dv_pos"), "left_anti")
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-mor-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    // repartition(1): one vector file per delete (the scan above stays
+    // parallel — coalesce(1) would collapse it); the shuffle moves only
+    // the matched pairs
+    marked.repartition(1).write.parquet(stg.toString)
+    // footer-only count of what actually landed
+    val n = spark.read.parquet(stg.toString).count()
+    if (n == 0L) { fs.delete(stg, true): Unit; return (v, 0L) }
+    val dvDir = new org.apache.hadoop.fs.Path(root, DeletesDir)
+    fs.mkdirs(dvDir)
+    val moved = fs.listStatus(stg).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map { f =>
+        val dst = new org.apache.hadoop.fs.Path(dvDir, f.getPath.getName)
+        if (!fs.rename(f.getPath, dst))
+          throw new IllegalStateException(s"deletion-vector move failed: $dst")
+        s"$DeletesDir/${f.getPath.getName}"
+      }
+    fs.delete(stg, true): Unit
+    // the files the vector's positions are valid against — k rows
+    val referenced = spark.read.parquet(moved.map(f => s"$qualified/$f"): _*)
+      .select(col("dv_file")).distinct().collect().map(_.getString(0)).toSet
+    val nv = commit(fs, root, Some(v), Set.empty, moved,
+      Map("op" -> "mor-delete"), mustBeLive = referenced)
+    (nv, n)
+  }
+
+  /** Retire every outstanding deletion vector by rewriting EXACTLY the
+    * data files it touches — file-grain copy-on-write, the compaction
+    * half of the merge-on-read bargain. Untouched files (including
+    * other files of the same partition) keep their manifest entries and
+    * physical bytes; touched files rewrite to their survivors (one
+    * [[Sink.packPartitioned]] job, per-partition file counts preserved,
+    * re-clustered on `sortCols`); the vectors and the old files retire
+    * in the SAME atomic commit, so a reader sees vectors+old-files or
+    * survivors — never both, never neither. Constant number of Spark
+    * jobs regardless of how many files the vectors touch. Returns
+    * (partition dir, vector rows applied). */
+  def materializeDeletes(spark: SparkSession, path: String,
+      partitionCol: String, sortCols: Seq[String] = Nil): Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val (v, files) = currentFiles(spark, path)
+    val dvs = deletesOf(spark, path, v)
+    if (dvs.isEmpty) return Seq.empty
+    val dvDf = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
+    // O(touched files) driver state — the vectors' reference set
+    val perFile = dvDf.groupBy(col("dv_file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val affected = perFile.map(_._1)
+    val live = files.toSet
+    affected.foreach(f => require(live(f),
+      s"deletion vector references non-live file $f — corrupted manifest?"))
+    def partValue(f: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.split("/")(0).stripPrefix(s"$partitionCol="))
+    val targets = affected.groupBy(partValue).view.mapValues(_.size).toMap
+    val sampleFile = s"$qualified/${affected.head}"
+    def survivorsOf(): DataFrame = {
+      val rows = Sink.readForMaintenance(spark, qualified,
+        affected.map(f => s"$qualified/$f"), sampleFile, partitionCol)
+      val keyCols = dvKeyCols(qualified)
+      val keyed = rows.withColumn("__dv_file", keyCols(0))
+        .withColumn("__dv_pos", keyCols(1))
+      keyed.join(dvDf,
+          keyed("__dv_file") === dvDf("dv_file") &&
+            keyed("__dv_pos") === dvDf("dv_pos"),
+          "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
+    // probe: survivor counts per partition — distinguishes "this
+    // partition's touched files emptied out" (legitimate) from "the
+    // staged write lost a partition" (abort) before anything destructive
+    val survCounts = survivorsOf().groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-materialize-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    Sink.packPartitioned(survivorsOf(), partitionCol, sortCols, targets)
+      .write.partitionBy(partitionCol).parquet(stg.toString)
+    val moved = movePartitionedStaging(fs, root, stg, partitionCol)
+    val movedParts = moved.map(_.split("/")(0)).toSet
+    targets.keys.foreach { value =>
+      val part = s"$partitionCol=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)}"
+      if (survCounts.getOrElse(value, 0L) > 0L && !movedParts(part))
+        throw new IllegalStateException(
+          s"staged survivors missing for partition '$part' — aborting " +
+          "before the commit; the snapshot is unchanged")
+    }
+    commit(fs, root, Some(v), affected.toSet ++ dvs.toSet,
+      statLines(spark, qualified, moved, metaOf(spark, path, v).get("stats")),
+      Map("op" -> "materialize")): Unit
+    perFile.groupBy { case (f, _) => f.split("/")(0) }.view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
   }
 
   /** Atomic APPEND: land `rows` as a new snapshot version — the ingest
@@ -744,6 +973,7 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val (v, files) = currentFiles(spark, path)
+    requireNoDeletes(spark, path, v, "replacePartitions")
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-replace-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     replacement.write.partitionBy(partitionCol).parquet(stg.toString)
@@ -808,13 +1038,15 @@ object Snapshot {
     require(committed.contains(toVersion),
       s"cannot restore $path to v=$toVersion: not a committed version " +
       s"(committed: ${committed.mkString(",")}) — expired or never existed")
-    val (cur, curFiles) = currentFiles(spark, path)
-    // entry LINES from the target manifest, so restored entries keep
-    // their file statistics (a path-level diff would strip them)
+    val cur = committed.last
+    // entry LINES both sides, so restored entries keep their file
+    // statistics and the diff covers deletion vectors too (a restore
+    // across a mor-delete must re-reference the vector, or drop it)
+    val curPaths = parseLines(manifestTextFs(fs, root, cur)).map(pathOf).toSet
     val targetLines = parseLines(manifestTextFs(fs, root, toVersion))
     val targetPaths = targetLines.map(pathOf).toSet
-    commit(fs, root, Some(cur), curFiles.toSet -- targetPaths,
-      targetLines.filterNot(l => curFiles.contains(pathOf(l))),
+    commit(fs, root, Some(cur), curPaths -- targetPaths,
+      targetLines.filterNot(l => curPaths(pathOf(l))),
       Map("op" -> "restore", "restore_of" -> toVersion.toString))
   }
 
@@ -832,9 +1064,10 @@ object Snapshot {
     require(vs.nonEmpty, s"no committed snapshot under $path")
     var prev = Set.empty[String]
     val rows = vs.map { v =>
-      // one manifest read feeds both the file list and the header
+      // one manifest read feeds both the entry list and the header;
+      // ALL entry paths, so a mor-delete's vector shows as its one add
       val text = manifestText(spark, path, v)
-      val fl = parseFiles(text).toSet
+      val fl = parseLines(text).map(pathOf).toSet
       val m = parseMeta(text)
       val r = (v, m.getOrElse("op", "unknown"), fl.size.toLong,
         (fl -- prev).size.toLong, (prev -- fl).size.toLong, m)
@@ -867,7 +1100,10 @@ object Snapshot {
     val qualified = fs.makeQualified(root).toString
     val versions = committedVersions(fs, root)
     val (stale, retained) = versions.splitAt(math.max(0, versions.size - keep))
-    val referenced = retained.flatMap(filesOf(spark, path, _)).toSet
+    // ALL entry paths — a retained version's deletion vectors are as
+    // load-bearing as its data files
+    val referenced = retained.flatMap(v =>
+      manifestLines(spark, path, v).map(pathOf)).toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     listDataFiles(fs, root, partitionCol).foreach { f =>
@@ -887,6 +1123,20 @@ object Snapshot {
       fs.delete(manifestPath(root, sv), false)
       deleted += f"$ManifestDir/m-$sv%012d"
     }
+    // deletion vectors live under _deletes/ (outside the partition
+    // dirs the data sweep above walks) — retire the ones no retained
+    // manifest references, under the same grace rule
+    val dvDir = new org.apache.hadoop.fs.Path(root, DeletesDir)
+    if (fs.exists(dvDir)) fs.listStatus(dvDir).toSeq
+      .filter { s =>
+        val rel = s"$DeletesDir/${s.getPath.getName}"
+        s.isFile && !referenced(rel) &&
+          (orphanGraceMs <= 0 || s.getModificationTime <= cutoff)
+      }
+      .foreach { s =>
+        fs.delete(s.getPath, false)
+        deleted += s"$DeletesDir/${s.getPath.getName}"
+      }
     // a writer that crashed between writing and publishing its staged
     // manifest leaves a `.tmp-*` file here — invisible to readers
     // (committedVersions matches only m-<digits>) but debris; sweep it

@@ -442,6 +442,64 @@ class SnapshotSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("expired or never existed"))
   }
 
+  test("merge-on-read delete: vector commit touches zero data bytes; reads subtract; materialize folds") {
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")                       // v1
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    val dataFiles1 = Snapshot.currentFiles(spark, path)._2.toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sig(rel: String): (Long, Long) = {
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$rel"))
+      (st.getLen, st.getModificationTime)
+    }
+    val sigs1 = dataFiles1.map(f => f -> sig(f)).toMap
+    val (v2, n) = Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("user_id") === 3L)
+    assert(v2 == 2L && n == 12L, s"got v=$v2 n=$n")
+    // the commit added ONE vector and moved zero data bytes
+    assert(Snapshot.filesOf(spark, path, 2L).toSet == dataFiles1)
+    assert(Snapshot.deletesOf(spark, path, 2L).size == 1)
+    dataFiles1.foreach(f => assert(sig(f) == sigs1(f),
+      s"mor-delete touched data file $f"))
+    val afterU3 = before.filterNot(id => (id / 10) % 10 == 3)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == afterU3)
+    // the pinned pre-delete version still reads the full corpus
+    assert(ids(Snapshot.readVersion(spark, path, 1L)) == before)
+    // rerun: reads are vector-aware, so the predicate matches nothing
+    // and no commit lands
+    assert(Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("user_id") === 3L) == ((2L, 0L)))
+    // vectors stack
+    val (v3, n3) = Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("user_id") === 5L)
+    assert(v3 == 3L && n3 == 12L)
+    val afterU5 = afterU3.filterNot(id => (id / 10) % 10 == 5)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == afterU5)
+    assert(Snapshot.deletesOf(spark, path, 3L).size == 2)
+    // partition-grain rewrites refuse over outstanding vectors
+    val ex = intercept[IllegalArgumentException] {
+      Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms"))
+    }
+    assert(ex.getMessage.contains("materializeDeletes"))
+    // materialize: file-grain rewrite retires both vectors atomically
+    val applied = Snapshot.materializeDeletes(spark, path, "event_date",
+      Seq("ts_ms"))
+    assert(applied.map(_._2).sum == 24L, s"applied: $applied")
+    val cur = Snapshot.currentVersion(spark, path).get
+    assert(Snapshot.deletesOf(spark, path, cur).isEmpty)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == afterU5)
+    // now the compaction is legal again, and the row set is stable
+    Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms"))
+    assert(ids(Snapshot.readSnapshot(spark, path)) == afterU5)
+    // expire retires the retired vectors' files with everything else
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == afterU5)
+    val dvDir = new org.apache.hadoop.fs.Path(s"$path/_deletes")
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
+      "expire left unreferenced deletion vectors behind")
+  }
+
   test("manifest file stats plan a pruned file subset with zero data IO; every commit keeps them") {
     import spark.implicits._
     val path = s"${tmp("graft-snap-stats")}/layout"

@@ -38,9 +38,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             graded against UNION SQL, manifest-level
   *                             file skipping (per-file stats bounds
   *                             plan the scan's file subset with zero
-  *                             listing or footer IO), and merge-on-read
+  *                             listing or footer IO), merge-on-read
   *                             deletion vectors (O(matched rows)
-  *                             forget-user, both phases graded)
+  *                             forget-user, both phases graded), and
+  *                             schema evolution (q62: appends widen the
+  *                             manifest-recorded schema; old files
+  *                             read NULL in later columns)
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the

@@ -290,8 +290,14 @@ object Sink {
     * identity. */
   private[sources] def readForMaintenance(spark: SparkSession,
       basePath: String, paths: Seq[String], sampleFile: String,
-      partitionCol: String): DataFrame = {
-    val dataSchema = spark.read.parquet(sampleFile).schema
+      partitionCol: String,
+      dataSchemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    // a snapshot layout passes its RECORDED data schema: after schema
+    // evolution the sample file may predate a column, and inferring
+    // from it would silently drop that column from every rewritten row
+    val dataSchema = dataSchemaOverride.getOrElse(
+      spark.read.parquet(sampleFile).schema)
     require(!dataSchema.fieldNames.contains(partitionCol),
       s"data files already carry partition column '$partitionCol'")
     spark.read

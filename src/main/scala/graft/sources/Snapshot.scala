@@ -198,7 +198,33 @@ object Snapshot {
     * file-statistics column, see [[entriesOf]]) rides here too: it is
     * a property of the TABLE, declared once at [[init]], that every
     * later commit must keep honoring. */
-  private val InheritedMeta = Set("run", "batch", "delta", "stats")
+  private val InheritedMeta = Set("run", "batch", "delta", "stats", "schema")
+
+  /** The table schema snapshot `v`'s manifest records (header key
+    * `schema`, Spark StructType JSON, partition column included) — the
+    * SCHEMA-EVOLUTION anchor: the manifest, not any one parquet footer,
+    * says what columns the table has, so files written before a column
+    * existed read as NULL in it and no reader's answer depends on WHICH
+    * file Spark happened to infer from. Recorded at [[init]], widened by
+    * [[append]], inherited by every other commit. Manifests predating
+    * the key return None (legacy inference read). */
+  def schemaOf(spark: SparkSession, path: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] =
+    recordedSchema(metaOf(spark, path, v))
+
+  private def recordedSchema(meta: Map[String, String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    meta.get("schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The recorded schema shaped for [[Sink.readForMaintenance]]: data
+    * columns only (the maintenance read adds the partition column back
+    * as a raw STRING dir value). */
+  private def maintSchema(meta: Map[String, String], partitionCol: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    recordedSchema(meta).map(s => org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(_.name == partitionCol)))
 
   /** (current version, its file list). */
   def currentFiles(spark: SparkSession, path: String): (Long, Seq[String]) = {
@@ -373,8 +399,13 @@ object Snapshot {
         .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
       require(rel.nonEmpty, s"no data files under $path to snapshot")
       val lines = statLines(spark, qualified, rel, statsCol)
+      // record the table schema (partition column included, as the
+      // basePath read infers it) — the anchor later appends widen
+      val schema = spark.read.option("basePath", qualified)
+        .parquet(rel.map(f => s"$qualified/$f"): _*).schema
       try commit(fs, root, None, Set.empty, lines,
-        Map("op" -> "init") ++ statsCol.map("stats" -> _) ++ meta,
+        Map("op" -> "init", "schema" -> schema.json) ++
+          statsCol.map("stats" -> _) ++ meta,
         allowRebase = false)
       catch {
         // two inits racing list the SAME pre-manifest files — the loser
@@ -425,7 +456,11 @@ object Snapshot {
     val text = manifestText(spark, path, v)
     val files = parseFiles(text)
     require(files.nonEmpty, s"snapshot v=$v of $path is empty")
-    val data = spark.read.option("basePath", qualified)
+    // the RECORDED schema, not footer inference: after evolution, which
+    // columns exist must not depend on which file Spark sampled — old
+    // files read NULL in columns added after they were written
+    val reader = spark.read.option("basePath", qualified)
+    val data = recordedSchema(parseMeta(text)).fold(reader)(reader.schema)
       .parquet(files.map(f => s"$qualified/$f"): _*)
     applyDeletes(spark, qualified, data, parseDeletes(text))
   }
@@ -507,12 +542,14 @@ object Snapshot {
     else {
       val root = new org.apache.hadoop.fs.Path(path)
       val qualified = fsOf(spark, root).makeQualified(root).toString
-      val data = spark.read.option("basePath", qualified)
+      val (v, _) = currentFiles(spark, path)
+      val text = manifestText(spark, path, v)
+      val reader = spark.read.option("basePath", qualified)
+      val data = recordedSchema(parseMeta(text)).fold(reader)(reader.schema)
         .parquet(files.map(f => s"$qualified/$f"): _*)
       // outstanding merge-on-read deletes apply here too — a pruned
       // read must never resurrect rows the full read hides
-      val (v, _) = currentFiles(spark, path)
-      applyDeletes(spark, qualified, data, deletesOf(spark, path, v))
+      applyDeletes(spark, qualified, data, parseDeletes(text))
     }
   }
 
@@ -632,6 +669,7 @@ object Snapshot {
     val qualified = fs.makeQualified(root).toString
     val (v, files) = currentFiles(spark, path)
     requireNoDeletes(spark, path, v, "compact")
+    val vMeta = metaOf(spark, path, v)
     val sizes: Map[String, Long] = listDataFiles(fs, root, partitionCol)
       .map(f => f.getPath.toString.stripPrefix(qualified).stripPrefix("/") -> f.getLen)
       .toMap
@@ -650,7 +688,8 @@ object Snapshot {
     // identity holds for values inference would mangle ("01" → int 1)
     val rows = Sink.readForMaintenance(spark, qualified,
       oldFiles.map(f => s"$qualified/$f"),
-      s"$qualified/${oldFiles.head}", partitionCol)
+      s"$qualified/${oldFiles.head}", partitionCol,
+      maintSchema(vMeta, partitionCol))
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-compact-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     val targets = plan.map { case (part, _, nTarget) =>
@@ -674,7 +713,7 @@ object Snapshot {
           "snapshot is unchanged")
     }
     commit(fs, root, Some(v), oldFiles.toSet,
-      statLines(spark, qualified, moved, metaOf(spark, path, v).get("stats")),
+      statLines(spark, qualified, moved, vMeta.get("stats")),
       Map("op" -> "compact")): Unit
     plan.map { case (part, fsOfPart, _) =>
       (part, fsOfPart.size, movedByPart(part).size)
@@ -702,6 +741,7 @@ object Snapshot {
     val qualified = fs.makeQualified(root).toString
     val (v, files) = currentFiles(spark, path)
     requireNoDeletes(spark, path, v, "deleteWhere")
+    val vMeta = metaOf(spark, path, v)
     val byPart = files.groupBy(f => f.split("/")(0))
     // NULL-predicate guard: same SQL DELETE semantics as Sink.deleteWhere
     val del = coalesce(predicate, lit(false))
@@ -710,7 +750,8 @@ object Snapshot {
     // name stay one identity (see Sink.readForMaintenance)
     val sampleFile = s"$qualified/${files.head}"
     val dirty = Sink.readForMaintenance(spark, qualified,
-        files.map(f => s"$qualified/$f"), sampleFile, partitionCol)
+        files.map(f => s"$qualified/$f"), sampleFile, partitionCol,
+        maintSchema(vMeta, partitionCol))
       .groupBy(col(partitionCol).as("__part"))
       .agg(
         sum(when(del, 1L).otherwise(0L)).as("n_del"),
@@ -742,7 +783,8 @@ object Snapshot {
         // the staged data files, as a Hive layout requires.
         val oldFiles = partial.flatMap(_._2).toSeq
         val survivors = Sink.readForMaintenance(spark, qualified,
-          oldFiles.map(f => s"$qualified/$f"), sampleFile, partitionCol)
+          oldFiles.map(f => s"$qualified/$f"), sampleFile, partitionCol,
+          maintSchema(vMeta, partitionCol))
           .where(!del)
         val stg = new org.apache.hadoop.fs.Path(root,
           s".staging-delete-${Sink.procTag}-${java.util.UUID.randomUUID()}")
@@ -764,7 +806,7 @@ object Snapshot {
         moved
       }
     commit(fs, root, Some(v), removed.toSet,
-      statLines(spark, qualified, added, metaOf(spark, path, v).get("stats")),
+      statLines(spark, qualified, added, vMeta.get("stats")),
       Map("op" -> "delete")): Unit
     dirty.toSeq.map { case (value, nDel, _) => (partDirName(value), nDel) }
   }
@@ -797,7 +839,11 @@ object Snapshot {
     val dvs = deletesOf(spark, path, v)
     val del = coalesce(predicate, lit(false))
     val keyCols = dvKeyCols(qualified)
-    val markedAll = spark.read.option("basePath", qualified)
+    // recorded schema: the predicate may reference an evolved column,
+    // which must read NULL in pre-evolution files exactly as it does
+    // for the snapshot reader
+    val reader = spark.read.option("basePath", qualified)
+    val markedAll = recordedSchema(metaOf(spark, path, v)).fold(reader)(reader.schema)
       .parquet(files.map(f => s"$qualified/$f"): _*)
       .where(del)
       .select(keyCols(0), keyCols(1))
@@ -854,6 +900,7 @@ object Snapshot {
     val (v, files) = currentFiles(spark, path)
     val dvs = deletesOf(spark, path, v)
     if (dvs.isEmpty) return Seq.empty
+    val vMeta = metaOf(spark, path, v)
     val dvDf = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
     // O(touched files) driver state — the vectors' reference set
     val perFile = dvDf.groupBy(col("dv_file")).agg(count(lit(1)).as("n"))
@@ -869,7 +916,8 @@ object Snapshot {
     val sampleFile = s"$qualified/${affected.head}"
     def survivorsOf(): DataFrame = {
       val rows = Sink.readForMaintenance(spark, qualified,
-        affected.map(f => s"$qualified/$f"), sampleFile, partitionCol)
+        affected.map(f => s"$qualified/$f"), sampleFile, partitionCol,
+        maintSchema(vMeta, partitionCol))
       val keyCols = dvKeyCols(qualified)
       val keyed = rows.withColumn("__dv_file", keyCols(0))
         .withColumn("__dv_pos", keyCols(1))
@@ -899,7 +947,7 @@ object Snapshot {
           "before the commit; the snapshot is unchanged")
     }
     commit(fs, root, Some(v), affected.toSet ++ dvs.toSet,
-      statLines(spark, qualified, moved, metaOf(spark, path, v).get("stats")),
+      statLines(spark, qualified, moved, vMeta.get("stats")),
       Map("op" -> "materialize")): Unit
     perFile.groupBy { case (f, _) => f.split("/")(0) }.view
       .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
@@ -941,12 +989,53 @@ object Snapshot {
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
     // honor the layout's declared stats column (inherited manifest
     // state) — an appended batch's files must prune like any others
-    val statsCol = prev.map(v => parseMeta(manifestTextFs(fs, root, v)))
-      .getOrElse(Map.empty).get("stats").orElse(meta.get("stats"))
+    val prevMeta = prev.map(v => parseMeta(manifestTextFs(fs, root, v)))
+      .getOrElse(Map.empty)
+    val statsCol = prevMeta.get("stats").orElse(meta.get("stats"))
     val lines = statLines(spark, fs.makeQualified(root).toString, moved, statsCol)
+    // SCHEMA EVOLUTION: a batch may carry columns the table has never
+    // seen — widen the recorded schema (new columns append, nullable,
+    // old files read NULL in them) in the SAME commit as the files.
+    // Shared columns must match exactly: add-column is the supported
+    // evolution, silent type coercion is not.
+    val schemaMeta = recordedSchema(prevMeta) match {
+      case Some(old) =>
+        val oldByName = old.fields.map(f => f.name -> f).toMap
+        // the partition column is exempt: its batch-side type only
+        // shapes directory names ("2024-01-04" as STRING or DATE lands
+        // the same dir), and readers cast dir values to the recorded
+        // type regardless
+        rows.schema.fields.filterNot(_.name == partitionCol).foreach { f =>
+          oldByName.get(f.name).foreach { o =>
+            require(o.dataType == f.dataType,
+              s"append schema conflict on '${f.name}': table has " +
+              s"${o.dataType}, batch has ${f.dataType} — only ADD-column " +
+              "evolution is supported")
+          }
+        }
+        val added = rows.schema.fields
+          .filterNot(f => oldByName.contains(f.name))
+          .map(_.copy(nullable = true))
+        if (added.isEmpty) Map.empty[String, String]
+        else {
+          // partition column stays LAST — the position the partitioned
+          // read surfaces it in regardless of the user schema's order
+          val (dataF, partF) = old.fields.partition(_.name != partitionCol)
+          Map("schema" ->
+            org.apache.spark.sql.types.StructType(dataF ++ added ++ partF).json)
+        }
+      case None if prev.isEmpty =>
+        // bootstrap append: this batch DEFINES the table schema
+        // (partition column last, matching the basePath read order)
+        val (data, part) = rows.schema.fields.partition(_.name != partitionCol)
+        Map("schema" ->
+          org.apache.spark.sql.types.StructType(data ++ part).json)
+      case None => Map.empty[String, String] // pre-evolution layout
+    }
     // removes nothing → commutes with ANY concurrent commit: a lost
     // version race rebases onto the winner's file list and retries
-    commit(fs, root, prev, Set.empty, lines, Map("op" -> "append") ++ meta)
+    commit(fs, root, prev, Set.empty, lines,
+      Map("op" -> "append") ++ schemaMeta ++ meta)
   }
 
   /** Rewrite-commit for a partition subset: every partition named by
@@ -1016,8 +1105,14 @@ object Snapshot {
     val added = (filesOf(spark, path, toV).toSet --
       filesOf(spark, path, fromV).toSet).toSeq.sorted
     if (added.isEmpty) readVersion(spark, path, toV).limit(0)
-    else spark.read.option("basePath", qualified)
-      .parquet(added.map(f => s"$qualified/$f"): _*)
+    else {
+      // toV's recorded schema: a feed spanning a schema-evolving append
+      // reads earlier batches' files NULL in the added columns, exactly
+      // as readVersion(toV) would
+      val reader = spark.read.option("basePath", qualified)
+      schemaOf(spark, path, toV).fold(reader)(reader.schema)
+        .parquet(added.map(f => s"$qualified/$f"): _*)
+    }
   }
 
   /** ROLL BACK the table to snapshot `toVersion` — as a NEW commit

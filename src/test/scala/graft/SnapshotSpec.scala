@@ -500,6 +500,53 @@ class SnapshotSpec extends AnyFunSuite {
       "expire left unreferenced deletion vectors behind")
   }
 
+  test("schema evolution: an appended column widens the table; old files read NULL; maintenance keeps it") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")                       // v1
+    val s1 = Snapshot.schemaOf(spark, path, 1L).get
+    assert(s1.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "ts_ms", "event_date"))
+    // a batch carrying a column the table has never seen widens it
+    Snapshot.append(spark, path, "event_date",
+      Seq((9001L, 9L, 999L, "tagged", "2024-01-04"))
+        .toDF("event_id", "user_id", "ts_ms", "source", "event_date")) // v2
+    val s2 = Snapshot.schemaOf(spark, path, 2L).get
+    assert(s2.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "ts_ms", "source", "event_date"))
+    val snap = Snapshot.readSnapshot(spark, path)
+    assert(snap.columns.toSeq == s2.fieldNames.toSeq,
+      "reader does not follow the recorded schema")
+    // pre-evolution rows read NULL in the new column — regardless of
+    // which file Spark would have inferred from
+    assert(snap.where(col("source").isNull).count() == 36L)
+    assert(snap.where(col("source") === "tagged")
+      .select("event_id").as[Long].collect().toSeq == Seq(9001L))
+    // a pinned pre-evolution version keeps its own (old) schema
+    assert(Snapshot.readVersion(spark, path, 1L).columns.toSeq ==
+      s1.fieldNames.toSeq)
+    // shared-column type conflicts refuse loudly — add-column only
+    val ex = intercept[IllegalArgumentException] {
+      Snapshot.append(spark, path, "event_date",
+        Seq(("oops", 1L, 1L, "2024-01-05"))
+          .toDF("event_id", "user_id", "ts_ms", "event_date"))
+    }
+    assert(ex.getMessage.contains("schema conflict"))
+    // maintenance rewrites read through the RECORDED schema: the dirty
+    // partitions' old files predate 'source', and sample-file inference
+    // would silently drop the column from every rewritten row
+    Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 3L, Seq("ts_ms"))
+    val afterDelete = Snapshot.readSnapshot(spark, path)
+    assert(afterDelete.columns.toSeq == s2.fieldNames.toSeq)
+    assert(afterDelete.where(col("source") === "tagged").count() == 1L)
+    assert(afterDelete.where(col("source").isNull).count() == 24L)
+    Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms"))
+    val afterCompact = Snapshot.readSnapshot(spark, path)
+    assert(afterCompact.where(col("source") === "tagged").count() == 1L)
+    assert(afterCompact.where(col("source").isNull).count() == 24L)
+  }
+
   test("manifest file stats plan a pruned file subset with zero data IO; every commit keeps them") {
     import spark.implicits._
     val path = s"${tmp("graft-snap-stats")}/layout"

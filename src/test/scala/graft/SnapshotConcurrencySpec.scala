@@ -235,6 +235,86 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
     assert(got.exists(id => id >= 100 && id < 200))
   }
 
+  test("mor-delete racing a rewrite of its referenced files aborts; a disjoint vector rebases") {
+    import spark.implicits._
+    // phase 1 — TRUE conflict: the vector's positions reference files a
+    // concurrent replace re-filed; committing it would delete by
+    // position into files that no longer exist (mustBeLive)
+    val path = buildLayout(filesPerDate = 1)
+    Snapshot.init(spark, path, "event_date")
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    SnapshotConcurrencySpec.started = new CountDownLatch(1)
+    SnapshotConcurrencySpec.gate = new CountDownLatch(1)
+    val (t, result) = try {
+      val pair = inThread {
+        // marks rows in ALL three dates — date-1's file is referenced
+        Snapshot.deleteWhereMoR(spark, path, "event_date",
+          holdUdf(col("user_id")) === 3L)
+      }
+      assert(SnapshotConcurrencySpec.started.await(60, TimeUnit.SECONDS))
+      Snapshot.replacePartitions(spark, path, "event_date",
+        Seq((9401L, 9L, 1L, "2024-01-01"))
+          .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+      assert(Snapshot.currentVersion(spark, path).contains(2L))
+      pair
+    } finally {
+      SnapshotConcurrencySpec.gate.countDown()
+    }
+    t.join(120000)
+    SnapshotConcurrencySpec.started = null
+    SnapshotConcurrencySpec.gate = null
+    result() match {
+      case Left(_: SnapshotConflictException) => // the contract
+      case other => fail(s"expected SnapshotConflictException, got $other")
+    }
+    // the aborted vector left no trace; the replace stands alone
+    assert(Snapshot.currentVersion(spark, path).contains(2L))
+    assert(Snapshot.deletesOf(spark, path, 2L).isEmpty)
+    val afterReplace = before.filterNot(id => id >= 100 && id < 200) + 9401L
+    assert(ids(Snapshot.readSnapshot(spark, path)) == afterReplace)
+    // rerun against the new snapshot: the standard recovery
+    val (v3, n) = Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("user_id") === 3L)
+    assert(v3 == 3L && n == 8L) // dates 2 and 3; date 1 now has only user 9
+    assert(ids(Snapshot.readSnapshot(spark, path)) ==
+      afterReplace.filterNot(id => id < 1000 && (id / 10) % 10 == 3))
+
+    // phase 2 — DISJOINT: a vector referencing only date-1 commutes
+    // with a replace of date-3 exactly like an append (removes nothing,
+    // depends on nothing the replace touched) and rebases past it
+    val path2 = buildLayout(filesPerDate = 1)
+    Snapshot.init(spark, path2, "event_date")
+    val before2 = ids(Snapshot.readSnapshot(spark, path2))
+    SnapshotConcurrencySpec.started = new CountDownLatch(1)
+    SnapshotConcurrencySpec.gate = new CountDownLatch(1)
+    val (t2, result2) = try {
+      val pair = inThread {
+        Snapshot.deleteWhereMoR(spark, path2, "event_date",
+          holdUdf(col("user_id")) === 3L && col("event_date") === "2024-01-01")
+      }
+      assert(SnapshotConcurrencySpec.started.await(60, TimeUnit.SECONDS))
+      Snapshot.replacePartitions(spark, path2, "event_date",
+        Seq((9402L, 9L, 1L, "2024-01-03"))
+          .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+      assert(Snapshot.currentVersion(spark, path2).contains(2L))
+      pair
+    } finally {
+      SnapshotConcurrencySpec.gate.countDown()
+    }
+    t2.join(120000)
+    SnapshotConcurrencySpec.started = null
+    SnapshotConcurrencySpec.gate = null
+    result2() match {
+      case Right((v, n2)) => assert(v == 3L && n2 == 4L,
+        s"disjoint vector should rebase to v3 marking 4 rows, got v=$v n=$n2")
+      case other => fail(s"disjoint vector should rebase, got $other")
+    }
+    // both effects present: date-3 replaced AND date-1's user 3 hidden
+    val want = (before2.filterNot(id => id >= 300 && id < 400) + 9402L)
+      .filterNot(id => id >= 130 && id < 140)
+    assert(ids(Snapshot.readSnapshot(spark, path2)) == want)
+  }
+
   test("rebase dedups a file the winner already listed: no double-counted rows") {
     import spark.implicits._
     // the init-vs-in-flight-append race: an append MOVES its staged

@@ -43,7 +43,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             forget-user, both phases graded), and
   *                             schema evolution (q62: appends widen the
   *                             manifest-recorded schema; old files
-  *                             read NULL in later columns)
+  *                             read NULL in later columns), and MERGE
+  *                             INTO (q63: keyed upsert, one atomic
+  *                             commit, O(touched partitions))
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the

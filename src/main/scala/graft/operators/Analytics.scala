@@ -1535,6 +1535,75 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q63 — MERGE INTO (upsert) committed through the snapshot manifest,
+  // completing the store's DML surface: append (q57), delete (q55
+  // copy-on-write / q61 merge-on-read), and now keyed upsert — the load
+  // pattern every warehouse runs nightly (late-arriving corrections +
+  // new facts in one batch). Snapshot.merge replaces-by-key and inserts
+  // in ONE atomic commit, reading and rewriting ONLY the partitions the
+  // batch touches (planning-time isin pruning; untouched partitions
+  // keep their manifest entries and bytes — SnapshotSpec pins it). The
+  // batch here is derived from the corpus itself so the oracle can
+  // re-derive it: ~1% corrections (value doubled, a binary-exact
+  // transform) + ~1% inserts (id-offset copies); the post-merge report
+  // grades against SQL that simulates the same MERGE with NOT IN +
+  // UNION ALL. Reruns are idempotent: the same batch replaces the same
+  // keys with the same rows.
+  // ---------------------------------------------------------------------
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_mergestore/$tag/fp_$fp"
+    def events = graft.sources.Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    graft.sources.Sink.publishedArtifactUsing(s, path) { stg =>
+      events
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(stg)
+    }
+    graft.sources.Snapshot.init(s, path, "event_date")
+    val corrections = events.where(pmod(col("event_id"), lit(97)) === 0)
+      .withColumn("value", col("value") * 2)
+    val inserts = events.where(pmod(col("event_id"), lit(101)) === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+    graft.sources.Snapshot.merge(s, path, "event_date",
+      corrections.unionByName(inserts), Seq("event_id"), Seq("ts"))
+    graft.sources.Snapshot.readSnapshot(s, path)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
+  private val q63Sql =
+    """WITH updates AS (
+      |  SELECT event_id, user_id, event_type, value * 2 AS value, ts
+      |  FROM events WHERE event_id % 97 = 0
+      |  UNION ALL
+      |  SELECT event_id + 1000000000, user_id, event_type, value, ts
+      |  FROM events WHERE event_id % 101 = 0
+      |), merged AS (
+      |  SELECT event_id, user_id, event_type, value, ts FROM events
+      |  WHERE event_id NOT IN (SELECT event_id FROM updates)
+      |  UNION ALL
+      |  SELECT * FROM updates
+      |)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM merged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1567,5 +1636,6 @@ object Analytics {
     QueryDef("q58_snapshot_time_travel", q58, Some(q58Sql)),
     QueryDef("q60_manifest_skip_slice", q60, Some(q60Sql), headline = true),
     QueryDef("q61_mor_forget_user", q61, Some(q61Sql), headline = true),
-    QueryDef("q62_schema_evolution", q62, Some(q62Sql)))
+    QueryDef("q62_schema_evolution", q62, Some(q62Sql)),
+    QueryDef("q63_snapshot_merge", q63, Some(q63Sql)))
 }

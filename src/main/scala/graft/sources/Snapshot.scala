@@ -1074,6 +1074,49 @@ object Snapshot {
     commit(fs, root, Some(v), replaced, lines, Map("op" -> "replace") ++ meta)
   }
 
+  /** UPSERT (MERGE INTO) committed through the manifest: every row of
+    * `updates` REPLACES the current row with the same `keyCols` value,
+    * or INSERTS if the key is new — one atomic commit, O(touched
+    * partitions): only partitions holding an update's `partitionCol`
+    * value are read (partition-pruned — the isin is a literal list) and
+    * rewritten; every other partition keeps its exact manifest entries
+    * and bytes. The rewrite is survivors (current touched-partition
+    * rows whose key is not updated, one anti-join) ∪ updates, through
+    * [[replacePartitions]]' staged write.
+    *
+    * Contract: keys are PARTITION-STABLE — an update must carry the
+    * partition value its key already lives under (the date-keyed upsert
+    * every warehouse load runs). A key that moved partitions would need
+    * a cross-partition search, which is O(table), exactly what this op
+    * promises not to pay; moving a row is delete + insert. `updates`
+    * must match the table's column set (use [[append]] for
+    * schema-evolving batches). */
+  def merge(spark: SparkSession, path: String, partitionCol: String,
+      updates: DataFrame, keyCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(updates.columns.contains(partitionCol),
+      s"merge updates lack partition column '$partitionCol'")
+    // native-typed literal list, so the touched-partition restriction
+    // is a planning-time PartitionFilter (a cast would defeat pruning)
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    require(touched.nonEmpty, "merge with an empty updates batch")
+    val cur = readSnapshot(spark, path)
+      .where(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    val survivors = cur.join(
+      updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    // one clustered file per touched partition — a merge batch's
+    // rewrite should repair file shape, not degrade it
+    val replacement = survivors
+      .unionByName(updates.select(cur.columns.map(col): _*))
+      .repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+    replacePartitions(spark, path, partitionCol, replacement,
+      Map("merge_keys" -> keyCols.mkString(",")) ++ meta)
+  }
+
   /** Incremental change feed: the rows APPENDED between snapshot `fromV`
     * (exclusive) and `toV` (inclusive) — what a downstream consumer
     * (rollup maintenance, index append, replication) reads instead of

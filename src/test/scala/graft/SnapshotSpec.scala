@@ -500,6 +500,42 @@ class SnapshotSpec extends AnyFunSuite {
       "expire left unreferenced deletion vectors behind")
   }
 
+  test("merge upserts by key: updates replace, inserts land, untouched partitions byte-identical") {
+    import spark.implicits._
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")
+    val before = Snapshot.currentFiles(spark, path)._2
+    // touches ONLY date-1: two corrections of existing keys, one insert
+    val updates = Seq(
+        (130L, 3L, 99990L, "2024-01-01"),
+        (131L, 3L, 99991L, "2024-01-01"),
+        (888L, 8L, 99992L, "2024-01-01"))
+      .toDF("event_id", "user_id", "ts_ms", "event_date")
+      .withColumn("event_date", col("event_date").cast("date"))
+    val v2 = Snapshot.merge(spark, path, "event_date", updates, Seq("event_id"))
+    assert(v2 == 2L)
+    assert(Snapshot.metaOf(spark, path, 2L).get("merge_keys")
+      .contains("event_id"))
+    val snap = Snapshot.readSnapshot(spark, path)
+    assert(snap.count() == 37L) // 36 + 1 insert, replacements in place
+    assert(snap.groupBy("event_id").count()
+      .where(col("count") > 1).count() == 0L, "merge duplicated a key")
+    assert(snap.where(col("event_id") === 130L)
+      .select("ts_ms").as[Long].head() == 99990L, "update did not replace")
+    assert(snap.where(col("event_id") === 888L).count() == 1L)
+    // untouched partitions keep their exact manifest entries (and so
+    // their bytes); the touched partition is fully re-filed
+    val after = Snapshot.currentFiles(spark, path)._2
+    val untouched = before.filterNot(_.startsWith("event_date=2024-01-01"))
+    assert(untouched.forall(after.contains), "merge touched a clean partition")
+    assert(!after.exists(f =>
+      before.contains(f) && f.startsWith("event_date=2024-01-01")))
+    // rerun with the same updates: same rows, no duplicates
+    Snapshot.merge(spark, path, "event_date", updates, Seq("event_id"))
+    assert(ids(Snapshot.readSnapshot(spark, path)) ==
+      ids(snap))
+  }
+
   test("schema evolution: an appended column widens the table; old files read NULL; maintenance keeps it") {
     import spark.implicits._
     val path = buildLayout()

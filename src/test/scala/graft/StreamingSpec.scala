@@ -144,7 +144,8 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("graft-snapingest-ckpt")
       .toFile.getAbsolutePath
     val q = EventStreams.ingestSnapshot(spark,
-      graft.streaming.StreamSources.FileSource(stagedDir), outDir, ckpt)
+      graft.streaming.StreamSources.FileSource(stagedDir), outDir, ckpt,
+      statsCol = Some("ts"))
     q.awaitTermination()
     val batch = spark.read.parquet(stagedDir)
     val n = batch.count()
@@ -156,6 +157,12 @@ class StreamingSpec extends AnyFunSuite {
     val batchIds = vs.map(v => Snapshot.metaOf(spark, outDir, v)("batch").toLong)
     assert(batchIds == batchIds.sorted)
     assert(Snapshot.readSnapshot(spark, outDir).count() == n)
+    // the bootstrap batch DECLARED the stats column; every streamed
+    // batch's files carry ts bounds in the manifest — a streamed layout
+    // skips files exactly like a batch-built one (q60's tier)
+    assert(Snapshot.statsColumn(spark, outDir).contains("ts"))
+    assert(Snapshot.entriesOf(spark, outDir, vs.last)
+      .forall(_._2.isDefined), "streamed files missing manifest bounds")
     val staged = batch.withColumn("event_date", to_date(col("ts")))
     val token = EventStreams.runToken(spark, ckpt)
     // replay of the last committed batch: detected from the manifest

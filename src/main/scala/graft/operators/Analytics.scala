@@ -1604,6 +1604,85 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q64 — UPDATE as merge-on-read, the last DML verb the snapshot store
+  // was missing (append q57, delete q55/q61, upsert q63, now update):
+  // a cross-partition correction ("every click event was under-priced —
+  // double it and re-tag it") re-images ~20% of the corpus sitting in
+  // EVERY date partition. Copy-on-write would re-file the whole table
+  // for that; Snapshot.updateWhere commits O(matched rows): ONE vector
+  // hiding the old images + the re-imaged rows as fresh files, in ONE
+  // atomic commit — a reader can never see a doubled row (both images
+  // live) or a gap (neither). Phase 1 ("mor_served") grades the fused
+  // read: vector subtraction AND the new images, against flat-table SQL
+  // that simulates the UPDATE with CASE WHEN — a miss on either side of
+  // the fusion cannot hash-match. materializeDeletes then folds the
+  // vector at file grain; phase 2 ("materialized") grades that the fold
+  // changed nothing. The predicate is self-falsifying (updated rows are
+  // 'click_gold', not 'click'), so reruns match nothing and commit
+  // nothing — Verify is idempotent on the persisted store.
+  // ---------------------------------------------------------------------
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_updstore/$tag/fp_$fp"
+    graft.sources.Sink.publishedArtifactUsing(s, path) { stg =>
+      graft.sources.Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"), pmod(col("event_id"), lit(4)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(stg)
+    }
+    graft.sources.Snapshot.init(s, path, "event_date")
+    graft.sources.Snapshot.updateWhere(s, path, "event_date",
+      col("event_type") === "click",
+      Map(
+        "event_type" -> lit("click_gold"),
+        "value" -> (col("value") * 2)))
+    def report(rows: DataFrame, phase: String): DataFrame =
+      rows.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("phase", lit(phase))
+    val mor = report(graft.sources.Snapshot.readSnapshot(s, path), "mor_served")
+    graft.sources.Snapshot.materializeDeletes(s, path, "event_date", Seq("ts"))
+    val mat = report(graft.sources.Snapshot.readSnapshot(s, path), "materialized")
+    mor.unionByName(mat).orderBy(col("phase"), col("event_type"))
+  }
+  private val q64Sql =
+    """WITH updated AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_type = 'click' THEN 'click_gold'
+      |         ELSE event_type END AS event_type,
+      |    CASE WHEN event_type = 'click' THEN value * 2
+      |         ELSE value END AS value,
+      |    ts
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  'materialized' AS phase
+      |FROM updated GROUP BY 1
+      |UNION ALL
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  'mor_served' AS phase
+      |FROM updated GROUP BY 1
+      |ORDER BY phase, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1637,5 +1716,6 @@ object Analytics {
     QueryDef("q60_manifest_skip_slice", q60, Some(q60Sql), headline = true),
     QueryDef("q61_mor_forget_user", q61, Some(q61Sql), headline = true),
     QueryDef("q62_schema_evolution", q62, Some(q62Sql)),
-    QueryDef("q63_snapshot_merge", q63, Some(q63Sql)))
+    QueryDef("q63_snapshot_merge", q63, Some(q63Sql)),
+    QueryDef("q64_mor_update", q64, Some(q64Sql), headline = true))
 }

@@ -881,6 +881,119 @@ object Snapshot {
     (nv, n)
   }
 
+  /** MERGE-ON-READ row update (SQL `UPDATE … SET … WHERE …`), completing
+    * the store's DML triad (append / delete / upsert / update): the
+    * matched rows' current images are HIDDEN by a deletion vector and
+    * their re-imaged rows land as fresh data files — BOTH in ONE atomic
+    * commit, so a reader sees the table fully pre-update or fully
+    * post-update, never doubled (new images visible while the old still
+    * live) and never gapped (old images hidden before the new exist).
+    * An update IS a delete plus a reinsert of re-imaged rows; fusing
+    * them into one manifest rename is what makes it transactional.
+    *
+    * Write cost is O(matched rows) — the copy-on-write alternative
+    * re-files every dirty partition, which for a cross-partition
+    * correction at 100 TB is a table-width rewrite for a few thousand
+    * changed rows (the [[deleteWhereMoR]] asymmetry, generalized). ONE
+    * scan of the table finds the matches; the vector and the new images
+    * both derive from the staged match set, so everything after the scan
+    * is O(matched).
+    *
+    * `set` maps existing DATA columns to their new expressions
+    * (evaluated against the row's CURRENT image — `value * 2` doubles
+    * the old value). The partition column cannot be set: a row changing
+    * partitions is a delete plus an append ([[merge]]'s partition-stable
+    * contract). Updates are DV-aware — rows an outstanding vector hides
+    * are invisible to the predicate — and the new images land in files
+    * no vector references. Concurrency: the commit removes nothing but
+    * depends on the files its vector marks (`mustBeLive`), so racing a
+    * rewrite that re-files them aborts instead of committing positions
+    * into dead files. NOT idempotent by design (SQL UPDATE: a rerun
+    * whose predicate still matches re-applies) — use a self-falsifying
+    * predicate or a ledger key in `meta` where reruns must no-op.
+    * Returns (version, rows updated); a no-match call commits nothing. */
+  def updateWhere(spark: SparkSession, path: String, partitionCol: String,
+      predicate: Column, set: Map[String, Column],
+      meta: Map[String, String] = Map.empty): (Long, Long) = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    require(!set.contains(partitionCol),
+      s"updateWhere cannot SET partition column '$partitionCol' — a row " +
+      "changing partitions is a delete plus an append (partition-stable " +
+      "rows, the merge contract)")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val (v, files) = currentFiles(spark, path)
+    val text = manifestText(spark, path, v)
+    val vMeta = parseMeta(text)
+    val dvs = parseDeletes(text)
+    val pred = coalesce(predicate, lit(false))
+    val keyCols = dvKeyCols(qualified)
+    // recorded schema: the predicate or a SET expression may reference
+    // an evolved column, which must read NULL in pre-evolution files
+    // exactly as it does for the snapshot reader
+    val reader = spark.read.option("basePath", qualified)
+    val data = recordedSchema(vMeta).fold(reader)(reader.schema)
+      .parquet(files.map(f => s"$qualified/$f"): _*)
+    set.keys.foreach(k => require(data.columns.contains(k),
+      s"updateWhere SET references unknown column '$k' " +
+      s"(table has: ${data.columns.mkString(", ")})"))
+    // match against LIVE rows only: a row an outstanding vector already
+    // hides is deleted — the update must neither re-image nor resurrect it
+    val keyed = data.withColumn("__dv_file", keyCols(0))
+      .withColumn("__dv_pos", keyCols(1))
+    val live =
+      if (dvs.isEmpty) keyed
+      else {
+        val dv = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
+        keyed.join(dv,
+          keyed("__dv_file") === dv("dv_file") &&
+            keyed("__dv_pos") === dv("dv_pos"), "left_anti")
+      }
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-update-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    // ONE scan of the table stages the matches (old identity + full
+    // image); vector and new images derive from the staged copy
+    val matchedDir = new org.apache.hadoop.fs.Path(stg, "matched")
+    live.where(pred).write.parquet(matchedDir.toString)
+    val matched = spark.read.parquet(matchedDir.toString)
+    val n = matched.count() // footer-only
+    if (n == 0L) { fs.delete(stg, true): Unit; return (v, 0L) }
+    // the vector hiding the old images — deleteWhereMoR's sidecar shape,
+    // one file per update (repartition keeps the derive step parallel)
+    val dvStg = new org.apache.hadoop.fs.Path(stg, "vector")
+    matched.select(col("__dv_file").as("dv_file"),
+        col("__dv_pos").as("dv_pos"))
+      .repartition(1).write.parquet(dvStg.toString)
+    val dvDir = new org.apache.hadoop.fs.Path(root, DeletesDir)
+    fs.mkdirs(dvDir)
+    val dvMoved = fs.listStatus(dvStg).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map { f =>
+        val dst = new org.apache.hadoop.fs.Path(dvDir, f.getPath.getName)
+        if (!fs.rename(f.getPath, dst))
+          throw new IllegalStateException(s"deletion-vector move failed: $dst")
+        s"$DeletesDir/${f.getPath.getName}"
+      }
+    // the new images: SET expressions over the old image, clustered one
+    // file per touched partition
+    val dataStg = new org.apache.hadoop.fs.Path(stg, "data")
+    set.foldLeft(matched) { case (df, (k, e)) => df.withColumn(k, e) }
+      .drop("__dv_file", "__dv_pos")
+      .repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).parquet(dataStg.toString)
+    val moved = movePartitionedStaging(fs, root, dataStg, partitionCol)
+    // the files the vector's positions are valid against — k rows
+    val referenced = matched.select(col("__dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    fs.delete(stg, true): Unit
+    val nv = commit(fs, root, Some(v), Set.empty,
+      dvMoved ++ statLines(spark, qualified, moved, vMeta.get("stats")),
+      Map("op" -> "update") ++ meta, mustBeLive = referenced)
+    (nv, n)
+  }
+
   /** Retire every outstanding deletion vector by rewriting EXACTLY the
     * data files it touches — file-grain copy-on-write, the compaction
     * half of the merge-on-read bargain. Untouched files (including

@@ -500,6 +500,86 @@ class SnapshotSpec extends AnyFunSuite {
       "expire left unreferenced deletion vectors behind")
   }
 
+  test("merge-on-read update: ONE commit hides old images and lands new ones; no doubling, no gap") {
+    val path = buildLayout()
+    Snapshot.init(spark, path, "event_date")                       // v1
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    val dataFiles1 = Snapshot.currentFiles(spark, path)._2.toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sig(rel: String): (Long, Long) = {
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$rel"))
+      (st.getLen, st.getModificationTime)
+    }
+    val sigs1 = dataFiles1.map(f => f -> sig(f)).toMap
+    // refusals first: SET on the partition column, SET on a ghost column
+    val exPart = intercept[IllegalArgumentException] {
+      Snapshot.updateWhere(spark, path, "event_date",
+        col("user_id") === 3L, Map("event_date" -> lit("2024-01-09")))
+    }
+    assert(exPart.getMessage.contains("partition column"))
+    val exCol = intercept[IllegalArgumentException] {
+      Snapshot.updateWhere(spark, path, "event_date",
+        col("user_id") === 3L, Map("nope" -> lit(1)))
+    }
+    assert(exCol.getMessage.contains("unknown column"))
+    // user 3's rows on date 1 re-imaged: user_id -> 30, ts_ms shifted.
+    // SET expressions read the row's CURRENT image (ts_ms + 1000000).
+    val (v2, n) = Snapshot.updateWhere(spark, path, "event_date",
+      col("user_id") === 3L &&
+        col("event_date") === lit("2024-01-01").cast("date"),
+      Map("user_id" -> lit(30L), "ts_ms" -> (col("ts_ms") + 1000000L)))
+    assert(v2 == 2L && n == 4L, s"got v=$v2 n=$n")
+    // the commit: every old data file still referenced and byte-identical,
+    // PLUS one vector and the new-image file(s) — atomically together
+    val files2 = Snapshot.filesOf(spark, path, 2L).toSet
+    assert(dataFiles1.subsetOf(files2), "update dropped old data files")
+    dataFiles1.foreach(f => assert(sig(f) == sigs1(f),
+      s"update rewrote data file $f"))
+    assert(Snapshot.deletesOf(spark, path, 2L).size == 1)
+    val newFiles = files2 -- dataFiles1
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(_.startsWith("event_date=2024-01-01/")),
+      s"new images landed outside the touched partition: $newFiles")
+    // row set: same ids (event_id untouched), no doubling, images updated
+    val snap = Snapshot.readSnapshot(spark, path)
+    assert(ids(snap) == before, "update doubled or lost rows")
+    assert(snap.count() == 36L)
+    val updated = snap.where(col("event_id").between(130L, 133L))
+    assert(updated.where(col("user_id") === 30L).count() == 4L)
+    assert(updated.where(col("ts_ms") >= 1000000L).count() == 4L)
+    // time travel: the pinned pre-update version serves the old images
+    assert(Snapshot.readVersion(spark, path, 1L)
+      .where(col("event_id") === 130L)
+      .select("user_id").collect().head.getLong(0) == 3L)
+    // DV-aware + self-falsifying predicate: a rerun matches nothing
+    assert(Snapshot.updateWhere(spark, path, "event_date",
+      col("user_id") === 3L &&
+        col("event_date") === lit("2024-01-01").cast("date"),
+      Map("user_id" -> lit(30L))) == ((2L, 0L)))
+    // updates stack with MoR deletes: the RE-IMAGED rows are live rows
+    // like any others — a later delete of user 30 hides them
+    val (v3, n3) = Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("user_id") === 30L)
+    assert(v3 == 3L && n3 == 4L)
+    assert(Snapshot.readSnapshot(spark, path).count() == 32L)
+    // the change feed refuses to cross the update (rows changed in place)
+    val exFeed = intercept[IllegalStateException] {
+      Snapshot.changes(spark, path, 1L, 2L)
+    }
+    assert(exFeed.getMessage.contains("op=update"))
+    // materialize folds BOTH vectors; the answer is unchanged
+    Snapshot.materializeDeletes(spark, path, "event_date", Seq("ts_ms"))
+    val cur = Snapshot.currentVersion(spark, path).get
+    assert(Snapshot.deletesOf(spark, path, cur).isEmpty)
+    val afterMat = Snapshot.readSnapshot(spark, path)
+    assert(afterMat.count() == 32L)
+    assert(afterMat.where(col("user_id") === 30L).count() == 0L)
+    assert(ids(afterMat) == before.filterNot(id => id >= 130L && id <= 133L))
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(Snapshot.readSnapshot(spark, path).count() == 32L)
+  }
+
   test("merge upserts by key: updates replace, inserts land, untouched partitions byte-identical") {
     import spark.implicits._
     val path = buildLayout()

@@ -75,4 +75,22 @@ object Config {
     * clustering) is unchanged. */
   val MaxRecordsPerFile: Long =
     longFrom(sys.env, "GRAFT_MAX_RECORDS_PER_FILE", Long.MaxValue)
+
+  /** Snapshot store: segments a manifest list may reference before the
+    * committing writer folds them into one consolidated segment. Each
+    * commit writes O(its change); every `ManifestSegments` commits, one
+    * writer pays an O(live files) consolidation — the amortized bound
+    * that keeps BOTH the per-commit write and the per-read segment count
+    * constant-ish at any commit rate (the Iceberg manifest-list
+    * discipline). */
+  val ManifestSegments: Int = intFrom(sys.env, "GRAFT_MANIFEST_SEGMENTS", 24)
+
+  /** Snapshot store: rows per deletion-vector FILE. A merge-on-read
+    * delete/update stages its matched (file, position) pairs with the
+    * scan's parallelism, then packs them into ceil(n / this) vector
+    * files — so no single task ever funnels an unbounded match set (the
+    * r15 repartition(1) write, capped), while the common forget-user
+    * sized delete still lands as one sidecar file. */
+  val MaxVectorFileRows: Long =
+    longFrom(sys.env, "GRAFT_DV_FILE_ROWS", 16L * 1024 * 1024)
 }

@@ -715,6 +715,116 @@ object MatView {
       .orderBy(col("event_date"))
   }
 
+  // ---------------------------------------------------------------------
+  // q65 — the CDC CONSUMER loop on persisted offsets: q57 graded the
+  // change FEED; this grades the CONSUMER a real downstream runs on it
+  // (index append, replication, rollup upkeep) — Snapshot.consume with
+  // the consumer-group position persisted IN the table
+  // (`_consumers/<group>/p-<seq>`, exactly-once advancement via the
+  // manifest publish primitive), surviving restarts and degrading to a
+  // graded FULL RE-SYNC when the feed refuses to cross a rewrite.
+  // Every step below is a FRESH consume() call whose position comes
+  // from disk — each one IS a restart:
+  //   v1 base cohort        → consume: bootstrap (full snapshot)
+  //   v2 append delta A     → consume: delta (feed only — O(batch))
+  //   v3 maintenance rewrite→ consume: resync (feed refuses; content
+  //                           identical, so the re-derive must prove
+  //                           itself byte-equal through the oracle)
+  //   v4 append delta B     → consume: delta
+  //   replay                → consume: caught-up (no callbacks)
+  // The downstream rollup is maintained ONLY from the callbacks, keyed
+  // idempotently by (group, toV) — the at-least-once-process +
+  // exactly-once-advance + idempotent-apply formula — and graded
+  // against the raw FULL-corpus daily SQL (q44's oracle verbatim): a
+  // consumer that drops a batch, double-applies one, or skips the
+  // re-sync cannot hash-match. Wrong modes fail loudly in-query.
+  // ---------------------------------------------------------------------
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val group = "daily-rollup"
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val root = s"${Sink.artifactRoot}/events_cdcconsume/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, root).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(root)
+      Snapshot.init(s, root, "event_date"): Unit
+    }
+    // downstream rollup versions keyed by the table version the advance
+    // reached — publishedArtifact makes each apply idempotent (a replay
+    // or a lost-race twin re-publishing (group, toV) reuses, not doubles)
+    def downAt(v: Long): String = s"$root-down-$group-v$v"
+    def advanceOnce(expect: String): Unit = {
+      val cur = Snapshot.currentVersion(s, root).get
+      val prev = Snapshot.consumerPosition(s, root, group)
+      val r = Snapshot.consume(s, root, group) { delta =>
+        // DELTA: merge the feed's partials into the previous downstream
+        // — O(delta + rollup grain), never a corpus re-read
+        val base = s.read.parquet(downAt(prev.getOrElse(
+          throw new IllegalStateException("delta consume without a position"))))
+        Sink.publishedArtifact(s, downAt(cur))(
+          merge(base, eventPartials(delta))): Unit
+      } { full =>
+        // BOOTSTRAP / RESYNC: re-derive the downstream from the full
+        // snapshot — the graded degradation path
+        Sink.publishedArtifact(s, downAt(cur))(eventPartials(full)): Unit
+      }
+      require(r.mode == expect,
+        s"consume step expected mode=$expect, got ${r.mode} " +
+        s"(fromV=${r.fromV}, toV=${r.toV})")
+    }
+    // each guard keys a step to the persisted state it must run from,
+    // so a rerun of the whole query replays only the caught-up tail
+    if (Snapshot.consumerPosition(s, root, group).isEmpty)
+      advanceOnce("bootstrap")
+    if (Snapshot.currentVersion(s, root).contains(1L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 2),
+        Map("source" -> "delta-a")): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(1L))
+      advanceOnce("delta")
+    if (Snapshot.currentVersion(s, root).contains(2L)) {
+      // content-neutral maintenance rewrite: one date re-clustered onto
+      // itself — the file lineage breaks (the feed cannot attribute the
+      // re-filed rows), the DATA does not; the consumer must notice and
+      // re-sync, and the oracle proves the re-sync reproduced everything
+      val d = to_date(lit("2024-01-10"))
+      val rewrite = Snapshot.readSnapshot(s, root)
+        .where(col("event_date") === d)
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+      Snapshot.replacePartitions(s, root, "event_date", rewrite,
+        Map("source" -> "recluster")): Unit
+    }
+    if (Snapshot.consumerPosition(s, root, group).contains(2L))
+      advanceOnce("resync")
+    if (Snapshot.currentVersion(s, root).contains(3L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 3),
+        Map("source" -> "delta-b")): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(3L))
+      advanceOnce("delta")
+    // replay: nothing new — no callbacks, no position write
+    advanceOnce("caught-up")
+    val pos = Snapshot.consumerPosition(s, root, group)
+    require(pos.contains(4L), s"consumer should rest at v4, got $pos")
+    s.read.parquet(downAt(4L))
+      .groupBy(col("event_date"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(col("event_type")).as("n_types"),
+        min(col("min_event")).as("min_event"),
+        max(col("max_event")).as("max_event"),
+        sum(col("sum_value")).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_date"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
@@ -729,5 +839,9 @@ object MatView {
     QueryDef("q57_snapshot_change_feed", q57, Some(q44Sql), headline = true),
     // oracle = q52's SQL VERBATIM: the manifest-committed maintenance
     // must reproduce the raw full-corpus daily report exactly
-    QueryDef("q59_snapshot_maintained_rollup", q59, Some(q52Sql)))
+    QueryDef("q59_snapshot_maintained_rollup", q59, Some(q52Sql)),
+    // oracle = q44's SQL VERBATIM: the consumer-maintained downstream
+    // must reproduce the full-corpus daily report exactly — bootstrap,
+    // two deltas, and the rewrite-crossing re-sync all hash-graded
+    QueryDef("q65_cdc_consumer_offsets", q65, Some(q44Sql), headline = true))
 }

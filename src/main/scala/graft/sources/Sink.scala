@@ -284,20 +284,29 @@ object Sink {
     * `event_date=01` into int 1 and break the maintenance identity
     * chain (probe value ↔ rewrite-plan key ↔ staged dir name); with an
     * explicit schema the value IS the dir string at every step.
-    * `sampleFile` supplies the data schema (one footer read — the same
-    * single-file schema an inferred non-mergeSchema read would use).
     * Serving reads keep inference; only maintenance needs dir-name
     * identity. */
   private[sources] def readForMaintenance(spark: SparkSession,
-      basePath: String, paths: Seq[String], sampleFile: String,
-      partitionCol: String,
+      basePath: String, paths: Seq[String], partitionCol: String,
       dataSchemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     // a snapshot layout passes its RECORDED data schema: after schema
-    // evolution the sample file may predate a column, and inferring
-    // from it would silently drop that column from every rewritten row
-    val dataSchema = dataSchemaOverride.getOrElse(
-      spark.read.parquet(sampleFile).schema)
+    // evolution a single sampled file may predate a column, and
+    // inferring from it would silently drop that column from every
+    // rewritten row. A RAW-Hive layout has no recorded schema, so the
+    // rewrite must UNION the planned files' schemas (mergeSchema —
+    // distributed footer reads over files the rewrite reads anyway):
+    // per-partition schema drift then survives the rewrite as NULLs in
+    // the files that lacked a column, instead of the column vanishing
+    // because the sample happened to predate it. The merged schema can
+    // surface the partition column (dir inference on a bare multi-dir
+    // read) — strip it; the explicit read below adds it back as STRING.
+    val dataSchema = dataSchemaOverride.getOrElse {
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(paths: _*).schema
+      org.apache.spark.sql.types.StructType(
+        merged.fields.filterNot(_.name == partitionCol))
+    }
     require(!dataSchema.fieldNames.contains(partitionCol),
       s"data files already carry partition column '$partitionCol'")
     spark.read
@@ -453,7 +462,7 @@ object Sink {
     val tag = s"$procTag-${java.util.UUID.randomUUID()}"
     val stg = new org.apache.hadoop.fs.Path(root, s".staging-compact-$tag")
     val rows = readForMaintenance(spark, fs.makeQualified(root).toString,
-      plan.map(_._1.toString), plan.head._4, partitionCol)
+      plan.map(_._1.toString), partitionCol)
     val targets = plan.map { case (partPath, _, nTarget, _) =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(partPath.getName.stripPrefix(s"$partitionCol=")) ->
@@ -551,9 +560,8 @@ object Sink {
     // dir value, no inference), so the probe value, the byValue key and
     // the staged dir name share one identity for every layout —
     // including values inference would mangle (dir "01" → int 1).
-    val sampleFile = parts.head._2.head.getPath.toString
     val dirty = readForMaintenance(spark, fs.makeQualified(root).toString,
-        parts.map(_._1.toString), sampleFile, partitionCol)
+        parts.map(_._1.toString), partitionCol)
       .groupBy(col(partitionCol).as("__part"))
       .agg(
         sum(when(del, 1L).otherwise(0L)).as("n_del"),
@@ -579,7 +587,7 @@ object Sink {
     if (partial.nonEmpty) {
       val survivors = readForMaintenance(spark,
         fs.makeQualified(root).toString, partial.map(_._2.toString),
-        sampleFile, partitionCol).where(!del)
+        partitionCol).where(!del)
       packPartitioned(survivors, partitionCol, sortCols,
         partial.map { case (value, _, nFiles, _, _) => value -> nFiles }.toMap)
         .write.partitionBy(partitionCol).parquet(stg.toString)

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, sum, when, max => fmax, min => fmin}
+import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, input_file_name, lit, sum, when, max => fmax, min => fmin}
 import org.apache.spark.sql.types.LongType
 
 /** A snapshot commit lost its optimistic race in a way rebase cannot
@@ -66,6 +66,21 @@ object Snapshot {
   private val DeletesDir = "_deletes"
   private val Charset = java.nio.charset.StandardCharsets.UTF_8
 
+  /** INCREMENTAL MANIFESTS (the r15 ask): `m-<version>` is no longer a
+    * full live-file listing but a MANIFEST LIST — header metadata plus
+    * `@seg-…` lines referencing immutable SEGMENT files in application
+    * order. Each commit writes ONE segment naming only its change
+    * (`-path` removes, `+entry` adds) and a new tiny list, so a k-file
+    * commit writes O(k + segments) bytes where the old format wrote
+    * O(live files) — and re-wrote it on every rebase attempt; the
+    * segment is immutable, so a rebase re-writes only the list. Readers
+    * fold the referenced segments (remove, then add, last-add-wins by
+    * path) into the live entry set. Every `Config.ManifestSegments`
+    * commits, the committing writer folds the chain into one
+    * consolidated segment — amortized O(1) listing rewrites, bounded
+    * read fan-out. */
+  private val SegFoldThreshold: Int = graft.Config.ManifestSegments
+
   /** A manifest entry under `_deletes/` is a DELETION VECTOR file —
     * (data-file, row-position) pairs a reader subtracts — not a data
     * file. Unambiguous: data entries live under `partitionCol=…/` dirs,
@@ -103,19 +118,22 @@ object Snapshot {
     committedVersions(fsOf(spark, root), root)
   }
 
-  private def manifestText(spark: SparkSession, path: String, v: Long): String =
-    manifestTextFs(fsOf(spark, new org.apache.hadoop.fs.Path(path)),
-      new org.apache.hadoop.fs.Path(path), v)
-
-  private def manifestTextFs(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long): String = {
-    val p = manifestPath(root, v)
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
     val len = fs.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
     new String(buf, Charset)
   }
+
+  private def manifestText(spark: SparkSession, path: String, v: Long): String =
+    manifestTextFs(fsOf(spark, new org.apache.hadoop.fs.Path(path)),
+      new org.apache.hadoop.fs.Path(path), v)
+
+  private def manifestTextFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): String =
+    readSmallFile(fs, manifestPath(root, v))
 
   private def parseMeta(text: String): Map[String, String] =
     text.split("\n").toSeq
@@ -124,11 +142,17 @@ object Snapshot {
       .collect { case Array(k, value) => k -> value }
       .toMap
 
-  /** Raw manifest entry lines (path, optionally `\tmin\tmax` file
-    * statistics — see [[entriesOf]]), metadata header skipped. */
+  /** Raw body lines of a manifest file (header skipped): `@segment`
+    * references in the list format, or verbatim entry lines in a
+    * pre-segment manifest. */
   private def parseLines(text: String): Seq[String] =
     text.split("\n").toSeq
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** Segment file names (`seg-…`) the manifest list references, in
+    * application order. */
+  private def parseRefs(text: String): Seq[String] =
+    parseLines(text).filter(_.startsWith("@")).map(_.stripPrefix("@"))
 
   /** The data-file path of a manifest entry line (stats suffix, if any,
     * stripped). */
@@ -137,40 +161,110 @@ object Snapshot {
     if (t < 0) line else line.substring(0, t)
   }
 
-  /** The `(min, max)` statistics of a manifest entry line, if it
-    * carries them. */
-  private def statsOf(line: String): Option[(Long, Long)] = {
+  /** Per-column `(min, max)` statistics of a manifest entry line, in
+    * the layout's declared stats-column order. A column with no bounds
+    * in this file (all-NULL values) is encoded `-\t-` → None; a bare
+    * path carries no bounds for any column. */
+  private def statsListOf(line: String): Seq[Option[(Long, Long)]] = {
     val parts = line.split("\t")
-    if (parts.length == 3) Some((parts(1).toLong, parts(2).toLong)) else None
+    parts.drop(1).grouped(2).collect {
+      case Array(mn, mx) =>
+        if (mn == "-" || mx == "-") None else Some((mn.toLong, mx.toLong))
+    }.toSeq
   }
 
-  /** DATA-file paths only — deletion-vector entries are not data. */
-  private def parseFiles(text: String): Seq[String] =
-    parseLines(text).filterNot(isDeleteEntry).map(pathOf)
+  /** Immutable-segment content cache: a segment file never changes once
+    * written (commits write new segments; expire only deletes
+    * unreferenced ones), so its parsed lines are cacheable across every
+    * resolution that references it — without it, each snapshot read
+    * would re-fetch O(segments) small files. Size-capped, cleared
+    * wholesale on overflow (segments are small; the cap only bounds
+    * pathological many-store test runs). */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
-  private def parseDeletes(text: String): Seq[String] =
-    parseLines(text).filter(isDeleteEntry).map(pathOf)
+  private def segLines(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String): Seq[String] = {
+    val key = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(root, s"$ManifestDir/$name")).toString
+    val hit = segCache.get(key)
+    if (hit != null) hit
+    else {
+      val lines = readSmallFile(fs,
+        new org.apache.hadoop.fs.Path(root, s"$ManifestDir/$name"))
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      if (segCache.size > 4096) segCache.clear()
+      segCache.put(key, lines)
+      lines
+    }
+  }
+
+  /** Fold a manifest body into the snapshot's live entry lines: segment
+    * references apply in order (`-path` removes, `+entry` adds,
+    * last-add-wins by path — which is also what dedups an entry a
+    * rebased writer re-added after a racing init already listed it);
+    * verbatim entry lines (pre-segment manifests, mixed bodies) add
+    * directly. Sorted for deterministic fingerprints. */
+  private def resolveBodyFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, body: Seq[String]): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    body.foreach {
+      case ref if ref.startsWith("@") =>
+        segLines(fs, root, ref.stripPrefix("@")).foreach { l =>
+          if (l.startsWith("-")) live.remove(l.substring(1)): Unit
+          else {
+            val entry = if (l.startsWith("+")) l.substring(1) else l
+            live.update(pathOf(entry), entry)
+          }
+        }
+      case entry => live.update(pathOf(entry), entry)
+    }
+    live.values.toSeq.sorted
+  }
+
+  private def resolvedLinesFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
+    resolveBodyFs(fs, root, parseLines(manifestTextFs(fs, root, v)))
+
+  private def resolvedLines(spark: SparkSession, path: String,
+      v: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    resolvedLinesFs(fsOf(spark, root), root, v)
+  }
+
+  /** ONE manifest read of version `v` feeding everything a consistent
+    * read needs — (header metadata, resolved entry lines): file list,
+    * deletion vectors, recorded schema, and stats all come from the
+    * SAME manifest bytes, so a commit landing mid-call can never mix
+    * version v's files with v+1's vectors or schema (the
+    * snapshot-isolation contract, per read). */
+  private def stateOf(spark: SparkSession, path: String,
+      v: Long): (Map[String, String], Seq[String]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val text = manifestTextFs(fs, root, v)
+    (parseMeta(text), resolveBodyFs(fs, root, parseLines(text)))
+  }
 
   /** The DATA-file list of snapshot `v` (root-relative paths, sorted).
     * Metadata lines (`#key=value` — see [[metaOf]]) and deletion-vector
-    * entries ([[deletesOf]]) are skipped, so pre-metadata manifests
-    * parse identically. */
+    * entries ([[deletesOf]]) are skipped. */
   def filesOf(spark: SparkSession, path: String, v: Long): Seq[String] =
-    parseFiles(manifestText(spark, path, v))
+    resolvedLines(spark, path, v).filterNot(isDeleteEntry).map(pathOf)
 
   /** The deletion-vector files of snapshot `v` — outstanding
     * merge-on-read deletes a reader of that version subtracts
     * (see [[deleteWhereMoR]]). Empty on a fully-materialized layout. */
   def deletesOf(spark: SparkSession, path: String, v: Long): Seq[String] =
-    parseDeletes(manifestText(spark, path, v))
+    resolvedLines(spark, path, v).filter(isDeleteEntry).map(pathOf)
 
-  /** ALL entry lines of snapshot `v` verbatim (data entries with their
+  /** ALL resolved entry lines of snapshot `v` (data entries with their
     * stats, deletion vectors) — the content-identity surface
     * [[Sink.corpusFingerprint]] digests: anything that changes what a
-    * reader of the snapshot sees must change these bytes. */
+    * reader of the snapshot sees must change these lines. */
   private[graft] def manifestLines(spark: SparkSession, path: String,
       v: Long): Seq[String] =
-    parseLines(manifestText(spark, path, v))
+    resolvedLines(spark, path, v)
 
   /** Commit metadata of snapshot `v`: the `#key=value` header lines —
     * `op` (init/append/replace/compact/delete) set by the committing op,
@@ -236,7 +330,7 @@ object Snapshot {
 
   private[graft] def filesOfFs(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
-    parseFiles(manifestTextFs(fs, root, v))
+    resolvedLinesFs(fs, root, v).filterNot(isDeleteEntry).map(pathOf)
 
   private val MaxCommitAttempts = 24
 
@@ -271,86 +365,235 @@ object Snapshot {
       !fs.exists(target) && fs.rename(tmp, target)
     }
 
+  /** ADVICE r15 #1 closed: the recorded-schema merge runs INSIDE the
+    * commit retry loop against the LATEST manifest's schema, so a
+    * rebasing append widens the concurrent winner's schema instead of
+    * overriding it with a stale precomputation — and two appends adding
+    * the SAME column with different types now collide on the type check
+    * no matter which order they land. */
+  private def widenRecordedSchema(
+      old: Option[org.apache.spark.sql.types.StructType],
+      batch: org.apache.spark.sql.types.StructType, pcol: String,
+      bootstrap: Boolean): Map[String, String] =
+    old match {
+      case Some(o) =>
+        val oldByName = o.fields.map(f => f.name -> f).toMap
+        // the partition column is exempt: its batch-side type only
+        // shapes directory names, and readers cast dir values to the
+        // recorded type regardless
+        batch.fields.filterNot(_.name == pcol).foreach { f =>
+          oldByName.get(f.name).foreach { ex =>
+            require(ex.dataType == f.dataType,
+              s"append schema conflict on '${f.name}': table has " +
+              s"${ex.dataType}, batch has ${f.dataType} — only ADD-column " +
+              "evolution is supported")
+          }
+        }
+        val added = batch.fields
+          .filterNot(f => oldByName.contains(f.name))
+          .map(_.copy(nullable = true))
+        if (added.isEmpty) Map.empty[String, String]
+        else {
+          // partition column stays LAST — the position the partitioned
+          // read surfaces it in regardless of the user schema's order
+          val (dataF, partF) = o.fields.partition(_.name != pcol)
+          Map("schema" ->
+            org.apache.spark.sql.types.StructType(dataF ++ added ++ partF).json)
+        }
+      case None if bootstrap =>
+        // bootstrap append: this batch DEFINES the table schema
+        val (data, part) = batch.fields.partition(_.name != pcol)
+        Map("schema" ->
+          org.apache.spark.sql.types.StructType(data ++ part).json)
+      case None => Map.empty[String, String] // pre-evolution layout
+    }
+
   /** Atomic OPTIMISTIC commit. The change is (base version, removed
-    * files, added files); the manifest written is latest ∖ removed ∪
-    * added, installed by renaming a hidden temp file to the next
-    * version number — one filesystem op, so a reader can never observe
-    * a half-written manifest. If another writer took that version
-    * number first, REBASE and retry: re-list the latest snapshot,
-    * re-validate, re-write. Rebase is sound exactly when every file
-    * this commit removed is still live in the latest snapshot — then
-    * "remove mine, add mine" applies verbatim on top of the concurrent
-    * commit (appends remove nothing, so they always pass; concurrent
+    * files, added files), written ONCE as an immutable SEGMENT file
+    * (`-path` removes, `+entry` adds); each attempt then publishes a
+    * tiny MANIFEST LIST — latest's segment refs plus this segment — by
+    * renaming a hidden temp file to the next version number: one atomic
+    * filesystem op, so a reader can never observe a half-written
+    * snapshot, and a k-file commit writes O(k + segments) bytes instead
+    * of re-listing every live file (and re-listing it again per rebase
+    * attempt). Past [[SegFoldThreshold]] segments the committing writer
+    * folds the chain into one consolidated segment — the amortized
+    * O(live files) write a table format pays in its manifest rewrite.
+    *
+    * If another writer took the version number first, REBASE and retry:
+    * re-read the latest manifest list, re-validate, re-publish (the
+    * segment is reused untouched). Rebase is sound exactly when every
+    * file this commit removed is still live in the latest snapshot —
+    * appends remove nothing, so they always commute (and skip the fold
+    * read entirely: a pure append never reads a segment); concurrent
     * rewrites of DISJOINT files pass; two rewrites re-filing the SAME
-    * file cannot be merged by file-list algebra and abort with
-    * [[SnapshotConflictException]], caller reruns). `allowRebase=false`
-    * (bootstrap) refuses instead — two concurrent inits would both
-    * list the same pre-manifest files and a rebase would double-count
-    * them. `removed` holds data-file PATHS; `added` holds manifest entry
-    * LINES (a path, optionally `\tmin\tmax` file statistics — see
-    * [[statLines]]), so stats attach in the same atomic commit as the
-    * files they describe. `mustBeLive` names files this commit DEPENDS
-    * on without removing them — a deletion vector's referenced data
-    * files: its row positions are meaningless against a rewrite's new
-    * files, so a rebase over a commit that re-filed any of them is a
-    * TRUE conflict exactly like a double rewrite. */
+    * file abort with [[SnapshotConflictException]], caller reruns.
+    * `allowRebase=false` (bootstrap) refuses instead — two concurrent
+    * inits would both list the same pre-manifest files and a rebase
+    * would double-count them.
+    *
+    * `removed` holds data-file PATHS; `added` holds manifest entry
+    * LINES (path + optional per-column stats — see [[statLines]]), so
+    * stats attach in the same atomic commit as the files they describe.
+    * `mustBeLive` names files this commit DEPENDS on without removing
+    * them — a deletion vector's referenced data files: its row
+    * positions are meaningless against a rewrite's new files.
+    * `dvRefs` declares the files this commit's deletion vector marks;
+    * it lands in the header as `dv_refs`, and a rebase aborts when a
+    * CONCURRENT commit's `dv_refs` overlaps this commit's `dvRefs` or
+    * `removed` (ADVICE r15 #2: two vectors hiding rows of the same file
+    * could double-apply an update or resurrect a delete; a rewrite
+    * racing a fresh vector would orphan its positions).
+    * `replacedParts` names partition dirs this commit claims to replace
+    * WHOLLY; a rebase aborts if the latest snapshot holds a data file
+    * in one of them that this commit neither removed nor added —
+    * a concurrently-appended file the replacement never read (ADVICE
+    * r15 #3, the Iceberg validateAddedDataFiles check).
+    * `widenSchema = (batch schema, partition col)` requests the
+    * recorded-schema merge, recomputed per attempt ([[widenRecordedSchema]]). */
   private[graft] def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, baseV: Option[Long],
       removed: Set[String], added: Seq[String],
       meta: Map[String, String], allowRebase: Boolean = true,
-      mustBeLive: Set[String] = Set.empty): Long = {
+      mustBeLive: Set[String] = Set.empty,
+      widenSchema: Option[(org.apache.spark.sql.types.StructType, String)] = None,
+      replacedParts: Set[String] = Set.empty,
+      dvRefs: Set[String] = Set.empty): Long = {
     meta.foreach { case (k, v) =>
       require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
         !v.contains("\n"), s"invalid manifest metadata pair: '$k'='$v'")
     }
+    val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
+    fs.mkdirs(dir)
+    // this commit's change, written ONCE — every rebase attempt
+    // re-publishes only the manifest list that references it. An empty
+    // change (metadata-only commit, e.g. an empty streaming batch
+    // advancing its marker) writes no segment at all.
+    val segName =
+      if (removed.isEmpty && added.isEmpty) None
+      else {
+        val name = s"seg-${Sink.procTag}-${java.util.UUID.randomUUID()}"
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
+        try out.write(
+          (removed.toSeq.sorted.map("-" + _) ++ added.map("+" + _))
+            .mkString("\n").getBytes(Charset))
+        finally out.close()
+        Some(name)
+      }
+    val addedPaths = added.map(pathOf).toSet
+    // this commit's vector targets, declared in the header so LATER
+    // concurrent committers can run the overlap rule against it from
+    // one header read (the symmetric half of the dv_refs check below)
+    val dvMeta =
+      if (dvRefs.isEmpty) Map.empty[String, String]
+      else Map("dv_refs" -> dvRefs.toSeq.sorted.mkString(","))
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
-      val latest = committedVersions(fs, root).lastOption
-      // ONE read of the latest manifest per attempt feeds both the file
-      // list and the inherited-metadata header (a manifest is O(live
-      // files) of text — don't read it twice in a contended loop)
+      val committed = committedVersions(fs, root)
+      val latest = committed.lastOption
+      // ONE read of the latest manifest list per attempt feeds the
+      // segment refs, the inherited-metadata header, and the carried
+      // schema — it is O(segments) small, never O(live files)
       val latestText = latest.map(v => manifestTextFs(fs, root, v))
-      val latestLines = latestText.map(parseLines).getOrElse(Seq.empty)
+      val latestMeta = latestText.map(parseMeta).getOrElse(Map.empty)
+      val latestBody = latestText.map(parseLines).getOrElse(Seq.empty)
       if (latest != baseV) {
         if (!allowRebase)
           throw new SnapshotConflictException(
             s"snapshot under $root moved $baseV -> $latest during a " +
             "non-rebaseable commit")
-        val livePaths = latestLines.map(pathOf).toSet
-        val gone = (removed ++ mustBeLive) -- livePaths
-        if (gone.nonEmpty)
-          throw new SnapshotConflictException(
-            s"concurrent rewrite already re-filed ${gone.size} file(s) " +
-            s"this commit replaced or depends on (base " +
-            s"v=${baseV.getOrElse(0L)}, latest v=${latest.getOrElse(0L)}): " +
-            gone.toSeq.sorted.take(3).mkString(", "))
+        // header-only conflict rule first: concurrent deletion-vector
+        // commits declare their marked files in `dv_refs` — overlap
+        // with this commit's vector targets or removed files is a TRUE
+        // conflict (double-hide / orphaned positions), caught from
+        // O(versions-delta) header reads with no segment fold
+        if ((dvRefs ++ removed).nonEmpty) {
+          val concDvRefs = committed
+            .filter(v => v > baseV.getOrElse(0L))
+            .flatMap(v => parseMeta(manifestTextFs(fs, root, v)).get("dv_refs"))
+            .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+          val clash = concDvRefs & (dvRefs ++ removed)
+          if (clash.nonEmpty)
+            throw new SnapshotConflictException(
+              s"concurrent deletion-vector commit marked ${clash.size} " +
+              s"file(s) this commit also marks or re-files (base " +
+              s"v=${baseV.getOrElse(0L)}, latest v=${latest.getOrElse(0L)}): " +
+              clash.toSeq.sorted.take(3).mkString(", "))
+        }
+        // file-liveness rules need the latest FOLD (pure appends never
+        // reach this read)
+        if ((removed ++ mustBeLive).nonEmpty || replacedParts.nonEmpty) {
+          val latestResolved = resolveBodyFs(fs, root, latestBody)
+          val livePaths = latestResolved.map(pathOf).toSet
+          val gone = (removed ++ mustBeLive) -- livePaths
+          if (gone.nonEmpty)
+            throw new SnapshotConflictException(
+              s"concurrent rewrite already re-filed ${gone.size} file(s) " +
+              s"this commit replaced or depends on (base " +
+              s"v=${baseV.getOrElse(0L)}, latest v=${latest.getOrElse(0L)}): " +
+              gone.toSeq.sorted.take(3).mkString(", "))
+          if (replacedParts.nonEmpty) {
+            val intruders = latestResolved.map(pathOf).filter(p =>
+              !p.startsWith(DeletesDir + "/") &&
+                replacedParts(p.split("/")(0)) &&
+                !removed(p) && !addedPaths(p))
+            if (intruders.nonEmpty)
+              throw new SnapshotConflictException(
+                s"concurrent commit added ${intruders.size} file(s) into " +
+                s"partition(s) this commit replaces wholesale — the " +
+                s"replacement never read them (base v=${baseV.getOrElse(0L)}, " +
+                s"latest v=${latest.getOrElse(0L)}): " +
+                intruders.sorted.take(3).mkString(", "))
+          }
+        }
       }
       // transaction identity is table state: carry the inherited keys
       // forward from the latest manifest unless this commit sets them
-      val carried = latestText.map(parseMeta)
-        .getOrElse(Map.empty)
-        .view.filterKeys(InheritedMeta).toMap
-      val full = carried ++ meta
+      val carried = latestMeta.view.filterKeys(InheritedMeta).toMap
+      val schemaMeta = widenSchema match {
+        case None => Map.empty[String, String]
+        case Some((batchSchema, pcol)) =>
+          widenRecordedSchema(recordedSchema(latestMeta), batchSchema, pcol,
+            bootstrap = latest.isEmpty)
+      }
+      // commit timestamp, STRICTLY monotonic across versions even when
+      // two commits land within one clock tick — the readAsOf(ts)
+      // resolution and age-based retention both lean on it. A caller-
+      // supplied `ts` (tests) wins via `meta`.
+      val prevTs = latestMeta.get("ts")
+        .flatMap(t => scala.util.Try(t.toLong).toOption).getOrElse(0L)
+      val tsMeta =
+        Map("ts" -> math.max(System.currentTimeMillis(), prevTs + 1).toString)
+      val full = carried ++ tsMeta ++ schemaMeta ++ dvMeta ++ meta
       val next = latest.getOrElse(0L) + 1
-      val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
-      fs.mkdirs(dir)
+      val latestRefs = latestText.map(parseRefs).getOrElse(Seq.empty)
+      // a pre-segment manifest (verbatim entry body) folds like an
+      // over-long chain: both consolidate into one fresh segment
+      val legacyBody = latestBody.exists(l => !l.startsWith("@"))
+      val chained = latestRefs ++ segName.toSeq
+      val refs =
+        if (!legacyBody && chained.size <= SegFoldThreshold) chained
+        else {
+          // FOLD: consolidate chain + this change into one segment —
+          // the amortized O(live files) write, paid every
+          // SegFoldThreshold commits instead of on every commit
+          val resolvedNow = resolveBodyFs(fs, root, latestBody)
+          val fold = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          (resolvedNow.filterNot(l => removed(pathOf(l))) ++ added)
+            .foreach(l => fold.update(pathOf(l), l))
+          val name = s"seg-fold-${Sink.procTag}-${java.util.UUID.randomUUID()}"
+          val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
+          try out.write(fold.values.toSeq.sorted.map("+" + _)
+            .mkString("\n").getBytes(Charset))
+          finally out.close()
+          Seq(name)
+        }
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
       val header = full.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-      // dedup BY PATH: an init that raced an in-flight append can have
-      // listed the append's already-moved files into its bootstrap
-      // manifest — when the append then rebases, its adds would
-      // otherwise appear twice and every row in those files would
-      // double-count. Entries are lines (path + optional stats suffix),
-      // so the dedup keys on the path, keeping the later line — the
-      // rebasing writer's, which carries the stats if anyone's does.
-      val dedup = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      (latestLines.filterNot(l => removed(pathOf(l))) ++ added)
-        .foreach(l => dedup.update(pathOf(l), l))
-      val newList = dedup.values.toSeq
       val out = fs.create(tmp, false)
-      try out.write((header ++ newList.sorted).mkString("\n").getBytes(Charset))
+      try out.write((header ++ refs.map("@" + _)).mkString("\n").getBytes(Charset))
       finally out.close()
       val target = manifestPath(root, next)
       val won = publishIfAbsent(fs, tmp, target)
@@ -376,21 +619,25 @@ object Snapshot {
     * `meta` rides the init commit's header (a bootstrapping maintenance
     * step can land its ledger entry atomically with the bootstrap).
     *
-    * `statsCol` declares a file-statistics column for the LAYOUT: every
-    * manifest entry, here and in every later commit, carries that
-    * column's per-file min/max so readers can plan a file subset from
-    * the manifest alone (see [[filesInRange]]). Declare the column the
-    * files are clustered on (the write's sort key) — stats on an
-    * unclustered column are valid but prune nothing, since every file
-    * spans the whole value range. The bootstrap pays ONE job over the
-    * existing files to backfill their bounds (the one-off table-format
-    * migration cost); each later commit stats only its new files. */
+    * `statsCols` declares the file-statistics columns for the LAYOUT:
+    * every manifest entry, here and in every later commit, carries each
+    * column's per-file min/max so readers plan a file subset from the
+    * manifest alone (see [[filesInRange]] / [[filesInRanges]]). Lead
+    * with the column the files are clustered on (the write's sort key);
+    * later columns prune when their values correlate with file
+    * boundaries (time-ordered ids, sessionized users) — stats on a
+    * fully-unclustered column are valid but prune nothing, since every
+    * file spans the whole value range. The bootstrap pays ONE job over
+    * the existing files to backfill their bounds (the one-off
+    * table-format migration cost); each later commit stats only its new
+    * files, all columns in the same single job. */
   def init(spark: SparkSession, path: String, partitionCol: String,
       meta: Map[String, String] = Map.empty,
-      statsCol: Option[String] = None): Long = {
-    require(!statsCol.contains(partitionCol),
-      s"statsCol '$partitionCol' is the partition column — partition " +
-      "values prune at the directory level already; stats bound a DATA column")
+      statsCols: Seq[String] = Nil): Long = {
+    require(!statsCols.contains(partitionCol),
+      s"statsCols contains '$partitionCol', the partition column — " +
+      "partition values prune at the directory level already; stats " +
+      "bound DATA columns")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     committedVersions(fs, root).lastOption.getOrElse {
@@ -398,14 +645,16 @@ object Snapshot {
       val rel = listDataFiles(fs, root, partitionCol)
         .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
       require(rel.nonEmpty, s"no data files under $path to snapshot")
-      val lines = statLines(spark, qualified, rel, statsCol)
+      val statsMeta =
+        if (statsCols.isEmpty) Map.empty[String, String]
+        else Map("stats" -> statsCols.mkString(","))
+      val lines = statLines(spark, qualified, rel, statsMeta.get("stats"))
       // record the table schema (partition column included, as the
       // basePath read infers it) — the anchor later appends widen
       val schema = spark.read.option("basePath", qualified)
         .parquet(rel.map(f => s"$qualified/$f"): _*).schema
       try commit(fs, root, None, Set.empty, lines,
-        Map("op" -> "init", "schema" -> schema.json) ++
-          statsCol.map("stats" -> _) ++ meta,
+        Map("op" -> "init", "schema" -> schema.json) ++ statsMeta ++ meta,
         allowRebase = false)
       catch {
         // two inits racing list the SAME pre-manifest files — the loser
@@ -453,17 +702,56 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
-    val text = manifestText(spark, path, v)
-    val files = parseFiles(text)
+    val (meta, lines) = stateOf(spark, path, v)
+    val files = lines.filterNot(isDeleteEntry).map(pathOf)
     require(files.nonEmpty, s"snapshot v=$v of $path is empty")
     // the RECORDED schema, not footer inference: after evolution, which
     // columns exist must not depend on which file Spark sampled — old
     // files read NULL in columns added after they were written
     val reader = spark.read.option("basePath", qualified)
-    val data = recordedSchema(parseMeta(text)).fold(reader)(reader.schema)
+    val data = recordedSchema(meta).fold(reader)(reader.schema)
       .parquet(files.map(f => s"$qualified/$f"): _*)
-    applyDeletes(spark, qualified, data, parseDeletes(text))
+    applyDeletes(spark, qualified, data, lines.filter(isDeleteEntry).map(pathOf))
   }
+
+  /** TIME TRAVEL BY TIMESTAMP: the newest committed version whose
+    * commit timestamp (`ts` header millis, STRICTLY monotonic across
+    * versions — [[commit]] enforces it even under same-millisecond
+    * commits) is <= `tsMillis`. The SQL `TIMESTAMP AS OF` resolution:
+    * monotonicity makes the answer unique and stable — later commits
+    * can only append later timestamps, never re-order the past.
+    * O(versions) header reads (manifest lists are tiny); a version
+    * predating the `ts` header counts as timestamp 0 (always eligible).
+    * Throws if every version is newer than `tsMillis`. */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val vs = committedVersions(fs, root)
+    require(vs.nonEmpty, s"no committed snapshot under $path")
+    val eligible = vs.filter { v =>
+      parseMeta(manifestTextFs(fs, root, v)).get("ts")
+        .flatMap(t => scala.util.Try(t.toLong).toOption)
+        .getOrElse(0L) <= tsMillis
+    }
+    require(eligible.nonEmpty,
+      s"no snapshot of $path committed at or before ts=$tsMillis " +
+      s"(earliest retained version is newer — expired, or the table " +
+      "did not exist yet)")
+    eligible.last
+  }
+
+  /** The table AS OF a wall-clock instant — [[versionAsOf]] resolved,
+    * then the pinned [[readVersion]] read (recorded schema, deletion
+    * vectors, and file list all of THAT version). Valid until [[expire]]
+    * retires the resolved version. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readVersion(spark, path, versionAsOf(spark, path, tsMillis))
+
+  /** Commit wall-clock of version `v` (millis; 0 for versions predating
+    * the `ts` header). */
+  def commitTs(spark: SparkSession, path: String, v: Long): Long =
+    metaOf(spark, path, v).get("ts")
+      .flatMap(t => scala.util.Try(t.toLong).toOption).getOrElse(0L)
 
   /** The row identity a deletion vector records: (root-relative data
     * file, position within it) — `_metadata` is the file source's hidden
@@ -500,56 +788,151 @@ object Snapshot {
         .drop("__dv_file", "__dv_pos")
     }
 
+  /** The layout's declared stats columns in declaration order — the
+    * `stats` inherited-meta key holds a comma-separated LIST
+    * (multi-column manifest statistics): every manifest entry carries
+    * per-file min/max for EACH declared column, so predicates on any of
+    * them — or a conjunction across several — plan their file subset
+    * from the manifest alone ([[filesInRanges]]). */
+  def statsColumns(spark: SparkSession, path: String): Seq[String] =
+    statsColsOf(currentMeta(spark, path).getOrElse(Map.empty))
+
+  private def statsColsOf(meta: Map[String, String]): Seq[String] =
+    meta.get("stats").map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+
   /** Manifest entries of snapshot `v`: (path, optional (min, max) bounds
-    * of the layout's declared stats column — see [[init]]'s `statsCol`).
-    * Bounds are the column cast to LONG at file-write time. */
+    * of the FIRST declared stats column). Bounds are the column cast to
+    * LONG at file-write time. Multi-column view: [[entriesAllOf]]. */
   def entriesOf(spark: SparkSession, path: String,
       v: Long): Seq[(String, Option[(Long, Long)])] =
-    parseLines(manifestText(spark, path, v)).filterNot(isDeleteEntry)
-      .map(l => (pathOf(l), statsOf(l)))
+    resolvedLines(spark, path, v).filterNot(isDeleteEntry)
+      .map(l => (pathOf(l), statsListOf(l).headOption.flatten))
+
+  /** Manifest entries of snapshot `v` with bounds for EVERY declared
+    * stats column, in [[statsColumns]] order. */
+  def entriesAllOf(spark: SparkSession, path: String,
+      v: Long): Seq[(String, Seq[Option[(Long, Long)]])] =
+    resolvedLines(spark, path, v).filterNot(isDeleteEntry)
+      .map(l => (pathOf(l), statsListOf(l)))
+
+  /** The file subset whose per-column bounds overlap EVERY queried
+    * range — the conjunction planner over one (meta, resolved lines)
+    * state, shared by all range entry points so file list, bounds, and
+    * schema always come from the same manifest read. Conservative:
+    * a file missing bounds for a queried column is always kept. */
+  private def filesInRangesAt(meta: Map[String, String], lines: Seq[String],
+      ranges: Seq[(String, Long, Long)]): Seq[String] = {
+    require(ranges.nonEmpty, "filesInRanges needs at least one column range")
+    ranges.foreach { case (c, lo, hi) =>
+      require(lo <= hi, s"range on '$c' needs lo <= hi, got [$lo, $hi]") }
+    val cols = statsColsOf(meta)
+    val colIdx = ranges.map { case (c, _, _) =>
+      val i = cols.indexOf(c)
+      require(i >= 0, s"no manifest statistics declared for column '$c' " +
+        s"(declared: ${if (cols.isEmpty) "none" else cols.mkString(",")})")
+      c -> i
+    }.toMap
+    lines.filterNot(isDeleteEntry).filter { l =>
+      val bounds = statsListOf(l)
+      ranges.forall { case (c, lo, hi) =>
+        bounds.lift(colIdx(c)).flatten match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // no bounds for this column — never skip
+        }
+      }
+    }.map(pathOf)
+  }
 
   /** MANIFEST-LEVEL FILE SKIPPING: the current snapshot's files whose
-    * stats bounds overlap `[lo, hi]` (both inclusive, in the stats
-    * column's long domain — timestamps floor to epoch seconds). This is
-    * the pruning tier ABOVE q41's directory pruning and q42's row-group
-    * skipping: it needs no directory listing and no parquet footer —
-    * the file subset is planned from one manifest read, which at 100 TB
-    * is the difference between a metadata lookup and 100k footer GETs
-    * before the first data byte. Conservative: files without bounds
-    * (no stats column declared, all-NULL stats values, or entries
-    * predating the declaration) are always kept. Returns root-relative
-    * paths; the caller still applies the exact row predicate — skipping
-    * yields a file SUPERSET of the matching rows, never a subset. */
+    * stats bounds overlap `[lo, hi]` (both inclusive, in the FIRST
+    * declared stats column's long domain — timestamps floor to epoch
+    * seconds). This is the pruning tier ABOVE q41's directory pruning
+    * and q42's row-group skipping: it needs no directory listing and no
+    * parquet footer — the file subset is planned from one manifest
+    * read, which at 100 TB is the difference between a metadata lookup
+    * and 100k footer GETs before the first data byte. Conservative:
+    * files without bounds (no stats column declared, all-NULL stats
+    * values, or entries predating the declaration) are always kept.
+    * Returns root-relative paths; the caller still applies the exact
+    * row predicate — skipping yields a file SUPERSET of the matching
+    * rows, never a subset. */
   def filesInRange(spark: SparkSession, path: String, lo: Long,
       hi: Long): Seq[String] = {
-    require(lo <= hi, s"filesInRange needs lo <= hi, got [$lo, $hi]")
-    val (v, _) = currentFiles(spark, path)
-    entriesOf(spark, path, v).collect {
-      case (f, None) => f
-      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
-    }
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    val first = statsColsOf(meta).headOption.getOrElse(
+      // no stats declared: every data file is a candidate (validity
+      // contract unchanged — skipping is best-effort)
+      return lines.filterNot(isDeleteEntry).map(pathOf))
+    filesInRangesAt(meta, lines, Seq((first, lo, hi)))
+  }
+
+  /** [[filesInRange]] generalized to a CONJUNCTION of per-column
+    * ranges: a file survives only if its bounds overlap EVERY queried
+    * range, so a two-column predicate plans a subset at most as large
+    * as either single-column plan — usually strictly smaller, because
+    * files clustered on one column still vary on the other. */
+  def filesInRanges(spark: SparkSession, path: String,
+      ranges: Seq[(String, Long, Long)]): Seq[String] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    filesInRangesAt(meta, lines, ranges)
   }
 
   /** The current snapshot restricted to files overlapping `[lo, hi]` on
-    * the stats column ([[filesInRange]]) — rows OUTSIDE the range can
-    * still appear (file grain is coarse); apply the exact predicate on
-    * top. The point is what the scan never touches: files whose bounds
-    * exclude the range contribute no IO, no tasks, no footer reads. */
+    * the first stats column ([[filesInRange]]) — rows OUTSIDE the range
+    * can still appear (file grain is coarse); apply the exact predicate
+    * on top. The point is what the scan never touches: files whose
+    * bounds exclude the range contribute no IO, no tasks, no footer
+    * reads. */
   def readSnapshotRange(spark: SparkSession, path: String, lo: Long,
       hi: Long): DataFrame = {
-    val files = filesInRange(spark, path, lo, hi)
-    if (files.isEmpty) readSnapshot(spark, path).limit(0)
-    else {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val qualified = fsOf(spark, root).makeQualified(root).toString
-      val (v, _) = currentFiles(spark, path)
-      val text = manifestText(spark, path, v)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    val first = statsColsOf(meta).headOption
+    val ranges = first.map(c => Seq((c, lo, hi))).getOrElse(Seq.empty)
+    readRangesAt(spark, path, meta, lines, ranges)
+  }
+
+  /** [[readSnapshotRange]] over a multi-column range conjunction. */
+  def readSnapshotRanges(spark: SparkSession, path: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    readRangesAt(spark, path, meta, lines, ranges)
+  }
+
+  /** One consistent pruned read: files, deletion vectors, and recorded
+    * schema ALL from the `(meta, lines)` state the caller resolved in a
+    * single manifest read — a commit landing mid-call can no longer mix
+    * version v's file plan with v+1's vectors or schema. */
+  private def readRangesAt(spark: SparkSession, path: String,
+      meta: Map[String, String], lines: Seq[String],
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val qualified = fsOf(spark, root).makeQualified(root).toString
+    val files =
+      if (ranges.isEmpty) lines.filterNot(isDeleteEntry).map(pathOf)
+      else filesInRangesAt(meta, lines, ranges)
+    if (files.isEmpty) {
+      // schema-faithful empty frame — same columns a full read yields
+      val all = lines.filterNot(isDeleteEntry).map(pathOf)
       val reader = spark.read.option("basePath", qualified)
-      val data = recordedSchema(parseMeta(text)).fold(reader)(reader.schema)
+      recordedSchema(meta).fold(reader)(reader.schema)
+        .parquet(all.map(f => s"$qualified/$f"): _*).limit(0)
+    } else {
+      val reader = spark.read.option("basePath", qualified)
+      val data = recordedSchema(meta).fold(reader)(reader.schema)
         .parquet(files.map(f => s"$qualified/$f"): _*)
       // outstanding merge-on-read deletes apply here too — a pruned
       // read must never resurrect rows the full read hides
-      applyDeletes(spark, qualified, data, parseDeletes(text))
+      applyDeletes(spark, qualified, data,
+        lines.filter(isDeleteEntry).map(pathOf))
     }
   }
 
@@ -595,56 +978,67 @@ object Snapshot {
       "merge-on-read deleted rows and orphan the vectors' positions")
   }
 
-  /** The layout's declared file-statistics column, if any — an
+  /** The layout's FIRST declared file-statistics column, if any — an
     * [[InheritedMeta]] key, so ONE current-manifest read answers it at
-    * any history depth. */
+    * any history depth. Full list: [[statsColumns]]. */
   def statsColumn(spark: SparkSession, path: String): Option[String] =
-    currentMeta(spark, path).flatMap(_.get("stats"))
+    statsColumns(spark, path).headOption
 
   /** Turn freshly written data files into manifest entry LINES, attaching
-    * per-file `min\tmax` bounds of `statsCol` when the layout declares
-    * one — the Iceberg-manifest discipline: the bounds live in table
-    * METADATA, so a reader plans its file set without opening a single
-    * parquet footer (at 100 TB, the difference between one manifest read
-    * and 100k footer GETs). ONE distributed job over the new files only
-    * (never the table); bounds are the column cast to LONG (timestamps
-    * floor to epoch seconds), which keeps the overlap test conservative:
-    * a file is skipped only if its floored bounds provably exclude the
-    * floored query range. A file whose stats column is all-NULL gets no
-    * bounds and is always read. */
+    * per-file `min\tmax` bounds for EACH declared stats column (comma-
+    * separated `statsMeta`, declaration order) — the Iceberg-manifest
+    * discipline: the bounds live in table METADATA, so a reader plans
+    * its file set without opening a single parquet footer (at 100 TB,
+    * the difference between one manifest read and 100k footer GETs).
+    * ONE distributed job over the new files only (never the table),
+    * regardless of how many columns are declared; bounds are the column
+    * cast to LONG (timestamps floor to epoch seconds), which keeps the
+    * overlap test conservative: a file is skipped only if its floored
+    * bounds provably exclude the floored query range. A column that is
+    * all-NULL in a file — or absent from the batch entirely (schema
+    * drift) — encodes `-\t-` and never prunes that file. */
   private def statLines(spark: SparkSession, qualified: String,
-      moved: Seq[String], statsCol: Option[String]): Seq[String] =
-    statsCol match {
-      case None => moved
-      case Some(_) if moved.isEmpty => moved
-      case Some(c) =>
-        // join key back from input_file_name()'s URI form (whose
-        // scheme/authority rendering differs from makeQualified's): the
-        // last two path segments = `partdir/basename`, exactly the
-        // root-relative entry shape. Basenames alone are NOT unique — a
-        // partitionBy write reuses one job UUID across every partition
-        // dir it touches.
-        def relKey(p: String): String = p.split("/").takeRight(2).mkString("/")
-        require(moved.map(relKey).distinct.size == moved.size,
-          s"duplicate partdir/basename entries in one commit: $moved")
-        val stats = spark.read.option("basePath", qualified)
-          .parquet(moved.map(f => s"$qualified/$f"): _*)
-          .select(input_file_name().as("__file"),
-            col(c).cast(LongType).as("__v"))
-          .groupBy(col("__file"))
-          .agg(fmin(col("__v")).as("mn"), fmax(col("__v")).as("mx"))
-          .collect()
-          .flatMap { r =>
-            if (r.isNullAt(1)) None
-            else Some(relKey(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-          }.toMap
-        moved.map { f =>
-          stats.get(relKey(f)) match {
-            case Some((mn, mx)) => s"$f\t$mn\t$mx"
-            case None => f
+      moved: Seq[String], statsMeta: Option[String]): Seq[String] = {
+    val cols = statsMeta.map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+    if (cols.isEmpty || moved.isEmpty) moved
+    else {
+      // join key back from input_file_name()'s URI form (whose
+      // scheme/authority rendering differs from makeQualified's): the
+      // last two path segments = `partdir/basename`, exactly the
+      // root-relative entry shape. Basenames alone are NOT unique — a
+      // partitionBy write reuses one job UUID across every partition
+      // dir it touches.
+      def relKey(p: String): String = p.split("/").takeRight(2).mkString("/")
+      require(moved.map(relKey).distinct.size == moved.size,
+        s"duplicate partdir/basename entries in one commit: $moved")
+      val df = spark.read.option("basePath", qualified)
+        .parquet(moved.map(f => s"$qualified/$f"): _*)
+      val present = df.columns.toSet
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        val v = if (present(c)) col(c).cast(LongType)
+                else lit(null).cast(LongType)
+        Seq(fmin(v).as(s"__mn$i"), fmax(v).as(s"__mx$i"))
+      }
+      val stats = df
+        .groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val bounds = cols.indices.map { i =>
+            if (r.isNullAt(1 + 2 * i)) "-\t-"
+            else s"${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
           }
+          relKey(r.getString(0)) -> bounds.mkString("\t")
+        }.toMap
+      moved.map { f =>
+        stats.get(relKey(f)) match {
+          case Some(b) => s"$f\t$b"
+          case None => f
         }
+      }
     }
+  }
 
   /** Small-file compaction committed through the manifest: oversplit
     * partitions rewrite to their bin-packed target (re-clustered on
@@ -687,8 +1081,7 @@ object Snapshot {
     // no inference) so the plan key ↔ routed value ↔ staged dir name
     // identity holds for values inference would mangle ("01" → int 1)
     val rows = Sink.readForMaintenance(spark, qualified,
-      oldFiles.map(f => s"$qualified/$f"),
-      s"$qualified/${oldFiles.head}", partitionCol,
+      oldFiles.map(f => s"$qualified/$f"), partitionCol,
       maintSchema(vMeta, partitionCol))
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-compact-${Sink.procTag}-${java.util.UUID.randomUUID()}")
@@ -748,9 +1141,8 @@ object Snapshot {
     // maintenance read: partition column typed STRING (raw dir value,
     // no inference) — probe value ↔ manifest dir name ↔ staged dir
     // name stay one identity (see Sink.readForMaintenance)
-    val sampleFile = s"$qualified/${files.head}"
     val dirty = Sink.readForMaintenance(spark, qualified,
-        files.map(f => s"$qualified/$f"), sampleFile, partitionCol,
+        files.map(f => s"$qualified/$f"), partitionCol,
         maintSchema(vMeta, partitionCol))
       .groupBy(col(partitionCol).as("__part"))
       .agg(
@@ -783,7 +1175,7 @@ object Snapshot {
         // the staged data files, as a Hive layout requires.
         val oldFiles = partial.flatMap(_._2).toSeq
         val survivors = Sink.readForMaintenance(spark, qualified,
-          oldFiles.map(f => s"$qualified/$f"), sampleFile, partitionCol,
+          oldFiles.map(f => s"$qualified/$f"), partitionCol,
           maintSchema(vMeta, partitionCol))
           .where(!del)
         val stg = new org.apache.hadoop.fs.Path(root,
@@ -831,19 +1223,25 @@ object Snapshot {
     * that no longer exist. Returns (version, rows marked); a no-match
     * call makes no commit and returns the current version. */
   def deleteWhereMoR(spark: SparkSession, path: String, partitionCol: String,
-      predicate: Column): (Long, Long) = {
+      predicate: Column,
+      vectorRowCap: Long = graft.Config.MaxVectorFileRows): (Long, Long) = {
+    require(vectorRowCap > 0, s"vectorRowCap must be positive, got $vectorRowCap")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
-    val (v, files) = currentFiles(spark, path)
-    val dvs = deletesOf(spark, path, v)
+    // ONE manifest resolution feeds files, vectors, and schema
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (vMeta, vLines) = stateOf(spark, path, v)
+    val files = vLines.filterNot(isDeleteEntry).map(pathOf)
+    val dvs = vLines.filter(isDeleteEntry).map(pathOf)
     val del = coalesce(predicate, lit(false))
     val keyCols = dvKeyCols(qualified)
     // recorded schema: the predicate may reference an evolved column,
     // which must read NULL in pre-evolution files exactly as it does
     // for the snapshot reader
     val reader = spark.read.option("basePath", qualified)
-    val markedAll = recordedSchema(metaOf(spark, path, v)).fold(reader)(reader.schema)
+    val markedAll = recordedSchema(vMeta).fold(reader)(reader.schema)
       .parquet(files.map(f => s"$qualified/$f"): _*)
       .where(del)
       .select(keyCols(0), keyCols(1))
@@ -854,16 +1252,21 @@ object Snapshot {
         Seq("dv_file", "dv_pos"), "left_anti")
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-mor-${Sink.procTag}-${java.util.UUID.randomUUID()}")
-    // repartition(1): one vector file per delete (the scan above stays
-    // parallel — coalesce(1) would collapse it); the shuffle moves only
-    // the matched pairs
-    marked.repartition(1).write.parquet(stg.toString)
+    // stage the matches with the SCAN's parallelism — no single task
+    // ever funnels the match set — then pack into ceil(n / cap) vector
+    // files (one for the common forget-user sized delete)
+    val rawStg = new org.apache.hadoop.fs.Path(stg, "raw")
+    marked.write.parquet(rawStg.toString)
     // footer-only count of what actually landed
-    val n = spark.read.parquet(stg.toString).count()
+    val n = spark.read.parquet(rawStg.toString).count()
     if (n == 0L) { fs.delete(stg, true): Unit; return (v, 0L) }
+    val vecStg = new org.apache.hadoop.fs.Path(stg, "vec")
+    spark.read.parquet(rawStg.toString)
+      .repartition(vectorFileCount(n, vectorRowCap))
+      .write.parquet(vecStg.toString)
     val dvDir = new org.apache.hadoop.fs.Path(root, DeletesDir)
     fs.mkdirs(dvDir)
-    val moved = fs.listStatus(stg).toSeq
+    val moved = fs.listStatus(vecStg).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("."))
       .map { f =>
@@ -877,7 +1280,8 @@ object Snapshot {
     val referenced = spark.read.parquet(moved.map(f => s"$qualified/$f"): _*)
       .select(col("dv_file")).distinct().collect().map(_.getString(0)).toSet
     val nv = commit(fs, root, Some(v), Set.empty, moved,
-      Map("op" -> "mor-delete"), mustBeLive = referenced)
+      Map("op" -> "mor-delete"), mustBeLive = referenced,
+      dvRefs = referenced)
     (nv, n)
   }
 
@@ -914,7 +1318,9 @@ object Snapshot {
     * Returns (version, rows updated); a no-match call commits nothing. */
   def updateWhere(spark: SparkSession, path: String, partitionCol: String,
       predicate: Column, set: Map[String, Column],
-      meta: Map[String, String] = Map.empty): (Long, Long) = {
+      meta: Map[String, String] = Map.empty,
+      vectorRowCap: Long = graft.Config.MaxVectorFileRows): (Long, Long) = {
+    require(vectorRowCap > 0, s"vectorRowCap must be positive, got $vectorRowCap")
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     require(!set.contains(partitionCol),
       s"updateWhere cannot SET partition column '$partitionCol' — a row " +
@@ -923,10 +1329,12 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
-    val (v, files) = currentFiles(spark, path)
-    val text = manifestText(spark, path, v)
-    val vMeta = parseMeta(text)
-    val dvs = parseDeletes(text)
+    // ONE manifest resolution feeds files, vectors, schema, and stats
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (vMeta, lines) = stateOf(spark, path, v)
+    val files = lines.filterNot(isDeleteEntry).map(pathOf)
+    val dvs = lines.filter(isDeleteEntry).map(pathOf)
     val pred = coalesce(predicate, lit(false))
     val keyCols = dvKeyCols(qualified)
     // recorded schema: the predicate or a SET expression may reference
@@ -959,12 +1367,15 @@ object Snapshot {
     val matched = spark.read.parquet(matchedDir.toString)
     val n = matched.count() // footer-only
     if (n == 0L) { fs.delete(stg, true): Unit; return (v, 0L) }
-    // the vector hiding the old images — deleteWhereMoR's sidecar shape,
-    // one file per update (repartition keeps the derive step parallel)
+    // the vector hiding the old images — deleteWhereMoR's sidecar
+    // shape, packed into ceil(n / cap) files so no single task funnels
+    // an unbounded match set (one file for the common correction-sized
+    // update; a pathological predicate splits instead of bottlenecking)
     val dvStg = new org.apache.hadoop.fs.Path(stg, "vector")
     matched.select(col("__dv_file").as("dv_file"),
         col("__dv_pos").as("dv_pos"))
-      .repartition(1).write.parquet(dvStg.toString)
+      .repartition(vectorFileCount(n, vectorRowCap))
+      .write.parquet(dvStg.toString)
     val dvDir = new org.apache.hadoop.fs.Path(root, DeletesDir)
     fs.mkdirs(dvDir)
     val dvMoved = fs.listStatus(dvStg).toSeq
@@ -990,9 +1401,19 @@ object Snapshot {
     fs.delete(stg, true): Unit
     val nv = commit(fs, root, Some(v), Set.empty,
       dvMoved ++ statLines(spark, qualified, moved, vMeta.get("stats")),
-      Map("op" -> "update") ++ meta, mustBeLive = referenced)
+      Map("op" -> "update") ++ meta, mustBeLive = referenced,
+      dvRefs = referenced)
     (nv, n)
   }
+
+  /** How many files a deletion vector of `n` rows packs into:
+    * ceil(n / cap) (cap defaults to [[graft.Config.MaxVectorFileRows]]),
+    * so the common forget-user sized vector stays one sidecar file
+    * while a pathological table-wide predicate splits across tasks
+    * instead of funneling through one (the r15 `repartition(1)` nit,
+    * capped). */
+  private[graft] def vectorFileCount(n: Long, cap: Long): Int =
+    math.max(1L, (n + cap - 1) / cap).toInt
 
   /** Retire every outstanding deletion vector by rewriting EXACTLY the
     * data files it touches — file-grain copy-on-write, the compaction
@@ -1026,10 +1447,9 @@ object Snapshot {
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.split("/")(0).stripPrefix(s"$partitionCol="))
     val targets = affected.groupBy(partValue).view.mapValues(_.size).toMap
-    val sampleFile = s"$qualified/${affected.head}"
     def survivorsOf(): DataFrame = {
       val rows = Sink.readForMaintenance(spark, qualified,
-        affected.map(f => s"$qualified/$f"), sampleFile, partitionCol,
+        affected.map(f => s"$qualified/$f"), partitionCol,
         maintSchema(vMeta, partitionCol))
       val keyCols = dvKeyCols(qualified)
       val keyed = rows.withColumn("__dv_file", keyCols(0))
@@ -1107,48 +1527,17 @@ object Snapshot {
     val statsCol = prevMeta.get("stats").orElse(meta.get("stats"))
     val lines = statLines(spark, fs.makeQualified(root).toString, moved, statsCol)
     // SCHEMA EVOLUTION: a batch may carry columns the table has never
-    // seen — widen the recorded schema (new columns append, nullable,
-    // old files read NULL in them) in the SAME commit as the files.
-    // Shared columns must match exactly: add-column is the supported
-    // evolution, silent type coercion is not.
-    val schemaMeta = recordedSchema(prevMeta) match {
-      case Some(old) =>
-        val oldByName = old.fields.map(f => f.name -> f).toMap
-        // the partition column is exempt: its batch-side type only
-        // shapes directory names ("2024-01-04" as STRING or DATE lands
-        // the same dir), and readers cast dir values to the recorded
-        // type regardless
-        rows.schema.fields.filterNot(_.name == partitionCol).foreach { f =>
-          oldByName.get(f.name).foreach { o =>
-            require(o.dataType == f.dataType,
-              s"append schema conflict on '${f.name}': table has " +
-              s"${o.dataType}, batch has ${f.dataType} — only ADD-column " +
-              "evolution is supported")
-          }
-        }
-        val added = rows.schema.fields
-          .filterNot(f => oldByName.contains(f.name))
-          .map(_.copy(nullable = true))
-        if (added.isEmpty) Map.empty[String, String]
-        else {
-          // partition column stays LAST — the position the partitioned
-          // read surfaces it in regardless of the user schema's order
-          val (dataF, partF) = old.fields.partition(_.name != partitionCol)
-          Map("schema" ->
-            org.apache.spark.sql.types.StructType(dataF ++ added ++ partF).json)
-        }
-      case None if prev.isEmpty =>
-        // bootstrap append: this batch DEFINES the table schema
-        // (partition column last, matching the basePath read order)
-        val (data, part) = rows.schema.fields.partition(_.name != partitionCol)
-        Map("schema" ->
-          org.apache.spark.sql.types.StructType(data ++ part).json)
-      case None => Map.empty[String, String] // pre-evolution layout
-    }
-    // removes nothing → commutes with ANY concurrent commit: a lost
-    // version race rebases onto the winner's file list and retries
+    // seen — the recorded-schema widen happens INSIDE commit's retry
+    // loop against the LATEST manifest ([[widenRecordedSchema]]), so a
+    // rebase widens the concurrent winner's schema instead of
+    // overriding it with a stale precomputation (two racing appends
+    // each adding a column both survive; two adding the SAME column
+    // with different types collide on the type check either order).
+    // Removes nothing → commutes with ANY concurrent commit: a lost
+    // version race rebases onto the winner's file list and retries.
     commit(fs, root, prev, Set.empty, lines,
-      Map("op" -> "append") ++ schemaMeta ++ meta)
+      Map("op" -> "append") ++ meta,
+      widenSchema = Some((rows.schema, partitionCol)))
   }
 
   /** Rewrite-commit for a partition subset: every partition named by
@@ -1169,12 +1558,19 @@ object Snapshot {
     * untouched; producing an EMPTY partition is not expressible here
     * (use [[deleteWhere]] to drop rows). */
   def replacePartitions(spark: SparkSession, path: String, partitionCol: String,
-      replacement: DataFrame, meta: Map[String, String] = Map.empty): Long = {
+      replacement: DataFrame, meta: Map[String, String] = Map.empty,
+      base: Option[(Long, Seq[String])] = None): Long = {
     require(replacement.columns.contains(partitionCol),
       s"replacement rows lack partition column '$partitionCol'")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
-    val (v, files) = currentFiles(spark, path)
+    // `base` threads the (version, file list) the REPLACEMENT was
+    // derived from ([[merge]] passes the resolution its survivors read)
+    // — re-resolving here would open a lost-update window: an append
+    // landing between merge's read and this commit would put its file
+    // into `replaced` (partition touched) and silently delete rows the
+    // replacement never saw
+    val (v, files) = base.getOrElse(currentFiles(spark, path))
     requireNoDeletes(spark, path, v, "replacePartitions")
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-replace-${Sink.procTag}-${java.util.UUID.randomUUID()}")
@@ -1184,7 +1580,12 @@ object Snapshot {
     val replaced = files.filter(f => touched(f.split("/")(0))).toSet
     val lines = statLines(spark, fs.makeQualified(root).toString, moved,
       metaOf(spark, path, v).get("stats"))
-    commit(fs, root, Some(v), replaced, lines, Map("op" -> "replace") ++ meta)
+    // `replacedParts`: a rebase aborts if a CONCURRENT commit landed a
+    // file into a partition this commit replaces wholesale — that file
+    // was never read into the replacement, so rebasing would silently
+    // drop its rows (the Iceberg validateAddedDataFiles check)
+    commit(fs, root, Some(v), replaced, lines, Map("op" -> "replace") ++ meta,
+      replacedParts = touched)
   }
 
   /** UPSERT (MERGE INTO) committed through the manifest: every row of
@@ -1216,7 +1617,13 @@ object Snapshot {
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
     require(touched.nonEmpty, "merge with an empty updates batch")
-    val cur = readSnapshot(spark, path)
+    // ONE resolved (version, file list) is both what the survivors read
+    // AND the commit base [[replacePartitions]] validates against — a
+    // concurrent append between this read and the commit can no longer
+    // slip a file into a replaced partition unseen (it aborts on
+    // rebase) or be silently deleted
+    val mergeBase = currentFiles(spark, path)
+    val cur = readVersion(spark, path, mergeBase._1)
       .where(col(partitionCol).isin(touched.toIndexedSeq: _*))
     val survivors = cur.join(
       updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
@@ -1227,7 +1634,8 @@ object Snapshot {
       .repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
     replacePartitions(spark, path, partitionCol, replacement,
-      Map("merge_keys" -> keyCols.mkString(",")) ++ meta)
+      Map("merge_keys" -> keyCols.mkString(",")) ++ meta,
+      base = Some(mergeBase))
   }
 
   /** Incremental change feed: the rows APPENDED between snapshot `fromV`
@@ -1271,6 +1679,199 @@ object Snapshot {
     }
   }
 
+  private val ConsumersDir = "_consumers"
+
+  /** What one [[consume]] call did: `mode` is `bootstrap` (first contact
+    * — full snapshot handed to `resync`), `delta` (the change feed
+    * `(fromV, toV]` handed to `process`), `resync` (the feed could not
+    * cross a rewrite/restore or the position expired — full snapshot
+    * re-handed to `resync`), `caught-up` (nothing new; no callbacks, no
+    * position write), or `lost-race` (another instance of the SAME
+    * group advanced first — this call's work was redundant but its
+    * position did not move twice). */
+  final case class ConsumeResult(mode: String, fromV: Long, toV: Long)
+
+  /** The persisted position of CDC consumer `group` on this table: the
+    * newest snapshot version the group has durably processed, or None
+    * if the group never consumed. The position lives IN the table
+    * directory (`_consumers/<group>/p-<seq>`, one immutable file per
+    * advancement, published with the same create-if-absent primitive as
+    * manifests), so it survives process restarts and is shared by every
+    * instance of the group — the consumer-group offset pattern. */
+  def consumerPosition(spark: SparkSession, path: String,
+      group: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    posFiles(fsOf(spark, root), root, group).lastOption.map(_._2)
+  }
+
+  /** (seq, recorded version) pairs of the group's position files,
+    * oldest first. */
+  private def posFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      group: String): Seq[(Long, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(root, s"$ConsumersDir/$group")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("p-"))
+      .map { s =>
+        val seq = s.getPath.getName.stripPrefix("p-").toLong
+        val v = parseMeta(readSmallFile(fs, s.getPath))
+          .getOrElse("v", throw new IllegalStateException(
+            s"consumer position file ${s.getPath} lacks a version"))
+        (seq, v.toLong)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Advance the group's position to `toV` as position-sequence `seq` —
+    * EXACTLY-ONCE via [[publishIfAbsent]]: of N instances that processed
+    * the same delta concurrently, exactly one lands `p-<seq>`; the
+    * losers learn their work was redundant (`lost-race`) and the
+    * position never double-advances or goes backwards. */
+  private def advancePosition(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, group: String, seq: Long,
+      toV: Long, mode: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(root, s"$ConsumersDir/$group")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      s"#v=$toV\n#mode=$mode\n#ts=${System.currentTimeMillis()}"
+        .getBytes(Charset))
+    finally out.close()
+    val won = publishIfAbsent(fs, tmp,
+      new org.apache.hadoop.fs.Path(dir, f"p-$seq%012d"))
+    fs.delete(tmp, false): Unit
+    won
+  }
+
+  /** CONTINUOUS CDC CONSUMPTION with persisted offsets — the consumer
+    * wrapper [[changes]] was missing: a downstream job (index append,
+    * replication, rollup upkeep) calls `consume` per cycle and never
+    * tracks versions by hand.
+    *
+    *  - First contact → `resync(full current snapshot)`, position
+    *    bootstraps at the current version.
+    *  - Position behind, every commit in `(pos, current]` an append →
+    *    `process(changes(pos, current))` — O(delta batch), the whole
+    *    point at 100 TB.
+    *  - A rewrite/restore in the gap, or the position version expired →
+    *    the feed cannot attribute rows, so the graded degradation is a
+    *    FULL RE-SYNC: `resync(full current snapshot)`; the position
+    *    jumps to current. (The consumer contract every table-format CDC
+    *    reader documents: compaction crossings demand re-sync unless
+    *    row-lineage is tracked.)
+    *  - Nothing new → `caught-up`, no callbacks, no writes.
+    *
+    * Delivery contract: PROCESS-then-ADVANCE. The position write is
+    * exactly-once ([[advancePosition]]); the callback is at-least-once
+    * (a crash between process and advance replays the same delta, and
+    * a concurrent same-group instance may process it redundantly and
+    * lose the advance race — `lost-race`). At-least-once processing +
+    * exactly-once advancement + an idempotent downstream apply (key the
+    * write by `(group, toV)` — the manifest-header ledger idiom) is
+    * end-to-end exactly-once, the standard consumer-group formula. */
+  def consume(spark: SparkSession, path: String, group: String)(
+      process: DataFrame => Unit)(
+      resync: DataFrame => Unit): ConsumeResult = {
+    require(group.nonEmpty && !group.contains("/"),
+      s"consumer group must be a plain name, got '$group'")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $path — nothing to consume"))
+    val positions = posFiles(fs, root, group)
+    val nextSeq = positions.lastOption.map(_._1 + 1).getOrElse(1L)
+    positions.lastOption.map(_._2) match {
+      case Some(p) if p >= cur => ConsumeResult("caught-up", p, p)
+      case Some(p) =>
+        val committed = committedVersions(fs, root)
+        // the feed is attributable iff the position version is still
+        // retained AND every commit in the gap is a pure append
+        val deltaOk = committed.contains(p) &&
+          committed.filter(v => v > p && v <= cur).forall(v =>
+            parseMeta(manifestTextFs(fs, root, v))
+              .getOrElse("op", "unknown") == "append")
+        if (deltaOk) {
+          process(changes(spark, path, p, cur))
+          if (advancePosition(fs, root, group, nextSeq, cur, "delta"))
+            ConsumeResult("delta", p, cur)
+          else ConsumeResult("lost-race", p, cur)
+        } else {
+          resync(readVersion(spark, path, cur))
+          if (advancePosition(fs, root, group, nextSeq, cur, "resync"))
+            ConsumeResult("resync", p, cur)
+          else ConsumeResult("lost-race", p, cur)
+        }
+      case None =>
+        resync(readVersion(spark, path, cur))
+        if (advancePosition(fs, root, group, nextSeq, cur, "bootstrap"))
+          ConsumeResult("bootstrap", 0L, cur)
+        else ConsumeResult("lost-race", 0L, cur)
+    }
+  }
+
+  /** DELETION-VECTOR READ-AMPLIFICATION AUDIT — the staleness-audit
+    * discipline (v24 IVF drift, v25 PQ drift, d34 BPE fertility)
+    * applied to the merge-on-read debt: what does serving the current
+    * snapshot's stacked vectors cost, and when should
+    * [[materializeDeletes]] retire them?
+    *
+    *  - `vectors`: outstanding vector FILES — each is one more input in
+    *    the anti-join's build side.
+    *  - `hiddenRows`: total (file, pos) pairs — the anti-join's build
+    *    cardinality, the read-side memory/IO the debt costs per query.
+    *  - `referencedFiles` / `referencedShare`: how much of the live
+    *    file set must flow through the DV-aware (join-bearing) plan —
+    *    the fold's rewrite bill is O(referencedFiles), so a high share
+    *    says "fold now, the rewrite costs little more than the reads".
+    *
+    * Metadata + vector-sidecar reads only — never the data files. */
+  final case class DvAudit(version: Long, vectors: Long, hiddenRows: Long,
+      referencedFiles: Long, liveFiles: Long) {
+    def referencedShare: Double =
+      if (liveFiles == 0) 0.0 else referencedFiles.toDouble / liveFiles
+  }
+
+  def dvAudit(spark: SparkSession, path: String): DvAudit = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (_, lines) = stateOf(spark, path, v)
+    val dvs = lines.filter(isDeleteEntry).map(pathOf)
+    val nLive = lines.count(l => !isDeleteEntry(l))
+    if (dvs.isEmpty) DvAudit(v, 0L, 0L, 0L, nLive.toLong)
+    else {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val qualified = fsOf(spark, root).makeQualified(root).toString
+      val dv = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
+      // one tiny aggregate over the O(hidden rows) sidecars
+      val r = dv.agg(count(lit(1)).as("n"),
+        count_distinct(col("dv_file")).as("nf")).collect()(0)
+      DvAudit(v, dvs.size.toLong, r.getLong(0), r.getLong(1), nLive.toLong)
+    }
+  }
+
+  /** THRESHOLD-DRIVEN FOLD: audit the vector debt and call
+    * [[materializeDeletes]] exactly when it crosses the policy — more
+    * than `maxVectors` stacked vector files (anti-join build fan-in) or
+    * more than `maxReferencedShare` of the live files flowing through
+    * the DV-aware plan (the fold's rewrite bill is already close to
+    * what reads pay). Returns (audit BEFORE, whether it folded) —
+    * callers log the audit either way, which is the observability the
+    * trained-tier staleness audits established. */
+  def maintainDeletes(spark: SparkSession, path: String,
+      partitionCol: String, maxVectors: Long = 8L,
+      maxReferencedShare: Double = 0.25,
+      sortCols: Seq[String] = Nil): (DvAudit, Boolean) = {
+    val audit = dvAudit(spark, path)
+    val fold = audit.vectors > maxVectors ||
+      (audit.vectors > 0 && audit.referencedShare > maxReferencedShare)
+    if (fold) materializeDeletes(spark, path, partitionCol, sortCols): Unit
+    (audit, fold)
+  }
+
   /** ROLL BACK the table to snapshot `toVersion` — as a NEW commit
     * whose file list is the target version's, never by deleting
     * history (the table-format RESTORE): readers pinned to intermediate
@@ -1293,8 +1894,8 @@ object Snapshot {
     // entry LINES both sides, so restored entries keep their file
     // statistics and the diff covers deletion vectors too (a restore
     // across a mor-delete must re-reference the vector, or drop it)
-    val curPaths = parseLines(manifestTextFs(fs, root, cur)).map(pathOf).toSet
-    val targetLines = parseLines(manifestTextFs(fs, root, toVersion))
+    val curPaths = resolvedLinesFs(fs, root, cur).map(pathOf).toSet
+    val targetLines = resolvedLinesFs(fs, root, toVersion)
     val targetPaths = targetLines.map(pathOf).toSet
     commit(fs, root, Some(cur), curPaths -- targetPaths,
       targetLines.filterNot(l => curPaths(pathOf(l))),
@@ -1315,11 +1916,12 @@ object Snapshot {
     require(vs.nonEmpty, s"no committed snapshot under $path")
     var prev = Set.empty[String]
     val rows = vs.map { v =>
-      // one manifest read feeds both the entry list and the header;
-      // ALL entry paths, so a mor-delete's vector shows as its one add
-      val text = manifestText(spark, path, v)
-      val fl = parseLines(text).map(pathOf).toSet
-      val m = parseMeta(text)
+      // one manifest resolution feeds both the entry list and the
+      // header; ALL entry paths, so a mor-delete's vector shows as its
+      // one add (segment folds are cached — [[segLines]] — so walking
+      // the history is O(versions) list reads, not O(versions × files))
+      val (m, lines) = stateOf(spark, path, v)
+      val fl = lines.map(pathOf).toSet
       val r = (v, m.getOrElse("op", "unknown"), fl.size.toLong,
         (fl -- prev).size.toLong, (prev -- fl).size.toLong, m)
       prev = fl
@@ -1342,15 +1944,36 @@ object Snapshot {
     * alongside live writers must pass a grace window longer than any
     * write (the orphan-removal age threshold every table format
     * applies); unreferenced files younger than it are left for the
-    * next sweep. The default 0 is the quiesced-table sweep. */
+    * next sweep. The default 0 is the quiesced-table sweep.
+    *
+    * `keepAgeMs` is the AGE-based retention policy (keep-last-N and
+    * keep-age compose — a version survives if EITHER rule retains it):
+    * any version whose commit timestamp (`ts` header, strictly
+    * monotonic) is within the window stays, so "keep 7 days of
+    * time travel, at least the current snapshot" is
+    * `keep = 1, keepAgeMs = Some(7d)`. */
   def expire(spark: SparkSession, path: String, partitionCol: String,
-      keep: Int = 1, orphanGraceMs: Long = 0L): Seq[String] = {
+      keep: Int = 1, orphanGraceMs: Long = 0L,
+      keepAgeMs: Option[Long] = None): Seq[String] = {
     require(keep >= 1, s"must keep at least the current snapshot, got $keep")
+    keepAgeMs.foreach(a => require(a >= 0, s"keepAgeMs must be >= 0, got $a"))
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
     val versions = committedVersions(fs, root)
-    val (stale, retained) = versions.splitAt(math.max(0, versions.size - keep))
+    val byCount = versions.drop(math.max(0, versions.size - keep)).toSet
+    val byAge = keepAgeMs match {
+      case None => Set.empty[Long]
+      case Some(age) =>
+        val cutoffTs = System.currentTimeMillis() - age
+        versions.filter(v =>
+          parseMeta(manifestTextFs(fs, root, v)).get("ts")
+            .flatMap(t => scala.util.Try(t.toLong).toOption)
+            .exists(_ >= cutoffTs)).toSet
+    }
+    val retainedSet = byCount ++ byAge
+    val retained = versions.filter(retainedSet)
+    val stale = versions.filterNot(retainedSet)
     // ALL entry paths — a retained version's deletion vectors are as
     // load-bearing as its data files
     val referenced = retained.flatMap(v =>
@@ -1388,14 +2011,25 @@ object Snapshot {
         fs.delete(s.getPath, false)
         deleted += s"$DeletesDir/${s.getPath.getName}"
       }
-    // a writer that crashed between writing and publishing its staged
-    // manifest leaves a `.tmp-*` file here — invisible to readers
-    // (committedVersions matches only m-<digits>) but debris; sweep it
-    // under the same grace rule that protects in-flight commits
+    // manifest-dir debris, two kinds under the same grace rule that
+    // protects in-flight commits:
+    //  - `.tmp-*`: a writer crashed between writing and publishing its
+    //    staged manifest list — invisible to readers, pure debris
+    //  - `seg-*` no RETAINED manifest list references: stale versions'
+    //    exclusive change segments, chains a fold consolidated away,
+    //    and crashed writers' never-published segments (grace matters
+    //    here — a LIVE committer writes its segment BEFORE the list
+    //    that references it)
+    val refSegs = retained.flatMap(v =>
+      parseRefs(manifestTextFs(fs, root, v))).toSet
     val mdir = new org.apache.hadoop.fs.Path(root, ManifestDir)
     if (fs.exists(mdir)) fs.listStatus(mdir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-") &&
-        (orphanGraceMs <= 0 || s.getModificationTime <= cutoff))
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile &&
+          (n.startsWith(".tmp-") || (n.startsWith("seg-") && !refSegs(n))) &&
+          (orphanGraceMs <= 0 || s.getModificationTime <= cutoff)
+      }
       .foreach { s =>
         fs.delete(s.getPath, false)
         deleted += s"$ManifestDir/${s.getPath.getName}"

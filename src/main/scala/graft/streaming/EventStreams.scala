@@ -108,14 +108,14 @@ object EventStreams {
     * start. */
   def ingestSnapshot(spark: SparkSession, source: StreamSources.StreamSource,
       outDir: String, checkpointDir: String,
-      statsCol: Option[String] = None)
+      statsCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val token = runToken(spark, checkpointDir)
     readEventStream(spark, source)
       .withColumn("event_date", to_date(col("ts")))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        appendBatchToSnapshot(batch, outDir, id, Some(token), statsCol)
+        appendBatchToSnapshot(batch, outDir, id, Some(token), statsCols)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -140,7 +140,7 @@ object EventStreams {
     *  - no ingest history (fresh or batch-bootstrapped layout) → this
     *    run adopts it. */
   def appendBatchToSnapshot(batch: DataFrame, outDir: String, batchId: Long,
-      runId: Option[String] = None, statsCol: Option[String] = None): Unit = {
+      runId: Option[String] = None, statsCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     import graft.sources.Snapshot
     val isReplay = runId.exists { token =>
@@ -158,12 +158,13 @@ object EventStreams {
       }
     }
     if (!isReplay)
-      // statsCol takes effect on the BOOTSTRAP batch (it declares the
-      // layout's stats column); later batches inherit the declaration
+      // statsCols takes effect on the BOOTSTRAP batch (it declares the
+      // layout's stats columns); later batches inherit the declaration
       // from the manifest and re-stat their own files regardless
       Snapshot.append(spark, outDir, "event_date", batch,
         runId.map("run" -> _).toMap + ("batch" -> batchId.toString) ++
-          statsCol.map("stats" -> _)): Unit
+          (if (statsCols.isEmpty) Map.empty[String, String]
+           else Map("stats" -> statsCols.mkString(",")))): Unit
   }
 
   /** Streaming maintenance of the MatView rollup: each micro-batch's

@@ -677,7 +677,7 @@ class SnapshotSpec extends AnyFunSuite {
       .sortWithinPartitions(col("ts_ms"))
       .write.partitionBy("event_type").parquet(path)
     assert(Snapshot.init(spark, path, "event_type",
-      statsCol = Some("ts_ms")) == 1L)
+      statsCols = Seq("ts_ms")) == 1L)
     assert(Snapshot.statsColumn(spark, path).contains("ts_ms"))
     assert(Snapshot.entriesOf(spark, path, 1L).forall(_._2.isDefined),
       "bootstrap left entries without bounds")

@@ -145,7 +145,7 @@ class StreamingSpec extends AnyFunSuite {
       .toFile.getAbsolutePath
     val q = EventStreams.ingestSnapshot(spark,
       graft.streaming.StreamSources.FileSource(stagedDir), outDir, ckpt,
-      statsCol = Some("ts"))
+      statsCols = Seq("ts"))
     q.awaitTermination()
     val batch = spark.read.parquet(stagedDir)
     val n = batch.count()

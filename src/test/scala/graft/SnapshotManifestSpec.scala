@@ -1,0 +1,420 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Snapshot
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-16 manifest-tier contracts, each pinned structurally:
+  *
+  *  - INCREMENTAL COMMITS: a k-file commit writes O(k + segments) bytes
+  *    (one change segment + a tiny manifest list), INDEPENDENT of how
+  *    many files the table holds — where the r15 format re-wrote the
+  *    full live listing per commit and again per rebase attempt.
+  *  - SEGMENT FOLD: past `Config.ManifestSegments` chained segments the
+  *    committing writer consolidates, so read fan-out stays bounded at
+  *    any commit rate; a pre-segment (legacy full-listing) manifest
+  *    folds in the same way on its first post-upgrade commit.
+  *  - DV THRESHOLD POLICY: `maintainDeletes` holds under policy and
+  *    fires `materializeDeletes` when the vector debt crosses it.
+  *  - DV FILE CAP: a wide merge-on-read predicate packs its vector into
+  *    ceil(n / cap) sidecar files — no single-task funnel.
+  *  - RETENTION: keep-last-N and keep-age COMPOSE (either retains);
+  *    expired versions stop resolving and restore refuses them.
+  *  - CDC CONSUMER: persisted offsets advance bootstrap → delta →
+  *    caught-up, and degrade to resync across a rewrite.
+  *  - MULTI-COLUMN STATS: a two-column range conjunction plans a file
+  *    subset STRICTLY smaller than either single-column plan.
+  */
+class SnapshotManifestSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** `nFiles` single-row files across 3 partitions. */
+  private def buildLayout(nFiles: Int, prefix: String): String = {
+    import spark.implicits._
+    val path = s"${tmp(prefix)}/events_by_date"
+    (0 until nFiles).map { i =>
+      (i.toLong, (i % 5).toLong, i.toLong, f"2024-01-0${i % 3 + 1}%d")
+    }.toDF("event_id", "user_id", "ts_ms", "event_date")
+      .repartition(nFiles)
+      .write.partitionBy("event_date").parquet(path)
+    path
+  }
+
+  private def manifestFile(path: String, v: Long): java.io.File =
+    new java.io.File(f"$path/_manifests/m-$v%012d")
+
+  private def manifestLinesOf(path: String, v: Long): Seq[String] =
+    scala.io.Source.fromFile(manifestFile(path, v)).getLines().toSeq
+
+  private def segLinesOf(path: String, seg: String): Seq[String] =
+    scala.io.Source.fromFile(new java.io.File(s"$path/_manifests/$seg"))
+      .getLines().toSeq
+
+  private def refsOf(path: String, v: Long): Seq[String] =
+    manifestLinesOf(path, v).filter(_.startsWith("@")).map(_.stripPrefix("@"))
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("event_id").collect().map(_.getLong(0)).toSet
+
+  // -----------------------------------------------------------------
+  // Incremental commits: O(k), not O(live files)
+  // -----------------------------------------------------------------
+
+  test("a 1-file append writes a 1-line segment + a ref-only list, INDEPENDENT of table size") {
+    import spark.implicits._
+    def appendCost(nFiles: Int, tag: String): (Long, Long, Int, Int) = {
+      val path = buildLayout(nFiles, s"graft-okcommit-$tag")
+      assert(Snapshot.init(spark, path, "event_date") == 1L)
+      val refsBefore = refsOf(path, 1L)
+      Snapshot.append(spark, path, "event_date",
+        Seq((9999L, 1L, 9999L, "2024-01-01"))
+          .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+      val lines = manifestLinesOf(path, 2L)
+      // the manifest LIST carries headers + segment refs only — never a
+      // file entry (the full listing lives in the immutable segments)
+      assert(lines.forall(l => l.startsWith("#") || l.startsWith("@")),
+        s"manifest list leaked entry lines: ${lines.mkString(" | ")}")
+      val refs = refsOf(path, 2L)
+      assert(refs.size == refsBefore.size + 1,
+        "append should chain exactly one new segment onto the list")
+      val newSeg = refs.filterNot(refsBefore.toSet).head
+      val segLines = segLinesOf(path, newSeg)
+      (manifestFile(path, 2L).length(),
+        new java.io.File(s"$path/_manifests/$newSeg").length(),
+        segLines.size, segLines.count(_.startsWith("+")))
+    }
+    val (listSmall, segSmall, nSmall, addsSmall) = appendCost(4, "small")
+    val (listBig, segBig, nBig, addsBig) = appendCost(16, "big")
+    // the k-file commit's segment names exactly its k adds — both stores
+    assert(nSmall == 1 && addsSmall == 1, s"small-store segment: $nSmall lines")
+    assert(nBig == 1 && addsBig == 1, s"big-store segment: $nBig lines")
+    // and the BYTES written are the same whether the table holds 4 files
+    // or 16 — the old format's manifest grew with the live listing
+    assert(segBig == segSmall,
+      s"segment bytes grew with table size: $segSmall -> $segBig")
+    assert(listBig == listSmall,
+      s"manifest-list bytes grew with table size: $listSmall -> $listBig")
+  }
+
+  test("segment chain folds past Config.ManifestSegments; file algebra survives the fold") {
+    val path = buildLayout(4, "graft-fold")
+    Snapshot.init(spark, path, "event_date")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val initFiles = Snapshot.currentFiles(spark, path)._2.toSet
+    // drive the manifest algebra directly (private[graft] commit) — the
+    // fold is manifest-tier behavior, no data bytes needed: each commit
+    // adds one synthetic entry, one removes an EARLIER synthetic entry
+    val n = graft.Config.ManifestSegments + 6
+    var v = 1L
+    (1 to n).foreach { i =>
+      val removed =
+        if (i == n) Set(s"event_date=2024-01-01/fake-1.parquet")
+        else Set.empty[String]
+      v = Snapshot.commit(fs, root, Some(v), removed,
+        Seq(s"event_date=2024-01-01/fake-$i.parquet"), Map("op" -> "append"))
+    }
+    val refCounts = (1L to v).map(refsOf(path, _).size)
+    // the chain grew to the threshold, then consolidated to ONE segment
+    assert(refCounts.max == graft.Config.ManifestSegments,
+      s"chain never reached the fold threshold: max=${refCounts.max}")
+    assert(refCounts.zipWithIndex.exists { case (c, i) => i > 0 && c == 1 },
+      s"no fold observed in ref counts: ${refCounts.mkString(",")}")
+    // last version's refs are small again (chain restarted after fold)
+    assert(refsOf(path, v).size <= graft.Config.ManifestSegments)
+    // the resolved live set is exactly the add/remove algebra's answer,
+    // through every fold
+    val expected = initFiles ++
+      (1 to n).map(i => s"event_date=2024-01-01/fake-$i.parquet") -
+      "event_date=2024-01-01/fake-1.parquet"
+    assert(Snapshot.currentFiles(spark, path)._2.toSet == expected)
+  }
+
+  test("a legacy full-listing manifest reads and upgrades on its first commit") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-legacy")
+    // hand-write the r15 manifest format: header + verbatim entry lines
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(root).toString
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("event_date="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
+      .filter(_.endsWith(".parquet")).sorted
+    assert(entries.nonEmpty)
+    val mdir = new org.apache.hadoop.fs.Path(path, "_manifests")
+    fs.mkdirs(mdir)
+    val m1 = new org.apache.hadoop.fs.Path(path, f"_manifests/m-${1L}%012d")
+    val out = fs.create(m1, false)
+    try out.write(("#op=init\n#ts=1\n" + entries.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // legacy body reads as-is
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    assert(before.size == 4)
+    // first post-upgrade commit folds the verbatim body into a segment
+    Snapshot.append(spark, path, "event_date",
+      Seq((77L, 1L, 77L, "2024-01-02"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+    val lines = manifestLinesOf(path, 2L)
+    assert(lines.forall(l => l.startsWith("#") || l.startsWith("@")),
+      "legacy body survived the upgrade commit un-folded")
+    assert(ids(Snapshot.readSnapshot(spark, path)) == before + 77L)
+  }
+
+  // -----------------------------------------------------------------
+  // Deletion vectors: threshold policy + file cap
+  // -----------------------------------------------------------------
+
+  test("maintainDeletes holds under policy, FIRES past maxVectors, and the fold retires the debt") {
+    val path = buildLayout(12, "graft-dvpolicy")
+    Snapshot.init(spark, path, "event_date")
+    val total = ids(Snapshot.readSnapshot(spark, path))
+    Snapshot.deleteWhereMoR(spark, path, "event_date", col("user_id") === 1L)
+    val (a1, f1) = Snapshot.maintainDeletes(spark, path, "event_date",
+      maxVectors = 2L, maxReferencedShare = 1.0, sortCols = Seq("ts_ms"))
+    assert(a1.vectors == 1L && !f1, s"policy fired early: $a1")
+    Snapshot.deleteWhereMoR(spark, path, "event_date", col("user_id") === 2L)
+    val (a2, f2) = Snapshot.maintainDeletes(spark, path, "event_date",
+      maxVectors = 2L, maxReferencedShare = 1.0, sortCols = Seq("ts_ms"))
+    assert(a2.vectors == 2L && !f2, s"policy fired at the boundary: $a2")
+    Snapshot.deleteWhereMoR(spark, path, "event_date", col("user_id") === 3L)
+    val (a3, f3) = Snapshot.maintainDeletes(spark, path, "event_date",
+      maxVectors = 2L, maxReferencedShare = 1.0, sortCols = Seq("ts_ms"))
+    assert(a3.vectors == 3L && f3,
+      s"policy must fire past maxVectors=2: audit=$a3 folded=$f3")
+    // the audit returned is the PRE-fold debt; post-fold the store is clean
+    assert(a3.hiddenRows > 0L && a3.referencedFiles > 0L)
+    val end = Snapshot.dvAudit(spark, path)
+    assert(end.vectors == 0L && end.hiddenRows == 0L, s"fold left debt: $end")
+    // and the fold changed no live data
+    val expect = total.filterNot { id =>
+      Set(1L, 2L, 3L).contains(id % 5)
+    }
+    assert(ids(Snapshot.readSnapshot(spark, path)) == expect)
+  }
+
+  test("referencedShare alone triggers the fold: one vector touching most files") {
+    val path = buildLayout(8, "graft-dvshare")
+    Snapshot.init(spark, path, "event_date")
+    // user_id spreads across files — one delete references many of them
+    Snapshot.deleteWhereMoR(spark, path, "event_date", col("user_id") <= 2L)
+    val audit = Snapshot.dvAudit(spark, path)
+    assert(audit.referencedShare > 0.25,
+      s"fixture must exceed the share threshold: $audit")
+    val (_, fired) = Snapshot.maintainDeletes(spark, path, "event_date",
+      maxVectors = 100L, maxReferencedShare = 0.25, sortCols = Seq("ts_ms"))
+    assert(fired, "high referencedShare must trigger the fold on its own")
+    assert(Snapshot.dvAudit(spark, path).vectors == 0L)
+  }
+
+  test("a WIDE MoR predicate packs its vector into ceil(n/cap) files — no single-task funnel") {
+    val path = buildLayout(12, "graft-dvcap")
+    Snapshot.init(spark, path, "event_date")
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    // table-wide predicate: 12 single-row files → 12 matched rows; cap 5
+    // → ceil(12/5) = 3 vector files (the r15 repartition(1) write split)
+    val (_, n) = Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("event_id") >= 0L, vectorRowCap = 5L)
+    assert(n == 12L)
+    val audit = Snapshot.dvAudit(spark, path)
+    assert(audit.vectors == 3L,
+      s"expected ceil(12/5)=3 vector files, got ${audit.vectors}")
+    assert(audit.hiddenRows == 12L)
+    assert(ids(Snapshot.readSnapshot(spark, path)).isEmpty,
+      "split vectors must hide exactly the matched rows")
+    assert(before.size == 12)
+    // the pure arithmetic, pinned at its edges
+    assert(Snapshot.vectorFileCount(1L, 10L) == 1)
+    assert(Snapshot.vectorFileCount(10L, 10L) == 1)
+    assert(Snapshot.vectorFileCount(11L, 10L) == 2)
+    assert(Snapshot.vectorFileCount(0L, 10L) == 1)
+  }
+
+  test("updateWhere honors the vector cap and stays exact across the split") {
+    val path = buildLayout(9, "graft-upcap")
+    Snapshot.init(spark, path, "event_date")
+    val (_, n) = Snapshot.updateWhere(spark, path, "event_date",
+      col("event_id") >= 0L, Map("ts_ms" -> (col("ts_ms") + lit(1000L))),
+      vectorRowCap = 4L)
+    assert(n == 9L)
+    assert(Snapshot.dvAudit(spark, path).vectors == 3L) // ceil(9/4)
+    val got = Snapshot.readSnapshot(spark, path)
+      .select("event_id", "ts_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 9 && got.forall { case (id, ts) => ts == id + 1000L },
+      "update lost or doubled rows across the vector split")
+  }
+
+  // -----------------------------------------------------------------
+  // Retention: keep-last-N + keep-age compose
+  // -----------------------------------------------------------------
+
+  test("expire retains by COUNT OR AGE; expired versions stop resolving; restore refuses them") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-retain")
+    val now = System.currentTimeMillis()
+    // pin every commit's wall-clock (caller-supplied ts wins) so the
+    // age rule cuts exactly between v2 and v3
+    Snapshot.init(spark, path, "event_date",
+      meta = Map("ts" -> (now - 20L * 86400 * 1000).toString)) // v1
+    def appendAt(id: Long, ts: Long): Long =
+      Snapshot.append(spark, path, "event_date",
+        Seq((id, 1L, id, "2024-01-01"))
+          .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1),
+        meta = Map("ts" -> ts.toString))
+    // v2 OLD (10 days ago), v3 recent (1 min), v4 recent (now): with
+    // keep=1 + keepAge=7d, v3 survives by AGE though count alone would
+    // drop it — the rules compose as a union
+    assert(appendAt(100L, now - 10L * 86400 * 1000) == 2L)
+    assert(appendAt(200L, now - 60L * 1000) == 3L)
+    assert(appendAt(300L, now) == 4L)
+    val v3Rows = ids(Snapshot.readVersion(spark, path, 3L))
+    Snapshot.expire(spark, path, "event_date",
+      keep = 1, keepAgeMs = Some(7L * 86400 * 1000))
+    val left = Snapshot.versions(spark, path)
+    assert(left == Seq(3L, 4L),
+      s"expected age to retain v3 and count to retain v4, kept: $left")
+    // retained versions still time-travel; expired ones are gone (their
+    // manifest file no longer exists) and restore refuses them
+    assert(ids(Snapshot.readVersion(spark, path, 3L)) == v3Rows)
+    intercept[java.io.FileNotFoundException] {
+      Snapshot.readVersion(spark, path, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.restore(spark, path, 2L)
+    }
+    // restore to a RETAINED version still works (rollback as new commit)
+    val rv = Snapshot.restore(spark, path, 3L)
+    assert(rv == 5L)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == v3Rows)
+  }
+
+  test("readAsOf resolves the newest commit <= the asked instant; pre-table asks throw") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-asof")
+    Snapshot.init(spark, path, "event_date")
+    val t1 = Snapshot.commitTs(spark, path, 1L)
+    Snapshot.append(spark, path, "event_date",
+      Seq((500L, 1L, 500L, "2024-01-02"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+    val t2 = Snapshot.commitTs(spark, path, 2L)
+    assert(t2 > t1, "commit timestamps must be strictly monotonic")
+    // an instant between the commits resolves v1 — the append invisible
+    assert(!ids(Snapshot.readAsOf(spark, path, t2 - 1)).contains(500L))
+    assert(ids(Snapshot.readAsOf(spark, path, t2)).contains(500L))
+    assert(ids(Snapshot.readAsOf(spark, path, t2 + 1000)).contains(500L))
+    intercept[IllegalArgumentException] {
+      Snapshot.readAsOf(spark, path, t1 - 1)
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // CDC consumer: persisted offsets
+  // -----------------------------------------------------------------
+
+  test("consume advances bootstrap -> delta -> caught-up, persists its position, resyncs across a rewrite") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-consume")
+    Snapshot.init(spark, path, "event_date")
+    val group = "spec-consumer"
+    var processed = Set.empty[Long]
+    var resynced = Set.empty[Long]
+    def step(): Snapshot.ConsumeResult =
+      Snapshot.consume(spark, path, group) { delta =>
+        processed = ids(delta)
+      } { full =>
+        resynced = ids(full)
+      }
+    // first contact: full snapshot, position lands at current
+    val r1 = step()
+    assert(r1.mode == "bootstrap" && r1.toV == 1L)
+    assert(resynced.size == 4)
+    assert(Snapshot.consumerPosition(spark, path, group).contains(1L))
+    // append → delta: the feed hands EXACTLY the appended rows
+    Snapshot.append(spark, path, "event_date",
+      Seq((800L, 2L, 800L, "2024-01-03"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+    processed = Set.empty
+    val r2 = step()
+    assert(r2.mode == "delta" && r2.fromV == 1L && r2.toV == 2L)
+    assert(processed == Set(800L), s"delta fed $processed")
+    // nothing new → caught-up, no callbacks, no position write
+    processed = Set.empty; resynced = Set.empty
+    val r3 = step()
+    assert(r3.mode == "caught-up")
+    assert(processed.isEmpty && resynced.isEmpty)
+    // a rewrite in the gap → the feed refuses, consumer re-syncs FULL
+    Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms"))
+    val r4 = step()
+    assert(r4.mode == "resync" && r4.toV == 3L)
+    assert(resynced == ids(Snapshot.readSnapshot(spark, path)))
+    assert(Snapshot.consumerPosition(spark, path, group).contains(3L))
+    // the position is durable state on disk, not process memory: a
+    // "restarted" consumer (fresh position read) is simply caught up
+    assert(step().mode == "caught-up")
+  }
+
+  // -----------------------------------------------------------------
+  // Multi-column manifest stats
+  // -----------------------------------------------------------------
+
+  test("two-column range conjunction plans STRICTLY fewer files than either single-column plan") {
+    import spark.implicits._
+    val path = s"${tmp("graft-twocol")}/grid"
+    // 3×3 grid of files: file (i,j) holds a ∈ [10i, 10i+9], b ∈ [10j, 10j+9]
+    def cell(i: Int, j: Int) =
+      (0 until 10).map(k => (i * 3L + j, 10L * i + k, 10L * j + k, "2024-01-01"))
+    cell(0, 0).toDF("event_id", "a", "b", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    Snapshot.init(spark, path, "event_date", statsCols = Seq("a", "b"))
+    for (i <- 0 to 2; j <- 0 to 2; if (i, j) != (0, 0))
+      Snapshot.append(spark, path, "event_date",
+        cell(i, j).toDF("event_id", "a", "b", "event_date").coalesce(1))
+    assert(Snapshot.currentFiles(spark, path)._2.size == 9)
+    val aOnly = Snapshot.filesInRanges(spark, path, Seq(("a", 0L, 9L)))
+    val bOnly = Snapshot.filesInRanges(spark, path, Seq(("b", 0L, 9L)))
+    val both = Snapshot.filesInRanges(spark, path,
+      Seq(("a", 0L, 9L), ("b", 0L, 9L)))
+    assert(aOnly.size == 3 && bOnly.size == 3,
+      s"single-column plans: a=${aOnly.size}, b=${bOnly.size}")
+    assert(both.size == 1,
+      s"conjunction must intersect the grid to ONE file, got ${both.size}")
+    assert(both.toSet.subsetOf(aOnly.toSet) && both.toSet.subsetOf(bOnly.toSet))
+    // the pruned READ stays exact: same rows as the full read + predicate
+    val pruned = Snapshot.readSnapshotRanges(spark, path,
+        Seq(("a", 0L, 9L), ("b", 0L, 9L)))
+      .where(col("a") <= 9L && col("b") <= 9L)
+    val full = Snapshot.readSnapshot(spark, path)
+      .where(col("a") <= 9L && col("b") <= 9L)
+    assert(ids(pruned) == ids(full))
+    assert(ids(pruned) == Set(0L))
+    // and the scan's physical inputs are exactly the planned subset
+    assert(pruned.inputFiles.length == 1,
+      s"pruned read scanned ${pruned.inputFiles.length} files")
+  }
+
+  test("an append inherits ALL declared stats columns; its files prune on the second column") {
+    import spark.implicits._
+    val path = s"${tmp("graft-statinherit")}/grid"
+    (0 until 10).map(k => (k.toLong, k.toLong, 100L + k, "2024-01-01"))
+      .toDF("event_id", "a", "b", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    Snapshot.init(spark, path, "event_date", statsCols = Seq("a", "b"))
+    Snapshot.append(spark, path, "event_date",
+      (0 until 10).map(k => (100L + k, k.toLong, 500L + k, "2024-01-01"))
+        .toDF("event_id", "a", "b", "event_date").coalesce(1))
+    // both files overlap on `a`; only the appended file covers b≥500
+    assert(Snapshot.filesInRanges(spark, path, Seq(("a", 0L, 9L))).size == 2)
+    assert(Snapshot.filesInRanges(spark, path, Seq(("b", 500L, 509L))).size == 1)
+  }
+}

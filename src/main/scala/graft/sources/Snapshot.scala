@@ -1638,36 +1638,84 @@ object Snapshot {
       base = Some(mergeBase))
   }
 
+  /** Commits a change feed may cross WITHOUT losing attribution: they
+    * re-file existing rows but change no visible row — a compaction
+    * re-clusters survivors byte-identically, and a deletion-vector
+    * materialization rewrites files to rows the vectors already hid. A
+    * feed crossing one hands the consumer exactly the gap's APPENDED
+    * files, which is still the row delta. Everything else (delete,
+    * update, mor-delete, replace, restore, merge) changes what a reader
+    * sees and forces a re-sync. */
+  private val RowPreservingOps = Set("compact", "materialize")
+
+  /** The files appended in `(fromV, toV]` when the gap is ATTRIBUTABLE —
+    * every commit is an append or row-preserving, and no gap-appended
+    * file was itself re-filed before consumption (a compaction that
+    * swallowed an unconsumed batch folds its rows in with old ones —
+    * the one case a crossable op breaks attribution, Iceberg's
+    * incremental-scan rule). Left(reason) when the consumer must
+    * re-sync. O(gap appends) manifest resolutions, all segment-cached —
+    * never a data read. */
+  private def deltaAddsInGap(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): Either[String, Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val committed = committedVersions(fs, root)
+    if (!committed.contains(fromV) || !committed.contains(toV))
+      return Left(
+        s"change feed $fromV -> $toV references uncommitted/expired " +
+        s"versions (committed: ${committed.mkString(",")})")
+    val gap = committed.filter(v => v > fromV && v <= toV)
+    val ops = gap.map(v =>
+      v -> metaOf(spark, path, v).getOrElse("op", "unknown"))
+    ops.collectFirst {
+      case (v, op) if op != "append" && !RowPreservingOps(op) =>
+        s"change feed $fromV -> $toV crosses commit v=$v (op=$op): the " +
+        "commit changes visible rows, so file-list difference no " +
+        "longer equals the row delta — re-sync from a full snapshot read"
+    } match {
+      case Some(reason) => Left(reason)
+      case None =>
+        val adds = ops.collect { case (v, "append") => v }.flatMap { v =>
+          val prev = committed.takeWhile(_ < v).last
+          (filesOf(spark, path, v).toSet --
+            filesOf(spark, path, prev).toSet).toSeq
+        }
+        val live = filesOf(spark, path, toV).toSet
+        val consumedAway = adds.filterNot(live)
+        if (consumedAway.nonEmpty) Left(
+          s"change feed $fromV -> $toV: ${consumedAway.size} file(s) " +
+          "appended in the gap were re-filed by a later rewrite before " +
+          s"consumption (${consumedAway.sorted.take(2).mkString(", ")}) — " +
+          "their rows fold in with re-filed old rows, so the feed can no " +
+          "longer attribute them — re-sync from a full snapshot read")
+        else Right(adds.sorted)
+    }
+  }
+
   /** Incremental change feed: the rows APPENDED between snapshot `fromV`
     * (exclusive) and `toV` (inclusive) — what a downstream consumer
     * (rollup maintenance, index append, replication) reads instead of
     * re-scanning the table. Sound because appends only ADD manifest
-    * entries, so file-list difference IS the row delta; a rewrite commit
-    * (compact/delete) breaks that attribution — its files carry old rows
-    * under new names — so the feed REFUSES to cross one and the consumer
-    * must re-sync from a full snapshot read (the Delta/Iceberg CDC
-    * contract at its minimum size). At 100 TB this is the difference
-    * between maintenance jobs that read one batch and jobs that re-read
-    * the table. */
+    * entries, so the union of the gap's per-append file adds IS the row
+    * delta. The feed CROSSES row-preserving maintenance (compaction,
+    * DV materialization) — routine upkeep must not force every
+    * downstream into a table re-read — but REFUSES any commit that
+    * changes visible rows (delete/update/replace/restore), and refuses
+    * when maintenance re-filed a not-yet-consumed appended batch
+    * ([[deltaAddsInGap]]); the consumer then re-syncs from a full
+    * snapshot read (the Delta/Iceberg CDC contract). At 100 TB this is
+    * the difference between maintenance jobs that read one batch and
+    * jobs that re-read the table. */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"change feed needs fromV < toV, got $fromV -> $toV")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
-    val committed = committedVersions(fs, root)
-    require(committed.contains(fromV) && committed.contains(toV),
-      s"change feed $fromV -> $toV references uncommitted/expired versions " +
-      s"(committed: ${committed.mkString(",")})")
-    committed.filter(v => v > fromV && v <= toV).foreach { v =>
-      val op = metaOf(spark, path, v).getOrElse("op", "unknown")
-      if (op != "append")
-        throw new IllegalStateException(
-          s"change feed $fromV -> $toV crosses commit v=$v (op=$op): a " +
-          "rewrite re-files existing rows, so file-list difference no " +
-          "longer equals the row delta — re-sync from a full snapshot read")
+    val added = deltaAddsInGap(spark, path, fromV, toV) match {
+      case Left(reason) => throw new IllegalStateException(reason)
+      case Right(adds) => adds
     }
-    val added = (filesOf(spark, path, toV).toSet --
-      filesOf(spark, path, fromV).toSet).toSeq.sorted
     if (added.isEmpty) readVersion(spark, path, toV).limit(0)
     else {
       // toV's recorded schema: a feed spanning a schema-evolving append
@@ -1753,15 +1801,17 @@ object Snapshot {
     *
     *  - First contact → `resync(full current snapshot)`, position
     *    bootstraps at the current version.
-    *  - Position behind, every commit in `(pos, current]` an append →
+    *  - Position behind, the gap ATTRIBUTABLE (appends plus
+    *    row-preserving maintenance — compaction / DV materialization —
+    *    that re-filed no unconsumed batch) →
     *    `process(changes(pos, current))` — O(delta batch), the whole
-    *    point at 100 TB.
-    *  - A rewrite/restore in the gap, or the position version expired →
-    *    the feed cannot attribute rows, so the graded degradation is a
-    *    FULL RE-SYNC: `resync(full current snapshot)`; the position
-    *    jumps to current. (The consumer contract every table-format CDC
-    *    reader documents: compaction crossings demand re-sync unless
-    *    row-lineage is tracked.)
+    *    point at 100 TB: routine upkeep does not force downstreams
+    *    into table re-reads.
+    *  - A row-CHANGING rewrite (delete/update/replace/restore) in the
+    *    gap, an unconsumed batch swallowed by maintenance, or the
+    *    position version expired → the feed cannot attribute rows, so
+    *    the graded degradation is a FULL RE-SYNC: `resync(full current
+    *    snapshot)`; the position jumps to current.
     *  - Nothing new → `caught-up`, no callbacks, no writes.
     *
     * Delivery contract: PROCESS-then-ADVANCE. The position write is
@@ -1787,13 +1837,12 @@ object Snapshot {
     positions.lastOption.map(_._2) match {
       case Some(p) if p >= cur => ConsumeResult("caught-up", p, p)
       case Some(p) =>
-        val committed = committedVersions(fs, root)
         // the feed is attributable iff the position version is still
-        // retained AND every commit in the gap is a pure append
-        val deltaOk = committed.contains(p) &&
-          committed.filter(v => v > p && v <= cur).forall(v =>
-            parseMeta(manifestTextFs(fs, root, v))
-              .getOrElse("op", "unknown") == "append")
+        // retained, every gap commit is an append or row-preserving
+        // maintenance, and no gap-appended batch was re-filed before
+        // this consumer read it ([[deltaAddsInGap]] — one rule for the
+        // feed and its consumers)
+        val deltaOk = deltaAddsInGap(spark, path, p, cur).isRight
         if (deltaOk) {
           process(changes(spark, path, p, cur))
           if (advancePosition(fs, root, group, nextSeq, cur, "delta"))

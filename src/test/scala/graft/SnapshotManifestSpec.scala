@@ -353,15 +353,82 @@ class SnapshotManifestSpec extends AnyFunSuite {
     val r3 = step()
     assert(r3.mode == "caught-up")
     assert(processed.isEmpty && resynced.isEmpty)
-    // a rewrite in the gap → the feed refuses, consumer re-syncs FULL
+    // ROW-PRESERVING maintenance in the gap → the feed CROSSES it: a
+    // routine compaction must not force every downstream into a table
+    // re-read (the consumed batches' files are already consumed; the
+    // compaction re-filed no unconsumed append)
     Snapshot.compact(spark, path, "event_date", 1L << 30, Seq("ts_ms"))
+    processed = Set(-1L); resynced = Set.empty
     val r4 = step()
-    assert(r4.mode == "resync" && r4.toV == 3L)
-    assert(resynced == ids(Snapshot.readSnapshot(spark, path)))
+    assert(r4.mode == "delta" && r4.toV == 3L,
+      s"compaction should be crossable, got $r4")
+    assert(processed.isEmpty && resynced.isEmpty,
+      "a compact-only gap must feed an EMPTY delta")
     assert(Snapshot.consumerPosition(spark, path, group).contains(3L))
+    // a row-CHANGING rewrite in the gap → the feed refuses, consumer
+    // re-syncs FULL
+    Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 2L, Seq("ts_ms"))
+    val r5 = step()
+    assert(r5.mode == "resync" && r5.toV == 4L)
+    assert(resynced == ids(Snapshot.readSnapshot(spark, path)))
+    assert(Snapshot.consumerPosition(spark, path, group).contains(4L))
     // the position is durable state on disk, not process memory: a
     // "restarted" consumer (fresh position read) is simply caught up
     assert(step().mode == "caught-up")
+  }
+
+  test("the change feed crosses compaction when no unconsumed append was re-filed — and refuses when one was") {
+    import spark.implicits._
+    val path = buildLayout(8, "graft-feedcross")
+    Snapshot.init(spark, path, "event_date") // v1
+    def delta(id: Long, date: String) = Seq((id, 9L, id, date))
+      .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)
+    // v2: append into a FRESH single-file partition — compaction (v3,
+    // multi-file dirs only) cannot touch it; v4: another fresh append
+    Snapshot.append(spark, path, "event_date", delta(9001L, "2024-01-05"))
+    assert(Snapshot.compact(spark, path, "event_date", 1L << 30,
+      Seq("ts_ms")).nonEmpty, "fixture must actually compact something")
+    Snapshot.append(spark, path, "event_date", delta(9002L, "2024-01-06"))
+    // the feed attributes ACROSS the compaction: exactly the two appends
+    assert(ids(Snapshot.changes(spark, path, 1L, 4L)) == Set(9001L, 9002L))
+    // and stays exact on the sub-windows around it
+    assert(ids(Snapshot.changes(spark, path, 2L, 4L)) == Set(9002L))
+    assert(Snapshot.changes(spark, path, 2L, 3L).count() == 0L)
+    // DV materialization is row-preserving too: hide a row (consumer
+    // position pinned AFTER the mor-delete), then materialize + append
+    Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("event_id") === 9001L) // v5
+    Snapshot.materializeDeletes(spark, path, "event_date", Seq("ts_ms")) // v6
+    Snapshot.append(spark, path, "event_date", delta(9003L, "2024-01-07")) // v7
+    assert(ids(Snapshot.changes(spark, path, 5L, 7L)) == Set(9003L),
+      "materialize must be crossable: visible rows did not change")
+    // now the breaking case: an append into an EXISTING multi-file
+    // partition, compacted away BEFORE the consumer read it — its rows
+    // folded in with re-filed old rows, attribution is gone
+    Snapshot.append(spark, path, "event_date", delta(9004L, "2024-01-01")) // v8
+    Snapshot.append(spark, path, "event_date", delta(9005L, "2024-01-01")) // v9
+    assert(Snapshot.compact(spark, path, "event_date", 1L << 30,
+      Seq("ts_ms")).nonEmpty) // v10 — swallows the v8/v9 files
+    val ex = intercept[IllegalStateException](
+      Snapshot.changes(spark, path, 7L, 10L))
+    assert(ex.getMessage.contains("re-filed by a later rewrite"),
+      s"wrong refusal: ${ex.getMessage}")
+    // a consumer parked at v7 degrades to resync, then rides deltas again
+    val group = "cross-compaction"
+    var mode = ""
+    // park the position at v7 by bootstrapping BEFORE v8 would be ideal;
+    // simulate the parked consumer with the direct feed probe instead:
+    // consume() itself must choose resync over the broken window
+    Snapshot.append(spark, path, "event_date", delta(9006L, "2024-01-08")) // v11
+    Snapshot.consume(spark, path, group) { _ => mode = "delta" } { _ =>
+      mode = "bootstrap"
+    }
+    assert(mode == "bootstrap")
+    Snapshot.append(spark, path, "event_date", delta(9007L, "2024-01-09"))
+    var fed = Set.empty[Long]
+    val r = Snapshot.consume(spark, path, group) { d => fed = ids(d) } { _ => }
+    assert(r.mode == "delta" && fed == Set(9007L))
   }
 
   // -----------------------------------------------------------------

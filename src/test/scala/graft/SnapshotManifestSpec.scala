@@ -431,6 +431,68 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(r.mode == "delta" && fed == Set(9007L))
   }
 
+  test("two same-group instances racing one delta: exactly one advances, the other learns lost-race") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-consumerace")
+    Snapshot.init(spark, path, "event_date")
+    val group = "raced"
+    Snapshot.consume(spark, path, group)(_ => ())(_ => ()) // bootstrap @ v1
+    Snapshot.append(spark, path, "event_date",
+      Seq((900L, 1L, 900L, "2024-01-02"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+    // barrier INSIDE the process callback: both instances are guaranteed
+    // past the position read and mid-delta before either advances — the
+    // at-least-once-process window, forced
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val modes = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        val r = Snapshot.consume(spark, path, group) { delta =>
+          delta.count(): Unit // both instances do the redundant work
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+        } { _ => fail("no instance should resync an append-only gap") }
+        modes.add(r.mode): Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(modes.toArray.toSet == Set("delta", "lost-race"),
+      s"expected exactly one winner, got ${modes.toArray.mkString(",")}")
+    // the position advanced EXACTLY once — seq files are the audit trail
+    assert(Snapshot.consumerPosition(spark, path, group).contains(2L))
+    val posDir = new java.io.File(s"$path/_consumers/$group")
+    assert(posDir.listFiles().count(_.getName.startsWith("p-")) == 2,
+      "exactly one advancement per consumed state (bootstrap + delta)")
+  }
+
+  test("a consumer whose position version was EXPIRED degrades to resync, then rides deltas again") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-consumerexp")
+    Snapshot.init(spark, path, "event_date")
+    val group = "behind"
+    Snapshot.consume(spark, path, group)(_ => ())(_ => ()) // position @ v1
+    def delta(id: Long) = Seq((id, 1L, id, "2024-01-02"))
+      .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)
+    Snapshot.append(spark, path, "event_date", delta(910L)) // v2
+    Snapshot.append(spark, path, "event_date", delta(920L)) // v3
+    // retention sweeps v1/v2 while the consumer is parked at v1 — the
+    // gap's commits are all appends, but the BASE version is gone, so
+    // attribution is impossible and the contract is a full re-sync
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(Snapshot.versions(spark, path) == Seq(3L))
+    var resynced = Set.empty[Long]
+    val r = Snapshot.consume(spark, path, group)(
+      _ => fail("must not claim a delta from an expired base"))(
+      full => resynced = ids(full))
+    assert(r.mode == "resync" && r.toV == 3L)
+    assert(resynced == ids(Snapshot.readSnapshot(spark, path)))
+    // and the group is healthy again: next append rides the delta path
+    Snapshot.append(spark, path, "event_date", delta(930L))
+    var fed = Set.empty[Long]
+    assert(Snapshot.consume(spark, path, group)(d => fed = ids(d))(
+      _ => fail("caught-up consumer must not resync")).mode == "delta")
+    assert(fed == Set(930L))
+  }
+
   // -----------------------------------------------------------------
   // Multi-column manifest stats
   // -----------------------------------------------------------------

@@ -1949,6 +1949,94 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q69 — the FULL-FIDELITY CHANGE DATA FEED graded through the hash
+  // gate: Snapshot.changeDiff is the feed that crosses ANY commit (q57's
+  // append feed refuses row-changing rewrites; q65's consumer degrades
+  // to a full resync there). The store lives one realistic table life —
+  // v1 base cohort, v2 append, v3 merge-on-read delete (forget-user),
+  // v4 merge-on-read UPDATE (value correction), v5 materialize, v6
+  // compact — and ONE changeDiff(v1 → current) must emit EXACTLY the
+  // logical change: the appended cohort inserted (minus the forgotten
+  // user, with the corrected user's new values), the forgotten user's
+  // base rows deleted, and the corrected user's base rows as
+  // delete(old image) + insert(new image) pairs — while the
+  // materialize and compact re-filings CANCEL to nothing. The oracle is
+  // DuckDB's own EXCEPT ALL both ways between the base and final
+  // cohorts, so a diff that leaks a re-filed row, drops a change, or
+  // collapses bag multiplicity cannot hash-match. Cost shape at 100 TB:
+  // O(changed + re-filed rows) read, one shuffle at diff grain — never
+  // a full-table diff.
+  // ---------------------------------------------------------------------
+  private val CdfDelUser = 11L
+  private val CdfUpdUser = 12L
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_cdf/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"), pmod(col("event_id"), lit(2)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date"): Unit
+    }
+    // version-guarded table life: a rerun at the terminal version
+    // replays nothing and recomputes the same diff (idempotent)
+    if (Snapshot.currentVersion(s, path).contains(1L))
+      Snapshot.append(s, path, "event_date", events.where(cohort === 2),
+        Map("source" -> "growth")): Unit
+    if (Snapshot.currentVersion(s, path).contains(2L))
+      Snapshot.deleteWhereMoR(s, path, "event_date",
+        col("user_id") === CdfDelUser): Unit
+    if (Snapshot.currentVersion(s, path).contains(3L))
+      Snapshot.updateWhere(s, path, "event_date",
+        col("user_id") === CdfUpdUser,
+        Map("value" -> (col("value") * 2))): Unit
+    if (Snapshot.currentVersion(s, path).contains(4L))
+      Snapshot.materializeDeletes(s, path, "event_date", Seq("ts")): Unit
+    if (Snapshot.currentVersion(s, path).contains(5L))
+      Snapshot.compact(s, path, "event_date", 1L << 30, Seq("ts")): Unit
+    val cur = Snapshot.currentVersion(s, path).get
+    require(cur >= 5L, s"table life incomplete: at v=$cur")
+    // ts graded as TIMESTAMP_NTZ: the only query emitting a RAW
+    // timestamp column — Spark stores it tz-adjusted (LTZ), DuckDB's
+    // oracle table is naive; with the session pinned UTC the NTZ cast
+    // is the identity rendering on both sides
+    Snapshot.changeDiff(s, path, 1L, cur)
+      .select(col("event_id"),
+        col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"),
+        col("value"), col("props"), col("event_date"), col("_change_type"))
+      .orderBy(col("event_id"), col("_change_type"))
+  }
+  private val q69Sql =
+    s"""WITH base AS (
+       |  SELECT event_id, ts, user_id, event_type, value, props,
+       |         CAST(ts AS DATE) AS event_date
+       |  FROM events WHERE event_id % 4 IN (0, 1)
+       |), fin AS (
+       |  SELECT event_id, ts, user_id, event_type,
+       |         CASE WHEN user_id = $CdfUpdUser THEN value * 2
+       |              ELSE value END AS value,
+       |         props, CAST(ts AS DATE) AS event_date
+       |  FROM events
+       |  WHERE event_id % 4 IN (0, 1, 2) AND user_id <> $CdfDelUser
+       |)
+       |SELECT *, 'insert' AS _change_type
+       |FROM (SELECT * FROM fin EXCEPT ALL SELECT * FROM base)
+       |UNION ALL
+       |SELECT *, 'delete' AS _change_type
+       |FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM fin)
+       |ORDER BY event_id, _change_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -1990,5 +2078,6 @@ object Analytics {
     // timed run would mostly measure the corpus rebuild — q55/q61/q64
     // already bench the table-format ops against a reusable store
     QueryDef("q67_dv_audit_fold", q67, Some(q67Sql)),
-    QueryDef("q68_timestamp_time_travel", q68, Some(q68Sql)))
+    QueryDef("q68_timestamp_time_travel", q68, Some(q68Sql)),
+    QueryDef("q69_change_data_feed", q69, Some(q69Sql), headline = true))
 }

@@ -1727,6 +1727,113 @@ object Snapshot {
     }
   }
 
+  /** FULL-FIDELITY CHANGE DATA FEED: the visible-row multiset
+    * difference between two snapshots, one row per net change with
+    * `_change_type` `insert` | `delete` — the feed that crosses ANY
+    * commit, where [[changes]] (append attribution) refuses row-changing
+    * rewrites. An UPDATE surfaces as its old image deleted + its new
+    * image inserted; a compaction surfaces as NOTHING (re-filed
+    * identical rows cancel); a delete as its rows deleted.
+    *
+    * Never a table read. Both versions resolve from one manifest read
+    * each; the diff touches only
+    *  - files ADDED between the versions (their toV-visible rows are
+    *    candidate inserts),
+    *  - files REMOVED (their fromV-visible rows are candidate deletes),
+    *  - deletion-vector DELTAS on files retained in both (newly hidden
+    *    pairs fetch as deletes; un-hidden pairs — a restore dropping a
+    *    vector — fetch as inserts),
+    * then cancels identical candidates by bag difference (group by full
+    * row content, net count, re-emit |net| copies — `EXCEPT ALL` both
+    * directions in one aggregation). Cost: O(re-filed + changed rows)
+    * read + one shuffle at diff grain; a compaction-heavy gap reads its
+    * re-filed bytes but emits zero rows, and the output is always
+    * exactly the logical change. Rows read under toV's recorded schema
+    * on BOTH sides, so a schema-evolving gap diffs NULL-filled old rows
+    * consistently (an old row unchanged by the gap still cancels).
+    *
+    * This is the degraded-path upgrade for CDC consumers: where
+    * [[consume]] re-syncs O(table), a caller needing row-grain deltas
+    * across a delete/update/restore pays O(changed) here instead. */
+  def changeDiff(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV < toV, s"change diff needs fromV < toV, got $fromV -> $toV")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val qualified = fsOf(spark, root).makeQualified(root).toString
+    val (metaTo, linesTo) = stateOf(spark, path, toV)
+    val (_, linesFrom) = stateOf(spark, path, fromV)
+    val filesTo = linesTo.filterNot(isDeleteEntry).map(pathOf).toSet
+    val filesFrom = linesFrom.filterNot(isDeleteEntry).map(pathOf).toSet
+    val dvTo = linesTo.filter(isDeleteEntry).map(pathOf).toSet
+    val dvFrom = linesFrom.filter(isDeleteEntry).map(pathOf).toSet
+    val retained = filesFrom & filesTo
+    def readRows(files: Seq[String]): DataFrame = {
+      val reader = spark.read.option("basePath", qualified)
+      recordedSchema(metaTo).fold(reader)(reader.schema)
+        .parquet(files.map(f => s"$qualified/$f"): _*)
+    }
+    def readPairs(dvFiles: Set[String]): DataFrame =
+      spark.read.parquet(dvFiles.toSeq.sorted.map(f => s"$qualified/$f"): _*)
+        .select(col("dv_file"), col("dv_pos"))
+    val empty = readRows(filesTo.toSeq.sorted).limit(0)
+    // the rows a pair set names, fetched from RETAINED files only (a
+    // pair on an added/removed file is already covered by the file
+    // diff); O(referenced files) driver list, O(pair rows) join
+    def fetchPairRows(pairs: DataFrame): DataFrame = {
+      val refs = pairs.select(col("dv_file")).distinct().collect()
+        .map(_.getString(0)).filter(retained).toSeq.sorted
+      if (refs.isEmpty) empty
+      else {
+        val keyCols = dvKeyCols(qualified)
+        val keyed = readRows(refs)
+          .withColumn("__dv_file", keyCols(0))
+          .withColumn("__dv_pos", keyCols(1))
+        keyed.join(pairs,
+            keyed("__dv_file") === pairs("dv_file") &&
+              keyed("__dv_pos") === pairs("dv_pos"), "left_semi")
+          .drop("__dv_file", "__dv_pos")
+      }
+    }
+    val addedFiles = (filesTo -- filesFrom).toSeq.sorted
+    val removedFiles = (filesFrom -- filesTo).toSeq.sorted
+    val dvNew = dvTo -- dvFrom
+    val dvGone = dvFrom -- dvTo
+    val plusNew =
+      if (addedFiles.isEmpty) empty
+      else applyDeletes(spark, qualified, readRows(addedFiles),
+        dvTo.toSeq.sorted)
+    val unHidden =
+      if (dvGone.isEmpty) empty
+      else {
+        val pairs = readPairs(dvGone)
+        // a pair re-covered by a toV vector is still hidden, not a change
+        fetchPairRows(
+          if (dvTo.isEmpty) pairs
+          else pairs.join(readPairs(dvTo), Seq("dv_file", "dv_pos"),
+            "left_anti"))
+      }
+    val minusOld =
+      if (removedFiles.isEmpty) empty
+      else applyDeletes(spark, qualified, readRows(removedFiles),
+        dvFrom.toSeq.sorted)
+    val newlyHidden =
+      if (dvNew.isEmpty) empty else fetchPairRows(readPairs(dvNew))
+    val dataCols = empty.columns.toSeq
+    val weighted = plusNew.unionByName(unHidden)
+      .withColumn("__w", lit(1L))
+      .unionByName(minusOld.unionByName(newlyHidden)
+        .withColumn("__w", lit(-1L)))
+    import org.apache.spark.sql.functions.{abs, array_repeat, explode}
+    weighted.groupBy(dataCols.map(col): _*)
+      .agg(sum(col("__w")).as("__net"))
+      .where(col("__net") =!= 0L)
+      .withColumn("_change_type",
+        when(col("__net") > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__rep",
+        explode(array_repeat(lit(1), abs(col("__net")).cast("int"))))
+      .drop("__net", "__rep")
+  }
+
   private val ConsumersDir = "_consumers"
 
   /** What one [[consume]] call did: `mode` is `bootstrap` (first contact

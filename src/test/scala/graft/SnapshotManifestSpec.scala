@@ -431,6 +431,64 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(r.mode == "delta" && fed == Set(9007L))
   }
 
+  test("changeDiff: inserts/deletes across append, compact, MoR delete, update, materialize, restore") {
+    import spark.implicits._
+    val path = buildLayout(6, "graft-cdf")
+    Snapshot.init(spark, path, "event_date") // v1
+    def changes(a: Long, b: Long): Set[(Long, Long, String)] =
+      Snapshot.changeDiff(spark, path, a, b)
+        .select("event_id", "ts_ms", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    Snapshot.append(spark, path, "event_date",
+      Seq((100L, 9L, 100L, "2024-01-05"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)) // v2
+    assert(changes(1L, 2L) == Set((100L, 100L, "insert")))
+    assert(Snapshot.compact(spark, path, "event_date", 1L << 30,
+      Seq("ts_ms")).nonEmpty) // v3
+    // a compaction is INVISIBLE to the diff: re-filed identical rows
+    // cancel — and the diff still attributes the append through it
+    assert(changes(2L, 3L).isEmpty)
+    assert(changes(1L, 3L) == Set((100L, 100L, "insert")))
+    Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("event_id") === 2L) // v4 — a DV delta on a RETAINED file
+    assert(changes(3L, 4L) == Set((2L, 2L, "delete")))
+    Snapshot.updateWhere(spark, path, "event_date",
+      col("event_id") === 3L,
+      Map("ts_ms" -> (col("ts_ms") + lit(1000L)))) // v5
+    assert(changes(4L, 5L) ==
+      Set((3L, 3L, "delete"), (3L, 1003L, "insert")),
+      "an update must surface as old image deleted + new image inserted")
+    Snapshot.materializeDeletes(spark, path, "event_date", Seq("ts_ms")) // v6
+    assert(changes(5L, 6L).isEmpty,
+      "materialization changes no visible row — the diff must be empty")
+    // end-to-end: one call over the whole mixed gap
+    assert(changes(1L, 6L) == Set(
+      (100L, 100L, "insert"), (2L, 2L, "delete"),
+      (3L, 3L, "delete"), (3L, 1003L, "insert")))
+    // restore to the pre-update state re-references v4's files AND its
+    // deletion vector: the diff reverts the update (and exercises the
+    // re-referenced-vector handling on both sides)
+    Snapshot.restore(spark, path, 4L) // v7
+    assert(changes(6L, 7L) ==
+      Set((3L, 1003L, "delete"), (3L, 3L, "insert")))
+  }
+
+  test("changeDiff is a BAG difference: one of two identical rows dropped = exactly one delete") {
+    import spark.implicits._
+    val path = s"${tmp("graft-cdfbag")}/layout"
+    val dup = Seq((1L, 7L, 42L, "2024-01-01"), (1L, 7L, 42L, "2024-01-01"))
+      .toDF("event_id", "user_id", "ts_ms", "event_date")
+    dup.coalesce(1).write.partitionBy("event_date").parquet(path)
+    Snapshot.init(spark, path, "event_date") // v1: the SAME row twice
+    Snapshot.replacePartitions(spark, path, "event_date",
+      dup.limit(1).coalesce(1)) // v2: one copy survives
+    val diff = Snapshot.changeDiff(spark, path, 1L, 2L)
+      .select("event_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(diff.toSeq == Seq((1L, "delete")),
+      s"net multiset delta must be ONE delete, got ${diff.mkString(",")}")
+  }
+
   test("two same-group instances racing one delta: exactly one advances, the other learns lost-race") {
     import spark.implicits._
     val path = buildLayout(4, "graft-consumerace")

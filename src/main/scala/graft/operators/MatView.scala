@@ -825,6 +825,125 @@ object MatView {
       .orderBy(col("event_date"))
   }
 
+  // ---------------------------------------------------------------------
+  // q70 — the RETRACTABLE rollup consumer on the TYPED change feed:
+  // q65's consumer must full-resync across any row-changing rewrite;
+  // this one never re-reads the table. Snapshot.consumeChanges hands it
+  // insert/delete-typed frames — append gaps as inserts (O(batch)), a
+  // merge-on-read forget-user as changeDiff retractions (O(changed
+  // rows)) — and the downstream keeps purely ADDITIVE partials
+  // (count, exact-decimal sum) that apply a delete as subtraction.
+  // The table life: bootstrap → delta → delta → FORGET-USER (diff,
+  // the retraction) → delta (healthy again) → caught-up replay; the
+  // final rollup is graded against full-corpus SQL on the end-state
+  // cohort, so a consumer that misses a retraction, double-applies
+  // one, or corrupts a count on the diff path cannot hash-match.
+  // Every step is a fresh consumeChanges call from the persisted
+  // position (each one IS a restart); applies are keyed (group, toV)
+  // — the same exactly-once formula as q65.
+  // ---------------------------------------------------------------------
+  private val Q70DelUser = 11L
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val group = "retractable-rollup"
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val root = s"${Sink.artifactRoot}/events_cdcdiff/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, root).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0)
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(root)
+      Snapshot.init(s, root, "event_date"): Unit
+    }
+    // signed additive partials: insert = +1, delete = -1 — a retraction
+    // is just negative weight, so delta and diff frames share ONE apply
+    // path (the downstream never knows which mode fed it)
+    def signed(ch: DataFrame): DataFrame = {
+      val w = when(col("_change_type") === lit("insert"), lit(1L))
+        .otherwise(lit(-1L))
+      ch.groupBy(col("event_date"))
+        .agg(
+          sum(w).as("n_events"),
+          sum(col("value").cast(DecimalType(28, 4)) * w).as("sum_value"))
+        .select(col("event_date"), col("n_events"),
+          col("sum_value").cast(DecimalType(28, 4)).as("sum_value"))
+    }
+    def mergeParts(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy(col("event_date"))
+        .agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_value")).as("sum_value"))
+        .select(col("event_date"), col("n_events"),
+          col("sum_value").cast(DecimalType(28, 4)).as("sum_value"))
+    def downAt(v: Long): String = s"$root-down-$group-v$v"
+    def advanceOnce(expect: String): Unit = {
+      val cur = Snapshot.currentVersion(s, root).get
+      val prev = Snapshot.consumerPosition(s, root, group)
+      val r = Snapshot.consumeChanges(s, root, group) { ch =>
+        val base = s.read.parquet(downAt(prev.getOrElse(
+          throw new IllegalStateException("apply without a position"))))
+        Sink.publishedArtifact(s, downAt(cur))(
+          mergeParts(base, signed(ch))): Unit
+      } { full =>
+        Sink.publishedArtifact(s, downAt(cur))(signed(full)): Unit
+      }
+      require(r.mode == expect,
+        s"consumeChanges step expected mode=$expect, got ${r.mode} " +
+        s"(fromV=${r.fromV}, toV=${r.toV})")
+    }
+    if (Snapshot.consumerPosition(s, root, group).isEmpty)
+      advanceOnce("bootstrap")
+    if (Snapshot.currentVersion(s, root).contains(1L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 1),
+        Map("source" -> "delta-a")): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(1L))
+      advanceOnce("delta")
+    if (Snapshot.currentVersion(s, root).contains(2L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 2),
+        Map("source" -> "delta-b")): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(2L))
+      advanceOnce("delta")
+    // forget-user lands as a merge-on-read delete: a ROW-CHANGING
+    // commit — the append feed refuses it, q65's consumer would
+    // re-read the table; this one applies O(deleted rows) retractions
+    if (Snapshot.currentVersion(s, root).contains(3L))
+      Snapshot.deleteWhereMoR(s, root, "event_date",
+        col("user_id") === Q70DelUser): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(3L))
+      advanceOnce("diff")
+    // late data after the forget-user: the consumer rides deltas again
+    if (Snapshot.currentVersion(s, root).contains(4L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 3),
+        Map("source" -> "delta-c")): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(4L))
+      advanceOnce("delta")
+    advanceOnce("caught-up")
+    val pos = Snapshot.consumerPosition(s, root, group)
+    require(pos.contains(5L), s"consumer should rest at v5, got $pos")
+    s.read.parquet(downAt(5L))
+      .where(col("n_events") > 0L)
+      .select(col("event_date"), col("n_events"),
+        col("sum_value").cast(DoubleType).as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  // the end-state cohort: everything except the forgotten user's rows —
+  // EXCEPT the user's cohort-3 rows, which arrived AFTER the forget (the
+  // late-data reality a retractable consumer has to live with)
+  private val q70Sql =
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE user_id <> $Q70DelUser OR event_id % 4 = 3
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
@@ -843,5 +962,7 @@ object MatView {
     // oracle = q44's SQL VERBATIM: the consumer-maintained downstream
     // must reproduce the full-corpus daily report exactly — bootstrap,
     // two deltas, and the rewrite-crossing re-sync all hash-graded
-    QueryDef("q65_cdc_consumer_offsets", q65, Some(q44Sql), headline = true))
+    QueryDef("q65_cdc_consumer_offsets", q65, Some(q44Sql), headline = true),
+    QueryDef("q70_retractable_rollup_consumer", q70, Some(q70Sql),
+      headline = true))
 }

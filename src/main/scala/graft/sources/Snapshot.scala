@@ -1969,6 +1969,69 @@ object Snapshot {
     }
   }
 
+  /** CONTINUOUS CHANGE CONSUMPTION for downstreams that can apply
+    * RETRACTIONS — the upgrade over [[consume]] for additive state
+    * (counts, sums, retractable rollups): `apply` always receives a
+    * TYPED change frame (the data columns plus `_change_type`
+    * insert|delete), so a row-changing rewrite costs the consumer
+    * O(changed rows) via [[changeDiff]] where [[consume]] degrades to
+    * an O(table) re-sync.
+    *
+    *  - First contact → `reset(full snapshot as inserts)` (`bootstrap`).
+    *  - Attributable gap (appends + row-preserving maintenance) →
+    *    `apply(append feed as inserts)` (`delta`) — O(batch).
+    *  - Row-CHANGING gap (delete/update/replace/restore, or maintenance
+    *    that swallowed an unconsumed batch) →
+    *    `apply(changeDiff(pos, current))` (`diff`) — O(changed rows):
+    *    deletes retract, inserts add, and the downstream never re-reads
+    *    the table.
+    *  - Position version EXPIRED → no base to diff against; the one
+    *    remaining degradation is `reset(full current snapshot as
+    *    inserts)` (`resync`) — the downstream rebuilds.
+    *  - Nothing new → `caught-up`; no callbacks, no writes.
+    *
+    * Same group/position semantics as [[consume]]: PROCESS-then-ADVANCE,
+    * at-least-once callbacks, exactly-once advancement
+    * ([[advancePosition]]), `lost-race` when a same-group twin advanced
+    * first. Key downstream writes by `(group, toV)` for end-to-end
+    * exactly-once. */
+  def consumeChanges(spark: SparkSession, path: String, group: String)(
+      apply: DataFrame => Unit)(
+      reset: DataFrame => Unit): ConsumeResult = {
+    require(group.nonEmpty && !group.contains("/"),
+      s"consumer group must be a plain name, got '$group'")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $path — nothing to consume"))
+    val positions = posFiles(fs, root, group)
+    val nextSeq = positions.lastOption.map(_._1 + 1).getOrElse(1L)
+    def asInserts(df: DataFrame): DataFrame =
+      df.withColumn("_change_type", lit("insert"))
+    positions.lastOption.map(_._2) match {
+      case Some(p) if p >= cur => ConsumeResult("caught-up", p, p)
+      case Some(p) if !committedVersions(fs, root).contains(p) =>
+        reset(asInserts(readVersion(spark, path, cur)))
+        if (advancePosition(fs, root, group, nextSeq, cur, "resync"))
+          ConsumeResult("resync", p, cur)
+        else ConsumeResult("lost-race", p, cur)
+      case Some(p) =>
+        val attributable = deltaAddsInGap(spark, path, p, cur).isRight
+        val mode = if (attributable) "delta" else "diff"
+        if (attributable) apply(asInserts(changes(spark, path, p, cur)))
+        else apply(changeDiff(spark, path, p, cur))
+        if (advancePosition(fs, root, group, nextSeq, cur, mode))
+          ConsumeResult(mode, p, cur)
+        else ConsumeResult("lost-race", p, cur)
+      case None =>
+        reset(asInserts(readVersion(spark, path, cur)))
+        if (advancePosition(fs, root, group, nextSeq, cur, "bootstrap"))
+          ConsumeResult("bootstrap", 0L, cur)
+        else ConsumeResult("lost-race", 0L, cur)
+    }
+  }
+
   /** DELETION-VECTOR READ-AMPLIFICATION AUDIT — the staleness-audit
     * discipline (v24 IVF drift, v25 PQ drift, d34 BPE fertility)
     * applied to the merge-on-read debt: what does serving the current

@@ -551,6 +551,50 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(fed == Set(930L))
   }
 
+  test("consumeChanges: typed frames ride delta/diff through any commit; expired base resets") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-consumediff")
+    Snapshot.init(spark, path, "event_date")
+    val group = "typed"
+    var applied = Seq.empty[(Long, String)]
+    var resets = 0
+    def step(): Snapshot.ConsumeResult =
+      Snapshot.consumeChanges(spark, path, group) { ch =>
+        applied = ch.select("event_id", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+      } { full =>
+        resets += 1
+        assert(full.select("_change_type").distinct().collect()
+          .map(_.getString(0)).toSeq == Seq("insert"),
+          "a reset frame is the full snapshot typed as inserts")
+      }
+    assert(step().mode == "bootstrap" && resets == 1)
+    // append → delta as typed inserts
+    Snapshot.append(spark, path, "event_date",
+      Seq((700L, 9L, 700L, "2024-01-05"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+    assert(step().mode == "delta")
+    assert(applied == Seq((700L, "insert")))
+    // merge-on-read delete → the consumer APPLIES retractions where
+    // consume() would re-read the table
+    Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("event_id") === 700L)
+    assert(step().mode == "diff")
+    assert(applied == Seq((700L, "delete")))
+    // row-preserving maintenance stays a (here empty) delta
+    Snapshot.materializeDeletes(spark, path, "event_date", Seq("ts_ms"))
+    applied = Seq((-1L, "sentinel"))
+    assert(step().mode == "delta")
+    assert(applied.isEmpty)
+    // expire past the position → no base to diff against → reset
+    Snapshot.append(spark, path, "event_date",
+      Seq((701L, 9L, 701L, "2024-01-06"))
+        .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1))
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(step().mode == "resync" && resets == 2)
+    assert(step().mode == "caught-up")
+  }
+
   // -----------------------------------------------------------------
   // Multi-column manifest stats
   // -----------------------------------------------------------------

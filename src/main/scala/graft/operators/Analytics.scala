@@ -2006,24 +2006,24 @@ object Analytics {
       Snapshot.compact(s, path, "event_date", 1L << 30, Seq("ts")): Unit
     val cur = Snapshot.currentVersion(s, path).get
     require(cur >= 5L, s"table life incomplete: at v=$cur")
-    // ts graded as TIMESTAMP_NTZ: the only query emitting a RAW
-    // timestamp column — Spark stores it tz-adjusted (LTZ), DuckDB's
-    // oracle table is naive; with the session pinned UTC the NTZ cast
-    // is the identity rendering on both sides
+    // ts graded as epoch MICROS (BIGINT): the only query emitting a RAW
+    // timestamp column — Spark stores it tz-adjusted (LTZ) while the
+    // oracle table may be naive or tz-typed depending on the fixture's
+    // writer, and the integer epoch is the one rendering every
+    // combination agrees on (the session is pinned UTC)
     Snapshot.changeDiff(s, path, 1L, cur)
-      .select(col("event_id"),
-        col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"),
         col("value"), col("props"), col("event_date"), col("_change_type"))
       .orderBy(col("event_id"), col("_change_type"))
   }
   private val q69Sql =
     s"""WITH base AS (
-       |  SELECT event_id, ts, user_id, event_type, value, props,
-       |         CAST(ts AS DATE) AS event_date
+       |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       |         value, props, CAST(ts AS DATE) AS event_date
        |  FROM events WHERE event_id % 4 IN (0, 1)
        |), fin AS (
-       |  SELECT event_id, ts, user_id, event_type,
+       |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
        |         CASE WHEN user_id = $CdfUpdUser THEN value * 2
        |              ELSE value END AS value,
        |         props, CAST(ts AS DATE) AS event_date

@@ -192,6 +192,54 @@ class StreamingSpec extends AnyFunSuite {
       batch.agg(sum(col("event_id"))).head().getLong(0))
   }
 
+  test("streamed ingest feeds consumeChanges: typed deltas per micro-batch, compaction crossed, forget-user retracted") {
+    import graft.sources.Snapshot
+    val outDir = Files.createTempDirectory("graft-snapconsume-out")
+      .toFile.getAbsolutePath + "/layout"
+    val ckpt = Files.createTempDirectory("graft-snapconsume-ckpt")
+      .toFile.getAbsolutePath
+    EventStreams.ingestSnapshot(spark,
+      graft.streaming.StreamSources.FileSource(stagedDir), outDir, ckpt,
+      statsCols = Seq("ts")).awaitTermination()
+    val group = "streamed-rollup"
+    // additive downstream state, maintained ONLY from typed frames
+    var nLive = 0L
+    def applyTyped(ch: org.apache.spark.sql.DataFrame): Unit = {
+      val r = ch.agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L))).head()
+      nLive += (if (r.isNullAt(0)) 0L else r.getLong(0))
+    }
+    // bootstrap swallows whatever the stream committed
+    assert(Snapshot.consumeChanges(spark, outDir, group)(applyTyped)(
+      applyTyped).mode == "bootstrap")
+    assert(nLive == Snapshot.readSnapshot(spark, outDir).count())
+    // a late micro-batch replayed through the SAME append protocol rides
+    // the typed delta path
+    val late = Tables.load(spark, SharedSpark.sf0001, "events")
+      .limit(7).withColumn("event_id", col("event_id") + lit(10000000L))
+      .withColumn("event_date", to_date(col("ts")))
+    Snapshot.append(spark, outDir, "event_date", late)
+    assert(Snapshot.consumeChanges(spark, outDir, group)(applyTyped)(
+      _ => fail("append gap must not reset")).mode == "delta")
+    // micro-batch debris compacts; the consumer crosses it as an
+    // EMPTY delta — streamed upkeep is invisible downstream
+    assert(Snapshot.compact(spark, outDir, "event_date", 1L << 30,
+      Seq("ts")).nonEmpty)
+    assert(Snapshot.consumeChanges(spark, outDir, group)(applyTyped)(
+      _ => fail("compaction must not reset")).mode == "delta")
+    // forget-user lands as typed retractions, never a table re-read
+    val victim = Snapshot.readSnapshot(spark, outDir)
+      .select("user_id").head().getLong(0)
+    val (_, deleted) = Snapshot.deleteWhereMoR(spark, outDir, "event_date",
+      col("user_id") === victim)
+    assert(deleted > 0L)
+    assert(Snapshot.consumeChanges(spark, outDir, group)(applyTyped)(
+      _ => fail("a MoR delete must arrive as a diff, not a reset"))
+      .mode == "diff")
+    assert(nLive == Snapshot.readSnapshot(spark, outDir).count(),
+      "typed-frame accounting diverged from the served snapshot")
+  }
+
   test("snapshot ingest RESTART: same checkpoint resumes with no duplicates, new arrivals only, stable run identity") {
     import graft.sources.Snapshot
     // a source dir the test controls: first wave of files, then a

@@ -2037,6 +2037,90 @@ object Analytics {
        |FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM fin)
        |ORDER BY event_id, _change_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q71 — TAGGED-SNAPSHOT REPRODUCIBILITY graded through the hash gate:
+  // the training-data lineage primitive. The exact corpus snapshot a
+  // model trained on gets an immutable TAG at v1; the table then lives
+  // on (append, copy-on-write forget-user) and a keep-1 retention sweep
+  // runs — which WOULD retire v1 and delete its replaced files, except
+  // the tag pins them. The report reads the table BY TAG (the training
+  // set, byte-identical: the forgotten user's rows still there, the
+  // appended cohort absent) next to the current snapshot, each graded
+  // against its own cohort SQL; in-query requires pin that the sweep
+  // really ran (the untagged middle version is gone) so the tag — not
+  // a lazy expiry — is what kept the training set readable.
+  // ---------------------------------------------------------------------
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tagName = "train-corpus"
+    val tag0 = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_tagged/$tag0/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"), pmod(col("event_id"), lit(2)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date"): Unit
+    }
+    if (Snapshot.tagVersion(s, path, tagName).isEmpty)
+      Snapshot.tag(s, path, tagName, 1L)
+    if (Snapshot.currentVersion(s, path).contains(1L))
+      Snapshot.append(s, path, "event_date", events.where(cohort === 2),
+        Map("source" -> "growth")): Unit
+    if (Snapshot.currentVersion(s, path).contains(2L))
+      Snapshot.deleteWhere(s, path, "event_date",
+        col("user_id") === CdfDelUser, Seq("ts")): Unit
+    if (Snapshot.versions(s, path).size > 2)
+      Snapshot.expire(s, path, "event_date", keep = 1): Unit
+    // the sweep RAN (untagged v2 is gone) and the tag is what pinned v1
+    val vs = Snapshot.versions(s, path)
+    require(vs == Seq(1L, 3L),
+      s"expected the sweep to keep exactly {tagged v1, current v3}, got $vs")
+    require(Snapshot.tags(s, path) == Seq(tagName -> 1L),
+      s"tag listing drifted: ${Snapshot.tags(s, path)}")
+    def report(rows: DataFrame, phase: String): DataFrame =
+      rows.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("phase", lit(phase))
+    report(Snapshot.readTag(s, path, tagName), "tagged_train_corpus")
+      .unionByName(report(Snapshot.readSnapshot(s, path), "current"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+  private val q71Sql =
+    s"""SELECT 'current' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  MIN(event_id) AS min_event,
+       |  MAX(event_id) AS max_event,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE event_id % 4 IN (0, 1, 2) AND user_id <> $CdfDelUser
+       |GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'tagged_train_corpus' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  MIN(event_id) AS min_event,
+       |  MAX(event_id) AS max_event,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE event_id % 4 IN (0, 1)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2079,5 +2163,6 @@ object Analytics {
     // already bench the table-format ops against a reusable store
     QueryDef("q67_dv_audit_fold", q67, Some(q67Sql)),
     QueryDef("q68_timestamp_time_travel", q68, Some(q68Sql)),
-    QueryDef("q69_change_data_feed", q69, Some(q69Sql), headline = true))
+    QueryDef("q69_change_data_feed", q69, Some(q69Sql), headline = true),
+    QueryDef("q71_tagged_snapshot", q71, Some(q71Sql)))
 }

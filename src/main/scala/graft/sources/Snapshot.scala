@@ -2149,6 +2149,86 @@ object Snapshot {
     rows.toDF("version", "op", "n_files", "n_added", "n_removed", "meta")
   }
 
+  private val RefsDir = "_refs"
+
+  private def tagPath(root: org.apache.hadoop.fs.Path, name: String) = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    new org.apache.hadoop.fs.Path(root, s"$RefsDir/$name")
+  }
+
+  /** TAG a snapshot version under an immutable name — the
+    * reproducibility primitive a training pipeline needs: tag the exact
+    * corpus snapshot a model trained on, and [[readTag]] reproduces
+    * that training set byte-identically for as long as the tag lives,
+    * because [[expire]] RETAINS tagged versions (and their files) no
+    * matter what the count/age rules say. Tags are immutable
+    * ([[publishIfAbsent]] — racing taggers of the same name resolve to
+    * exactly one); re-tagging the SAME version is an idempotent no-op,
+    * a different version fails loudly; [[deleteTag]] releases the pin
+    * so the next sweep may retire the version. */
+  def tag(spark: SparkSession, path: String, name: String, v: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    require(committedVersions(fs, root).contains(v),
+      s"cannot tag $path@$name: v=$v is not a committed version")
+    val target = tagPath(root, name)
+    fs.mkdirs(target.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$RefsDir/.tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(s"#v=$v\n#ts=${System.currentTimeMillis()}".getBytes(Charset))
+    finally out.close()
+    val won = publishIfAbsent(fs, tmp, target)
+    fs.delete(tmp, false): Unit
+    if (!won) {
+      val existing = tagVersion(spark, path, name)
+      require(existing.contains(v),
+        s"tag '$name' on $path already names v=${existing.orNull}, " +
+        s"refusing to move it to v=$v — tags are immutable (deleteTag first)")
+    }
+  }
+
+  /** The version a tag names, if the tag exists. */
+  def tagVersion(spark: SparkSession, path: String,
+      name: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val p = tagPath(root, name)
+    if (!fs.exists(p)) None
+    else parseMeta(readSmallFile(fs, p)).get("v").map(_.toLong)
+  }
+
+  /** The table AS OF a tag — the pinned [[readVersion]] read of the
+    * tagged version. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    readVersion(spark, path, tagVersion(spark, path, name).getOrElse(
+      throw new IllegalArgumentException(s"no tag '$name' on $path")))
+
+  /** All tags on the layout: (name, version), name-sorted. */
+  def tags(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(root, RefsDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map { s =>
+        s.getPath.getName ->
+          parseMeta(readSmallFile(fs, s.getPath)).getOrElse("v",
+            throw new IllegalStateException(
+              s"tag file ${s.getPath} lacks a version")).toLong
+      }
+      .sortBy(_._1)
+  }
+
+  /** Remove a tag, releasing its retention pin. Returns whether it
+    * existed. */
+  def deleteTag(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    fsOf(spark, root).delete(tagPath(root, name), false)
+  }
+
   /** Snapshot expiry — the retention sweep: keep the newest `keep`
     * manifests, delete older ones plus every data file no retained
     * manifest references (including orphans from crashed writers).
@@ -2190,7 +2270,12 @@ object Snapshot {
             .flatMap(t => scala.util.Try(t.toLong).toOption)
             .exists(_ >= cutoffTs)).toSet
     }
-    val retainedSet = byCount ++ byAge
+    // tagged versions are PINNED: a tag is the caller's statement that
+    // this exact snapshot must stay reproducible (the training-set
+    // lineage case), so the sweep retains it — and every file it
+    // references — until deleteTag releases the pin
+    val byTag = tags(spark, path).map(_._2).toSet
+    val retainedSet = byCount ++ byAge ++ byTag
     val retained = versions.filter(retainedSet)
     val stale = versions.filterNot(retainedSet)
     // ALL entry paths — a retained version's deletion vectors are as

@@ -299,6 +299,42 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(ids(Snapshot.readSnapshot(spark, path)) == v3Rows)
   }
 
+  test("tags pin versions through expiry, are immutable, and release on deleteTag") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-tags")
+    Snapshot.init(spark, path, "event_date") // v1
+    def delta(id: Long) = Seq((id, 1L, id, "2024-01-02"))
+      .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)
+    Snapshot.append(spark, path, "event_date", delta(500L)) // v2
+    Snapshot.append(spark, path, "event_date", delta(600L)) // v3
+    Snapshot.tag(spark, path, "train-v1", 1L)
+    val trainSet = ids(Snapshot.readTag(spark, path, "train-v1"))
+    assert(trainSet == ids(Snapshot.readVersion(spark, path, 1L)))
+    // keep=1 would retire v1 and v2 — the tag pins v1 (and its files);
+    // untagged v2 goes
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(Snapshot.versions(spark, path) == Seq(1L, 3L))
+    assert(ids(Snapshot.readTag(spark, path, "train-v1")) == trainSet,
+      "the tagged training set must stay byte-identical through the sweep")
+    // immutable: same-version re-tag is an idempotent no-op, a different
+    // version refuses; uncommitted versions can't be tagged at all
+    Snapshot.tag(spark, path, "train-v1", 1L)
+    intercept[IllegalArgumentException] {
+      Snapshot.tag(spark, path, "train-v1", 3L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.tag(spark, path, "nope", 99L)
+    }
+    assert(Snapshot.tags(spark, path) == Seq("train-v1" -> 1L))
+    // releasing the pin lets the next sweep retire the version
+    assert(Snapshot.deleteTag(spark, path, "train-v1"))
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(Snapshot.versions(spark, path) == Seq(3L))
+    intercept[IllegalArgumentException] {
+      Snapshot.readTag(spark, path, "train-v1")
+    }
+  }
+
   test("readAsOf resolves the newest commit <= the asked instant; pre-table asks throw") {
     import spark.implicits._
     val path = buildLayout(4, "graft-asof")

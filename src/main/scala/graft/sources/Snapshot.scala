@@ -1666,6 +1666,18 @@ object Snapshot {
         s"change feed $fromV -> $toV references uncommitted/expired " +
         s"versions (committed: ${committed.mkString(",")})")
     val gap = committed.filter(v => v > fromV && v <= toV)
+    // retention can leave HOLES between retained versions (a tag pins
+    // an old version while expire sweeps the middle); an expired
+    // intermediate's op is unknowable — it may have re-filed rows — so
+    // per-append file diffs against the previous RETAINED version would
+    // silently mis-attribute. Contiguous gaps only; [[changeDiff]]
+    // (a pinned two-state diff) stays sound across holes.
+    if (gap.size != toV - fromV)
+      return Left(
+        s"change feed $fromV -> $toV: ${toV - fromV - gap.size} " +
+        "intermediate version(s) expired out of the gap — their commits " +
+        "are unknowable, so appends can no longer be attributed — " +
+        "re-sync from a full snapshot read")
     val ops = gap.map(v =>
       v -> metaOf(spark, path, v).getOrElse("op", "unknown"))
     ops.collectFirst {
@@ -1775,7 +1787,12 @@ object Snapshot {
     def readPairs(dvFiles: Set[String]): DataFrame =
       spark.read.parquet(dvFiles.toSeq.sorted.map(f => s"$qualified/$f"): _*)
         .select(col("dv_file"), col("dv_pos"))
-    val empty = readRows(filesTo.toSeq.sorted).limit(0)
+    // schema anchor: toV's files, or fromV's when the gap deleted the
+    // table down to zero entries (the diff is then all deletes)
+    val anchorFiles = if (filesTo.nonEmpty) filesTo else filesFrom
+    require(anchorFiles.nonEmpty,
+      s"change diff $fromV -> $toV between two empty snapshots of $path")
+    val empty = readRows(anchorFiles.toSeq.sorted).limit(0)
     // the rows a pair set names, fetched from RETAINED files only (a
     // pair on an added/removed file is already covered by the file
     // diff); O(referenced files) driver list, O(pair rows) join

@@ -335,6 +335,50 @@ class SnapshotManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("a retention HOLE breaks append attribution: the feed refuses, changeDiff stays sound") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-taghole")
+    Snapshot.init(spark, path, "event_date") // v1
+    Snapshot.tag(spark, path, "pinned", 1L)
+    def delta(id: Long, date: String) = Seq((id, 1L, id, date))
+      .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)
+    Snapshot.append(spark, path, "event_date", delta(800L, "2024-01-05")) // v2
+    // a row-CHANGING commit that will be EXPIRED out of the middle
+    Snapshot.deleteWhere(spark, path, "event_date",
+      col("user_id") === 2L, Seq("ts_ms")) // v3
+    Snapshot.append(spark, path, "event_date", delta(900L, "2024-01-06")) // v4
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    // the tag pinned v1; v2/v3 (including the delete) expired away
+    assert(Snapshot.versions(spark, path) == Seq(1L, 4L))
+    // ops in the hole are unknowable — silently attributing
+    // filesOf(4) -- filesOf(1) would feed re-filed rows as inserts
+    val ex = intercept[IllegalStateException](
+      Snapshot.changes(spark, path, 1L, 4L))
+    assert(ex.getMessage.contains("expired out of the gap"),
+      s"wrong refusal: ${ex.getMessage}")
+    // the pinned two-state diff doesn't care about the hole: it nets
+    // the appends against the delete's retirements exactly
+    val diff = Snapshot.changeDiff(spark, path, 1L, 4L)
+      .select("event_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val deleted = ids(Snapshot.readVersion(spark, path, 1L)) --
+      ids(Snapshot.readSnapshot(spark, path))
+    assert(diff == deleted.map(_ -> "delete") ++
+      Set(800L -> "insert", 900L -> "insert"))
+    // and the typed consumer parked at the pinned version rides the
+    // diff instead of resyncing
+    val posDir = new java.io.File(s"$path/_consumers/holed")
+    posDir.mkdirs()
+    java.nio.file.Files.write(posDir.toPath.resolve("p-000000000001"),
+      "#v=1".getBytes)
+    var fed = Set.empty[(Long, String)]
+    val r = Snapshot.consumeChanges(spark, path, "holed") { ch =>
+      fed = ch.select("event_id", "_change_type").collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet
+    } { _ => fail("a retained base must diff, not reset") }
+    assert(r.mode == "diff" && fed == diff)
+  }
+
   test("readAsOf resolves the newest commit <= the asked instant; pre-table asks throw") {
     import spark.implicits._
     val path = buildLayout(4, "graft-asof")

@@ -2203,6 +2203,16 @@ object Snapshot {
       require(existing.contains(v),
         s"tag '$name' on $path already names v=${existing.orNull}, " +
         s"refusing to move it to v=$v — tags are immutable (deleteTag first)")
+    } else if (!committedVersions(fs, root).contains(v)) {
+      // a concurrent expire swept v between the pre-check and the
+      // publish: the tag would dangle. Un-publish and fail loudly; the
+      // caller re-tags against a retained version. (The reverse
+      // interleaving — tag published after expire read the refs — is
+      // the pinned-reader-vs-retention contract every table format
+      // documents: run retention with a grace window.)
+      fs.delete(target, false): Unit
+      throw new SnapshotConflictException(
+        s"v=$v expired while tagging $path@$name — re-tag a retained version")
     }
   }
 

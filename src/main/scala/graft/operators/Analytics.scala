@@ -2121,6 +2121,75 @@ object Analytics {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q72 — STRING-typed manifest statistics graded through the hash gate:
+  // q60/q66 prune on LONG bounds; real tables slice on CATEGORICAL
+  // columns (event type, language, source domain) just as often. The
+  // store clusters files by (date, event_type) and declares event_type
+  // as a string stats column — per-file UTF-8-byte-order bounds with
+  // truncate-and-increment uppers — so a point slice plans its file
+  // subset from the manifest alone (in-query require: strictly fewer
+  // files than the store). The report is the sliced cohort's daily
+  // aggregate, graded against WHERE event_type = '…' SQL: a pruned file
+  // that should have been kept, or bounds that mis-order, cannot
+  // hash-match. The same one-job commit stats BOTH the LONG (user_id)
+  // and STRING (event_type) columns.
+  // ---------------------------------------------------------------------
+  private val SliceType = "purchase"
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_strstats/$tag/fp_$fp"
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      // EXPLICIT partition count: range-cluster by type so each task —
+      // and therefore each file within a date dir — holds a narrow
+      // event_type range; a count-less repartition would let AQE
+      // coalesce the tiny shuffle into one task and blur every bound
+      Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartitionByRange(10, col("event_type"), col("ts"))
+        .sortWithinPartitions(col("event_type"), col("ts"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date",
+        statsCols = Seq("user_id", "event_type")): Unit
+    }
+    val all = Snapshot.currentFiles(s, path)._2
+    val planned = Snapshot.filesInStringRange(s, path, "event_type",
+      SliceType, SliceType)
+    require(planned.nonEmpty && planned.size < all.size,
+      s"string slice should prune: ${planned.size} of ${all.size} files")
+    // the numeric column declared alongside still plans (mixed layout)
+    require(Snapshot.filesInRanges(s, path,
+      Seq(("user_id", 0L, Long.MaxValue))).size == all.size)
+    Snapshot.readSnapshotStringRange(s, path, "event_type",
+        SliceType, SliceType)
+      .where(col("event_type") === SliceType) // exact predicate on top
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  private val q72Sql =
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  MIN(event_id) AS min_event,
+       |  MAX(event_id) AS max_event,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE event_type = '$SliceType'
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2164,5 +2233,6 @@ object Analytics {
     QueryDef("q67_dv_audit_fold", q67, Some(q67Sql)),
     QueryDef("q68_timestamp_time_travel", q68, Some(q68Sql)),
     QueryDef("q69_change_data_feed", q69, Some(q69Sql), headline = true),
-    QueryDef("q71_tagged_snapshot", q71, Some(q71Sql)))
+    QueryDef("q71_tagged_snapshot", q71, Some(q71Sql)),
+    QueryDef("q72_string_stats_slice", q72, Some(q72Sql), headline = true))
 }

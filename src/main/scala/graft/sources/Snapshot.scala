@@ -164,13 +164,94 @@ object Snapshot {
   /** Per-column `(min, max)` statistics of a manifest entry line, in
     * the layout's declared stats-column order. A column with no bounds
     * in this file (all-NULL values) is encoded `-\t-` → None; a bare
-    * path carries no bounds for any column. */
+    * path carries no bounds for any column; STRING-typed bounds
+    * (`s:…` — see [[strBoundsOf]]) are None in the LONG view. */
   private def statsListOf(line: String): Seq[Option[(Long, Long)]] = {
     val parts = line.split("\t")
     parts.drop(1).grouped(2).collect {
       case Array(mn, mx) =>
-        if (mn == "-" || mx == "-") None else Some((mn.toLong, mx.toLong))
+        if (mn == "-" || mx == "-") None
+        else scala.util.Try((mn.toLong, mx.toLong)).toOption
     }.toSeq
+  }
+
+  // ----- STRING-typed manifest statistics ------------------------------
+  // A string stats column records per-file bounds in UTF-8 BYTE order —
+  // the exact order Spark's UTF8String min/max uses — percent-encoded
+  // (`s:` prefix) so a bound can never contain the manifest's tab /
+  // newline separators or invalid UTF-8. Long values truncate: the
+  // lower bound is a ≤-prefix, the upper bound increments its last
+  // non-0xFF byte after truncation (the Iceberg truncate-and-increment
+  // upper), so pruning stays CONSERVATIVE — only false keeps, never a
+  // false skip.
+
+  private val StrBoundCap = 64
+
+  private[graft] def encStrBound(bs: Array[Byte]): String = {
+    val sb = new StringBuilder("s:")
+    bs.foreach { b =>
+      val i = b & 0xFF
+      if (i > 0x20 && i < 0x7F && i != '%') sb.append(i.toChar)
+      else sb.append(f"%%$i%02X")
+    }
+    sb.toString
+  }
+
+  private[graft] def decStrBound(v: String): Array[Byte] = {
+    val s = v.stripPrefix("s:")
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%') {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { out.write(s.charAt(i).toInt); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  private[graft] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Lower bound: a UTF-8 byte prefix is always ≤ the full string. */
+  private[graft] def strLowerBound(s: String): Array[Byte] =
+    s.getBytes(Charset).take(StrBoundCap)
+
+  /** Upper bound: exact when it fits; otherwise truncate and increment
+    * the last non-0xFF byte (None = unbounded → the reader keeps the
+    * file). */
+  private[graft] def strUpperBound(s: String): Option[Array[Byte]] = {
+    val bs = s.getBytes(Charset)
+    if (bs.length <= StrBoundCap) Some(bs)
+    else {
+      var i = StrBoundCap - 1
+      while (i >= 0 && (bs(i) & 0xFF) == 0xFF) i -= 1
+      if (i < 0) None
+      else {
+        val u = java.util.Arrays.copyOf(bs, i + 1)
+        u(i) = ((u(i) & 0xFF) + 1).toByte
+        Some(u)
+      }
+    }
+  }
+
+  /** The `(lower, upper)` string bounds of entry `line` for stats
+    * column index `i`, when that column recorded string-typed bounds. */
+  private def strBoundsOf(line: String,
+      i: Int): Option[(Array[Byte], Array[Byte])] = {
+    val parts = line.split("\t")
+    (parts.lift(1 + 2 * i), parts.lift(2 + 2 * i)) match {
+      case (Some(mn), Some(mx))
+          if mn.startsWith("s:") && mx.startsWith("s:") =>
+        Some((decStrBound(mn), decStrBound(mx)))
+      case _ => None
+    }
   }
 
   /** Immutable-segment content cache: a segment file never changes once
@@ -907,6 +988,54 @@ object Snapshot {
     readRangesAt(spark, path, meta, lines, ranges)
   }
 
+  private def filesInStringRangeAt(meta: Map[String, String],
+      lines: Seq[String], c: String, lo: String, hi: String): Seq[String] = {
+    val cols = statsColsOf(meta)
+    val i = cols.indexOf(c)
+    require(i >= 0, s"no manifest statistics declared for column '$c' " +
+      s"(declared: ${if (cols.isEmpty) "none" else cols.mkString(",")})")
+    val loB = lo.getBytes(Charset)
+    val hiB = hi.getBytes(Charset)
+    require(cmpBytes(loB, hiB) <= 0,
+      s"string range on '$c' needs lo <= hi, got ['$lo', '$hi']")
+    lines.filterNot(isDeleteEntry).filter { l =>
+      strBoundsOf(l, i) match {
+        // keep iff [lower, upper] overlaps [lo, hi]; bounds are
+        // conservative (lower ≤ true min, upper ≥ true max), so a miss
+        // can only be a false keep
+        case Some((lower, upper)) =>
+          cmpBytes(upper, loB) >= 0 && cmpBytes(lower, hiB) <= 0
+        case None => true // LONG-typed or absent bounds — never skip
+      }
+    }.map(pathOf)
+  }
+
+  /** [[filesInRange]] for a STRING stats column: the current snapshot's
+    * files whose UTF-8-byte-order bounds overlap `[lo, hi]` (both
+    * inclusive) — categorical slices (event type, language, source
+    * domain) plan their file subset from the manifest alone when the
+    * writer clustered on the column. Conservative exactly like the LONG
+    * tier: truncated bounds and LONG-typed entries always keep. */
+  def filesInStringRange(spark: SparkSession, path: String, c: String,
+      lo: String, hi: String): Seq[String] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    filesInStringRangeAt(meta, lines, c, lo, hi)
+  }
+
+  /** The current snapshot restricted to files overlapping the string
+    * range — the caller still applies the exact predicate on top
+    * ([[readSnapshotRange]]'s contract, string-typed). */
+  def readSnapshotStringRange(spark: SparkSession, path: String, c: String,
+      lo: String, hi: String): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    readSubsetAt(spark, path, meta, lines,
+      filesInStringRangeAt(meta, lines, c, lo, hi))
+  }
+
   /** One consistent pruned read: files, deletion vectors, and recorded
     * schema ALL from the `(meta, lines)` state the caller resolved in a
     * single manifest read — a commit landing mid-call can no longer mix
@@ -914,11 +1043,21 @@ object Snapshot {
   private def readRangesAt(spark: SparkSession, path: String,
       meta: Map[String, String], lines: Seq[String],
       ranges: Seq[(String, Long, Long)]): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val qualified = fsOf(spark, root).makeQualified(root).toString
     val files =
       if (ranges.isEmpty) lines.filterNot(isDeleteEntry).map(pathOf)
       else filesInRangesAt(meta, lines, ranges)
+    readSubsetAt(spark, path, meta, lines, files)
+  }
+
+  /** One consistent read of `files` (a subset the caller planned from
+    * the SAME `(meta, lines)` state): recorded schema + outstanding
+    * deletion vectors applied, schema-faithful empty frame when the
+    * plan excluded everything. */
+  private def readSubsetAt(spark: SparkSession, path: String,
+      meta: Map[String, String], lines: Seq[String],
+      files: Seq[String]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val qualified = fsOf(spark, root).makeQualified(root).toString
     if (files.isEmpty) {
       // schema-faithful empty frame — same columns a full read yields
       val all = lines.filterNot(isDeleteEntry).map(pathOf)
@@ -1015,9 +1154,16 @@ object Snapshot {
       val df = spark.read.option("basePath", qualified)
         .parquet(moved.map(f => s"$qualified/$f"): _*)
       val present = df.columns.toSet
+      // per-column mode from the batch's own schema: STRING columns
+      // record UTF-8-byte-order bounds (Spark's string min/max order),
+      // everything else keeps the LONG cast (timestamps → epoch seconds)
+      val isStr = cols.map(c => present(c) &&
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
       val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-        val v = if (present(c)) col(c).cast(LongType)
-                else lit(null).cast(LongType)
+        val v =
+          if (!present(c)) lit(null).cast(LongType)
+          else if (isStr(i)) col(c)
+          else col(c).cast(LongType)
         Seq(fmin(v).as(s"__mn$i"), fmax(v).as(s"__mx$i"))
       }
       val stats = df
@@ -1027,7 +1173,12 @@ object Snapshot {
         .map { r =>
           val bounds = cols.indices.map { i =>
             if (r.isNullAt(1 + 2 * i)) "-\t-"
-            else s"${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
+            else if (isStr(i)) {
+              val up = strUpperBound(r.getString(2 + 2 * i))
+                .map(encStrBound).getOrElse("-")
+              if (up == "-") "-\t-"
+              else s"${encStrBound(strLowerBound(r.getString(1 + 2 * i)))}\t$up"
+            } else s"${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
           }
           relKey(r.getString(0)) -> bounds.mkString("\t")
         }.toMap

@@ -714,6 +714,78 @@ class SnapshotManifestSpec extends AnyFunSuite {
       s"pruned read scanned ${pruned.inputFiles.length} files")
   }
 
+  test("STRING stats column prunes categorical slices; LONG and STRING columns coexist") {
+    import spark.implicits._
+    val path = s"${tmp("graft-strstats")}/cats"
+    def cell(tpe: String, base: Long) =
+      (0 until 8).map(k => (base + k, tpe, base + k, "2024-01-01"))
+        .toDF("event_id", "event_type", "user_id", "event_date")
+    cell("alpha", 0L).coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    // mixed declaration: col 0 LONG (user_id), col 1 STRING (event_type)
+    Snapshot.init(spark, path, "event_date",
+      statsCols = Seq("user_id", "event_type"))
+    Snapshot.append(spark, path, "event_date", cell("beta", 100L).coalesce(1))
+    Snapshot.append(spark, path, "event_date", cell("gamma", 200L).coalesce(1))
+    assert(Snapshot.currentFiles(spark, path)._2.size == 3)
+    // string pruning: point slice → one file; range → two
+    assert(Snapshot.filesInStringRange(spark, path, "event_type",
+      "beta", "beta").size == 1)
+    assert(Snapshot.filesInStringRange(spark, path, "event_type",
+      "alpha", "beta").size == 2)
+    // the string bounds at index 1 must not break the LONG planner at
+    // index 0 (lenient numeric parse)
+    assert(Snapshot.filesInRanges(spark, path,
+      Seq(("user_id", 100L, 107L))).size == 1)
+    // the pruned read stays exact under the usual superset contract
+    val pruned = Snapshot.readSnapshotStringRange(spark, path,
+        "event_type", "beta", "beta")
+      .where(col("event_type") === "beta")
+    assert(pruned.inputFiles.length == 1)
+    assert(ids(pruned) == ids(Snapshot.readSnapshot(spark, path)
+      .where(col("event_type") === "beta")))
+  }
+
+  test("string bounds: truncation is conservative, exotic bytes round-trip, byte order is Spark's") {
+    import spark.implicits._
+    // manifest-format safety: bounds with tabs/newlines/percent/UTF-8
+    val weird = "a\tb\n%é中"
+    val path = s"${tmp("graft-strweird")}/cats"
+    Seq((1L, weird, "2024-01-01"), (2L, "zz", "2024-01-01"))
+      .toDF("event_id", "event_type", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path)
+    Snapshot.init(spark, path, "event_date", statsCols = Seq("event_type"))
+    // the layout still resolves (parseable manifest) and the weird
+    // value's file is found by its own point slice
+    assert(Snapshot.filesInStringRange(spark, path, "event_type",
+      weird, weird).size == 1)
+    assert(Snapshot.filesInStringRange(spark, path, "event_type",
+      "zzz", "zzz").isEmpty, "slice past max must prune")
+    // encode/decode round-trip at the byte level
+    val bs = weird.getBytes("UTF-8")
+    assert(Snapshot.decStrBound(Snapshot.encStrBound(bs)).sameElements(bs))
+    // truncation: lower is a <=-prefix; upper increments after truncate
+    val long1 = "x" * 100 + "m"
+    val lower = Snapshot.strLowerBound(long1)
+    assert(lower.length == 64 && Snapshot.cmpBytes(lower,
+      long1.getBytes("UTF-8")) < 0)
+    val upper = Snapshot.strUpperBound(long1).get
+    assert(Snapshot.cmpBytes(upper, long1.getBytes("UTF-8")) > 0,
+      "incremented truncation must upper-bound the full value")
+    // end-to-end conservative: a file of >cap-length strings must be
+    // KEPT for a probe between its true bounds
+    val path2 = s"${tmp("graft-strtrunc")}/cats"
+    Seq((1L, "x" * 100 + "a", "2024-01-01"), (2L, "x" * 100 + "z", "2024-01-01"))
+      .toDF("event_id", "event_type", "event_date").coalesce(1)
+      .write.partitionBy("event_date").parquet(path2)
+    Snapshot.init(spark, path2, "event_date", statsCols = Seq("event_type"))
+    assert(Snapshot.filesInStringRange(spark, path2, "event_type",
+      "x" * 100 + "m", "x" * 100 + "m").size == 1,
+      "truncated bounds must keep a file containing the probe")
+    assert(Snapshot.filesInStringRange(spark, path2, "event_type",
+      "y", "y").isEmpty, "pruning still works past the truncation point")
+  }
+
   test("an append inherits ALL declared stats columns; its files prune on the second column") {
     import spark.implicits._
     val path = s"${tmp("graft-statinherit")}/grid"

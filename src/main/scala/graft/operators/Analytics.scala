@@ -2190,6 +2190,93 @@ object Analytics {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q73 — WRITE-AUDIT-PUBLISH graded through the hash gate: the
+  // quality-gated ingest every production table runs. A poisoned batch
+  // (the growth cohort with negated values) stages INVISIBLY — main
+  // readers keep serving the base snapshot, asserted in-query — fails
+  // its audit (negative values), and aborts without a trace; the clean
+  // batch stages, passes, and publishes as one normal append commit.
+  // Phases grade both sides of the gate: `pre_publish` (pinned v1 ≡
+  // what readers saw the whole time a batch was staged) and `published`
+  // (base + clean cohort) each against their cohort SQL — a gate that
+  // leaks staged rows, publishes the poisoned batch, or loses the clean
+  // one cannot hash-match.
+  // ---------------------------------------------------------------------
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_wap/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date"): Unit
+    }
+    if (Snapshot.currentVersion(s, path).contains(1L)) {
+      val growth = events.where(cohort === 2)
+      // the poisoned twin of the growth batch
+      val bad = Snapshot.stageAppend(s, path, "event_date",
+        growth.withColumn("value", col("value") * -1))
+      // staged ≠ visible: readers still serve exactly v1
+      require(Snapshot.readSnapshot(s, path).count() ==
+        Snapshot.readVersion(s, path, 1L).count(),
+        "staged batch leaked into the served snapshot")
+      // the audit: no negative values pass the gate
+      require(Snapshot.readStaged(s, path, bad)
+        .where(col("value") < 0).count() > 0, "poison fixture inert")
+      require(Snapshot.abortStaged(s, path, bad), "abort lost the pointer")
+      val good = Snapshot.stageAppend(s, path, "event_date", growth)
+      require(Snapshot.readStaged(s, path, good)
+        .where(col("value") < 0).count() == 0, "clean batch failed audit")
+      require(Snapshot.publishStaged(s, path, good) == 2L)
+    }
+    require(Snapshot.stagedIds(s, path).isEmpty,
+      "gate left staged debris behind")
+    def report(rows: DataFrame, phase: String): DataFrame =
+      rows.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("phase", lit(phase))
+    report(Snapshot.readVersion(s, path, 1L), "pre_publish")
+      .unionByName(report(Snapshot.readSnapshot(s, path), "published"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+  private val q73Sql =
+    """SELECT 'pre_publish' AS phase, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE event_id % 4 IN (0, 1)
+      |GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'published' AS phase, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(event_id) AS min_event,
+      |  MAX(event_id) AS max_event,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE event_id % 4 IN (0, 1, 2)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2234,5 +2321,6 @@ object Analytics {
     QueryDef("q68_timestamp_time_travel", q68, Some(q68Sql)),
     QueryDef("q69_change_data_feed", q69, Some(q69Sql), headline = true),
     QueryDef("q71_tagged_snapshot", q71, Some(q71Sql)),
-    QueryDef("q72_string_stats_slice", q72, Some(q72Sql), headline = true))
+    QueryDef("q72_string_stats_slice", q72, Some(q72Sql), headline = true),
+    QueryDef("q73_write_audit_publish", q73, Some(q73Sql)))
 }

@@ -2317,6 +2317,116 @@ object Snapshot {
     rows.toDF("version", "op", "n_files", "n_added", "n_removed", "meta")
   }
 
+  // ----- WRITE-AUDIT-PUBLISH ------------------------------------------
+  // The quality-gate ingest pattern (Iceberg's WAP): a batch lands in
+  // the partition dirs and is described by a STAGED pointer
+  // (`_manifests/wap-<id>`) that no reader resolves — main readers keep
+  // seeing the current snapshot — until an audit passes and
+  // [[publishStaged]] folds the staged entries into a normal append
+  // commit (optimistic rebase and schema widening included). A failed
+  // audit [[abortStaged]]s: the pointer goes away and the orphaned
+  // files retire through [[expire]]'s grace sweep. Staged entries are
+  // stat'd like any committed batch, so the published files prune
+  // immediately. Crash safety: a publish that died between its commit
+  // and its pointer cleanup can simply re-publish — the adds are
+  // path-keyed and the fold dedups by path, so the replay commit is
+  // content-identical (one extra version, same live set).
+
+  private def wapPath(root: org.apache.hadoop.fs.Path, id: String) = {
+    require(id.nonEmpty && id.matches("[A-Za-z0-9._-]+"),
+      s"staged-batch id must be [A-Za-z0-9._-]+, got '$id'")
+    new org.apache.hadoop.fs.Path(root, f"$ManifestDir/wap-$id")
+  }
+
+  /** Stage `rows` for audit: files land (invisible — nothing references
+    * them), their stats are computed, and the staged pointer records
+    * the entry lines. Returns the staged-batch id. */
+  def stageAppend(spark: SparkSession, path: String, partitionCol: String,
+      rows: DataFrame, meta: Map[String, String] = Map.empty): String = {
+    require(rows.columns.contains(partitionCol),
+      s"staged rows lack partition column '$partitionCol'")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $path — bootstrap with init/append"))
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-wap-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    rows.write.partitionBy(partitionCol).parquet(stg.toString)
+    val moved = movePartitionedStaging(fs, root, stg, partitionCol)
+    val statsCol = metaOf(spark, path, cur).get("stats")
+    val lines = statLines(spark, fs.makeQualified(root).toString, moved, statsCol)
+    val id = java.util.UUID.randomUUID().toString
+    val header = (Map("base" -> cur.toString, "op" -> "wap-append") ++ meta)
+      .toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$ManifestDir/.tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write((header ++ lines).mkString("\n").getBytes(Charset))
+    finally out.close()
+    if (!publishIfAbsent(fs, tmp, wapPath(root, id)))
+      throw new IllegalStateException(s"staged pointer collision for $id")
+    fs.delete(tmp, false): Unit
+    id
+  }
+
+  /** The staged batch's rows — what a quality audit reads. The staged
+    * files only; union with [[readSnapshot]] to audit the would-be
+    * table. */
+  def readStaged(spark: SparkSession, path: String, id: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val p = wapPath(root, id)
+    require(fs.exists(p), s"no staged batch '$id' on $path")
+    val files = parseLines(readSmallFile(fs, p)).map(pathOf)
+    spark.read.option("basePath", qualified)
+      .parquet(files.map(f => s"$qualified/$f"): _*)
+  }
+
+  /** Ids of the outstanding staged batches. */
+  def stagedIds(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("wap-")).map(_.stripPrefix("wap-")).sorted
+  }
+
+  /** The audit passed: fold the staged entries into a normal append
+    * commit (rebase semantics — removes nothing, commutes) and retire
+    * the pointer. Returns the published version. */
+  def publishStaged(spark: SparkSession, path: String, id: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val p = wapPath(root, id)
+    require(fs.exists(p), s"no staged batch '$id' on $path")
+    val text = readSmallFile(fs, p)
+    val lines = parseLines(text)
+    val stagedMeta = parseMeta(text) -- Seq("base", "op")
+    // the staged batch's own schema (all its files), for the widen
+    val schema = spark.read.option("mergeSchema", "true")
+      .option("basePath", qualified)
+      .parquet(lines.map(l => s"$qualified/${pathOf(l)}"): _*).schema
+    val pcol = schema.fields.last.name // partition column surfaces last
+    val cur = currentVersion(spark, path)
+    val v = commit(fs, root, cur, Set.empty, lines,
+      Map("op" -> "append", "wap_id" -> id) ++ stagedMeta,
+      widenSchema = Some((schema, pcol)))
+    fs.delete(p, false): Unit
+    v
+  }
+
+  /** The audit failed: drop the pointer; the staged files are orphans
+    * and retire through [[expire]]'s grace sweep. Returns whether the
+    * staged batch existed. */
+  def abortStaged(spark: SparkSession, path: String, id: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    fsOf(spark, root).delete(wapPath(root, id), false)
+  }
+
   private val RefsDir = "_refs"
 
   private def tagPath(root: org.apache.hadoop.fs.Path, name: String) = {
@@ -2457,9 +2567,14 @@ object Snapshot {
     val retained = versions.filter(retainedSet)
     val stale = versions.filterNot(retainedSet)
     // ALL entry paths — a retained version's deletion vectors are as
-    // load-bearing as its data files
+    // load-bearing as its data files; outstanding STAGED batches
+    // (write-audit-publish pointers) pin their files too, or a sweep
+    // racing an audit would delete the batch under it
+    val stagedRefs = stagedIds(spark, path).flatMap { id =>
+      parseLines(readSmallFile(fs, wapPath(root, id))).map(pathOf)
+    }
     val referenced = retained.flatMap(v =>
-      manifestLines(spark, path, v).map(pathOf)).toSet
+      manifestLines(spark, path, v).map(pathOf)).toSet ++ stagedRefs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     listDataFiles(fs, root, partitionCol).foreach { f =>

@@ -299,6 +299,48 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(ids(Snapshot.readSnapshot(spark, path)) == v3Rows)
   }
 
+  test("write-audit-publish: staged batches invisible, auditable, expiry-safe; publish folds, abort orphans") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-wap")
+    Snapshot.init(spark, path, "event_date") // v1
+    val before = ids(Snapshot.readSnapshot(spark, path))
+    def batch(id: Long) = Seq((id, 9L, id, "2024-01-05"))
+      .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)
+    val bad = Snapshot.stageAppend(spark, path, "event_date", batch(666L))
+    // invisible to every reader surface until published
+    assert(ids(Snapshot.readSnapshot(spark, path)) == before)
+    assert(Snapshot.currentVersion(spark, path).contains(1L))
+    assert(Snapshot.stagedIds(spark, path) == Seq(bad))
+    // but fully auditable
+    assert(ids(Snapshot.readStaged(spark, path, bad)) == Set(666L))
+    // a retention sweep racing the audit must NOT eat the staged files
+    Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(ids(Snapshot.readStaged(spark, path, bad)) == Set(666L),
+      "expire deleted a staged batch out from under its audit")
+    // audit fails → abort; the orphaned files retire on the next sweep
+    assert(Snapshot.abortStaged(spark, path, bad))
+    assert(Snapshot.stagedIds(spark, path).isEmpty)
+    val sweptRel = Snapshot.expire(spark, path, "event_date", keep = 1)
+    assert(sweptRel.exists(_.startsWith("event_date=2024-01-05")),
+      s"aborted batch's files must sweep, got $sweptRel")
+    assert(ids(Snapshot.readSnapshot(spark, path)) == before)
+    // audit passes → publish: a normal append commit, rebase semantics
+    val good = Snapshot.stageAppend(spark, path, "event_date", batch(777L))
+    val v = Snapshot.publishStaged(spark, path, good)
+    assert(v == 2L)
+    assert(ids(Snapshot.readSnapshot(spark, path)) == before + 777L)
+    assert(Snapshot.metaOf(spark, path, 2L).get("wap_id").contains(good))
+    assert(Snapshot.stagedIds(spark, path).isEmpty)
+    // double-publish has no pointer to publish
+    intercept[IllegalArgumentException] {
+      Snapshot.publishStaged(spark, path, good)
+    }
+    // the published files carry stats when the layout declares them —
+    // covered by statLines routing; here just confirm the feed sees the
+    // publish as a plain append
+    assert(ids(Snapshot.changes(spark, path, 1L, 2L)) == Set(777L))
+  }
+
   test("tags pin versions through expiry, are immutable, and release on deleteTag") {
     import spark.implicits._
     val path = buildLayout(4, "graft-tags")

@@ -341,6 +341,26 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(ids(Snapshot.changes(spark, path, 1L, 2L)) == Set(777L))
   }
 
+  test("publishStaged widens the recorded schema when the staged batch carries a new column") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-wapschema")
+    Snapshot.init(spark, path, "event_date")
+    val id = Snapshot.stageAppend(spark, path, "event_date",
+      Seq((888L, 9L, 888L, "tagged-src", "2024-01-06"))
+        .toDF("event_id", "user_id", "ts_ms", "ingest_tag", "event_date")
+        .coalesce(1))
+    // invisible while staged — including the new column
+    assert(!Snapshot.readSnapshot(spark, path).columns.contains("ingest_tag"))
+    Snapshot.publishStaged(spark, path, id)
+    val after = Snapshot.readSnapshot(spark, path)
+    assert(after.columns.contains("ingest_tag"),
+      "publish must widen the recorded schema like a direct append")
+    val byTag = after.groupBy(col("ingest_tag")).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byTag == Map(None -> 4L, Some("tagged-src") -> 1L),
+      s"pre-evolution rows must read NULL in the new column, got $byTag")
+  }
+
   test("tags pin versions through expiry, are immutable, and release on deleteTag") {
     import spark.implicits._
     val path = buildLayout(4, "graft-tags")

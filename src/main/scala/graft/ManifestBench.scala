@@ -56,9 +56,14 @@ object ManifestBench {
             Map("op" -> "append"))
           val ms = (System.nanoTime() - t0) / 1e6
           val wrote = manifestDirBytes() - before
-          // a fold consolidates the chain into one O(files) segment —
-          // detectable by its write size (>> one entry line)
-          if (wrote > 4096 + 200) { foldMs ::= ms; foldBytes ::= wrote }
+          // a fold consolidates the chain into ONE segment — classify
+          // by the new list's ref count (a byte threshold would
+          // misclassify once the steady list itself grows large)
+          val refs = scala.io.Source
+            .fromFile(new java.io.File(root.toUri.getPath,
+              f"_manifests/m-$v%012d"))
+            .getLines().count(_.startsWith("@"))
+          if (refs == 1) { foldMs ::= ms; foldBytes ::= wrote }
           else { steadyMs ::= ms; steadyBytes ::= wrote }
         }
         def stats(xs: List[Double]): (Double, Double) =

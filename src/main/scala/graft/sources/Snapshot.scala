@@ -258,11 +258,17 @@ object Snapshot {
     * written (commits write new segments; expire only deletes
     * unreferenced ones), so its parsed lines are cacheable across every
     * resolution that references it — without it, each snapshot read
-    * would re-fetch O(segments) small files. Size-capped, cleared
-    * wholesale on overflow (segments are small; the cap only bounds
-    * pathological many-store test runs). */
+    * would re-fetch O(segments) small files. BYTE-capped, because fold
+    * segments are O(live files) each: at the 10⁵–10⁶-file scale one
+    * fold is tens of MB, so an entry-count cap would let history walks
+    * over several stores pin gigabytes on the driver. Over-size
+    * segments are served uncached; overflow clears wholesale (the
+    * entries are re-readable files, never the only copy). */
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val segCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val SegCacheMaxBytes = 256L * 1024 * 1024
+  private val SegCacheMaxEntryBytes = 16L * 1024 * 1024
 
   private def segLines(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, name: String): Seq[String] = {
@@ -274,8 +280,14 @@ object Snapshot {
       val lines = readSmallFile(fs,
         new org.apache.hadoop.fs.Path(root, s"$ManifestDir/$name"))
         .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      if (segCache.size > 4096) segCache.clear()
-      segCache.put(key, lines)
+      val bytes = lines.foldLeft(0L)(_ + _.length + 40L) // chars + overhead
+      if (bytes <= SegCacheMaxEntryBytes) {
+        if (segCacheBytes.addAndGet(bytes) > SegCacheMaxBytes) {
+          segCache.clear()
+          segCacheBytes.set(bytes)
+        }
+        segCache.put(key, lines)
+      }
       lines
     }
   }
@@ -1872,13 +1884,20 @@ object Snapshot {
     * jobs that re-read the table. */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"change feed needs fromV < toV, got $fromV -> $toV")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = fsOf(spark, root)
-    val qualified = fs.makeQualified(root).toString
     val added = deltaAddsInGap(spark, path, fromV, toV) match {
       case Left(reason) => throw new IllegalStateException(reason)
       case Right(adds) => adds
     }
+    changesFromAdds(spark, path, toV, added)
+  }
+
+  /** The read half of [[changes]], for callers that already resolved
+    * the gap's adds via [[deltaAddsInGap]] (the consumers — one gap
+    * resolution per cycle, not two). */
+  private def changesFromAdds(spark: SparkSession, path: String, toV: Long,
+      added: Seq[String]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val qualified = fsOf(spark, root).makeQualified(root).toString
     if (added.isEmpty) readVersion(spark, path, toV).limit(0)
     else {
       // toV's recorded schema: a feed spanning a schema-evolving append
@@ -1985,7 +2004,19 @@ object Snapshot {
       else applyDeletes(spark, qualified, readRows(removedFiles),
         dvFrom.toSeq.sorted)
     val newlyHidden =
-      if (dvNew.isEmpty) empty else fetchPairRows(readPairs(dvNew))
+      if (dvNew.isEmpty) empty
+      else {
+        val pairs = readPairs(dvNew)
+        // a pair a fromV vector ALREADY covered was not visible at
+        // fromV, so hiding it again is not a change — the symmetric
+        // twin of the unHidden anti-join (a restore dropping vector A
+        // followed by a re-delete writing vector B with the same pairs
+        // must diff to NOTHING, not to spurious deletes)
+        fetchPairRows(
+          if (dvFrom.isEmpty) pairs
+          else pairs.join(readPairs(dvFrom), Seq("dv_file", "dv_pos"),
+            "left_anti"))
+      }
     val dataCols = empty.columns.toSeq
     val weighted = plusNew.unionByName(unHidden)
       .withColumn("__w", lit(1L))
@@ -2024,33 +2055,58 @@ object Snapshot {
   def consumerPosition(spark: SparkSession, path: String,
       group: String): Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)
-    posFiles(fsOf(spark, root), root, group).lastOption.map(_._2)
+    lastPosition(fsOf(spark, root), root, group).map(_._2)
   }
 
-  /** (seq, recorded version) pairs of the group's position files,
-    * oldest first. */
-  private def posFiles(fs: org.apache.hadoop.fs.FileSystem,
+  /** Retained superseded position files per group: enough of a window
+    * that a reader racing several advancements can still open the file
+    * it listed, small enough that a long-lived consumer's directory
+    * stays O(1). */
+  private val PosRetain = 8L
+
+  /** `(seq, recorded version)` of the group's NEWEST position — ONE
+    * directory listing plus ONE small-file read, regardless of how many
+    * advancements the group has made (the sequence is the file NAME;
+    * only the newest file's content matters). A concurrent sweep of a
+    * just-superseded file is retried against a fresh listing. */
+  private def lastPosition(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
-      group: String): Seq[(Long, Long)] = {
+      group: String): Option[(Long, Long)] = {
     val dir = new org.apache.hadoop.fs.Path(root, s"$ConsumersDir/$group")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("p-"))
-      .map { s =>
-        val seq = s.getPath.getName.stripPrefix("p-").toLong
-        val v = parseMeta(readSmallFile(fs, s.getPath))
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      if (!fs.exists(dir)) return None
+      val seqs = fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("p-"))
+        .map(_.stripPrefix("p-").toLong)
+      if (seqs.isEmpty) return None
+      val seq = seqs.max
+      try {
+        val v = parseMeta(readSmallFile(fs,
+            new org.apache.hadoop.fs.Path(dir, f"p-$seq%012d")))
           .getOrElse("v", throw new IllegalStateException(
-            s"consumer position file ${s.getPath} lacks a version"))
-        (seq, v.toLong)
+            s"consumer position p-$seq of $group lacks a version"))
+        return Some((seq, v.toLong))
+      } catch {
+        // the newest-at-listing-time file can only vanish to a sweep
+        // racing 8+ advancements past it — re-list and read the new max
+        case _: java.io.FileNotFoundException =>
       }
-      .sortBy(_._1)
+    }
+    throw new IllegalStateException(
+      s"consumer position of $group kept vanishing mid-read — " +
+      "position churn faster than the retained window")
   }
 
   /** Advance the group's position to `toV` as position-sequence `seq` —
     * EXACTLY-ONCE via [[publishIfAbsent]]: of N instances that processed
     * the same delta concurrently, exactly one lands `p-<seq>`; the
     * losers learn their work was redundant (`lost-race`) and the
-    * position never double-advances or goes backwards. */
+    * position never double-advances or goes backwards. The winner
+    * sweeps positions more than [[PosRetain]] behind, so a continuous
+    * consumer's directory stays O(1) files instead of O(cycles). */
   private def advancePosition(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, group: String, seq: Long,
       toV: Long, mode: String): Boolean = {
@@ -2066,6 +2122,14 @@ object Snapshot {
     val won = publishIfAbsent(fs, tmp,
       new org.apache.hadoop.fs.Path(dir, f"p-$seq%012d"))
     fs.delete(tmp, false): Unit
+    if (won && seq > PosRetain) {
+      fs.listStatus(dir).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith("p-") && n.stripPrefix("p-").toLong <= seq - PosRetain
+        }
+        .foreach(s => fs.delete(s.getPath, false): Unit)
+    }
     won
   }
 
@@ -2107,9 +2171,9 @@ object Snapshot {
     val cur = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot under $path — nothing to consume"))
-    val positions = posFiles(fs, root, group)
-    val nextSeq = positions.lastOption.map(_._1 + 1).getOrElse(1L)
-    positions.lastOption.map(_._2) match {
+    val position = lastPosition(fs, root, group)
+    val nextSeq = position.map(_._1 + 1).getOrElse(1L)
+    position.map(_._2) match {
       case Some(p) if p >= cur => ConsumeResult("caught-up", p, p)
       case Some(p) =>
         // the feed is attributable iff the position version is still
@@ -2117,9 +2181,9 @@ object Snapshot {
         // maintenance, and no gap-appended batch was re-filed before
         // this consumer read it ([[deltaAddsInGap]] — one rule for the
         // feed and its consumers)
-        val deltaOk = deltaAddsInGap(spark, path, p, cur).isRight
-        if (deltaOk) {
-          process(changes(spark, path, p, cur))
+        val gap = deltaAddsInGap(spark, path, p, cur)
+        if (gap.isRight) {
+          process(changesFromAdds(spark, path, cur, gap.toOption.get))
           if (advancePosition(fs, root, group, nextSeq, cur, "delta"))
             ConsumeResult("delta", p, cur)
           else ConsumeResult("lost-race", p, cur)
@@ -2173,11 +2237,11 @@ object Snapshot {
     val cur = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot under $path — nothing to consume"))
-    val positions = posFiles(fs, root, group)
-    val nextSeq = positions.lastOption.map(_._1 + 1).getOrElse(1L)
+    val position = lastPosition(fs, root, group)
+    val nextSeq = position.map(_._1 + 1).getOrElse(1L)
     def asInserts(df: DataFrame): DataFrame =
       df.withColumn("_change_type", lit("insert"))
-    positions.lastOption.map(_._2) match {
+    position.map(_._2) match {
       case Some(p) if p >= cur => ConsumeResult("caught-up", p, p)
       case Some(p) if !committedVersions(fs, root).contains(p) =>
         reset(asInserts(readVersion(spark, path, cur)))
@@ -2185,10 +2249,13 @@ object Snapshot {
           ConsumeResult("resync", p, cur)
         else ConsumeResult("lost-race", p, cur)
       case Some(p) =>
-        val attributable = deltaAddsInGap(spark, path, p, cur).isRight
-        val mode = if (attributable) "delta" else "diff"
-        if (attributable) apply(asInserts(changes(spark, path, p, cur)))
-        else apply(changeDiff(spark, path, p, cur))
+        val gap = deltaAddsInGap(spark, path, p, cur)
+        val mode = if (gap.isRight) "delta" else "diff"
+        gap match {
+          case Right(adds) =>
+            apply(asInserts(changesFromAdds(spark, path, cur, adds)))
+          case Left(_) => apply(changeDiff(spark, path, p, cur))
+        }
         if (advancePosition(fs, root, group, nextSeq, cur, mode))
           ConsumeResult(mode, p, cur)
         else ConsumeResult("lost-race", p, cur)
@@ -2357,16 +2424,20 @@ object Snapshot {
     val statsCol = metaOf(spark, path, cur).get("stats")
     val lines = statLines(spark, fs.makeQualified(root).toString, moved, statsCol)
     val id = java.util.UUID.randomUUID().toString
-    val header = (Map("base" -> cur.toString, "op" -> "wap-append") ++ meta)
+    // pcol rides the pointer so publish never has to GUESS the
+    // partition column from schema inference
+    val header = (Map("base" -> cur.toString, "op" -> "wap-append",
+        "pcol" -> partitionCol) ++ meta)
       .toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"$ManifestDir/.tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write((header ++ lines).mkString("\n").getBytes(Charset))
     finally out.close()
-    if (!publishIfAbsent(fs, tmp, wapPath(root, id)))
-      throw new IllegalStateException(s"staged pointer collision for $id")
+    val won = publishIfAbsent(fs, tmp, wapPath(root, id))
     fs.delete(tmp, false): Unit
+    if (!won)
+      throw new IllegalStateException(s"staged pointer collision for $id")
     id
   }
 
@@ -2405,12 +2476,15 @@ object Snapshot {
     require(fs.exists(p), s"no staged batch '$id' on $path")
     val text = readSmallFile(fs, p)
     val lines = parseLines(text)
-    val stagedMeta = parseMeta(text) -- Seq("base", "op")
+    val header = parseMeta(text)
+    val stagedMeta = header -- Seq("base", "op", "pcol")
     // the staged batch's own schema (all its files), for the widen
     val schema = spark.read.option("mergeSchema", "true")
       .option("basePath", qualified)
       .parquet(lines.map(l => s"$qualified/${pathOf(l)}"): _*).schema
-    val pcol = schema.fields.last.name // partition column surfaces last
+    // the pointer recorded the partition column at stage time; last-
+    // field inference only for pointers predating the header key
+    val pcol = header.getOrElse("pcol", schema.fields.last.name)
     val cur = currentVersion(spark, path)
     val v = commit(fs, root, cur, Set.empty, lines,
       Map("op" -> "append", "wap_id" -> id) ++ stagedMeta,

@@ -157,14 +157,29 @@ object EventStreams {
         }
       }
     }
-    if (!isReplay)
-      // statsCols takes effect on the BOOTSTRAP batch (it declares the
-      // layout's stats columns); later batches inherit the declaration
-      // from the manifest and re-stat their own files regardless
+    if (!isReplay) {
+      // statsCols takes effect on the BOOTSTRAP batch only (it declares
+      // the layout's stats columns); once the manifest carries a
+      // declaration, a caller-supplied list must MATCH it — silently
+      // overriding the inherited key would re-key how every existing
+      // entry's positional bounds are read (a [0,1000] user range
+      // compared against epoch-second ts bounds skips every file)
+      val declared = Snapshot.currentMeta(spark, outDir)
+        .flatMap(_.get("stats"))
+      declared.foreach { d =>
+        require(statsCols.isEmpty || statsCols.mkString(",") == d,
+          s"layout $outDir already declares stats columns [$d]; this " +
+          s"ingest asked for [${statsCols.mkString(",")}] — a layout's " +
+          "stats declaration is fixed at bootstrap")
+      }
+      val statsMeta =
+        if (statsCols.isEmpty || declared.isDefined)
+          Map.empty[String, String]
+        else Map("stats" -> statsCols.mkString(","))
       Snapshot.append(spark, outDir, "event_date", batch,
         runId.map("run" -> _).toMap + ("batch" -> batchId.toString) ++
-          (if (statsCols.isEmpty) Map.empty[String, String]
-           else Map("stats" -> statsCols.mkString(",")))): Unit
+          statsMeta): Unit
+    }
   }
 
   /** Streaming maintenance of the MatView rollup: each micro-batch's

@@ -615,6 +615,29 @@ class SnapshotManifestSpec extends AnyFunSuite {
       Set((3L, 1003L, "delete"), (3L, 3L, "insert")))
   }
 
+  test("changeDiff nets to EMPTY when a re-delete re-hides rows a dropped vector had hidden") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-cdfrehide")
+    Snapshot.init(spark, path, "event_date") // v1
+    Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("event_id") === 2L) // v2: vector A hides row 2
+    Snapshot.restore(spark, path, 1L) // v3: drops A, row 2 visible again
+    Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("event_id") === 2L) // v4: vector B, the SAME (file,pos) pairs
+    // visible rows at v2 and v4 are identical — a diff that only
+    // anti-joins one side would emit row 2 as a spurious delete (and a
+    // q70-style consumer would double-retract it)
+    assert(Snapshot.changeDiff(spark, path, 2L, 4L).isEmpty,
+      "re-hiding an already-hidden-at-fromV row is not a change")
+    // the surrounding windows still see the real transitions
+    def d(a: Long, b: Long) = Snapshot.changeDiff(spark, path, a, b)
+      .select("event_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d(1L, 2L) == Set(2L -> "delete"))
+    assert(d(2L, 3L) == Set(2L -> "insert"))
+    assert(d(3L, 4L) == Set(2L -> "delete"))
+  }
+
   test("changeDiff is a BAG difference: one of two identical rows dropped = exactly one delete") {
     import spark.implicits._
     val path = s"${tmp("graft-cdfbag")}/layout"

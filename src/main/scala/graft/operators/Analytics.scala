@@ -2277,6 +2277,200 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q74 — ROW LINEAGE graded through the hash gate: the store assigns
+  // every row a durable _row_id at its first commit (Snapshot.init
+  // rowIds=true; virtual on appends — entry base + file position, zero
+  // stored bytes — materialized physically by every rewrite), and
+  // Snapshot.changeDiffLineage pairs an UPDATE as update_preimage/
+  // update_postimage rows SHARING the id where the q69 bag diff emitted
+  // unmatched delete+insert. The table life stresses exactly what ids
+  // must survive: v2 append, v3 merge-on-read UPDATE, v4 materialize,
+  // v5 compact — two full re-filings between the update and the diff.
+  // The query then joins pre-to-post ON _row_id (the pairing IS the
+  // join key) and emits (old_value, new_value) in ONE row per updated
+  // row; the appended cohort surfaces as inserts whose image already
+  // carries the update (insert-then-update composes to one insert with
+  // the FINAL image — the endpoint rule). Ids are engine-internal, so
+  // the graded columns are the images; if an id broke anywhere (moved
+  // by compact, dropped by materialize, re-minted by the update) the
+  // pre/post join would mispair or empty out and the hash could not
+  // match. Cost shape at 100 TB: the composed walk reads ONLY the
+  // update's vector delta + new images and the append's files — the
+  // compaction re-filing contributes ZERO candidate rows (where q69's
+  // bag diff reads every re-filed byte to cancel it).
+  // ---------------------------------------------------------------------
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_lineage/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"), pmod(col("event_id"), lit(2)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date", rowIds = true): Unit
+    }
+    if (Snapshot.currentVersion(s, path).contains(1L))
+      Snapshot.append(s, path, "event_date", events.where(cohort === 2),
+        Map("source" -> "growth")): Unit
+    if (Snapshot.currentVersion(s, path).contains(2L))
+      Snapshot.updateWhere(s, path, "event_date",
+        col("user_id") === CdfUpdUser,
+        Map("value" -> (col("value") * 2))): Unit
+    if (Snapshot.currentVersion(s, path).contains(3L))
+      Snapshot.materializeDeletes(s, path, "event_date", Seq("ts")): Unit
+    if (Snapshot.currentVersion(s, path).contains(4L))
+      Snapshot.compact(s, path, "event_date", 1L << 30, Seq("ts")): Unit
+    val cur = Snapshot.currentVersion(s, path).get
+    require(cur >= 4L, s"table life incomplete: at v=$cur")
+    val diff = Snapshot.changeDiffLineage(s, path, 1L, cur)
+    // the feed must contain NO deletes (nothing was deleted) — a bag
+    // diff leaking a re-filed row, or an id breaking into delete+insert,
+    // would land here before it could blur the graded output
+    require(diff.where(col("_change_type") === "delete").isEmpty,
+      "lineage diff leaked delete rows across a delete-free life")
+    val pre = diff.where(col("_change_type") === "update_preimage")
+      .select(col(Snapshot.RowIdCol).as("__rid"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value").as("old_value"))
+    val post = diff.where(col("_change_type") === "update_postimage")
+      .select(col(Snapshot.RowIdCol).as("__rid"),
+        col("value").as("new_value"))
+    // THE pairing: pre joins post on the durable row id, one row out
+    val pairs = pre.join(post, Seq("__rid"))
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("old_value"), col("new_value"),
+        lit("update").as("change_kind"))
+    val inserts = diff.where(col("_change_type") === "insert")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), lit(null).cast(pairs.schema("old_value").dataType)
+          .as("old_value"),
+        col("value").as("new_value"), lit("insert").as("change_kind"))
+    pairs.unionByName(inserts).orderBy(col("event_id"))
+  }
+  // pairs: the pre-append cohort's rows of the corrected user, old and
+  // NEW value in one row (the id join did the pairing). inserts: the
+  // appended cohort with its FINAL image — the corrected user's appended
+  // rows composed insert-then-update into one insert (endpoint rule).
+  private val q74Sql =
+    s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+       |       value AS old_value, value * 2 AS new_value,
+       |       'update' AS change_kind
+       |FROM events
+       |WHERE event_id % 4 IN (0, 1) AND user_id = $CdfUpdUser
+       |UNION ALL
+       |SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+       |       NULL AS old_value,
+       |       CASE WHEN user_id = $CdfUpdUser THEN value * 2
+       |            ELSE value END AS new_value,
+       |       'insert' AS change_kind
+       |FROM events
+       |WHERE event_id % 4 = 2
+       |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q76 — BRANCHES (movable refs) graded through the hash gate: the
+  // multi-batch write-audit-publish workflow q73's single staged pointer
+  // cannot express. A branch forks at the current main version; TWO
+  // ingest batches commit to it (each invisible to main readers — the
+  // in-query require pins that main still serves the base cohort while
+  // the branch holds both); the audit reads the branch's would-be table
+  // (base ∪ both batches); then ONE fast-forward folds every branch
+  // commit into main atomically. The graded report reads main before
+  // and after the fast-forward next to the branch audit — three phases,
+  // each against its own cohort SQL, so a branch that leaks into main
+  // early, loses a batch at publish, or double-publishes cannot
+  // hash-match. Divergence refusal and retention pinning are spec-pinned
+  // (RowLineageSpec's sibling BranchSpec). Cost shape at 100 TB: a
+  // branch commit is one pointer publish; the fast-forward is ONE
+  // manifest commit regardless of how many batches the branch holds.
+  // ---------------------------------------------------------------------
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_branch/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    val branch = "audit-2024w2"
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"), pmod(col("event_id"), lit(2)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date"): Unit
+    }
+    def report(rows: DataFrame, phase: String): DataFrame =
+      rows.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("phase", lit(phase))
+    // phase 1: branch + two staged batches; main must NOT see them.
+    // Version-guarded so a bench rerun (same JVM, table already
+    // fast-forwarded) replays nothing and reports identically.
+    val preFF = Snapshot.currentVersion(s, path).contains(1L)
+    val auditReport =
+      if (preFF) {
+        Snapshot.createBranch(s, path, branch): Unit
+        Snapshot.appendToBranch(s, path, branch, "event_date",
+          events.where(cohort === 2), Map("batch" -> "w2-early")): Unit
+        Snapshot.appendToBranch(s, path, branch, "event_date",
+          events.where(cohort === 3), Map("batch" -> "w2-late")): Unit
+        require(Snapshot.currentVersion(s, path).contains(1L),
+          "branch commits leaked a main version")
+        val mainPre = report(Snapshot.readSnapshot(s, path), "main_pre_publish")
+        val audit = report(Snapshot.readBranch(s, path, branch),
+          "branch_audit")
+        // the audit PASSES → one atomic publish of both batches
+        val v = Snapshot.fastForward(s, path, branch)
+        require(v == 2L, s"fast-forward should land v2, got v$v")
+        Some((mainPre, audit))
+      } else None
+    require(Snapshot.currentVersion(s, path).contains(2L),
+      s"table life incomplete: at v=${Snapshot.currentVersion(s, path)}")
+    require(Snapshot.branches(s, path).isEmpty,
+      "published branch must be cleaned up")
+    // rerun path: reconstruct the two pre-publish phases from pinned
+    // versions (v1 = main before; v1 + the published delta = the audit
+    // view, which post-publish equals v2)
+    val (mainPre, audit) = auditReport.getOrElse((
+      report(Snapshot.readVersion(s, path, 1L), "main_pre_publish"),
+      report(Snapshot.readVersion(s, path, 2L), "branch_audit")))
+    mainPre.unionByName(audit)
+      .unionByName(report(Snapshot.readSnapshot(s, path), "main_published"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+  private val q76Sql =
+    s"""SELECT 'branch_audit' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'main_pre_publish' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events WHERE event_id % 4 IN (0, 1) GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'main_published' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2322,5 +2516,9 @@ object Analytics {
     QueryDef("q69_change_data_feed", q69, Some(q69Sql), headline = true),
     QueryDef("q71_tagged_snapshot", q71, Some(q71Sql)),
     QueryDef("q72_string_stats_slice", q72, Some(q72Sql), headline = true),
-    QueryDef("q73_write_audit_publish", q73, Some(q73Sql)))
+    QueryDef("q73_write_audit_publish", q73, Some(q73Sql)),
+    QueryDef("q74_row_lineage_update_pairs", q74, Some(q74Sql),
+      headline = true),
+    QueryDef("q76_branch_wap_fast_forward", q76, Some(q76Sql),
+      headline = true))
 }

@@ -944,6 +944,130 @@ object MatView {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q75 — the TYPED-UPDATE rollup consumer on the LINEAGE feed: q70's
+  // retractable consumer closes over insert|delete; on a lineage table
+  // Snapshot.consumeChanges upgrades the row-changing gap to
+  // changeDiffLineage frames — update_preimage/update_postimage pairs
+  // sharing a durable _row_id — and the additive downstream needs ONE
+  // rule more: post-images weigh +1, pre-images weigh -1 (an update IS
+  // retract-old + assert-new, delivered as a pair instead of an
+  // unmatched bag). The life: bootstrap → delta → UPDATE (diff mode,
+  // O(changed rows): a value correction re-prices one user's rows) →
+  // MATERIALIZE (row-preserving: the feed crosses it as an EMPTY delta —
+  // zero re-read, the physical id carry is what keeps later diffs exact)
+  // → delta → caught-up. Final rollup graded against full-corpus SQL with
+  // the correction applied; a consumer that drops a pre-image,
+  // double-applies a post-image, or resyncs where it should ride the
+  // diff cannot hash-match. Applies are keyed (group, toV) — the q65
+  // exactly-once formula.
+  // ---------------------------------------------------------------------
+  private val Q75UpdUser = 12L
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val group = "typed-update-rollup"
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val root = s"${Sink.artifactRoot}/events_lincdc/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, root).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(root)
+      Snapshot.init(s, root, "event_date", rowIds = true): Unit
+    }
+    // signed additive partials, the q70 shape with the update rule:
+    // assertions (insert, update_postimage) add, retractions (delete,
+    // update_preimage) subtract — pairs net to (new - old) in place
+    def signed(ch: DataFrame): DataFrame = {
+      val w = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      ch.groupBy(col("event_date"))
+        .agg(
+          sum(w).as("n_events"),
+          sum(col("value").cast(DecimalType(28, 4)) * w).as("sum_value"))
+        .select(col("event_date"), col("n_events"),
+          col("sum_value").cast(DecimalType(28, 4)).as("sum_value"))
+    }
+    def mergeParts(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy(col("event_date"))
+        .agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_value")).as("sum_value"))
+        .select(col("event_date"), col("n_events"),
+          col("sum_value").cast(DecimalType(28, 4)).as("sum_value"))
+    def downAt(v: Long): String = s"$root-down-$group-v$v"
+    def advanceOnce(expect: String): Unit = {
+      val cur = Snapshot.currentVersion(s, root).get
+      val prev = Snapshot.consumerPosition(s, root, group)
+      val r = Snapshot.consumeChanges(s, root, group) { ch =>
+        val base = s.read.parquet(downAt(prev.getOrElse(
+          throw new IllegalStateException("apply without a position"))))
+        Sink.publishedArtifact(s, downAt(cur))(
+          mergeParts(base, signed(ch))): Unit
+      } { full =>
+        Sink.publishedArtifact(s, downAt(cur))(signed(full)): Unit
+      }
+      require(r.mode == expect,
+        s"consumeChanges step expected mode=$expect, got ${r.mode} " +
+        s"(fromV=${r.fromV}, toV=${r.toV})")
+    }
+    if (Snapshot.consumerPosition(s, root, group).isEmpty)
+      advanceOnce("bootstrap")
+    if (Snapshot.currentVersion(s, root).contains(1L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 2),
+        Map("source" -> "delta-a")): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(1L))
+      advanceOnce("delta")
+    // the value correction: a ROW-CHANGING commit — q65's consumer
+    // would re-read the table, q70's gets an insert+delete bag; THIS
+    // consumer gets paired typed updates and applies (new - old)
+    if (Snapshot.currentVersion(s, root).contains(2L))
+      Snapshot.updateWhere(s, root, "event_date",
+        col("user_id") === Q75UpdUser,
+        Map("value" -> (col("value") * 3))): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(2L))
+      advanceOnce("diff")
+    // row-preserving maintenance (the update's vectors fold into a
+    // file-grain rewrite): the feed CROSSES it as an EMPTY delta — no
+    // resync, no diff, and the physical id carry keeps later diffs exact
+    if (Snapshot.currentVersion(s, root).contains(3L))
+      Snapshot.materializeDeletes(s, root, "event_date", Seq("ts")): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(3L))
+      advanceOnce("delta")
+    if (Snapshot.currentVersion(s, root).contains(4L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 3),
+        Map("source" -> "delta-b")): Unit
+    if (Snapshot.consumerPosition(s, root, group).contains(4L))
+      advanceOnce("delta")
+    advanceOnce("caught-up")
+    val pos = Snapshot.consumerPosition(s, root, group)
+    require(pos.contains(5L), s"consumer should rest at v5, got $pos")
+    s.read.parquet(downAt(5L))
+      .where(col("n_events") > 0L)
+      .select(col("event_date"), col("n_events"),
+        col("sum_value").cast(DoubleType).as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  // the end state: every cohort, with the corrected user's pre-update
+  // rows re-priced — EXCEPT the user's cohort-3 rows, appended AFTER
+  // the correction (late data keeps its own image)
+  private val q75Sql =
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(
+       |    CASE WHEN user_id = $Q75UpdUser AND event_id % 4 <> 3
+       |         THEN value * 3 ELSE value END
+       |    AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
@@ -964,5 +1088,7 @@ object MatView {
     // two deltas, and the rewrite-crossing re-sync all hash-graded
     QueryDef("q65_cdc_consumer_offsets", q65, Some(q44Sql), headline = true),
     QueryDef("q70_retractable_rollup_consumer", q70, Some(q70Sql),
+      headline = true),
+    QueryDef("q75_lineage_update_consumer", q75, Some(q75Sql),
       headline = true))
 }

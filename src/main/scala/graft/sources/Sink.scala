@@ -304,6 +304,22 @@ object Sink {
     val dataSchema = dataSchemaOverride.getOrElse {
       val merged = spark.read.option("mergeSchema", "true")
         .parquet(paths: _*).schema
+      if (merged.fieldNames.contains(partitionCol)) {
+        // the bare multi-dir read surfaces the partition column either
+        // by DIR INFERENCE (benign — the explicit read below re-adds it
+        // as the raw STRING dir value) or because an external writer
+        // PHYSICALLY embedded it in the data files (not benign: dropping
+        // it here would silently overwrite every rewritten row's stored
+        // value with the dir-derived one). Distinguish by reading one
+        // leaf file's own footer — a single-file read has no dir context,
+        // so any partition column it shows is physically present.
+        val probe = spark.read.parquet(paths.head).schema
+        require(!probe.fieldNames.contains(partitionCol),
+          s"data file ${paths.head} physically embeds partition column " +
+          s"'$partitionCol' — a maintenance rewrite would silently " +
+          "replace its stored values with dir-derived ones; rewrite the " +
+          "layout (or rename the column) before running maintenance")
+      }
       org.apache.spark.sql.types.StructType(
         merged.fields.filterNot(_.name == partitionCol))
     }

@@ -161,19 +161,62 @@ object Snapshot {
     if (t < 0) line else line.substring(0, t)
   }
 
+  /** ROW-LINEAGE column name — the durable per-row identity a lineage-
+    * enabled layout (`rowids=on`, declared at [[init]] or bootstrap
+    * append) assigns at first commit and carries through every rewrite.
+    * Reserved: never part of the recorded TABLE schema; surfaced only by
+    * the lineage read surface ([[readVersionLineage]],
+    * [[changeDiffLineage]]). Ids are Iceberg-v3-shaped: a file written
+    * by an append carries a manifest-entry base (`r:<base>`) and a row's
+    * id is `base + its position in the file` (zero stored bytes); a file
+    * written by a rewrite MATERIALIZES the column physically (`r:p`) so
+    * re-filed rows keep the ids they were born with. */
+  val RowIdCol = "_row_id"
+
+  /** Trailing entry-line fields that are NOT positional stats bounds —
+    * prefix-keyed so parsers can skip them: `r:<base>`/`r:p` (row-id
+    * base / physically materialized), `n:<rows>` (file row count),
+    * `z:<c0,c1,…>` (per-stats-column null counts). Bound tokens are
+    * numeric, `-`, or `s:`-prefixed — never these. */
+  private def isExtraField(f: String): Boolean =
+    f.startsWith("r:") || f.startsWith("n:") || f.startsWith("z:")
+
+  /** The positional bound tokens of an entry line (extras stripped). */
+  private def boundFields(line: String): Array[String] =
+    line.split("\t").drop(1).filterNot(isExtraField)
+
   /** Per-column `(min, max)` statistics of a manifest entry line, in
     * the layout's declared stats-column order. A column with no bounds
     * in this file (all-NULL values) is encoded `-\t-` → None; a bare
     * path carries no bounds for any column; STRING-typed bounds
     * (`s:…` — see [[strBoundsOf]]) are None in the LONG view. */
-  private def statsListOf(line: String): Seq[Option[(Long, Long)]] = {
-    val parts = line.split("\t")
-    parts.drop(1).grouped(2).collect {
+  private def statsListOf(line: String): Seq[Option[(Long, Long)]] =
+    boundFields(line).grouped(2).collect {
       case Array(mn, mx) =>
         if (mn == "-" || mx == "-") None
         else scala.util.Try((mn.toLong, mx.toLong)).toOption
     }.toSeq
-  }
+
+  /** The row-id tag of an entry line: `Some("p")` (ids physically
+    * materialized in the file), `Some("<base>")` (virtual ids
+    * `base + row position`), or None (pre-lineage entry). */
+  private def rowIdTagOf(line: String): Option[String] =
+    line.split("\t").find(_.startsWith("r:")).map(_.stripPrefix("r:"))
+
+  /** The recorded row count of an entry line, if the committing write
+    * recorded one (`n:<rows>` — always present on lineage- or
+    * null-stats-enabled layouts). */
+  private[graft] def rowCountOf(line: String): Option[Long] =
+    line.split("\t").find(_.startsWith("n:"))
+      .flatMap(f => scala.util.Try(f.stripPrefix("n:").toLong).toOption)
+
+  /** Per-stats-column null counts of an entry line (`z:` field,
+    * declaration order; `-` = unknown), empty when never recorded. */
+  private def nullCountsOf(line: String): Seq[Option[Long]] =
+    line.split("\t").find(_.startsWith("z:")).map {
+      _.stripPrefix("z:").split(",", -1).toSeq
+        .map(t => scala.util.Try(t.toLong).toOption)
+    }.getOrElse(Nil)
 
   // ----- STRING-typed manifest statistics ------------------------------
   // A string stats column records per-file bounds in UTF-8 BYTE order —
@@ -245,8 +288,8 @@ object Snapshot {
     * column index `i`, when that column recorded string-typed bounds. */
   private def strBoundsOf(line: String,
       i: Int): Option[(Array[Byte], Array[Byte])] = {
-    val parts = line.split("\t")
-    (parts.lift(1 + 2 * i), parts.lift(2 + 2 * i)) match {
+    val parts = boundFields(line)
+    (parts.lift(2 * i), parts.lift(2 * i + 1)) match {
       case (Some(mn), Some(mx))
           if mn.startsWith("s:") && mx.startsWith("s:") =>
         Some((decStrBound(mn), decStrBound(mx)))
@@ -270,25 +313,41 @@ object Snapshot {
   private val SegCacheMaxBytes = 256L * 1024 * 1024
   private val SegCacheMaxEntryBytes = 16L * 1024 * 1024
 
+  private def segBytes(lines: Seq[String]): Long =
+    lines.foldLeft(0L)(_ + _.length + 40L) // chars + overhead
+
   private def segLines(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, name: String): Seq[String] = {
     val key = fs.makeQualified(
       new org.apache.hadoop.fs.Path(root, s"$ManifestDir/$name")).toString
     val hit = segCache.get(key)
-    if (hit != null) hit
+    if (hit != null) return hit
+    val lines = readSmallFile(fs,
+      new org.apache.hadoop.fs.Path(root, s"$ManifestDir/$name"))
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (segBytes(lines) > SegCacheMaxEntryBytes) lines
     else {
-      val lines = readSmallFile(fs,
-        new org.apache.hadoop.fs.Path(root, s"$ManifestDir/$name"))
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      val bytes = lines.foldLeft(0L)(_ + _.length + 40L) // chars + overhead
-      if (bytes <= SegCacheMaxEntryBytes) {
-        if (segCacheBytes.addAndGet(bytes) > SegCacheMaxBytes) {
+      // ADVICE r16: computeIfAbsent dedupes concurrent loads (one store,
+      // one byte charge — two threads missing the same key no longer
+      // both charge the counter for a single stored copy), and overflow
+      // RECOMPUTES the counter from actual contents before deciding to
+      // evict, so accounting drift can never trigger a premature
+      // wholesale clear
+      val stored = segCache.computeIfAbsent(key, { _ =>
+        segCacheBytes.addAndGet(segBytes(lines)): Unit
+        lines
+      })
+      if (segCacheBytes.get() > SegCacheMaxBytes) segCache.synchronized {
+        val actual = segCache.values.iterator()
+        var sum = 0L
+        while (actual.hasNext) sum += segBytes(actual.next())
+        segCacheBytes.set(sum)
+        if (sum > SegCacheMaxBytes) {
           segCache.clear()
-          segCacheBytes.set(bytes)
+          segCacheBytes.set(0L)
         }
-        segCache.put(key, lines)
       }
-      lines
+      stored
     }
   }
 
@@ -385,7 +444,9 @@ object Snapshot {
     * file-statistics column, see [[entriesOf]]) rides here too: it is
     * a property of the TABLE, declared once at [[init]], that every
     * later commit must keep honoring. */
-  private val InheritedMeta = Set("run", "batch", "delta", "stats", "schema")
+  private val InheritedMeta =
+    Set("run", "batch", "delta", "stats", "schema", "rowids", "nullstats",
+      "pcol")
 
   /** The table schema snapshot `v`'s manifest records (header key
     * `schema`, Spark StructType JSON, partition column included) — the
@@ -426,6 +487,63 @@ object Snapshot {
     resolvedLinesFs(fs, root, v).filterNot(isDeleteEntry).map(pathOf)
 
   private val MaxCommitAttempts = 24
+
+  /** Claim a contiguous range of `n` fresh row ids for a lineage-enabled
+    * layout, returning its first id. The high-water mark lives in
+    * `_manifests/rid-<seq>` files (`#base`, `#n` — the claimed range),
+    * advanced with the same [[publishIfAbsent]] create-if-absent
+    * primitive as manifests: of N racing writers exactly one lands
+    * `rid-<seq+1>`, losers re-read and retry, so two commits can never
+    * claim overlapping ranges — WITHOUT touching the manifest commit
+    * loop (a rebased commit keeps the range it claimed; an aborted
+    * commit burns its range, which is fine: ids need to be unique and
+    * stable, not dense). O(1): one directory listing + one small read
+    * per claim; [[expire]] sweeps all but the newest marker. */
+  private def allocateRowIds(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, n: Long): Long = {
+    require(n > 0, s"row-id allocation needs n > 0, got $n")
+    val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val seqs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.matches("rid-\\d+")).map(_.stripPrefix("rid-").toLong)
+      val read: Option[(Long, Long)] =
+        if (seqs.isEmpty) Some((0L, 0L))
+        else {
+          val s = seqs.max
+          try {
+            val m = parseMeta(readSmallFile(fs,
+              new org.apache.hadoop.fs.Path(dir, f"rid-$s%012d")))
+            Some((s,
+              m.getOrElse("base", "0").toLong + m.getOrElse("n", "0").toLong))
+          } catch {
+            // a retention sweep deleted a just-superseded marker between
+            // our listing and the read — re-list (the newest survives
+            // every sweep)
+            case _: java.io.FileNotFoundException => None
+          }
+        }
+      if (read.isEmpty) Thread.sleep(5L)
+      else {
+        val (prevSeq, base) = read.get
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(s"#base=$base\n#n=$n".getBytes(Charset))
+        finally out.close()
+        val won = publishIfAbsent(fs, tmp,
+          new org.apache.hadoop.fs.Path(dir, f"rid-${prevSeq + 1}%012d"))
+        fs.delete(tmp, false): Unit
+        if (won) return base
+        Thread.sleep((2L << math.min(attempt, 6)) +
+          scala.util.Random.nextInt(11).toLong)
+      }
+    }
+    throw new IllegalStateException(
+      s"row-id allocation on $root still contended after $MaxCommitAttempts attempts")
+  }
 
   /** Publish a staged manifest as `target` with WRITE-IF-ABSENT
     * semantics — the one primitive the whole commit protocol rests on.
@@ -473,17 +591,20 @@ object Snapshot {
         val oldByName = o.fields.map(f => f.name -> f).toMap
         // the partition column is exempt: its batch-side type only
         // shapes directory names, and readers cast dir values to the
-        // recorded type regardless
-        batch.fields.filterNot(_.name == pcol).foreach { f =>
-          oldByName.get(f.name).foreach { ex =>
-            require(ex.dataType == f.dataType,
-              s"append schema conflict on '${f.name}': table has " +
-              s"${ex.dataType}, batch has ${f.dataType} — only ADD-column " +
-              "evolution is supported")
+        // recorded type regardless. The lineage column is exempt too:
+        // a rewrite-carry batch materializes it physically, but it is
+        // ENGINE metadata, never part of the recorded table schema.
+        batch.fields.filterNot(f => f.name == pcol || f.name == RowIdCol)
+          .foreach { f =>
+            oldByName.get(f.name).foreach { ex =>
+              require(ex.dataType == f.dataType,
+                s"append schema conflict on '${f.name}': table has " +
+                s"${ex.dataType}, batch has ${f.dataType} — only ADD-column " +
+                "evolution is supported")
+            }
           }
-        }
         val added = batch.fields
-          .filterNot(f => oldByName.contains(f.name))
+          .filterNot(f => oldByName.contains(f.name) || f.name == RowIdCol)
           .map(_.copy(nullable = true))
         if (added.isEmpty) Map.empty[String, String]
         else {
@@ -494,8 +615,10 @@ object Snapshot {
             org.apache.spark.sql.types.StructType(dataF ++ added ++ partF).json)
         }
       case None if bootstrap =>
-        // bootstrap append: this batch DEFINES the table schema
-        val (data, part) = batch.fields.partition(_.name != pcol)
+        // bootstrap append: this batch DEFINES the table schema (minus
+        // the reserved lineage column, which is engine metadata)
+        val (data, part) = batch.fields.filterNot(_.name == RowIdCol)
+          .partition(_.name != pcol)
         Map("schema" ->
           org.apache.spark.sql.types.StructType(data ++ part).json)
       case None => Map.empty[String, String] // pre-evolution layout
@@ -644,6 +767,17 @@ object Snapshot {
       // transaction identity is table state: carry the inherited keys
       // forward from the latest manifest unless this commit sets them
       val carried = latestMeta.view.filterKeys(InheritedMeta).toMap
+      // ADVICE r16 #1: the stats declaration is FIXED at bootstrap — it
+      // keys how every existing entry's positional bounds are read, so a
+      // commit re-declaring a different list would silently re-interpret
+      // them (wrong file skips → wrong results). Enforced HERE, at the
+      // one seam every committer passes through, not just in the
+      // streaming ingest's own pre-check.
+      for (c <- carried.get("stats"); m <- meta.get("stats"))
+        require(m == c,
+          s"layout under $root already declares stats columns [$c]; this " +
+          s"commit redeclares [$m] — a layout's stats declaration is " +
+          "fixed at bootstrap (positional bounds would be re-keyed)")
       val schemaMeta = widenSchema match {
         case None => Map.empty[String, String]
         case Some((batchSchema, pcol)) =>
@@ -726,11 +860,16 @@ object Snapshot {
     * files, all columns in the same single job. */
   def init(spark: SparkSession, path: String, partitionCol: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      rowIds: Boolean = false,
+      nullCounts: Boolean = false): Long = {
     require(!statsCols.contains(partitionCol),
       s"statsCols contains '$partitionCol', the partition column — " +
       "partition values prune at the directory level already; stats " +
       "bound DATA columns")
+    require(!nullCounts || statsCols.nonEmpty,
+      "nullCounts records per-file null counts FOR the declared stats " +
+      "columns — declare statsCols too")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     committedVersions(fs, root).lastOption.getOrElse {
@@ -739,15 +878,21 @@ object Snapshot {
         .map(_.getPath.toString.stripPrefix(qualified).stripPrefix("/"))
       require(rel.nonEmpty, s"no data files under $path to snapshot")
       val statsMeta =
-        if (statsCols.isEmpty) Map.empty[String, String]
-        else Map("stats" -> statsCols.mkString(","))
-      val lines = statLines(spark, qualified, rel, statsMeta.get("stats"))
+        (if (statsCols.isEmpty) Map.empty[String, String]
+         else Map("stats" -> statsCols.mkString(","))) ++
+        (if (rowIds) Map("rowids" -> "on") else Map.empty) ++
+        (if (nullCounts) Map("nullstats" -> "on") else Map.empty)
+      val lines = statLines(spark, fs, root, rel, statsMeta)
       // record the table schema (partition column included, as the
       // basePath read infers it) — the anchor later appends widen
       val schema = spark.read.option("basePath", qualified)
         .parquet(rel.map(f => s"$qualified/$f"): _*).schema
+      require(!rowIds || !schema.fieldNames.contains(RowIdCol),
+        s"'$RowIdCol' is the reserved lineage column — the bootstrap " +
+        "files must not already carry it")
       try commit(fs, root, None, Set.empty, lines,
-        Map("op" -> "init", "schema" -> schema.json) ++ statsMeta ++ meta,
+        Map("op" -> "init", "schema" -> schema.json,
+          "pcol" -> partitionCol) ++ statsMeta ++ meta,
         allowRebase = false)
       catch {
         // two inits racing list the SAME pre-manifest files — the loser
@@ -880,6 +1025,121 @@ object Snapshot {
           "left_anti")
         .drop("__dv_file", "__dv_pos")
     }
+
+  // ----- ROW LINEAGE ---------------------------------------------------
+  // Stable per-row identity (the Iceberg-v3 / Delta-row-tracking
+  // primitive): a lineage-enabled layout assigns every row a durable
+  // LONG `_row_id` at its first commit and carries it through every
+  // rewrite. Appended files store NOTHING — their entry records an
+  // allocated base (`r:<base>`) and a row's id is base + its position in
+  // the file; rewrite paths (compact / CoW delete / materialize /
+  // update / merge survivors) read ids and MATERIALIZE the column
+  // physically into the files they write (`r:p`), so re-filed rows keep
+  // the ids they were born with. Readers compute
+  // `coalesce(physical, base + _metadata.row_index)` — one broadcast
+  // hash join against an O(files) base map, no data-sized state.
+
+  private def rowIdsOn(meta: Map[String, String]): Boolean =
+    meta.get("rowids").contains("on")
+
+  private def lineageReadSchema(recorded: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    require(!recorded.fieldNames.contains(RowIdCol),
+      s"recorded schema already contains reserved column '$RowIdCol'")
+    recorded.add(RowIdCol, LongType, nullable = true)
+  }
+
+  /** file → allocated id base, from the entries whose ids are virtual
+    * (`r:<base>`); physically-materialized files (`r:p`) are absent. */
+  private def basesOf(lines: Seq[String]): Map[String, Long] =
+    lines.filterNot(isDeleteEntry).flatMap { l =>
+      rowIdTagOf(l).filter(_ != "p").map(b => pathOf(l) -> b.toLong)
+    }.toMap
+
+  private def requireLineageEntries(lines: Seq[String], path: String): Unit = {
+    val untagged = lines.filterNot(isDeleteEntry)
+      .filter(l => rowIdTagOf(l).isEmpty).map(pathOf)
+    require(untagged.isEmpty,
+      s"lineage read on $path: ${untagged.size} file(s) predate the " +
+      s"rowids declaration (${untagged.sorted.take(3).mkString(", ")}) — " +
+      "row lineage must be enabled at table birth (init(rowIds = true) " +
+      "or a bootstrap append with meta rowids=on)")
+  }
+
+  /** Materialize (file, position) key columns ONCE, directly on a file
+    * scan — `_metadata` resolves only there, so every downstream join
+    * (id attach, DV subtract) must share these columns instead of
+    * re-deriving them after a join has hidden the scan. */
+  private def withFilePos(df: DataFrame, qualified: String): DataFrame = {
+    val k = dvKeyCols(qualified)
+    df.withColumn("__lin_file", k(0)).withColumn("__lin_pos", k(1))
+  }
+
+  /** Fill `_row_id` on a keyed scan: physical ids win; a NULL physical
+    * id takes the file's allocated base + row position (unique because
+    * the base range covers the file's full row count). */
+  private def attachRowIdsKeyed(spark: SparkSession, keyed: DataFrame,
+      bases: Map[String, Long], fileCol: String = "__lin_file",
+      posCol: String = "__lin_pos"): DataFrame =
+    if (bases.isEmpty) keyed
+    else {
+      import spark.implicits._
+      val baseDf = org.apache.spark.sql.functions.broadcast(
+        bases.toSeq.toDF("__lin_bfile", "__lin_base"))
+      keyed.join(baseDf, col(fileCol) === col("__lin_bfile"), "left")
+        .withColumn(RowIdCol,
+          coalesce(col(RowIdCol), col("__lin_base") + col(posCol)))
+        .drop("__lin_bfile", "__lin_base")
+    }
+
+  /** [[applyDeletes]] for a scan that already carries the (file, pos)
+    * key columns ([[withFilePos]]) — the keys survive the id-attach
+    * join, where `_metadata` would not. */
+  private def applyDeletesKeyed(spark: SparkSession, qualified: String,
+      keyed: DataFrame, dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) keyed
+    else {
+      val dv = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
+        .select(col("dv_file"), col("dv_pos"))
+      keyed.join(dv,
+          keyed("__lin_file") === dv("dv_file") &&
+            keyed("__lin_pos") === dv("dv_pos"),
+          "left_anti")
+    }
+
+  /** A pinned snapshot read WITH row lineage: the table's data columns
+    * plus [[RowIdCol]] — each row's durable identity, stable across
+    * compaction, DV materialization, updates (an updated row keeps its
+    * id), and restore. The id is Iceberg-v3-virtual on appended files
+    * (entry base + row position, zero stored bytes) and physical on
+    * rewritten ones; this read coalesces the two transparently. */
+  def readVersionLineage(spark: SparkSession, path: String,
+      v: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val qualified = fsOf(spark, root).makeQualified(root).toString
+    val (meta, lines) = stateOf(spark, path, v)
+    require(rowIdsOn(meta),
+      s"$path is not lineage-enabled (no rowids=on in its manifest) — " +
+      "declare rowIds at init or bootstrap")
+    val recorded = recordedSchema(meta).getOrElse(throw new IllegalStateException(
+      s"lineage-enabled $path lacks a recorded schema — corrupted manifest?"))
+    requireLineageEntries(lines, path)
+    val files = lines.filterNot(isDeleteEntry).map(pathOf)
+    require(files.nonEmpty, s"snapshot v=$v of $path is empty")
+    val df = spark.read.option("basePath", qualified)
+      .schema(lineageReadSchema(recorded))
+      .parquet(files.map(f => s"$qualified/$f"): _*)
+    val withIds = attachRowIdsKeyed(spark, withFilePos(df, qualified),
+      basesOf(lines))
+    applyDeletesKeyed(spark, qualified, withIds,
+      lines.filter(isDeleteEntry).map(pathOf))
+      .drop("__lin_file", "__lin_pos")
+  }
+
+  /** The CURRENT snapshot with row lineage — [[readVersionLineage]] at
+    * the current version. */
+  def readSnapshotLineage(spark: SparkSession, path: String): DataFrame =
+    readVersionLineage(spark, path, currentFiles(spark, path)._1)
 
   /** The layout's declared stats columns in declaration order — the
     * `stats` inherited-meta key holds a comma-separated LIST
@@ -1148,11 +1408,14 @@ object Snapshot {
     * bounds provably exclude the floored query range. A column that is
     * all-NULL in a file — or absent from the batch entirely (schema
     * drift) — encodes `-\t-` and never prunes that file. */
-  private def statLines(spark: SparkSession, qualified: String,
-      moved: Seq[String], statsMeta: Option[String]): Seq[String] = {
-    val cols = statsMeta.map(_.split(",").toSeq.filter(_.nonEmpty))
-      .getOrElse(Nil)
-    if (cols.isEmpty || moved.isEmpty) moved
+  private def statLines(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      moved: Seq[String], tableMeta: Map[String, String]): Seq[String] = {
+    val qualified = fs.makeQualified(root).toString
+    val cols = statsColsOf(tableMeta)
+    val lineage = tableMeta.get("rowids").contains("on")
+    val nullStats = tableMeta.get("nullstats").contains("on")
+    if (moved.isEmpty || (cols.isEmpty && !lineage && !nullStats)) moved
     else {
       // join key back from input_file_name()'s URI form (whose
       // scheme/authority rendering differs from makeQualified's): the
@@ -1166,42 +1429,140 @@ object Snapshot {
       val df = spark.read.option("basePath", qualified)
         .parquet(moved.map(f => s"$qualified/$f"): _*)
       val present = df.columns.toSet
+      // a rewrite's files carry the materialized row-id column; an
+      // append's don't (virtual ids — zero stored bytes)
+      val physIds = lineage && present(RowIdCol)
       // per-column mode from the batch's own schema: STRING columns
       // record UTF-8-byte-order bounds (Spark's string min/max order),
       // everything else keeps the LONG cast (timestamps → epoch seconds)
       val isStr = cols.map(c => present(c) &&
         df.schema(c).dataType == org.apache.spark.sql.types.StringType)
-      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val boundAggs = cols.zipWithIndex.flatMap { case (c, i) =>
         val v =
           if (!present(c)) lit(null).cast(LongType)
           else if (isStr(i)) col(c)
           else col(c).cast(LongType)
         Seq(fmin(v).as(s"__mn$i"), fmax(v).as(s"__mx$i"))
       }
-      val stats = df
-        .groupBy(input_file_name().as("__file"))
+      val nullAggs =
+        if (!nullStats) Nil
+        else cols.zipWithIndex.map { case (c, i) =>
+          val v = if (present(c)) col(c) else lit(null).cast(LongType)
+          sum(when(v.isNull, 1L).otherwise(0L)).as(s"__z$i")
+        }
+      val countAggs =
+        (if (lineage || nullStats) Seq(count(lit(1)).as("__n")) else Nil) ++
+        (if (physIds)
+          Seq(sum(when(col(RowIdCol).isNull, 1L).otherwise(0L)).as("__miss"))
+        else Nil)
+      // ONE job over the new files only, all columns + counts together
+      val aggs = boundAggs ++ nullAggs ++ countAggs
+      val byFile = df.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
           val bounds = cols.indices.map { i =>
-            if (r.isNullAt(1 + 2 * i)) "-\t-"
+            if (r.isNullAt(r.fieldIndex(s"__mn$i"))) "-\t-"
             else if (isStr(i)) {
-              val up = strUpperBound(r.getString(2 + 2 * i))
+              val up = strUpperBound(r.getString(r.fieldIndex(s"__mx$i")))
                 .map(encStrBound).getOrElse("-")
               if (up == "-") "-\t-"
-              else s"${encStrBound(strLowerBound(r.getString(1 + 2 * i)))}\t$up"
-            } else s"${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
+              else {
+                val lo = encStrBound(
+                  strLowerBound(r.getString(r.fieldIndex(s"__mn$i"))))
+                s"$lo\t$up"
+              }
+            } else {
+              val mn = r.getLong(r.fieldIndex(s"__mn$i"))
+              val mx = r.getLong(r.fieldIndex(s"__mx$i"))
+              s"$mn\t$mx"
+            }
           }
-          relKey(r.getString(0)) -> bounds.mkString("\t")
+          val nulls =
+            if (!nullStats) None
+            else Some(cols.indices
+              .map(i => r.getLong(r.fieldIndex(s"__z$i")).toString)
+              .mkString(","))
+          val n =
+            if (lineage || nullStats) Some(r.getLong(r.fieldIndex("__n")))
+            else None
+          val missing =
+            if (physIds) r.getLong(r.fieldIndex("__miss"))
+            else if (lineage) n.get // no physical column: all rows need ids
+            else 0L
+          relKey(r.getString(r.fieldIndex("__file"))) ->
+            ((bounds, nulls, n, missing))
         }.toMap
+      // id-base allocation: ONE claimed range covers every file that
+      // needs fresh ids this commit (a file with fully-materialized ids
+      // needs none → `r:p`); per-file bases are assigned in sorted-file
+      // order inside the range, each sized by the file's ROW COUNT so
+      // `base + position` stays unique even for rows whose physical id
+      // is non-null (their slots simply go unused)
+      val needIds = moved.sorted.filter(f =>
+        lineage && byFile.get(relKey(f)).exists(_._4 > 0))
+      val baseOf: Map[String, Long] =
+        if (needIds.isEmpty) Map.empty
+        else {
+          val counts = needIds.map(f => f -> byFile(relKey(f))._3.get)
+          var acc = allocateRowIds(fs, root, counts.map(_._2).sum)
+          counts.map { case (f, c) => val b = acc; acc += c; f -> b }.toMap
+        }
       moved.map { f =>
-        stats.get(relKey(f)) match {
-          case Some(b) => s"$f\t$b"
+        byFile.get(relKey(f)) match {
+          case None if lineage || nullStats =>
+            // a zero-row file never reaches the aggregate — record it
+            // explicitly (no rows → no ids to assign, zero nulls)
+            val extras = (if (lineage) Seq("r:p") else Nil) ++ Seq("n:0") ++
+              (if (nullStats) Seq("z:" + cols.map(_ => "0").mkString(","))
+               else Nil)
+            (Seq(f) ++ cols.map(_ => "-\t-") ++ extras).mkString("\t")
           case None => f
+          case Some((bounds, nulls, n, _)) =>
+            val extras =
+              (if (!lineage) Nil
+               else Seq("r:" + baseOf.get(f).map(_.toString).getOrElse("p"))) ++
+              n.map(v => s"n:$v").toSeq ++
+              nulls.map(z => s"z:$z").toSeq
+            (Seq(f) ++ bounds ++ extras).mkString("\t")
         }
       }
     }
   }
+
+  /** [[Sink.readForMaintenance]] with the lineage column attached when
+    * the layout is lineage-enabled: every row surfaces its durable
+    * `_row_id` (virtual entries resolved to base + position, physical
+    * ones read directly) as a REAL column, so the rewrite that consumes
+    * this read materializes ids into the files it writes — the carry
+    * that keeps row identity stable across maintenance. */
+  private def readForMaintenanceLineageKeyed(spark: SparkSession,
+      qualified: String, relFiles: Seq[String], partitionCol: String,
+      vMeta: Map[String, String], vLines: Seq[String]): DataFrame =
+    if (!rowIdsOn(vMeta))
+      withFilePos(Sink.readForMaintenance(spark, qualified,
+        relFiles.map(f => s"$qualified/$f"), partitionCol,
+        maintSchema(vMeta, partitionCol)), qualified)
+    else {
+      val s = maintSchema(vMeta, partitionCol).getOrElse(
+        throw new IllegalStateException(
+          s"lineage-enabled layout lacks a recorded schema — corrupted " +
+          "manifest?"))
+      val subset = relFiles.toSet
+      val subsetLines = vLines.filter(l => subset(pathOf(l)))
+      requireLineageEntries(subsetLines, qualified)
+      val base = Sink.readForMaintenance(spark, qualified,
+        relFiles.map(f => s"$qualified/$f"), partitionCol,
+        Some(lineageReadSchema(s)))
+      attachRowIdsKeyed(spark, withFilePos(base, qualified),
+        basesOf(subsetLines))
+    }
+
+  private def readForMaintenanceLineage(spark: SparkSession,
+      qualified: String, relFiles: Seq[String], partitionCol: String,
+      vMeta: Map[String, String], vLines: Seq[String]): DataFrame =
+    readForMaintenanceLineageKeyed(spark, qualified, relFiles, partitionCol,
+      vMeta, vLines).drop("__lin_file", "__lin_pos")
 
   /** Small-file compaction committed through the manifest: oversplit
     * partitions rewrite to their bin-packed target (re-clustered on
@@ -1224,9 +1585,11 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
-    val (v, files) = currentFiles(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (vMeta, vLines) = stateOf(spark, path, v)
+    val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     requireNoDeletes(spark, path, v, "compact")
-    val vMeta = metaOf(spark, path, v)
     val sizes: Map[String, Long] = listDataFiles(fs, root, partitionCol)
       .map(f => f.getPath.toString.stripPrefix(qualified).stripPrefix("/") -> f.getLen)
       .toMap
@@ -1242,10 +1605,11 @@ object Snapshot {
     val oldFiles = plan.flatMap(_._2)
     // maintenance read: partition column typed STRING (raw dir value,
     // no inference) so the plan key ↔ routed value ↔ staged dir name
-    // identity holds for values inference would mangle ("01" → int 1)
-    val rows = Sink.readForMaintenance(spark, qualified,
-      oldFiles.map(f => s"$qualified/$f"), partitionCol,
-      maintSchema(vMeta, partitionCol))
+    // identity holds for values inference would mangle ("01" → int 1);
+    // on a lineage-enabled layout the read also surfaces `_row_id`, so
+    // the rewritten files materialize it — compaction keeps row identity
+    val rows = readForMaintenanceLineage(spark, qualified,
+      oldFiles, partitionCol, vMeta, vLines)
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-compact-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     val targets = plan.map { case (part, _, nTarget) =>
@@ -1269,7 +1633,7 @@ object Snapshot {
           "snapshot is unchanged")
     }
     commit(fs, root, Some(v), oldFiles.toSet,
-      statLines(spark, qualified, moved, vMeta.get("stats")),
+      statLines(spark, fs, root, moved, vMeta),
       Map("op" -> "compact")): Unit
     plan.map { case (part, fsOfPart, _) =>
       (part, fsOfPart.size, movedByPart(part).size)
@@ -1295,9 +1659,11 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
-    val (v, files) = currentFiles(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (vMeta, vLines) = stateOf(spark, path, v)
+    val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     requireNoDeletes(spark, path, v, "deleteWhere")
-    val vMeta = metaOf(spark, path, v)
     val byPart = files.groupBy(f => f.split("/")(0))
     // NULL-predicate guard: same SQL DELETE semantics as Sink.deleteWhere
     val del = coalesce(predicate, lit(false))
@@ -1335,11 +1701,11 @@ object Snapshot {
         // each keeping its old file width (Sink.packPartitioned).
         // basePath read so a predicate referencing the PARTITION column
         // resolves exactly as in the probe; partitionBy strips it from
-        // the staged data files, as a Hive layout requires.
+        // the staged data files, as a Hive layout requires. Lineage
+        // layouts read survivors WITH their ids — the rewrite keeps them.
         val oldFiles = partial.flatMap(_._2).toSeq
-        val survivors = Sink.readForMaintenance(spark, qualified,
-          oldFiles.map(f => s"$qualified/$f"), partitionCol,
-          maintSchema(vMeta, partitionCol))
+        val survivors = readForMaintenanceLineage(spark, qualified,
+          oldFiles, partitionCol, vMeta, vLines)
           .where(!del)
         val stg = new org.apache.hadoop.fs.Path(root,
           s".staging-delete-${Sink.procTag}-${java.util.UUID.randomUUID()}")
@@ -1361,7 +1727,7 @@ object Snapshot {
         moved
       }
     commit(fs, root, Some(v), removed.toSet,
-      statLines(spark, qualified, added, vMeta.get("stats")),
+      statLines(spark, fs, root, added, vMeta),
       Map("op" -> "delete")): Unit
     dirty.toSeq.map { case (value, nDel, _) => (partDirName(value), nDel) }
   }
@@ -1489,6 +1855,9 @@ object Snapshot {
       s"updateWhere cannot SET partition column '$partitionCol' — a row " +
       "changing partitions is a delete plus an append (partition-stable " +
       "rows, the merge contract)")
+    require(!set.contains(RowIdCol),
+      s"updateWhere cannot SET '$RowIdCol' — row identity is engine-" +
+      "managed (an update KEEPS the row's id; that is the point)")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
@@ -1500,19 +1869,29 @@ object Snapshot {
     val dvs = lines.filter(isDeleteEntry).map(pathOf)
     val pred = coalesce(predicate, lit(false))
     val keyCols = dvKeyCols(qualified)
+    val lineage = rowIdsOn(vMeta)
     // recorded schema: the predicate or a SET expression may reference
     // an evolved column, which must read NULL in pre-evolution files
-    // exactly as it does for the snapshot reader
+    // exactly as it does for the snapshot reader. Lineage layouts read
+    // `_row_id` too — an UPDATE is the same row re-imaged, so the new
+    // image keeps the id (what lets changeDiffLineage pair pre/post).
     val reader = spark.read.option("basePath", qualified)
-    val data = recordedSchema(vMeta).fold(reader)(reader.schema)
+    val readSchema = recordedSchema(vMeta)
+      .map(s => if (lineage) lineageReadSchema(s) else s)
+    if (lineage) requireLineageEntries(lines, path)
+    val data = readSchema.fold(reader)(reader.schema)
       .parquet(files.map(f => s"$qualified/$f"): _*)
     set.keys.foreach(k => require(data.columns.contains(k),
       s"updateWhere SET references unknown column '$k' " +
       s"(table has: ${data.columns.mkString(", ")})"))
     // match against LIVE rows only: a row an outstanding vector already
     // hides is deleted — the update must neither re-image nor resurrect it
-    val keyed = data.withColumn("__dv_file", keyCols(0))
+    val keyed0 = data.withColumn("__dv_file", keyCols(0))
       .withColumn("__dv_pos", keyCols(1))
+    val keyed =
+      if (!lineage) keyed0
+      else attachRowIdsKeyed(spark, keyed0, basesOf(lines),
+        fileCol = "__dv_file", posCol = "__dv_pos")
     val live =
       if (dvs.isEmpty) keyed
       else {
@@ -1563,7 +1942,7 @@ object Snapshot {
       .collect().map(_.getString(0)).toSet
     fs.delete(stg, true): Unit
     val nv = commit(fs, root, Some(v), Set.empty,
-      dvMoved ++ statLines(spark, qualified, moved, vMeta.get("stats")),
+      dvMoved ++ statLines(spark, fs, root, moved, vMeta),
       Map("op" -> "update") ++ meta, mustBeLive = referenced,
       dvRefs = referenced)
     (nv, n)
@@ -1594,10 +1973,12 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
-    val (v, files) = currentFiles(spark, path)
-    val dvs = deletesOf(spark, path, v)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (vMeta, vLines) = stateOf(spark, path, v)
+    val files = vLines.filterNot(isDeleteEntry).map(pathOf)
+    val dvs = vLines.filter(isDeleteEntry).map(pathOf)
     if (dvs.isEmpty) return Seq.empty
-    val vMeta = metaOf(spark, path, v)
     val dvDf = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
     // O(touched files) driver state — the vectors' reference set
     val perFile = dvDf.groupBy(col("dv_file")).agg(count(lit(1)).as("n"))
@@ -1611,17 +1992,17 @@ object Snapshot {
         .unescapePathName(f.split("/")(0).stripPrefix(s"$partitionCol="))
     val targets = affected.groupBy(partValue).view.mapValues(_.size).toMap
     def survivorsOf(): DataFrame = {
-      val rows = Sink.readForMaintenance(spark, qualified,
-        affected.map(f => s"$qualified/$f"), partitionCol,
-        maintSchema(vMeta, partitionCol))
-      val keyCols = dvKeyCols(qualified)
-      val keyed = rows.withColumn("__dv_file", keyCols(0))
-        .withColumn("__dv_pos", keyCols(1))
+      // lineage-aware read surfaces `_row_id` so the rewrite carries it;
+      // the (file, pos) keys it materializes double as the DV-subtract
+      // join key (one derivation, shared — _metadata would no longer
+      // resolve after the id-attach join)
+      val keyed = readForMaintenanceLineageKeyed(spark, qualified,
+        affected.toSeq, partitionCol, vMeta, vLines)
       keyed.join(dvDf,
-          keyed("__dv_file") === dvDf("dv_file") &&
-            keyed("__dv_pos") === dvDf("dv_pos"),
+          keyed("__lin_file") === dvDf("dv_file") &&
+            keyed("__lin_pos") === dvDf("dv_pos"),
           "left_anti")
-        .drop("__dv_file", "__dv_pos")
+        .drop("__lin_file", "__lin_pos")
     }
     // probe: survivor counts per partition — distinguishes "this
     // partition's touched files emptied out" (legitimate) from "the
@@ -1643,7 +2024,7 @@ object Snapshot {
           "before the commit; the snapshot is unchanged")
     }
     commit(fs, root, Some(v), affected.toSet ++ dvs.toSet,
-      statLines(spark, qualified, moved, vMeta.get("stats")),
+      statLines(spark, fs, root, moved, vMeta),
       Map("op" -> "materialize")): Unit
     perFile.groupBy { case (f, _) => f.split("/")(0) }.view
       .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
@@ -1683,12 +2064,15 @@ object Snapshot {
       s".staging-append-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     rows.write.partitionBy(partitionCol).parquet(stg.toString)
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
-    // honor the layout's declared stats column (inherited manifest
-    // state) — an appended batch's files must prune like any others
+    // honor the layout's declared stats / lineage / null-count state
+    // (inherited manifest keys) — an appended batch's files must prune
+    // and id-assign like any others; a BOOTSTRAP append may declare them
+    // via `meta` (the streaming-ingest seam)
     val prevMeta = prev.map(v => parseMeta(manifestTextFs(fs, root, v)))
       .getOrElse(Map.empty)
-    val statsCol = prevMeta.get("stats").orElse(meta.get("stats"))
-    val lines = statLines(spark, fs.makeQualified(root).toString, moved, statsCol)
+    val tableMeta = Seq("stats", "rowids", "nullstats")
+      .flatMap(k => prevMeta.get(k).orElse(meta.get(k)).map(k -> _)).toMap
+    val lines = statLines(spark, fs, root, moved, tableMeta)
     // SCHEMA EVOLUTION: a batch may carry columns the table has never
     // seen — the recorded-schema widen happens INSIDE commit's retry
     // loop against the LATEST manifest ([[widenRecordedSchema]]), so a
@@ -1741,8 +2125,7 @@ object Snapshot {
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
     val touched = moved.map(_.split("/")(0)).toSet
     val replaced = files.filter(f => touched(f.split("/")(0))).toSet
-    val lines = statLines(spark, fs.makeQualified(root).toString, moved,
-      metaOf(spark, path, v).get("stats"))
+    val lines = statLines(spark, fs, root, moved, metaOf(spark, path, v))
     // `replacedParts`: a rebase aborts if a CONCURRENT commit landed a
     // file into a partition this commit replaces wholesale — that file
     // was never read into the replacement, so rebasing would silently
@@ -1786,14 +2169,23 @@ object Snapshot {
     // slip a file into a replaced partition unseen (it aborts on
     // rebase) or be silently deleted
     val mergeBase = currentFiles(spark, path)
-    val cur = readVersion(spark, path, mergeBase._1)
+    val lineage = rowIdsOn(metaOf(spark, path, mergeBase._1))
+    // lineage layouts read survivors WITH their ids (the rewrite keeps
+    // them); the update rows are NEW images under merge's replace-or-
+    // insert contract — they get FRESH ids (NULL here; the commit's
+    // stat job allocates file bases and the reader base-fills them)
+    val cur = (if (lineage) readVersionLineage(spark, path, mergeBase._1)
+               else readVersion(spark, path, mergeBase._1))
       .where(col(partitionCol).isin(touched.toIndexedSeq: _*))
     val survivors = cur.join(
       updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val updates2 =
+      if (!lineage) updates
+      else updates.withColumn(RowIdCol, lit(null).cast(LongType))
     // one clustered file per touched partition — a merge batch's
     // rewrite should repair file shape, not degrade it
     val replacement = survivors
-      .unionByName(updates.select(cur.columns.map(col): _*))
+      .unionByName(updates2.select(cur.columns.map(col): _*))
       .repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
     replacePartitions(spark, path, partitionCol, replacement,
@@ -1890,6 +2282,31 @@ object Snapshot {
     }
     changesFromAdds(spark, path, toV, added)
   }
+
+  /** [[changesFromAdds]] with row lineage: the gap's appended rows WITH
+    * their durable ids — what a typed consumer of a lineage table
+    * receives on the delta path, so its keyed state lines up with the
+    * diff path's update pairs. */
+  private def changesFromAddsLineage(spark: SparkSession, path: String,
+      toV: Long, added: Seq[String]): DataFrame =
+    if (added.isEmpty) readVersionLineage(spark, path, toV).limit(0)
+    else {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val qualified = fsOf(spark, root).makeQualified(root).toString
+      val (metaTo, linesTo) = stateOf(spark, path, toV)
+      val recorded = recordedSchema(metaTo).getOrElse(
+        throw new IllegalStateException(
+          s"lineage-enabled $path lacks a recorded schema"))
+      val addedSet = added.toSet
+      val subsetLines = linesTo.filter(l => addedSet(pathOf(l)))
+      requireLineageEntries(subsetLines, path)
+      val df = spark.read.option("basePath", qualified)
+        .schema(lineageReadSchema(recorded))
+        .parquet(added.map(f => s"$qualified/$f"): _*)
+      attachRowIdsKeyed(spark, withFilePos(df, qualified),
+        basesOf(subsetLines))
+        .drop("__lin_file", "__lin_pos")
+    }
 
   /** The read half of [[changes]], for callers that already resolved
     * the gap's adds via [[deltaAddsInGap]] (the consumers — one gap
@@ -2031,6 +2448,214 @@ object Snapshot {
       .withColumn("__rep",
         explode(array_repeat(lit(1), abs(col("__net")).cast("int"))))
       .drop("__net", "__rep")
+  }
+
+  // ----- LINEAGE CHANGE DATA FEED --------------------------------------
+  // changeDiff with row identity: instead of cancelling re-filed rows by
+  // BAG difference (group on full row content), pair every candidate by
+  // its durable _row_id. Three upgrades fall out:
+  //  - an UPDATE surfaces as a PAIRED update_preimage/update_postimage
+  //    (same _row_id), not as unmatched delete+insert;
+  //  - a contiguous gap composes PER-STEP diffs and SKIPS row-preserving
+  //    commits entirely, so a compaction-heavy gap costs O(changed rows)
+  //    read — the bag diff had to read every re-filed byte to cancel it;
+  //  - duplicate row contents never collapse (ids differ), so no
+  //    array_repeat multiplicity reconstruction.
+
+  /** Max row-changing commits a composed diff walks before falling back
+    * to one two-state diff (fewer, larger jobs win past this). */
+  private val MaxLineageSteps = 16
+
+  /** The (id, pre-image, post-image) PAIR FRAME between two snapshots of
+    * a lineage table: `_row_id`, `__f` (the row's image visible at
+    * `fromV` where it changed, else the row is absent), `__t` (same for
+    * `toV`). Candidates come from the same file/DV delta sets as
+    * [[changeDiff]]; both sides join FULL OUTER on the id, so a re-filed
+    * unchanged row yields `__f <=> __t` (dropped by the classifier) and
+    * an update yields one (pre, post) row. `schemaOverride` lets the
+    * composed walk read every step under the FINAL schema. */
+  private def lineagePairFrame(spark: SparkSession, path: String,
+      fromV: Long, toV: Long,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val qualified = fsOf(spark, root).makeQualified(root).toString
+    val (metaTo, linesTo) = stateOf(spark, path, toV)
+    val (_, linesFrom) = stateOf(spark, path, fromV)
+    require(rowIdsOn(metaTo),
+      s"$path is not lineage-enabled — changeDiff (bag diff) is the " +
+      "feed for id-less layouts")
+    val recorded = schemaOverride.orElse(recordedSchema(metaTo)).getOrElse(
+      throw new IllegalStateException(
+        s"lineage-enabled $path lacks a recorded schema"))
+    requireLineageEntries(linesFrom, path)
+    requireLineageEntries(linesTo, path)
+    val filesTo = linesTo.filterNot(isDeleteEntry).map(pathOf).toSet
+    val filesFrom = linesFrom.filterNot(isDeleteEntry).map(pathOf).toSet
+    val dvTo = linesTo.filter(isDeleteEntry).map(pathOf).toSet
+    val dvFrom = linesFrom.filter(isDeleteEntry).map(pathOf).toSet
+    val retained = filesFrom & filesTo
+    // a file's entry (and so its id base) is immutable once committed —
+    // the union map serves both sides
+    val bases = basesOf(linesFrom ++ linesTo)
+    val dataCols = recorded.fieldNames.toSeq
+    // KEYED lineage scan: ids attached, (file, pos) keys kept for the
+    // DV subtract / pair fetch joins (_metadata would not survive the
+    // id-attach join)
+    def readKeyed(files: Seq[String]): DataFrame =
+      attachRowIdsKeyed(spark, withFilePos(
+        spark.read.option("basePath", qualified)
+          .schema(lineageReadSchema(recorded))
+          .parquet(files.map(f => s"$qualified/$f"): _*), qualified), bases)
+    def readPairs(dvFiles: Set[String]): DataFrame =
+      spark.read.parquet(dvFiles.toSeq.sorted.map(f => s"$qualified/$f"): _*)
+        .select(col("dv_file"), col("dv_pos"))
+    val anchorFiles = if (filesTo.nonEmpty) filesTo else filesFrom
+    require(anchorFiles.nonEmpty,
+      s"lineage diff $fromV -> $toV between two empty snapshots of $path")
+    def finish(df: DataFrame): DataFrame =
+      df.select((dataCols :+ RowIdCol).map(col): _*)
+    val empty = finish(readKeyed(anchorFiles.toSeq.sorted)).limit(0)
+    // rows a pair set names, fetched from RETAINED files only (pairs on
+    // added/removed files are covered by the file diff)
+    def fetchPairRows(pairs: DataFrame): DataFrame = {
+      val refs = pairs.select(col("dv_file")).distinct().collect()
+        .map(_.getString(0)).filter(retained).toSeq.sorted
+      if (refs.isEmpty) empty
+      else {
+        val keyed = readKeyed(refs)
+        finish(keyed.join(pairs,
+          keyed("__lin_file") === pairs("dv_file") &&
+            keyed("__lin_pos") === pairs("dv_pos"), "left_semi"))
+      }
+    }
+    val addedFiles = (filesTo -- filesFrom).toSeq.sorted
+    val removedFiles = (filesFrom -- filesTo).toSeq.sorted
+    val dvNew = dvTo -- dvFrom
+    val dvGone = dvFrom -- dvTo
+    val plusNew =
+      if (addedFiles.isEmpty) empty
+      else finish(applyDeletesKeyed(spark, qualified, readKeyed(addedFiles),
+        dvTo.toSeq.sorted))
+    val unHidden =
+      if (dvGone.isEmpty) empty
+      else {
+        val pairs = readPairs(dvGone)
+        fetchPairRows(
+          if (dvTo.isEmpty) pairs
+          else pairs.join(readPairs(dvTo), Seq("dv_file", "dv_pos"),
+            "left_anti"))
+      }
+    val minusOld =
+      if (removedFiles.isEmpty) empty
+      else finish(applyDeletesKeyed(spark, qualified, readKeyed(removedFiles),
+        dvFrom.toSeq.sorted))
+    val newlyHidden =
+      if (dvNew.isEmpty) empty
+      else {
+        val pairs = readPairs(dvNew)
+        fetchPairRows(
+          if (dvFrom.isEmpty) pairs
+          else pairs.join(readPairs(dvFrom), Seq("dv_file", "dv_pos"),
+            "left_anti"))
+      }
+    val imgStruct = org.apache.spark.sql.functions.struct(
+      dataCols.map(col): _*)
+    val f = minusOld.unionByName(newlyHidden)
+      .select(col(RowIdCol), imgStruct.as("__f"))
+    val t = plusNew.unionByName(unHidden)
+      .select(col(RowIdCol), imgStruct.as("__t"))
+    // pre-join structs: an unmatched side surfaces as ONE null column,
+    // which is what the classifier keys absence on
+    f.join(t, Seq(RowIdCol), "full_outer")
+  }
+
+  /** Classify a pair frame into the typed feed: equal images cancel,
+    * one-sided rows are insert/delete, two-sided differing rows explode
+    * into an update_preimage/update_postimage pair sharing the id. */
+  private def classifyLineagePairs(pairs: DataFrame,
+      dataCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, explode, struct}
+    val f = col("__f")
+    val t = col("__t")
+    pairs.where(!(f <=> t))
+      .select(col(RowIdCol), explode(
+        when(f.isNull, array(struct(t.as("img"), lit("insert").as("ct"))))
+          .when(t.isNull, array(struct(f.as("img"), lit("delete").as("ct"))))
+          .otherwise(array(
+            struct(f.as("img"), lit("update_preimage").as("ct")),
+            struct(t.as("img"), lit("update_postimage").as("ct")))))
+        .as("__e"))
+      .select(dataCols.map(c => col(s"__e.img.$c").as(c)) ++
+        Seq(col(RowIdCol), col("__e.ct").as("_change_type")): _*)
+  }
+
+  /** ROW-LINEAGE CHANGE DATA FEED: the visible-row difference between
+    * two snapshots of a lineage-enabled table, one row per change with
+    * `_row_id` and `_change_type` in insert | delete | update_preimage |
+    * update_postimage — [[changeDiff]] upgraded by durable row identity:
+    *
+    *  - an UPDATE is a PAIRED pre/post image (same `_row_id`), where the
+    *    bag diff emitted unmatched delete+insert;
+    *  - a CONTIGUOUS gap composes per-step diffs and SKIPS row-preserving
+    *    commits (compact, DV materialization) entirely — a compaction-
+    *    heavy gap costs O(changed rows) read, never the re-filed bytes
+    *    the bag diff had to read to cancel;
+    *  - the pairing rides ids across rewrites, so the feed is exact even
+    *    when the changed rows were later re-filed.
+    *
+    * Non-contiguous gaps (retention holes) fall back to ONE two-state
+    * id-join diff — still exact, reads the re-filed bytes. Composition
+    * is a full-outer id join per step plus one id-grain aggregation:
+    * first pre-image wins, last post-image wins, equal endpoints cancel
+    * (an update later reverted diffs to NOTHING). */
+  def changeDiffLineage(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV < toV, s"change diff needs fromV < toV, got $fromV -> $toV")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val committed = committedVersions(fs, root)
+    require(committed.contains(fromV) && committed.contains(toV),
+      s"lineage diff $fromV -> $toV references uncommitted/expired " +
+      s"versions (committed: ${committed.mkString(",")})")
+    val (metaTo, _) = stateOf(spark, path, toV)
+    val recorded = recordedSchema(metaTo).getOrElse(
+      throw new IllegalStateException(
+        s"lineage-enabled $path lacks a recorded schema"))
+    val dataCols = recorded.fieldNames.toSeq
+    val gap = committed.filter(v => v > fromV && v <= toV)
+    val contiguous = gap.size == toV - fromV
+    // row-preserving maintenance and metadata-only commits change no
+    // visible row — the composed walk skips their file churn entirely
+    val skippable = RowPreservingOps ++ Set("evolve-spec")
+    val changing = gap.map(v =>
+        v -> metaOf(spark, path, v).getOrElse("op", "unknown"))
+      .filterNot { case (_, op) => skippable(op) }
+    if (!contiguous || changing.size > MaxLineageSteps)
+      classifyLineagePairs(
+        lineagePairFrame(spark, path, fromV, toV), dataCols)
+    else if (changing.isEmpty)
+      classifyLineagePairs(
+        lineagePairFrame(spark, path, fromV, toV), dataCols).limit(0)
+    else {
+      import org.apache.spark.sql.functions.{max_by, min_by, struct}
+      val steps = changing.map(_._1).zipWithIndex.map { case (v, i) =>
+        lineagePairFrame(spark, path, v - 1, v, Some(recorded))
+          .withColumn("__s", lit(i))
+      }
+      val all = steps.reduce(_.unionByName(_))
+      // endpoint composition per id: the FIRST step's pre-image is the
+      // row's image at fromV (null = did not exist), the LAST step's
+      // post-image its image at toV (null = deleted). Wrapper structs
+      // keep min_by/max_by null-safe: the wrapper is never null even
+      // when the image inside is.
+      val composed = all.groupBy(col(RowIdCol)).agg(
+        min_by(struct(col("__f").as("v")), col("__s"))
+          .getField("v").as("__f"),
+        max_by(struct(col("__t").as("v")), col("__s"))
+          .getField("v").as("__t"))
+      classifyLineagePairs(composed, dataCols)
+    }
   }
 
   private val ConsumersDir = "_consumers"
@@ -2239,12 +2864,22 @@ object Snapshot {
         s"no committed snapshot under $path — nothing to consume"))
     val position = lastPosition(fs, root, group)
     val nextSeq = position.map(_._1 + 1).getOrElse(1L)
+    // LINEAGE upgrade: on a rowids=on table every frame carries _row_id
+    // and the diff path emits TYPED UPDATES (update_preimage /
+    // update_postimage pairs sharing the id, via [[changeDiffLineage]])
+    // instead of unmatched delete+insert — a keyed downstream applies an
+    // update in place; an additive one applies (post − pre). Id-less
+    // tables keep the r16 insert|delete contract unchanged.
+    val lineage = rowIdsOn(metaOf(spark, path, cur))
     def asInserts(df: DataFrame): DataFrame =
       df.withColumn("_change_type", lit("insert"))
+    def full(): DataFrame = asInserts(
+      if (lineage) readVersionLineage(spark, path, cur)
+      else readVersion(spark, path, cur))
     position.map(_._2) match {
       case Some(p) if p >= cur => ConsumeResult("caught-up", p, p)
       case Some(p) if !committedVersions(fs, root).contains(p) =>
-        reset(asInserts(readVersion(spark, path, cur)))
+        reset(full())
         if (advancePosition(fs, root, group, nextSeq, cur, "resync"))
           ConsumeResult("resync", p, cur)
         else ConsumeResult("lost-race", p, cur)
@@ -2253,14 +2888,18 @@ object Snapshot {
         val mode = if (gap.isRight) "delta" else "diff"
         gap match {
           case Right(adds) =>
-            apply(asInserts(changesFromAdds(spark, path, cur, adds)))
-          case Left(_) => apply(changeDiff(spark, path, p, cur))
+            apply(asInserts(
+              if (lineage) changesFromAddsLineage(spark, path, cur, adds)
+              else changesFromAdds(spark, path, cur, adds)))
+          case Left(_) =>
+            apply(if (lineage) changeDiffLineage(spark, path, p, cur)
+                  else changeDiff(spark, path, p, cur))
         }
         if (advancePosition(fs, root, group, nextSeq, cur, mode))
           ConsumeResult(mode, p, cur)
         else ConsumeResult("lost-race", p, cur)
       case None =>
-        reset(asInserts(readVersion(spark, path, cur)))
+        reset(full())
         if (advancePosition(fs, root, group, nextSeq, cur, "bootstrap"))
           ConsumeResult("bootstrap", 0L, cur)
         else ConsumeResult("lost-race", 0L, cur)
@@ -2421,8 +3060,14 @@ object Snapshot {
       s".staging-wap-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     rows.write.partitionBy(partitionCol).parquet(stg.toString)
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
-    val statsCol = metaOf(spark, path, cur).get("stats")
-    val lines = statLines(spark, fs.makeQualified(root).toString, moved, statsCol)
+    // ADVICE r16: an empty batch would stage a header-only pointer that
+    // readStaged/publishStaged then feed to an empty-path parquet read
+    // (unhelpful AnalysisException). There is nothing to audit in an
+    // empty batch — refuse at stage time, loudly.
+    require(moved.nonEmpty,
+      s"stageAppend on $path with an EMPTY batch — nothing to stage or " +
+      "audit (an empty micro-batch advancing a marker is append's job)")
+    val lines = statLines(spark, fs, root, moved, metaOf(spark, path, cur))
     val id = java.util.UUID.randomUUID().toString
     // pcol rides the pointer so publish never has to GUESS the
     // partition column from schema inference
@@ -2499,6 +3144,228 @@ object Snapshot {
   def abortStaged(spark: SparkSession, path: String, id: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     fsOf(spark, root).delete(wapPath(root, id), false)
+  }
+
+  // ----- BRANCHES (movable refs) ---------------------------------------
+  // The multi-batch write-audit-publish workflow (Iceberg branch + WAP):
+  // where a q73 staged batch is ONE pointer, a branch is a sequence of
+  // them — create it at the current main version, commit appends to it
+  // repeatedly (each invisible to main readers), audit the whole branch
+  // state with [[readBranch]], then FAST-FORWARD: main adopts every
+  // branch commit in one atomic manifest publish, refused if main moved
+  // since the branch was created (diverged — the caller rebases by
+  // re-branching, the Iceberg fast_forward contract). A failed audit
+  // [[deleteBranch]]s; the staged files retire through [[expire]]'s
+  // grace sweep, and un-published branch files are PINNED by the sweep
+  // exactly like q73's staged pointers.
+  //
+  // Mechanics: `_branches/<name>/c-<seq>` immutable pointer files
+  // published with [[publishIfAbsent]] — c-0 records the base version,
+  // each later c-<seq> one staged append's entry lines (stats, row-id
+  // bases and null counts included, computed at stage time). Two racing
+  // committers on one branch serialize on the seq number — the loser
+  // re-reads and takes the next slot; branch appends on a lineage table
+  // claim id ranges from the same global allocator, so a fast-forwarded
+  // branch's ids never collide with main's.
+
+  private val BranchesDir = "_branches"
+
+  private def branchDir(root: org.apache.hadoop.fs.Path, name: String) = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"branch name must be [A-Za-z0-9._-]+, got '$name'")
+    new org.apache.hadoop.fs.Path(root, s"$BranchesDir/$name")
+  }
+
+  private def branchSeqs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("c-\\d+")).map(_.stripPrefix("c-").toLong).sorted
+
+  private def publishBranchFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, seq: Long,
+      content: String): Boolean = {
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(Charset)) finally out.close()
+    val won = publishIfAbsent(fs, tmp,
+      new org.apache.hadoop.fs.Path(dir, f"c-$seq%012d"))
+    fs.delete(tmp, false): Unit
+    won
+  }
+
+  /** Create branch `name` at the CURRENT main version. Returns the base
+    * version. Refuses an existing name (delete it first). */
+  def createBranch(spark: SparkSession, path: String, name: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val base = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $path — nothing to branch from"))
+    val dir = branchDir(root, name)
+    require(branchSeqs(fs, dir).isEmpty,
+      s"branch '$name' already exists on $path — deleteBranch first")
+    if (!publishBranchFile(fs, dir, 0L,
+        s"#base=$base\n#ts=${System.currentTimeMillis()}"))
+      throw new SnapshotConflictException(
+        s"branch '$name' on $path was created concurrently")
+    base
+  }
+
+  /** (base version, committed branch entry lines in commit order). */
+  private def branchState(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String)
+      : (Long, Seq[(Long, Map[String, String], Seq[String])]) = {
+    val dir = branchDir(root, name)
+    val seqs = branchSeqs(fs, dir)
+    require(seqs.contains(0L), s"no branch '$name' on ${root}")
+    val head = parseMeta(readSmallFile(fs,
+      new org.apache.hadoop.fs.Path(dir, f"c-${0L}%012d")))
+    val base = head.getOrElse("base", throw new IllegalStateException(
+      s"branch '$name' head lacks a base version")).toLong
+    val commits = seqs.filter(_ > 0L).map { s =>
+      val text = readSmallFile(fs,
+        new org.apache.hadoop.fs.Path(dir, f"c-$s%012d"))
+      (s, parseMeta(text), parseLines(text))
+    }
+    (base, commits)
+  }
+
+  /** Commit an append to branch `name`: files land in the partition
+    * dirs (invisible — only the branch pointer references them), stats
+    * / row-id bases computed exactly as a main-line append would.
+    * Returns the branch sequence number of the commit. */
+  def appendToBranch(spark: SparkSession, path: String, name: String,
+      partitionCol: String, rows: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
+    require(rows.columns.contains(partitionCol),
+      s"branch append rows lack partition column '$partitionCol'")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val (base, _) = branchState(fs, root, name)
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-branch-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    rows.write.partitionBy(partitionCol).parquet(stg.toString)
+    val moved = movePartitionedStaging(fs, root, stg, partitionCol)
+    require(moved.nonEmpty,
+      s"appendToBranch on $path@$name with an EMPTY batch — nothing to " +
+      "stage or audit")
+    // table-state keys (stats / rowids / nullstats) from the branch
+    // BASE: the declarations are fixed at bootstrap, so base == current
+    val lines = statLines(spark, fs, root, moved, metaOf(spark, path, base))
+    val header = (Map("op" -> "branch-append") ++ meta)
+      .toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val dir = branchDir(root, name)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val next = branchSeqs(fs, dir).max + 1
+      if (publishBranchFile(fs, dir, next,
+          (header ++ lines).mkString("\n")))
+        return next
+      Thread.sleep((2L << math.min(attempt, 6)) +
+        scala.util.Random.nextInt(11).toLong)
+    }
+    throw new IllegalStateException(
+      s"branch '$name' on $path still contended after $MaxCommitAttempts attempts")
+  }
+
+  /** The branch's WOULD-BE table: the base snapshot plus every branch
+    * commit's files — what a multi-batch audit reads before deciding to
+    * fast-forward. Served under the base version's recorded schema. */
+  def readBranch(spark: SparkSession, path: String, name: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val (base, commits) = branchState(fs, root, name)
+    val baseDf = readVersion(spark, path, base)
+    val branchFiles = commits.flatMap(_._3).map(pathOf)
+    if (branchFiles.isEmpty) baseDf
+    else {
+      val reader = spark.read.option("basePath", qualified)
+      val branchDf = schemaOf(spark, path, base).fold(reader)(reader.schema)
+        .parquet(branchFiles.map(f => s"$qualified/$f"): _*)
+      baseDf.unionByName(branchDf)
+    }
+  }
+
+  /** Branch names on the layout, with (base version, commit count). */
+  def branches(spark: SparkSession, path: String): Seq[(String, Long, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(root, BranchesDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.map { n =>
+        val (base, commits) = branchState(fs, root, n)
+        (n, base, commits.size)
+      }
+  }
+
+  /** FAST-FORWARD main to the branch: every branch commit's entries fold
+    * into ONE atomic manifest publish against the branch's base — the
+    * single-pointer-swing publish. REFUSED with
+    * [[SnapshotConflictException]] when main moved past the base
+    * (diverged: the branch never saw those commits; re-branch and
+    * replay). Crash-replay safe: a publish that died between its commit
+    * and the branch-dir cleanup detects its own header on re-run and
+    * just finishes the cleanup. Returns the published version. */
+  def fastForward(spark: SparkSession, path: String, name: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val (base, commits) = branchState(fs, root, name)
+    require(commits.nonEmpty,
+      s"fast-forward of empty branch '$name' on $path — nothing to publish")
+    val committed = committedVersions(fs, root)
+    // replay detection: our ff commit already landed (crash before
+    // cleanup) — finish the cleanup instead of refusing on divergence
+    val replayed = committed.filter(_ > base).find { v =>
+      val m = metaOf(spark, path, v)
+      m.get("branch").contains(name) &&
+        m.get("branch_base").contains(base.toString)
+    }
+    replayed match {
+      case Some(v) =>
+        fs.delete(branchDir(root, name), true): Unit
+        v
+      case None =>
+        val lines = commits.flatMap(_._3)
+        // the merged schema over the branch files drives the widen —
+        // a branch batch may add columns, exactly like a direct append
+        val schema = spark.read.option("mergeSchema", "true")
+          .option("basePath", qualified)
+          .parquet(lines.map(l => s"$qualified/${pathOf(l)}"): _*).schema
+        val pcol = lines.head.split("/")(0).split("=")(0)
+        // allowRebase=false against the branch base IS the divergence
+        // refusal: any commit since the base loses the version race and
+        // aborts instead of silently merging commits the audit never saw
+        val v = try commit(fs, root, Some(base), Set.empty, lines,
+          Map("op" -> "append", "branch" -> name,
+            "branch_base" -> base.toString),
+          allowRebase = false,
+          widenSchema = Some((schema, pcol)))
+        catch {
+          case e: SnapshotConflictException =>
+            throw new SnapshotConflictException(
+              s"fast-forward of branch '$name' on $path refused: main " +
+              s"moved past the branch base v=$base — the branch never " +
+              s"saw those commits; re-branch from the new head and " +
+              s"replay (${e.getMessage})")
+        }
+        fs.delete(branchDir(root, name), true): Unit
+        v
+    }
+  }
+
+  /** Abandon a branch: drop its pointers; the staged files are orphans
+    * and retire through [[expire]]'s grace sweep. Returns whether the
+    * branch existed. */
+  def deleteBranch(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    fsOf(spark, root).delete(branchDir(root, name), true)
   }
 
   private val RefsDir = "_refs"
@@ -2635,20 +3502,32 @@ object Snapshot {
     // tagged versions are PINNED: a tag is the caller's statement that
     // this exact snapshot must stay reproducible (the training-set
     // lineage case), so the sweep retains it — and every file it
-    // references — until deleteTag releases the pin
+    // references — until deleteTag releases the pin. Branch BASES pin
+    // the same way: a branch audit reads base ∪ branch files, so the
+    // base must out-live the branch.
     val byTag = tags(spark, path).map(_._2).toSet
-    val retainedSet = byCount ++ byAge ++ byTag
+    val liveBranches = branches(spark, path)
+    val byBranch = liveBranches.map(_._2).toSet
+    val retainedSet = byCount ++ byAge ++ byTag ++ byBranch
     val retained = versions.filter(retainedSet)
     val stale = versions.filterNot(retainedSet)
     // ALL entry paths — a retained version's deletion vectors are as
     // load-bearing as its data files; outstanding STAGED batches
-    // (write-audit-publish pointers) pin their files too, or a sweep
-    // racing an audit would delete the batch under it
+    // (write-audit-publish pointers) and BRANCH commits pin their files
+    // too, or a sweep racing an audit would delete the batch under it
     val stagedRefs = stagedIds(spark, path).flatMap { id =>
       parseLines(readSmallFile(fs, wapPath(root, id))).map(pathOf)
     }
+    val branchRefs = liveBranches.flatMap { case (n, _, _) =>
+      val dir = branchDir(root, n)
+      branchSeqs(fs, dir).filter(_ > 0L).flatMap { s =>
+        parseLines(readSmallFile(fs,
+          new org.apache.hadoop.fs.Path(dir, f"c-$s%012d"))).map(pathOf)
+      }
+    }
     val referenced = retained.flatMap(v =>
-      manifestLines(spark, path, v).map(pathOf)).toSet ++ stagedRefs
+      manifestLines(spark, path, v).map(pathOf)).toSet ++ stagedRefs ++
+      branchRefs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     listDataFiles(fs, root, partitionCol).foreach { f =>
@@ -2694,11 +3573,20 @@ object Snapshot {
     val refSegs = retained.flatMap(v =>
       parseRefs(manifestTextFs(fs, root, v))).toSet
     val mdir = new org.apache.hadoop.fs.Path(root, ManifestDir)
+    // row-id allocator markers: only the NEWEST carries the high-water
+    // mark — older ones are superseded debris
+    val maxRid =
+      if (!fs.exists(mdir)) None
+      else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+        .filter(_.matches("rid-\\d+"))
+        .map(_.stripPrefix("rid-").toLong).maxOption
     if (fs.exists(mdir)) fs.listStatus(mdir).toSeq
       .filter { s =>
         val n = s.getPath.getName
         s.isFile &&
-          (n.startsWith(".tmp-") || (n.startsWith("seg-") && !refSegs(n))) &&
+          (n.startsWith(".tmp-") || (n.startsWith("seg-") && !refSegs(n)) ||
+            (n.matches("rid-\\d+") &&
+              maxRid.exists(_ > n.stripPrefix("rid-").toLong))) &&
           (orphanGraceMs <= 0 || s.getModificationTime <= cutoff)
       }
       .foreach { s =>

@@ -2471,6 +2471,106 @@ object Analytics {
        |FROM events GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q77 — PARTITION-SPEC EVOLUTION graded through the hash gate: a table
+  // that outgrows daily partitioning must change grain WITHOUT a table
+  // rewrite. v1 partitions the base cohort daily; evolvePartitionSpec
+  // switches the ACTIVE spec to hourly (metadata-only — v2); the growth
+  // cohort appends under hour dirs (v3, event_date riding as a stored
+  // data column); the MIXED phase reads both generations in one table
+  // (per-generation scans unioned — each keeps its own directory
+  // pruning, PartitionEvolutionSpec pins the partition filters), with
+  // the old generation's rows NULL in event_hour exactly like any
+  // evolved-in column. migratePartitionSpec (v4) then retires the old
+  // generation in ONE atomic row-preserving rewrite — hour values
+  // derived from ts, event_date preserved byte-identically as a data
+  // column — and the MIGRATED phase re-reads the now-uniform layout.
+  // Both phases hash-grade against cohort SQL (hour strings via
+  // strftime/date_format agree under the pinned-UTC session); n_hours
+  // counts non-null hours, so a migration that loses the derived value,
+  // a mixed read that drops a generation, or a spec leak into the wrong
+  // phase cannot match. Cost shape at 100 TB: evolution is one header
+  // line; migration is the ONE rewrite you chose to pay, not a forced
+  // table rewrite on every grain change.
+  // ---------------------------------------------------------------------
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_specevo/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    val hourFmt = "yyyy-MM-dd-HH"
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"), pmod(col("event_id"), lit(2)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date"): Unit
+    }
+    if (Snapshot.currentVersion(s, path).contains(1L))
+      Snapshot.evolvePartitionSpec(s, path, "event_hour"): Unit
+    if (Snapshot.currentVersion(s, path).contains(2L))
+      Snapshot.append(s, path, "event_hour",
+        events.where(cohort === 2)
+          .withColumn("event_hour", date_format(col("ts"), hourFmt)),
+        Map("source" -> "hourly-growth")): Unit
+    // the MIXED phase is pinned to v3 (both generations live), so a
+    // rerun after the migration reports identically
+    require(Snapshot.currentVersion(s, path).exists(_ >= 3L),
+      s"table life incomplete: at v=${Snapshot.currentVersion(s, path)}")
+    val mixedSpecs = Snapshot.filesOf(s, path, 3L)
+      .map(f => f.split("=")(0)).distinct.sorted
+    require(mixedSpecs == Seq("event_date", "event_hour"),
+      s"v3 must hold BOTH generations, got $mixedSpecs")
+    if (Snapshot.currentVersion(s, path).contains(3L))
+      Snapshot.migratePartitionSpec(s, path,
+        date_format(col("ts"), hourFmt)): Unit
+    val cur = Snapshot.currentVersion(s, path).get
+    val finalSpecs = Snapshot.filesOf(s, path, cur)
+      .map(f => f.split("=")(0)).distinct
+    require(finalSpecs == Seq("event_hour"),
+      s"migration must retire the daily generation, got $finalSpecs")
+    def report(rows: DataFrame, phase: String): DataFrame =
+      rows.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("event_hour")).as("n_hours"),
+          count_distinct(col("event_date")).as("n_dates"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("phase", lit(phase))
+    report(Snapshot.readVersion(s, path, 3L), "mixed")
+      .unionByName(report(Snapshot.readSnapshot(s, path), "migrated"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+  private val q77Sql =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |         strftime(ts, '%Y-%m-%d-%H') AS h,
+       |         value, event_id % 4 AS c
+       |  FROM events WHERE event_id % 4 IN (0, 1, 2)
+       |)
+       |SELECT 'migrated' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hours,
+       |  CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dates,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM e GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'mixed' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT CASE WHEN c = 2 THEN h END) AS BIGINT)
+       |    AS n_hours,
+       |  CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dates,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM e GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2520,5 +2620,7 @@ object Analytics {
     QueryDef("q74_row_lineage_update_pairs", q74, Some(q74Sql),
       headline = true),
     QueryDef("q76_branch_wap_fast_forward", q76, Some(q76Sql),
+      headline = true),
+    QueryDef("q77_partition_spec_evolution", q77, Some(q77Sql),
       headline = true))
 }

@@ -919,9 +919,12 @@ object Snapshot {
       val f = it.next()
       val name = f.getPath.getName
       val parent = f.getPath.getParent
+      // ANY `key=` dir, not just the active spec's: a mid-evolution
+      // layout (evolvePartitionSpec) holds both generations, and the
+      // expiry sweep must see every generation's files
       if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
           parent != null && parent.getParent == qualified &&
-          parent.getName.startsWith(s"$partitionCol="))
+          parent.getName.contains("="))
         out += f
     }
     out.toSeq
@@ -934,8 +937,47 @@ object Snapshot {
   def readSnapshot(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, currentFiles(spark, path)._1)
 
+  /** The partition-spec key of a root-relative entry path — the dir
+    * name's `col=` prefix. A layout mid partition-spec evolution
+    * ([[evolvePartitionSpec]]) holds files under MORE than one key. */
+  private def specKeyOf(f: String): String = f.split("/")(0).split("=")(0)
+
+  /** Read a consistent file set under `meta`'s recorded schema with the
+    * version's deletion vectors subtracted — grouping the files BY
+    * PARTITION SPEC first: a single-spec layout takes the untouched
+    * one-scan plan; a mid-evolution layout scans each generation
+    * separately (Spark refuses mixed partition keys in one scan, and
+    * per-generation scans keep each one's directory pruning) and unions
+    * them, every generation under the SAME recorded schema so the other
+    * generation's partition column reads NULL exactly like any
+    * evolved-in column. */
+  private def readDataAt(spark: SparkSession, qualified: String,
+      meta: Map[String, String], files: Seq[String],
+      dvs: Seq[String]): DataFrame = {
+    val reader = spark.read.option("basePath", qualified)
+    def scan(fs: Seq[String]): DataFrame =
+      recordedSchema(meta).fold(reader)(reader.schema)
+        .parquet(fs.map(f => s"$qualified/$f"): _*)
+    val bySpec = files.groupBy(specKeyOf)
+    if (bySpec.size <= 1)
+      applyDeletes(spark, qualified, scan(files), dvs)
+    else {
+      require(recordedSchema(meta).nonEmpty,
+        "a mid-evolution layout needs a recorded schema — the partition " +
+        "columns of BOTH generations must be declared, not inferred")
+      // (file, pos) keys materialize on each scan BEFORE the union —
+      // the DV subtract cannot derive _metadata through a union
+      val data = bySpec.toSeq.sortBy(_._1)
+        .map { case (_, fsOfSpec) => withFilePos(scan(fsOfSpec), qualified) }
+        .reduce(_.unionByName(_))
+      applyDeletesKeyed(spark, qualified, data, dvs)
+        .drop("__lin_file", "__lin_pos")
+    }
+  }
+
   /** A PINNED snapshot version — the time-travel read; valid until
-    * [[expire]] retires the version. */
+    * [[expire]] retires the version. Serves mid-evolution layouts
+    * (old-spec and new-spec files side by side) transparently. */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
@@ -946,10 +988,8 @@ object Snapshot {
     // the RECORDED schema, not footer inference: after evolution, which
     // columns exist must not depend on which file Spark sampled — old
     // files read NULL in columns added after they were written
-    val reader = spark.read.option("basePath", qualified)
-    val data = recordedSchema(meta).fold(reader)(reader.schema)
-      .parquet(files.map(f => s"$qualified/$f"): _*)
-    applyDeletes(spark, qualified, data, lines.filter(isDeleteEntry).map(pathOf))
+    readDataAt(spark, qualified, meta, files,
+      lines.filter(isDeleteEntry).map(pathOf))
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the newest committed version whose
@@ -1092,6 +1132,18 @@ object Snapshot {
         .drop("__lin_bfile", "__lin_base")
     }
 
+  /** The lineage scan of `files`: recorded schema + the id column,
+    * (file, pos) keys materialized, generations scanned separately and
+    * unioned on a mid-evolution layout ([[readDataAt]]'s rule). */
+  private def lineageKeyedScan(spark: SparkSession, qualified: String,
+      recorded: org.apache.spark.sql.types.StructType,
+      files: Seq[String]): DataFrame =
+    files.groupBy(specKeyOf).toSeq.sortBy(_._1).map { case (_, fs) =>
+      withFilePos(spark.read.option("basePath", qualified)
+        .schema(lineageReadSchema(recorded))
+        .parquet(fs.map(f => s"$qualified/$f"): _*), qualified)
+    }.reduce(_.unionByName(_))
+
   /** [[applyDeletes]] for a scan that already carries the (file, pos)
     * key columns ([[withFilePos]]) — the keys survive the id-attach
     * join, where `_metadata` would not. */
@@ -1126,11 +1178,8 @@ object Snapshot {
     requireLineageEntries(lines, path)
     val files = lines.filterNot(isDeleteEntry).map(pathOf)
     require(files.nonEmpty, s"snapshot v=$v of $path is empty")
-    val df = spark.read.option("basePath", qualified)
-      .schema(lineageReadSchema(recorded))
-      .parquet(files.map(f => s"$qualified/$f"): _*)
-    val withIds = attachRowIdsKeyed(spark, withFilePos(df, qualified),
-      basesOf(lines))
+    val withIds = attachRowIdsKeyed(spark,
+      lineageKeyedScan(spark, qualified, recorded, files), basesOf(lines))
     applyDeletesKeyed(spark, qualified, withIds,
       lines.filter(isDeleteEntry).map(pathOf))
       .drop("__lin_file", "__lin_pos")
@@ -1333,18 +1382,12 @@ object Snapshot {
     if (files.isEmpty) {
       // schema-faithful empty frame — same columns a full read yields
       val all = lines.filterNot(isDeleteEntry).map(pathOf)
-      val reader = spark.read.option("basePath", qualified)
-      recordedSchema(meta).fold(reader)(reader.schema)
-        .parquet(all.map(f => s"$qualified/$f"): _*).limit(0)
-    } else {
-      val reader = spark.read.option("basePath", qualified)
-      val data = recordedSchema(meta).fold(reader)(reader.schema)
-        .parquet(files.map(f => s"$qualified/$f"): _*)
+      readDataAt(spark, qualified, meta, all, Nil).limit(0)
+    } else
       // outstanding merge-on-read deletes apply here too — a pruned
       // read must never resurrect rows the full read hides
-      applyDeletes(spark, qualified, data,
+      readDataAt(spark, qualified, meta, files,
         lines.filter(isDeleteEntry).map(pathOf))
-    }
   }
 
   /** MOVE a `partitionBy`-staged write's data files into the live
@@ -1530,6 +1573,122 @@ object Snapshot {
     }
   }
 
+  // ----- PARTITION-SPEC EVOLUTION --------------------------------------
+  // A table that outgrows its partition grain (daily → hourly is the
+  // canonical case) must not need a table rewrite to change it. The
+  // manifest records the ACTIVE spec per version (`pcol` header,
+  // inherited); after [[evolvePartitionSpec]] new appends write the new
+  // spec's dirs while old files stay put, readers scan each generation
+  // separately and union ([[readDataAt]] — each generation keeps its own
+  // directory pruning), and [[migratePartitionSpec]] retires the old
+  // generation with ONE atomic row-preserving rewrite when (or if) the
+  // operator chooses. Partition-grain maintenance refuses mixed layouts
+  // loudly ([[requireUniformSpec]]) — its partition algebra is
+  // single-spec by construction, and migrate-first is cheap and atomic.
+
+  /** Loud refusal for partition-grain ops on a mid-evolution layout:
+    * their probe/rewrite algebra groups by ONE dir key. */
+  private def requireUniformSpec(files: Seq[String], partitionCol: String,
+      op: String): Unit = {
+    val foreign = files.filterNot(f => specKeyOf(f) == partitionCol)
+    require(foreign.isEmpty,
+      s"$op with partition column '$partitionCol' on a mid-evolution " +
+      s"layout: ${foreign.size} file(s) still live under a different " +
+      s"spec (e.g. ${foreign.headOption.getOrElse("")}) — run " +
+      "migratePartitionSpec first, or pass the spec those files use")
+  }
+
+  /** The layout's ACTIVE partition spec (the `pcol` header), when the
+    * manifest records one (layouts initialized since the header exist
+    * always do). */
+  def partitionSpec(spark: SparkSession, path: String): Option[String] =
+    currentMeta(spark, path).flatMap(_.get("pcol"))
+
+  /** Switch the ACTIVE partition spec to `newPartitionCol` — a
+    * METADATA-ONLY commit (no file moves, no data read): later appends
+    * must write the new spec's directories, existing files stay under
+    * the old spec and keep serving reads ([[readDataAt]] unions the
+    * generations). The new partition column enters the recorded schema
+    * with the first new-spec append (the normal widen); the change feed
+    * crosses this commit (row-preserving — no rows changed). Returns
+    * the committed version. */
+  def evolvePartitionSpec(spark: SparkSession, path: String,
+      newPartitionCol: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    val cur = meta.get("pcol").getOrElse(
+      // pre-header layouts: the current spec is the files' dir key
+      lines.filterNot(isDeleteEntry).map(pathOf).headOption
+        .map(specKeyOf).getOrElse(
+          throw new IllegalStateException(s"empty layout under $path")))
+    require(newPartitionCol != cur,
+      s"$path already partitions by '$newPartitionCol'")
+    require(recordedSchema(meta).nonEmpty,
+      "partition-spec evolution needs a recorded schema — which columns " +
+      "exist must not depend on footer sampling once two generations " +
+      "coexist")
+    commit(fs, root, Some(v), Set.empty, Seq.empty,
+      Map("op" -> "evolve-spec", "pcol" -> newPartitionCol,
+        "pcol_prev" -> cur))
+  }
+
+  /** Retire the legacy partition generation: every file still under an
+    * old spec rewrites into the ACTIVE spec's directories — `value` is
+    * the new partition column's expression, evaluated against the old
+    * rows WITH their old partition column (recorded type), e.g.
+    * `date_format(col("ts"), "yyyy-MM-dd-HH")` for daily → hourly. ONE
+    * distributed job, ONE atomic row-preserving commit (the change feed
+    * crosses it; row ids carry — the read is lineage-aware). The old
+    * partition column becomes a STORED data column in the rewritten
+    * files, so its values survive byte-identically. Returns the new
+    * files; no-op when the layout is already uniform. */
+  def migratePartitionSpec(spark: SparkSession, path: String,
+      value: Column): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (vMeta, vLines) = stateOf(spark, path, v)
+    val newPcol = vMeta.getOrElse("pcol",
+      throw new IllegalStateException(
+        s"$path declares no partition spec — evolvePartitionSpec first"))
+    requireNoDeletes(spark, path, v, "migratePartitionSpec")
+    val files = vLines.filterNot(isDeleteEntry).map(pathOf)
+    val oldFiles = files.filterNot(f => specKeyOf(f) == newPcol)
+    if (oldFiles.isEmpty) return Seq.empty
+    val oldKeys = oldFiles.map(specKeyOf).distinct.sorted
+    require(oldKeys.size == 1,
+      s"migratePartitionSpec found ${oldKeys.size} legacy specs " +
+      s"(${oldKeys.mkString(", ")}) — migrate one evolution at a time")
+    val oldPcol = oldKeys.head
+    val recorded = recordedSchema(vMeta).getOrElse(
+      throw new IllegalStateException(
+        s"mid-evolution $path lacks a recorded schema"))
+    // lineage-aware old-generation read: the old partition column comes
+    // back dir-typed STRING — cast it to its RECORDED type before it
+    // becomes a stored data column, so values survive byte-identically
+    val rows = readForMaintenanceLineage(spark, qualified, oldFiles,
+        oldPcol, vMeta, vLines)
+      .withColumn(oldPcol, col(oldPcol).cast(recorded(oldPcol).dataType))
+      .withColumn(newPcol,
+        if (recorded.fieldNames.contains(newPcol))
+          value.cast(recorded(newPcol).dataType)
+        else value)
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-migrate-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    rows.repartition(col(newPcol))
+      .write.partitionBy(newPcol).parquet(stg.toString)
+    val moved = movePartitionedStaging(fs, root, stg, newPcol)
+    commit(fs, root, Some(v), oldFiles.toSet,
+      statLines(spark, fs, root, moved, vMeta),
+      Map("op" -> "migrate-spec")): Unit
+    moved
+  }
+
   /** [[Sink.readForMaintenance]] with the lineage column attached when
     * the layout is lineage-enabled: every row surfaces its durable
     * `_row_id` (virtual entries resolved to base + position, physical
@@ -1590,6 +1749,7 @@ object Snapshot {
     val (vMeta, vLines) = stateOf(spark, path, v)
     val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     requireNoDeletes(spark, path, v, "compact")
+    requireUniformSpec(files, partitionCol, "compact")
     val sizes: Map[String, Long] = listDataFiles(fs, root, partitionCol)
       .map(f => f.getPath.toString.stripPrefix(qualified).stripPrefix("/") -> f.getLen)
       .toMap
@@ -1664,6 +1824,7 @@ object Snapshot {
     val (vMeta, vLines) = stateOf(spark, path, v)
     val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     requireNoDeletes(spark, path, v, "deleteWhere")
+    requireUniformSpec(files, partitionCol, "deleteWhere")
     val byPart = files.groupBy(f => f.split("/")(0))
     // NULL-predicate guard: same SQL DELETE semantics as Sink.deleteWhere
     val del = coalesce(predicate, lit(false))
@@ -1764,6 +1925,7 @@ object Snapshot {
     val (vMeta, vLines) = stateOf(spark, path, v)
     val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     val dvs = vLines.filter(isDeleteEntry).map(pathOf)
+    requireUniformSpec(files, partitionCol, "deleteWhereMoR")
     val del = coalesce(predicate, lit(false))
     val keyCols = dvKeyCols(qualified)
     // recorded schema: the predicate may reference an evolved column,
@@ -1867,6 +2029,7 @@ object Snapshot {
     val (vMeta, lines) = stateOf(spark, path, v)
     val files = lines.filterNot(isDeleteEntry).map(pathOf)
     val dvs = lines.filter(isDeleteEntry).map(pathOf)
+    requireUniformSpec(files, partitionCol, "updateWhere")
     val pred = coalesce(predicate, lit(false))
     val keyCols = dvKeyCols(qualified)
     val lineage = rowIdsOn(vMeta)
@@ -1979,6 +2142,7 @@ object Snapshot {
     val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     val dvs = vLines.filter(isDeleteEntry).map(pathOf)
     if (dvs.isEmpty) return Seq.empty
+    requireUniformSpec(files, partitionCol, "materializeDeletes")
     val dvDf = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
     // O(touched files) driver state — the vectors' reference set
     val perFile = dvDf.groupBy(col("dv_file")).agg(count(lit(1)).as("n"))
@@ -2060,16 +2224,23 @@ object Snapshot {
     val fs = fsOf(spark, root)
     fs.mkdirs(root)
     val prev = committedVersions(fs, root).lastOption
-    val stg = new org.apache.hadoop.fs.Path(root,
-      s".staging-append-${Sink.procTag}-${java.util.UUID.randomUUID()}")
-    rows.write.partitionBy(partitionCol).parquet(stg.toString)
-    val moved = movePartitionedStaging(fs, root, stg, partitionCol)
     // honor the layout's declared stats / lineage / null-count state
     // (inherited manifest keys) — an appended batch's files must prune
     // and id-assign like any others; a BOOTSTRAP append may declare them
     // via `meta` (the streaming-ingest seam)
     val prevMeta = prev.map(v => parseMeta(manifestTextFs(fs, root, v)))
       .getOrElse(Map.empty)
+    // after evolvePartitionSpec, appends must target the ACTIVE spec —
+    // an old-spec append would silently grow the generation a migration
+    // is trying to retire (fail BEFORE staging anything)
+    prevMeta.get("pcol").foreach(p => require(p == partitionCol,
+      s"append with partition column '$partitionCol' but the table's " +
+      s"active spec is '$p' — after evolvePartitionSpec, writers use " +
+      "the new spec"))
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-append-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    rows.write.partitionBy(partitionCol).parquet(stg.toString)
+    val moved = movePartitionedStaging(fs, root, stg, partitionCol)
     val tableMeta = Seq("stats", "rowids", "nullstats")
       .flatMap(k => prevMeta.get(k).orElse(meta.get(k)).map(k -> _)).toMap
     val lines = statLines(spark, fs, root, moved, tableMeta)
@@ -2083,7 +2254,9 @@ object Snapshot {
     // Removes nothing → commutes with ANY concurrent commit: a lost
     // version race rebases onto the winner's file list and retries.
     commit(fs, root, prev, Set.empty, lines,
-      Map("op" -> "append") ++ meta,
+      Map("op" -> "append") ++
+        (if (prev.isEmpty) Map("pcol" -> partitionCol)
+         else Map.empty[String, String]) ++ meta,
       widenSchema = Some((rows.schema, partitionCol)))
   }
 
@@ -2119,6 +2292,7 @@ object Snapshot {
     // replacement never saw
     val (v, files) = base.getOrElse(currentFiles(spark, path))
     requireNoDeletes(spark, path, v, "replacePartitions")
+    requireUniformSpec(files, partitionCol, "replacePartitions")
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-replace-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     replacement.write.partitionBy(partitionCol).parquet(stg.toString)
@@ -2201,7 +2375,8 @@ object Snapshot {
     * files, which is still the row delta. Everything else (delete,
     * update, mor-delete, replace, restore, merge) changes what a reader
     * sees and forces a re-sync. */
-  private val RowPreservingOps = Set("compact", "materialize")
+  private val RowPreservingOps =
+    Set("compact", "materialize", "evolve-spec", "migrate-spec")
 
   /** The files appended in `(fromV, toV]` when the gap is ATTRIBUTABLE —
     * every commit is an append or row-preserving, and no gap-appended
@@ -2300,10 +2475,8 @@ object Snapshot {
       val addedSet = added.toSet
       val subsetLines = linesTo.filter(l => addedSet(pathOf(l)))
       requireLineageEntries(subsetLines, path)
-      val df = spark.read.option("basePath", qualified)
-        .schema(lineageReadSchema(recorded))
-        .parquet(added.map(f => s"$qualified/$f"): _*)
-      attachRowIdsKeyed(spark, withFilePos(df, qualified),
+      attachRowIdsKeyed(spark,
+        lineageKeyedScan(spark, qualified, recorded, added),
         basesOf(subsetLines))
         .drop("__lin_file", "__lin_pos")
     }
@@ -2316,14 +2489,12 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val qualified = fsOf(spark, root).makeQualified(root).toString
     if (added.isEmpty) readVersion(spark, path, toV).limit(0)
-    else {
+    else
       // toV's recorded schema: a feed spanning a schema-evolving append
       // reads earlier batches' files NULL in the added columns, exactly
-      // as readVersion(toV) would
-      val reader = spark.read.option("basePath", qualified)
-      schemaOf(spark, path, toV).fold(reader)(reader.schema)
-        .parquet(added.map(f => s"$qualified/$f"): _*)
-    }
+      // as readVersion(toV) would — and a gap spanning a partition-spec
+      // evolution scans each generation's adds separately
+      readDataAt(spark, qualified, metaOf(spark, path, toV), added, Nil)
   }
 
   /** FULL-FIDELITY CHANGE DATA FEED: the visible-row multiset
@@ -2503,10 +2674,8 @@ object Snapshot {
     // DV subtract / pair fetch joins (_metadata would not survive the
     // id-attach join)
     def readKeyed(files: Seq[String]): DataFrame =
-      attachRowIdsKeyed(spark, withFilePos(
-        spark.read.option("basePath", qualified)
-          .schema(lineageReadSchema(recorded))
-          .parquet(files.map(f => s"$qualified/$f"): _*), qualified), bases)
+      attachRowIdsKeyed(spark,
+        lineageKeyedScan(spark, qualified, recorded, files), bases)
     def readPairs(dvFiles: Set[String]): DataFrame =
       spark.read.parquet(dvFiles.toSeq.sorted.map(f => s"$qualified/$f"): _*)
         .select(col("dv_file"), col("dv_pos"))
@@ -2627,7 +2796,7 @@ object Snapshot {
     val contiguous = gap.size == toV - fromV
     // row-preserving maintenance and metadata-only commits change no
     // visible row — the composed walk skips their file churn entirely
-    val skippable = RowPreservingOps ++ Set("evolve-spec")
+    val skippable = RowPreservingOps
     val changing = gap.map(v =>
         v -> metaOf(spark, path, v).getOrElse("op", "unknown"))
       .filterNot { case (_, op) => skippable(op) }
@@ -3056,6 +3225,10 @@ object Snapshot {
     val cur = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot under $path — bootstrap with init/append"))
+    val curMeta = metaOf(spark, path, cur)
+    curMeta.get("pcol").foreach(p => require(p == partitionCol,
+      s"stageAppend with partition column '$partitionCol' but the " +
+      s"table's active spec is '$p'"))
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-wap-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     rows.write.partitionBy(partitionCol).parquet(stg.toString)
@@ -3067,7 +3240,7 @@ object Snapshot {
     require(moved.nonEmpty,
       s"stageAppend on $path with an EMPTY batch — nothing to stage or " +
       "audit (an empty micro-batch advancing a marker is append's job)")
-    val lines = statLines(spark, fs, root, moved, metaOf(spark, path, cur))
+    val lines = statLines(spark, fs, root, moved, curMeta)
     val id = java.util.UUID.randomUUID().toString
     // pcol rides the pointer so publish never has to GUESS the
     // partition column from schema inference
@@ -3245,6 +3418,10 @@ object Snapshot {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val (base, _) = branchState(fs, root, name)
+    val baseMeta = metaOf(spark, path, base)
+    baseMeta.get("pcol").foreach(p => require(p == partitionCol,
+      s"appendToBranch with partition column '$partitionCol' but the " +
+      s"branch base's active spec is '$p'"))
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-branch-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     rows.write.partitionBy(partitionCol).parquet(stg.toString)
@@ -3254,7 +3431,7 @@ object Snapshot {
       "stage or audit")
     // table-state keys (stats / rowids / nullstats) from the branch
     // BASE: the declarations are fixed at bootstrap, so base == current
-    val lines = statLines(spark, fs, root, moved, metaOf(spark, path, base))
+    val lines = statLines(spark, fs, root, moved, baseMeta)
     val header = (Map("op" -> "branch-append") ++ meta)
       .toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val dir = branchDir(root, name)

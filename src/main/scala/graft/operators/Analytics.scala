@@ -2571,6 +2571,90 @@ object Analytics {
        |FROM e GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q78 — NULL-COUNT MANIFEST STATS graded through the hash gate: q66
+  // prunes on min/max bounds, but an IS NULL / IS NOT NULL predicate is
+  // invisible to bounds — an all-NULL file records NO bounds at all, so
+  // a range plan must always keep it, and real tables carry exactly such
+  // sparse columns (an optional foreign key populated by one event
+  // family). The store declares nullCounts at init: every manifest entry
+  // records per-stats-column null counts and its row count, so `aux_id
+  // IS NOT NULL` skips all-NULL files and `aux_id IS NULL` skips
+  // fully-populated ones — planned from the manifest alone, zero footer
+  // reads. The fixture derives aux_id NULL for two of five event cohorts
+  // and range-clusters files on the cohort, so null purity follows file
+  // boundaries; in-query requires pin BOTH nullability plans strictly
+  // below the full file count, and both phases hash-grade against the
+  // CASE-derived SQL. At 100 TB: the sparse-column slice reads the
+  // populated sliver, not the table.
+  // ---------------------------------------------------------------------
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_nullstats/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("grp", pmod(col("event_id"), lit(5)))
+      .withColumn("aux_id",
+        when(col("grp") < 2, lit(null).cast(LongType))
+          .otherwise(col("event_id")))
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      // cluster files on the null-driving cohort (explicit N: AQE must
+      // not coalesce the buckets into one file and blur the purity)
+      events.drop("grp")
+        .repartitionByRange(8, pmod(col("event_id"), lit(5)), col("event_id"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date", statsCols = Seq("aux_id"),
+        nullCounts = true): Unit
+    }
+    val total = Snapshot.currentFiles(s, path)._2.size
+    val fNotNull = Snapshot.filesInRanges(s, path, Nil,
+      isNotNull = Seq("aux_id"))
+    val fIsNull = Snapshot.filesInRanges(s, path, Nil, isNull = Seq("aux_id"))
+    require(fNotNull.size < total,
+      s"IS NOT NULL planned $total/$total files — null counts pruned nothing")
+    require(fIsNull.size < total,
+      s"IS NULL planned $total/$total files — null counts pruned nothing")
+    def report(rows: DataFrame, phase: String): DataFrame =
+      rows.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("phase", lit(phase))
+    report(Snapshot.readSnapshotRanges(s, path, Nil,
+        isNotNull = Seq("aux_id"))
+      .where(col("aux_id").isNotNull), "not_null")
+      .unionByName(report(Snapshot.readSnapshotRanges(s, path, Nil,
+          isNull = Seq("aux_id"))
+        .where(col("aux_id").isNull), "is_null"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+  private val q78Sql =
+    s"""WITH e AS (
+       |  SELECT event_type, user_id, value,
+       |         CASE WHEN event_id % 5 < 2 THEN NULL
+       |              ELSE event_id END AS aux_id
+       |  FROM events
+       |)
+       |SELECT 'is_null' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM e WHERE aux_id IS NULL GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'not_null' AS phase, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM e WHERE aux_id IS NOT NULL GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2622,5 +2706,7 @@ object Analytics {
     QueryDef("q76_branch_wap_fast_forward", q76, Some(q76Sql),
       headline = true),
     QueryDef("q77_partition_spec_evolution", q77, Some(q77Sql),
+      headline = true),
+    QueryDef("q78_null_count_stats_slice", q78, Some(q78Sql),
       headline = true))
 }

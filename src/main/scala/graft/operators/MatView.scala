@@ -1068,6 +1068,81 @@ object MatView {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q79 — the CONSUMER-GROUP LAG REPORT graded through the hash gate:
+  // the monitoring loop a CDC deployment alerts on (q67's dvAudit
+  // discipline applied to consumers). Three groups park at three
+  // characteristic positions on one lineage table:
+  //   g_current consumed to the head            → mode=current, 0 behind
+  //   g_behind stopped before two APPENDS       → mode=delta, and the
+  //     report prices the catch-up — pending_rows — straight off the
+  //     manifest entries' recorded row counts (zero data or footer IO)
+  //   g_diff stopped before a merge-on-read UPDATE → mode=diff (a typed
+  //     consumer pays O(changed rows); cost unknowable from metadata,
+  //     pending_rows NULL)
+  // The graded columns pin the classification AND the metadata pricing:
+  // pending_rows for g_behind must equal the appended cohorts' SQL
+  // count exactly — a lag report that misclassifies a gap, misprices
+  // it, or reads data to price it (the counts come from `n:` entry
+  // fields) cannot hash-match. The expired-position row (mode=resync)
+  // is spec-pinned, not graded: building it would burn the store's
+  // history every run.
+  // ---------------------------------------------------------------------
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val root = s"${Sink.artifactRoot}/events_lag/$tag/fp_$fp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, root).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      events.where(cohort === 0 || cohort === 1)
+        .repartition(col("event_date"))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(root)
+      Snapshot.init(s, root, "event_date", rowIds = true): Unit
+    }
+    def park(group: String, atV: Long): Unit =
+      if (Snapshot.currentVersion(s, root).contains(atV) &&
+          Snapshot.consumerPosition(s, root, group).isEmpty)
+        Snapshot.consumeChanges(s, root, group)(_ => ())(_ => ()): Unit
+    park("g_diff", 1L) // parks at v1; the update lands in ITS gap
+    if (Snapshot.currentVersion(s, root).contains(1L))
+      Snapshot.updateWhere(s, root, "event_date",
+        col("user_id") === 12L, Map("value" -> (col("value") * 2))): Unit
+    park("g_behind", 2L) // parks at v2; only appends follow
+    if (Snapshot.currentVersion(s, root).contains(2L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 2),
+        Map("source" -> "delta-a")): Unit
+    if (Snapshot.currentVersion(s, root).contains(3L))
+      Snapshot.append(s, root, "event_date", events.where(cohort === 3),
+        Map("source" -> "delta-b")): Unit
+    park("g_current", 4L) // bootstraps at the head
+    require(Snapshot.currentVersion(s, root).contains(4L),
+      s"table life incomplete: at v=${Snapshot.currentVersion(s, root)}")
+    Snapshot.consumerLagReport(s, root)
+      .select(col("group"), col("position_version"),
+        col("current_version"), col("versions_behind"), col("mode"),
+        col("pending_rows"))
+      .orderBy(col("group"))
+  }
+  private val q79Sql =
+    s"""SELECT 'g_behind' AS "group", CAST(2 AS BIGINT) AS position_version,
+       |  CAST(4 AS BIGINT) AS current_version,
+       |  CAST(2 AS BIGINT) AS versions_behind, 'delta' AS mode,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+       |   WHERE event_id % 4 IN (2, 3)) AS pending_rows
+       |UNION ALL
+       |SELECT 'g_current', CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+       |  CAST(0 AS BIGINT), 'current', CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'g_diff', CAST(1 AS BIGINT), CAST(4 AS BIGINT),
+       |  CAST(3 AS BIGINT), 'diff', NULL
+       |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
@@ -1090,5 +1165,7 @@ object MatView {
     QueryDef("q70_retractable_rollup_consumer", q70, Some(q70Sql),
       headline = true),
     QueryDef("q75_lineage_update_consumer", q75, Some(q75Sql),
+      headline = true),
+    QueryDef("q79_consumer_lag_report", q79, Some(q79Sql),
       headline = true))
 }

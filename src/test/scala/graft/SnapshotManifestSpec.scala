@@ -799,6 +799,149 @@ class SnapshotManifestSpec extends AnyFunSuite {
       s"pruned read scanned ${pruned.inputFiles.length} files")
   }
 
+  test("consumerLag classifies current/delta/diff/resync and prices the delta from metadata alone") {
+    import spark.implicits._
+    val path = buildLayout(4, "graft-lag")
+    Snapshot.init(spark, path, "event_date", rowIds = true) // n: recorded
+    def delta(id: Long, date: String) = Seq((id, 1L, id, date))
+      .toDF("event_id", "user_id", "ts_ms", "event_date").coalesce(1)
+    def park(g: String): Unit =
+      Snapshot.consumeChanges(spark, path, g)(_ => ())(_ => ()): Unit
+    park("g-expired") // v1
+    Snapshot.updateWhere(spark, path, "event_date",
+      col("event_id") === 1L, Map("ts_ms" -> (col("ts_ms") + 1L))) // v2
+    park("g-diff") // at v2 — the NEXT update lands in its gap
+    Snapshot.updateWhere(spark, path, "event_date",
+      col("event_id") === 2L, Map("ts_ms" -> (col("ts_ms") + 1L))) // v3
+    Snapshot.append(spark, path, "event_date", delta(800L, "2024-01-01")) // v4
+    Snapshot.append(spark, path, "event_date", delta(801L, "2024-01-02")) // v5
+    park("g-current")
+    val byGroup = Snapshot.consumerLag(spark, path).map(l => l.group -> l).toMap
+    assert(byGroup("g-current").mode == "current" &&
+      byGroup("g-current").behind == 0L)
+    // g-diff's gap holds an update → diff, cost unknowable
+    val d = byGroup("g-diff")
+    assert(d.mode == "diff" && d.behind == 3L && d.pendingRows.isEmpty)
+    // park one group where only appends follow → delta, priced exactly
+    // from the entries' n: counts (2 files, 2 rows), no data read
+    val e = byGroup("g-expired")
+    assert(e.mode == "diff") // still retained here — becomes resync below
+    // a group parked at v3 sees the two appends as an attributable gap
+    Snapshot.consumeChanges(spark, path, "g-delta") { _ => } { _ => }
+    val dir = new java.io.File(s"$path/_consumers/g-delta")
+    dir.listFiles().foreach(_.delete())
+    java.nio.file.Files.write(dir.toPath.resolve("p-000000000001"),
+      "#v=3".getBytes)
+    val dl = Snapshot.consumerLag(spark, path)
+      .find(_.group == "g-delta").get
+    assert(dl.mode == "delta" && dl.behind == 2L &&
+      dl.pendingFiles.contains(2L) && dl.pendingRows.contains(2L),
+      s"delta pricing off: $dl")
+    // expire v1 away: the group parked there loses its base → resync
+    Snapshot.expire(spark, path, "event_date", keep = 2)
+    val ex = Snapshot.consumerLag(spark, path)
+      .find(_.group == "g-expired").get
+    assert(ex.mode == "resync" && ex.pendingRows.isEmpty,
+      s"expired position must classify resync: $ex")
+  }
+
+  test("Z-order compact: file skipping survives on BOTH dimensions; linear sort keeps only the leading one") {
+    import spark.implicits._
+    // two identical stores — a 64×64 (a, b) grid hash-scattered into 16
+    // files of one partition — compacted to ~4 files two ways
+    def build(tag: String): String = {
+      val path = s"${tmp(s"graft-zorder-$tag")}/t"
+      (for (a <- 0 until 64; b <- 0 until 64)
+        yield (a.toLong * 64 + b, a.toLong, b.toLong, "2024-01-01"))
+        .toDF("event_id", "a", "b", "event_date")
+        .repartition(16)
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(spark, path, "event_date", statsCols = Seq("a", "b"))
+      path
+    }
+    def quarterTarget(path: String): Long = {
+      val files = new java.io.File(s"$path/event_date=2024-01-01")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      files.map(_.length).sum / 4 + 1
+    }
+    val lin = build("lin")
+    Snapshot.compact(spark, lin, "event_date", quarterTarget(lin),
+      sortCols = Seq("a"))
+    val zed = build("zed")
+    Snapshot.compact(spark, zed, "event_date", quarterTarget(zed),
+      zOrderCols = Seq("a", "b"))
+    val nLin = Snapshot.currentFiles(spark, lin)._2.size
+    val nZed = Snapshot.currentFiles(spark, zed)._2.size
+    assert(nLin > 1 && nZed > 1, s"fixture must keep several files: $nLin/$nZed")
+    // leading-dimension slices prune on BOTH layouts
+    assert(Snapshot.filesInRanges(spark, lin, Seq(("a", 0L, 15L))).size < nLin)
+    assert(Snapshot.filesInRanges(spark, zed, Seq(("a", 0L, 15L))).size < nZed)
+    // the SECOND dimension prunes only under the Morton layout — the
+    // linear sort leaves every file spanning b's full range
+    assert(Snapshot.filesInRanges(spark, lin, Seq(("b", 0L, 15L))).size == nLin,
+      "a linear layout cannot skip on the non-leading dimension")
+    assert(Snapshot.filesInRanges(spark, zed, Seq(("b", 0L, 15L))).size < nZed,
+      "the Morton layout must skip on the second dimension too")
+    // pruned reads stay exact on the z layout, both dimensions
+    def evs(df: org.apache.spark.sql.DataFrame) = ids(df)
+    assert(evs(Snapshot.readSnapshotRanges(spark, zed, Seq(("b", 0L, 15L)))
+        .where(col("b") <= 15L)) ==
+      evs(Snapshot.readSnapshot(spark, zed).where(col("b") <= 15L)))
+    assert(evs(Snapshot.readSnapshotRanges(spark, zed, Seq(("a", 0L, 15L)))
+        .where(col("a") <= 15L)) ==
+      evs(Snapshot.readSnapshot(spark, zed).where(col("a") <= 15L)))
+  }
+
+  test("null-count stats: IS NULL / IS NOT NULL plan strictly smaller subsets, min/max alone cannot") {
+    import spark.implicits._
+    val path = s"${tmp("graft-nullstats")}/t"
+    // three files: aux all-NULL, aux all-set, aux mixed
+    def rows(ids: Seq[Long], aux: Long => Option[Long]) =
+      ids.map(i => (i, aux(i), "2024-01-01"))
+        .toDF("event_id", "aux", "event_date").coalesce(1)
+    rows(0L to 9L, _ => None)
+      .write.partitionBy("event_date").parquet(path)
+    Snapshot.init(spark, path, "event_date", statsCols = Seq("aux"),
+      nullCounts = true)
+    Snapshot.append(spark, path, "event_date",
+      rows(10L to 19L, i => Some(i)))
+    Snapshot.append(spark, path, "event_date",
+      rows(20L to 29L, i => if (i % 2 == 0) Some(i) else None))
+    assert(Snapshot.currentFiles(spark, path)._2.size == 3)
+    val isNull = Snapshot.filesInRanges(spark, path, Nil,
+      isNull = Seq("aux"))
+    val isNotNull = Snapshot.filesInRanges(spark, path, Nil,
+      isNotNull = Seq("aux"))
+    assert(isNull.size == 2, s"IS NULL must skip the all-set file: $isNull")
+    assert(isNotNull.size == 2,
+      s"IS NOT NULL must skip the all-NULL file: $isNotNull")
+    // an all-NULL file records no bounds, so a RANGE alone must keep it
+    // — the null tier is what finally skips it
+    val rangeOnly = Snapshot.filesInRanges(spark, path, Seq(("aux", 10L, 19L)))
+    assert(rangeOnly.size == 2,
+      s"range keeps the boundless all-NULL file: $rangeOnly")
+    val rangeAndNotNull = Snapshot.filesInRanges(spark, path,
+      Seq(("aux", 10L, 19L)), isNotNull = Seq("aux"))
+    assert(rangeAndNotNull.size == 1,
+      s"range ∧ IS NOT NULL must reach one file: $rangeAndNotNull")
+    // pruned reads stay exact against the full read + exact predicate
+    def evs(df: org.apache.spark.sql.DataFrame) = ids(df)
+    assert(evs(Snapshot.readSnapshotRanges(spark, path, Nil,
+        isNull = Seq("aux")).where(col("aux").isNull)) ==
+      evs(Snapshot.readSnapshot(spark, path).where(col("aux").isNull)))
+    assert(evs(Snapshot.readSnapshotRanges(spark, path, Nil,
+        isNotNull = Seq("aux")).where(col("aux").isNotNull)) ==
+      evs(Snapshot.readSnapshot(spark, path).where(col("aux").isNotNull)))
+    // a layout WITHOUT the nullCounts declaration keeps everything —
+    // nullability clauses are conservative, never wrong
+    val plain = s"${tmp("graft-nullstats-off")}/t"
+    rows(0L to 9L, _ => None).write.partitionBy("event_date").parquet(plain)
+    Snapshot.init(spark, plain, "event_date", statsCols = Seq("aux"))
+    Snapshot.append(spark, plain, "event_date", rows(10L to 19L, i => Some(i)))
+    assert(Snapshot.filesInRanges(spark, plain, Nil,
+      isNull = Seq("aux")).size == 2)
+  }
+
   test("STRING stats column prunes categorical slices; LONG and STRING columns coexist") {
     import spark.implicits._
     val path = s"${tmp("graft-strstats")}/cats"

@@ -45,7 +45,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             manifest-recorded schema; old files
   *                             read NULL in later columns), and MERGE
   *                             INTO (q63: keyed upsert, one atomic
-  *                             commit, O(touched partitions))
+  *                             commit, O(touched partitions));
+  *                             q74: ROW LINEAGE — durable _row_id
+  *                             assigned at first commit, carried
+  *                             through every rewrite; changeDiffLineage
+  *                             pairs update pre/post images by id and
+  *                             skips row-preserving commits entirely;
+  *                             q76: BRANCHES — multi-batch
+  *                             write-audit-publish with atomic
+  *                             fast-forward and divergence refusal;
+  *                             q77: PARTITION-SPEC EVOLUTION — per-
+  *                             version spec, mixed-generation reads,
+  *                             one-rewrite migration; q78: NULL-COUNT
+  *                             manifest stats — IS NULL / IS NOT NULL
+  *                             file skipping the min/max tier cannot
+  *                             express
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the
@@ -60,7 +74,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             maintained store on the snapshot
   *                             manifest — applied-delta ledger atomic
   *                             with the partition swap, q52's oracle
-  *                             verbatim
+  *                             verbatim; q65/q70/q75: the CDC consumer
+  *                             ladder — persisted offsets, typed
+  *                             retractions, and lineage-paired typed
+  *                             UPDATES (post − pre applied in place);
+  *                             q79: the consumer-group LAG REPORT —
+  *                             every group's next cycle classified and
+  *                             priced from manifest metadata alone
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,

@@ -1724,9 +1724,13 @@ object Snapshot {
     rows.repartition(col(newPcol))
       .write.partitionBy(newPcol).parquet(stg.toString)
     val moved = movePartitionedStaging(fs, root, stg, newPcol)
+    // widen: evolve → migrate with NO intervening new-spec append must
+    // still surface the new partition column to readers — the recorded
+    // schema gains it here if the first new-spec append hasn't already
     commit(fs, root, Some(v), oldFiles.toSet,
       statLines(spark, fs, root, moved, vMeta),
-      Map("op" -> "migrate-spec")): Unit
+      Map("op" -> "migrate-spec"),
+      widenSchema = Some((rows.schema, newPcol))): Unit
     moved
   }
 
@@ -1785,7 +1789,15 @@ object Snapshot {
         s"Z-order column '$c' must be numeric/timestamp/date, got $dt")
     }
     val k = zCols.size
-    val max = (1L << bits) - 1
+    // the interleaved key must fit the NON-NEGATIVE range of a Long:
+    // position b*k+j tops out below 62, or the sign bit would invert
+    // the most-significant interleave (and Spark's shiftleft masks
+    // shift amounts to 6 bits, silently wrapping past 63)
+    val effBits = math.min(bits, 62 / k)
+    require(effBits >= 4,
+      s"Z-order over $k columns leaves only $effBits bits per column — " +
+      "too coarse to cluster; interleave at most ~8 columns")
+    val max = (1L << effBits) - 1
     val aggs = zCols.flatMap(c => Seq(
       fmin(col(c).cast("double")).as(s"mn_$c"),
       fmax(col(c).cast("double")).as(s"mx_$c")))
@@ -1799,7 +1811,7 @@ object Snapshot {
       org.apache.spark.sql.functions.greatest(lit(0L),
         org.apache.spark.sql.functions.least(lit(max), v))
     }
-    (for (b <- 0 until bits; j <- 0 until k) yield
+    (for (b <- 0 until effBits; j <- 0 until k) yield
       org.apache.spark.sql.functions.shiftleft(
         org.apache.spark.sql.functions.shiftright(scaled(j), b)
           .bitwiseAND(lit(1L)), b * k + j))
@@ -2472,8 +2484,16 @@ object Snapshot {
     * files, which is still the row delta. Everything else (delete,
     * update, mor-delete, replace, restore, merge) changes what a reader
     * sees and forces a re-sync. */
+  // NOTE: migrate-spec is NOT here. A spec migration re-files rows AND
+  // backfills the new partition column (NULL → derived value) on every
+  // migrated row — a visible image change. Crossing it silently would
+  // hand consumers stale NULLs while table reads show values, and the
+  // composed lineage walk would disagree with the two-state fallback.
+  // Consumers therefore take the diff/resync path across a migration:
+  // the diff emits the backfill as update pairs (typed consumers apply
+  // O(table-sized-backfill) once, exactly what happened).
   private val RowPreservingOps =
-    Set("compact", "materialize", "evolve-spec", "migrate-spec")
+    Set("compact", "materialize", "evolve-spec")
 
   /** The files appended in `(fromV, toV]` when the gap is ATTRIBUTABLE —
     * every commit is an append or row-preserving, and no gap-appended
@@ -2634,20 +2654,34 @@ object Snapshot {
     val dvTo = linesTo.filter(isDeleteEntry).map(pathOf).toSet
     val dvFrom = linesFrom.filter(isDeleteEntry).map(pathOf).toSet
     val retained = filesFrom & filesTo
-    def readRows(files: Seq[String]): DataFrame = {
+    // KEYED scans, grouped per partition spec ([[readDataAt]]'s rule):
+    // a diff spanning a spec evolution reads each generation separately
+    // — one mixed basePath scan would throw — and the (file, pos) keys
+    // materialize on the scan so the DV subtract / pair fetch joins
+    // never need `_metadata` after a union
+    def readKeyed(files: Seq[String]): DataFrame = {
+      val bySpec = files.groupBy(specKeyOf)
+      require(bySpec.size <= 1 || recordedSchema(metaTo).nonEmpty,
+        "a diff across a partition-spec evolution needs a recorded schema")
       val reader = spark.read.option("basePath", qualified)
-      recordedSchema(metaTo).fold(reader)(reader.schema)
-        .parquet(files.map(f => s"$qualified/$f"): _*)
+      bySpec.toSeq.sortBy(_._1).map { case (_, fs) =>
+        withFilePos(recordedSchema(metaTo).fold(reader)(reader.schema)
+          .parquet(fs.map(f => s"$qualified/$f"): _*), qualified)
+      }.reduce(_.unionByName(_))
     }
+    def finish(df: DataFrame): DataFrame =
+      df.drop("__lin_file", "__lin_pos")
     def readPairs(dvFiles: Set[String]): DataFrame =
       spark.read.parquet(dvFiles.toSeq.sorted.map(f => s"$qualified/$f"): _*)
         .select(col("dv_file"), col("dv_pos"))
     // schema anchor: toV's files, or fromV's when the gap deleted the
-    // table down to zero entries (the diff is then all deletes)
+    // table down to zero entries (the diff is then all deletes). LAZY:
+    // built only when a candidate set is actually empty — never pay an
+    // all-files relation for a placeholder nobody reads.
     val anchorFiles = if (filesTo.nonEmpty) filesTo else filesFrom
     require(anchorFiles.nonEmpty,
       s"change diff $fromV -> $toV between two empty snapshots of $path")
-    val empty = readRows(anchorFiles.toSeq.sorted).limit(0)
+    lazy val empty = finish(readKeyed(anchorFiles.toSeq.sorted)).limit(0)
     // the rows a pair set names, fetched from RETAINED files only (a
     // pair on an added/removed file is already covered by the file
     // diff); O(referenced files) driver list, O(pair rows) join
@@ -2656,14 +2690,10 @@ object Snapshot {
         .map(_.getString(0)).filter(retained).toSeq.sorted
       if (refs.isEmpty) empty
       else {
-        val keyCols = dvKeyCols(qualified)
-        val keyed = readRows(refs)
-          .withColumn("__dv_file", keyCols(0))
-          .withColumn("__dv_pos", keyCols(1))
-        keyed.join(pairs,
-            keyed("__dv_file") === pairs("dv_file") &&
-              keyed("__dv_pos") === pairs("dv_pos"), "left_semi")
-          .drop("__dv_file", "__dv_pos")
+        val keyed = readKeyed(refs)
+        finish(keyed.join(pairs,
+          keyed("__lin_file") === pairs("dv_file") &&
+            keyed("__lin_pos") === pairs("dv_pos"), "left_semi"))
       }
     }
     val addedFiles = (filesTo -- filesFrom).toSeq.sorted
@@ -2672,8 +2702,8 @@ object Snapshot {
     val dvGone = dvFrom -- dvTo
     val plusNew =
       if (addedFiles.isEmpty) empty
-      else applyDeletes(spark, qualified, readRows(addedFiles),
-        dvTo.toSeq.sorted)
+      else finish(applyDeletesKeyed(spark, qualified, readKeyed(addedFiles),
+        dvTo.toSeq.sorted))
     val unHidden =
       if (dvGone.isEmpty) empty
       else {
@@ -2686,8 +2716,8 @@ object Snapshot {
       }
     val minusOld =
       if (removedFiles.isEmpty) empty
-      else applyDeletes(spark, qualified, readRows(removedFiles),
-        dvFrom.toSeq.sorted)
+      else finish(applyDeletesKeyed(spark, qualified,
+        readKeyed(removedFiles), dvFrom.toSeq.sorted))
     val newlyHidden =
       if (dvNew.isEmpty) empty
       else {
@@ -2702,7 +2732,7 @@ object Snapshot {
           else pairs.join(readPairs(dvFrom), Seq("dv_file", "dv_pos"),
             "left_anti"))
       }
-    val dataCols = empty.columns.toSeq
+    val dataCols = plusNew.columns.toSeq
     val weighted = plusNew.unionByName(unHidden)
       .withColumn("__w", lit(1L))
       .unionByName(minusOld.unionByName(newlyHidden)
@@ -2781,7 +2811,14 @@ object Snapshot {
       s"lineage diff $fromV -> $toV between two empty snapshots of $path")
     def finish(df: DataFrame): DataFrame =
       df.select((dataCols :+ RowIdCol).map(col): _*)
-    val empty = finish(readKeyed(anchorFiles.toSeq.sorted)).limit(0)
+    // schema-only placeholder, no relation resolution: a per-step diff
+    // usually leaves several candidate sets empty, and an anchor-wide
+    // scan just to type an empty frame is O(all files) driver work
+    lazy val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        lineageReadSchema(recorded).fields
+          .filter(f => dataCols.contains(f.name) || f.name == RowIdCol)))
     // rows a pair set names, fetched from RETAINED files only (pairs on
     // added/removed files are covered by the file diff)
     def fetchPairRows(pairs: DataFrame): DataFrame = {
@@ -2901,8 +2938,12 @@ object Snapshot {
       classifyLineagePairs(
         lineagePairFrame(spark, path, fromV, toV), dataCols)
     else if (changing.isEmpty)
-      classifyLineagePairs(
-        lineagePairFrame(spark, path, fromV, toV), dataCols).limit(0)
+      // a purely row-preserving gap diffs to NOTHING — type the empty
+      // frame from the recorded schema, never from a placeholder plan
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        lineageReadSchema(recorded)
+          .add("_change_type", org.apache.spark.sql.types.StringType))
     else {
       import org.apache.spark.sql.functions.{max_by, min_by, struct}
       val steps = changing.map(_._1).zipWithIndex.map { case (v, i) =>
@@ -3609,7 +3650,17 @@ object Snapshot {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
-      val next = branchSeqs(fs, dir).max + 1
+      val seqs = branchSeqs(fs, dir)
+      // a fastForward/deleteBranch racing this append swept the branch
+      // away mid-stage: fail LOUDLY with the files unreferenced (they
+      // retire via the grace sweep) instead of resurrecting a headless
+      // branch dir (publishBranchFile would happily re-mkdir it)
+      if (!seqs.contains(0L))
+        throw new IllegalStateException(
+          s"branch '$name' on $path was published or deleted while this " +
+          "append was staging — the batch is abandoned (re-branch and " +
+          "re-append against the new state)")
+      val next = seqs.max + 1
       if (publishBranchFile(fs, dir, next,
           (header ++ lines).mkString("\n")))
         return next
@@ -3639,14 +3690,22 @@ object Snapshot {
     }
   }
 
-  /** Branch names on the layout, with (base version, commit count). */
+  /** Branch names on the layout, with (base version, commit count).
+    * Directories WITHOUT a base marker (`c-0`) are debris — a crashed
+    * createBranch, or an append that raced a fastForward/deleteBranch
+    * cleanup — and are SKIPPED, never thrown on: this listing feeds the
+    * retention sweep, which must not be poisoned by an orphan dir (the
+    * orphan's staged files retire through the grace sweep like any
+    * unreferenced file). */
   def branches(spark: SparkSession, path: String): Seq[(String, Long, Int)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val dir = new org.apache.hadoop.fs.Path(root, BranchesDir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted.map { n =>
+      .map(_.getPath.getName).sorted
+      .filter(n => branchSeqs(fs, branchDir(root, n)).contains(0L))
+      .map { n =>
         val (base, commits) = branchState(fs, root, n)
         (n, base, commits.size)
       }
@@ -3940,6 +3999,18 @@ object Snapshot {
       .foreach { s =>
         fs.delete(s.getPath, false)
         deleted += s"$ManifestDir/${s.getPath.getName}"
+      }
+    // headless branch dirs (no c-0 base marker — a crashed createBranch
+    // or an append that raced a cleanup) are debris: branches() skips
+    // them, nothing pins them, sweep them under the same grace rule
+    val bdir = new org.apache.hadoop.fs.Path(root, BranchesDir)
+    if (fs.exists(bdir)) fs.listStatus(bdir).toSeq
+      .filter(s => s.isDirectory &&
+        !branchSeqs(fs, s.getPath).contains(0L) &&
+        (orphanGraceMs <= 0 || s.getModificationTime <= cutoff))
+      .foreach { s =>
+        fs.delete(s.getPath, true)
+        deleted += s"$BranchesDir/${s.getPath.getName}"
       }
     deleted.toSeq
   }

@@ -146,28 +146,54 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(Snapshot.readSnapshot(spark, path).count() == 7)
   }
 
-  test("the change feed crosses evolve-spec and migrate-spec; a consumer rides deltas through both") {
+  test("the feed crosses evolve-spec; a migration DEGRADES to diff and DELIVERS the backfill") {
     val path = build("graft-pe-feed")
-    var seen = Set.empty[Long]
-    def ingest(df: DataFrame): Unit =
-      seen ++= df.select("event_id").collect().map(_.getLong(0))
-    assert(Snapshot.consumeChanges(spark, path, "g")(ingest)(ingest)
+    // keyed mirror: (event_id, event_hour) — what a downstream actually
+    // materializes, so a silently-crossed migration would leave stale
+    // NULL hours behind
+    var mirror = Map.empty[Long, Option[String]]
+    def apply(df0: DataFrame): Unit = {
+      // pre-evolution frames have no event_hour column yet — the mirror
+      // starts it NULL, exactly what the table serves at that version
+      val df = if (df0.columns.contains("event_hour")) df0
+        else df0.withColumn("event_hour", lit(null).cast("string"))
+      // retractions first: a bag diff delivers delete(old)+insert(new)
+      // pairs unordered, and a keyed mirror must not let the retraction
+      // of the OLD image erase the already-applied NEW one
+      val rows = df.select("event_id", "event_hour", "_change_type")
+        .collect()
+      rows.filter(_.getString(2) == "delete")
+        .foreach(r => mirror -= r.getLong(0))
+      rows.filterNot(_.getString(2) == "delete")
+        .foreach(r => mirror += r.getLong(0) -> Option(r.getString(1)))
+    }
+    assert(Snapshot.consumeChanges(spark, path, "g")(apply)(apply)
       .mode == "bootstrap")
     Snapshot.evolvePartitionSpec(spark, path, "event_hour") // v2
     Snapshot.append(spark, path, "event_hour",
       hourly(100L, "2024-01-04", 7)) // v3
     // one cycle across BOTH the metadata-only commit and the new-spec
     // append: attributable, O(batch)
-    assert(Snapshot.consumeChanges(spark, path, "g")(ingest)(ingest)
+    assert(Snapshot.consumeChanges(spark, path, "g")(apply)(apply)
       .mode == "delta")
-    assert(seen == (0L until 6L).toSet + 100L)
+    assert(mirror.keySet == (0L until 6L).toSet + 100L)
     Snapshot.migratePartitionSpec(spark, path, hourExpr) // v4
     Snapshot.append(spark, path, "event_hour",
       hourly(101L, "2024-01-05", 3)) // v5
-    val r = Snapshot.consumeChanges(spark, path, "g")(ingest)(ingest)
-    assert(r.mode == "delta",
-      s"row-preserving migration must not break attribution: ${r.mode}")
-    assert(seen == (0L until 6L).toSet + 100L + 101L)
+    // the migration BACKFILLS event_hour on every old row — a visible
+    // image change, so the feed must NOT cross it silently: the typed
+    // consumer degrades to the diff and receives the backfill as
+    // delete(NULL-hour image) + insert(valued image) pairs
+    val r = Snapshot.consumeChanges(spark, path, "g")(apply)(apply)
+    assert(r.mode == "diff",
+      s"a backfilling migration must degrade the feed to diff: ${r.mode}")
+    val expected = Snapshot.readSnapshot(spark, path)
+      .select("event_id", "event_hour").collect()
+      .map(r0 => r0.getLong(0) -> Option(r0.getString(1))).toMap
+    assert(mirror == expected,
+      "the mirror must hold the backfilled hours after the diff cycle")
+    assert(mirror.values.forall(_.nonEmpty),
+      "no stale NULL hours may survive the migration's diff")
   }
 
   test("row ids survive the spec migration (lineage read spans generations)") {

@@ -2669,6 +2669,105 @@ object Analytics {
        |FROM e WHERE aux_id IS NOT NULL GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q80 — METADATA-ONLY AGGREGATE PUSHDOWN graded through the hash gate:
+  // the most common dashboard query at 100 TB is `count / min / max /
+  // nulls GROUP BY partition`, and the manifest already holds every
+  // input (per-file row counts, bounds, null counts) — so the store
+  // answers it with ZERO data-file IO (Snapshot.partitionStats; Iceberg
+  // serves COUNT(*) from manifests the same way). The contract graded
+  // here is EXACT-OR-NULL: phase `full` (pinned at the pre-delete
+  // version) must produce exact counts, bounds, and null counts for
+  // every partition; phase `post_delete` (after a MoR deletion vector
+  // lands) must keep row counts EXACT — hidden rows subtracted from the
+  // vector sidecars, never a data read — while value stats on touched
+  // partitions degrade to NULL (a hidden row may hold the extreme) and
+  // untouched partitions keep their exact bounds. The oracle mirrors
+  // the rule in SQL: a partition with any deleted row gets NULL stats.
+  // ---------------------------------------------------------------------
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_pstats/$tag/fp_$fp"
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .withColumn("aux_id",
+          when(pmod(col("event_id"), lit(5)) < 2, lit(null).cast(LongType))
+            .otherwise(col("event_id")))
+        .repartition(4, col("event_id"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date",
+        statsCols = Seq("event_id", "aux_id"), nullCounts = true): Unit
+    }
+    val v1 = Snapshot.versions(s, path).head
+    // idempotent across reruns: the predicate is DV-aware, so a second
+    // call matches nothing and commits nothing
+    Snapshot.deleteWhereMoR(s, path, "event_date",
+      pmod(col("event_id"), lit(5)) === 2 &&
+        dayofmonth(col("event_date")) <= 10): Unit
+    def phase(v: Long, name: String): DataFrame =
+      Snapshot.partitionStatsAt(s, path, v)
+        .withColumn("event_date",
+          to_date(regexp_extract(col("partition"), "=(.*)$", 1)))
+        .select(lit(name).as("phase"), col("event_date"),
+          col("n_live").as("n_rows"),
+          col("min_event_id").as("min_eid"),
+          col("max_event_id").as("max_eid"),
+          col("min_aux_id").as("min_aux"),
+          col("max_aux_id").as("max_aux"),
+          col("nulls_aux_id").as("nulls_aux"))
+    val full = phase(v1, "full").localCheckpoint()
+    val post = phase(Snapshot.currentVersion(s, path).get, "post_delete")
+      .localCheckpoint()
+    // the delete must have actually exercised both arms of the contract
+    require(full.where(col("min_eid").isNull).isEmpty,
+      "phase full produced NULL bounds — pre-delete stats must be exact")
+    require(!post.where(col("min_eid").isNull).isEmpty,
+      "post_delete produced no NULL bounds — the vector touched nothing")
+    require(!post.where(col("min_eid").isNotNull).isEmpty,
+      "post_delete degraded every partition — untouched ones must stay exact")
+    require(post.where(col("n_rows").isNull).isEmpty,
+      "post_delete row counts must stay exact through deletion vectors")
+    full.unionByName(post).orderBy(col("phase"), col("event_date"))
+  }
+  private val q80Sql =
+    s"""WITH e AS (
+       |  SELECT CAST(ts AS DATE) AS event_date, event_id,
+       |         CASE WHEN event_id % 5 < 2 THEN NULL
+       |              ELSE event_id END AS aux_id,
+       |         (event_id % 5 = 2
+       |          AND EXTRACT(DAY FROM CAST(ts AS DATE)) <= 10) AS del
+       |  FROM events
+       |)
+       |SELECT 'full' AS phase, event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MIN(event_id) AS BIGINT) AS min_eid,
+       |  CAST(MAX(event_id) AS BIGINT) AS max_eid,
+       |  CAST(MIN(aux_id) AS BIGINT) AS min_aux,
+       |  CAST(MAX(aux_id) AS BIGINT) AS max_aux,
+       |  CAST(COUNT(*) - COUNT(aux_id) AS BIGINT) AS nulls_aux
+       |FROM e GROUP BY event_date
+       |UNION ALL
+       |SELECT 'post_delete' AS phase, event_date,
+       |  CAST(COUNT(*) FILTER (WHERE NOT del) AS BIGINT) AS n_rows,
+       |  CASE WHEN COUNT(*) FILTER (WHERE del) > 0 THEN NULL
+       |       ELSE CAST(MIN(event_id) AS BIGINT) END AS min_eid,
+       |  CASE WHEN COUNT(*) FILTER (WHERE del) > 0 THEN NULL
+       |       ELSE CAST(MAX(event_id) AS BIGINT) END AS max_eid,
+       |  CASE WHEN COUNT(*) FILTER (WHERE del) > 0 THEN NULL
+       |       ELSE CAST(MIN(aux_id) AS BIGINT) END AS min_aux,
+       |  CASE WHEN COUNT(*) FILTER (WHERE del) > 0 THEN NULL
+       |       ELSE CAST(MAX(aux_id) AS BIGINT) END AS max_aux,
+       |  CASE WHEN COUNT(*) FILTER (WHERE del) > 0 THEN NULL
+       |       ELSE CAST(COUNT(*) - COUNT(aux_id) AS BIGINT) END AS nulls_aux
+       |FROM e GROUP BY event_date
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2722,5 +2821,7 @@ object Analytics {
     QueryDef("q77_partition_spec_evolution", q77, Some(q77Sql),
       headline = true),
     QueryDef("q78_null_count_stats_slice", q78, Some(q78Sql),
+      headline = true),
+    QueryDef("q80_metadata_agg_pushdown", q80, Some(q80Sql),
       headline = true))
 }

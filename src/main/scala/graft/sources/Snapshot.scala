@@ -3404,6 +3404,105 @@ object Snapshot {
     rows.toDF("version", "op", "n_files", "n_added", "n_removed", "meta")
   }
 
+  // ----- METADATA-ONLY AGGREGATES (aggregate pushdown) -----------------
+  // The manifest already carries, per data file: its partition dir, row
+  // count (`n:`), per-stats-column min/max bounds, and per-column null
+  // counts — exactly the inputs of `SELECT count(*), min(c), max(c),
+  // count(c) ... GROUP BY partition`. Answering that from the manifest
+  // is the aggregate-pushdown tier (Iceberg answers COUNT(*) from
+  // manifests the same way): at 100 TB the difference between a
+  // metadata read and a full-table scan for the most common dashboard
+  // query there is. The contract is EXACT OR NULL, never approximate:
+  // a statistic the manifest cannot prove exactly (entries predating
+  // the n:/z: declarations, string-typed bounds — truncated by design —
+  // or a partition whose files an outstanding deletion vector touches,
+  // where a hidden row may hold the extreme) comes back NULL, so a
+  // caller can always fall back to the data scan for just those
+  // partitions. Row counts stay exact THROUGH deletion vectors: the
+  // hidden-row count per file is read from the vector sidecars
+  // (O(deleted rows) — delete-file IO only, never a data file).
+
+  /** Per-partition aggregates of snapshot `v`, computed from manifest
+    * entries (plus deletion-vector sidecars when present) with ZERO
+    * data-file IO. Columns: `partition` (the entry's dir name, e.g.
+    * `event_date=2021-01-03`), `n_files`, `n_rows` (committed rows),
+    * `n_hidden` (DV-hidden), `n_live` (= n_rows − n_hidden), then per
+    * declared stats column `c`: `min_c`, `max_c` (the LONG-domain
+    * bounds; timestamps floor to epoch seconds), `nulls_c`. Every
+    * value column is exact-or-NULL — see the tier note above. */
+  def partitionStatsAt(spark: SparkSession, path: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val (meta, lines) = stateOf(spark, path, v)
+    val cols = statsColsOf(meta)
+    val dvs = lines.filter(isDeleteEntry).map(pathOf)
+    // DV-hidden rows per data file: the one non-manifest input, and it
+    // reads ONLY the vector sidecars (O(deleted rows))
+    val hiddenByFile: Map[String, Long] =
+      if (dvs.isEmpty) Map.empty
+      else spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
+        .groupBy(col("dv_file")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    final case class E(file: String, n: Option[Long],
+        bounds: Seq[Option[(Long, Long)]], nulls: Seq[Option[Long]])
+    val entries = lines.filterNot(isDeleteEntry).map { l =>
+      val p = pathOf(l)
+      p.split("/")(0) -> E(p, rowCountOf(l), statsListOf(l), nullCountsOf(l))
+    }
+    val out = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (part, es) =>
+      val fsE = es.map(_._2)
+      val nRows =
+        if (fsE.forall(_.n.isDefined)) Some(fsE.flatMap(_.n).sum) else None
+      val hidden = fsE.map(e => hiddenByFile.getOrElse(e.file, 0L)).sum
+      val touched = fsE.exists(e => hiddenByFile.contains(e.file))
+      val nLive = if (touched && nRows.isEmpty) None
+                  else nRows.map(_ - hidden)
+      val colStats = cols.indices.flatMap { i =>
+        // a file contributes provably-complete bounds when it records
+        // them, is empty, or is PROVABLY all-NULL in the column (null
+        // count == row count) — anything else poisons exactness
+        def accounted(e: E): Boolean =
+          e.n.contains(0L) || e.bounds.lift(i).flatten.isDefined ||
+            ((e.nulls.lift(i).flatten, e.n) match {
+              case (Some(z), Some(n)) => z == n
+              case _ => false
+            })
+        val exact = !touched && fsE.forall(accounted)
+        val bs = fsE.flatMap(_.bounds.lift(i).flatten)
+        val mn = if (exact && bs.nonEmpty) Some(bs.map(_._1).min) else None
+        val mx = if (exact && bs.nonEmpty) Some(bs.map(_._2).max) else None
+        val zs = fsE.map(_.nulls.lift(i).flatten)
+        val z = if (!touched && zs.forall(_.isDefined)) Some(zs.flatten.sum)
+                else None
+        Seq(mn.map(Long.box).orNull, mx.map(Long.box).orNull,
+          z.map(Long.box).orNull)
+      }
+      Row.fromSeq(Seq[Any](part, fsE.size.toLong,
+        nRows.map(Long.box).orNull, hidden,
+        nLive.map(Long.box).orNull) ++ colStats)
+    }
+    val schema = StructType(
+      Seq(StructField("partition", StringType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = true),
+        StructField("n_hidden", LongType, nullable = false),
+        StructField("n_live", LongType, nullable = true)) ++
+      cols.flatMap(c => Seq(
+        StructField(s"min_$c", LongType, nullable = true),
+        StructField(s"max_$c", LongType, nullable = true),
+        StructField(s"nulls_$c", LongType, nullable = true))))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, schema)
+  }
+
+  /** [[partitionStatsAt]] of the current snapshot. */
+  def partitionStats(spark: SparkSession, path: String): DataFrame =
+    partitionStatsAt(spark, path, currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path")))
+
   // ----- WRITE-AUDIT-PUBLISH ------------------------------------------
   // The quality-gate ingest pattern (Iceberg's WAP): a batch lands in
   // the partition dirs and is described by a STAGED pointer

@@ -1028,4 +1028,69 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(Snapshot.filesInRanges(spark, path, Seq(("a", 0L, 9L))).size == 2)
     assert(Snapshot.filesInRanges(spark, path, Seq(("b", 500L, 509L))).size == 1)
   }
+
+  // -----------------------------------------------------------------
+  // Metadata-only aggregates: exact, DV-aware, ZERO data-file IO
+  // -----------------------------------------------------------------
+
+  test("partitionStats answers exactly from the manifest — even after every data file is destroyed") {
+    import spark.implicits._
+    val path = s"${tmp("graft-pstats")}/events_by_date"
+    Seq((1L, Option(10L), "2024-01-01"), (2L, Option.empty[Long], "2024-01-01"),
+        (3L, Option(30L), "2024-01-01"), (4L, Option(40L), "2024-01-02"),
+        (5L, Option.empty[Long], "2024-01-02"), (6L, Option(60L), "2024-01-02"))
+      .toDF("event_id", "aux", "event_date")
+      .repartition(2, col("event_id"))
+      .write.partitionBy("event_date").parquet(path)
+    val v1 = Snapshot.init(spark, path, "event_date",
+      statsCols = Seq("event_id", "aux"), nullCounts = true)
+    def statsOf(v: Long): Map[String, org.apache.spark.sql.Row] =
+      Snapshot.partitionStatsAt(spark, path, v).collect()
+        .map(r => r.getString(0) -> r).toMap
+    val full = statsOf(v1)
+    val p1 = full("event_date=2024-01-01")
+    assert(p1.getAs[Long]("n_rows") == 3L && p1.getAs[Long]("n_live") == 3L)
+    assert(p1.getAs[Long]("min_event_id") == 1L &&
+      p1.getAs[Long]("max_event_id") == 3L)
+    assert(p1.getAs[Long]("min_aux") == 10L &&
+      p1.getAs[Long]("max_aux") == 30L)
+    assert(p1.getAs[Long]("nulls_aux") == 1L)
+    val p2 = full("event_date=2024-01-02")
+    assert(p2.getAs[Long]("n_rows") == 3L &&
+      p2.getAs[Long]("min_aux") == 40L && p2.getAs[Long]("nulls_aux") == 1L)
+
+    // a deletion vector keeps COUNTS exact (hidden rows read from the
+    // sidecar, O(deleted)) while the touched partition's value stats
+    // degrade to NULL — a hidden row may have held the extreme
+    val (v2, marked) =
+      Snapshot.deleteWhereMoR(spark, path, "event_date", col("event_id") === 4L)
+    assert(marked == 1L)
+    val post = statsOf(v2)
+    val q2 = post("event_date=2024-01-02")
+    assert(q2.getAs[Long]("n_rows") == 3L && q2.getAs[Long]("n_hidden") == 1L &&
+      q2.getAs[Long]("n_live") == 2L)
+    assert(q2.isNullAt(q2.fieldIndex("min_event_id")) &&
+      q2.isNullAt(q2.fieldIndex("nulls_aux")),
+      "DV-touched partition must degrade value stats to NULL, never guess")
+    val q1 = post("event_date=2024-01-01")
+    assert(q1.getAs[Long]("n_live") == 3L &&
+      q1.getAs[Long]("min_event_id") == 1L,
+      "untouched partition keeps exact stats through a sibling's DV")
+
+    // THE ZERO-DATA-IO PIN: truncate every data file to nothing — any
+    // read would now fail, but both versions' stats still answer byte-
+    // for-byte, because they never open a data file
+    val dirFs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(dirFs.nonEmpty)
+    dirFs.foreach { f =>
+      val w = new java.io.FileOutputStream(f)
+      try w.write("not a parquet file".getBytes) finally w.close()
+    }
+    intercept[Exception](
+      Snapshot.readVersion(spark, path, v1).count(): Unit)
+    assert(statsOf(v1)("event_date=2024-01-01").getAs[Long]("n_rows") == 3L)
+    assert(statsOf(v2)("event_date=2024-01-02").getAs[Long]("n_live") == 2L)
+  }
 }

@@ -59,7 +59,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             one-rewrite migration; q78: NULL-COUNT
   *                             manifest stats — IS NULL / IS NOT NULL
   *                             file skipping the min/max tier cannot
-  *                             express
+  *                             express; q80: METADATA-ONLY AGGREGATE
+  *                             PUSHDOWN — count/min/max/null-count per
+  *                             partition answered from the manifest
+  *                             with ZERO data IO, exact-or-NULL, row
+  *                             counts exact through deletion vectors;
+  *                             q81: EQUALITY DELETES — O(batch)
+  *                             streaming upsert (new images + key
+  *                             sidecar in ONE commit, zero table
+  *                             reads), version-stamped sequencing,
+  *                             and the convertEqDeletes → materialize
+  *                             → compact ladder graded against the
+  *                             same latest-per-key oracle
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the

@@ -2768,6 +2768,95 @@ object Analytics {
        |FROM e GROUP BY event_date
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q81 — EQUALITY DELETES / STREAMING UPSERT graded through the hash
+  // gate: q63's MERGE reads and rewrites every touched partition, which
+  // a per-micro-batch upsert cannot afford at 100 TB. The equality-
+  // delete tier (Iceberg v2) makes the upsert O(batch): land the new
+  // images + equality-delete their keys in ONE commit, ZERO table
+  // reads; readers subtract the key sidecars from files older than
+  // each delete (version-stamped entries sequence deletes against
+  // appends, so a batch survives its own delete and later re-appends
+  // are exempt). The fixture replays 5 weekly profile batches over the
+  // events month — latest week wins per user — then key-deletes a user
+  // cohort; the oracle is the classic ROW_NUMBER latest-per-key SQL.
+  // Phase `served` reads through the outstanding sidecars; phase
+  // `maintained` reads after convertEqDeletes (keys → position
+  // vectors) + materializeDeletes + compact — the full maintenance
+  // ladder — and must hash-match the same oracle verbatim.
+  // ---------------------------------------------------------------------
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_upsert/$tag/fp_$fp"
+    def weekly(wk: Int): DataFrame =
+      Tables.load(s, dir, "events")
+        .withColumn("wk", floor((dayofmonth(col("ts")) - 1) / 7).cast(LongType))
+        .where(col("wk") === wk.toLong)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+        .withColumn("wk", lit(wk.toLong))
+        .withColumn("seg", pmod(col("user_id"), lit(8)))
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      (0 to 4).foreach { wk =>
+        Snapshot.upsertByKeys(s, path, "seg", weekly(wk), Seq("user_id")): Unit
+      }
+      Snapshot.deleteByKeys(s, path,
+        Tables.load(s, dir, "events").select(col("user_id"))
+          .where(pmod(col("user_id"), lit(9)) === 3).distinct()): Unit
+    }
+    // 5 upserts + 1 key delete = v6, always — the pinned `served` state
+    val vServed = 6L
+    require(Snapshot.versions(s, path).contains(vServed),
+      s"expected the upsert ladder to land v=$vServed")
+    // maintenance, first run only (all three are manifest-committed, so
+    // a rerun sees no equality entries and skips)
+    if (Snapshot.deletesOf(s, path,
+        Snapshot.currentVersion(s, path).get).nonEmpty) {
+      val (_, folded) = Snapshot.convertEqDeletes(s, path)
+      require(folded > 0L, "the ladder must have hidden at least one row")
+      Snapshot.materializeDeletes(s, path, "seg"): Unit
+      Snapshot.compact(s, path, "seg", targetBytes = 64L << 20,
+        sortCols = Seq("user_id")): Unit
+    }
+    val vNow = Snapshot.currentVersion(s, path).get
+    require(vNow > vServed, "maintenance must have committed past v6")
+    require(Snapshot.deletesOf(s, path, vNow).isEmpty,
+      "the maintained state must carry no delete sidecars at all")
+    def phase(df: DataFrame, name: String): DataFrame =
+      df.select(lit(name).as("phase"), col("user_id"), col("seg"),
+        col("wk"), col("n_events"), col("total_value"))
+    phase(Snapshot.readVersion(s, path, vServed), "served")
+      .unionByName(phase(Snapshot.readVersion(s, path, vNow), "maintained"))
+      .orderBy(col("phase"), col("user_id"))
+  }
+  private val q81Sql =
+    s"""WITH w AS (
+       |  SELECT user_id, CAST(user_id % 8 AS BIGINT) AS seg,
+       |         CAST(FLOOR((EXTRACT(DAY FROM ts) - 1) / 7) AS BIGINT) AS wk,
+       |         CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+       |           AS total_value
+       |  FROM events GROUP BY 1, 2, 3
+       |), latest AS (
+       |  SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY user_id ORDER BY wk DESC) AS rn
+       |  FROM w
+       |), served AS (
+       |  SELECT user_id, seg, wk, n_events, total_value
+       |  FROM latest WHERE rn = 1 AND user_id % 9 <> 3
+       |)
+       |SELECT 'maintained' AS phase, * FROM served
+       |UNION ALL
+       |SELECT 'served' AS phase, * FROM served
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2823,5 +2912,7 @@ object Analytics {
     QueryDef("q78_null_count_stats_slice", q78, Some(q78Sql),
       headline = true),
     QueryDef("q80_metadata_agg_pushdown", q80, Some(q80Sql),
+      headline = true),
+    QueryDef("q81_streaming_upsert_eq_deletes", q81, Some(q81Sql),
       headline = true))
 }

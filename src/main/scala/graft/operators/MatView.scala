@@ -1143,7 +1143,88 @@ object MatView {
        |  CAST(3 AS BIGINT), 'diff', NULL
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q82 — ATOMIC MULTI-TABLE TRANSACTIONS graded through the hash gate:
+  // a Snapshot commit is atomic PER TABLE, so a fact table and its
+  // served rollup still expose the classic torn pair — new fact, stale
+  // rollup — to any reader between the two flips. The Catalog closes
+  // it: table commits land first (durable, catalog-invisible), then ONE
+  // compare-and-swap pointer file pins both tables' versions — a reader
+  // resolving through the catalog sees every table at the same
+  // transaction boundary. The fixture runs three transactional loads
+  // (events split by event_id mod 3): each appends a fact batch,
+  // full-refreshes the rollup from the fact AT that version, and
+  // publishes the pair as catalog txn c-k. The graded output serves the
+  // rollup of every past transaction via catalog time travel
+  // (readTableAt — pointer files are immutable); the in-query audit
+  // recomputes each phase's rollup from the catalog-pinned FACT and
+  // requires exact equality — the pairing contract, hash-graded per
+  // transaction against cumulative SQL over raw events.
+  // ---------------------------------------------------------------------
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Catalog
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val base = s"${Sink.artifactRoot}/events_catalog/$tag/fp_$fp"
+    val fact = s"$base/fact"
+    val roll = s"$base/rollup"
+    val cat = s"$base/_catalog"
+    def rollupOf(fv: Long): DataFrame =
+      Snapshot.readVersion(s, fact, fv)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
+    if (Catalog.state(s, cat)._1 == 0L) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      val events = Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .withColumn("grp", pmod(col("event_id"), lit(3)))
+      (0 to 2).foreach { k =>
+        val fv = Snapshot.append(s, fact, "event_date",
+          events.where(col("grp") === k.toLong).drop("grp"))
+        val rv =
+          if (k == 0) Snapshot.append(s, roll, "event_type", rollupOf(fv))
+          else Snapshot.replacePartitions(s, roll, "event_type", rollupOf(fv))
+        Catalog.commit(s, cat,
+          Map("fact" -> ((fact, fv)), "rollup" -> ((roll, rv))),
+          expectSeq = k.toLong): Unit
+      }
+    }
+    val phases = Catalog.seqs(s, cat).map { k =>
+      val served = Catalog.readTableAt(s, cat, "rollup", k)
+        .localCheckpoint()
+      // the PAIRING audit: the rollup served at txn k must equal a
+      // recompute from the fact AT txn k — catalog readers can never
+      // observe new-fact/stale-rollup
+      val factAt = Catalog.stateAt(s, cat, k)("fact")
+      val recomputed = rollupOf(factAt._2)
+      require(served.unionByName(recomputed).distinct().count() ==
+          served.count(),
+        s"catalog txn c-$k serves a rollup inconsistent with its fact")
+      served.withColumn("phase", lit(s"t$k"))
+    }
+    phases.reduce(_.unionByName(_))
+      .select(col("phase"), col("event_type"), col("n_events"),
+        col("n_users"), col("total_value"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+  private val q82Sql =
+    s"""WITH p AS (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3)
+       |SELECT 't' || CAST(p.k AS VARCHAR) AS phase, e.event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+       |    AS total_value
+       |FROM p JOIN events e ON e.event_id % 3 < p.k
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q82_catalog_transactions", q82, Some(q82Sql), headline = true),
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
     QueryDef("q44_rollup_incremental", q44, Some(q44Sql)),
     QueryDef("q46_rollup_retraction", q46, Some(q46Sql)),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, input_file_name, lit, sum, when, max => fmax, min => fmin}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, count_distinct, input_file_name, lit, slice, split, sum, when, max => fmax, min => fmin}
 import org.apache.spark.sql.types.LongType
 
 /** A snapshot commit lost its optimistic race in a way rebase cannot
@@ -87,6 +87,17 @@ object Snapshot {
     * which always carry an `=`; nothing else starts with `_deletes/`. */
   private def isDeleteEntry(line: String): Boolean =
     pathOf(line).startsWith(DeletesDir + "/")
+
+  /** EQUALITY-DELETE recognition, by sidecar name: position vectors are
+    * staged parquet part files moved verbatim; equality-delete sidecars
+    * are always written `eq-…` ([[deleteByKeys]]). The two tiers carry
+    * different schemas — (dv_file, dv_pos) vs the table's key columns —
+    * so every delete-file read splits on this predicate first. */
+  private def isEqFile(path: String): Boolean =
+    path.startsWith(DeletesDir + "/") &&
+      path.stripPrefix(DeletesDir + "/").startsWith("eq-")
+
+  private def isEqDeleteEntry(line: String): Boolean = isEqFile(pathOf(line))
 
   private def fsOf(spark: SparkSession, root: org.apache.hadoop.fs.Path) =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -176,10 +187,39 @@ object Snapshot {
   /** Trailing entry-line fields that are NOT positional stats bounds —
     * prefix-keyed so parsers can skip them: `r:<base>`/`r:p` (row-id
     * base / physically materialized), `n:<rows>` (file row count),
-    * `z:<c0,c1,…>` (per-stats-column null counts). Bound tokens are
-    * numeric, `-`, or `s:`-prefixed — never these. */
+    * `z:<c0,c1,…>` (per-stats-column null counts), `v:<version>` (the
+    * commit that added the entry — the equality-delete sequence tier),
+    * `k:<c0,c1,…>` (an equality-delete sidecar's key columns). Bound
+    * tokens are numeric, `-`, or `s:`-prefixed — never these. */
   private def isExtraField(f: String): Boolean =
-    f.startsWith("r:") || f.startsWith("n:") || f.startsWith("z:")
+    f.startsWith("r:") || f.startsWith("n:") || f.startsWith("z:") ||
+      f.startsWith("v:") || f.startsWith("k:")
+
+  /** The commit version that added an entry (`v:` field, stamped by
+    * [[commit]] on eqdel layouts). Entries predating the declaration
+    * read 0 — "older than every equality delete", which errs toward
+    * DELETING (an old row stays subject to every delete), never toward
+    * resurrecting. */
+  private def addVersionOf(line: String): Long =
+    line.split("\t").find(_.startsWith("v:"))
+      .flatMap(f => scala.util.Try(f.stripPrefix("v:").toLong).toOption)
+      .getOrElse(0L)
+
+  /** One equality-delete sidecar: its path, the commit version it
+    * landed in (`d` — it deletes matching rows from every data file
+    * with a strictly SMALLER add-version), and its key columns. */
+  private final case class EqDelete(file: String, d: Long,
+      keyCols: Seq[String])
+
+  private def eqDeletesOf(lines: Seq[String]): Seq[EqDelete] =
+    lines.filter(isEqDeleteEntry).map { l =>
+      val cols = l.split("\t").find(_.startsWith("k:"))
+        .map(_.stripPrefix("k:").split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      require(cols.nonEmpty,
+        s"equality-delete entry without key columns: '$l'")
+      EqDelete(pathOf(l), addVersionOf(l), cols)
+    }
 
   /** The positional bound tokens of an entry line (extras stripped). */
   private def boundFields(line: String): Array[String] =
@@ -446,7 +486,7 @@ object Snapshot {
     * later commit must keep honoring. */
   private val InheritedMeta =
     Set("run", "batch", "delta", "stats", "schema", "rowids", "nullstats",
-      "pcol")
+      "pcol", "eqdel", "eqkeys")
 
   /** The table schema snapshot `v`'s manifest records (header key
     * `schema`, Spark StructType JSON, partition column included) — the
@@ -681,21 +721,43 @@ object Snapshot {
     }
     val dir = new org.apache.hadoop.fs.Path(root, ManifestDir)
     fs.mkdirs(dir)
-    // this commit's change, written ONCE — every rebase attempt
-    // re-publishes only the manifest list that references it. An empty
-    // change (metadata-only commit, e.g. an empty streaming batch
-    // advancing its marker) writes no segment at all.
-    val segName =
-      if (removed.isEmpty && added.isEmpty) None
-      else {
-        val name = s"seg-${Sink.procTag}-${java.util.UUID.randomUUID()}"
-        val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
-        try out.write(
-          (removed.toSeq.sorted.map("-" + _) ++ added.map("+" + _))
-            .mkString("\n").getBytes(Charset))
-        finally out.close()
-        Some(name)
+    def writeSeg(lines: Seq[String]): String = {
+      val name = s"seg-${Sink.procTag}-${java.util.UUID.randomUUID()}"
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
+      try out.write(lines.mkString("\n").getBytes(Charset))
+      finally out.close()
+      name
+    }
+    // this commit's change, written ONCE on a plain layout — every
+    // rebase attempt re-publishes only the manifest list that
+    // references it. An empty change (metadata-only commit, e.g. an
+    // empty streaming batch advancing its marker) writes no segment at
+    // all. EXCEPTION: on an eqdel layout every added entry must be
+    // stamped with the version it lands at (`v:` — the equality-delete
+    // sequence), which a rebase CHANGES, so there the segment is
+    // (re)written inside the retry loop — one tiny rewrite per
+    // contention attempt, the price of a correct stamp. Lines already
+    // carrying `v:` keep it (restore re-commits old entries, whose
+    // visibility epoch is their ORIGINAL commit, not the restore).
+    val addsEq = added.exists(isEqDeleteEntry)
+    def stampedAdds(stamping: Boolean, next: Long): Seq[String] =
+      if (!stamping) added
+      else added.map(l =>
+        if (l.split("\t").exists(_.startsWith("v:"))) l
+        else s"$l\tv:$next")
+    var seg: Option[String] = None
+    def segFor(adds: Seq[String], rewrite: Boolean): Option[String] = {
+      if (removed.isEmpty && added.isEmpty) return None
+      if (seg.isEmpty || rewrite) {
+        // a stamped attempt's segment is version-specific: drop the
+        // stale one before writing this attempt's
+        seg.foreach(s =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, s), false): Unit)
+        seg = Some(writeSeg(
+          removed.toSeq.sorted.map("-" + _) ++ adds.map("+" + _)))
       }
+      seg
+    }
     val addedPaths = added.map(pathOf).toSet
     // this commit's vector targets, declared in the header so LATER
     // concurrent committers can run the overlap rule against it from
@@ -725,9 +787,10 @@ object Snapshot {
         // conflict (double-hide / orphaned positions), caught from
         // O(versions-delta) header reads with no segment fold
         if ((dvRefs ++ removed).nonEmpty) {
-          val concDvRefs = committed
+          val gapMetas = committed
             .filter(v => v > baseV.getOrElse(0L))
-            .flatMap(v => parseMeta(manifestTextFs(fs, root, v)).get("dv_refs"))
+            .map(v => parseMeta(manifestTextFs(fs, root, v)))
+          val concDvRefs = gapMetas.flatMap(_.get("dv_refs"))
             .flatMap(_.split(",")).filter(_.nonEmpty).toSet
           val clash = concDvRefs & (dvRefs ++ removed)
           if (clash.nonEmpty)
@@ -736,6 +799,20 @@ object Snapshot {
               s"file(s) this commit also marks or re-files (base " +
               s"v=${baseV.getOrElse(0L)}, latest v=${latest.getOrElse(0L)}): " +
               clash.toSeq.sorted.take(3).mkString(", "))
+          // EQUALITY-DELETE rule: a commit that re-files rows or writes
+          // row positions derived from a base read must abort when a
+          // concurrent equality delete landed in the gap — its re-filed
+          // images would be stamped ABOVE the delete's version and the
+          // delete's hidden rows would resurrect (and base-read
+          // positions were computed blind to it). The reverse
+          // interleaving is safe: files landed BEFORE the delete carry
+          // smaller stamps and stay subject to it.
+          if (gapMetas.exists(_.get("eqd").contains("1")))
+            throw new SnapshotConflictException(
+              s"concurrent equality-delete commit landed between base " +
+              s"v=${baseV.getOrElse(0L)} and latest " +
+              s"v=${latest.getOrElse(0L)} — this rewrite read its base " +
+              "blind to that delete; re-run against the new head")
         }
         // file-liveness rules need the latest FOLD (pure appends never
         // reach this read)
@@ -778,6 +855,20 @@ object Snapshot {
           s"layout under $root already declares stats columns [$c]; this " +
           s"commit redeclares [$m] — a layout's stats declaration is " +
           "fixed at bootstrap (positional bounds would be re-keyed)")
+      // eqdel is BIRTH-ONLY for the same class of reason: enabling it
+      // mid-life would leave pre-enablement entries unstamped, and a
+      // later restore would re-stamp them at the restore version —
+      // exempting them from deletes they were visible to (resurrection)
+      require(!(meta.get("eqdel").contains("on") && latest.nonEmpty &&
+          !carried.get("eqdel").contains("on")),
+        s"layout under $root predates its eqdel declaration — equality " +
+        "deletes must be enabled at table birth (init or bootstrap)")
+      // ... and the equality key list is fixed at first use: older
+      // sidecars would become uninterpretable under a different list
+      for (c <- carried.get("eqkeys"); m <- meta.get("eqkeys"))
+        require(m == c,
+          s"layout under $root keys equality deletes on [$c]; this " +
+          s"commit redeclares [$m] — the key list is fixed at first use")
       val schemaMeta = widenSchema match {
         case None => Map.empty[String, String]
         case Some((batchSchema, pcol)) =>
@@ -792,13 +883,20 @@ object Snapshot {
         .flatMap(t => scala.util.Try(t.toLong).toOption).getOrElse(0L)
       val tsMeta =
         Map("ts" -> math.max(System.currentTimeMillis(), prevTs + 1).toString)
-      val full = carried ++ tsMeta ++ schemaMeta ++ dvMeta ++ meta
+      // the eqdel declaration rides inherited meta (or this commit's own
+      // meta when it bootstraps/enables the tier); every added entry on
+      // such a layout is stamped with the version it lands at
+      val stamping = (carried ++ meta).get("eqdel").contains("on")
       val next = latest.getOrElse(0L) + 1
+      val adds = stampedAdds(stamping, next)
+      val eqMeta =
+        if (addsEq) Map("eqd" -> "1") else Map.empty[String, String]
+      val full = carried ++ tsMeta ++ schemaMeta ++ dvMeta ++ eqMeta ++ meta
       val latestRefs = latestText.map(parseRefs).getOrElse(Seq.empty)
       // a pre-segment manifest (verbatim entry body) folds like an
       // over-long chain: both consolidate into one fresh segment
       val legacyBody = latestBody.exists(l => !l.startsWith("@"))
-      val chained = latestRefs ++ segName.toSeq
+      val chained = latestRefs ++ segFor(adds, rewrite = stamping).toSeq
       val refs =
         if (!legacyBody && chained.size <= SegFoldThreshold) chained
         else {
@@ -807,7 +905,7 @@ object Snapshot {
           // SegFoldThreshold commits instead of on every commit
           val resolvedNow = resolveBodyFs(fs, root, latestBody)
           val fold = scala.collection.mutable.LinkedHashMap.empty[String, String]
-          (resolvedNow.filterNot(l => removed(pathOf(l))) ++ added)
+          (resolvedNow.filterNot(l => removed(pathOf(l))) ++ adds)
             .foreach(l => fold.update(pathOf(l), l))
           val name = s"seg-fold-${Sink.procTag}-${java.util.UUID.randomUUID()}"
           val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
@@ -862,7 +960,8 @@ object Snapshot {
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
       rowIds: Boolean = false,
-      nullCounts: Boolean = false): Long = {
+      nullCounts: Boolean = false,
+      eqDeletes: Boolean = false): Long = {
     require(!statsCols.contains(partitionCol),
       s"statsCols contains '$partitionCol', the partition column — " +
       "partition values prune at the directory level already; stats " +
@@ -881,7 +980,8 @@ object Snapshot {
         (if (statsCols.isEmpty) Map.empty[String, String]
          else Map("stats" -> statsCols.mkString(","))) ++
         (if (rowIds) Map("rowids" -> "on") else Map.empty) ++
-        (if (nullCounts) Map("nullstats" -> "on") else Map.empty)
+        (if (nullCounts) Map("nullstats" -> "on") else Map.empty) ++
+        (if (eqDeletes) Map("eqdel" -> "on") else Map.empty)
       val lines = statLines(spark, fs, root, rel, statsMeta)
       // record the table schema (partition column included, as the
       // basePath read infers it) — the anchor later appends widen
@@ -952,25 +1052,32 @@ object Snapshot {
     * generation's partition column reads NULL exactly like any
     * evolved-in column. */
   private def readDataAt(spark: SparkSession, qualified: String,
-      meta: Map[String, String], files: Seq[String],
-      dvs: Seq[String]): DataFrame = {
+      meta: Map[String, String], fileLines: Seq[String],
+      deleteLines: Seq[String]): DataFrame = {
+    val files = fileLines.map(pathOf)
+    val dvs = deleteLines.map(pathOf)
+    val eqs = eqDeletesOf(deleteLines)
     val reader = spark.read.option("basePath", qualified)
     def scan(fs: Seq[String]): DataFrame =
       recordedSchema(meta).fold(reader)(reader.schema)
         .parquet(fs.map(f => s"$qualified/$f"): _*)
     val bySpec = files.groupBy(specKeyOf)
-    if (bySpec.size <= 1)
+    if (bySpec.size <= 1 && eqs.isEmpty)
       applyDeletes(spark, qualified, scan(files), dvs)
     else {
-      require(recordedSchema(meta).nonEmpty,
+      if (bySpec.size > 1) require(recordedSchema(meta).nonEmpty,
         "a mid-evolution layout needs a recorded schema — the partition " +
         "columns of BOTH generations must be declared, not inferred")
       // (file, pos) keys materialize on each scan BEFORE the union —
-      // the DV subtract cannot derive _metadata through a union
+      // the DV subtract cannot derive _metadata through a union, and
+      // the equality-delete subtract needs the file key for its
+      // add-version lookup
       val data = bySpec.toSeq.sortBy(_._1)
         .map { case (_, fsOfSpec) => withFilePos(scan(fsOfSpec), qualified) }
         .reduce(_.unionByName(_))
-      applyDeletesKeyed(spark, qualified, data, dvs)
+      applyEqKeyed(spark, qualified,
+          applyDeletesKeyed(spark, qualified, data, dvs),
+          fileLines, eqs, "__lin_file")
         .drop("__lin_file", "__lin_pos")
     }
   }
@@ -983,13 +1090,13 @@ object Snapshot {
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(root).toString
     val (meta, lines) = stateOf(spark, path, v)
-    val files = lines.filterNot(isDeleteEntry).map(pathOf)
-    require(files.nonEmpty, s"snapshot v=$v of $path is empty")
+    val fileLines = lines.filterNot(isDeleteEntry)
+    require(fileLines.nonEmpty, s"snapshot v=$v of $path is empty")
     // the RECORDED schema, not footer inference: after evolution, which
     // columns exist must not depend on which file Spark sampled — old
     // files read NULL in columns added after they were written
-    readDataAt(spark, qualified, meta, files,
-      lines.filter(isDeleteEntry).map(pathOf))
+    readDataAt(spark, qualified, meta, fileLines,
+      lines.filter(isDeleteEntry))
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the newest committed version whose
@@ -1051,7 +1158,8 @@ object Snapshot {
     * no join hint, so AQE broadcasts it while it fits and degrades to
     * shuffle instead of OOMing when someone deletes half the corpus. */
   private def applyDeletes(spark: SparkSession, qualified: String,
-      data: DataFrame, dvs: Seq[String]): DataFrame =
+      data: DataFrame, dvsIn: Seq[String]): DataFrame = {
+    val dvs = dvsIn.filterNot(isEqFile) // position vectors only
     if (dvs.isEmpty) data
     else {
       val dv = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
@@ -1065,6 +1173,7 @@ object Snapshot {
           "left_anti")
         .drop("__dv_file", "__dv_pos")
     }
+  }
 
   // ----- ROW LINEAGE ---------------------------------------------------
   // Stable per-row identity (the Iceberg-v3 / Delta-row-tracking
@@ -1148,7 +1257,8 @@ object Snapshot {
     * key columns ([[withFilePos]]) — the keys survive the id-attach
     * join, where `_metadata` would not. */
   private def applyDeletesKeyed(spark: SparkSession, qualified: String,
-      keyed: DataFrame, dvs: Seq[String]): DataFrame =
+      keyed: DataFrame, dvsIn: Seq[String]): DataFrame = {
+    val dvs = dvsIn.filterNot(isEqFile) // position vectors only
     if (dvs.isEmpty) keyed
     else {
       val dv = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
@@ -1157,6 +1267,121 @@ object Snapshot {
           keyed("__lin_file") === dv("dv_file") &&
             keyed("__lin_pos") === dv("dv_pos"),
           "left_anti")
+    }
+  }
+
+  // ----- EQUALITY DELETES ----------------------------------------------
+  // The O(keys) delete tier (Iceberg v2 equality deletes): where a
+  // position vector costs a table SCAN to find its (file, pos) pairs,
+  // an equality delete writes ONLY the key set — "delete every row
+  // whose key is in this sidecar" — and readers apply it as an
+  // anti-join. Sequencing makes it sound under appends: every entry on
+  // an eqdel layout is stamped with the commit version that added it
+  // (`v:` — [[commit]] stamps inside its retry loop, so a rebase
+  // re-stamps), and a delete landed at version d applies ONLY to data
+  // files with add-version STRICTLY below d. A batch upserted in the
+  // same commit as its own delete ([[upsertByKeys]]) therefore
+  // survives it, and a concurrent append rebased above the delete is
+  // exempt — the rows it lands were never visible to the deleter.
+  // This is what makes O(batch) STREAMING UPSERTS possible: append new
+  // images + equality-delete their keys, one commit, zero table reads.
+  // The tier is transient by design: [[convertEqDeletes]] folds
+  // outstanding equality deletes into position vectors (one key-scan),
+  // after which the DV maintenance ladder (materialize → compact)
+  // applies unchanged. Partition-rewrite maintenance refuses while any
+  // equality delete is outstanding (the [[requireNoDeletes]] guard
+  // already covers them — they live under `_deletes/`).
+
+  /** Stage `keys` (pre-projected to the key columns) and move the
+    * non-empty part files into `_deletes/` under `eq-` names. The
+    * staged write keeps the key frame's own parallelism — a massive
+    * forget-key list never funnels through one task; a micro-batch's
+    * handful of keys lands as however many non-empty parts its shuffle
+    * produced (AQE coalesces small ones). Returns the moved sidecars'
+    * root-relative paths — empty when the key set was empty. */
+  private def stageEqSidecars(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      keys: DataFrame): Seq[String] = {
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-eqdel-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    keys.distinct().write.parquet(stg.toString)
+    // only parts that actually hold rows become sidecars (zero-row
+    // parts vanish from a row-grouped read — exactly the filter)
+    val nonEmpty = spark.read.parquet(stg.toString)
+      .groupBy(input_file_name().as("__f")).count().collect()
+      .map(_.getString(0).split("/").last).toSet
+    val delDir = new org.apache.hadoop.fs.Path(root, DeletesDir)
+    fs.mkdirs(delDir)
+    val moved = fs.listStatus(stg).toSeq
+      .filter(f => f.isFile && nonEmpty(f.getPath.getName))
+      .map { f =>
+        val dst = new org.apache.hadoop.fs.Path(delDir,
+          s"eq-${Sink.procTag}-${java.util.UUID.randomUUID()}.parquet")
+        if (!fs.rename(f.getPath, dst))
+          throw new IllegalStateException(s"equality-delete move failed: $dst")
+        s"$DeletesDir/${dst.getName}"
+      }
+    fs.delete(stg, true): Unit
+    moved
+  }
+
+  /** All of a layout's equality deletes share ONE key-column list —
+    * re-keying mid-stream would make older sidecars uninterpretable. */
+  private def eqKeyColsOf(eqs: Seq[EqDelete]): Seq[String] = {
+    val sets = eqs.map(_.keyCols).distinct
+    require(sets.size == 1,
+      s"equality deletes disagree on key columns: ${sets.mkString(" vs ")}")
+    sets.head
+  }
+
+  /** The union key set of `eqs` as one frame: the key columns plus
+    * `__eq_d` — the NEWEST delete version naming each key. One scan of
+    * all sidecars (`max d > addV ⟺ ∃ d > addV`, addV fixed per file,
+    * so keeping only the max loses nothing). */
+  private def eqKeyFrame(spark: SparkSession, qualified: String,
+      eqs: Seq[EqDelete]): DataFrame = {
+    import spark.implicits._
+    val keyCols = eqKeyColsOf(eqs)
+    def relKey(p: String): String = p.split("/").takeRight(2).mkString("/")
+    val dMap = org.apache.spark.sql.functions.broadcast(
+      eqs.map(e => relKey(e.file) -> e.d).toDF("__eq_sfile", "__eq_sd"))
+    spark.read.parquet(eqs.map(e => s"$qualified/${e.file}"): _*)
+      .withColumn("__eq_sfile",
+        concat_ws("/", slice(split(input_file_name(), "/"), -2, 2)))
+      .join(dMap, "__eq_sfile")
+      .groupBy(keyCols.map(col): _*)
+      .agg(fmax(col("__eq_sd")).as("__eq_d"))
+  }
+
+  /** Subtract equality deletes from a scan carrying a root-relative
+    * file column (`fileCol`): a row drops iff a delete with version
+    * STRICTLY above its file's add-version names its key. NULL key
+    * values never match (SQL equality — a NULL-keyed row is
+    * undeletable by key, exactly like `DELETE WHERE k = …`). The
+    * delete side is O(keys) and unhinted — AQE broadcasts while it
+    * fits and degrades to shuffle instead of OOMing. */
+  private def applyEqKeyed(spark: SparkSession, qualified: String,
+      data: DataFrame, dataLines: Seq[String], eqs: Seq[EqDelete],
+      fileCol: String): DataFrame =
+    if (eqs.isEmpty) data
+    else {
+      import spark.implicits._
+      val keyCols = eqKeyColsOf(eqs)
+      keyCols.foreach(c => require(data.columns.contains(c),
+        s"equality-delete key column '$c' missing from the read schema"))
+      val addv = org.apache.spark.sql.functions.broadcast(
+        dataLines.filterNot(isDeleteEntry)
+          .map(l => (pathOf(l), addVersionOf(l)))
+          .toDF("__eq_file", "__eq_addv"))
+      val withV = data.join(addv, data(fileCol) === addv("__eq_file"), "left")
+        .withColumn("__eq_v", coalesce(col("__eq_addv"), lit(0L)))
+        .drop("__eq_file", "__eq_addv")
+      val eqk = eqKeyFrame(spark, qualified, eqs)
+      withV.join(eqk,
+          keyCols.map(c => withV(c) === eqk(c)).reduce(_ && _) &&
+            eqk("__eq_d") > withV("__eq_v"),
+          "left_anti")
+        .drop("__eq_v")
     }
 
   /** A pinned snapshot read WITH row lineage: the table's data columns
@@ -1176,12 +1401,15 @@ object Snapshot {
     val recorded = recordedSchema(meta).getOrElse(throw new IllegalStateException(
       s"lineage-enabled $path lacks a recorded schema — corrupted manifest?"))
     requireLineageEntries(lines, path)
-    val files = lines.filterNot(isDeleteEntry).map(pathOf)
-    require(files.nonEmpty, s"snapshot v=$v of $path is empty")
+    val fileLines = lines.filterNot(isDeleteEntry)
+    require(fileLines.nonEmpty, s"snapshot v=$v of $path is empty")
     val withIds = attachRowIdsKeyed(spark,
-      lineageKeyedScan(spark, qualified, recorded, files), basesOf(lines))
-    applyDeletesKeyed(spark, qualified, withIds,
-      lines.filter(isDeleteEntry).map(pathOf))
+      lineageKeyedScan(spark, qualified, recorded, fileLines.map(pathOf)),
+      basesOf(lines))
+    applyEqKeyed(spark, qualified,
+        applyDeletesKeyed(spark, qualified, withIds,
+          lines.filter(isDeleteEntry).map(pathOf)),
+        fileLines, eqDeletesOf(lines.filter(isDeleteEntry)), "__lin_file")
       .drop("__lin_file", "__lin_pos")
   }
 
@@ -1422,13 +1650,16 @@ object Snapshot {
     val qualified = fsOf(spark, root).makeQualified(root).toString
     if (files.isEmpty) {
       // schema-faithful empty frame — same columns a full read yields
-      val all = lines.filterNot(isDeleteEntry).map(pathOf)
-      readDataAt(spark, qualified, meta, all, Nil).limit(0)
-    } else
+      readDataAt(spark, qualified, meta,
+        lines.filterNot(isDeleteEntry), Nil).limit(0)
+    } else {
+      val fileSet = files.toSet
       // outstanding merge-on-read deletes apply here too — a pruned
       // read must never resurrect rows the full read hides
-      readDataAt(spark, qualified, meta, files,
-        lines.filter(isDeleteEntry).map(pathOf))
+      readDataAt(spark, qualified, meta,
+        lines.filter(l => !isDeleteEntry(l) && fileSet(pathOf(l))),
+        lines.filter(isDeleteEntry))
+    }
   }
 
   /** MOVE a `partitionBy`-staged write's data files into the live
@@ -1455,6 +1686,22 @@ object Snapshot {
       }
     fs.delete(stg, true): Unit
     moved
+  }
+
+  /** Position-delete writers and DV maintenance must not run over
+    * outstanding EQUALITY deletes: their base-read scans are blind to
+    * key-hidden rows (an update would re-image them; a materialize
+    * would resurrect them), and [[materializeDeletes]] reads every
+    * `_deletes/` sidecar under the (dv_file, dv_pos) schema. The
+    * documented order is [[convertEqDeletes]] first — one key-scan
+    * folds the equality tier into position vectors. */
+  private def requireNoEqDeletes(lines: Seq[String], path: String,
+      op: String): Unit = {
+    val eqn = lines.count(isEqDeleteEntry)
+    require(eqn == 0,
+      s"$op on $path with $eqn outstanding equality delete(s) — run " +
+      "convertEqDeletes first: this op's base read is blind to " +
+      "key-hidden rows")
   }
 
   /** Partition-grain rewrite ops must not run over outstanding deletion
@@ -2034,6 +2281,7 @@ object Snapshot {
     val (vMeta, vLines) = stateOf(spark, path, v)
     val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     val dvs = vLines.filter(isDeleteEntry).map(pathOf)
+    requireNoEqDeletes(vLines, path, "deleteWhereMoR")
     requireUniformSpec(files, partitionCol, "deleteWhereMoR")
     val del = coalesce(predicate, lit(false))
     val keyCols = dvKeyCols(qualified)
@@ -2138,6 +2386,7 @@ object Snapshot {
     val (vMeta, lines) = stateOf(spark, path, v)
     val files = lines.filterNot(isDeleteEntry).map(pathOf)
     val dvs = lines.filter(isDeleteEntry).map(pathOf)
+    requireNoEqDeletes(lines, path, "updateWhere")
     requireUniformSpec(files, partitionCol, "updateWhere")
     val pred = coalesce(predicate, lit(false))
     val keyCols = dvKeyCols(qualified)
@@ -2251,6 +2500,7 @@ object Snapshot {
     val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     val dvs = vLines.filter(isDeleteEntry).map(pathOf)
     if (dvs.isEmpty) return Seq.empty
+    requireNoEqDeletes(vLines, path, "materializeDeletes")
     requireUniformSpec(files, partitionCol, "materializeDeletes")
     val dvDf = spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
     // O(touched files) driver state — the vectors' reference set
@@ -2369,6 +2619,204 @@ object Snapshot {
       widenSchema = Some((rows.schema, partitionCol)))
   }
 
+  /** EQUALITY DELETE: delete every row whose key is in `keys`, in
+    * O(keys) — the commit writes ONLY the key sidecar, never reads a
+    * data file or computes a position. Where [[deleteWhereMoR]] pays a
+    * table SCAN to find (file, position) pairs, this is the delete a
+    * STREAMING writer can afford on every batch; readers apply it as
+    * an anti-join against files older than the delete ([[applyEqKeyed]]
+    * — the Iceberg v2 equality-delete contract). Requires an
+    * `eqdel`-enabled layout ([[init]]`(eqDeletes = true)` or a
+    * bootstrap append with meta `eqdel=on`): only then is every entry
+    * version-stamped, which is what sequences deletes against appends.
+    * The key-column list is fixed at the layout's first equality
+    * delete. NULL key values match nothing (SQL equality). Returns the
+    * committed version; an empty key set commits nothing.
+    *
+    * The tier is TRANSIENT by design: each outstanding sidecar costs
+    * every reader one anti-join, so fold them with
+    * [[convertEqDeletes]] (one key-scan → position vectors), after
+    * which the normal DV ladder (materialize → compact) applies.
+    * Partition-rewrite maintenance refuses while any equality delete
+    * is outstanding. Branches don't compose with equality deletes
+    * (branch-local version numbering would alias the stamps) —
+    * [[createBranch]] refuses on eqdel layouts. */
+  def deleteByKeys(spark: SparkSession, path: String, keys: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val vMeta = metaOf(spark, path, v)
+    require(vMeta.get("eqdel").contains("on"),
+      s"$path is not equality-delete enabled — declare eqDeletes at init " +
+      "or bootstrap (entry version stamps must exist from table birth)")
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+    vMeta.get("eqkeys").foreach(k => require(k == keyCols.mkString(","),
+      s"layout's equality deletes are keyed on [$k]; this delete uses " +
+      s"[${keyCols.mkString(",")}] — the key list is fixed at first use"))
+    recordedSchema(vMeta).foreach { rec =>
+      keyCols.foreach(c => require(rec.fieldNames.contains(c),
+        s"equality-delete key column '$c' is not in the table schema"))
+    }
+    val moved = stageEqSidecars(spark, fs, root, keys)
+    if (moved.isEmpty) return v // empty key set: nothing to delete
+    val lines = moved.map(f => s"$f\tk:${keyCols.mkString(",")}")
+    commit(fs, root, Some(v), Set.empty, lines,
+      Map("op" -> "eq-delete", "eqkeys" -> keyCols.mkString(",")) ++ meta)
+  }
+
+  /** STREAMING UPSERT: land `batch` and equality-delete its keys in ONE
+    * commit — every key's previous row is hidden, the batch's own rows
+    * survive (they are stamped AT the commit version; the delete
+    * applies strictly below it). Cost is O(batch): the batch's
+    * partitioned write plus one key sidecar — the table is never read,
+    * which is what makes per-micro-batch MERGE affordable at 100 TB
+    * (the [[merge]] path reads and rewrites every touched partition).
+    * Within-batch duplicate keys all survive — dedup the batch first
+    * if downstream expects one row per key. Schema evolution matches
+    * [[append]] (the recorded schema widens). */
+  def upsertByKeys(spark: SparkSession, path: String, partitionCol: String,
+      batch: DataFrame, keyCols: Seq[String],
+      meta: Map[String, String] = Map.empty): Long = {
+    require(keyCols.nonEmpty, "upsertByKeys needs at least one key column")
+    require(batch.columns.contains(partitionCol),
+      s"upsert batch lacks partition column '$partitionCol'")
+    keyCols.foreach(c => require(batch.columns.contains(c),
+      s"upsert batch lacks key column '$c'"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    fs.mkdirs(root)
+    val prev = committedVersions(fs, root).lastOption
+    val prevMeta = prev.map(v => parseMeta(manifestTextFs(fs, root, v)))
+      .getOrElse(Map.empty)
+    require(prev.isEmpty || prevMeta.get("eqdel").contains("on"),
+      s"$path is not equality-delete enabled — declare eqDeletes at init " +
+      "or bootstrap (entry version stamps must exist from table birth)")
+    prevMeta.get("eqkeys").foreach(k => require(k == keyCols.mkString(","),
+      s"layout's equality deletes are keyed on [$k]; this upsert uses " +
+      s"[${keyCols.mkString(",")}] — the key list is fixed at first use"))
+    prevMeta.get("pcol").foreach(p => require(p == partitionCol,
+      s"upsert with partition column '$partitionCol' but the table's " +
+      s"active spec is '$p'"))
+    // stage the data like an append
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-upsert-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    batch.write.partitionBy(partitionCol).parquet(stg.toString)
+    val movedData = movePartitionedStaging(fs, root, stg, partitionCol)
+    val tableMeta = Seq("stats", "rowids", "nullstats")
+      .flatMap(k => prevMeta.get(k).orElse(meta.get(k)).map(k -> _)).toMap
+    val dataLines = statLines(spark, fs, root, movedData, tableMeta)
+    // stage the key sidecar — a fresh upserted table (no previous rows)
+    // still writes it: replayed or out-of-order batches must hide older
+    // images exactly like steady-state ones
+    val movedKeys =
+      stageEqSidecars(spark, fs, root, batch.select(keyCols.map(col): _*))
+    val eqLines = movedKeys.map(f => s"$f\tk:${keyCols.mkString(",")}")
+    commit(fs, root, prev, Set.empty, dataLines ++ eqLines,
+      Map("op" -> "upsert", "eqdel" -> "on",
+        "eqkeys" -> keyCols.mkString(",")) ++
+        (if (prev.isEmpty) Map("pcol" -> partitionCol)
+         else Map.empty[String, String]) ++ meta,
+      widenSchema = Some((batch.schema, partitionCol)))
+  }
+
+  /** Fold every outstanding equality delete into POSITION vectors: one
+    * key-scan of the files subject to any delete (add-version below the
+    * newest delete — older generations only, never the whole table on
+    * an append-mostly layout) finds the hidden rows' (file, position)
+    * pairs, which commit as normal DV sidecars WHILE the equality
+    * entries retire — one atomic, row-preserving commit (`eq-convert`;
+    * change feeds cross it silently). After it, the standard
+    * maintenance ladder ([[maintainDeletes]] → [[materializeDeletes]]
+    * → [[compact]]) applies unchanged. Returns (version, positions
+    * written); no outstanding equality deletes → no commit. */
+  def convertEqDeletes(spark: SparkSession, path: String,
+      vectorRowCap: Long = graft.Config.MaxVectorFileRows): (Long, Long) = {
+    require(vectorRowCap > 0, s"vectorRowCap must be positive, got $vectorRowCap")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (vMeta, vLines) = stateOf(spark, path, v)
+    val deleteLines = vLines.filter(isDeleteEntry)
+    val eqs = eqDeletesOf(deleteLines)
+    if (eqs.isEmpty) return (v, 0L)
+    val dvs = deleteLines.map(pathOf).filterNot(isEqFile)
+    val maxD = eqs.map(_.d).max
+    // candidate files: only those some delete can reach
+    val candLines = vLines.filterNot(isDeleteEntry)
+      .filter(l => addVersionOf(l) < maxD)
+    if (candLines.isEmpty) {
+      // nothing reachable — the sidecars are dead weight; retire them
+      val nv = commit(fs, root, Some(v), eqs.map(_.file).toSet, Nil,
+        Map("op" -> "eq-convert"))
+      return (nv, 0L)
+    }
+    val recorded = recordedSchema(vMeta)
+    val reader = spark.read.option("basePath", qualified)
+    def scan(fsOfSpec: Seq[String]): DataFrame =
+      recorded.fold(reader)(reader.schema)
+        .parquet(fsOfSpec.map(f => s"$qualified/$f"): _*)
+    val keyed = candLines.map(pathOf).groupBy(specKeyOf).toSeq.sortBy(_._1)
+      .map { case (_, fsOfSpec) => withFilePos(scan(fsOfSpec), qualified) }
+      .reduce(_.unionByName(_))
+    // rows already position-hidden need no second position
+    val visible = applyDeletesKeyed(spark, qualified, keyed, dvs)
+    val eqk = eqKeyFrame(spark, qualified, eqs)
+    val keyCols = eqKeyColsOf(eqs)
+    val addv = org.apache.spark.sql.functions.broadcast {
+      import spark.implicits._
+      candLines.map(l => (pathOf(l), addVersionOf(l)))
+        .toDF("__eq_file", "__eq_addv")
+    }
+    val withV = visible
+      .join(addv, visible("__lin_file") === addv("__eq_file"), "left")
+      .withColumn("__eq_v", coalesce(col("__eq_addv"), lit(0L)))
+    val marked = withV.join(eqk,
+        keyCols.map(c => withV(c) === eqk(c)).reduce(_ && _) &&
+          eqk("__eq_d") > withV("__eq_v"),
+        "left_semi")
+      .select(col("__lin_file").as("dv_file"), col("__lin_pos").as("dv_pos"))
+    val stg = new org.apache.hadoop.fs.Path(root,
+      s".staging-eqconv-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    val rawStg = new org.apache.hadoop.fs.Path(stg, "raw")
+    marked.write.parquet(rawStg.toString)
+    val n = spark.read.parquet(rawStg.toString).count()
+    val moved: Seq[String] =
+      if (n == 0L) Nil
+      else {
+        val vecStg = new org.apache.hadoop.fs.Path(stg, "vec")
+        spark.read.parquet(rawStg.toString)
+          .repartition(vectorFileCount(n, vectorRowCap))
+          .write.parquet(vecStg.toString)
+        val dvDir = new org.apache.hadoop.fs.Path(root, DeletesDir)
+        fs.mkdirs(dvDir)
+        fs.listStatus(vecStg).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map { f =>
+            val dst = new org.apache.hadoop.fs.Path(dvDir, f.getPath.getName)
+            if (!fs.rename(f.getPath, dst))
+              throw new IllegalStateException(
+                s"deletion-vector move failed: $dst")
+            s"$DeletesDir/${f.getPath.getName}"
+          }
+      }
+    fs.delete(stg, true): Unit
+    val referenced =
+      if (moved.isEmpty) Set.empty[String]
+      else spark.read.parquet(moved.map(f => s"$qualified/$f"): _*)
+        .select(col("dv_file")).distinct().collect()
+        .map(_.getString(0)).toSet
+    val nv = commit(fs, root, Some(v), eqs.map(_.file).toSet, moved,
+      Map("op" -> "eq-convert"), mustBeLive = referenced,
+      dvRefs = referenced)
+    (nv, n)
+  }
+
   /** Rewrite-commit for a partition subset: every partition named by
     * `replacement`'s `partitionCol` values gets its files REPLACED by
     * the replacement rows; every other partition keeps its exact
@@ -2452,6 +2900,9 @@ object Snapshot {
     // slip a file into a replaced partition unseen (it aborts on
     // rebase) or be silently deleted
     val mergeBase = currentFiles(spark, path)
+    // fail BEFORE the survivor scan and staged write — the commit-side
+    // [[replacePartitions]] would refuse outstanding deletes anyway
+    requireNoDeletes(spark, path, mergeBase._1, "merge")
     val lineage = rowIdsOn(metaOf(spark, path, mergeBase._1))
     // lineage layouts read survivors WITH their ids (the rewrite keeps
     // them); the update rows are NEW images under merge's replace-or-
@@ -2493,7 +2944,7 @@ object Snapshot {
   // the diff emits the backfill as update pairs (typed consumers apply
   // O(table-sized-backfill) once, exactly what happened).
   private val RowPreservingOps =
-    Set("compact", "materialize", "evolve-spec")
+    Set("compact", "materialize", "evolve-spec", "eq-convert")
 
   /** The files appended in `(fromV, toV]` when the gap is ATTRIBUTABLE —
     * every commit is an append or row-preserving, and no gap-appended
@@ -2651,8 +3102,17 @@ object Snapshot {
     val (_, linesFrom) = stateOf(spark, path, fromV)
     val filesTo = linesTo.filterNot(isDeleteEntry).map(pathOf).toSet
     val filesFrom = linesFrom.filterNot(isDeleteEntry).map(pathOf).toSet
-    val dvTo = linesTo.filter(isDeleteEntry).map(pathOf).toSet
-    val dvFrom = linesFrom.filter(isDeleteEntry).map(pathOf).toSet
+    val dvTo = linesTo.filter(isDeleteEntry).map(pathOf)
+      .filterNot(isEqFile).toSet
+    val dvFrom = linesFrom.filter(isDeleteEntry).map(pathOf)
+      .filterNot(isEqFile).toSet
+    val eqTo = eqDeletesOf(linesTo.filter(isDeleteEntry))
+    val eqFrom = eqDeletesOf(linesFrom.filter(isDeleteEntry))
+    // an eq-delete DELTA (a key sidecar landed or retired in the gap)
+    // changes retained files' visibility by KEY, which no pair set
+    // names — that branch trades the O(changed rows) pair fetch for a
+    // scan of the files the delta can reach (see below)
+    val eqDelta = eqTo.map(_.file).toSet != eqFrom.map(_.file).toSet
     val retained = filesFrom & filesTo
     // KEYED scans, grouped per partition spec ([[readDataAt]]'s rule):
     // a diff spanning a spec evolution reads each generation separately
@@ -2669,6 +3129,11 @@ object Snapshot {
           .parquet(fs.map(f => s"$qualified/$f"): _*), qualified)
       }.reduce(_.unionByName(_))
     }
+    // entry lines are immutable once committed, so either endpoint's
+    // line serves the add-version lookup — union covers removed files
+    val allLines = (linesFrom ++ linesTo).distinct
+    def applyEq(df: DataFrame, eqs: Seq[EqDelete]): DataFrame =
+      applyEqKeyed(spark, qualified, df, allLines, eqs, "__lin_file")
     def finish(df: DataFrame): DataFrame =
       df.drop("__lin_file", "__lin_pos")
     def readPairs(dvFiles: Set[String]): DataFrame =
@@ -2684,16 +3149,18 @@ object Snapshot {
     lazy val empty = finish(readKeyed(anchorFiles.toSeq.sorted)).limit(0)
     // the rows a pair set names, fetched from RETAINED files only (a
     // pair on an added/removed file is already covered by the file
-    // diff); O(referenced files) driver list, O(pair rows) join
+    // diff); O(referenced files) driver list, O(pair rows) join. Rows
+    // the (static) equality tier hides were visible at NEITHER
+    // endpoint — hiding or un-hiding them positionally is not a change.
     def fetchPairRows(pairs: DataFrame): DataFrame = {
       val refs = pairs.select(col("dv_file")).distinct().collect()
         .map(_.getString(0)).filter(retained).toSeq.sorted
       if (refs.isEmpty) empty
       else {
         val keyed = readKeyed(refs)
-        finish(keyed.join(pairs,
+        finish(applyEq(keyed.join(pairs,
           keyed("__lin_file") === pairs("dv_file") &&
-            keyed("__lin_pos") === pairs("dv_pos"), "left_semi"))
+            keyed("__lin_pos") === pairs("dv_pos"), "left_semi"), eqTo))
       }
     }
     val addedFiles = (filesTo -- filesFrom).toSeq.sorted
@@ -2702,35 +3169,84 @@ object Snapshot {
     val dvGone = dvFrom -- dvTo
     val plusNew =
       if (addedFiles.isEmpty) empty
-      else finish(applyDeletesKeyed(spark, qualified, readKeyed(addedFiles),
-        dvTo.toSeq.sorted))
-    val unHidden =
-      if (dvGone.isEmpty) empty
-      else {
-        val pairs = readPairs(dvGone)
-        // a pair re-covered by a toV vector is still hidden, not a change
-        fetchPairRows(
-          if (dvTo.isEmpty) pairs
-          else pairs.join(readPairs(dvTo), Seq("dv_file", "dv_pos"),
-            "left_anti"))
-      }
+      else finish(applyEq(applyDeletesKeyed(spark, qualified,
+        readKeyed(addedFiles), dvTo.toSeq.sorted), eqTo))
     val minusOld =
       if (removedFiles.isEmpty) empty
-      else finish(applyDeletesKeyed(spark, qualified,
-        readKeyed(removedFiles), dvFrom.toSeq.sorted))
-    val newlyHidden =
-      if (dvNew.isEmpty) empty
-      else {
-        val pairs = readPairs(dvNew)
-        // a pair a fromV vector ALREADY covered was not visible at
-        // fromV, so hiding it again is not a change — the symmetric
-        // twin of the unHidden anti-join (a restore dropping vector A
-        // followed by a re-delete writing vector B with the same pairs
-        // must diff to NOTHING, not to spurious deletes)
-        fetchPairRows(
-          if (dvFrom.isEmpty) pairs
-          else pairs.join(readPairs(dvFrom), Seq("dv_file", "dv_pos"),
-            "left_anti"))
+      else finish(applyEq(applyDeletesKeyed(spark, qualified,
+        readKeyed(removedFiles), dvFrom.toSeq.sorted), eqFrom))
+    val (unHidden, newlyHidden) =
+      if (!eqDelta) {
+        val un =
+          if (dvGone.isEmpty) empty
+          else {
+            val pairs = readPairs(dvGone)
+            // a pair re-covered by a toV vector is still hidden, not a
+            // change
+            fetchPairRows(
+              if (dvTo.isEmpty) pairs
+              else pairs.join(readPairs(dvTo), Seq("dv_file", "dv_pos"),
+                "left_anti"))
+          }
+        val newly =
+          if (dvNew.isEmpty) empty
+          else {
+            val pairs = readPairs(dvNew)
+            // a pair a fromV vector ALREADY covered was not visible at
+            // fromV, so hiding it again is not a change — the symmetric
+            // twin of the unHidden anti-join (a restore dropping vector
+            // A followed by a re-delete writing vector B with the same
+            // pairs must diff to NOTHING, not to spurious deletes)
+            fetchPairRows(
+              if (dvFrom.isEmpty) pairs
+              else pairs.join(readPairs(dvFrom), Seq("dv_file", "dv_pos"),
+                "left_anti"))
+          }
+        (un, newly)
+      } else {
+        // EQ-DELTA BRANCH: retained files' visibility changes by key,
+        // so compute it exactly as visible@from vs visible@to over the
+        // files any CHANGED hider can reach: those referenced by a DV
+        // delta, plus those below the newest delta'd eq version (an eq
+        // entry present at both endpoints hits identically — its rows
+        // cancel without being read). Cost is O(reachable files) — the
+        // documented price of diffing across an equality delete; the
+        // tier is transient (convertEqDeletes) so the reach shrinks to
+        // zero after maintenance.
+        val eqToFiles = eqTo.map(_.file).toSet
+        val eqFromFiles = eqFrom.map(_.file).toSet
+        val deltaD = (eqTo.filterNot(e => eqFromFiles(e.file)) ++
+          eqFrom.filterNot(e => eqToFiles(e.file))).map(_.d)
+        val maxDeltaD = deltaD.max
+        val dvRefFiles = (dvNew ++ dvGone).toSeq.sorted match {
+          case Nil => Set.empty[String]
+          case fs => readPairs(fs.toSet).select(col("dv_file")).distinct()
+            .collect().map(_.getString(0)).toSet
+        }
+        val addVOf = allLines.filterNot(isDeleteEntry)
+          .map(l => pathOf(l) -> addVersionOf(l)).toMap
+        val cand = retained.filter(f =>
+          dvRefFiles(f) || addVOf.getOrElse(f, 0L) < maxDeltaD)
+          .toSeq.sorted
+        if (cand.isEmpty) (empty, empty)
+        else {
+          val scan = readKeyed(cand)
+          def visible(dvs: Set[String], eqs: Seq[EqDelete]): DataFrame =
+            applyEq(applyDeletesKeyed(spark, qualified, scan,
+              dvs.toSeq.sorted), eqs)
+          val visF = visible(dvFrom, eqFrom)
+          val visT = visible(dvTo, eqTo)
+          def keysOf(df: DataFrame): DataFrame =
+            df.select(col("__lin_file").as("dv_file"),
+              col("__lin_pos").as("dv_pos"))
+          val un = finish(visT.join(keysOf(visF),
+            visT("__lin_file") === col("dv_file") &&
+              visT("__lin_pos") === col("dv_pos"), "left_anti"))
+          val newly = finish(visF.join(keysOf(visT),
+            visF("__lin_file") === col("dv_file") &&
+              visF("__lin_pos") === col("dv_pos"), "left_anti"))
+          (un, newly)
+        }
       }
     val dataCols = plusNew.columns.toSeq
     val weighted = plusNew.unionByName(unHidden)
@@ -2790,12 +3306,18 @@ object Snapshot {
     requireLineageEntries(linesTo, path)
     val filesTo = linesTo.filterNot(isDeleteEntry).map(pathOf).toSet
     val filesFrom = linesFrom.filterNot(isDeleteEntry).map(pathOf).toSet
-    val dvTo = linesTo.filter(isDeleteEntry).map(pathOf).toSet
-    val dvFrom = linesFrom.filter(isDeleteEntry).map(pathOf).toSet
+    val dvTo = linesTo.filter(isDeleteEntry).map(pathOf)
+      .filterNot(isEqFile).toSet
+    val dvFrom = linesFrom.filter(isDeleteEntry).map(pathOf)
+      .filterNot(isEqFile).toSet
+    val eqTo = eqDeletesOf(linesTo.filter(isDeleteEntry))
+    val eqFrom = eqDeletesOf(linesFrom.filter(isDeleteEntry))
+    val eqDelta = eqTo.map(_.file).toSet != eqFrom.map(_.file).toSet
     val retained = filesFrom & filesTo
     // a file's entry (and so its id base) is immutable once committed —
     // the union map serves both sides
-    val bases = basesOf(linesFrom ++ linesTo)
+    val allLines = (linesFrom ++ linesTo).distinct
+    val bases = basesOf(allLines)
     val dataCols = recorded.fieldNames.toSeq
     // KEYED lineage scan: ids attached, (file, pos) keys kept for the
     // DV subtract / pair fetch joins (_metadata would not survive the
@@ -2803,6 +3325,8 @@ object Snapshot {
     def readKeyed(files: Seq[String]): DataFrame =
       attachRowIdsKeyed(spark,
         lineageKeyedScan(spark, qualified, recorded, files), bases)
+    def applyEq(df: DataFrame, eqs: Seq[EqDelete]): DataFrame =
+      applyEqKeyed(spark, qualified, df, allLines, eqs, "__lin_file")
     def readPairs(dvFiles: Set[String]): DataFrame =
       spark.read.parquet(dvFiles.toSeq.sorted.map(f => s"$qualified/$f"): _*)
         .select(col("dv_file"), col("dv_pos"))
@@ -2820,16 +3344,17 @@ object Snapshot {
         lineageReadSchema(recorded).fields
           .filter(f => dataCols.contains(f.name) || f.name == RowIdCol)))
     // rows a pair set names, fetched from RETAINED files only (pairs on
-    // added/removed files are covered by the file diff)
+    // added/removed files are covered by the file diff); rows the
+    // static equality tier hides were visible at neither endpoint
     def fetchPairRows(pairs: DataFrame): DataFrame = {
       val refs = pairs.select(col("dv_file")).distinct().collect()
         .map(_.getString(0)).filter(retained).toSeq.sorted
       if (refs.isEmpty) empty
       else {
         val keyed = readKeyed(refs)
-        finish(keyed.join(pairs,
+        finish(applyEq(keyed.join(pairs,
           keyed("__lin_file") === pairs("dv_file") &&
-            keyed("__lin_pos") === pairs("dv_pos"), "left_semi"))
+            keyed("__lin_pos") === pairs("dv_pos"), "left_semi"), eqTo))
       }
     }
     val addedFiles = (filesTo -- filesFrom).toSeq.sorted
@@ -2838,29 +3363,70 @@ object Snapshot {
     val dvGone = dvFrom -- dvTo
     val plusNew =
       if (addedFiles.isEmpty) empty
-      else finish(applyDeletesKeyed(spark, qualified, readKeyed(addedFiles),
-        dvTo.toSeq.sorted))
-    val unHidden =
-      if (dvGone.isEmpty) empty
-      else {
-        val pairs = readPairs(dvGone)
-        fetchPairRows(
-          if (dvTo.isEmpty) pairs
-          else pairs.join(readPairs(dvTo), Seq("dv_file", "dv_pos"),
-            "left_anti"))
-      }
+      else finish(applyEq(applyDeletesKeyed(spark, qualified,
+        readKeyed(addedFiles), dvTo.toSeq.sorted), eqTo))
     val minusOld =
       if (removedFiles.isEmpty) empty
-      else finish(applyDeletesKeyed(spark, qualified, readKeyed(removedFiles),
-        dvFrom.toSeq.sorted))
-    val newlyHidden =
-      if (dvNew.isEmpty) empty
-      else {
-        val pairs = readPairs(dvNew)
-        fetchPairRows(
-          if (dvFrom.isEmpty) pairs
-          else pairs.join(readPairs(dvFrom), Seq("dv_file", "dv_pos"),
-            "left_anti"))
+      else finish(applyEq(applyDeletesKeyed(spark, qualified,
+        readKeyed(removedFiles), dvFrom.toSeq.sorted), eqFrom))
+    val (unHidden, newlyHidden) =
+      if (!eqDelta) {
+        val un =
+          if (dvGone.isEmpty) empty
+          else {
+            val pairs = readPairs(dvGone)
+            fetchPairRows(
+              if (dvTo.isEmpty) pairs
+              else pairs.join(readPairs(dvTo), Seq("dv_file", "dv_pos"),
+                "left_anti"))
+          }
+        val newly =
+          if (dvNew.isEmpty) empty
+          else {
+            val pairs = readPairs(dvNew)
+            fetchPairRows(
+              if (dvFrom.isEmpty) pairs
+              else pairs.join(readPairs(dvFrom), Seq("dv_file", "dv_pos"),
+                "left_anti"))
+          }
+        (un, newly)
+      } else {
+        // EQ-DELTA BRANCH — [[changeDiff]]'s rule with images: retained
+        // visibility recomputed as visible@from vs visible@to over the
+        // files a CHANGED hider can reach
+        val eqToFiles = eqTo.map(_.file).toSet
+        val eqFromFiles = eqFrom.map(_.file).toSet
+        val maxDeltaD = (eqTo.filterNot(e => eqFromFiles(e.file)) ++
+          eqFrom.filterNot(e => eqToFiles(e.file))).map(_.d).max
+        val dvRefFiles = (dvNew ++ dvGone).toSeq.sorted match {
+          case Nil => Set.empty[String]
+          case fs => readPairs(fs.toSet).select(col("dv_file")).distinct()
+            .collect().map(_.getString(0)).toSet
+        }
+        val addVOf = allLines.filterNot(isDeleteEntry)
+          .map(l => pathOf(l) -> addVersionOf(l)).toMap
+        val cand = retained.filter(f =>
+          dvRefFiles(f) || addVOf.getOrElse(f, 0L) < maxDeltaD)
+          .toSeq.sorted
+        if (cand.isEmpty) (empty, empty)
+        else {
+          val scan = readKeyed(cand)
+          def visible(dvs: Set[String], eqs: Seq[EqDelete]): DataFrame =
+            applyEq(applyDeletesKeyed(spark, qualified, scan,
+              dvs.toSeq.sorted), eqs)
+          val visF = visible(dvFrom, eqFrom)
+          val visT = visible(dvTo, eqTo)
+          def keysOf(df: DataFrame): DataFrame =
+            df.select(col("__lin_file").as("dv_file"),
+              col("__lin_pos").as("dv_pos"))
+          val un = finish(visT.join(keysOf(visF),
+            visT("__lin_file") === col("dv_file") &&
+              visT("__lin_pos") === col("dv_pos"), "left_anti"))
+          val newly = finish(visF.join(keysOf(visT),
+            visF("__lin_file") === col("dv_file") &&
+              visF("__lin_pos") === col("dv_pos"), "left_anti"))
+          (un, newly)
+        }
       }
     val imgStruct = org.apache.spark.sql.functions.struct(
       dataCols.map(col): _*)
@@ -3313,7 +3879,10 @@ object Snapshot {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $path"))
     val (_, lines) = stateOf(spark, path, v)
-    val dvs = lines.filter(isDeleteEntry).map(pathOf)
+    // POSITION vectors only: equality sidecars carry key columns, not
+    // (dv_file, dv_pos) — their debt is audited by their count (each is
+    // one reader anti-join) and folded by convertEqDeletes
+    val dvs = lines.filter(isDeleteEntry).map(pathOf).filterNot(isEqFile)
     val nLive = lines.count(l => !isDeleteEntry(l))
     if (dvs.isEmpty) DvAudit(v, 0L, 0L, 0L, nLive.toLong)
     else {
@@ -3438,7 +4007,13 @@ object Snapshot {
     val qualified = fs.makeQualified(root).toString
     val (meta, lines) = stateOf(spark, path, v)
     val cols = statsColsOf(meta)
-    val dvs = lines.filter(isDeleteEntry).map(pathOf)
+    val dvs = lines.filter(isDeleteEntry).map(pathOf).filterNot(isEqFile)
+    // outstanding EQUALITY deletes hide an unknowable number of rows
+    // from every file below their version — files they can reach
+    // degrade to NULL like DV-touched ones, counts included (a key
+    // sidecar names keys, not row counts)
+    val eqMaxD = eqDeletesOf(lines.filter(isDeleteEntry))
+      .map(_.d).maxOption.getOrElse(Long.MinValue)
     // DV-hidden rows per data file: the one non-manifest input, and it
     // reads ONLY the vector sidecars (O(deleted rows))
     val hiddenByFile: Map[String, Long] =
@@ -3447,18 +4022,21 @@ object Snapshot {
         .groupBy(col("dv_file")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     final case class E(file: String, n: Option[Long],
-        bounds: Seq[Option[(Long, Long)]], nulls: Seq[Option[Long]])
+        bounds: Seq[Option[(Long, Long)]], nulls: Seq[Option[Long]],
+        eqTouched: Boolean)
     val entries = lines.filterNot(isDeleteEntry).map { l =>
       val p = pathOf(l)
-      p.split("/")(0) -> E(p, rowCountOf(l), statsListOf(l), nullCountsOf(l))
+      p.split("/")(0) -> E(p, rowCountOf(l), statsListOf(l), nullCountsOf(l),
+        addVersionOf(l) < eqMaxD)
     }
     val out = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (part, es) =>
       val fsE = es.map(_._2)
       val nRows =
         if (fsE.forall(_.n.isDefined)) Some(fsE.flatMap(_.n).sum) else None
       val hidden = fsE.map(e => hiddenByFile.getOrElse(e.file, 0L)).sum
-      val touched = fsE.exists(e => hiddenByFile.contains(e.file))
-      val nLive = if (touched && nRows.isEmpty) None
+      val touched = fsE.exists(e =>
+        hiddenByFile.contains(e.file) || e.eqTouched)
+      val nLive = if (fsE.exists(_.eqTouched)) None
                   else nRows.map(_ - hidden)
       val colStats = cols.indices.flatMap { i =>
         // a file contributes provably-complete bounds when it records
@@ -3681,13 +4259,19 @@ object Snapshot {
   }
 
   /** Create branch `name` at the CURRENT main version. Returns the base
-    * version. Refuses an existing name (delete it first). */
+    * version. Refuses an existing name (delete it first). Refuses
+    * eqdel layouts: branch commits number their entries branch-locally,
+    * which would alias the equality-delete version stamps (`v:`) on
+    * fast-forward — delete-by-key and branches don't compose yet. */
   def createBranch(spark: SparkSession, path: String, name: String): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     val base = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot under $path — nothing to branch from"))
+    require(!metaOf(spark, path, base).get("eqdel").contains("on"),
+      s"$path is equality-delete enabled — branches would alias the " +
+      "entry version stamps on fast-forward; the two don't compose yet")
     val dir = branchDir(root, name)
     require(branchSeqs(fs, dir).isEmpty,
       s"branch '$name' already exists on $path — deleteBranch first")

@@ -2857,6 +2857,111 @@ object Analytics {
        |SELECT 'served' AS phase, * FROM served
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q83 — SECONDARY KEY INDEX graded through the hash gate: a point
+  // lookup on a high-cardinality id SCATTERED across every file is the
+  // case the stats tier cannot help — every file's min/max spans the
+  // whole domain, so q60-style pruning keeps everything (the in-query
+  // require PROVES it: the stats plan equals the full file list). The
+  // KeyIndex maps key → files as its own snapshot table (hash-bucketed,
+  // so a probe directory-prunes to one bucket), and the lookup reads
+  // ONLY index-planned files back through the snapshot read (DVs,
+  // equality deletes, schema evolution all apply — the index is a
+  // superset pointer, stale-safe never wrong). Maintenance follows the
+  // feed's attribution rule, graded here: an appended batch refreshes
+  // the index by scanning ONLY the added files (`delta`, scanned-file
+  // count pinned), and the post-append lookups hash-match SQL over
+  // base ∪ appended rows.
+  // ---------------------------------------------------------------------
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{KeyIndex, Snapshot}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val base = s"${graft.sources.Sink.artifactRoot}/events_keyidx/$tag/fp_$fp"
+    val path = s"$base/table"
+    val idx = s"$base/index"
+    def baseRows: DataFrame = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_date"))
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      // hash-scatter the id across each partition's files: every file
+      // spans the whole event_id range — the stats tier's worst case
+      Snapshot.append(s, path, "event_date",
+        baseRows.repartition(4, col("user_id")),
+        meta = Map("stats" -> "event_id"))
+    }
+    if (Snapshot.versions(s, path).size == 1) {
+      // index the base generation FIRST, so the post-append refresh
+      // exercises (and pins) the incremental path
+      KeyIndex.refresh(s, path, "event_id", idx, buckets = 16): Unit
+      val before = Snapshot.filesOf(s, path,
+        Snapshot.currentVersion(s, path).get).size
+      // the appended generation: shifted ids, bumped values, same dates
+      Snapshot.append(s, path, "event_date",
+        baseRows.where(pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("event_id", col("event_id") + lit(10000000L))
+          .withColumn("value", col("value") + lit(1.0))
+          .repartition(4, col("user_id")))
+      val r = KeyIndex.refresh(s, path, "event_id", idx, buckets = 16)
+      val added = Snapshot.filesOf(s, path,
+        Snapshot.currentVersion(s, path).get).size - before
+      require(r.mode == "delta" && r.scannedFiles == added.toLong,
+        s"append refresh must scan ONLY the $added added files, got " +
+        s"mode=${r.mode} scanned=${r.scannedFiles}")
+    }
+    val res = KeyIndex.refresh(s, path, "event_id", idx, buckets = 16)
+    require(res.mode != "delta" || res.scannedFiles == 0L,
+      "a caught-up refresh must scan nothing")
+    val total = Snapshot.filesOf(s, path,
+      Snapshot.currentVersion(s, path).get).size
+    def keysOf(df: DataFrame): Seq[Long] =
+      df.where(pmod(col("event_id"), lit(997)) === 5)
+        .select(col("event_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val keys1 = keysOf(baseRows)
+    val keys2 = keysOf(Snapshot.readSnapshot(s, path))
+    require(keys1.nonEmpty && keys2.size > keys1.size,
+      "the fixture must probe both the base and the appended id region")
+    // the stats tier is near-useless here: the id is hash-scattered, so
+    // a mid-domain key's bounds overlap almost every file of its
+    // generation, while the index pins the handful that actually hold
+    // it — pin the gap (4x fewer planned files on the same key)
+    val kMid = keys1(keys1.size / 2)
+    val statsKept = Snapshot.filesInRanges(s, path,
+      Seq(("event_id", kMid, kMid))).size
+    val idxKept = KeyIndex.filesForKeys(s, idx, Seq(kMid)).size
+    require(idxKept * 4 <= statsKept,
+      s"index planned $idxKept vs stats $statsKept files for one key — " +
+      "expected the index to beat scattered-id bounds by 4x+")
+    val planned = KeyIndex.filesForKeys(s, idx, keys2)
+    require(planned.size * 2 <= total,
+      s"index planned ${planned.size}/$total files — no skipping happened")
+    def phase(keys: Seq[Long], name: String): DataFrame =
+      KeyIndex.lookup(s, path, "event_id", idx, keys)
+        .select(lit(name).as("phase"), col("event_id"), col("user_id"),
+          col("value"))
+    phase(keys1, "t1").unionByName(phase(keys2, "t2"))
+      .orderBy(col("phase"), col("event_id"))
+  }
+  private val q83Sql =
+    s"""WITH appended AS (
+       |  SELECT event_id + 10000000 AS event_id, user_id, value + 1 AS value
+       |  FROM events WHERE event_id % 3 = 0
+       |), a AS (
+       |  SELECT event_id, user_id, value FROM events
+       |  UNION ALL SELECT * FROM appended
+       |)
+       |SELECT 't1' AS phase, event_id, user_id, value
+       |FROM events WHERE event_id % 997 = 5
+       |UNION ALL
+       |SELECT 't2' AS phase, event_id, user_id, value
+       |FROM a WHERE event_id % 997 = 5
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -2914,5 +3019,7 @@ object Analytics {
     QueryDef("q80_metadata_agg_pushdown", q80, Some(q80Sql),
       headline = true),
     QueryDef("q81_streaming_upsert_eq_deletes", q81, Some(q81Sql),
+      headline = true),
+    QueryDef("q83_secondary_key_index", q83, Some(q83Sql),
       headline = true))
 }

@@ -1662,6 +1662,26 @@ object Snapshot {
     }
   }
 
+  /** One consistent read of an EXTERNALLY-PLANNED file subset (a
+    * secondary-index probe, an operator's own pruning) at the current
+    * version: recorded schema, deletion vectors, and equality deletes
+    * all apply — a pruned read never resurrects rows the full read
+    * hides. Every file must be live in the current snapshot (a stale
+    * plan fails loudly instead of reading re-filed bytes). */
+  def readSnapshotFiles(spark: SparkSession, path: String,
+      files: Seq[String]): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    val live = lines.filterNot(isDeleteEntry).map(pathOf).toSet
+    val dead = files.filterNot(live)
+    require(dead.isEmpty,
+      s"readSnapshotFiles: ${dead.size} planned file(s) are not live at " +
+      s"v=$v (e.g. ${dead.headOption.getOrElse("")}) — the plan is stale; " +
+      "re-plan against the current snapshot")
+    readSubsetAt(spark, path, meta, lines, files)
+  }
+
   /** MOVE a `partitionBy`-staged write's data files into the live
     * `partitionCol=` dirs (unique task-UUID names — nothing collides,
     * and nothing references them until the manifest commit). Deletes

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{KeyIndex, Snapshot}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The secondary key index's contracts: incremental refresh scans ONLY
+  * appended files, a rewrite in the gap forces a rebuild (file-grain
+  * pointers die with their files), probes read back through the
+  * snapshot (hidden rows stay hidden), and a probe against a stale
+  * index fails loudly instead of reading re-filed bytes. */
+class KeyIndexSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def rows(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, i * 10,
+      if (i % 2 == 0) "2024-01-02" else "2024-01-01"))
+      .toDF("event_id", "value", "event_date")
+  }
+
+  test("delta refresh scans only appends; a rewrite forces rebuild; stale probes refuse") {
+    val base = tmp("graft-keyidx")
+    val path = s"$base/t"
+    val idx = s"$base/i"
+    Snapshot.append(spark, path, "event_date", rows(1L to 20L).repartition(2))
+    val r0 = KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    assert(r0.mode == "build")
+    def ids(keys: Seq[Long]): Set[Long] =
+      KeyIndex.lookup(spark, path, "event_id", idx, keys)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Seq(3L, 7L, 99L)) == Set(3L, 7L))
+    // append-only gap: the refresh scans ONLY the new files
+    val before = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).size
+    Snapshot.append(spark, path, "event_date",
+      rows(21L to 24L).repartition(1))
+    val added = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).size - before
+    val r1 = KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    assert(r1.mode == "delta" && r1.scannedFiles == added.toLong)
+    assert(ids(Seq(2L, 22L)) == Set(2L, 22L))
+    // the probe plans a strict subset (point keys live in few files)
+    val total = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).size
+    assert(KeyIndex.filesForKeys(spark, idx, Seq(22L)).size < total)
+    // a rewrite in the gap re-files rows — pointers die, rebuild
+    Snapshot.compact(spark, path, "event_date", targetBytes = 64L << 20)
+    val r2 = KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    assert(r2.mode == "build",
+      s"a compacted gap must rebuild, got ${r2.mode}")
+    assert(ids(Seq(5L, 23L)) == Set(5L, 23L))
+    // hidden rows stay hidden: the probe read goes through the
+    // snapshot, so a MoR delete applies even though the index still
+    // points at the file
+    Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("event_id") === 5L)
+    assert(ids(Seq(5L, 23L)) == Set(23L),
+      "the index is a superset pointer — the snapshot read must hide " +
+      "the deleted row")
+    // stale plan: another rewrite without a refresh — the probe fails
+    // loudly instead of reading re-filed bytes
+    Snapshot.materializeDeletes(spark, path, "event_date")
+    intercept[IllegalArgumentException](ids(Seq(23L)))
+    KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    assert(ids(Seq(5L, 23L)) == Set(23L))
+  }
+}

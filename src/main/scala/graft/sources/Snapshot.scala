@@ -3935,6 +3935,24 @@ object Snapshot {
     (audit, fold)
   }
 
+  /** Threshold maintenance for the EQUALITY tier — [[maintainDeletes]]'s
+    * discipline one level up: every outstanding key sidecar costs every
+    * reader one anti-join, so once more than `maxSidecars` accumulate
+    * (a steady upsert stream adds one per batch), fold them into
+    * position vectors ([[convertEqDeletes]] — after which
+    * [[maintainDeletes]]'s own policy governs the vectors). Returns
+    * (outstanding sidecars, Some(positions folded) when it fired).
+    * The streaming upsert ingest calls this per micro-batch, making
+    * the equality tier self-limiting. */
+  def maintainEqDeletes(spark: SparkSession, path: String,
+      maxSidecars: Long = 8L): (Long, Option[Long]) = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val n = stateOf(spark, path, v)._2.count(isEqDeleteEntry).toLong
+    if (n > maxSidecars) (n, Some(convertEqDeletes(spark, path)._2))
+    else (n, None)
+  }
+
   /** ROLL BACK the table to snapshot `toVersion` — as a NEW commit
     * whose file list is the target version's, never by deleting
     * history (the table-format RESTORE): readers pinned to intermediate

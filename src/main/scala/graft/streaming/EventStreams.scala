@@ -182,6 +182,63 @@ object EventStreams {
     }
   }
 
+  /** STREAMING CDC APPLY: run an upsert stream into a snapshot layout —
+    * each micro-batch of latest-per-key images lands through
+    * [[upsertBatchToSnapshot]] (the equality-delete tier: new images +
+    * key sidecar, ONE commit, zero table reads — O(batch) per
+    * micro-batch regardless of table size, which is what makes
+    * continuous MERGE affordable at 100 TB), then
+    * [[graft.sources.Snapshot.maintainEqDeletes]] keeps the sidecar
+    * debt self-limiting. The (run, batch) replay guard is
+    * [[appendBatchToSnapshot]]'s, shared. */
+  def ingestUpserts(spark: SparkSession, source: StreamSources.StreamSource,
+      outDir: String, checkpointDir: String, keyCols: Seq[String],
+      maxSidecars: Long = 8L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val token = runToken(spark, checkpointDir)
+    readEventStream(spark, source)
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatchToSnapshot(batch, outDir, id, keyCols, Some(token))
+        graft.sources.Snapshot.maintainEqDeletes(batch.sparkSession, outDir,
+          maxSidecars): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One streaming-upsert step — the replay unit, public for the spec.
+    * Replay/pairing rules are [[appendBatchToSnapshot]]'s verbatim:
+    * same run + batch ≤ last committed → no-op; different run → loud
+    * refusal; no history → adopt. A batch with duplicate keys keeps
+    * ALL its rows (upsertByKeys' contract) — a CDC source emits
+    * latest-per-key micro-batches, so dedup upstream if needed. */
+  def upsertBatchToSnapshot(batch: DataFrame, outDir: String, batchId: Long,
+      keyCols: Seq[String], runId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Snapshot
+    val isReplay = runId.exists { token =>
+      Snapshot.currentMeta(spark, outDir).exists { m =>
+        m.get("run") match {
+          case Some(bound) if bound != token =>
+            throw new IllegalStateException(
+              s"snapshot layout $outDir was ingested by run $bound, but " +
+              s"this stream's checkpoint carries run $token — the " +
+              "checkpoint/layout pairing is broken (lost or recreated " +
+              "checkpoint?); refusing to re-ingest from source start")
+          case Some(_) => m.get("batch").exists(_.toLong >= batchId)
+          case None => false
+        }
+      }
+    }
+    if (!isReplay)
+      Snapshot.upsertByKeys(spark, outDir, "event_date", batch, keyCols,
+        runId.map("run" -> _).toMap + ("batch" -> batchId.toString)): Unit
+  }
+
   /** Streaming maintenance of the MatView rollup: each micro-batch's
     * algebraic partials merge into the maintained rollup, so dashboards
     * read rollup-grain rows continuously instead of re-scanning the

@@ -204,6 +204,49 @@ class EqualityDeleteSpec extends AnyFunSuite {
         Seq(victim), Map("op" -> "compact")))
   }
 
+  test("row lineage composes with equality deletes: untouched ids survive, the typed feed classifies an upsert as delete+insert") {
+    import spark.implicits._
+    val path = s"${tmp("graft-eq-lineage")}/t"
+    Snapshot.upsertByKeys(spark, path, "event_date",
+      (1L to 4L).map(i => row(i, 10 * i, "2024-01-01"))
+        .toDF("event_id", "value", "event_date"), Seq("event_id"),
+      meta = Map("rowids" -> "on"))
+    val v1 = Snapshot.currentVersion(spark, path).get
+    def idsOf(): Map[Long, Long] =
+      Snapshot.readSnapshotLineage(spark, path).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("_row_id"))
+        .toMap
+    val ids1 = idsOf()
+    assert(ids1.keySet == Set(1L, 2L, 3L, 4L) &&
+      ids1.values.toSet.size == 4)
+    Snapshot.upsertByKeys(spark, path, "event_date",
+      Seq(row(2, 200, "2024-01-01"), row(3, 300, "2024-01-01"))
+        .toDF("event_id", "value", "event_date"), Seq("event_id"))
+    val v2 = Snapshot.currentVersion(spark, path).get
+    val ids2 = idsOf()
+    assert(ids2(1L) == ids1(1L) && ids2(4L) == ids1(4L),
+      "rows untouched by the upsert keep their durable ids")
+    assert(ids2(2L) != ids1(2L) && ids2(3L) != ids1(3L),
+      "an upsert REPLACES rows — the new images are new identities")
+    // the typed feed: replaced images pair as delete(old id) +
+    // insert(new id) — an upsert is replace-by-key, not update-in-place
+    val d = Snapshot.changeDiffLineage(spark, path, v1, v2).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("value"),
+        r.getAs[Long]("_row_id"), r.getAs[String]("_change_type"))).toSet
+    assert(d == Set(
+      (2L, 20L, ids1(2L), "delete"), (2L, 200L, ids2(2L), "insert"),
+      (3L, 30L, ids1(3L), "delete"), (3L, 300L, ids2(3L), "insert")))
+    // conversion is invisible to the typed feed, and ids survive the
+    // whole maintenance ladder
+    Snapshot.convertEqDeletes(spark, path)
+    val v3 = Snapshot.currentVersion(spark, path).get
+    assert(Snapshot.changeDiffLineage(spark, path, v2, v3).isEmpty)
+    Snapshot.materializeDeletes(spark, path, "event_date")
+    Snapshot.compact(spark, path, "event_date", targetBytes = 64L << 20)
+    assert(idsOf() == ids2,
+      "ids must ride convert -> materialize -> compact unchanged")
+  }
+
   test("partitionStats degrades on eq-reachable files and recovers after conversion") {
     import spark.implicits._
     // stats + null counts declared so entries carry n: (count inputs)

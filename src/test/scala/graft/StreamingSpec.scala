@@ -967,4 +967,60 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(bare.getMessage.contains("_RUN_ID"))
   }
+
+  test("streaming CDC apply: micro-batches upsert in O(batch), replay no-ops, the sidecar debt self-limits") {
+    import spark.implicits._
+    import graft.sources.Snapshot
+    val outDir = Files.createTempDirectory("graft-upsert-out")
+      .toFile.getAbsolutePath + "/layout"
+    // unit first: handcrafted CDC batches through the replay unit
+    def img(id: Long, v: Long) = (id, v, "2024-01-01")
+    def batchDf(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("event_id", "value", "event_date")
+    EventStreams.upsertBatchToSnapshot(
+      batchDf(Seq(img(1, 10), img(2, 20))), outDir, 0L, Seq("event_id"),
+      Some("run-A"))
+    EventStreams.upsertBatchToSnapshot(
+      batchDf(Seq(img(2, 200), img(3, 30))), outDir, 1L, Seq("event_id"),
+      Some("run-A"))
+    def state(): Map[Long, Long] =
+      Snapshot.readSnapshot(spark, outDir).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("value")).toMap
+    assert(state() == Map(1L -> 10L, 2L -> 200L, 3L -> 30L))
+    val vs = Snapshot.versions(spark, outDir)
+    // replay of batch 1: manifest-detected, no new version, no doubling
+    EventStreams.upsertBatchToSnapshot(
+      batchDf(Seq(img(2, 200), img(3, 30))), outDir, 1L, Seq("event_id"),
+      Some("run-A"))
+    assert(Snapshot.versions(spark, outDir) == vs && state().size == 3)
+    // a foreign checkpoint fails loudly (the pairing guard, shared)
+    val ex = intercept[IllegalStateException] {
+      EventStreams.upsertBatchToSnapshot(
+        batchDf(Seq(img(9, 9))), outDir, 0L, Seq("event_id"), Some("run-B"))
+    }
+    assert(ex.getMessage.contains("pairing is broken"))
+    // the real stream: unique keys per row, so the upserted table must
+    // equal the full staged set; every micro-batch is one upsert
+    // commit; maintainEqDeletes(max=1) keeps the sidecar debt bounded
+    val out2 = Files.createTempDirectory("graft-upsert-out2")
+      .toFile.getAbsolutePath + "/layout"
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt")
+      .toFile.getAbsolutePath
+    val q = EventStreams.ingestUpserts(spark,
+      graft.streaming.StreamSources.FileSource(stagedDir), out2, ckpt,
+      keyCols = Seq("event_id"), maxSidecars = 1L)
+    q.awaitTermination()
+    val staged = spark.read.parquet(stagedDir)
+    assert(Snapshot.readSnapshot(spark, out2).count() == staged.count())
+    val ops = Snapshot.versions(spark, out2)
+      .map(v => Snapshot.metaOf(spark, out2, v).getOrElse("op", "?"))
+    assert(ops.count(_ == "upsert") >= 2,
+      s"expected several upsert micro-batches, got $ops")
+    assert(ops.contains("eq-convert"),
+      s"maintainEqDeletes(max=1) never fired across the run: $ops")
+    val cur = Snapshot.currentVersion(spark, out2).get
+    val eqLeft = Snapshot.deletesOf(spark, out2, cur)
+      .count(_.split("/").last.startsWith("eq-"))
+    assert(eqLeft <= 2, s"sidecar debt unbounded: $eqLeft outstanding")
+  }
 }

@@ -2962,6 +2962,82 @@ object Analytics {
        |FROM a WHERE event_id % 997 = 5
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q84 — HYBRID EXACT COUNT graded through the hash gate: q80 answers
+  // aggregates per partition from the manifest; countRange answers a
+  // RANGE predicate's COUNT(*) with data IO on the boundary only —
+  // interior files (bounds fully inside the range, membership provable)
+  // contribute their recorded row counts, fully-outside files
+  // contribute zero, and only straddlers plus DV-touched files are
+  // scanned in one DV-aware subset read. The fixture range-clusters
+  // events on event_id (16 range buckets), so a slice's boundary is
+  // O(edges); a MoR delete then punches a cohort out of the LOW id
+  // region — the slice over it must scan (counts stay exact through
+  // the vectors), while high slices stay metadata-dominated. Slice
+  // bounds derive from the manifest's own global min/max (integer
+  // tenths), mirrored in SQL from MIN/MAX over raw events — engine
+  // and oracle compute the same bounds from independent sources.
+  // ---------------------------------------------------------------------
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/events_countrange/$tag/fp_$fp"
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartitionByRange(16, col("event_id"))
+        .write.partitionBy("event_date").parquet(path)
+      Snapshot.init(s, path, "event_date", statsCols = Seq("event_id"),
+        nullCounts = true): Unit
+    }
+    // the id domain, read from the manifest alone
+    val bounds = Snapshot.entriesOf(s, path,
+      Snapshot.versions(s, path).head).flatMap(_._2)
+    val mnG = bounds.map(_._1).min
+    val mxG = bounds.map(_._2).max
+    val span = mxG - mnG
+    def lo(k: Long): Long = mnG + span * k / 10
+    def hi(k: Long): Long = mnG + span * (k + 2) / 10
+    // the deleted cohort lives in the LOW tenth-slices (idempotent: a
+    // rerun's vectors already exist — skip the no-match scan outright)
+    if (Snapshot.deletesOf(s, path,
+        Snapshot.currentVersion(s, path).get).isEmpty)
+      Snapshot.deleteWhereMoR(s, path, "event_date",
+        pmod(col("event_id"), lit(13)) === 4 &&
+          col("event_id") <= lit(hi(1))): Unit
+    import s.implicits._
+    val rows = Seq(1L, 4L, 7L).map { k =>
+      val r = Snapshot.countRange(s, path, "event_id", lo(k), hi(k))
+      if (k == 1L)
+        require(r.scannedFiles > 0,
+          "the DV-touched slice must scan its touched files")
+      else
+        require(r.metadataFiles > r.scannedFiles,
+          s"slice $k expected to be metadata-dominated, scanned " +
+          s"${r.scannedFiles} vs ${r.metadataFiles} metadata files")
+      (k, r.count)
+    }
+    rows.toDF("slice", "n_rows").orderBy(col("slice"))
+  }
+  private val q84Sql =
+    s"""WITH b AS (
+       |  SELECT MIN(event_id) AS mn, MAX(event_id) AS mx FROM events
+       |), s(k) AS (VALUES (1), (4), (7))
+       |SELECT CAST(s.k AS BIGINT) AS slice,
+       |  CAST(COUNT(*) FILTER (WHERE
+       |    e.event_id BETWEEN b.mn + (b.mx - b.mn) * s.k // 10
+       |                   AND b.mn + (b.mx - b.mn) * (s.k + 2) // 10
+       |    AND NOT (e.event_id % 13 = 4
+       |             AND e.event_id <= b.mn + (b.mx - b.mn) * 3 // 10))
+       |    AS BIGINT) AS n_rows
+       |FROM events e CROSS JOIN b CROSS JOIN s
+       |GROUP BY s.k
+       |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -3021,5 +3097,7 @@ object Analytics {
     QueryDef("q81_streaming_upsert_eq_deletes", q81, Some(q81Sql),
       headline = true),
     QueryDef("q83_secondary_key_index", q83, Some(q83Sql),
+      headline = true),
+    QueryDef("q84_hybrid_count_pushdown", q84, Some(q84Sql),
       headline = true))
 }

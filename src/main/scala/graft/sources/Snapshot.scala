@@ -4119,6 +4119,75 @@ object Snapshot {
     partitionStatsAt(spark, path, currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $path")))
 
+  /** What a [[countRange]] cost: how many files were answered from the
+    * manifest alone vs actually scanned. */
+  final case class CountRangeResult(count: Long, metadataFiles: Long,
+      scannedFiles: Long)
+
+  /** HYBRID EXACT COUNT — `SELECT count(*) WHERE c BETWEEN lo AND hi`
+    * with data IO on the BOUNDARY only: a file whose manifest bounds
+    * lie fully inside the range contributes its recorded row count
+    * minus its null count (rows where `c` is NULL fail the predicate)
+    * with zero IO; a file fully outside contributes zero; only files
+    * STRADDLING the range edges — plus any file a deletion vector or
+    * equality delete touches, whose live membership metadata cannot
+    * prove — are scanned, in ONE DV/eq-aware subset read. On a
+    * range-clustered layout the boundary is O(range edges), not
+    * O(range size): at 100 TB a month-slice count reads two files'
+    * worth of edges instead of a month of data. EXACT always — the
+    * hybrid changes where the answer comes from, never the answer.
+    * Requires declared stats + null counts for `c` (the metadata the
+    * interior shortcut consumes); timestamps compare in their floored
+    * LONG domain (epoch seconds), same as [[filesInRange]]. */
+  def countRange(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long): CountRangeResult = {
+    require(lo <= hi, s"countRange needs lo <= hi, got [$lo, $hi]")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val qualified = fs.makeQualified(root).toString
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val (meta, lines) = stateOf(spark, path, v)
+    val cols = statsColsOf(meta)
+    val idx = cols.indexOf(c)
+    require(idx >= 0, s"no manifest statistics declared for column '$c' " +
+      s"(declared: ${if (cols.isEmpty) "none" else cols.mkString(",")})")
+    val deleteLines = lines.filter(isDeleteEntry)
+    val dvs = deleteLines.map(pathOf).filterNot(isEqFile)
+    val eqMaxD = eqDeletesOf(deleteLines).map(_.d).maxOption
+      .getOrElse(Long.MinValue)
+    val dvTouched: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else spark.read.parquet(dvs.map(f => s"$qualified/$f"): _*)
+        .select(col("dv_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    var interior = 0L
+    var metaFiles = 0L
+    val scanFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines.filterNot(isDeleteEntry).foreach { l =>
+      val p = pathOf(l)
+      val hidden = dvTouched(p) || addVersionOf(l) < eqMaxD
+      (statsListOf(l).lift(idx).flatten, rowCountOf(l),
+        nullCountsOf(l).lift(idx).flatten) match {
+        case (Some((mn, mx)), _, _) if mx < lo || mn > hi =>
+          // fully outside — contributes nothing even when DV-touched
+          // (hiding rows can only shrink a zero)
+          metaFiles += 1
+        case (Some((mn, mx)), Some(n), Some(z))
+            if !hidden && mn >= lo && mx <= hi =>
+          // fully inside, membership provable: all non-NULL rows match
+          interior += n - z
+          metaFiles += 1
+        case _ => scanFiles += p
+      }
+    }
+    val scanned =
+      if (scanFiles.isEmpty) 0L
+      else readSubsetAt(spark, path, meta, lines, scanFiles.toSeq)
+        .where(col(c).between(lo, hi)).count()
+    CountRangeResult(interior + scanned, metaFiles, scanFiles.size.toLong)
+  }
+
   // ----- WRITE-AUDIT-PUBLISH ------------------------------------------
   // The quality-gate ingest pattern (Iceberg's WAP): a batch lands in
   // the partition dirs and is described by a STAGED pointer

@@ -1093,4 +1093,40 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(statsOf(v1)("event_date=2024-01-01").getAs[Long]("n_rows") == 3L)
     assert(statsOf(v2)("event_date=2024-01-02").getAs[Long]("n_live") == 2L)
   }
+
+  test("countRange: interior files answer from the manifest (zero IO), only straddlers scan") {
+    import spark.implicits._
+    val path = s"${tmp("graft-countrange")}/t"
+    // three id-disjoint files: [1,10], [11,20], [21,30]
+    (0 until 3).foreach { b =>
+      Seq.tabulate(10)(i => (b * 10L + i + 1, "2024-01-01"))
+        .toDF("event_id", "event_date").coalesce(1)
+        .write.mode("append").partitionBy("event_date").parquet(path)
+    }
+    Snapshot.init(spark, path, "event_date", statsCols = Seq("event_id"),
+      nullCounts = true)
+    // fully-interior range: the answer is pure metadata
+    val r1 = Snapshot.countRange(spark, path, "event_id", 1L, 20L)
+    assert(r1 == Snapshot.CountRangeResult(20L, 3L, 0L))
+    // a straddling range scans ONLY the straddlers
+    val r2 = Snapshot.countRange(spark, path, "event_id", 5L, 25L)
+    assert(r2.count == 21L && r2.scannedFiles == 2L && r2.metadataFiles == 1L)
+    // a DV-touched file loses its metadata shortcut but the answer
+    // stays exact
+    Snapshot.deleteWhereMoR(spark, path, "event_date",
+      col("event_id") === 15L)
+    val r3 = Snapshot.countRange(spark, path, "event_id", 1L, 20L)
+    assert(r3.count == 19L && r3.scannedFiles == 1L)
+    // the ZERO-IO pin: destroy every data file — the interior answer
+    // still serves (only ranges needing a scan now fail)
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val w = new java.io.FileOutputStream(f)
+        try w.write("garbage".getBytes) finally w.close()
+      }
+    assert(Snapshot.countRange(spark, path, "event_id", 21L, 30L)
+      == Snapshot.CountRangeResult(10L, 3L, 0L))
+  }
 }

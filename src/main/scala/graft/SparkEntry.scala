@@ -70,7 +70,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             reads), version-stamped sequencing,
   *                             and the convertEqDeletes → materialize
   *                             → compact ladder graded against the
-  *                             same latest-per-key oracle
+  *                             same latest-per-key oracle; q83:
+  *                             SECONDARY KEY INDEX — (key → files) as
+  *                             its own hash-bucketed snapshot table,
+  *                             point-lookup skipping where min/max is
+  *                             useless, append-only gaps refreshed by
+  *                             scanning ONLY added files; q84: HYBRID
+  *                             EXACT COUNT — interior files answered
+  *                             from manifest row counts, only
+  *                             straddlers and DV-touched files scanned
   *  - [[operators.MatView]]    q43/q44/q46/q48: materialized-aggregate
   *                             rollup — full-corpus rollup served from
   *                             the fingerprinted artifact store, the
@@ -91,7 +99,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             UPDATES (post − pre applied in place);
   *                             q79: the consumer-group LAG REPORT —
   *                             every group's next cycle classified and
-  *                             priced from manifest metadata alone
+  *                             priced from manifest metadata alone;
+  *                             q82: ATOMIC MULTI-TABLE TRANSACTIONS —
+  *                             the Catalog's CAS pointer publishes a
+  *                             fact+rollup pair in one swing, each
+  *                             past transaction's pairing audited and
+  *                             served via catalog time travel
   *  - [[operators.TextOps]]    d01-d19, d21-d24: exact dedup, text
   *                             stats/quality, lang-id, fingerprint, BPE
   *                             counting, stopwords, hash split,

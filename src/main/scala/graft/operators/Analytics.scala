@@ -2903,7 +2903,7 @@ object Analytics {
       // the appended generation: shifted ids, bumped values, same dates
       Snapshot.append(s, path, "event_date",
         baseRows.where(pmod(col("event_id"), lit(3)) === 0)
-          .withColumn("event_id", col("event_id") + lit(10000000L))
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
           .withColumn("value", col("value") + lit(1.0))
           .repartition(4, col("user_id")))
       val r = KeyIndex.refresh(s, path, "event_id", idx, buckets = 16)
@@ -2929,8 +2929,8 @@ object Analytics {
     }
     val keys1 = keysOf(baseRows)
     val keys2 = keysOf(Snapshot.readSnapshot(s, path))
-    require(keys1.nonEmpty && keys1.forall(_ < 10000000L) &&
-      keys2.exists(_ >= 10000000L),
+    require(keys1.nonEmpty && keys1.forall(_ < 1000000000L) &&
+      keys2.exists(_ >= 1000000000L),
       "the fixture must probe both the base and the appended id region")
     // the stats tier is near-useless here: the id is hash-scattered, so
     // a mid-domain key's bounds overlap almost every file of its
@@ -2958,7 +2958,7 @@ object Analytics {
   }
   private val q83Sql =
     s"""WITH appended AS (
-       |  SELECT event_id + 10000000 AS event_id, user_id, value + 1 AS value
+       |  SELECT event_id + 1000000000 AS event_id, user_id, value + 1 AS value
        |  FROM events WHERE event_id % 3 = 0
        |), a AS (
        |  SELECT event_id, user_id, value FROM events

@@ -1201,9 +1201,13 @@ object MatView {
       // recompute from the fact AT txn k — catalog readers can never
       // observe new-fact/stale-rollup
       val factAt = Catalog.stateAt(s, cat, k)("fact")
-      val recomputed = rollupOf(factAt._2)
-      require(served.unionByName(recomputed).distinct().count() ==
-          served.count(),
+      val recomputed = rollupOf(factAt._2).localCheckpoint()
+      // SYMMETRIC set equality: same cardinality AND their union adds
+      // nothing — a one-sided subset check would certify a served
+      // rollup carrying stale extra rows
+      require(recomputed.count() == served.count() &&
+          served.unionByName(recomputed).distinct().count() ==
+            served.count(),
         s"catalog txn c-$k serves a rollup inconsistent with its fact")
       served.withColumn("phase", lit(s"t$k"))
     }

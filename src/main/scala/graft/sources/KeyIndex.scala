@@ -35,19 +35,35 @@ object KeyIndex {
   final case class RefreshResult(mode: String, indexedVersion: Long,
       scannedFiles: Long)
 
-  private def relKey(p: String): String =
-    p.split("/").takeRight(2).mkString("/")
-
   /** (key, file) pairs of `col` over the given table files — one scan
-    * of exactly those files. */
+    * of exactly those files, under the table's RECORDED schema (a file
+    * predating the column's widening append reads it NULL — its pairs
+    * drop, which is correct: it holds no such keys). Keys are cast to
+    * LONG before hashing so the build bucket and the probe bucket
+    * ([[filesForKeys]] hashes `Seq[Long]`) always agree — Spark's hash
+    * of 42:Int and 42L DIFFER, so an un-cast integral column would
+    * silently probe the wrong bucket. Integral columns only. */
   private def pairsOf(spark: SparkSession, tablePath: String,
       files: Seq[String], colName: String, buckets: Int): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualified = fs.makeQualified(root).toString
-    spark.read.parquet(files.map(f => s"$qualified/$f"): _*)
-      .select(col(colName).as("k"),
+    val reader = spark.read.option("basePath", qualified)
+    val cur = Snapshot.currentVersion(spark, tablePath).get
+    val df = Snapshot.schemaOf(spark, tablePath, cur).fold(reader)(reader.schema)
+      .parquet(files.map(f => s"$qualified/$f"): _*)
+    val keyOk = df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(keyOk, s"key index needs an integral column, '$colName' is " +
+      s"${df.schema(colName).dataType.simpleString}")
+    df.select(col(colName).cast(org.apache.spark.sql.types.LongType).as("k"),
         udfFreeRel(input_file_name()).as("file"))
+      .where(col("k").isNotNull)
       .distinct()
       .withColumn("b", pmod(hash(col("k")), lit(buckets)))
   }
@@ -113,10 +129,13 @@ object KeyIndex {
               meta = m): Unit
           else
             // metadata-only versions advanced the table; advance the
-            // index marker the same way (empty append)
+            // index marker the same way — an empty append typed from
+            // the INDEX's own schema (a pairsOf plan over the table's
+            // files would list and footer-read them all just to emit
+            // zero rows)
             Snapshot.append(spark, idxPath, "b",
-              pairsOf(spark, tablePath, Snapshot.filesOf(spark, tablePath, cur),
-                colName, buckets).limit(0),
+              Snapshot.readSnapshot(spark, idxPath)
+                .select(col("k"), col("file"), col("b")).limit(0),
               meta = m): Unit
           RefreshResult("delta", cur, added.size.toLong)
         }

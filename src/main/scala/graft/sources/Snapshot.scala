@@ -1292,6 +1292,63 @@ object Snapshot {
   // equality delete is outstanding (the [[requireNoDeletes]] guard
   // already covers them — they live under `_deletes/`).
 
+  /** The EQ-DELTA branch both diff tiers share: when the equality-
+    * delete set CHANGED between two snapshots, retained files'
+    * visibility changes by KEY (no pair set names it), so recompute it
+    * exactly as visible@from vs visible@to over only the files a
+    * CHANGED hider can reach — those referenced by a DV delta plus
+    * those below the newest delta'd eq version (an entry present at
+    * both endpoints hits identically; its rows cancel unread). Returns
+    * (un-hidden candidates, newly-hidden candidates) in the caller's
+    * finished shape. Parameterized on the tier's own scan/apply/finish
+    * closures so the reach rule lives ONCE. */
+  private def eqDeltaRetained(
+      readKeyed: Seq[String] => DataFrame,
+      applyDv: (DataFrame, Seq[String]) => DataFrame,
+      applyEq: (DataFrame, Seq[EqDelete]) => DataFrame,
+      readPairs: Set[String] => DataFrame,
+      finish: DataFrame => DataFrame,
+      empty: => DataFrame,
+      retained: Set[String], allLines: Seq[String],
+      dvFrom: Set[String], dvTo: Set[String],
+      eqFrom: Seq[EqDelete], eqTo: Seq[EqDelete])
+      : (DataFrame, DataFrame) = {
+    val eqToFiles = eqTo.map(_.file).toSet
+    val eqFromFiles = eqFrom.map(_.file).toSet
+    val maxDeltaD = (eqTo.filterNot(e => eqFromFiles(e.file)) ++
+      eqFrom.filterNot(e => eqToFiles(e.file))).map(_.d).max
+    val dvNew = dvTo -- dvFrom
+    val dvGone = dvFrom -- dvTo
+    val dvRefFiles = (dvNew ++ dvGone).toSeq.sorted match {
+      case Nil => Set.empty[String]
+      case fs => readPairs(fs.toSet).select(col("dv_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val addVOf = allLines.filterNot(isDeleteEntry)
+      .map(l => pathOf(l) -> addVersionOf(l)).toMap
+    val cand = retained.filter(f =>
+      dvRefFiles(f) || addVOf.getOrElse(f, 0L) < maxDeltaD)
+      .toSeq.sorted
+    if (cand.isEmpty) (empty, empty)
+    else {
+      val scan = readKeyed(cand)
+      def visible(dvs: Set[String], eqs: Seq[EqDelete]): DataFrame =
+        applyEq(applyDv(scan, dvs.toSeq.sorted), eqs)
+      val visF = visible(dvFrom, eqFrom)
+      val visT = visible(dvTo, eqTo)
+      def keysOf(df: DataFrame): DataFrame =
+        df.select(col("__lin_file").as("dv_file"),
+          col("__lin_pos").as("dv_pos"))
+      val un = finish(visT.join(keysOf(visF),
+        visT("__lin_file") === col("dv_file") &&
+          visT("__lin_pos") === col("dv_pos"), "left_anti"))
+      val newly = finish(visF.join(keysOf(visT),
+        visF("__lin_file") === col("dv_file") &&
+          visF("__lin_pos") === col("dv_pos"), "left_anti"))
+      (un, newly)
+    }
+  }
+
   /** Stage `keys` (pre-projected to the key columns) and move the
     * non-empty part files into `_deletes/` under `eq-` names. The
     * staged write keeps the key frame's own parallelism — a massive
@@ -3223,51 +3280,14 @@ object Snapshot {
                 "left_anti"))
           }
         (un, newly)
-      } else {
-        // EQ-DELTA BRANCH: retained files' visibility changes by key,
-        // so compute it exactly as visible@from vs visible@to over the
-        // files any CHANGED hider can reach: those referenced by a DV
-        // delta, plus those below the newest delta'd eq version (an eq
-        // entry present at both endpoints hits identically — its rows
-        // cancel without being read). Cost is O(reachable files) — the
-        // documented price of diffing across an equality delete; the
-        // tier is transient (convertEqDeletes) so the reach shrinks to
-        // zero after maintenance.
-        val eqToFiles = eqTo.map(_.file).toSet
-        val eqFromFiles = eqFrom.map(_.file).toSet
-        val deltaD = (eqTo.filterNot(e => eqFromFiles(e.file)) ++
-          eqFrom.filterNot(e => eqToFiles(e.file))).map(_.d)
-        val maxDeltaD = deltaD.max
-        val dvRefFiles = (dvNew ++ dvGone).toSeq.sorted match {
-          case Nil => Set.empty[String]
-          case fs => readPairs(fs.toSet).select(col("dv_file")).distinct()
-            .collect().map(_.getString(0)).toSet
-        }
-        val addVOf = allLines.filterNot(isDeleteEntry)
-          .map(l => pathOf(l) -> addVersionOf(l)).toMap
-        val cand = retained.filter(f =>
-          dvRefFiles(f) || addVOf.getOrElse(f, 0L) < maxDeltaD)
-          .toSeq.sorted
-        if (cand.isEmpty) (empty, empty)
-        else {
-          val scan = readKeyed(cand)
-          def visible(dvs: Set[String], eqs: Seq[EqDelete]): DataFrame =
-            applyEq(applyDeletesKeyed(spark, qualified, scan,
-              dvs.toSeq.sorted), eqs)
-          val visF = visible(dvFrom, eqFrom)
-          val visT = visible(dvTo, eqTo)
-          def keysOf(df: DataFrame): DataFrame =
-            df.select(col("__lin_file").as("dv_file"),
-              col("__lin_pos").as("dv_pos"))
-          val un = finish(visT.join(keysOf(visF),
-            visT("__lin_file") === col("dv_file") &&
-              visT("__lin_pos") === col("dv_pos"), "left_anti"))
-          val newly = finish(visF.join(keysOf(visT),
-            visF("__lin_file") === col("dv_file") &&
-              visF("__lin_pos") === col("dv_pos"), "left_anti"))
-          (un, newly)
-        }
-      }
+      } else
+        // retained visibility changed by KEY — the shared eq-delta
+        // recompute, O(reachable files); the tier is transient
+        // (convertEqDeletes) so the reach shrinks to zero after
+        // maintenance
+        eqDeltaRetained(readKeyed,
+          applyDeletesKeyed(spark, qualified, _, _), applyEq, readPairs,
+          finish, empty, retained, allLines, dvFrom, dvTo, eqFrom, eqTo)
     val dataCols = plusNew.columns.toSeq
     val weighted = plusNew.unionByName(unHidden)
       .withColumn("__w", lit(1L))
@@ -3410,44 +3430,13 @@ object Snapshot {
                 "left_anti"))
           }
         (un, newly)
-      } else {
-        // EQ-DELTA BRANCH — [[changeDiff]]'s rule with images: retained
-        // visibility recomputed as visible@from vs visible@to over the
-        // files a CHANGED hider can reach
-        val eqToFiles = eqTo.map(_.file).toSet
-        val eqFromFiles = eqFrom.map(_.file).toSet
-        val maxDeltaD = (eqTo.filterNot(e => eqFromFiles(e.file)) ++
-          eqFrom.filterNot(e => eqToFiles(e.file))).map(_.d).max
-        val dvRefFiles = (dvNew ++ dvGone).toSeq.sorted match {
-          case Nil => Set.empty[String]
-          case fs => readPairs(fs.toSet).select(col("dv_file")).distinct()
-            .collect().map(_.getString(0)).toSet
-        }
-        val addVOf = allLines.filterNot(isDeleteEntry)
-          .map(l => pathOf(l) -> addVersionOf(l)).toMap
-        val cand = retained.filter(f =>
-          dvRefFiles(f) || addVOf.getOrElse(f, 0L) < maxDeltaD)
-          .toSeq.sorted
-        if (cand.isEmpty) (empty, empty)
-        else {
-          val scan = readKeyed(cand)
-          def visible(dvs: Set[String], eqs: Seq[EqDelete]): DataFrame =
-            applyEq(applyDeletesKeyed(spark, qualified, scan,
-              dvs.toSeq.sorted), eqs)
-          val visF = visible(dvFrom, eqFrom)
-          val visT = visible(dvTo, eqTo)
-          def keysOf(df: DataFrame): DataFrame =
-            df.select(col("__lin_file").as("dv_file"),
-              col("__lin_pos").as("dv_pos"))
-          val un = finish(visT.join(keysOf(visF),
-            visT("__lin_file") === col("dv_file") &&
-              visT("__lin_pos") === col("dv_pos"), "left_anti"))
-          val newly = finish(visF.join(keysOf(visT),
-            visF("__lin_file") === col("dv_file") &&
-              visF("__lin_pos") === col("dv_pos"), "left_anti"))
-          (un, newly)
-        }
-      }
+      } else
+        // [[changeDiff]]'s eq-delta rule with IMAGES — the shared
+        // recompute; `finish` here keeps `_row_id`, so the un/newly
+        // frames slot straight into the id pairing below
+        eqDeltaRetained(readKeyed,
+          applyDeletesKeyed(spark, qualified, _, _), applyEq, readPairs,
+          finish, empty, retained, allLines, dvFrom, dvTo, eqFrom, eqTo)
     val imgStruct = org.apache.spark.sql.functions.struct(
       dataCols.map(col): _*)
     val f = minusOld.unionByName(newlyHidden)

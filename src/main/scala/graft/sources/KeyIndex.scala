@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
   * index bytes, and the indexed-table version rides the index's own
   * manifest header (`idx_of`) so freshness is one metadata read.
   *
-  * Maintenance follows the change feed's attribution rule: a gap of
-  * pure APPENDS refreshes incrementally — scan ONLY the added files —
-  * while anything that re-files or hides rows (compact, delete,
-  * upsert) triggers a rebuild, because file-grain pointers die with
-  * their files. At 100 TB the steady state is the delta path: ingest
-  * appends, the index appends, rebuilds happen at maintenance cadence.
+  * Maintenance runs on FILE-SET MONOTONICITY: any gap in which every
+  * previously-indexed file survives refreshes incrementally — scan
+  * ONLY the added files — which covers appends, streaming upserts,
+  * merge-on-read deletes/updates, and equality-delete conversions
+  * (hides never invalidate a superset pointer); only a commit that
+  * REMOVES data files (compact, materialize, copy-on-write rewrites)
+  * forces a rebuild, because file-grain pointers die with their
+  * files. At 100 TB the steady state is the delta path: ingest
+  * appends/upserts, the index appends, rebuilds happen at
+  * maintenance cadence.
   */
 object KeyIndex {
 
@@ -107,32 +111,38 @@ object KeyIndex {
     idxOf match {
       case None => rebuild()
       case Some(v) if v == cur => RefreshResult("fresh", cur, 0L)
+      case Some(v) if !Snapshot.versions(spark, tablePath).contains(v) =>
+        rebuild() // the indexed version expired — no base to diff
       case Some(v) =>
-        val committed = Snapshot.versions(spark, tablePath)
-        val gap = committed.filter(g => g > v && g <= cur)
-        val attributable = committed.contains(v) &&
-          gap.size == cur - v &&
-          gap.forall(g =>
-            Snapshot.metaOf(spark, tablePath, g).getOrElse("op", "?") == "append")
-        if (!attributable) rebuild()
+        // FILE-SET MONOTONICITY is the whole incremental rule: the
+        // index's pointers are file-grain supersets and every probe
+        // reads back through the snapshot, so hides (DV commits,
+        // equality deletes, eq-converts) never invalidate them — only
+        // a commit that REMOVES a data file does (its rows re-filed
+        // elsewhere). A gap where every old file survives refreshes by
+        // scanning ONLY the new files, which covers appends, streaming
+        // upserts, MoR deletes/updates' new images, and conversions;
+        // anything that re-filed rebuilds.
+        val fromFiles = Snapshot.filesOf(spark, tablePath, v).toSet
+        val curFiles = Snapshot.filesOf(spark, tablePath, cur)
+        if (!fromFiles.subsetOf(curFiles.toSet)) rebuild()
         else {
           // "idx_*" keys are not manifest-inherited — restate them on
           // every index commit so one currentMeta read always answers
           val m = Map("idx_of" -> cur.toString, "idx_col" -> colName,
             "idx_buckets" -> buckets.toString)
-          val added = (Snapshot.filesOf(spark, tablePath, cur).toSet --
-            Snapshot.filesOf(spark, tablePath, v).toSet).toSeq.sorted
+          val added = (curFiles.toSet -- fromFiles).toSeq.sorted
           if (added.nonEmpty)
             Snapshot.append(spark, idxPath, "b",
               pairsOf(spark, tablePath, added, colName, buckets)
                 .repartition(col("b")),
               meta = m): Unit
           else
-            // metadata-only versions advanced the table; advance the
-            // index marker the same way — an empty append typed from
-            // the INDEX's own schema (a pairsOf plan over the table's
-            // files would list and footer-read them all just to emit
-            // zero rows)
+            // hide-only or metadata-only versions advanced the table;
+            // advance the index marker the same way — an empty append
+            // typed from the INDEX's own schema (a pairsOf plan over
+            // the table's files would list and footer-read them all
+            // just to emit zero rows)
             Snapshot.append(spark, idxPath, "b",
               Snapshot.readSnapshot(spark, idxPath)
                 .select(col("k"), col("file"), col("b")).limit(0),

@@ -66,11 +66,56 @@ class KeyIndexSpec extends AnyFunSuite {
     assert(ids(Seq(5L, 23L)) == Set(23L),
       "the index is a superset pointer — the snapshot read must hide " +
       "the deleted row")
+    // a HIDE-ONLY gap is incremental: the DV commit removed no data
+    // file, so the refresh advances the marker scanning NOTHING
+    val r3 = KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    assert(r3.mode == "delta" && r3.scannedFiles == 0L,
+      s"a vector-only gap must refresh without a scan, got $r3")
+    assert(ids(Seq(5L, 23L)) == Set(23L))
     // stale plan: another rewrite without a refresh — the probe fails
     // loudly instead of reading re-filed bytes
     Snapshot.materializeDeletes(spark, path, "event_date")
     intercept[IllegalArgumentException](ids(Seq(23L)))
-    KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    val r4 = KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    assert(r4.mode == "build",
+      "materialize re-filed rows — pointers must rebuild")
     assert(ids(Seq(5L, 23L)) == Set(23L))
+  }
+
+  test("streaming-upsert gaps refresh incrementally: only the batch's files scan, conversions scan nothing") {
+    import spark.implicits._
+    val base = tmp("graft-keyidx-upsert")
+    val path = s"$base/t"
+    val idx = s"$base/i"
+    def batch(rows: Seq[(Long, Long)]) =
+      rows.map { case (id, v) =>
+        (id, v, if (id % 2 == 0) "2024-01-02" else "2024-01-01")
+      }.toDF("event_id", "value", "event_date")
+    Snapshot.upsertByKeys(spark, path, "event_date",
+      batch((1L to 10L).map(i => i -> i * 10)), Seq("event_id"))
+    assert(KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+      .mode == "build")
+    val before = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).size
+    Snapshot.upsertByKeys(spark, path, "event_date",
+      batch(Seq(3L -> 333L, 11L -> 110L)), Seq("event_id"))
+    val added = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).size - before
+    val r = KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    assert(r.mode == "delta" && r.scannedFiles == added.toLong,
+      s"an upsert gap must scan only the batch's files, got $r")
+    def vOf(id: Long): Set[Long] =
+      KeyIndex.lookup(spark, path, "event_id", idx, Seq(id))
+        .select("value").collect().map(_.getLong(0)).toSet
+    // the old image is index-pointed but eq-hidden at read time; the
+    // new image came from the scanned batch files
+    assert(vOf(3L) == Set(333L) && vOf(11L) == Set(110L) &&
+      vOf(4L) == Set(40L))
+    // conversion removes no data file — the refresh scans nothing
+    Snapshot.convertEqDeletes(spark, path)
+    val rc = KeyIndex.refresh(spark, path, "event_id", idx, buckets = 8)
+    assert(rc.mode == "delta" && rc.scannedFiles == 0L,
+      s"an eq-convert gap must refresh without a scan, got $rc")
+    assert(vOf(3L) == Set(333L))
   }
 }

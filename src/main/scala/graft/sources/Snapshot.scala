@@ -486,7 +486,32 @@ object Snapshot {
     * later commit must keep honoring. */
   private val InheritedMeta =
     Set("run", "batch", "delta", "stats", "schema", "rowids", "nullstats",
-      "pcol", "eqdel", "eqkeys")
+      "pcol", "eqdel", "eqkeys", "sort")
+
+  /** The layout's RECORDED SORT ORDER (`sort` inherited header,
+    * `l:c0,c1` linear or `z:c0,c1` Morton): the clustering every
+    * maintenance rewrite preserves when the caller passes no explicit
+    * columns — without it, each compact/materialize/delete caller must
+    * re-know the layout's clustering or silently destroy the file
+    * skipping it paid for (the Iceberg table-sort-order property).
+    * Declared at [[init]] or bootstrap; re-declared by any commit's
+    * meta (caller meta overrides inherited — an empty [[append]] with
+    * `sort=...` is ALTER TABLE WRITE ORDERED BY). Returns (linear
+    * cols, zorder cols) — at most one side non-empty. */
+  private def sortOrderOf(meta: Map[String, String]): (Seq[String], Seq[String]) =
+    meta.get("sort") match {
+      case Some(s) if s.startsWith("z:") =>
+        (Nil, s.stripPrefix("z:").split(",").toSeq.filter(_.nonEmpty))
+      case Some(s) if s.startsWith("l:") =>
+        (s.stripPrefix("l:").split(",").toSeq.filter(_.nonEmpty), Nil)
+      case Some(s) => (s.split(",").toSeq.filter(_.nonEmpty), Nil)
+      case None => (Nil, Nil)
+    }
+
+  /** The recorded sort order of the current snapshot: (linear cols,
+    * zorder cols). */
+  def sortOrder(spark: SparkSession, path: String): (Seq[String], Seq[String]) =
+    sortOrderOf(currentMeta(spark, path).getOrElse(Map.empty))
 
   /** The table schema snapshot `v`'s manifest records (header key
     * `schema`, Spark StructType JSON, partition column included) — the
@@ -961,7 +986,11 @@ object Snapshot {
       statsCols: Seq[String] = Nil,
       rowIds: Boolean = false,
       nullCounts: Boolean = false,
-      eqDeletes: Boolean = false): Long = {
+      eqDeletes: Boolean = false,
+      sortOrderCols: Seq[String] = Nil,
+      zOrderSortCols: Seq[String] = Nil): Long = {
+    require(sortOrderCols.isEmpty || zOrderSortCols.isEmpty,
+      "declare sortOrderCols (linear) OR zOrderSortCols (Morton), not both")
     require(!statsCols.contains(partitionCol),
       s"statsCols contains '$partitionCol', the partition column — " +
       "partition values prune at the directory level already; stats " +
@@ -981,7 +1010,12 @@ object Snapshot {
          else Map("stats" -> statsCols.mkString(","))) ++
         (if (rowIds) Map("rowids" -> "on") else Map.empty) ++
         (if (nullCounts) Map("nullstats" -> "on") else Map.empty) ++
-        (if (eqDeletes) Map("eqdel" -> "on") else Map.empty)
+        (if (eqDeletes) Map("eqdel" -> "on") else Map.empty) ++
+        (if (sortOrderCols.nonEmpty)
+          Map("sort" -> ("l:" + sortOrderCols.mkString(",")))
+         else if (zOrderSortCols.nonEmpty)
+          Map("sort" -> ("z:" + zOrderSortCols.mkString(",")))
+         else Map.empty)
       val lines = statLines(spark, fs, root, rel, statsMeta)
       // record the table schema (partition column included, as the
       // basePath read infers it) — the anchor later appends widen
@@ -2170,6 +2204,12 @@ object Snapshot {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $path"))
     val (vMeta, vLines) = stateOf(spark, path, v)
+    // explicit columns win; otherwise the layout's RECORDED sort order
+    // drives the rewrite — maintenance preserves clustering without
+    // every caller re-knowing it
+    val (effSort, effZ) =
+      if (sortCols.nonEmpty || zOrderCols.nonEmpty) (sortCols, zOrderCols)
+      else sortOrderOf(vMeta)
     val files = vLines.filterNot(isDeleteEntry).map(pathOf)
     requireNoDeletes(spark, path, v, "compact")
     requireUniformSpec(files, partitionCol, "compact")
@@ -2199,9 +2239,9 @@ object Snapshot {
     // now SURVIVING manifest-committed maintenance: the declared stats
     // columns record those boxes and filesInRanges skips on any of them
     val rows =
-      if (zOrderCols.isEmpty) rows0
-      else rows0.withColumn("__z", mortonColumn(rows0, zOrderCols))
-    val packCols = if (zOrderCols.isEmpty) sortCols else Seq("__z")
+      if (effZ.isEmpty) rows0
+      else rows0.withColumn("__z", mortonColumn(rows0, effZ))
+    val packCols = if (effZ.isEmpty) effSort else Seq("__z")
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-compact-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     val targets = plan.map { case (part, _, nTarget) =>
@@ -2298,13 +2338,22 @@ object Snapshot {
         // the staged data files, as a Hive layout requires. Lineage
         // layouts read survivors WITH their ids — the rewrite keeps them.
         val oldFiles = partial.flatMap(_._2).toSeq
-        val survivors = readForMaintenanceLineage(spark, qualified,
+        val survivors0 = readForMaintenanceLineage(spark, qualified,
           oldFiles, partitionCol, vMeta, vLines)
           .where(!del)
+        // explicit clustering wins; else the layout's recorded sort
+        // order drives the rewrite (compact's rule)
+        val (dLin, dZ) =
+          if (sortCols.nonEmpty) (sortCols, Nil) else sortOrderOf(vMeta)
+        val survivors =
+          if (dZ.isEmpty) survivors0
+          else survivors0.withColumn("__z", mortonColumn(survivors0, dZ))
         val stg = new org.apache.hadoop.fs.Path(root,
           s".staging-delete-${Sink.procTag}-${java.util.UUID.randomUUID()}")
-        Sink.packPartitioned(survivors, partitionCol, sortCols,
+        Sink.packPartitioned(survivors, partitionCol,
+          if (dZ.isEmpty) dLin else Seq("__z"),
           partial.map { case (value, old) => value -> old.size }.toMap)
+          .drop("__z")
           .write.partitionBy(partitionCol).parquet(stg.toString)
         val moved = movePartitionedStaging(fs, root, stg, partitionCol)
         // every partially-dirty partition has survivors by construction
@@ -2612,7 +2661,17 @@ object Snapshot {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-materialize-${Sink.procTag}-${java.util.UUID.randomUUID()}")
-    Sink.packPartitioned(survivorsOf(), partitionCol, sortCols, targets)
+    // explicit clustering wins; else the layout's recorded sort order
+    // drives the rewrite (compact's rule)
+    val (mLin, mZ) =
+      if (sortCols.nonEmpty) (sortCols, Nil) else sortOrderOf(vMeta)
+    val packed0 = survivorsOf()
+    val packed =
+      if (mZ.isEmpty) packed0
+      else packed0.withColumn("__z", mortonColumn(packed0, mZ))
+    Sink.packPartitioned(packed, partitionCol,
+        if (mZ.isEmpty) mLin else Seq("__z"), targets)
+      .drop("__z")
       .write.partitionBy(partitionCol).parquet(stg.toString)
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
     val movedParts = moved.map(_.split("/")(0)).toSet

@@ -1094,6 +1094,35 @@ class SnapshotManifestSpec extends AnyFunSuite {
     assert(statsOf(v2)("event_date=2024-01-02").getAs[Long]("n_live") == 2L)
   }
 
+  test("recorded sort order drives maintenance by default: an argument-less compact preserves Morton skipping") {
+    import spark.implicits._
+    val path = s"${tmp("graft-sortorder")}/t"
+    (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong * 64 + b, a.toLong, b.toLong, "2024-01-01"))
+      .toDF("event_id", "a", "b", "event_date")
+      .repartition(16)
+      .write.partitionBy("event_date").parquet(path)
+    // the layout DECLARES its clustering once — ALTER TABLE WRITE
+    // ORDERED BY, recorded in the manifest
+    Snapshot.init(spark, path, "event_date", statsCols = Seq("a", "b"),
+      zOrderSortCols = Seq("a", "b"))
+    assert(Snapshot.sortOrder(spark, path) == (Nil, Seq("a", "b")))
+    val target = new java.io.File(s"$path/event_date=2024-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length).sum / 4 + 1
+    // NO clustering arguments: the rewrite must resolve the recorded
+    // order — without it this compact would hash-order the rows and
+    // destroy both dimensions' skipping
+    Snapshot.compact(spark, path, "event_date", target)
+    val n = Snapshot.currentFiles(spark, path)._2.size
+    assert(n > 1, s"fixture must keep several files, got $n")
+    assert(Snapshot.filesInRanges(spark, path, Seq(("a", 0L, 15L))).size < n)
+    assert(Snapshot.filesInRanges(spark, path, Seq(("b", 0L, 15L))).size < n,
+      "the recorded Morton order must survive an argument-less compact")
+    // the recorded order survives the commit (inherited meta)
+    assert(Snapshot.sortOrder(spark, path) == (Nil, Seq("a", "b")))
+  }
+
   test("countRange: interior files answer from the manifest (zero IO), only straddlers scan") {
     import spark.implicits._
     val path = s"${tmp("graft-countrange")}/t"

@@ -2922,10 +2922,16 @@ object Analytics {
     // the largest live in the appended region), so the probe stays a
     // point-lookup workload at every sf instead of scaling with data
     def keysOf(df: DataFrame): Seq[Long] = {
-      val all = df.where(pmod(col("event_id"), lit(997)) === 5)
-        .select(col("event_id")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      (all.take(8) ++ all.takeRight(8)).distinct.toSeq
+      // two bounded reads, each a TakeOrderedAndProject — 16 rows ever
+      // reach the driver, at any corpus size (never a distinct().collect
+      // of the whole 1/997 sliver, which at 10^12 rows is ~10^9 ids)
+      val sliver = df.where(pmod(col("event_id"), lit(997)) === 5)
+        .select(col("event_id"))
+      val lo = sliver.orderBy(col("event_id")).limit(8)
+        .collect().map(_.getLong(0))
+      val hi = sliver.orderBy(col("event_id").desc).limit(8)
+        .collect().map(_.getLong(0))
+      (lo ++ hi).distinct.sorted.toSeq
     }
     val keys1 = keysOf(baseRows)
     val keys2 = keysOf(Snapshot.readSnapshot(s, path))

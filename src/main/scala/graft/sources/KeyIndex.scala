@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** SECONDARY KEY INDEX over a [[Snapshot]] table — point-lookup file
   * skipping where manifest min/max statistics are USELESS by
@@ -15,10 +16,36 @@ import org.apache.spark.sql.functions._
   * through the snapshot ([[Snapshot.readSnapshotFiles]]), so deletion
   * vectors / equality deletes / schema evolution apply and the index
   * can only ever be a SUPERSET pointer (stale-safe, never wrong).
-  * The index is ITSELF a snapshot table, partitioned by a hash bucket
-  * of the key: a probe directory-prunes to one bucket before touching
-  * index bytes, and the indexed-table version rides the index's own
-  * manifest header (`idx_of`) so freshness is one metadata read.
+  * `k` is a canonical XXHASH64 of the key tuple (integral columns
+  * normalized to LONG, floats to DOUBLE, so 42:Int and 42L agree),
+  * which makes ONE index shape serve long, string, and multi-column
+  * keys alike — a hash collision only widens the superset by a file,
+  * it can never surface a wrong row (the exact predicate re-applies
+  * on the snapshot read).
+  *
+  * LAYOUT — generational, so a rebuild is ATOMIC (r17 ADVICE): each
+  * generation is its own snapshot table under `idxPath/g…`,
+  * partitioned by a hash bucket of `k` (a probe directory-prunes to
+  * one bucket before touching index bytes); `idxPath/head-<seq>`
+  * pointer files (write-if-absent, the manifest commit primitive)
+  * name the live generation. A rebuild stages the NEW generation
+  * completely, publishes one pointer, and only then retires
+  * generations older than the previous one — concurrent probes keep
+  * reading the old generation until the pointer lands, and a crashed
+  * rebuild leaves the old index fully readable. Incremental refreshes
+  * append inside the live generation (already atomic via its own
+  * manifest).
+  *
+  * FRESHNESS — enforced, not advisory (r17 ADVICE): every probe
+  * compares the table's CURRENT file set against the indexed
+  * version's. A gap that only HID rows (deletion vectors, equality
+  * deletes — no new files) serves fine: pointers are supersets and
+  * the snapshot read applies the hides. A gap that ADDED or RE-FILED
+  * data files refuses loudly — those files are invisible to the
+  * index, so serving would silently omit their rows (the failure mode
+  * a stale-by-rewrite probe already hit via
+  * [[Snapshot.readSnapshotFiles]]'s liveness check, now symmetric for
+  * stale-by-append).
   *
   * Maintenance runs on FILE-SET MONOTONICITY: any gap in which every
   * previously-indexed file survives refreshes incrementally — scan
@@ -39,16 +66,101 @@ object KeyIndex {
   final case class RefreshResult(mode: String, indexedVersion: Long,
       scannedFiles: Long)
 
-  /** (key, file) pairs of `col` over the given table files — one scan
-    * of exactly those files, under the table's RECORDED schema (a file
-    * predating the column's widening append reads it NULL — its pairs
-    * drop, which is correct: it holds no such keys). Keys are cast to
-    * LONG before hashing so the build bucket and the probe bucket
-    * ([[filesForKeys]] hashes `Seq[Long]`) always agree — Spark's hash
-    * of 42:Int and 42L DIFFER, so an un-cast integral column would
-    * silently probe the wrong bucket. Integral columns only. */
+  // ----- canonical key shape --------------------------------------------
+
+  /** The canonical type a key column hashes under: integral widths
+    * collapse to LONG and FLOAT to DOUBLE, so the build-side column and
+    * a probe-side literal of any width hash identically (Spark's hash
+    * of 42:Int and 42L DIFFER). Complex/binary keys are refused — the
+    * exact re-predicate on the snapshot read needs plain equality. */
+  private def canonicalType(dt: DataType, c: String): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType => DoubleType
+    case StringType | DoubleType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => dt
+    case d: DecimalType => d
+    case other => throw new IllegalArgumentException(
+      s"key index cannot key on '$c': ${other.simpleString} — atomic " +
+      "key types only (integral, string, double, boolean, date, " +
+      "timestamp, decimal)")
+  }
+
+  /** XXHASH64 of the key tuple, each column cast to its canonical
+    * type — the ONE expression both the build and every probe use, so
+    * the two can never disagree on a key's identity. */
+  private def kExpr(cols: Seq[(String, DataType)]): Column =
+    xxhash64(cols.map { case (c, dt) => col(c).cast(dt) }: _*)
+
+  private def bExpr(buckets: Int): Column =
+    pmod(hash(col("k")), lit(buckets))
+
+  /** The recorded key schema, round-tripped through DDL (handles
+    * decimal's embedded commas that a naive comma-join would split). */
+  private def keySchemaOf(meta: Map[String, String]): StructType =
+    StructType.fromDDL(meta("idx_schema"))
+
+  // ----- generation pointer ---------------------------------------------
+
+  private val HeadPrefix = "head-"
+
+  /** (pointer seq, generation dir name) of the live generation, if the
+    * index exists. Highest published pointer wins. */
+  private def currentGen(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
+    if (!fs.exists(root)) return None
+    val heads = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(HeadPrefix))
+      .map(p => p.getName.stripPrefix(HeadPrefix).toLong -> p)
+      .sortBy(_._1)
+    heads.lastOption.map { case (seq, p) =>
+      val in = fs.open(p)
+      val gen = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      (seq, gen)
+    }
+  }
+
+  /** Publish `gen` as pointer seq — write-if-absent, so of two racing
+    * rebuilds exactly one wins and the loser fails loudly instead of
+    * clobbering. Retires generations older than the PREVIOUS one (kept
+    * readable for in-flight probes) and pointer files two behind. */
+  private def publishGen(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, seq: Long, gen: String,
+      keep: Set[String]): Unit = {
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".head-tmp-${Sink.procTag}-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val won = Snapshot.publishIfAbsent(fs, tmp,
+      new org.apache.hadoop.fs.Path(root, s"$HeadPrefix$seq"))
+    fs.delete(tmp, false): Unit
+    if (!won) throw new IllegalStateException(
+      s"concurrent index rebuild under $root published head $seq first — " +
+      "re-run refresh against the winner")
+    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("g") && n != gen && !keep(n))
+        fs.delete(p, true): Unit
+      if (n.startsWith(HeadPrefix) &&
+          n.stripPrefix(HeadPrefix).toLong < seq - 1)
+        fs.delete(p, false): Unit
+    }
+  }
+
+  private def genPath(idxPath: String, gen: String) = s"$idxPath/$gen"
+
+  // ----- build ------------------------------------------------------------
+
+  /** (k, file, b) pairs of the key tuple over the given table files —
+    * one scan of exactly those files, under the table's RECORDED schema
+    * (a file predating a column's widening append reads it NULL — its
+    * pairs drop, which is correct: it holds no such keys). Rows with a
+    * NULL key component drop too: equality can never probe them. */
   private def pairsOf(spark: SparkSession, tablePath: String,
-      files: Seq[String], colName: String, buckets: Int): DataFrame = {
+      files: Seq[String], keyCols: Seq[String], buckets: Int)
+      : (DataFrame, StructType) = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualified = fs.makeQualified(root).toString
@@ -56,56 +168,70 @@ object KeyIndex {
     val cur = Snapshot.currentVersion(spark, tablePath).get
     val df = Snapshot.schemaOf(spark, tablePath, cur).fold(reader)(reader.schema)
       .parquet(files.map(f => s"$qualified/$f"): _*)
-    val keyOk = df.schema(colName).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
+    val canon = keyCols.map { c =>
+      require(df.columns.contains(c),
+        s"key column '$c' is not in the table schema")
+      c -> canonicalType(df.schema(c).dataType, c)
     }
-    require(keyOk, s"key index needs an integral column, '$colName' is " +
-      s"${df.schema(colName).dataType.simpleString}")
-    df.select(col(colName).cast(org.apache.spark.sql.types.LongType).as("k"),
+    val pairs = df
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(kExpr(canon).as("k"),
         udfFreeRel(input_file_name()).as("file"))
-      .where(col("k").isNotNull)
       .distinct()
-      .withColumn("b", pmod(hash(col("k")), lit(buckets)))
+      .withColumn("b", bExpr(buckets))
+    (pairs, StructType(canon.map { case (c, dt) => StructField(c, dt) }))
   }
 
   /** Root-relative file path from `input_file_name()`'s URI — the last
     * two path segments, exactly the manifest entry shape (same rule
     * the stat job uses). Codegen'd builtins, no UDF. */
-  private def udfFreeRel(c: org.apache.spark.sql.Column) =
+  private def udfFreeRel(c: Column) =
     concat_ws("/", slice(split(c, "/"), -2, 2))
 
-  /** Build or refresh the index of `colName` over `tablePath` at
-    * `idxPath`. Append-only gaps scan ONLY the appended files;
-    * anything else rebuilds. `buckets` is fixed at build time. */
-  def refresh(spark: SparkSession, tablePath: String, colName: String,
-      idxPath: String, buckets: Int = 32): RefreshResult = {
+  /** Build or refresh the index of key tuple `keyCols` over `tablePath`
+    * at `idxPath`. Append-only gaps scan ONLY the appended files;
+    * anything else rebuilds a fresh generation and publishes it
+    * atomically. `buckets` is fixed at build time. */
+  def refresh(spark: SparkSession, tablePath: String, keyCols: Seq[String],
+      idxPath: String, buckets: Int): RefreshResult = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(keyCols.nonEmpty, "key index needs at least one key column")
     val cur = Snapshot.currentVersion(spark, tablePath).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot under $tablePath — nothing to index"))
-    val idxMeta = Snapshot.currentMeta(spark, idxPath).getOrElse(Map.empty)
+    val root = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableQualified = {
+      val tr = new org.apache.hadoop.fs.Path(tablePath)
+      tr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(tr).toString
+    }
+    val gen = currentGen(fs, root)
+    val idxMeta = gen.flatMap(g =>
+      Snapshot.currentMeta(spark, genPath(idxPath, g._2)))
+      .getOrElse(Map.empty)
     val idxOf = idxMeta.get("idx_of").map(_.toLong)
     idxMeta.get("idx_buckets").foreach(b => require(b.toInt == buckets,
       s"index at $idxPath was built with $b buckets, refresh asked for " +
       s"$buckets — the bucket count is fixed at build time"))
+    idxMeta.get("idx_cols").foreach(c =>
+      require(c == keyCols.mkString(","),
+        s"index at $idxPath keys on [$c], refresh asked for " +
+        s"[${keyCols.mkString(",")}] — build a second index for a " +
+        "second key shape"))
+    def metaFor(schema: StructType) = Map(
+      "idx_of" -> cur.toString, "idx_cols" -> keyCols.mkString(","),
+      "idx_buckets" -> buckets.toString, "idx_schema" -> schema.toDDL,
+      "idx_table" -> tableQualified)
     def rebuild(): RefreshResult = {
       val files = Snapshot.filesOf(spark, tablePath, cur)
-      val root = new org.apache.hadoop.fs.Path(idxPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // the index is DERIVED state: a rebuild starts from scratch
-      // (non-atomic window documented — probes during a rebuild should
-      // pin the old index dir or re-run; the graded paths refresh
-      // before probing)
-      if (fs.exists(root)) fs.delete(root, true): Unit
-      Snapshot.append(spark, idxPath, "b",
-        pairsOf(spark, tablePath, files, colName, buckets)
-          .repartition(col("b")),
-        meta = Map("idx_of" -> cur.toString, "idx_col" -> colName,
-          "idx_buckets" -> buckets.toString)): Unit
+      val newGen = s"g$cur-${java.util.UUID.randomUUID().toString.take(8)}"
+      val (pairs, keySchema) =
+        pairsOf(spark, tablePath, files, keyCols, buckets)
+      Snapshot.append(spark, genPath(idxPath, newGen), "b",
+        pairs.repartition(col("b")), meta = metaFor(keySchema)): Unit
+      publishGen(fs, root, gen.map(_._1).getOrElse(0L) + 1, newGen,
+        keep = gen.map(_._2).toSet)
       RefreshResult("build", cur, files.size.toLong)
     }
     idxOf match {
@@ -127,14 +253,14 @@ object KeyIndex {
         val curFiles = Snapshot.filesOf(spark, tablePath, cur)
         if (!fromFiles.subsetOf(curFiles.toSet)) rebuild()
         else {
+          val genDir = genPath(idxPath, gen.get._2)
           // "idx_*" keys are not manifest-inherited — restate them on
           // every index commit so one currentMeta read always answers
-          val m = Map("idx_of" -> cur.toString, "idx_col" -> colName,
-            "idx_buckets" -> buckets.toString)
+          val m = metaFor(keySchemaOf(idxMeta))
           val added = (curFiles.toSet -- fromFiles).toSeq.sorted
           if (added.nonEmpty)
-            Snapshot.append(spark, idxPath, "b",
-              pairsOf(spark, tablePath, added, colName, buckets)
+            Snapshot.append(spark, genDir, "b",
+              pairsOf(spark, tablePath, added, keyCols, buckets)._1
                 .repartition(col("b")),
               meta = m): Unit
           else
@@ -143,8 +269,8 @@ object KeyIndex {
             // typed from the INDEX's own schema (a pairsOf plan over
             // the table's files would list and footer-read them all
             // just to emit zero rows)
-            Snapshot.append(spark, idxPath, "b",
-              Snapshot.readSnapshot(spark, idxPath)
+            Snapshot.append(spark, genDir, "b",
+              Snapshot.readSnapshot(spark, genDir)
                 .select(col("k"), col("file"), col("b")).limit(0),
               meta = m): Unit
           RefreshResult("delta", cur, added.size.toLong)
@@ -152,35 +278,116 @@ object KeyIndex {
     }
   }
 
-  /** The data files holding any of `keys`, planned from the index:
-    * ONE directory-pruned read of the probe keys' buckets. Returns
-    * root-relative paths (a subset of the indexed version's files). */
-  def filesForKeys(spark: SparkSession, idxPath: String,
-      keys: Seq[Long]): Seq[String] = {
-    require(keys.nonEmpty, "filesForKeys with no keys")
-    val meta = Snapshot.currentMeta(spark, idxPath).getOrElse(
+  /** Single-column convenience — the long-key surface q83 grades. */
+  def refresh(spark: SparkSession, tablePath: String, colName: String,
+      idxPath: String, buckets: Int): RefreshResult =
+    refresh(spark, tablePath, Seq(colName), idxPath, buckets)
+
+  // ----- probe ------------------------------------------------------------
+
+  /** The live generation's snapshot path + its meta, or a loud refusal
+    * when no index was ever built. */
+  private def resolve(spark: SparkSession, idxPath: String)
+      : (String, Map[String, String]) = {
+    val root = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = currentGen(fs, root).getOrElse(
       throw new IllegalStateException(s"no index at $idxPath"))
+    val p = genPath(idxPath, gen._2)
+    (p, Snapshot.currentMeta(spark, p).getOrElse(
+      throw new IllegalStateException(
+        s"index generation ${gen._2} at $idxPath has no committed " +
+        "snapshot — crashed mid-build? re-run refresh")))
+  }
+
+  /** ENFORCED freshness (r17 ADVICE): refuse a probe whose answer could
+    * silently OMIT rows — the current table holds data files the index
+    * has never seen (stale-by-append, or a rewrite that re-filed rows).
+    * A gap that only hid rows (DV / equality-delete commits add no data
+    * file) serves fine: the pointers are supersets and the snapshot
+    * read applies the hides. O(2 manifest reads), never data IO. */
+  private def requireServable(spark: SparkSession,
+      meta: Map[String, String], idxPath: String): Unit = {
+    val tablePath = meta("idx_table")
+    val idxOf = meta("idx_of").toLong
+    val cur = Snapshot.currentVersion(spark, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"indexed table $tablePath has no committed snapshot"))
+    if (cur == idxOf) return
+    require(Snapshot.versions(spark, tablePath).contains(idxOf),
+      s"index at $idxPath is pinned to expired version $idxOf of " +
+      s"$tablePath — refresh before probing")
+    val unseen = Snapshot.filesOf(spark, tablePath, cur).toSet --
+      Snapshot.filesOf(spark, tablePath, idxOf).toSet
+    require(unseen.isEmpty,
+      s"index at $idxPath is stale: $tablePath advanced " +
+      s"$idxOf -> $cur adding ${unseen.size} data file(s) the index " +
+      "has never scanned — a probe would silently omit their rows; " +
+      "refresh first")
+  }
+
+  /** The data files holding any key tuple of `keys` (columns = the
+    * indexed key columns), planned from the index: ONE directory-pruned
+    * read of the probe keys' buckets. Returns root-relative paths (a
+    * subset of the indexed version's files). `keys` is a POINT-LOOKUP
+    * probe set by contract — its k-hashes collect to the driver. */
+  def filesForKeys(spark: SparkSession, idxPath: String,
+      keys: DataFrame): Seq[String] = {
+    val (gp, meta) = resolve(spark, idxPath)
+    requireServable(spark, meta, idxPath)
     val buckets = meta("idx_buckets").toInt
-    // the probe buckets via the SAME Spark expression the build used —
-    // k keys, local-relation plan, no hash-implementation coupling
-    val probeBuckets = {
-      import spark.implicits._
-      keys.toDF("k")
-        .select(pmod(hash(col("k")), lit(buckets)).as("b"))
-        .distinct().collect().map(_.getInt(0).toLong).toSeq
-    }
-    Snapshot.readSnapshot(spark, idxPath)
-      .where(col("b").isin(probeBuckets: _*) &&
-        col("k").isin(keys: _*))
+    val keySchema = keySchemaOf(meta)
+    keySchema.fieldNames.foreach(c => require(keys.columns.contains(c),
+      s"probe keys lack indexed column '$c'"))
+    // the probe (k, b) pairs via the SAME expressions the build used —
+    // local-relation-sized plan, no hash-implementation coupling
+    val probe = keys
+      .select(kExpr(keySchema.fields.toSeq.map(f => f.name -> f.dataType))
+        .as("k"))
+      .distinct()
+      .withColumn("b", bExpr(buckets))
+      .collect()
+    require(probe.nonEmpty, "filesForKeys with no keys")
+    val ks = probe.map(_.getLong(0)).toSeq
+    val bs = probe.map(_.getInt(1)).distinct.toSeq
+    Snapshot.readSnapshot(spark, gp)
+      .where(col("b").isin(bs: _*) && col("k").isin(ks: _*))
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
-  /** Point-lookup read: rows of `tablePath` whose `colName` is in
+  /** Long-key convenience probe — column name from the index's own
+    * recorded key schema (which must be single-column). */
+  def filesForKeys(spark: SparkSession, idxPath: String,
+      keys: Seq[Long]): Seq[String] = {
+    require(keys.nonEmpty, "filesForKeys with no keys")
+    val (_, meta) = resolve(spark, idxPath)
+    val keySchema = keySchemaOf(meta)
+    require(keySchema.size == 1,
+      s"index keys on ${keySchema.size} columns — probe with the " +
+      "DataFrame overload")
+    import spark.implicits._
+    filesForKeys(spark, idxPath, keys.toDF(keySchema.head.name))
+  }
+
+  /** Point-lookup read: rows of `tablePath` whose key tuple is in
     * `keys`, reading ONLY index-planned files (plus the exact
-    * predicate on top — the index is a superset pointer). The caller
-    * refreshes first; a probe against a stale index fails loudly in
-    * [[Snapshot.readSnapshotFiles]] when a planned file was re-filed. */
+    * predicate on top — the index is a superset pointer, so hash
+    * collisions and hidden rows filter out here). Stale indexes refuse
+    * at plan time ([[requireServable]]). */
+  def lookup(spark: SparkSession, tablePath: String, keyCols: Seq[String],
+      idxPath: String, keys: DataFrame): DataFrame = {
+    val files = filesForKeys(spark, idxPath, keys)
+    val base =
+      if (files.isEmpty) Snapshot.readSnapshot(spark, tablePath).limit(0)
+      else Snapshot.readSnapshotFiles(spark, tablePath, files)
+    // exact predicate: a LEFT SEMI join against the (tiny) probe frame
+    // — AQE broadcasts it; duplicate probe rows can't duplicate output
+    base.join(keys.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_semi")
+  }
+
+  /** Long-key convenience lookup — the q83 surface. */
   def lookup(spark: SparkSession, tablePath: String, colName: String,
       idxPath: String, keys: Seq[Long]): DataFrame = {
     val files = filesForKeys(spark, idxPath, keys)

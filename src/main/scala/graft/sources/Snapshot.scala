@@ -1396,9 +1396,26 @@ object Snapshot {
     val stg = new org.apache.hadoop.fs.Path(root,
       s".staging-eqdel-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     keys.distinct().write.parquet(stg.toString)
+    val staged = spark.read.parquet(stg.toString)
+    // NULL keys refused LOUDLY at the write boundary: readers apply
+    // the tier with SQL equality, so a NULL key would match nothing —
+    // an upsert stream carrying one would silently accumulate every
+    // prior NULL-keyed image instead of hiding it (Iceberg v2 treats
+    // null-equal; we keep SQL semantics on the read and make the
+    // divergence unreachable here instead)
+    if (staged.columns.nonEmpty) {
+      val nullKeyed = staged
+        .where(staged.columns.map(c => col(c).isNull).reduce(_ || _))
+        .limit(1).count()
+      require(nullKeyed == 0L,
+        "equality-delete keys contain NULL values — a NULL key matches " +
+        "nothing under the reader's SQL-equality anti-join, so the " +
+        "delete/upsert would silently leave prior images live; filter " +
+        "or backfill the keys first")
+    }
     // only parts that actually hold rows become sidecars (zero-row
     // parts vanish from a row-grouped read — exactly the filter)
-    val nonEmpty = spark.read.parquet(stg.toString)
+    val nonEmpty = staged
       .groupBy(input_file_name().as("__f")).count().collect()
       .map(_.getString(0).split("/").last).toSet
     val delDir = new org.apache.hadoop.fs.Path(root, DeletesDir)
@@ -1637,6 +1654,20 @@ object Snapshot {
     filesInRangesAt(meta, lines, ranges, isNull, isNotNull)
   }
 
+  /** [[filesInRanges]] PINNED to snapshot `v` — the planner the SQL
+    * surface ([[graft.sources.sql.GraftCatalog]]) runs for `VERSION AS
+    * OF` / `TIMESTAMP AS OF` scans: the file subset, the bounds it was
+    * planned from, and the schema the read serves all come from the
+    * same manifest state, so time travel prunes exactly like a current
+    * read does. */
+  def filesInRangesOf(spark: SparkSession, path: String, v: Long,
+      ranges: Seq[(String, Long, Long)],
+      isNull: Seq[String] = Nil,
+      isNotNull: Seq[String] = Nil): Seq[String] = {
+    val (meta, lines) = stateOf(spark, path, v)
+    filesInRangesAt(meta, lines, ranges, isNull, isNotNull)
+  }
+
   /** The current snapshot restricted to files overlapping `[lo, hi]` on
     * the first stats column ([[filesInRange]]) — rows OUTSIDE the range
     * can still appear (file grain is coarse); apply the exact predicate
@@ -1770,6 +1801,23 @@ object Snapshot {
       s"readSnapshotFiles: ${dead.size} planned file(s) are not live at " +
       s"v=$v (e.g. ${dead.headOption.getOrElse("")}) — the plan is stale; " +
       "re-plan against the current snapshot")
+    readSubsetAt(spark, path, meta, lines, files)
+  }
+
+  /** [[readSnapshotFiles]] PINNED to snapshot `v`: one consistent read
+    * of an externally-planned file subset under THAT version's recorded
+    * schema with its deletion vectors / equality deletes subtracted —
+    * the read half of the SQL surface's time-travel scan (plan with
+    * [[filesInRangesOf]] at the same `v`). `files` must be live at `v`. */
+  def readVersionFiles(spark: SparkSession, path: String, v: Long,
+      files: Seq[String]): DataFrame = {
+    val (meta, lines) = stateOf(spark, path, v)
+    val live = lines.filterNot(isDeleteEntry).map(pathOf).toSet
+    val dead = files.filterNot(live)
+    require(dead.isEmpty,
+      s"readVersionFiles: ${dead.size} planned file(s) are not live at " +
+      s"v=$v (e.g. ${dead.headOption.getOrElse("")}) — plan and read " +
+      "must pin the same version")
     readSubsetAt(spark, path, meta, lines, files)
   }
 
@@ -2766,8 +2814,11 @@ object Snapshot {
     * bootstrap append with meta `eqdel=on`): only then is every entry
     * version-stamped, which is what sequences deletes against appends.
     * The key-column list is fixed at the layout's first equality
-    * delete. NULL key values match nothing (SQL equality). Returns the
-    * committed version; an empty key set commits nothing.
+    * delete. NULL key values match nothing (SQL equality) — and the
+    * WRITE path refuses them ([[stageEqSidecars]]), so the divergence
+    * from Iceberg v2's null-equal reference can never silently leave
+    * prior images live. Returns the committed version; an empty key
+    * set commits nothing.
     *
     * The tier is TRANSIENT by design: each outstanding sidecar costs
     * every reader one anti-join, so fold them with

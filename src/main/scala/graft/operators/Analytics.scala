@@ -3065,6 +3065,138 @@ object Analytics {
        |GROUP BY s.k
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q85/q86 — SQL ENTRY SURFACE graded through the hash gate (the r17
+  // top ask): the reference's consumers speak SQL (Redshift + Power BI,
+  // report pp.16-18; README.md:123-125 validates via Athena SQL), so
+  // the snapshot store must serve `spark.sql(...)` — these queries'
+  // Spark side IS a SQL string over the registered DataSourceV2 catalog
+  // (graft.sources.sql.GraftCatalog), hash-matched against the same
+  // DuckDB oracle shape as the library-API queries. q85 pins in-query
+  // that the plan went through the V2 scan (explain carries the
+  // GraftSnapshot marker) and that the pushed range predicate planned a
+  // STRICT file subset from the manifest; q86 grades time travel from
+  // SQL — VERSION AS OF (pre-delete snapshot) and TIMESTAMP AS OF (the
+  // same version by commit wall-clock) against the current read.
+  // ---------------------------------------------------------------------
+
+  /** Shared q85/q86 fixture: a snapshot events table under a catalog
+    * warehouse — v1 = the events rows clustered on event_id (tight
+    * per-file bounds for the stats tier), v2 = a merge-on-read delete
+    * of every id ≡ 3 (mod 10) (outstanding DV, so the SQL reads must
+    * subtract it). Returns (catalog name, table FQN, v1). Idempotent
+    * per corpus fingerprint; the catalog name is fingerprint-scoped
+    * because Spark instantiates a catalog plugin once per name. */
+  private def sqlCatalogFixture(s: SparkSession, dir: String)
+      : (String, String, Long) = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val base = s"${graft.sources.Sink.artifactRoot}/sqlcat/$tag/fp_$fp"
+    val wh = s"$base/wh"
+    val path = s"$wh/events_sql"
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      Snapshot.append(s, path, "event_date",
+        Tables.load(s, dir, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_date"))
+          .repartitionByRange(4, col("event_id")),
+        meta = Map("stats" -> "event_id"))
+    }
+    if (Snapshot.versions(s, path).size == 1)
+      Snapshot.deleteWhereMoR(s, path, "event_date",
+        pmod(col("event_id"), lit(10)) === 3): Unit
+    val cat = s"gsql_$fp".replaceAll("[^A-Za-z0-9_]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.sql.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, s"$cat.events_sql", Snapshot.versions(s, path).head)
+  }
+
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val (_, table, _) = sqlCatalogFixture(s, dir)
+    val q =
+      s"""SELECT event_date,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         |  sum(user_id) AS sum_users
+         |FROM $table
+         |WHERE event_id BETWEEN 100 AND 999
+         |GROUP BY event_date
+         |ORDER BY event_date""".stripMargin
+    val df = s.sql(q)
+    // the SQL MUST plan through the V2 scan with manifest file skipping:
+    // the explain carries the GraftSnapshot marker with files=k/N, the
+    // range predicate prunes a strict subset, and the filters pushed
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val m = """GraftSnapshot\(.*files=(\d+)/(\d+)\)""".r.findFirstMatchIn(plan)
+    require(m.isDefined,
+      s"q85 did not plan through the V2 snapshot scan:\n$plan")
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    require(kept < total,
+      s"q85 range predicate planned $kept/$total files — the manifest " +
+      "stats tier skipped nothing on an id-clustered layout")
+    require(plan.contains("PushedFilters"),
+      s"q85 filters were not pushed through the V2 scan:\n$plan")
+    df
+  }
+  private val q85Sql =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_users
+      |FROM events
+      |WHERE event_id BETWEEN 100 AND 999 AND event_id % 10 <> 3
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val (cat, table, v1) = sqlCatalogFixture(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val path = s"${graft.sources.Sink.artifactRoot}/sqlcat/$tag/fp_$fp/wh/events_sql"
+    // the same pinned version by its commit WALL CLOCK — strictly
+    // monotonic commit timestamps make the resolution unique
+    val tsLit = java.time.Instant
+      .ofEpochMilli(Snapshot.commitTs(s, path, v1)).toString
+      .replace("T", " ").stripSuffix("Z")
+    def phase(name: String, travel: String) =
+      s"""SELECT '$name' AS phase, event_date,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         |FROM $table $travel
+         |GROUP BY event_date""".stripMargin
+    s.sql(Seq(
+        phase("t0_ts_asof", s"TIMESTAMP AS OF '$tsLit'"),
+        phase("t1_version_asof", s"VERSION AS OF $v1"),
+        phase("t2_current", ""))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY phase, event_date"))
+  }
+  private val q86Sql =
+    """WITH pre AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1
+      |), cur AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events WHERE event_id % 10 <> 3 GROUP BY 1
+      |)
+      |SELECT 't0_ts_asof' AS phase, * FROM pre
+      |UNION ALL
+      |SELECT 't1_version_asof' AS phase, * FROM pre
+      |UNION ALL
+      |SELECT 't2_current' AS phase, * FROM cur
+      |ORDER BY phase, event_date""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -3126,5 +3258,7 @@ object Analytics {
     QueryDef("q83_secondary_key_index", q83, Some(q83Sql),
       headline = true),
     QueryDef("q84_hybrid_count_pushdown", q84, Some(q84Sql),
-      headline = true))
+      headline = true),
+    QueryDef("q85_sql_catalog_scan", q85, Some(q85Sql), headline = true),
+    QueryDef("q86_sql_time_travel", q86, Some(q86Sql), headline = true))
 }

@@ -1,0 +1,552 @@
+package graft.sources.sql
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.Snapshot
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL ENTRY SURFACE over the [[Snapshot]] table format — the r17 top
+  * ask: the reference's entire consumer side speaks SQL (Redshift +
+  * Power BI dashboards, report pp.16-18; `README.md:123-125` validates
+  * via Athena SQL), so every table-format feature must be reachable
+  * from `spark.sql(...)`, not only from the library API.
+  *
+  * Two public entry points, both planning through the manifest:
+  *
+  *  - [[GraftCatalog]] — a DataSourceV2 `TableCatalog`. Register once
+  *    (`spark.sql.catalog.graft = graft.sources.sql.GraftCatalog`,
+  *    `spark.sql.catalog.graft.warehouse = <dir>`) and every snapshot
+  *    table under the warehouse is a SQL table:
+  *    `SELECT … FROM graft.events WHERE …`, with time travel via the
+  *    standard clauses — `VERSION AS OF 3` (or a tag name) resolves
+  *    through the manifest chain, `TIMESTAMP AS OF '…'` through the
+  *    strictly-monotonic commit timestamps ([[Snapshot.versionAsOf]]).
+  *  - [[GraftDataSource]] — a `TableProvider` registered under the
+  *    short name `graft`, so `spark.read.format("graft")` and
+  *    `CREATE TABLE … USING graft OPTIONS (path …)` work without a
+  *    catalog, with `versionAsOf` / `timestampAsOf` reader options.
+  *
+  * The scan is a V2 scan with V1 execution (the JDBC-connector
+  * pattern, `org.apache.spark.sql.connector.read.V1Scan`): Spark's
+  * pushdown negotiation happens at the V2 layer —
+  * `SupportsPushDownFilters` + `SupportsPushDownRequiredColumns` —
+  * and the accepted filters drive MANIFEST planning on the driver
+  * (partition-directory pruning from the `pcol=` entry paths, min/max
+  * and null-count file skipping via [[Snapshot.filesInRangesOf]], all
+  * version-pinned metadata reads, never data IO). The planned file
+  * subset then executes through the library's one battle-tested read
+  * path ([[Snapshot.readVersionFiles]]), so deletion vectors,
+  * equality deletes, recorded-schema evolution, and mid-evolution
+  * layouts apply to SQL readers exactly as to library readers — one
+  * semantics, two surfaces. The relation hands Spark the inner plan's
+  * `InternalRow`s directly (`needConversion = false`), so no
+  * per-row conversion tax is paid at the seam, and the accepted
+  * filters are ALSO applied inside the inner plan, where Catalyst
+  * pushes them into the parquet scan for row-group pruning below the
+  * file-level manifest pruning.
+  *
+  * At 100 TB: a SQL point query plans its file subset from one
+  * manifest read (no listing, no footers), reads only those files,
+  * and row-group-prunes inside them — the same three-tier skipping
+  * the library surface grades in q41/q42/q66, now reachable from a
+  * dashboard. INSERT INTO lands as a manifest-committed
+  * [[Snapshot.append]] (`V1Write` fallback), so SQL writers get the
+  * same atomicity and schema-widening rules as library writers.
+  */
+object GraftSql {
+
+  /** Conjunctive normal split of a pushed filter array: top-level
+    * `And`s flatten to conjuncts (each independently usable for
+    * pruning); anything else stays whole. */
+  private[sql] def conjuncts(filters: Seq[Filter]): Seq[Filter] =
+    filters.flatMap {
+      case And(l, r) => conjuncts(Seq(l, r))
+      case f => Seq(f)
+    }
+
+  /** Exact Column translation of a pushed source Filter — `Some` only
+    * when the translation is COMPLETE (same rows under Catalyst
+    * semantics), because accepted filters are not re-evaluated above a
+    * V1 scan. Unsupported shapes return None and stay Spark-side. */
+  private[sql] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case StringContains(a, p) => Some(col(a).contains(p))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  /** A literal's CONSERVATIVE interval in the manifest-stats long
+    * domain (values cast to LONG at file-write time, timestamps
+    * FLOORED to epoch seconds): the returned [lo, hi] always contains
+    * the literal's recorded image, so range pruning keeps a file
+    * superset. None → the domain mapping is unknown for this type and
+    * no manifest pruning happens (the filter still executes exactly). */
+  private[sql] def statsInterval(v: Any): Option[(Long, Long)] = v match {
+    case x: java.lang.Byte => Some((x.longValue, x.longValue))
+    case x: java.lang.Short => Some((x.longValue, x.longValue))
+    case x: java.lang.Integer => Some((x.longValue, x.longValue))
+    case x: java.lang.Long => Some((x.longValue, x.longValue))
+    case x: java.sql.Timestamp =>
+      val s = Math.floorDiv(x.getTime, 1000L); Some((s, s))
+    case x: java.time.Instant => Some((x.getEpochSecond, x.getEpochSecond))
+    case x: java.lang.Double =>
+      Some((math.floor(x.doubleValue).toLong, math.ceil(x.doubleValue).toLong))
+    case x: java.lang.Float =>
+      Some((math.floor(x.doubleValue).toLong, math.ceil(x.doubleValue).toLong))
+    case x: java.math.BigDecimal =>
+      Some((x.setScale(0, java.math.RoundingMode.FLOOR).longValueExact(),
+        x.setScale(0, java.math.RoundingMode.CEILING).longValueExact()))
+    case _ => None
+  }
+
+  /** Render a partition-predicate literal as the directory value
+    * string Spark's `partitionBy` writes, when the rendering is
+    * unambiguous (strings, integrals, booleans, dates); None skips
+    * directory pruning (timestamps escape characters in dir names —
+    * conservative keep). */
+  private[sql] def renderPartitionValue(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case x: java.lang.Byte => Some(x.toString)
+    case x: java.lang.Short => Some(x.toString)
+    case x: java.lang.Integer => Some(x.toString)
+    case x: java.lang.Long => Some(x.toString)
+    case x: java.lang.Boolean => Some(x.toString)
+    case x: java.sql.Date => Some(x.toString)
+    case x: java.time.LocalDate => Some(x.toString)
+    case _ => None
+  }
+
+  /** Spark's `escapePathName` inverse, %xx only (no '+'-to-space —
+    * that would corrupt literal plus signs). */
+  private[sql] def unescapeDirValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** MANIFEST FILE PLANNING from the accepted filters, version-pinned:
+    * partition-directory pruning (equality / IN on the partition
+    * column against the `pcol=value/` entry-path prefix), then min/max
+    * + null-count file skipping on the declared stats columns
+    * ([[Snapshot.filesInRangesOf]]). Metadata-only — no listing, no
+    * footer, no data byte. Returns (planned files, total files). */
+  private[sql] def planFiles(spark: SparkSession, path: String, v: Long,
+      meta: Map[String, String], accepted: Seq[Filter])
+      : (Seq[String], Int) = {
+    val all = Snapshot.filesOf(spark, path, v)
+    val cj = conjuncts(accepted)
+    // partition-directory pruning — only entries under the ACTIVE
+    // spec's prefix prune (a mid-evolution layout's other-spec files
+    // keep conservatively)
+    val partPruned = meta.get("pcol") match {
+      case Some(p) =>
+        val keepValues: Option[Set[String]] = {
+          val sets = cj.collect {
+            case EqualTo(a, value) if a == p =>
+              renderPartitionValue(value).map(Set(_))
+            case In(a, vs) if a == p =>
+              val rendered = vs.toSeq.map(renderPartitionValue)
+              if (rendered.forall(_.isDefined)) Some(rendered.flatten.toSet)
+              else None
+          }.flatten
+          if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+        }
+        keepValues match {
+          case None => all
+          case Some(keep) => all.filter { f =>
+            val dir = f.takeWhile(_ != '/')
+            if (!dir.startsWith(s"$p=")) true // other-spec generation
+            else keep(unescapeDirValue(dir.stripPrefix(s"$p=")))
+          }
+        }
+      case None => all
+    }
+    // stats-range pruning: accumulate per-column conjunctive intervals
+    val statsCols = meta.get("stats")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil).toSet
+    var ranges = Map.empty[String, (Long, Long)]
+    var contradiction = false
+    def narrow(c: String, lo: Long, hi: Long): Unit = {
+      val (plo, phi) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      val nlo = math.max(plo, lo); val nhi = math.min(phi, hi)
+      if (nlo > nhi) contradiction = true else ranges += c -> (nlo, nhi)
+    }
+    val isNull = scala.collection.mutable.ListBuffer.empty[String]
+    val isNotNull = scala.collection.mutable.ListBuffer.empty[String]
+    cj.foreach {
+      case EqualTo(c, value) if statsCols(c) =>
+        statsInterval(value).foreach { case (lo, hi) => narrow(c, lo, hi) }
+      case GreaterThan(c, value) if statsCols(c) =>
+        statsInterval(value).foreach { case (lo, _) =>
+          narrow(c, lo, Long.MaxValue) }
+      case GreaterThanOrEqual(c, value) if statsCols(c) =>
+        statsInterval(value).foreach { case (lo, _) =>
+          narrow(c, lo, Long.MaxValue) }
+      case LessThan(c, value) if statsCols(c) =>
+        statsInterval(value).foreach { case (_, hi) =>
+          narrow(c, Long.MinValue, hi) }
+      case LessThanOrEqual(c, value) if statsCols(c) =>
+        statsInterval(value).foreach { case (_, hi) =>
+          narrow(c, Long.MinValue, hi) }
+      case In(c, vs) if statsCols(c) && vs.nonEmpty =>
+        val ivs = vs.toSeq.map(statsInterval)
+        if (ivs.forall(_.isDefined)) {
+          val flat = ivs.flatten
+          narrow(c, flat.map(_._1).min, flat.map(_._2).max)
+        }
+      case IsNull(c) if statsCols(c) => isNull += c
+      case IsNotNull(c) if statsCols(c) => isNotNull += c
+      case _ => ()
+    }
+    val planned =
+      if (contradiction) Seq.empty[String]
+      else if (ranges.isEmpty && isNull.isEmpty && isNotNull.isEmpty)
+        partPruned
+      else {
+        val kept = Snapshot.filesInRangesOf(spark, path, v,
+          ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
+          isNull.toSeq, isNotNull.toSeq).toSet
+        partPruned.filter(kept)
+      }
+    (planned, all.size)
+  }
+}
+
+/** One snapshot table pinned to version `v`, exposed through the
+  * connector API. `pinned` marks a time-travel load (refuses writes). */
+class GraftTable(path: String, v: Long, tableName: String, pinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+  private def spark: SparkSession = SparkSession.active
+  private lazy val meta: Map[String, String] = Snapshot.metaOf(spark, path, v)
+  private lazy val tableSchema: StructType =
+    Snapshot.schemaOf(spark, path, v).getOrElse(
+      // legacy layout without a recorded schema: one plan-time
+      // inference read (footers only, no data)
+      Snapshot.readVersion(spark, path, v).schema)
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def version(): String = v.toString
+  override def partitioning(): Array[Transform] =
+    meta.get("pcol").map(Expressions.identity).toArray
+  override def properties(): JMap[String, String] =
+    (Map("provider" -> "graft", "location" -> path,
+      "snapshot-version" -> v.toString) ++
+      meta.view.filterKeys(Set("pcol", "stats", "sort", "rowids",
+        "eqdel", "nullstats")).toMap).asJava
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, v, tableSchema, meta)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinned) throw new UnsupportedOperationException(
+      s"cannot write to time-travel pinned $tableName (VERSION/TIMESTAMP " +
+      "AS OF reads are immutable)")
+    val pcol = meta.getOrElse("pcol", throw new UnsupportedOperationException(
+      s"$tableName has no recorded partition column — SQL INSERT needs " +
+      "a manifest with pcol metadata (init or any post-r16 commit)"))
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE is not supported — use " +
+                "Snapshot.replacePartitions (partition-grain, validated " +
+                "against concurrent appends)")
+              Snapshot.append(SparkSession.active, path, pcol, data): Unit
+            }
+          }
+      }
+    }
+  }
+}
+
+/** V2 pushdown negotiation: accepted filters are the exactly-
+  * translatable ones (they drive manifest planning AND execute inside
+  * the inner plan); everything else stays residual for Spark. */
+class GraftScanBuilder(path: String, v: Long, full: StructType,
+    meta: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(f => GraftSql.toColumn(f).isDefined)
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new GraftScan(path, v, required, accepted.toIndexedSeq, meta)
+}
+
+/** The V2 scan: manifest file planning on the driver at build time;
+  * execution through the library read path via the V1 fallback seam
+  * (`needConversion = false` — the inner plan's InternalRows pass
+  * through unconverted). */
+class GraftScan(path: String, v: Long, required: StructType,
+    accepted: Seq[Filter], meta: Map[String, String]) extends V1Scan {
+
+  private[sql] lazy val (plannedFiles, totalFiles) =
+    GraftSql.planFiles(SparkSession.active, path, v, meta, accepted)
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftSnapshot $path v=$v files=${plannedFiles.size}/$totalFiles " +
+    s"pushed=[${accepted.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val planned = plannedFiles
+    val total = totalFiles
+    new GraftRelation(context, path, v, planned, total, required, accepted)
+      .asInstanceOf[T]
+  }
+}
+
+/** V1 execution shim: builds the inner DataFrame (version-pinned
+  * subset read + the accepted filters + the pruned projection) and
+  * hands its compiled RDD straight through. The toString surfaces the
+  * manifest plan in `explain` (`Scan GraftSnapshot(... files=k/N)`). */
+class GraftRelation(context: SQLContext, path: String, v: Long,
+    planned: Seq[String], total: Int, required: StructType,
+    accepted: Seq[Filter]) extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val spark = context.sparkSession
+    val base = Snapshot.readVersionFiles(spark, path, v, planned)
+    val filtered = accepted.flatMap(GraftSql.toColumn)
+      .foldLeft(base)(_ where _)
+    val projected =
+      if (required.isEmpty) filtered.select()
+      else filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
+    // the inner plan's rows ARE InternalRows; needConversion=false
+    // tells Spark to take them as-is (the JDBC-relation contract)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  override def toString: String =
+    s"GraftSnapshot($path, v=$v, files=${planned.size}/$total)"
+}
+
+/** The `TableCatalog`: identifiers resolve to snapshot layouts under
+  * the configured warehouse directory; time travel via the standard
+  * `loadTable` overloads (`VERSION AS OF` takes a version number or a
+  * tag name; `TIMESTAMP AS OF` resolves through commit timestamps). */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catalogName
+  private def spark: SparkSession = SparkSession.active
+
+  private def pathOf(ident: Identifier): String = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.foreach(p => require(!p.contains("/") && p != ".." && p != ".",
+      s"illegal table identifier part '$p'"))
+    (warehouse +: parts).mkString("/")
+  }
+
+  private def load(ident: Identifier, v: Long, pinned: Boolean): Table =
+    new GraftTable(pathOf(ident), v,
+      (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString("."),
+      pinned)
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    val v = Snapshot.currentVersion(spark, p).getOrElse(
+      throw new NoSuchTableException(ident))
+    load(ident, v, pinned = false)
+  }
+
+  /** `VERSION AS OF x` — a snapshot version number, or a tag name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val v = version.toLongOption
+      .filter(Snapshot.versions(spark, p).contains)
+      .orElse(Snapshot.tagVersion(spark, p, version))
+      .getOrElse(throw new NoSuchTableException(ident))
+    load(ident, v, pinned = true)
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathOf(ident)
+    if (Snapshot.currentVersion(spark, p).isEmpty)
+      throw new NoSuchTableException(ident)
+    load(ident, Snapshot.versionAsOf(spark, p,
+      Math.floorDiv(timestampMicros, 1000L)), pinned = true)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Snapshot.currentVersion(spark, pathOf(ident)).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      (warehouse +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_manifests")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  // the catalog is a VIEW over snapshot layouts — tables are created,
+  // altered, and dropped through the library's committed operations
+  // (init/append/evolve), never by uncommitted SQL DDL
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created via Snapshot.init / append (manifest-" +
+      "committed); the SQL catalog is a read/insert surface")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported — schema evolves via " +
+      "Snapshot.append's recorded-schema widening")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP TABLE is not supported — retire layouts via Snapshot.expire")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ----- SupportsNamespaces (directory-grain, read-only) -----------------
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_manifests")))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = new org.apache.hadoop.fs.Path(
+        (warehouse +: namespace.toSeq).mkString("/"))
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+    }
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "namespaces are warehouse directories — create them with the layout")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("DROP NAMESPACE is not supported")
+}
+
+/** The `TableProvider` behind format("graft") / `USING graft`:
+  * catalog-less access to one layout by `path`, with `versionAsOf`
+  * (version number or tag) / `timestampAsOf` (millis or ISO instant)
+  * reader options. */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def resolve(options: CaseInsensitiveStringMap)
+      : (String, Long, Boolean) = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "format(\"graft\") needs a 'path' option (the snapshot layout root)"))
+    Option(options.get("versionAsOf")) match {
+      case Some(vs) =>
+        val v = vs.toLongOption
+          .filter(Snapshot.versions(spark, path).contains)
+          .orElse(Snapshot.tagVersion(spark, path, vs))
+          .getOrElse(throw new IllegalArgumentException(
+            s"versionAsOf '$vs' names neither a committed version nor a " +
+            s"tag of $path"))
+        (path, v, true)
+      case None => Option(options.get("timestampAsOf")) match {
+        case Some(ts) =>
+          val millis = ts.toLongOption.getOrElse(
+            java.time.Instant.parse(ts).toEpochMilli)
+          (path, Snapshot.versionAsOf(spark, path, millis), true)
+        case None =>
+          val v = Snapshot.currentVersion(spark, path).getOrElse(
+            throw new IllegalStateException(
+              s"no committed snapshot under $path"))
+          (path, v, false)
+      }
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (path, v, _) = resolve(options)
+    Snapshot.schemaOf(spark, path, v).getOrElse(
+      Snapshot.readVersion(spark, path, v).schema)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val (path, v, pinned) =
+      resolve(new CaseInsensitiveStringMap(properties))
+    new GraftTable(path, v, s"graft:$path", pinned)
+  }
+}

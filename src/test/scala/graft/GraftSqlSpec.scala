@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Snapshot
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL entry surface's contracts: a registered catalog serves
+  * snapshot tables to `spark.sql`, pushdown drives MANIFEST file
+  * planning (visible in explain as `files=k/N`), deletion vectors and
+  * equality deletes apply to SQL readers exactly as to library
+  * readers, time travel resolves via `VERSION AS OF` (number or tag)
+  * and `TIMESTAMP AS OF`, INSERT INTO lands as a manifest commit, and
+  * `format("graft")` reads work catalog-less with pinning options. */
+class GraftSqlSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def rows(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, i * 10.0,
+      if (i % 2 == 0) "2024-01-02" else "2024-01-01"))
+      .toDF("id", "value", "day")
+  }
+
+  // one catalog NAME per warehouse: Spark instantiates a catalog plugin
+  // once per name and caches it, so re-pointing a name's warehouse conf
+  // after first use would silently keep serving the old directory
+  private def registerCatalog(name: String, warehouse: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+  }
+
+  test("catalog SELECT plans a manifest file subset, applies DVs, time-travels, and inserts") {
+    val wh = tmp("graft-sqlwh")
+    val path = s"$wh/ev"
+    // sorted within partitions so id bounds are tight per file — the
+    // manifest stats tier has something to prune on
+    Snapshot.append(spark, path, "day",
+      rows(1L to 400L).repartition(4, col("id"))
+        .sortWithinPartitions("id"),
+      meta = Map("stats" -> "id"))
+    registerCatalog("gsql", wh)
+
+    // full read ≡ library read
+    val lib = Snapshot.readSnapshot(spark, path)
+      .select("id", "value", "day").orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val sql = spark.sql(
+      "SELECT id, value, day FROM gsql.ev ORDER BY id")
+      .collect().map(_.toSeq).toSeq
+    assert(sql == lib)
+
+    // pushdown: the explain surfaces the manifest plan (files=k/N, a
+    // strict subset) and the pushed filters
+    val probe = spark.sql("SELECT id, value FROM gsql.ev WHERE id = 7")
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no manifest plan marker in:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"no file skipping for a point predicate: ${m.get.matched}")
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"),
+      s"pushed filters invisible in:\n$plan")
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((7L, 70.0)))
+
+    // partition pruning composes: equality on the partition column
+    val oneDay = spark.sql(
+      "SELECT count(*) AS n FROM gsql.ev WHERE day = '2024-01-01'")
+    assert(oneDay.collect().head.getLong(0) == 200L)
+
+    // count(*) — empty projection through the seam
+    assert(spark.sql("SELECT count(*) AS n FROM gsql.ev")
+      .collect().head.getLong(0) == 400L)
+
+    // a merge-on-read delete applies to SQL readers (no refresh, no
+    // special syntax — the scan reads through the snapshot)
+    val v1 = Snapshot.currentVersion(spark, path).get
+    val t1 = Snapshot.commitTs(spark, path, v1)
+    Snapshot.deleteWhereMoR(spark, path, "day", col("id") === 7L)
+    assert(spark.sql("SELECT id FROM gsql.ev WHERE id = 7").count() == 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM gsql.ev")
+      .collect().head.getLong(0) == 399L)
+
+    // VERSION AS OF: the pinned read still sees the deleted row
+    assert(spark.sql(
+      s"SELECT id FROM gsql.ev VERSION AS OF $v1 WHERE id = 7")
+      .count() == 1L)
+    // ... and by TAG name
+    Snapshot.tag(spark, path, "before-forget", v1)
+    assert(spark.sql(
+      "SELECT id FROM gsql.ev VERSION AS OF 'before-forget' WHERE id = 7")
+      .count() == 1L)
+    // TIMESTAMP AS OF the first commit's wall clock
+    val ts = java.time.Instant.ofEpochMilli(t1).toString.replace("T", " ")
+      .stripSuffix("Z")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM gsql.ev TIMESTAMP AS OF '$ts'")
+      .collect().head.getLong(0) == 400L)
+
+    // INSERT INTO lands as a manifest-committed append
+    val vBefore = Snapshot.currentVersion(spark, path).get
+    spark.sql(
+      "INSERT INTO gsql.ev VALUES (1000, 1.5, '2024-01-03')")
+    assert(Snapshot.currentVersion(spark, path).get == vBefore + 1)
+    assert(spark.sql("SELECT value FROM gsql.ev WHERE id = 1000")
+      .collect().head.getDouble(0) == 1.5)
+    assert(Snapshot.readSnapshot(spark, path)
+      .where(col("id") === 1000L).count() == 1L)
+
+    // a contradictory range predicate plans ZERO files and returns none
+    val none = spark.sql("SELECT id FROM gsql.ev WHERE id > 10 AND id < 5")
+    val nonePlan = none.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert("""files=0/\d+""".r.findFirstIn(nonePlan).isDefined,
+      s"contradiction did not plan zero files:\n$nonePlan")
+    assert(none.count() == 0L)
+  }
+
+  test("equality deletes and schema evolution serve through SQL; writes to pinned reads refuse") {
+    val wh = tmp("graft-sqlwh2")
+    val path = s"$wh/up"
+    import spark.implicits._
+    def batch(rows: Seq[(Long, Double)]) =
+      rows.map { case (id, v) =>
+        (id, v, if (id % 2 == 0) "d2" else "d1")
+      }.toDF("k", "v", "day")
+    Snapshot.upsertByKeys(spark, path, "day",
+      batch((1L to 10L).map(i => i -> i * 1.0)), Seq("k"))
+    Snapshot.upsertByKeys(spark, path, "day",
+      batch(Seq(3L -> 333.0, 11L -> 110.0)), Seq("k"))
+    registerCatalog("gsql2", wh)
+    // latest image per key, equality-hidden priors invisible to SQL
+    val got = spark.sql("SELECT k, v FROM gsql2.up WHERE k IN (3, 4, 11)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((3L, 333.0), (4L, 4.0), (11L, 110.0)))
+
+    // schema evolution: a widening append adds a column; SQL reads the
+    // recorded schema (old rows NULL in it)
+    Snapshot.append(spark, path, "day",
+      Seq((50L, 5.5, "d1", "x")).toDF("k", "v", "day", "tag"))
+    val cols = spark.sql("SELECT * FROM gsql2.up").columns.toSeq
+    assert(cols.contains("tag"))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gsql2.up WHERE tag IS NULL")
+      .collect().head.getLong(0) == 11L)
+
+    // writes through a time-travel pin refuse loudly
+    val v = Snapshot.currentVersion(spark, path).get
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO gsql2.up VERSION AS OF $v VALUES (9, 9.0, 'd1', 'y')"))
+    assert(e != null)
+  }
+
+  test("format(\"graft\") reads catalog-less with versionAsOf/timestampAsOf pinning") {
+    val base = tmp("graft-sqlfmt")
+    val path = s"$base/t"
+    Snapshot.append(spark, path, "day", rows(1L to 50L),
+      meta = Map("stats" -> "id"))
+    val v1 = Snapshot.currentVersion(spark, path).get
+    Snapshot.append(spark, path, "day", rows(51L to 60L))
+    assert(spark.read.format("graft").option("path", path).load()
+      .count() == 60L)
+    assert(spark.read.format("graft").option("path", path)
+      .option("versionAsOf", v1.toString).load().count() == 50L)
+    val tsMs = Snapshot.commitTs(spark, path, v1)
+    assert(spark.read.format("graft").option("path", path)
+      .option("timestampAsOf", tsMs.toString).load().count() == 50L)
+    // pushdown works through the provider path too
+    val probe = spark.read.format("graft").option("path", path).load()
+      .where(col("id") === 5L)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert("""files=(\d+)/(\d+)""".r.findFirstMatchIn(plan).isDefined,
+      s"no manifest plan marker in:\n$plan")
+    assert(probe.count() == 1L)
+  }
+}

@@ -3197,6 +3197,161 @@ object Analytics {
       |SELECT 't2_current' AS phase, * FROM cur
       |ORDER BY phase, event_date""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q87 — MULTI-COLUMN (STRING + LONG) KEY-INDEX PROBE graded through
+  // the hash gate (the r17 generality ask: q83's index took Seq[Long]
+  // only; string and composite keys are the common secondary-lookup
+  // shapes). The key tuple is (event_type, user_id) — a string column
+  // plus an id hash-SCATTERED across every file (ids repartitioned by
+  // event_id, so user_id bounds span the domain in each file and the
+  // stats tier keeps everything). The index canonicalizes the tuple to
+  // one xxhash64 (collisions only widen the superset pointer — the
+  // exact semi-join on the snapshot read re-applies the real tuple),
+  // and the probe set is BOUNDED: per event_type, the min and max
+  // user_id of a 1/991 sliver — O(#types) rows ever reach the driver.
+  // ---------------------------------------------------------------------
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{KeyIndex, Snapshot}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val base = s"${graft.sources.Sink.artifactRoot}/events_tupleidx/$tag/fp_$fp"
+    val path = s"$base/table"
+    val idx = s"$base/index"
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      Snapshot.append(s, path, "event_date",
+        Tables.load(s, dir, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("event_date"))
+          .repartition(4, col("event_id")),
+        meta = Map("stats" -> "user_id"))
+    }
+    KeyIndex.refresh(s, path, Seq("event_type", "user_id"), idx,
+      buckets = 16): Unit
+    // bounded probe tuples: the 1/991 sliver's min and max user_id per
+    // event_type — 2 rows per type, TakeOrdered-shaped aggregates
+    val sliver = Snapshot.readSnapshot(s, path)
+      .where(pmod(col("user_id"), lit(991)) === 7)
+      .groupBy(col("event_type"))
+      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+    val probe = sliver.select(col("event_type"), col("lo").as("user_id"))
+      .unionByName(sliver.select(col("event_type"), col("hi").as("user_id")))
+      .distinct()
+    val planned = KeyIndex.filesForKeys(s, idx, probe)
+    val total = Snapshot.filesOf(s, path,
+      Snapshot.currentVersion(s, path).get).size
+    require(planned.nonEmpty && planned.size * 2 <= total,
+      s"tuple index planned ${planned.size}/$total files — no skipping " +
+      "on a scattered composite key")
+    KeyIndex.lookup(s, path, Seq("event_type", "user_id"), idx, probe)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+  private val q87Sql =
+    """WITH sliver AS (
+      |  SELECT event_type, min(user_id) AS lo, max(user_id) AS hi
+      |  FROM events WHERE user_id % 991 = 7 GROUP BY 1
+      |), probe AS (
+      |  SELECT event_type, lo AS user_id FROM sliver
+      |  UNION
+      |  SELECT event_type, hi AS user_id FROM sliver
+      |)
+      |SELECT e.event_type, e.user_id,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events e
+      |JOIN probe p ON e.event_type = p.event_type AND e.user_id = p.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q88 — CROSS-PARTITION MERGE graded through the hash gate (the r17
+  // ask #4 composition): [[Snapshot.merge]]'s contract requires
+  // partition-stable keys because locating a moved key is O(table);
+  // mergeAnywhere closes it by probing the SECONDARY KEY INDEX for
+  // every update key's current partitions — O(touched partitions),
+  // pinned in-query by file identity (the untouched day's manifest
+  // entries survive the merge byte-identically). The fixture moves the
+  // earliest day's 1-in-50 id cohort to the NEXT day (delete-from-old +
+  // insert-into-new inside ONE commit) with a bumped value; the oracle
+  // simulates the merge over the raw events.
+  // ---------------------------------------------------------------------
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val base = s"${graft.sources.Sink.artifactRoot}/events_xmerge/$tag/fp_$fp"
+    val path = s"$base/table"
+    val idx = s"$base/index"
+    def baseRows: DataFrame = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_date"))
+    if (Snapshot.currentVersion(s, path).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      Snapshot.append(s, path, "event_date",
+        baseRows.repartition(4, col("user_id")),
+        meta = Map("stats" -> "event_id"))
+    }
+    if (Snapshot.versions(s, path).size == 1) {
+      val v1 = Snapshot.currentVersion(s, path).get
+      val before = Snapshot.filesOf(s, path, v1).toSet
+      val minDate = baseRows.agg(min(col("event_date"))).collect()
+        .head.getDate(0)
+      val updates = baseRows
+        .where(pmod(col("event_id"), lit(50)) === 7 &&
+          col("event_date") === lit(minDate))
+        .withColumn("event_date", date_add(col("event_date"), 1))
+        .withColumn("value", col("value") + lit(100.0))
+      Snapshot.mergeAnywhere(s, path, "event_date", updates,
+        Seq("event_id"), idx, indexBuckets = 16)
+      val after = Snapshot.filesOf(s, path,
+        Snapshot.currentVersion(s, path).get).toSet
+      // O(touched partitions), by FILE IDENTITY: only the move's source
+      // day and destination day re-filed; every other day's entries
+      // carried verbatim
+      val touchedDirs = Set(s"event_date=$minDate",
+        s"event_date=${java.sql.Date.valueOf(minDate.toLocalDate.plusDays(1))}")
+      val untouchedBefore = before.filterNot(f =>
+        touchedDirs(f.takeWhile(_ != '/')))
+      require(untouchedBefore.nonEmpty && untouchedBefore.subsetOf(after),
+        "mergeAnywhere rewrote a partition holding none of the moved keys")
+    }
+    Snapshot.readSnapshot(s, path)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  private val q88Sql =
+    """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+      |moved AS (
+      |  SELECT CAST(ts AS DATE) + 1 AS event_date, value + 100 AS value
+      |  FROM events, d0
+      |  WHERE event_id % 50 = 7 AND CAST(ts AS DATE) = d0.d
+      |), kept AS (
+      |  SELECT CAST(ts AS DATE) AS event_date, value
+      |  FROM events, d0
+      |  WHERE NOT (event_id % 50 = 7 AND CAST(ts AS DATE) = d0.d)
+      |), all_rows AS (
+      |  SELECT * FROM kept UNION ALL SELECT * FROM moved
+      |)
+      |SELECT event_date,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM all_rows
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -3260,5 +3415,8 @@ object Analytics {
     QueryDef("q84_hybrid_count_pushdown", q84, Some(q84Sql),
       headline = true),
     QueryDef("q85_sql_catalog_scan", q85, Some(q85Sql), headline = true),
-    QueryDef("q86_sql_time_travel", q86, Some(q86Sql), headline = true))
+    QueryDef("q86_sql_time_travel", q86, Some(q86Sql), headline = true),
+    QueryDef("q87_tuple_key_index", q87, Some(q87Sql), headline = true),
+    QueryDef("q88_cross_partition_merge", q88, Some(q88Sql),
+      headline = true))
 }

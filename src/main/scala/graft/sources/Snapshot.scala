@@ -3023,7 +3023,8 @@ object Snapshot {
     * (use [[deleteWhere]] to drop rows). */
   def replacePartitions(spark: SparkSession, path: String, partitionCol: String,
       replacement: DataFrame, meta: Map[String, String] = Map.empty,
-      base: Option[(Long, Seq[String])] = None): Long = {
+      base: Option[(Long, Seq[String])] = None,
+      alsoReplaceParts: Set[String] = Set.empty): Long = {
     require(replacement.columns.contains(partitionCol),
       s"replacement rows lack partition column '$partitionCol'")
     val root = new org.apache.hadoop.fs.Path(path)
@@ -3041,7 +3042,13 @@ object Snapshot {
       s".staging-replace-${Sink.procTag}-${java.util.UUID.randomUUID()}")
     replacement.write.partitionBy(partitionCol).parquet(stg.toString)
     val moved = movePartitionedStaging(fs, root, stg, partitionCol)
-    val touched = moved.map(_.split("/")(0)).toSet
+    // `alsoReplaceParts` (dir names, `pcol=value`): partitions the
+    // caller replaces that the replacement happens to hold NO rows for
+    // — a cross-partition merge that drains a partition must still
+    // retire its files ([[mergeAnywhere]])
+    alsoReplaceParts.foreach(d => require(d.startsWith(s"$partitionCol="),
+      s"alsoReplaceParts entry '$d' is not a '$partitionCol=' dir name"))
+    val touched = moved.map(_.split("/")(0)).toSet ++ alsoReplaceParts
     val replaced = files.filter(f => touched(f.split("/")(0))).toSet
     val lines = statLines(spark, fs, root, moved, metaOf(spark, path, v))
     // `replacedParts`: a rebase aborts if a CONCURRENT commit landed a
@@ -3112,6 +3119,73 @@ object Snapshot {
     replacePartitions(spark, path, partitionCol, replacement,
       Map("merge_keys" -> keyCols.mkString(",")) ++ meta,
       base = Some(mergeBase))
+  }
+
+  /** MERGE with CROSS-PARTITION keys — the contract [[merge]] refuses
+    * ("a key that moved partitions would need a cross-partition
+    * search, which is O(table)") closed by COMPOSING the secondary key
+    * index (r17 ask #4): [[KeyIndex.filesForKeys]] locates every
+    * update key's CURRENT partitions from one bucket-pruned index
+    * probe, so the op stays O(touched partitions) — old locations ∪
+    * new locations — never a table scan. A key that moved is expressed
+    * as delete-from-old + insert-into-new INSIDE ONE commit: the old
+    * partition's survivors rewrite without the key (a fully-drained
+    * partition retires via `alsoReplaceParts` even though the
+    * replacement holds no rows for it), the new partition's rewrite is
+    * its survivors ∪ the update images. Rerun-idempotent: a second run
+    * finds the keys already at their new locations and rewrites the
+    * same touched set to the same state.
+    *
+    * The index refreshes first (incremental on append-shaped gaps; a
+    * rebuild after a previous merge's re-file is the documented
+    * maintenance cadence), and its freshness enforcement guarantees
+    * location COMPLETENESS: every current data file was scanned, so a
+    * key's old image can never hide in an unindexed file. Typed
+    * partition values for the old locations are read from the touched
+    * partitions themselves — no string-to-type dir rendering, and the
+    * isin restriction stays a planning-time partition filter. */
+  def mergeAnywhere(spark: SparkSession, path: String, partitionCol: String,
+      updates: DataFrame, keyCols: Seq[String], idxPath: String,
+      sortCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty,
+      indexBuckets: Int = 32): Long = {
+    require(keyCols.nonEmpty, "mergeAnywhere needs at least one key column")
+    require(updates.columns.contains(partitionCol),
+      s"mergeAnywhere updates lack partition column '$partitionCol'")
+    keyCols.foreach(c => require(updates.columns.contains(c),
+      s"mergeAnywhere updates lack key column '$c'"))
+    KeyIndex.refresh(spark, path, keyCols, idxPath, indexBuckets): Unit
+    val mergeBase = currentFiles(spark, path)
+    requireNoDeletes(spark, path, mergeBase._1, "mergeAnywhere")
+    val keyFrame = updates.select(keyCols.map(col): _*).distinct()
+    val oldFiles = KeyIndex.filesForKeys(spark, idxPath, keyFrame)
+    val oldParts = oldFiles.map(_.split("/")(0)).toSet
+    val oldPartFiles = mergeBase._2.filter(f => oldParts(f.split("/")(0)))
+    val oldVals: Seq[Any] =
+      if (oldPartFiles.isEmpty) Seq.empty
+      else readVersionFiles(spark, path, mergeBase._1, oldPartFiles)
+        .select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toIndexedSeq
+    val newVals: Seq[Any] = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    val touched = (oldVals ++ newVals).distinct
+    require(touched.nonEmpty, "mergeAnywhere with an empty updates batch")
+    val lineage = rowIdsOn(metaOf(spark, path, mergeBase._1))
+    val cur = (if (lineage) readVersionLineage(spark, path, mergeBase._1)
+               else readVersion(spark, path, mergeBase._1))
+      .where(col(partitionCol).isin(touched: _*))
+    val survivors = cur.join(keyFrame, keyCols, "left_anti")
+    val updates2 =
+      if (!lineage) updates
+      else updates.withColumn(RowIdCol, lit(null).cast(LongType))
+    val replacement = survivors
+      .unionByName(updates2.select(cur.columns.map(col): _*))
+      .repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+    replacePartitions(spark, path, partitionCol, replacement,
+      Map("merge_keys" -> keyCols.mkString(",")) ++ meta,
+      base = Some(mergeBase),
+      alsoReplaceParts = oldParts)
   }
 
   /** Commits a change feed may cross WITHOUT losing attribution: they

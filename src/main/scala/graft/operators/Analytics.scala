@@ -3352,6 +3352,76 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q89 — UNIFIED MAINTENANCE POLICY DRIVER graded through the hash
+  // gate (the r17 ask #6): ten same-key upsert batches dirty every
+  // signal at once — ten equality sidecars (ten hidden images per
+  // cohort key), file counts past the per-partition policy, history
+  // past retention — and ONE maintain() call reads the signals from
+  // metadata and fires the whole ladder in composition order
+  // (eq-convert → materialize → compact → expire; the delete tiers
+  // fire as PREREQUISITES of the pending compact). The graded report
+  // pins the fired set and the ROW-grain debt (10 hidden images per
+  // cohort key — deterministic where file counts depend on shuffle
+  // parallelism), and the in-query require pins convergence: a second
+  // maintain() on the repaired store fires nothing.
+  // ---------------------------------------------------------------------
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val base = s"${graft.sources.Sink.artifactRoot}/events_maintain/$tag/fp_$fp"
+    val path = s"$base/table"
+    val reportPath = s"$base/report"
+    val rp = new org.apache.hadoop.fs.Path(reportPath)
+    val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the dirty state exists exactly once — the report persists so a
+    // re-invocation grades the same one-shot audit (the q67 rule)
+    if (!fs.exists(rp)) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      def baseRows: DataFrame = Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_date"))
+      Snapshot.append(s, path, "event_date", baseRows,
+        meta = Map("eqdel" -> "on", "stats" -> "event_id"))
+      val cohort = baseRows.where(pmod(col("event_id"), lit(40)) === 0)
+      (1 to 10).foreach { n =>
+        Snapshot.upsertByKeys(s, path, "event_date",
+          cohort.withColumn("value", col("value") + lit(n.toDouble)),
+          Seq("event_id")): Unit
+      }
+      val policy = Snapshot.MaintainPolicy(
+        maxEqSidecars = 8L, maxFilesPerPartition = 4, keepVersions = 3)
+      val report = Snapshot.maintain(s, path, "event_date", policy)
+      require(Snapshot.maintain(s, path, "event_date", policy)
+        .forall(!_.fired),
+        "maintain did not converge — the second pass still fired")
+      import s.implicits._
+      report.map(a => (a.step, a.signal,
+          if (a.fired) "fired" else "clear", a.rowsAffected))
+        .toDF("step", "signal", "state", "rows_affected")
+        .coalesce(1).write.parquet(reportPath)
+    }
+    s.read.parquet(reportPath)
+      .orderBy(col("step"))
+  }
+  private val q89Sql =
+    """WITH c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM events
+      |  WHERE event_id % 40 = 0
+      |)
+      |SELECT 1 AS step, 'eq_deletes' AS signal, 'fired' AS state,
+      |  CAST(10 * c.n AS BIGINT) AS rows_affected FROM c
+      |UNION ALL
+      |SELECT 2, 'deletion_vectors', 'fired', CAST(10 * c.n AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT 3, 'small_files', 'fired', CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 4, 'expired_versions', 'fired', CAST(0 AS BIGINT)
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -3418,5 +3488,9 @@ object Analytics {
     QueryDef("q86_sql_time_travel", q86, Some(q86Sql), headline = true),
     QueryDef("q87_tuple_key_index", q87, Some(q87Sql), headline = true),
     QueryDef("q88_cross_partition_merge", q88, Some(q88Sql),
-      headline = true))
+      headline = true),
+    // not a headline slot: the dirty store exists exactly once per
+    // corpus (one-shot audit counters — the q67 rule), so a timed rerun
+    // would grade the persisted report read, not the ladder
+    QueryDef("q89_maintain_policy", q89, Some(q89Sql)))
 }

@@ -4126,6 +4126,84 @@ object Snapshot {
     else (n, None)
   }
 
+  /** Thresholds for the unified [[maintain]] policy driver. A
+    * `keepVersions` of Int.MaxValue disables retention (the default —
+    * history is destroyed only when a policy says so explicitly). */
+  final case class MaintainPolicy(
+      maxEqSidecars: Long = 8L,
+      maxVectors: Long = 8L,
+      maxReferencedShare: Double = 0.25,
+      maxFilesPerPartition: Int = 8,
+      compactTargetBytes: Long = 128L << 20,
+      keepVersions: Int = Int.MaxValue)
+
+  /** One [[maintain]] ladder step's outcome. `rowsAffected` is the
+    * ROW-grain measure of what the step retired (hidden images folded /
+    * materialized away) — row counts are deterministic where file
+    * counts depend on shuffle parallelism. */
+  final case class MaintainAction(step: Int, signal: String,
+      fired: Boolean, rowsAffected: Long)
+
+  /** UNIFIED MAINTENANCE POLICY DRIVER (the r17 ask #6): one entry
+    * point that reads the store's debt signals from METADATA ONLY —
+    * outstanding equality sidecars, the deletion-vector audit
+    * ([[dvAudit]]), per-partition file counts from the manifest,
+    * retained version count — and runs exactly the maintenance ops the
+    * policy demands, in the only order that composes:
+    *
+    *  1. `eq_deletes` → [[convertEqDeletes]] — fires over threshold OR
+    *     as a PREREQUISITE (a compaction this pass will run refuses
+    *     over equality deletes, whose key-blind base reads it would
+    *     corrupt);
+    *  2. `deletion_vectors` → [[materializeDeletes]] — fires on
+    *     [[maintainDeletes]]'s thresholds OR as a prerequisite for the
+    *     compaction (partition rewrites refuse over vectors), auditing
+    *     AFTER step 1 so freshly-converted vectors count;
+    *  3. `small_files` → [[compact]] — fires when any partition holds
+    *     more manifest entries than the policy allows (file counts from
+    *     ONE manifest read, never a listing);
+    *  4. `expired_versions` → [[expire]] — fires when retention is
+    *     enabled and history exceeds it.
+    *
+    * Idempotent to convergence: a second call on an unchanged store
+    * fires nothing (the q89 pin). Every step that does not fire costs
+    * one metadata read — safe to run at any cadence. */
+  def maintain(spark: SparkSession, path: String, partitionCol: String,
+      policy: MaintainPolicy = MaintainPolicy()): Seq[MaintainAction] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val lines = stateOf(spark, path, v)._2
+    val filesPerPart = lines.filterNot(isDeleteEntry).map(pathOf)
+      .groupBy(_.split("/")(0)).view.mapValues(_.size)
+    val needCompact = filesPerPart.exists(_._2 > policy.maxFilesPerPartition)
+    // 1. equality tier — threshold, or prerequisite of a pending compact
+    val eqN = lines.count(isEqDeleteEntry).toLong
+    val eqFired = eqN > policy.maxEqSidecars || (eqN > 0 && needCompact)
+    val eqRows = if (eqFired) convertEqDeletes(spark, path)._2 else 0L
+    // 2. vector tier — audited AFTER the conversion so its vectors count
+    val audit = dvAudit(spark, path)
+    val dvFired = audit.vectors > policy.maxVectors ||
+      (audit.vectors > 0 &&
+        (audit.referencedShare > policy.maxReferencedShare || needCompact))
+    if (dvFired) materializeDeletes(spark, path, partitionCol): Unit
+    // 3. file shape
+    if (needCompact)
+      compact(spark, path, partitionCol, policy.compactTargetBytes): Unit
+    // 4. retention
+    val nVersions = committedVersions(
+      fsOf(spark, new org.apache.hadoop.fs.Path(path)),
+      new org.apache.hadoop.fs.Path(path)).size
+    val exFired = policy.keepVersions < nVersions
+    if (exFired)
+      expire(spark, path, partitionCol, keep = policy.keepVersions): Unit
+    Seq(
+      MaintainAction(1, "eq_deletes", eqFired, eqRows),
+      MaintainAction(2, "deletion_vectors", dvFired,
+        if (dvFired) audit.hiddenRows else 0L),
+      MaintainAction(3, "small_files", needCompact, 0L),
+      MaintainAction(4, "expired_versions", exFired, 0L))
+  }
+
   /** ROLL BACK the table to snapshot `toVersion` — as a NEW commit
     * whose file list is the target version's, never by deleting
     * history (the table-format RESTORE): readers pinned to intermediate

@@ -486,7 +486,7 @@ object Snapshot {
     * later commit must keep honoring. */
   private val InheritedMeta =
     Set("run", "batch", "delta", "stats", "schema", "rowids", "nullstats",
-      "pcol", "eqdel", "eqkeys", "sort")
+      "pcol", "eqdel", "eqkeys", "sort", "aliases")
 
   /** The layout's RECORDED SORT ORDER (`sort` inherited header,
     * `l:c0,c1` linear or `z:c0,c1` Morton): the clustering every
@@ -531,12 +531,99 @@ object Snapshot {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** A RETIRED physical column name left behind by [[renameColumn]]:
+    * files written before the rename carry `old` (at `tpe`, the
+    * column's recorded type AT rename time — a later [[promoteColumn]]
+    * widens only the current name); every read folds it into `current`.
+    * This is the Iceberg field-id indirection re-expressed for a
+    * name-matched parquet reader: instead of resolving columns by id
+    * inside a custom reader, the manifest remembers every name a field
+    * ever had and the read requests them ALL, coalescing newest-first —
+    * a file holds at most one generation of the name, so the fold is
+    * exact, and re-ADDING a retired name is refused for life
+    * ([[widenRecordedSchema]]) to keep it so. */
+  private[sources] case class ColAlias(
+      old: String, tpe: org.apache.spark.sql.types.DataType, current: String)
+
+  /** Alias records from the `aliases` inherited header — encoded as a
+    * StructType JSON (field name = retired physical name, field type =
+    * its physical type at rename, field metadata `current` = the name
+    * it now serves under), reusing the same parser/printer as the
+    * recorded schema itself. Declaration order = rename order. */
+  private[sources] def aliasesOf(meta: Map[String, String]): Seq[ColAlias] =
+    meta.get("aliases").map { j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.toSeq.map(f =>
+          ColAlias(f.name, f.dataType, f.metadata.getString("current")))
+    }.getOrElse(Nil)
+
+  private def aliasesJson(as: Seq[ColAlias]): String =
+    org.apache.spark.sql.types.StructType(as.map(a =>
+      org.apache.spark.sql.types.StructField(a.old, a.tpe, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("current", a.current).build()))).json
+
+  /** The PHYSICAL read schema: the recorded schema plus one nullable
+    * field per retired name, so pre-rename files surface their old
+    * column for [[resolveRenames]] to fold (a file never holds two
+    * generations of one name, so each row populates exactly one).
+    * Identical to the recorded schema on a never-renamed table — the
+    * zero-cost common case. */
+  private def physReadSchema(meta: Map[String, String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val as = aliasesOf(meta)
+    recordedSchema(meta).map { rec =>
+      if (as.isEmpty) rec
+      else org.apache.spark.sql.types.StructType(rec.fields ++ as.map(a =>
+        org.apache.spark.sql.types.StructField(a.old, a.tpe, nullable = true)))
+    }
+  }
+
+  /** Fold retired physical names into the columns they now serve:
+    * `current = coalesce(current, cast(old_1, t), cast(old_2, t), …)`
+    * newest-name-first, then drop the retired columns. Name-based and
+    * in-place (`withColumn`), so engine key columns (`__dv_*`,
+    * `__lin_*`, `_row_id`) and `_metadata` resolution pass through
+    * untouched; identity when the table was never renamed. The cast
+    * covers a rename whose column was LATER promoted — the alias keeps
+    * the physical type its files were written at. */
+  private def resolveRenames(df: DataFrame, meta: Map[String, String])
+      : DataFrame = {
+    val as = aliasesOf(meta)
+    if (as.isEmpty) df
+    else {
+      val rec = recordedSchema(meta).getOrElse(throw new IllegalStateException(
+        "alias records without a recorded schema — rename needs the " +
+        "schema-evolution anchor"))
+      val typed = rec.fields.map(f => f.name -> f.dataType).toMap
+      val present = df.columns.toSet
+      val folded = as.filter(a => present(a.old)).groupBy(_.current)
+        .foldLeft(df) { case (d, (cur, list)) =>
+          d.withColumn(cur, coalesce(
+            (col(cur) +: list.map(a => col(a.old).cast(typed(cur)))): _*))
+        }
+      folded.drop(as.map(_.old).filter(present): _*)
+    }
+  }
+
   /** The recorded schema shaped for [[Sink.readForMaintenance]]: data
     * columns only (the maintenance read adds the partition column back
     * as a raw STRING dir value). */
   private def maintSchema(meta: Map[String, String], partitionCol: String)
       : Option[org.apache.spark.sql.types.StructType] =
     recordedSchema(meta).map(s => org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(_.name == partitionCol)))
+
+  /** [[maintSchema]] widened to the PHYSICAL name set ([[physReadSchema]]
+    * minus the partition column) — a maintenance rewrite over
+    * pre-rename files must read their retired columns to fold them, so
+    * the rewritten files carry the CURRENT names (rename converges
+    * physically through normal compaction, never via a table-width
+    * rewrite job). */
+  private def maintPhysSchema(meta: Map[String, String], partitionCol: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    physReadSchema(meta).map(s => org.apache.spark.sql.types.StructType(
       s.fields.filterNot(_.name == partitionCol)))
 
   /** (current version, its file list). */
@@ -641,43 +728,83 @@ object Snapshot {
       !fs.exists(target) && fs.rename(tmp, target)
     }
 
+  /** The widened type two generations of one column can SHARE under
+    * Spark 4's native parquet type-widening read (int32 served as LONG,
+    * float as DOUBLE — verified against both the vectorized and
+    * row-based readers): the promotion lattice is Iceberg's safe set,
+    * int→long and float→double, nothing else. None = incompatible. */
+  private def promotedType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType => LT, FloatType, DoubleType}
+    if (a == b) Some(a)
+    else (a, b) match {
+      case (IntegerType, LT) | (LT, IntegerType) => Some(LT)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
   /** ADVICE r15 #1 closed: the recorded-schema merge runs INSIDE the
     * commit retry loop against the LATEST manifest's schema, so a
     * rebasing append widens the concurrent winner's schema instead of
     * overriding it with a stale precomputation — and two appends adding
     * the SAME column with different types now collide on the type check
-    * no matter which order they land. */
+    * no matter which order they land. Type PROMOTION rides the same
+    * merge: a batch whose column is the wider lattice type
+    * ([[promotedType]]) promotes the recorded schema in the same commit
+    * as its files; a batch narrower than the recorded type is accepted
+    * as-is (its files read widened natively). `aliases` guards rename
+    * hygiene: a batch may never ADD a retired name — its rows belong
+    * under the current name ([[renameColumn]]). */
   private def widenRecordedSchema(
       old: Option[org.apache.spark.sql.types.StructType],
       batch: org.apache.spark.sql.types.StructType, pcol: String,
-      bootstrap: Boolean): Map[String, String] =
+      bootstrap: Boolean,
+      aliases: Seq[ColAlias] = Nil): Map[String, String] =
     old match {
       case Some(o) =>
         val oldByName = o.fields.map(f => f.name -> f).toMap
+        val retired = aliases.map(a => a.old -> a.current).toMap
         // the partition column is exempt: its batch-side type only
         // shapes directory names, and readers cast dir values to the
         // recorded type regardless. The lineage column is exempt too:
         // a rewrite-carry batch materializes it physically, but it is
         // ENGINE metadata, never part of the recorded table schema.
-        batch.fields.filterNot(f => f.name == pcol || f.name == RowIdCol)
-          .foreach { f =>
-            oldByName.get(f.name).foreach { ex =>
-              require(ex.dataType == f.dataType,
-                s"append schema conflict on '${f.name}': table has " +
-                s"${ex.dataType}, batch has ${f.dataType} — only ADD-column " +
-                "evolution is supported")
+        val promoted = batch.fields
+          .filterNot(f => f.name == pcol || f.name == RowIdCol)
+          .flatMap { f =>
+            oldByName.get(f.name).flatMap { ex =>
+              val t = promotedType(ex.dataType, f.dataType).getOrElse(
+                throw new IllegalArgumentException(
+                  s"append schema conflict on '${f.name}': table has " +
+                  s"${ex.dataType}, batch has ${f.dataType} — only " +
+                  "ADD-column evolution and safe promotion (int→long, " +
+                  "float→double) are supported"))
+              if (t == ex.dataType) None else Some(f.name -> t)
             }
-          }
+          }.toMap
+        // NO pcol exclusion here: a post-evolvePartitionSpec append's NEW
+        // spec column enters the recorded schema as an added column —
+        // only the lineage column is engine metadata
         val added = batch.fields
           .filterNot(f => oldByName.contains(f.name) || f.name == RowIdCol)
           .map(_.copy(nullable = true))
-        if (added.isEmpty) Map.empty[String, String]
+        added.foreach(f => retired.get(f.name).foreach(cur =>
+          throw new IllegalArgumentException(
+            s"append adds column '${f.name}', a RETIRED name of column " +
+            s"'$cur' — write the batch under the current name (re-adding " +
+            "a retired name would make the rename fold ambiguous)")))
+        if (added.isEmpty && promoted.isEmpty) Map.empty[String, String]
         else {
           // partition column stays LAST — the position the partitioned
           // read surfaces it in regardless of the user schema's order
           val (dataF, partF) = o.fields.partition(_.name != pcol)
+          val widenedF = dataF.map(f =>
+            promoted.get(f.name).fold(f)(t => f.copy(dataType = t)))
           Map("schema" ->
-            org.apache.spark.sql.types.StructType(dataF ++ added ++ partF).json)
+            org.apache.spark.sql.types.StructType(widenedF ++ added ++ partF).json)
         }
       case None if bootstrap =>
         // bootstrap append: this batch DEFINES the table schema (minus
@@ -731,7 +858,12 @@ object Snapshot {
     * a concurrently-appended file the replacement never read (ADVICE
     * r15 #3, the Iceberg validateAddedDataFiles check).
     * `widenSchema = (batch schema, partition col)` requests the
-    * recorded-schema merge, recomputed per attempt ([[widenRecordedSchema]]). */
+    * recorded-schema merge, recomputed per attempt ([[widenRecordedSchema]]).
+    * `evolve` requests a DECLARED schema change (rename / promotion),
+    * validated and computed per attempt against the latest manifest
+    * ([[evolveRecordedMeta]]) — a rebase re-validates, so racing two
+    * renames of one column, or a rename against an append that re-used
+    * the name, conflicts loudly instead of folding wrong. */
   private[graft] def commit(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, baseV: Option[Long],
       removed: Set[String], added: Seq[String],
@@ -739,7 +871,8 @@ object Snapshot {
       mustBeLive: Set[String] = Set.empty,
       widenSchema: Option[(org.apache.spark.sql.types.StructType, String)] = None,
       replacedParts: Set[String] = Set.empty,
-      dvRefs: Set[String] = Set.empty): Long = {
+      dvRefs: Set[String] = Set.empty,
+      evolve: Option[SchemaChange] = None): Long = {
     meta.foreach { case (k, v) =>
       require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
         !v.contains("\n"), s"invalid manifest metadata pair: '$k'='$v'")
@@ -898,8 +1031,12 @@ object Snapshot {
         case None => Map.empty[String, String]
         case Some((batchSchema, pcol)) =>
           widenRecordedSchema(recordedSchema(latestMeta), batchSchema, pcol,
-            bootstrap = latest.isEmpty)
+            bootstrap = latest.isEmpty, aliases = aliasesOf(latestMeta))
       }
+      // declared evolution (rename / promotion), recomputed per attempt
+      // so a rebase validates against the concurrent winner's schema
+      val evolveMeta = evolve.fold(Map.empty[String, String])(ch =>
+        evolveRecordedMeta(root, latestMeta, ch))
       // commit timestamp, STRICTLY monotonic across versions even when
       // two commits land within one clock tick — the readAsOf(ts)
       // resolution and age-based retention both lean on it. A caller-
@@ -916,7 +1053,8 @@ object Snapshot {
       val adds = stampedAdds(stamping, next)
       val eqMeta =
         if (addsEq) Map("eqd" -> "1") else Map.empty[String, String]
-      val full = carried ++ tsMeta ++ schemaMeta ++ dvMeta ++ eqMeta ++ meta
+      val full =
+        carried ++ tsMeta ++ schemaMeta ++ evolveMeta ++ dvMeta ++ eqMeta ++ meta
       val latestRefs = latestText.map(parseRefs).getOrElse(Seq.empty)
       // a pre-segment manifest (verbatim entry body) folds like an
       // over-long chain: both consolidate into one fresh segment
@@ -1092,12 +1230,15 @@ object Snapshot {
     val dvs = deleteLines.map(pathOf)
     val eqs = eqDeletesOf(deleteLines)
     val reader = spark.read.option("basePath", qualified)
+    // PHYSICAL schema: recorded plus retired names, so pre-rename files
+    // surface their old column; the final [[resolveRenames]] folds them
+    // (identity on a never-renamed table)
     def scan(fs: Seq[String]): DataFrame =
-      recordedSchema(meta).fold(reader)(reader.schema)
+      physReadSchema(meta).fold(reader)(reader.schema)
         .parquet(fs.map(f => s"$qualified/$f"): _*)
     val bySpec = files.groupBy(specKeyOf)
     if (bySpec.size <= 1 && eqs.isEmpty)
-      applyDeletes(spark, qualified, scan(files), dvs)
+      resolveRenames(applyDeletes(spark, qualified, scan(files), dvs), meta)
     else {
       if (bySpec.size > 1) require(recordedSchema(meta).nonEmpty,
         "a mid-evolution layout needs a recorded schema — the partition " +
@@ -1109,10 +1250,12 @@ object Snapshot {
       val data = bySpec.toSeq.sortBy(_._1)
         .map { case (_, fsOfSpec) => withFilePos(scan(fsOfSpec), qualified) }
         .reduce(_.unionByName(_))
-      applyEqKeyed(spark, qualified,
-          applyDeletesKeyed(spark, qualified, data, dvs),
-          fileLines, eqs, "__lin_file")
-        .drop("__lin_file", "__lin_pos")
+      resolveRenames(
+        applyEqKeyed(spark, qualified,
+            applyDeletesKeyed(spark, qualified, data, dvs),
+            fileLines, eqs, "__lin_file")
+          .drop("__lin_file", "__lin_pos"),
+        meta)
     }
   }
 
@@ -1277,15 +1420,21 @@ object Snapshot {
 
   /** The lineage scan of `files`: recorded schema + the id column,
     * (file, pos) keys materialized, generations scanned separately and
-    * unioned on a mid-evolution layout ([[readDataAt]]'s rule). */
+    * unioned on a mid-evolution layout ([[readDataAt]]'s rule), retired
+    * names folded into the columns they now serve
+    * ([[resolveRenames]]). */
   private def lineageKeyedScan(spark: SparkSession, qualified: String,
-      recorded: org.apache.spark.sql.types.StructType,
-      files: Seq[String]): DataFrame =
-    files.groupBy(specKeyOf).toSeq.sortBy(_._1).map { case (_, fs) =>
-      withFilePos(spark.read.option("basePath", qualified)
-        .schema(lineageReadSchema(recorded))
-        .parquet(fs.map(f => s"$qualified/$f"): _*), qualified)
-    }.reduce(_.unionByName(_))
+      meta: Map[String, String], files: Seq[String]): DataFrame = {
+    val phys = physReadSchema(meta).getOrElse(
+      throw new IllegalStateException(
+        s"lineage scan under $qualified needs a recorded schema"))
+    resolveRenames(
+      files.groupBy(specKeyOf).toSeq.sortBy(_._1).map { case (_, fs) =>
+        withFilePos(spark.read.option("basePath", qualified)
+          .schema(lineageReadSchema(phys))
+          .parquet(fs.map(f => s"$qualified/$f"): _*), qualified)
+      }.reduce(_.unionByName(_)), meta)
+  }
 
   /** [[applyDeletes]] for a scan that already carries the (file, pos)
     * key columns ([[withFilePos]]) — the keys survive the id-attach
@@ -1512,7 +1661,7 @@ object Snapshot {
     val fileLines = lines.filterNot(isDeleteEntry)
     require(fileLines.nonEmpty, s"snapshot v=$v of $path is empty")
     val withIds = attachRowIdsKeyed(spark,
-      lineageKeyedScan(spark, qualified, recorded, fileLines.map(pathOf)),
+      lineageKeyedScan(spark, qualified, meta, fileLines.map(pathOf)),
       basesOf(lines))
     applyEqKeyed(spark, qualified,
         applyDeletesKeyed(spark, qualified, withIds,
@@ -2020,6 +2169,158 @@ object Snapshot {
     }
   }
 
+  // ----- SCHEMA EVOLUTION: RENAME + TYPE PROMOTION ----------------------
+  // Add-column evolution ([[widenRecordedSchema]]) covers a table's
+  // growth; a LONG-LIVED table also hits a rename ("qty" was always
+  // "quantity") and a type outgrowing its width (an int id crossing
+  // 2^31). Both are METADATA-ONLY commits here — no file rewrite, no
+  // table-width job: rename leaves the old physical name behind as an
+  // ALIAS record the readers fold ([[ColAlias]], [[resolveRenames]]),
+  // promotion leans on Spark 4's native parquet widening read (int32
+  // files served as LONG, float as DOUBLE). Renamed files converge to
+  // the new physical name through whatever maintenance rewrite touches
+  // them next; per-file manifest stats are POSITIONAL against the
+  // declared list, so the rename re-keys the declaration and every
+  // existing entry's bounds stay valid verbatim.
+
+  /** A declared schema change, applied atomically by [[commit]]
+    * (validated per rebase attempt against the latest manifest). */
+  private[graft] sealed trait SchemaChange
+  private[graft] final case class RenameCol(from: String, to: String)
+      extends SchemaChange
+  private[graft] final case class PromoteCol(name: String,
+      to: org.apache.spark.sql.types.DataType) extends SchemaChange
+
+  /** The manifest-meta delta a [[SchemaChange]] produces against
+    * `latestMeta` — the rename/promotion twin of [[widenRecordedSchema]],
+    * run INSIDE the commit retry loop. Refusals are the documented
+    * boundaries of the alias design:
+    *  - the partition column (its name is baked into every directory
+    *    path and both spec-evolution generations' keys);
+    *  - an equality-delete key column (existing `_deletes/` sidecars
+    *    physically carry the key under its old name);
+    *  - the reserved lineage column;
+    *  - a name already live, or RETIRED by an earlier rename (re-using
+    *    it would make the fold ambiguous for life);
+    *  - promotion outside the safe lattice (int→long, float→double).
+    * A secondary key index over a renamed column fails loudly at its
+    * next refresh (the old name no longer resolves) — rebuild it over
+    * the new name ([[KeyIndex.rebuild]]). */
+  private def evolveRecordedMeta(root: org.apache.hadoop.fs.Path,
+      latestMeta: Map[String, String], change: SchemaChange)
+      : Map[String, String] = {
+    val rec = recordedSchema(latestMeta).getOrElse(
+      throw new IllegalStateException(
+        s"layout under $root has no recorded schema — rename/promotion " +
+        "needs the schema-evolution anchor (re-init or append once)"))
+    val pcol = latestMeta.get("pcol")
+    val eqKeys = latestMeta.get("eqkeys")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val aliases = aliasesOf(latestMeta)
+    def rekeyList(l: Seq[String], from: String, to: String): Seq[String] =
+      l.map(c => if (c == from) to else c)
+    change match {
+      case RenameCol(from, to) =>
+        require(from != to, s"rename '$from' to itself is a no-op")
+        require(rec.fieldNames.contains(from),
+          s"rename: no column '$from' in the recorded schema " +
+          s"(${rec.fieldNames.mkString(", ")})")
+        require(!pcol.contains(from) && !pcol.contains(to),
+          s"rename touches partition column '${pcol.getOrElse("")}' — its " +
+          "name is baked into every directory path; evolve the partition " +
+          "spec instead (evolvePartitionSpec + migratePartitionSpec)")
+        require(!eqKeys.contains(from),
+          s"rename: '$from' is an equality-delete key — outstanding " +
+          "sidecars carry it physically under this name; run " +
+          "convertEqDeletes first, then the key list still pins the name " +
+          "for the layout's life")
+        require(from != RowIdCol && to != RowIdCol,
+          s"'$RowIdCol' is the reserved lineage column")
+        require(!rec.fieldNames.contains(to),
+          s"rename: column '$to' already exists in the recorded schema")
+        require(!aliases.exists(_.old == to),
+          s"rename: '$to' is a RETIRED name (of column " +
+          s"'${aliases.find(_.old == to).get.current}') — re-using it " +
+          "would make the alias fold ambiguous")
+        val fromType = rec(from).dataType
+        val newSchema = org.apache.spark.sql.types.StructType(
+          rec.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+        val newAliases = aliases.map(a =>
+          if (a.current == from) a.copy(current = to) else a) :+
+          ColAlias(from, fromType, to)
+        // stats + sort declarations are re-keyed IN PLACE: positional
+        // per-file bounds keep their meaning (position i still bounds
+        // the same physical data), only the name position i answers to
+        // changes — the one legitimate stats re-key, which is why it
+        // happens HERE and not via caller meta (the commit-layer guard
+        // on caller-supplied `stats` stays absolute)
+        val statsMeta = latestMeta.get("stats").map(s =>
+          "stats" -> rekeyList(s.split(",").toSeq.filter(_.nonEmpty),
+            from, to).mkString(",")).toMap
+        val sortMeta = latestMeta.get("sort").map { s =>
+          val (pre, cols) = s.span(_ != ':')
+          "sort" -> (pre + ":" + rekeyList(
+            cols.stripPrefix(":").split(",").toSeq.filter(_.nonEmpty),
+            from, to).mkString(","))
+        }.toMap
+        Map("schema" -> newSchema.json,
+          "aliases" -> aliasesJson(newAliases)) ++ statsMeta ++ sortMeta
+      case PromoteCol(name, to) =>
+        require(rec.fieldNames.contains(name),
+          s"promote: no column '$name' in the recorded schema " +
+          s"(${rec.fieldNames.mkString(", ")})")
+        require(!pcol.contains(name),
+          s"promote: '$name' is the partition column — its type is " +
+          "cast from directory values at read; promotion is undefined")
+        val cur = rec(name).dataType
+        require(cur != to, s"promote: '$name' is already $to")
+        require(promotedType(cur, to).contains(to),
+          s"promote: $cur → $to is not a safe widening — only int→long " +
+          "and float→double are (narrowing or cross-family changes " +
+          "would corrupt existing files' values)")
+        val newSchema = org.apache.spark.sql.types.StructType(
+          rec.fields.map(f =>
+            if (f.name == name) f.copy(dataType = to) else f))
+        Map("schema" -> newSchema.json)
+    }
+  }
+
+  /** RENAME a column — ALTER TABLE RENAME COLUMN as ONE metadata-only
+    * atomic commit: no file is touched, old files keep their physical
+    * name and every read folds it into the new one
+    * ([[resolveRenames]]); manifest stats and the recorded sort order
+    * follow the name; appends under the OLD name are refused for the
+    * layout's life. Returns the committed version. Boundaries (loud):
+    * see [[evolveRecordedMeta]]. */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    commit(fs, root, Some(v), Set.empty, Seq.empty,
+      Map("op" -> "rename-column", "rename_from" -> from, "rename_to" -> to),
+      evolve = Some(RenameCol(from, to)))
+  }
+
+  /** PROMOTE a column's type along the safe lattice (int→long,
+    * float→double) — ALTER TABLE ALTER COLUMN TYPE as ONE metadata-only
+    * atomic commit: existing files keep their narrow physical type and
+    * Spark's parquet reader widens them natively at scan time; later
+    * appends may write either width ([[widenRecordedSchema]] accepts
+    * both sides of the lattice). Returns the committed version. */
+  def promoteColumn(spark: SparkSession, path: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    commit(fs, root, Some(v), Set.empty, Seq.empty,
+      Map("op" -> "promote-column", "promote_col" -> name,
+        "promote_to" -> to.typeName),
+      evolve = Some(PromoteCol(name, to)))
+  }
+
   // ----- PARTITION-SPEC EVOLUTION --------------------------------------
   // A table that outgrows its partition grain (daily → hourly is the
   // canonical case) must not need a table rewrite to change it. The
@@ -2150,20 +2451,23 @@ object Snapshot {
       qualified: String, relFiles: Seq[String], partitionCol: String,
       vMeta: Map[String, String], vLines: Seq[String]): DataFrame =
     if (!rowIdsOn(vMeta))
-      withFilePos(Sink.readForMaintenance(spark, qualified,
+      withFilePos(resolveRenames(Sink.readForMaintenance(spark, qualified,
         relFiles.map(f => s"$qualified/$f"), partitionCol,
-        maintSchema(vMeta, partitionCol)), qualified)
+        maintPhysSchema(vMeta, partitionCol)), vMeta), qualified)
     else {
-      val s = maintSchema(vMeta, partitionCol).getOrElse(
+      val s = maintPhysSchema(vMeta, partitionCol).getOrElse(
         throw new IllegalStateException(
           s"lineage-enabled layout lacks a recorded schema — corrupted " +
           "manifest?"))
       val subset = relFiles.toSet
       val subsetLines = vLines.filter(l => subset(pathOf(l)))
       requireLineageEntries(subsetLines, qualified)
-      val base = Sink.readForMaintenance(spark, qualified,
+      // the PHYSICAL schema + fold: pre-rename files surface retired
+      // names and the rewrite consuming this read writes CURRENT names
+      // — maintenance is how a rename converges physically
+      val base = resolveRenames(Sink.readForMaintenance(spark, qualified,
         relFiles.map(f => s"$qualified/$f"), partitionCol,
-        Some(lineageReadSchema(s)))
+        Some(lineageReadSchema(s))), vMeta)
       attachRowIdsKeyed(spark, withFilePos(base, qualified),
         basesOf(subsetLines))
     }
@@ -2352,9 +2656,9 @@ object Snapshot {
     // maintenance read: partition column typed STRING (raw dir value,
     // no inference) — probe value ↔ manifest dir name ↔ staged dir
     // name stay one identity (see Sink.readForMaintenance)
-    val dirty = Sink.readForMaintenance(spark, qualified,
+    val dirty = resolveRenames(Sink.readForMaintenance(spark, qualified,
         files.map(f => s"$qualified/$f"), partitionCol,
-        maintSchema(vMeta, partitionCol))
+        maintPhysSchema(vMeta, partitionCol)), vMeta)
       .groupBy(col(partitionCol).as("__part"))
       .agg(
         sum(when(del, 1L).otherwise(0L)).as("n_del"),
@@ -2461,10 +2765,13 @@ object Snapshot {
     val keyCols = dvKeyCols(qualified)
     // recorded schema: the predicate may reference an evolved column,
     // which must read NULL in pre-evolution files exactly as it does
-    // for the snapshot reader
+    // for the snapshot reader — and a RENAMED column must fold from its
+    // retired physical name, or the predicate would silently miss every
+    // pre-rename row
     val reader = spark.read.option("basePath", qualified)
-    val markedAll = recordedSchema(vMeta).fold(reader)(reader.schema)
-      .parquet(files.map(f => s"$qualified/$f"): _*)
+    val markedAll = resolveRenames(
+        physReadSchema(vMeta).fold(reader)(reader.schema)
+          .parquet(files.map(f => s"$qualified/$f"): _*), vMeta)
       .where(del)
       .select(keyCols(0), keyCols(1))
     val marked =
@@ -2567,15 +2874,17 @@ object Snapshot {
     val lineage = rowIdsOn(vMeta)
     // recorded schema: the predicate or a SET expression may reference
     // an evolved column, which must read NULL in pre-evolution files
-    // exactly as it does for the snapshot reader. Lineage layouts read
-    // `_row_id` too — an UPDATE is the same row re-imaged, so the new
-    // image keeps the id (what lets changeDiffLineage pair pre/post).
+    // exactly as it does for the snapshot reader — renamed columns fold
+    // from their retired physical names for the same reason. Lineage
+    // layouts read `_row_id` too — an UPDATE is the same row re-imaged,
+    // so the new image keeps the id (what lets changeDiffLineage pair
+    // pre/post).
     val reader = spark.read.option("basePath", qualified)
-    val readSchema = recordedSchema(vMeta)
+    val readSchema = physReadSchema(vMeta)
       .map(s => if (lineage) lineageReadSchema(s) else s)
     if (lineage) requireLineageEntries(lines, path)
-    val data = readSchema.fold(reader)(reader.schema)
-      .parquet(files.map(f => s"$qualified/$f"): _*)
+    val data = resolveRenames(readSchema.fold(reader)(reader.schema)
+      .parquet(files.map(f => s"$qualified/$f"): _*), vMeta)
     set.keys.foreach(k => require(data.columns.contains(k),
       s"updateWhere SET references unknown column '$k' " +
       s"(table has: ${data.columns.mkString(", ")})"))
@@ -2944,6 +3253,10 @@ object Snapshot {
     }
     val recorded = recordedSchema(vMeta)
     val reader = spark.read.option("basePath", qualified)
+    // no rename fold needed: this scan feeds ONLY the equality keys and
+    // row positions, and equality-delete key columns can never be
+    // renamed ([[evolveRecordedMeta]] refuses — sidecars carry them
+    // physically under the declared names)
     def scan(fsOfSpec: Seq[String]): DataFrame =
       recorded.fold(reader)(reader.schema)
         .parquet(fsOfSpec.map(f => s"$qualified/$f"): _*)
@@ -3205,7 +3518,8 @@ object Snapshot {
   // the diff emits the backfill as update pairs (typed consumers apply
   // O(table-sized-backfill) once, exactly what happened).
   private val RowPreservingOps =
-    Set("compact", "materialize", "evolve-spec", "eq-convert")
+    Set("compact", "materialize", "evolve-spec", "eq-convert",
+      "rename-column", "promote-column")
 
   /** The files appended in `(fromV, toV]` when the gap is ATTRIBUTABLE —
     * every commit is an append or row-preserving, and no gap-appended
@@ -3298,14 +3612,13 @@ object Snapshot {
       val root = new org.apache.hadoop.fs.Path(path)
       val qualified = fsOf(spark, root).makeQualified(root).toString
       val (metaTo, linesTo) = stateOf(spark, path, toV)
-      val recorded = recordedSchema(metaTo).getOrElse(
-        throw new IllegalStateException(
-          s"lineage-enabled $path lacks a recorded schema"))
+      require(recordedSchema(metaTo).nonEmpty,
+        s"lineage-enabled $path lacks a recorded schema")
       val addedSet = added.toSet
       val subsetLines = linesTo.filter(l => addedSet(pathOf(l)))
       requireLineageEntries(subsetLines, path)
       attachRowIdsKeyed(spark,
-        lineageKeyedScan(spark, qualified, recorded, added),
+        lineageKeyedScan(spark, qualified, metaTo, added),
         basesOf(subsetLines))
         .drop("__lin_file", "__lin_pos")
     }
@@ -3385,10 +3698,12 @@ object Snapshot {
       require(bySpec.size <= 1 || recordedSchema(metaTo).nonEmpty,
         "a diff across a partition-spec evolution needs a recorded schema")
       val reader = spark.read.option("basePath", qualified)
-      bySpec.toSeq.sortBy(_._1).map { case (_, fs) =>
-        withFilePos(recordedSchema(metaTo).fold(reader)(reader.schema)
+      // endpoint schema = TO's (a diff across a rename serves the new
+      // names; removed pre-rename files fold like any other read)
+      resolveRenames(bySpec.toSeq.sortBy(_._1).map { case (_, fs) =>
+        withFilePos(physReadSchema(metaTo).fold(reader)(reader.schema)
           .parquet(fs.map(f => s"$qualified/$f"): _*), qualified)
-      }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_)), metaTo)
     }
     // entry lines are immutable once committed, so either endpoint's
     // line serves the add-version lookup — union covers removed files
@@ -3510,11 +3825,14 @@ object Snapshot {
     * `toV`). Candidates come from the same file/DV delta sets as
     * [[changeDiff]]; both sides join FULL OUTER on the id, so a re-filed
     * unchanged row yields `__f <=> __t` (dropped by the classifier) and
-    * an update yields one (pre, post) row. `schemaOverride` lets the
-    * composed walk read every step under the FINAL schema. */
+    * an update yields one (pre, post) row. `metaOverride` lets the
+    * composed walk read every step under the FINAL version's schema —
+    * the full META, not just the schema, so a step that predates a
+    * rename still folds its old physical names through the final
+    * version's alias records. */
   private def lineagePairFrame(spark: SparkSession, path: String,
       fromV: Long, toV: Long,
-      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      metaOverride: Option[Map[String, String]] = None)
       : DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val qualified = fsOf(spark, root).makeQualified(root).toString
@@ -3523,7 +3841,8 @@ object Snapshot {
     require(rowIdsOn(metaTo),
       s"$path is not lineage-enabled — changeDiff (bag diff) is the " +
       "feed for id-less layouts")
-    val recorded = schemaOverride.orElse(recordedSchema(metaTo)).getOrElse(
+    val readMeta = metaOverride.getOrElse(metaTo)
+    val recorded = recordedSchema(readMeta).getOrElse(
       throw new IllegalStateException(
         s"lineage-enabled $path lacks a recorded schema"))
     requireLineageEntries(linesFrom, path)
@@ -3548,7 +3867,7 @@ object Snapshot {
     // id-attach join)
     def readKeyed(files: Seq[String]): DataFrame =
       attachRowIdsKeyed(spark,
-        lineageKeyedScan(spark, qualified, recorded, files), bases)
+        lineageKeyedScan(spark, qualified, readMeta, files), bases)
     def applyEq(df: DataFrame, eqs: Seq[EqDelete]): DataFrame =
       applyEqKeyed(spark, qualified, df, allLines, eqs, "__lin_file")
     def readPairs(dvFiles: Set[String]): DataFrame =
@@ -3706,7 +4025,7 @@ object Snapshot {
     else {
       import org.apache.spark.sql.functions.{max_by, min_by, struct}
       val steps = changing.map(_._1).zipWithIndex.map { case (v, i) =>
-        lineagePairFrame(spark, path, v - 1, v, Some(recorded))
+        lineagePairFrame(spark, path, v - 1, v, Some(metaTo))
           .withColumn("__s", lit(i))
       }
       val all = steps.reduce(_.unionByName(_))
@@ -4724,9 +5043,11 @@ object Snapshot {
     val branchFiles = commits.flatMap(_._3).map(pathOf)
     if (branchFiles.isEmpty) baseDf
     else {
+      val bMeta = metaOf(spark, path, base)
       val reader = spark.read.option("basePath", qualified)
-      val branchDf = schemaOf(spark, path, base).fold(reader)(reader.schema)
-        .parquet(branchFiles.map(f => s"$qualified/$f"): _*)
+      val branchDf = resolveRenames(
+        physReadSchema(bMeta).fold(reader)(reader.schema)
+          .parquet(branchFiles.map(f => s"$qualified/$f"): _*), bMeta)
       baseDf.unionByName(branchDf)
     }
   }

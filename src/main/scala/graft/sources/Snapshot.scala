@@ -2190,6 +2190,8 @@ object Snapshot {
       extends SchemaChange
   private[graft] final case class PromoteCol(name: String,
       to: org.apache.spark.sql.types.DataType) extends SchemaChange
+  private[graft] final case class AddCol(name: String,
+      tpe: org.apache.spark.sql.types.DataType) extends SchemaChange
 
   /** The manifest-meta delta a [[SchemaChange]] produces against
     * `latestMeta` — the rename/promotion twin of [[widenRecordedSchema]],
@@ -2282,6 +2284,21 @@ object Snapshot {
           rec.fields.map(f =>
             if (f.name == name) f.copy(dataType = to) else f))
         Map("schema" -> newSchema.json)
+      case AddCol(name, tpe) =>
+        require(!rec.fieldNames.contains(name),
+          s"add column: '$name' already exists in the recorded schema")
+        require(!aliases.exists(_.old == name),
+          s"add column: '$name' is a RETIRED name (of column " +
+          s"'${aliases.find(_.old == name).get.current}') — re-using it " +
+          "would make the rename fold ambiguous")
+        require(!pcol.contains(name) && name != RowIdCol,
+          s"add column: '$name' is reserved")
+        // nullable by construction (existing files read NULL in it),
+        // inserted before the partition column — the widen's order rule
+        val (dataF, partF) = rec.fields.partition(f => !pcol.contains(f.name))
+        Map("schema" -> org.apache.spark.sql.types.StructType(
+          (dataF :+ org.apache.spark.sql.types.StructField(name, tpe,
+            nullable = true)) ++ partF).json)
     }
   }
 
@@ -2319,6 +2336,24 @@ object Snapshot {
       Map("op" -> "promote-column", "promote_col" -> name,
         "promote_to" -> to.typeName),
       evolve = Some(PromoteCol(name, to)))
+  }
+
+  /** ADD a nullable column — ALTER TABLE ADD COLUMN as ONE
+    * metadata-only atomic commit: existing files read NULL in it, the
+    * first batch carrying values lands through the normal [[append]].
+    * The declarative twin of append-side widening (which adds columns
+    * implicitly with their first data batch) — a SQL surface needs the
+    * explicit form. Retired names are refused for life. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      tpe: org.apache.spark.sql.types.DataType): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    commit(fs, root, Some(v), Set.empty, Seq.empty,
+      Map("op" -> "add-column", "add_col" -> name,
+        "add_type" -> tpe.typeName),
+      evolve = Some(AddCol(name, tpe)))
   }
 
   // ----- PARTITION-SPEC EVOLUTION --------------------------------------

@@ -453,10 +453,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "graft tables are created via Snapshot.init / append (manifest-" +
       "committed); the SQL catalog is a read/insert surface")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported — schema evolves via " +
-      "Snapshot.append's recorded-schema widening")
+  /** SCHEMA EVOLUTION through SQL DDL — each supported change maps to
+    * the library's metadata-only atomic commit, so `ALTER TABLE
+    * graft.t RENAME COLUMN a TO b`, `ALTER COLUMN c TYPE BIGINT`
+    * (int→long / float→double, the safe lattice), and `ADD COLUMN d
+    * STRING` carry the SAME semantics and refusals as
+    * [[Snapshot.renameColumn]] / [[Snapshot.promoteColumn]] /
+    * [[Snapshot.addColumn]]: one manifest commit each, no file
+    * rewrite, pre-evolution files keep serving (renamed columns fold
+    * from their retired names, promoted ones read natively widened).
+    * Nested fields and every other change shape refuse loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (Snapshot.currentVersion(spark, p).isEmpty)
+      throw new NoSuchTableException(ident)
+    def top(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"$what on nested field '${fieldNames.mkString(".")}' is not " +
+        "supported — graft schemas evolve at the top level")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        Snapshot.renameColumn(spark, p,
+          top(r.fieldNames(), "RENAME COLUMN"), r.newName()): Unit
+      case u: TableChange.UpdateColumnType =>
+        Snapshot.promoteColumn(spark, p,
+          top(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType()): Unit
+      case a: TableChange.AddColumn =>
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          "ADD COLUMN must be nullable — existing files read NULL in it")
+        Snapshot.addColumn(spark, p,
+          top(a.fieldNames(), "ADD COLUMN"), a.dataType()): Unit
+      case c => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $c — supported: RENAME COLUMN, " +
+        "ALTER COLUMN TYPE (int→long, float→double), ADD COLUMN " +
+        "(nullable, top-level)")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
       "DROP TABLE is not supported — retire layouts via Snapshot.expire")

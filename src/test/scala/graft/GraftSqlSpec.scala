@@ -183,4 +183,51 @@ class GraftSqlSpec extends AnyFunSuite {
       s"no manifest plan marker in:\n$plan")
     assert(probe.count() == 1L)
   }
+
+  test("ALTER TABLE evolves the schema: RENAME COLUMN folds old files, ALTER COLUMN TYPE promotes, ADD COLUMN reads NULL") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val wh = tmp("graft-sqlddl")
+    val path = s"$wh/t"
+    import spark.implicits._
+    Snapshot.append(spark, path, "day",
+      Seq((1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-02"))
+        .toDF("qty", "value", "day"))
+    registerCatalog("gddl", wh)
+
+    spark.sql("ALTER TABLE gddl.t RENAME COLUMN qty TO quantity")
+    spark.sql("ALTER TABLE gddl.t ALTER COLUMN quantity TYPE BIGINT")
+    spark.sql("ALTER TABLE gddl.t ADD COLUMN note STRING")
+
+    // one catalog read serves all three evolutions: pre-evolution files
+    // fold into the new name, widened to LONG, NULL in the added column
+    val got = spark.sql(
+      "SELECT quantity, value, note FROM gddl.t ORDER BY quantity")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, 10.0, None), (2L, 20.0, None)))
+    assert(Snapshot.schemaOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).get("quantity")
+      .dataType == LongType)
+
+    // INSERT lands under the evolved schema; the note column round-trips
+    spark.sql("INSERT INTO gddl.t VALUES " +
+      "(CAST(3 AS BIGINT), 30.0, 'filled', '2024-01-03')")
+    val after = spark.sql(
+      "SELECT quantity, note FROM gddl.t ORDER BY quantity")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(after ==
+      Seq((1L, None), (2L, None), (3L, Some("filled"))))
+
+    // the library refusals surface through SQL unchanged
+    intercept[Exception](
+      spark.sql("ALTER TABLE gddl.t RENAME COLUMN day TO dt"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE gddl.t ADD COLUMN qty STRING"))
+    // an unsafe type change dies in Spark's own analyzer (upcast check)
+    // BEFORE reaching the catalog — and the library guard backstops it
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gddl.t ALTER COLUMN note TYPE BIGINT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("safe widening"), e.getMessage)
+  }
 }

@@ -156,8 +156,11 @@ object KeyIndex {
   /** (k, file, b) pairs of the key tuple over the given table files —
     * one scan of exactly those files, under the table's RECORDED schema
     * (a file predating a column's widening append reads it NULL — its
-    * pairs drop, which is correct: it holds no such keys). Rows with a
-    * NULL key component drop too: equality can never probe them. */
+    * pairs drop, which is correct: it holds no such keys), with retired
+    * names FOLDED: an index rebuilt over a renamed key column must find
+    * pre-rename files' rows under the new name, not drop them as NULL.
+    * Rows with a NULL key component drop too: equality can never probe
+    * them. */
   private def pairsOf(spark: SparkSession, tablePath: String,
       files: Seq[String], keyCols: Seq[String], buckets: Int)
       : (DataFrame, StructType) = {
@@ -166,8 +169,10 @@ object KeyIndex {
     val qualified = fs.makeQualified(root).toString
     val reader = spark.read.option("basePath", qualified)
     val cur = Snapshot.currentVersion(spark, tablePath).get
-    val df = Snapshot.schemaOf(spark, tablePath, cur).fold(reader)(reader.schema)
-      .parquet(files.map(f => s"$qualified/$f"): _*)
+    val vMeta = Snapshot.metaOf(spark, tablePath, cur)
+    val df = Snapshot.resolveRenames(
+      Snapshot.physReadSchema(vMeta).fold(reader)(reader.schema)
+        .parquet(files.map(f => s"$qualified/$f"): _*), vMeta)
     val canon = keyCols.map { c =>
       require(df.columns.contains(c),
         s"key column '$c' is not in the table schema")

@@ -570,7 +570,7 @@ object Snapshot {
     * generations of one name, so each row populates exactly one).
     * Identical to the recorded schema on a never-renamed table — the
     * zero-cost common case. */
-  private def physReadSchema(meta: Map[String, String])
+  private[sources] def physReadSchema(meta: Map[String, String])
       : Option[org.apache.spark.sql.types.StructType] = {
     val as = aliasesOf(meta)
     recordedSchema(meta).map { rec =>
@@ -584,11 +584,22 @@ object Snapshot {
     * `current = coalesce(current, cast(old_1, t), cast(old_2, t), …)`
     * newest-name-first, then drop the retired columns. Name-based and
     * in-place (`withColumn`), so engine key columns (`__dv_*`,
-    * `__lin_*`, `_row_id`) and `_metadata` resolution pass through
-    * untouched; identity when the table was never renamed. The cast
-    * covers a rename whose column was LATER promoted — the alias keeps
-    * the physical type its files were written at. */
-  private def resolveRenames(df: DataFrame, meta: Map[String, String])
+    * `__lin_*`, `_row_id`) pass through untouched; identity when the
+    * table was never renamed. The cast covers a rename whose column
+    * was LATER promoted — the alias keeps the physical type its files
+    * were written at.
+    *
+    * The closing `.as(…)` is load-bearing, not cosmetic: a bare
+    * `drop()` is a Project, and Spark's missing-reference resolution
+    * reaches THROUGH Projects — `df.where(col(retiredName))` above the
+    * fold would silently re-resolve the dropped physical column, and a
+    * predicate on a retired name would then match pre-rename files but
+    * read NULL in post-rename ones (the exact silent-miss class the
+    * fold exists to kill). A SubqueryAlias is a resolution barrier, so
+    * retired names fail LOUDLY above every read. Consequence: `_metadata`
+    * does not resolve above the barrier either — callers that need
+    * (file, pos) keys materialize them BEFORE folding (they all do). */
+  private[sources] def resolveRenames(df: DataFrame, meta: Map[String, String])
       : DataFrame = {
     val as = aliasesOf(meta)
     if (as.isEmpty) df
@@ -603,7 +614,7 @@ object Snapshot {
           d.withColumn(cur, coalesce(
             (col(cur) +: list.map(a => col(a.old).cast(typed(cur)))): _*))
         }
-      folded.drop(as.map(_.old).filter(present): _*)
+      folded.drop(as.map(_.old).filter(present): _*).as("__graft_renamed")
     }
   }
 
@@ -2486,9 +2497,9 @@ object Snapshot {
       qualified: String, relFiles: Seq[String], partitionCol: String,
       vMeta: Map[String, String], vLines: Seq[String]): DataFrame =
     if (!rowIdsOn(vMeta))
-      withFilePos(resolveRenames(Sink.readForMaintenance(spark, qualified,
+      resolveRenames(withFilePos(Sink.readForMaintenance(spark, qualified,
         relFiles.map(f => s"$qualified/$f"), partitionCol,
-        maintPhysSchema(vMeta, partitionCol)), vMeta), qualified)
+        maintPhysSchema(vMeta, partitionCol)), qualified), vMeta)
     else {
       val s = maintPhysSchema(vMeta, partitionCol).getOrElse(
         throw new IllegalStateException(
@@ -2499,12 +2510,13 @@ object Snapshot {
       requireLineageEntries(subsetLines, qualified)
       // the PHYSICAL schema + fold: pre-rename files surface retired
       // names and the rewrite consuming this read writes CURRENT names
-      // — maintenance is how a rename converges physically
-      val base = resolveRenames(Sink.readForMaintenance(spark, qualified,
-        relFiles.map(f => s"$qualified/$f"), partitionCol,
-        Some(lineageReadSchema(s))), vMeta)
-      attachRowIdsKeyed(spark, withFilePos(base, qualified),
-        basesOf(subsetLines))
+      // — maintenance is how a rename converges physically. Keys
+      // materialize BEFORE the fold (its barrier hides `_metadata`).
+      val base = resolveRenames(withFilePos(
+        Sink.readForMaintenance(spark, qualified,
+          relFiles.map(f => s"$qualified/$f"), partitionCol,
+          Some(lineageReadSchema(s))), qualified), vMeta)
+      attachRowIdsKeyed(spark, base, basesOf(subsetLines))
     }
 
   private def readForMaintenanceLineage(spark: SparkSession,
@@ -2802,13 +2814,15 @@ object Snapshot {
     // which must read NULL in pre-evolution files exactly as it does
     // for the snapshot reader — and a RENAMED column must fold from its
     // retired physical name, or the predicate would silently miss every
-    // pre-rename row
+    // pre-rename row. The (file, pos) keys materialize BEFORE the fold
+    // (its barrier hides `_metadata` — resolveRenames scaladoc).
     val reader = spark.read.option("basePath", qualified)
     val markedAll = resolveRenames(
         physReadSchema(vMeta).fold(reader)(reader.schema)
-          .parquet(files.map(f => s"$qualified/$f"): _*), vMeta)
+          .parquet(files.map(f => s"$qualified/$f"): _*)
+          .select(col("*"), keyCols(0), keyCols(1)), vMeta)
       .where(del)
-      .select(keyCols(0), keyCols(1))
+      .select(col("dv_file"), col("dv_pos"))
     val marked =
       if (dvs.isEmpty) markedAll
       else markedAll.join(
@@ -2918,15 +2932,18 @@ object Snapshot {
     val readSchema = physReadSchema(vMeta)
       .map(s => if (lineage) lineageReadSchema(s) else s)
     if (lineage) requireLineageEntries(lines, path)
+    // (file, pos) keys materialize BEFORE the rename fold (its barrier
+    // hides `_metadata` — resolveRenames scaladoc)
     val data = resolveRenames(readSchema.fold(reader)(reader.schema)
-      .parquet(files.map(f => s"$qualified/$f"): _*), vMeta)
+      .parquet(files.map(f => s"$qualified/$f"): _*)
+      .withColumn("__dv_file", keyCols(0))
+      .withColumn("__dv_pos", keyCols(1)), vMeta)
     set.keys.foreach(k => require(data.columns.contains(k),
       s"updateWhere SET references unknown column '$k' " +
-      s"(table has: ${data.columns.mkString(", ")})"))
+      s"(table has: ${data.columns.filterNot(_.startsWith("__dv_")).mkString(", ")})"))
     // match against LIVE rows only: a row an outstanding vector already
     // hides is deleted — the update must neither re-image nor resurrect it
-    val keyed0 = data.withColumn("__dv_file", keyCols(0))
-      .withColumn("__dv_pos", keyCols(1))
+    val keyed0 = data
     val keyed =
       if (!lineage) keyed0
       else attachRowIdsKeyed(spark, keyed0, basesOf(lines),

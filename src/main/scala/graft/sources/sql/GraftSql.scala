@@ -444,9 +444,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
-  // the catalog is a VIEW over snapshot layouts — tables are created,
-  // altered, and dropped through the library's committed operations
-  // (init/append/evolve), never by uncommitted SQL DDL
+  // the catalog is a VIEW over snapshot layouts — tables are created
+  // and dropped through the library's committed operations
+  // (init/append/expire), never by uncommitted SQL DDL; ALTER TABLE is
+  // the exception (below) because each supported change maps 1:1 onto
+  // a committed metadata-only evolution
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table =

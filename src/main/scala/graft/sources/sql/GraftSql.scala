@@ -247,11 +247,43 @@ object GraftSql {
 }
 
 /** One snapshot table pinned to version `v`, exposed through the
-  * connector API. `pinned` marks a time-travel load (refuses writes). */
+  * connector API. `pinned` marks a time-travel load (refuses writes,
+  * including DML). `SupportsDelete` makes `DELETE FROM graft.t WHERE …`
+  * plan natively (Spark's `DeleteFromTableExec` hands over the
+  * translated filters) and commit as [[Snapshot.deleteWhereMoR]] —
+  * O(matched rows), one vector sidecar, zero data files rewritten;
+  * UPDATE/MERGE route through [[GraftDmlRule]]. */
 class GraftTable(path: String, v: Long, tableName: String, pinned: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private def spark: SparkSession = SparkSession.active
   private lazy val meta: Map[String, String] = Snapshot.metaOf(spark, path, v)
+
+  /** The layout root, for the DML rule — with the shared write
+    * refusals applied at plan time (a pinned time-travel load is
+    * immutable; DML needs the recorded partition column). */
+  private[sql] def dmlPath(verb: String): String = {
+    if (pinned) throw new UnsupportedOperationException(
+      s"cannot $verb time-travel pinned $tableName (VERSION/TIMESTAMP " +
+      "AS OF reads are immutable)")
+    path
+  }
+  private[sql] def dmlPartitionCol(verb: String): String =
+    meta.getOrElse("pcol", throw new UnsupportedOperationException(
+      s"$tableName has no recorded partition column — SQL $verb needs " +
+      "a manifest with pcol metadata (init or any post-r16 commit)"))
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && meta.contains("pcol") &&
+      filters.forall(f => GraftSql.toColumn(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val p = dmlPath("DELETE FROM")
+    val pcol = dmlPartitionCol("DELETE FROM")
+    // no filters = unconditional DELETE FROM t (SQL semantics: all rows)
+    val cond = filters.toSeq.flatMap(GraftSql.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Snapshot.deleteWhereMoR(spark, p, pcol, cond): Unit
+  }
   private lazy val tableSchema: StructType =
     Snapshot.schemaOf(spark, path, v).getOrElse(
       // legacy layout without a recorded schema: one plan-time

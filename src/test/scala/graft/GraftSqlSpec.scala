@@ -230,4 +230,66 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
       e.getMessage.contains("safe widening"), e.getMessage)
   }
+
+  test("SQL DML: MERGE upserts across partitions, UPDATE re-images, DELETE commits a vector") {
+    val wh = tmp("graft-dmlwh")
+    val path = s"$wh/t"
+    Snapshot.append(spark, path, "day",
+      rows(1L to 100L).repartition(2, col("id")))
+    registerCatalog("gdml", wh)
+
+    // MERGE first (the library merge contract refuses outstanding
+    // vectors): move id=1 to the other day with a new value (the
+    // cross-partition key move), insert id=1001 fresh
+    import spark.implicits._
+    Seq((1L, 111.0, "2024-01-02"), (1001L, 99.0, "2024-01-01"))
+      .toDF("id", "value", "day").createOrReplaceTempView("dml_src")
+    spark.sql(
+      """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val moved = spark.sql("SELECT value, day FROM gdml.t WHERE id = 1")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(moved == Seq((111.0, "2024-01-02")),
+      s"MERGE did not move the key across partitions: $moved")
+    assert(spark.sql("SELECT count(*) AS n FROM gdml.t")
+      .collect().head.getLong(0) == 101L)
+
+    // UPDATE: one atomic vector + re-image commit, expression evaluated
+    // against the current row
+    spark.sql("UPDATE gdml.t SET value = value * 2 WHERE id = 50")
+    assert(spark.sql("SELECT value FROM gdml.t WHERE id = 50")
+      .collect().head.getDouble(0) == 1000.0)
+
+    // DELETE: vector-only — every data file survives the commit
+    val before = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).toSet
+    spark.sql("DELETE FROM gdml.t WHERE id <= 10")
+    val after = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).toSet
+    assert(before.subsetOf(after), "SQL DELETE re-filed data")
+    // ids 1..10 hidden (the moved id=1 included — the vector reaches
+    // its post-merge location)
+    assert(spark.sql("SELECT count(*) AS n FROM gdml.t")
+      .collect().head.getLong(0) == 91L)
+    assert(spark.sql("SELECT min(id) AS m FROM gdml.t")
+      .collect().head.getLong(0) == 11L)
+
+    // refusals: the library contracts surface through SQL unchanged
+    // (partition column is not updatable; non-upsert MERGE shapes and
+    // diverging images refuse loudly)
+    intercept[Exception](
+      spark.sql("UPDATE gdml.t SET day = '2024-01-03' WHERE id = 50"))
+    intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id < s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET value = s.value + 1
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+  }
 }

@@ -1227,6 +1227,105 @@ object MatView {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q94 — the CHANGE FEED AS A STREAMING SOURCE graded through the hash
+  // gate (the r18 ask #5): q70's retractable rollup, maintained by
+  // `readStream.format("graft-cdf")` + foreachBatch instead of the
+  // batch consumer driver — offsets are snapshot VERSIONS held in the
+  // query checkpoint, so each stream lifecycle resumes exactly where
+  // the last stopped. The table life mirrors q70 (bootstrap → appends →
+  // forget-user → late data); the stream is restarted around each
+  // commit group, so one batch arrives as the full bootstrap, one as an
+  // attributable delta (inserts only), one as the row-changing diff
+  // (retractions), one as the healthy tail delta. Downstream state is
+  // keyed by BATCH ID (replays overwrite the same dir — the standard
+  // foreachBatch exactly-once formula), and the final rollup grades
+  // against the same end-state-cohort SQL shape as q70: a stream that
+  // misses a retraction, double-applies a replay, or resyncs where it
+  // should ride the diff cannot hash-match.
+  // ---------------------------------------------------------------------
+  private val Q94DelUser = 13L
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val base = s"${Sink.artifactRoot}/events_cdfstream/$tag/fp_$fp"
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val down = s"$base/down"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_date"))
+    val cohort = pmod(col("event_id"), lit(4))
+    if (Snapshot.currentVersion(s, root).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+      Snapshot.append(s, root, "event_date",
+        events.where(cohort === 0).repartition(col("event_date"))): Unit
+    }
+    def runStream(): Unit = {
+      val q = s.readStream.format("graft-cdf").option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val w = when(col("_change_type") === lit("insert"), lit(1L))
+            .otherwise(lit(-1L))
+          val part = df.groupBy(col("event_date"))
+            .agg(sum(w).as("n_events"),
+              sum(col("value").cast(DecimalType(28, 4)) * w).as("sum_value"))
+          val merged =
+            if (id == 0L) part
+            else s.read.parquet(s"$down/b${id - 1}").unionByName(part)
+              .groupBy(col("event_date"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("sum_value")).as("sum_value"))
+          merged
+            .select(col("event_date"), col("n_events"),
+              col("sum_value").cast(DecimalType(28, 4)).as("sum_value"))
+            .write.mode("overwrite").parquet(s"$down/b$id")
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runStream() // bootstrap
+    if (Snapshot.currentVersion(s, root).contains(1L))
+      Snapshot.append(s, root, "event_date",
+        events.where(cohort === 1).repartition(col("event_date"))): Unit
+    if (Snapshot.currentVersion(s, root).contains(2L))
+      Snapshot.append(s, root, "event_date",
+        events.where(cohort === 2).repartition(col("event_date"))): Unit
+    runStream() // one attributable delta batch for the two appends
+    if (Snapshot.currentVersion(s, root).contains(3L))
+      Snapshot.deleteWhereMoR(s, root, "event_date",
+        col("user_id") === Q94DelUser): Unit
+    runStream() // the row-changing gap: retractions, O(changed rows)
+    if (Snapshot.currentVersion(s, root).contains(4L))
+      Snapshot.append(s, root, "event_date",
+        events.where(cohort === 3).repartition(col("event_date"))): Unit
+    runStream() // the healthy tail delta
+    val fs = new org.apache.hadoop.fs.Path(down)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lastBatch = fs.listStatus(new org.apache.hadoop.fs.Path(down))
+      .map(_.getPath.getName).filter(_.startsWith("b"))
+      .map(_.stripPrefix("b").toLong).max
+    require(lastBatch >= 3L,
+      s"expected four stream batches (bootstrap/delta/diff/delta), " +
+      s"downstream holds b0..b$lastBatch")
+    s.read.parquet(s"$down/b$lastBatch")
+      .where(col("n_events") > 0L)
+      .select(col("event_date"), col("n_events"),
+        col("sum_value").cast(DoubleType).as("total_value"))
+      .orderBy(col("event_date"))
+  }
+  private val q94Sql =
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE user_id <> $Q94DelUser OR event_id % 4 = 3
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q82_catalog_transactions", q82, Some(q82Sql), headline = true),
     QueryDef("q43_rollup_serving", q43, Some(q43Sql), headline = true),
@@ -1252,5 +1351,9 @@ object MatView {
     QueryDef("q75_lineage_update_consumer", q75, Some(q75Sql),
       headline = true),
     QueryDef("q79_consumer_lag_report", q79, Some(q79Sql),
-      headline = true))
+      headline = true),
+    // not a headline slot: four stream lifecycles (start/stop around
+    // each commit group) dominate a timed rerun — q81 already benches
+    // streaming commits, q70 the typed-feed math
+    QueryDef("q94_cdf_stream_rollup", q94, Some(q94Sql)))
 }

@@ -3659,6 +3659,43 @@ object Snapshot {
     changesFromAdds(spark, path, toV, added)
   }
 
+  /** The TYPED change frame for the gap `(fromV, toV]` — the
+    * [[consumeChanges]] dispatch exposed as a pure READ for callers
+    * that manage their own positions (the streaming change-feed
+    * source, whose offsets live in the query checkpoint): an
+    * attributable gap (appends + row-preserving maintenance) returns
+    * the appended rows typed `insert` — O(batch); a row-changing gap
+    * returns the change diff — O(changed rows), typed
+    * insert|delete (plus update pre/post pairs with `_row_id` on
+    * lineage tables). Unlike consumeChanges there is NO resync
+    * degradation: a positioned reader whose `fromV` expired has no
+    * base to diff against and must fail loudly (its owner restarts
+    * from a fresh position — the Delta-source-after-vacuum rule). */
+  def changeFrame(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"change frame needs fromV <= toV, got $fromV -> $toV")
+    val vs = versions(spark, path)
+    require(vs.contains(toV), s"version $toV of $path is not committed")
+    require(vs.contains(fromV),
+      s"change frame base v$fromV of $path expired — a positioned " +
+      "reader has no base to diff against; restart from a fresh position")
+    val lineage = rowIdsOn(metaOf(spark, path, toV))
+    def asInserts(df: DataFrame): DataFrame =
+      df.withColumn("_change_type", lit("insert"))
+    if (fromV == toV)
+      return asInserts(
+        if (lineage) readVersionLineage(spark, path, toV).limit(0)
+        else readVersion(spark, path, toV).limit(0))
+    deltaAddsInGap(spark, path, fromV, toV) match {
+      case Right(adds) => asInserts(
+        if (lineage) changesFromAddsLineage(spark, path, toV, adds)
+        else changesFromAdds(spark, path, toV, adds))
+      case Left(_) =>
+        if (lineage) changeDiffLineage(spark, path, fromV, toV)
+        else changeDiff(spark, path, fromV, toV)
+    }
+  }
+
   /** [[changesFromAdds]] with row lineage: the gap's appended rows WITH
     * their durable ids — what a typed consumer of a lineage table
     * receives on the delta path, so its keyed state lines up with the

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.sources.Snapshot
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** The snapshot store's CHANGE FEED as a STRUCTURED STREAMING SOURCE
+  * (VERDICT r18 ask #5): `spark.readStream.format("graft-cdf")
+  * .option("path", tableRoot)` — a downstream rollup maintains itself
+  * from typed change frames without the batch consumer driver.
+  *
+  * OFFSETS ARE SNAPSHOT VERSIONS (the q65 consumer contract): the
+  * checkpoint's committed offset IS a committed manifest version, so
+  * a micro-batch is exactly [[Snapshot.changeFrame]] over the offset
+  * gap `(fromV, toV]` — attributable gaps arrive as `insert`-typed
+  * appended rows (O(batch), straight off the gap's manifest entries),
+  * row-changing gaps as the change diff (O(changed rows), typed
+  * update pairs with `_row_id` on lineage tables). The first batch is
+  * the full snapshot as inserts (the bootstrap contract). Commit
+  * timestamps are strictly monotonic and versions never reorder, so
+  * recovery replays the same gap to the same frame (at-least-once
+  * delivery; exactly-once downstream state via foreachBatch keyed by
+  * batch id — the standard Spark formula).
+  *
+  * This is the V1 `Source` seam (the public `StreamSourceProvider`
+  * API — the same one Delta's streaming source rides): `getBatch`
+  * returns a DataFrame, so the feed delegates to the library's one
+  * battle-tested change path instead of re-implementing a V2
+  * PartitionReader. Deliberate refusals, both the Delta rule:
+  * an expired base version fails loudly (no silent resync inside a
+  * stream — the operator restarts with a fresh checkpoint), and a
+  * schema-evolving commit changes the source schema only at restart.
+  *
+  * At 100 TB: `getOffset` is one manifest-pointer read per trigger;
+  * a steady-state micro-batch plans from the gap's manifest entries
+  * only (zero listing, zero footers) and reads just the appended
+  * files — the feed's cost tracks ingest, not table size. */
+class GraftChangeFeedProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft-cdf"
+
+  private def pathOf(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      """format("graft-cdf") needs a 'path' option (the snapshot layout root)"""))
+
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-cdf derives its schema from the table's recorded schema — " +
+      "do not pass one")
+    (shortName(), GraftChangeFeedSource.schemaOf(
+      ctx.sparkSession, pathOf(parameters)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftChangeFeedSource(ctx.sparkSession, pathOf(parameters))
+}
+
+object GraftChangeFeedSource {
+  /** Recorded schema (+ `_row_id` on lineage tables) + `_change_type`
+    * — exactly the frames [[Snapshot.changeFrame]] emits. */
+  private[streaming] def schemaOf(spark: SparkSession,
+      path: String): StructType = {
+    val cur = Snapshot.currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $path — nothing to stream"))
+    val base = Snapshot.schemaOf(spark, path, cur).getOrElse(
+      Snapshot.readVersion(spark, path, cur).schema)
+    val withId =
+      if (Snapshot.metaOf(spark, path, cur).get("rowids").contains("on"))
+        base.add("_row_id", LongType, nullable = true)
+      else base
+    withId.add("_change_type", StringType, nullable = false)
+  }
+}
+
+class GraftChangeFeedSource(spark: SparkSession, path: String)
+    extends Source {
+
+  /** Offsets serialize as the bare version number — `json` is the one
+    * representation Spark round-trips through the checkpoint, so a
+    * recovered offset (a `SerializedOffset`) parses back identically. */
+  private case class VersionOffset(v: Long) extends Offset {
+    override def json: String = v.toString
+  }
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  override val schema: StructType =
+    GraftChangeFeedSource.schemaOf(spark, path)
+
+  override def getOffset: Option[Offset] =
+    Snapshot.currentVersion(spark, path).map(VersionOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val toV = versionOf(end)
+    val frame = start.map(versionOf) match {
+      case None =>
+        // bootstrap: the full snapshot at toV, typed insert
+        val lineage = Snapshot.metaOf(spark, path, toV)
+          .get("rowids").contains("on")
+        (if (lineage) Snapshot.readVersionLineage(spark, path, toV)
+         else Snapshot.readVersion(spark, path, toV))
+          .withColumn("_change_type", lit("insert"))
+      case Some(fromV) =>
+        Snapshot.changeFrame(spark, path, fromV, toV)
+    }
+    // column order pinned to the declared source schema, and the frame
+    // re-tagged streaming (the V1 getBatch contract)
+    org.apache.spark.sql.graftshim.GraftShim.asStreaming(spark,
+      frame.select(schema.fieldNames.toIndexedSeq
+        .map(org.apache.spark.sql.functions.col): _*))
+  }
+
+  override def commit(end: Offset): Unit = () // the checkpoint owns positions
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftChangeFeed[$path]"
+}

@@ -32,4 +32,14 @@ object GraftShim {
   /** A DataFrame over an analyzed logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Re-tag a batch DataFrame as a STREAMING one — the V1 `Source
+    * .getBatch` contract (MicroBatchExecution asserts `isStreaming`),
+    * met the way Delta's source meets it: compile the batch plan to
+    * its InternalRow RDD and rebuild the frame with the streaming
+    * flag. The compiled plan is spliced verbatim, so the batch-side
+    * pruning (manifest file planning, DV subtraction) is preserved. */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[ClassicSparkSession].internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
 }

@@ -1023,4 +1023,78 @@ class StreamingSpec extends AnyFunSuite {
       .count(_.split("/").last.startsWith("eq-"))
     assert(eqLeft <= 2, s"sidecar debt unbounded: $eqLeft outstanding")
   }
+
+  test("change-feed streaming source: version offsets survive restart, typed frames keep the rollup ≡ batch") {
+    import graft.sources.Snapshot
+    import org.apache.spark.sql.DataFrame
+    val base = Files.createTempDirectory("graft-cdfsrc").toFile.getAbsolutePath
+    val path = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    val down = s"$base/down"
+    import spark.implicits._
+    def rows(ids: Seq[Long], day: String) =
+      ids.map(i => (i, i * 1.0, day)).toDF("id", "value", "day")
+    Snapshot.append(spark, path, "day", rows(1L to 40L, "2024-01-01"))
+
+    // the maintained rollup: one signed-apply per micro-batch, state
+    // keyed by batch id (replays overwrite the same dir — idempotent)
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", path).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val w = when(col("_change_type") === "insert", lit(1L))
+            .otherwise(lit(-1L))
+          val part = df.groupBy(col("day"))
+            .agg(sum(w).as("n"), sum(col("value") * w).as("v"))
+          val merged =
+            if (id == 0L) part
+            else spark.read.parquet(s"$down/b${id - 1}").unionByName(part)
+              .groupBy(col("day"))
+              .agg(sum(col("n")).as("n"), sum(col("v")).as("v"))
+          merged.write.mode("overwrite").parquet(s"$down/b$id")
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runStream() // batch 0 = bootstrap: the full snapshot as inserts
+    assert(spark.read.parquet(s"$down/b0")
+      .agg(sum(col("n"))).collect().head.getLong(0) == 40L)
+
+    // the stream is DOWN while the table advances: an append AND a
+    // row-changing delete land in the gap — the restarted stream must
+    // resume from the CHECKPOINTED version offset and receive ONE
+    // typed diff frame (inserts for the new day, deletes for the
+    // forgotten rows), never a resync
+    Snapshot.append(spark, path, "day", rows(41L to 60L, "2024-01-02"))
+    Snapshot.deleteWhereMoR(spark, path, "day", col("id") <= 5)
+    runStream() // batch 1 = the gap's change frame
+    val got = spark.read.parquet(s"$down/b1")
+      .select(col("day"), col("n"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Snapshot.readSnapshot(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch,
+      s"stream-maintained $got != batch-maintained $batch")
+
+    // caught up: a third lifecycle produces NO batch (offsets are
+    // versions and the version did not advance)
+    runStream()
+    val fs = new org.apache.hadoop.fs.Path(down)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$down/b2")),
+      "a caught-up restart must not produce a batch")
+
+    // an expired base refuses loudly (the Delta-source-after-vacuum
+    // rule): no silent resync inside a stream
+    val ex = intercept[Exception] {
+      Snapshot.changeFrame(spark, path, 0L,
+        Snapshot.currentVersion(spark, path).get)
+    }
+    assert(ex.getMessage.contains("not committed") ||
+      ex.getMessage.contains("expired"), ex.getMessage)
+  }
 }

@@ -224,6 +224,30 @@ object KeyIndex {
         s"index at $idxPath keys on [$c], refresh asked for " +
         s"[${keyCols.mkString(",")}] — build a second index for a " +
         "second key shape"))
+    // EAGER key validation against the table's CURRENT recorded schema
+    // (r18 ADVICE): without it a refresh over a retired/unknown key
+    // name only failed when pairsOf actually scanned files — a no-op
+    // delta refresh silently kept the stale index and deferred the
+    // failure to the next lookup. The 'fails loudly at refresh'
+    // contract must hold on EVERY path, including the short-circuits.
+    locally {
+      val vMeta = Snapshot.metaOf(spark, tablePath, cur)
+      val retired = Snapshot.aliasesOf(vMeta)
+      Snapshot.schemaOf(spark, tablePath, cur).foreach { rec =>
+        keyCols.foreach { c =>
+          require(rec.fieldNames.contains(c),
+            retired.find(_.old == c) match {
+              case Some(a) =>
+                s"key column '$c' is a RETIRED name (renamed to " +
+                s"'${a.current}') — rebuild the index under the current " +
+                "name"
+              case None =>
+                s"key column '$c' is not in the table's recorded schema " +
+                s"(${rec.fieldNames.mkString(", ")})"
+            })
+        }
+      }
+    }
     def metaFor(schema: StructType) = Map(
       "idx_of" -> cur.toString, "idx_cols" -> keyCols.mkString(","),
       "idx_buckets" -> buckets.toString, "idx_schema" -> schema.toDDL,

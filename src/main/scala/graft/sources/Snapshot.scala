@@ -582,12 +582,17 @@ object Snapshot {
 
   /** Fold retired physical names into the columns they now serve:
     * `current = coalesce(current, cast(old_1, t), cast(old_2, t), …)`
-    * newest-name-first, then drop the retired columns. Name-based and
-    * in-place (`withColumn`), so engine key columns (`__dv_*`,
-    * `__lin_*`, `_row_id`) pass through untouched; identity when the
-    * table was never renamed. The cast covers a rename whose column
-    * was LATER promoted — the alias keeps the physical type its files
-    * were written at.
+    * — the current name first, then the aliases in declaration
+    * (rename) order. The order among aliases is IMMATERIAL, and that
+    * is the invariant the fold relies on: a file holds at most ONE
+    * generation of a name (each rename retires the previous physical
+    * name for the layout's life), so per row at most one coalesce arm
+    * is non-NULL and any ordering folds identically. Then drop the
+    * retired columns. Name-based and in-place (`withColumn`), so
+    * engine key columns (`__dv_*`, `__lin_*`, `_row_id`) pass through
+    * untouched; identity when the table was never renamed. The cast
+    * covers a rename whose column was LATER promoted — the alias
+    * keeps the physical type its files were written at.
     *
     * The closing `.as(…)` is load-bearing, not cosmetic: a bare
     * `drop()` is a Project, and Spark's missing-reference resolution
@@ -2317,6 +2322,27 @@ object Snapshot {
           (dataF :+ org.apache.spark.sql.types.StructField(name, tpe,
             nullable = true)) ++ partF).json)
     }
+  }
+
+  /** DRY-RUN an evolution list against the CURRENT version's metadata:
+    * every change is validated and folded in declaration order through
+    * the same [[evolveRecordedMeta]] the commits use, but NOTHING
+    * commits — the SQL catalog pre-validates a multi-change `ALTER
+    * TABLE` with this so one refused change aborts the whole statement
+    * BEFORE any earlier change lands (atomic DDL; without it `ADD
+    * COLUMNS (a INT, b INT)` with a refused `b` would durably commit
+    * `a`). Sequential folding matters: a list may legally reference
+    * its own earlier changes (rename `x`→`y`, then add a new `x` is
+    * still refused — `x` is retired — but promote-after-rename of the
+    * NEW name validates against the renamed schema). */
+  private[sources] def validateEvolution(spark: SparkSession, path: String,
+      changes: Seq[SchemaChange]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    changes.foldLeft(metaOf(spark, path, v)) { (meta, c) =>
+      meta ++ evolveRecordedMeta(root, meta, c)
+    }: Unit
   }
 
   /** RENAME a column — ALTER TABLE RENAME COLUMN as ONE metadata-only

@@ -507,22 +507,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "supported — graft schemas evolve at the top level")
       fieldNames(0)
     }
-    changes.foreach {
+    // translate EVERY change first (unsupported shapes refuse before
+    // anything happens), then dry-run the whole list against current
+    // metadata so one refused change aborts the WHOLE statement — a
+    // multi-change ALTER is atomic: all commits or none (r18 ADVICE:
+    // the per-change loop used to durably commit the earlier changes
+    // of a statement whose later change was refused)
+    val evolutions: Seq[Snapshot.SchemaChange] = changes.map {
       case r: TableChange.RenameColumn =>
-        Snapshot.renameColumn(spark, p,
-          top(r.fieldNames(), "RENAME COLUMN"), r.newName()): Unit
+        Snapshot.RenameCol(top(r.fieldNames(), "RENAME COLUMN"), r.newName())
       case u: TableChange.UpdateColumnType =>
-        Snapshot.promoteColumn(spark, p,
-          top(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType()): Unit
+        Snapshot.PromoteCol(top(u.fieldNames(), "ALTER COLUMN TYPE"),
+          u.newDataType())
       case a: TableChange.AddColumn =>
         if (!a.isNullable) throw new UnsupportedOperationException(
           "ADD COLUMN must be nullable — existing files read NULL in it")
-        Snapshot.addColumn(spark, p,
-          top(a.fieldNames(), "ADD COLUMN"), a.dataType()): Unit
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... FIRST/AFTER is not supported — graft inserts " +
+          "added columns before the partition column (the widen order " +
+          "rule); a silent different position would lie to the caller")
+        if (a.comment() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... COMMENT is not supported — the manifest " +
+          "records no column comments; accepting one would silently " +
+          "drop it")
+        Snapshot.AddCol(top(a.fieldNames(), "ADD COLUMN"), a.dataType())
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $c — supported: RENAME COLUMN, " +
         "ALTER COLUMN TYPE (int→long, float→double), ADD COLUMN " +
-        "(nullable, top-level)")
+        "(nullable, top-level, no position/comment)")
+    }.toSeq
+    Snapshot.validateEvolution(spark, p, evolutions)
+    evolutions.foreach {
+      case Snapshot.RenameCol(from, to) =>
+        Snapshot.renameColumn(spark, p, from, to): Unit
+      case Snapshot.PromoteCol(name, to) =>
+        Snapshot.promoteColumn(spark, p, name, to): Unit
+      case Snapshot.AddCol(name, tpe) =>
+        Snapshot.addColumn(spark, p, name, tpe): Unit
     }
     loadTable(ident)
   }

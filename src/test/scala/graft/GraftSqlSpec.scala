@@ -229,6 +229,24 @@ class GraftSqlSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE gddl.t ALTER COLUMN note TYPE BIGINT"))
     assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
       e.getMessage.contains("safe widening"), e.getMessage)
+
+    // a multi-change statement is ATOMIC (r18 ADVICE): the second
+    // column is refused (retired name), so the first must NOT have
+    // durably committed either — all commits or none
+    val vBefore = Snapshot.currentVersion(spark, path).get
+    intercept[Exception](
+      spark.sql("ALTER TABLE gddl.t ADD COLUMNS (fresh INT, qty STRING)"))
+    assert(Snapshot.currentVersion(spark, path).get == vBefore,
+      "a refused multi-change ALTER must commit nothing")
+    assert(!spark.sql("SELECT * FROM gddl.t").columns.contains("fresh"))
+
+    // FIRST/AFTER positions and comments refuse loudly instead of
+    // silently landing the column elsewhere / dropping the comment
+    intercept[Exception](
+      spark.sql("ALTER TABLE gddl.t ADD COLUMN early INT AFTER quantity"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE gddl.t ADD COLUMN noted INT COMMENT 'x'"))
+    assert(Snapshot.currentVersion(spark, path).get == vBefore)
   }
 
   test("SQL DML: MERGE upserts across partitions, UPDATE re-images, DELETE commits a vector") {

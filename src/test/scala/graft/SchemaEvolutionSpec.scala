@@ -251,14 +251,16 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("k", "tag", "day")): Unit
     KeyIndex.refresh(spark, path, "k", idx, buckets = 4): Unit
     Snapshot.renameColumn(spark, path, "k", "key")
-    // the indexed column no longer resolves under its recorded name —
-    // refresh-then-probe dies in analysis (a metadata-only gap may
-    // delta-refresh to a no-op, so the probe is the guaranteed seam)
-    // instead of serving rows under a stale name
-    intercept[Exception] {
-      KeyIndex.refresh(spark, path, "k", idx, buckets = 4)
-      KeyIndex.lookup(spark, path, "k", idx, Seq(2L)).collect()
-    }
+    // the indexed column no longer exists under its recorded name —
+    // the REFRESH ITSELF fails loudly (eager key validation against
+    // the current recorded schema, r18 ADVICE), even though this
+    // metadata-only gap would have delta-refreshed to a no-op scan
+    val er = intercept[IllegalArgumentException](
+      KeyIndex.refresh(spark, path, "k", idx, buckets = 4))
+    assert(er.getMessage.contains("RETIRED"), er.getMessage)
+    // and a direct probe under the stale name dies too
+    intercept[Exception](
+      KeyIndex.lookup(spark, path, "k", idx, Seq(2L)).collect())
     // rebuilding over the NEW name works, and probes serve folded rows
     val idx2 = s"$base/i2"
     KeyIndex.refresh(spark, path, "key", idx2, buckets = 4): Unit

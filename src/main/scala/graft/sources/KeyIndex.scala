@@ -329,12 +329,29 @@ object KeyIndex {
         "snapshot — crashed mid-build? re-run refresh")))
   }
 
+  /** Serviability verdicts already computed this process: committed
+    * manifests are IMMUTABLE, so "(table v=cur, index of v=idxOf) is
+    * servable" is a deterministic fact — re-deriving it per probe
+    * (a version listing + two manifest resolutions) is pure driver
+    * tax on point-lookup workloads (q83 runs four probes per query;
+    * a serving process runs thousands). The cache keys on the full
+    * (idxPath, tablePath, cur, idxOf) tuple, so any commit on either
+    * side changes the key and forces a fresh verdict — the
+    * enforcement itself never weakens. Only POSITIVE verdicts cache
+    * (a refusal must re-check: the caller's refresh fixes it). */
+  private val servableCache =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        (String, String, Long, Long), java.lang.Boolean]())
+
   /** ENFORCED freshness (r17 ADVICE): refuse a probe whose answer could
     * silently OMIT rows — the current table holds data files the index
     * has never seen (stale-by-append, or a rewrite that re-filed rows).
     * A gap that only hid rows (DV / equality-delete commits add no data
     * file) serves fine: the pointers are supersets and the snapshot
-    * read applies the hides. O(2 manifest reads), never data IO. */
+    * read applies the hides. O(1 manifest-pointer read) on the cached
+    * steady state, O(2 manifest reads) on first contact with a
+    * (table, index) version pair — never data IO. */
   private def requireServable(spark: SparkSession,
       meta: Map[String, String], idxPath: String): Unit = {
     val tablePath = meta("idx_table")
@@ -343,6 +360,7 @@ object KeyIndex {
       throw new IllegalStateException(
         s"indexed table $tablePath has no committed snapshot"))
     if (cur == idxOf) return
+    if (servableCache.contains((idxPath, tablePath, cur, idxOf))) return
     require(Snapshot.versions(spark, tablePath).contains(idxOf),
       s"index at $idxPath is pinned to expired version $idxOf of " +
       s"$tablePath — refresh before probing")
@@ -353,6 +371,7 @@ object KeyIndex {
       s"$idxOf -> $cur adding ${unseen.size} data file(s) the index " +
       "has never scanned — a probe would silently omit their rows; " +
       "refresh first")
+    servableCache.add((idxPath, tablePath, cur, idxOf)): Unit
   }
 
   /** The data files holding any key tuple of `keys` (columns = the

@@ -3736,6 +3736,66 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q95 — SQL CREATE TABLE + INSERT INTO … SELECT graded through the
+  // hash gate: the reference's own entry point is DDL-first
+  // (ddl_snowflake_schema.sql creates every table empty, loads fill
+  // them), and until now the catalog could only serve tables the
+  // library had already bootstrapped. CREATE TABLE maps to
+  // Snapshot.create — v1 commits the DECLARED schema + partition
+  // column with zero files — and the empty table serves zero typed
+  // rows (pinned in-query: the declared columns, count 0) until the
+  // INSERT lands as a normal manifest-committed append. The report
+  // runs over the SQL-created, SQL-filled table against flat-events
+  // SQL: a create that loses the declared schema, an insert that
+  // mis-coerces a column, or a partition layout that drops rows
+  // cannot hash-match.
+  // ---------------------------------------------------------------------
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = graft.sources.Sink.corpusFingerprint(s, s"$dir/events.parquet")
+    val wh = s"${graft.sources.Sink.artifactRoot}/sqlcreate/$tag/fp_$fp"
+    val cat = s"g95$fp".replaceAll("[^A-Za-z0-9_]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.sql.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val table = s"$cat.t"
+    if (Snapshot.currentVersion(s, s"$wh/t").isEmpty) {
+      s.sql(
+        s"""CREATE TABLE $table (
+           |  event_id BIGINT, user_id BIGINT, value DOUBLE,
+           |  event_date DATE)
+           |USING graft PARTITIONED BY (event_date)""".stripMargin)
+      // the created table serves its DECLARED schema with zero rows
+      val empty = s.sql(s"SELECT * FROM $table")
+      require(empty.columns.toSeq ==
+        Seq("event_id", "user_id", "value", "event_date") &&
+        empty.count() == 0L,
+        "a created table must serve the declared schema with zero rows")
+      Tables.load(s, dir, "events").createOrReplaceTempView("q95_src")
+      s.sql(
+        s"""INSERT INTO $table
+           |SELECT event_id, user_id, value, CAST(ts AS DATE)
+           |FROM q95_src""".stripMargin)
+    }
+    s.sql(
+      s"""SELECT event_date,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS total_value
+         |FROM $table
+         |GROUP BY event_date
+         |ORDER BY event_date""".stripMargin)
+  }
+  private val q95Sql =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -3810,5 +3870,6 @@ object Analytics {
     QueryDef("q90_rename_promotion", q90, Some(q90Sql)),
     QueryDef("q91_sql_delete", q91, Some(q91Sql), headline = true),
     QueryDef("q92_sql_update", q92, Some(q92Sql), headline = true),
-    QueryDef("q93_sql_merge", q93, Some(q93Sql), headline = true))
+    QueryDef("q93_sql_merge", q93, Some(q93Sql), headline = true),
+    QueryDef("q95_sql_create_insert", q95, Some(q95Sql), headline = true))
 }

@@ -1194,6 +1194,57 @@ object Snapshot {
     }
   }
 
+  /** CREATE an EMPTY table: v1 commits the declared recorded schema and
+    * partition column with ZERO file entries — the `CREATE TABLE` half
+    * [[init]] (which bootstraps over EXISTING files) cannot express,
+    * and the way every warehouse table actually starts (the reference
+    * ships exactly this DDL: `ddl_snowflake_schema.sql`). The first
+    * data arrives through the normal [[append]] (or SQL INSERT), which
+    * rebase-commits on the create exactly as on any other version;
+    * every reader serves the declared schema with zero rows until
+    * then. Refuses an already-committed layout (CREATE is not
+    * idempotent — a second CREATE of a live table is a bug, not a
+    * bootstrap) and a partition column missing from the schema. */
+  def create(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, partitionCol: String,
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
+    require(schema.fieldNames.contains(partitionCol),
+      s"create: partition column '$partitionCol' is not in the declared " +
+      s"schema (${schema.fieldNames.mkString(", ")})")
+    require(!statsCols.contains(partitionCol),
+      s"statsCols contains '$partitionCol', the partition column — " +
+      "stats bound DATA columns")
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"create: stats column '$c' is not in the declared schema"))
+    require(!schema.fieldNames.contains(RowIdCol),
+      s"'$RowIdCol' is the reserved lineage column")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    require(committedVersions(fs, root).isEmpty,
+      s"create: $path already holds a committed snapshot — append to " +
+      "it, or expire/remove the layout first")
+    val statsMeta =
+      if (statsCols.isEmpty) Map.empty[String, String]
+      else Map("stats" -> statsCols.mkString(","))
+    commit(fs, root, None, Set.empty, Seq.empty,
+      Map("op" -> "create", "schema" -> schema.json,
+        "pcol" -> partitionCol) ++ statsMeta ++ meta,
+      allowRebase = false)
+  }
+
+  /** The declared-schema EMPTY frame an empty table serves — zero rows,
+    * every reader path's answer when a created table has no data yet
+    * (or a pruned plan kept no files). Needs the recorded schema: a
+    * LEGACY empty state (no schema anchor) stays a loud refusal, since
+    * inferring columns from zero files is impossible. */
+  private def emptyTyped(spark: SparkSession, where: String,
+      meta: Map[String, String]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      recordedSchema(meta).getOrElse(throw new IllegalStateException(
+        s"$where is empty and records no schema — nothing to serve")))
+
   /** All data files under the layout's partition dirs — the bootstrap /
     * expiry listing (manifest readers never call this). */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -1243,6 +1294,10 @@ object Snapshot {
       meta: Map[String, String], fileLines: Seq[String],
       deleteLines: Seq[String]): DataFrame = {
     val files = fileLines.map(pathOf)
+    // zero files — a created-but-empty table, or a plan that pruned
+    // everything (a contradictory predicate): the declared schema with
+    // zero rows, never a zero-path parquet read
+    if (files.isEmpty) return emptyTyped(spark, qualified, meta)
     val dvs = deleteLines.map(pathOf)
     val eqs = eqDeletesOf(deleteLines)
     val reader = spark.read.option("basePath", qualified)
@@ -1284,10 +1339,11 @@ object Snapshot {
     val qualified = fs.makeQualified(root).toString
     val (meta, lines) = stateOf(spark, path, v)
     val fileLines = lines.filterNot(isDeleteEntry)
-    require(fileLines.nonEmpty, s"snapshot v=$v of $path is empty")
     // the RECORDED schema, not footer inference: after evolution, which
     // columns exist must not depend on which file Spark sampled — old
-    // files read NULL in columns added after they were written
+    // files read NULL in columns added after they were written. An
+    // EMPTY version (a created table before its first append) serves
+    // the declared schema with zero rows via readDataAt's guard.
     readDataAt(spark, qualified, meta, fileLines,
       lines.filter(isDeleteEntry))
   }

@@ -476,17 +476,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
-  // the catalog is a VIEW over snapshot layouts — tables are created
-  // and dropped through the library's committed operations
-  // (init/append/expire), never by uncommitted SQL DDL; ALTER TABLE is
-  // the exception (below) because each supported change maps 1:1 onto
-  // a committed metadata-only evolution
+  /** `CREATE TABLE graft.t (… ) USING graft PARTITIONED BY (pcol)` —
+    * maps to [[Snapshot.create]]: v1 commits the declared schema +
+    * partition column with zero files (the reference's own entry point
+    * is exactly this DDL — `ddl_snowflake_schema.sql`), and the table
+    * serves zero typed rows until the first INSERT/append. Loud
+    * boundaries: exactly ONE top-level identity partition column
+    * (the store's layout contract — bucket/temporal transforms are a
+    * different physical design), no external location, no unsupported
+    * properties silently dropped. DROP TABLE stays refused — retiring
+    * a layout is [[Snapshot.expire]]'s destructive job, not a SQL
+    * statement's. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created via Snapshot.init / append (manifest-" +
-      "committed); the SQL catalog is a read/insert surface")
+      properties: JMap[String, String]): Table = {
+    val p = pathOf(ident)
+    if (Snapshot.currentVersion(spark, p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    val pcol = partitions.toSeq match {
+      case Seq(t) if t.name == "identity" &&
+          t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"graft tables are partitioned by exactly ONE top-level " +
+        s"identity column — got [${other.mkString(", ")}]; " +
+        "PARTITIONED BY (col) is the supported shape")
+    }
+    // properties Spark itself injects are fine; anything else would be
+    // silently dropped (the manifest records none) — refuse loudly
+    val ignorable = Set("provider", "owner",
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val unknown = properties.asScala.keySet.filterNot(ignorable)
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported table properties ${unknown.mkString(", ")} — the " +
+      "manifest records none; accepting them would silently drop them")
+    if (properties.asScala.contains(TableCatalog.PROP_LOCATION) ||
+        properties.asScala.contains(TableCatalog.PROP_EXTERNAL))
+      throw new UnsupportedOperationException(
+        "external LOCATION is not supported — a catalog table lives " +
+        "under its warehouse directory (the identifier IS the location)")
+    Snapshot.create(spark, p, schema, pcol): Unit
+    loadTable(ident)
+  }
   /** SCHEMA EVOLUTION through SQL DDL — each supported change maps to
     * the library's metadata-only atomic commit, so `ALTER TABLE
     * graft.t RENAME COLUMN a TO b`, `ALTER COLUMN c TYPE BIGINT`

@@ -309,5 +309,52 @@ class GraftSqlSpec extends AnyFunSuite {
       """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET value = s.value + 1
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    ()
+  }
+
+  test("CREATE TABLE commits an empty declared-schema v1; INSERT fills it; DDL evolves it; refusal shapes") {
+    val wh = tmp("graft-createwh")
+    registerCatalog("gcr", wh)
+    spark.sql(
+      """CREATE TABLE gcr.t (id BIGINT, value DOUBLE, day STRING)
+        |USING graft PARTITIONED BY (day)""".stripMargin)
+    // empty but TYPED: the declared schema serves zero rows, through
+    // SQL and the library read alike
+    assert(spark.sql("SELECT * FROM gcr.t").columns.toSeq ==
+      Seq("id", "value", "day"))
+    assert(spark.sql("SELECT count(*) AS n FROM gcr.t")
+      .collect().head.getLong(0) == 0L)
+    assert(Snapshot.readSnapshot(spark, s"$wh/t").count() == 0L)
+    // schema evolution works on the EMPTY table (metadata-only commits
+    // have no files to care about)
+    spark.sql("ALTER TABLE gcr.t ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE gcr.t RENAME COLUMN value TO amount")
+    // the first data arrives through plain INSERT (a manifest append)
+    spark.sql("INSERT INTO gcr.t VALUES " +
+      "(CAST(1 AS BIGINT), 10.0, 'x', '2024-01-01'), " +
+      "(CAST(2 AS BIGINT), 20.0, 'y', '2024-01-02')")
+    val got = spark.sql(
+      "SELECT id, amount, note, day FROM gcr.t ORDER BY id")
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq((1L, 10.0, "x", "2024-01-01"),
+      (2L, 20.0, "y", "2024-01-02")))
+    // and DML works on the SQL-created table
+    spark.sql("DELETE FROM gcr.t WHERE id = 1")
+    assert(spark.sql("SELECT count(*) AS n FROM gcr.t")
+      .collect().head.getLong(0) == 1L)
+
+    // refusal shapes — each loud, none partially applied
+    intercept[Exception]( // duplicate CREATE
+      spark.sql("CREATE TABLE gcr.t (a INT, day STRING) " +
+        "USING graft PARTITIONED BY (day)"))
+    intercept[UnsupportedOperationException]( // no partition column
+      spark.sql("CREATE TABLE gcr.t2 (a INT, day STRING) USING graft"))
+    intercept[UnsupportedOperationException]( // silently-dropped props
+      spark.sql("CREATE TABLE gcr.t3 (a INT, day STRING) USING graft " +
+        "PARTITIONED BY (day) TBLPROPERTIES ('x'='y')"))
+    assert(Snapshot.currentVersion(spark, s"$wh/t3").isEmpty,
+      "a refused CREATE must leave no layout behind")
   }
 }

@@ -59,7 +59,8 @@ class GraftChangeFeedProvider extends StreamSourceProvider
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftChangeFeedSource(ctx.sparkSession, pathOf(parameters))
+    new GraftChangeFeedSource(ctx.sparkSession, pathOf(parameters),
+      parameters.get("startingVersion"))
 }
 
 object GraftChangeFeedSource {
@@ -80,8 +81,17 @@ object GraftChangeFeedSource {
   }
 }
 
-class GraftChangeFeedSource(spark: SparkSession, path: String)
-    extends Source {
+/** @param startingVersion where a FRESH checkpoint starts (the Delta
+  *   option, inclusive semantics): absent → full bootstrap (the
+  *   snapshot as inserts); a version number → changes from THAT
+  *   version on (no initial snapshot; refuses when its base expired;
+  *   a number at or below the earliest retained version degrades to
+  *   the bootstrap, which IS "every change from the beginning");
+  *   `latest` → only changes committed after the source was created.
+  *   Ignored once the checkpoint holds an offset (restart resumes
+  *   from the checkpoint, the standard streaming rule). */
+class GraftChangeFeedSource(spark: SparkSession, path: String,
+    startingVersion: Option[String] = None) extends Source {
 
   /** Offsets serialize as the bare version number — `json` is the one
     * representation Spark round-trips through the checkpoint, so a
@@ -97,9 +107,32 @@ class GraftChangeFeedSource(spark: SparkSession, path: String)
   override def getOffset: Option[Offset] =
     Snapshot.currentVersion(spark, path).map(VersionOffset(_))
 
+  /** The version a FRESH checkpoint's first batch diffs from, resolved
+    * once at source construction: `latest` pins the version current
+    * RIGHT NOW (later commits stream, the existing content does not);
+    * a number `sv` pins `sv - 1` ("from sv on", inclusive); None when
+    * the first batch is the full bootstrap instead of a diff. */
+  private val startBase: Option[Long] = startingVersion.map {
+    case "latest" =>
+      Snapshot.currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no committed snapshot under $path — nothing to stream"))
+    case n => n.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"startingVersion must be a version number or 'latest', got '$n'"))
+  }.flatMap { base0 =>
+    val base = if (startingVersion.contains("latest")) base0 else base0 - 1
+    // at or below the earliest retained version: "every change from
+    // the beginning" IS the bootstrap — serve it as one (base - 1
+    // having expired is NOT an error there; anywhere else it is, and
+    // changeFrame refuses it loudly at first-batch time)
+    if (base < Snapshot.versions(spark, path).headOption.getOrElse(1L))
+      None
+    else Some(base)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = versionOf(end)
-    val frame = start.map(versionOf) match {
+    val frame = start.map(versionOf).orElse(startBase) match {
       case None =>
         // bootstrap: the full snapshot at toV, typed insert
         val lineage = Snapshot.metaOf(spark, path, toV)

@@ -1096,5 +1096,33 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("not committed") ||
       ex.getMessage.contains("expired"), ex.getMessage)
+
+    // startingVersion: a FRESH checkpoint starting "from version N on"
+    // skips the bootstrap — the first batch is the diff from N-1, so
+    // it carries the v2 append's inserts AND the v3 delete's
+    // retractions, never the v1 rows
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q2 = spark.readStream.format("graft-cdf")
+      .option("path", path).option("startingVersion", "2").load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt-sv")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out ++= df.groupBy(col("_change_type")).count().collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(out.toSet == Set(("insert", 20L), ("delete", 5L)),
+      s"startingVersion=2 first batch: $out")
+
+    // startingVersion=latest on a caught-up table: first batch is empty
+    val out3 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q3 = spark.readStream.format("graft-cdf")
+      .option("path", path).option("startingVersion", "latest").load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt-latest")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        out3 += df.count(); ()
+      }.start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(out3.forall(_ == 0L), s"latest must stream nothing old: $out3")
   }
 }

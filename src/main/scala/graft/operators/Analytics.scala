@@ -3214,9 +3214,10 @@ object Analytics {
   // half the table behind it needs no index), and because it makes the
   // skipping pin SCALE-HONEST: a tuple with n events can occupy at
   // most n (shard, date) file cells, so `planned ≤ Σ n` holds at every
-  // volume BY CONSTRUCTION, and the skip-RATIO margin is asserted only
-  // when the probe's worst-case spread leaves room for it
-  // (`2·Σn ≤ total files`). The r18 pin (`planned·2 ≤ total`,
+  // volume BY CONSTRUCTION — and since Σn shrinks with scale while the
+  // file population grows, that one bound IS the skip-ratio claim
+  // (any fixed-margin check it implies is redundant). The r18 pin
+  // (`planned·2 ≤ total`,
   // unconditional) died at the graded sf0.1 exactly because its margin
   // was calibrated against a file count the partitioned write does not
   // produce: `shards` counts TASKS, but partitionBy(event_date) splits
@@ -3284,18 +3285,20 @@ object Analytics {
     val planned = KeyIndex.filesForKeys(s, idx, probe)
     val total = Snapshot.filesOf(s, path,
       Snapshot.currentVersion(s, path).get).size
+    // ONE spread-derived pin (a separate planned*2 ≤ total ratio check
+    // is implied by this bound whenever 2·Σn ≤ total, so asserting it
+    // too was dead code — r19 review): `planned ≤ Σn` holds at ANY
+    // volume by construction, and it IS the skipping claim — at toy
+    // volumes (sf0.001: Σn≈84 of ~120 files) the probe's spread leaves
+    // no room and demanding a fixed ratio there is how the r18 pin
+    // died; from sf0.01 up, Σn shrinks (rarest keys get rarer) while
+    // the file population grows, so the implied skip ratio tightens
+    // exactly with scale (measured: Σn 36 of 120 files at sf0.1, flat
+    // probe cost at sf1's 480)
     require(planned.nonEmpty && planned.size <= sumN,
-      s"tuple index planned ${planned.size} files for a probe whose " +
-      s"worst-case spread is $sumN — the index returned files no probe " +
-      "tuple can occupy")
-    // the RATIO margin only where the probe's spread leaves room for it:
-    // at toy volumes (sf0.001: Σn≈84 of ~120 files) no index could skip
-    // half the store, and demanding it there is how the r18 pin died;
-    // from sf0.01 up, Σn shrinks (rarest keys get rarer) while the file
-    // population grows, so the margin tightens exactly with scale
-    require(2 * sumN > total || planned.size * 2 <= total,
-      s"tuple index planned ${planned.size}/$total files with probe " +
-      s"spread $sumN — no skipping on a scattered composite key")
+      s"tuple index planned ${planned.size}/$total files for a probe " +
+      s"whose worst-case spread is $sumN — the index returned files no " +
+      "probe tuple can occupy (skipping broken)")
     KeyIndex.lookup(s, path, Seq("event_type", "user_id"), idx, probe)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -3602,10 +3605,10 @@ object Analytics {
     (path, s"$cat.t")
   }
 
-  private def dmlReport(s: SparkSession, table: String, phase: String)
-      : DataFrame =
+  private def dmlReport(s: SparkSession, table: String, phase: String,
+      groupCol: String = "event_date"): DataFrame =
     s.sql(
-      s"""SELECT event_date,
+      s"""SELECT $groupCol,
          |  count(*) AS n_events,
          |  count(DISTINCT user_id) AS n_users,
          |  min(event_id) AS min_event,
@@ -3613,7 +3616,7 @@ object Analytics {
          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
          |    AS total_value
          |FROM $table
-         |GROUP BY event_date""".stripMargin)
+         |GROUP BY $groupCol""".stripMargin)
       .withColumn("phase", lit(phase))
 
   // q91 — `DELETE FROM` through the catalog: the forget-user delete q61
@@ -3652,17 +3655,7 @@ object Analytics {
          |SET event_type = 'click_gold', value = value * 2
          |WHERE event_type = 'click'""".stripMargin)
     def report(phase: String): DataFrame =
-      s.sql(
-        s"""SELECT event_type,
-           |  count(*) AS n_events,
-           |  count(DISTINCT user_id) AS n_users,
-           |  min(event_id) AS min_event,
-           |  max(event_id) AS max_event,
-           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-           |    AS total_value
-           |FROM $table
-           |GROUP BY event_type""".stripMargin)
-        .withColumn("phase", lit(phase))
+      dmlReport(s, table, phase, groupCol = "event_type")
     val mor = report("mor_served")
     Snapshot.materializeDeletes(s, path, "event_date", Seq("ts"))
     val mat = report("materialized")
@@ -3773,6 +3766,14 @@ object Analytics {
         Seq("event_id", "user_id", "value", "event_date") &&
         empty.count() == 0L,
         "a created table must serve the declared schema with zero rows")
+    }
+    // the INSERT guard is SEPARATE from the create guard (r19 review):
+    // keying both on "a version exists" would let a failed first
+    // INSERT poison the slot forever (every rerun would skip straight
+    // to reporting over the empty table); keying on "the table holds
+    // files" self-heals instead
+    if (Snapshot.filesOf(s, s"$wh/t",
+        Snapshot.currentVersion(s, s"$wh/t").get).isEmpty) {
       Tables.load(s, dir, "events").createOrReplaceTempView("q95_src")
       s.sql(
         s"""INSERT INTO $table

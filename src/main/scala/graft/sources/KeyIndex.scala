@@ -231,9 +231,11 @@ object KeyIndex {
     // failure to the next lookup. The 'fails loudly at refresh'
     // contract must hold on EVERY path, including the short-circuits.
     locally {
+      // ONE manifest resolution answers both questions (schemaOf would
+      // re-read the manifest vMeta already holds — r19 review)
       val vMeta = Snapshot.metaOf(spark, tablePath, cur)
       val retired = Snapshot.aliasesOf(vMeta)
-      Snapshot.schemaOf(spark, tablePath, cur).foreach { rec =>
+      Snapshot.recordedSchemaOf(vMeta).foreach { rec =>
         keyCols.foreach { c =>
           require(rec.fieldNames.contains(c),
             retired.find(_.old == c) match {
@@ -334,15 +336,16 @@ object KeyIndex {
     * servable" is a deterministic fact — re-deriving it per probe
     * (a version listing + two manifest resolutions) is pure driver
     * tax on point-lookup workloads (q83 runs four probes per query;
-    * a serving process runs thousands). The cache keys on the full
-    * (idxPath, tablePath, cur, idxOf) tuple, so any commit on either
-    * side changes the key and forces a fresh verdict — the
+    * a serving process runs thousands). ONE latest verdict per
+    * (idxPath, tablePath) — bounded by the number of live indexes,
+    * never by commit count (an unbounded tuple-set would grow
+    * monotonically under continuous DV commits) — and the verdict is
+    * checked against the CURRENT (cur, idxOf) pair, so any commit on
+    * either side misses the cache and forces a fresh check: the
     * enforcement itself never weakens. Only POSITIVE verdicts cache
     * (a refusal must re-check: the caller's refresh fixes it). */
   private val servableCache =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[
-        (String, String, Long, Long), java.lang.Boolean]())
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
 
   /** ENFORCED freshness (r17 ADVICE): refuse a probe whose answer could
     * silently OMIT rows — the current table holds data files the index
@@ -360,7 +363,7 @@ object KeyIndex {
       throw new IllegalStateException(
         s"indexed table $tablePath has no committed snapshot"))
     if (cur == idxOf) return
-    if (servableCache.contains((idxPath, tablePath, cur, idxOf))) return
+    if (servableCache.get((idxPath, tablePath)) == ((cur, idxOf))) return
     require(Snapshot.versions(spark, tablePath).contains(idxOf),
       s"index at $idxPath is pinned to expired version $idxOf of " +
       s"$tablePath — refresh before probing")
@@ -371,7 +374,7 @@ object KeyIndex {
       s"$idxOf -> $cur adding ${unseen.size} data file(s) the index " +
       "has never scanned — a probe would silently omit their rows; " +
       "refresh first")
-    servableCache.add((idxPath, tablePath, cur, idxOf)): Unit
+    servableCache.put((idxPath, tablePath), (cur, idxOf)): Unit
   }
 
   /** The data files holding any key tuple of `keys` (columns = the

@@ -531,6 +531,12 @@ object Snapshot {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** [[recordedSchema]] for package callers already holding a resolved
+    * meta map — avoids a second manifest read where [[schemaOf]] would
+    * re-resolve (the KeyIndex refresh validation path). */
+  private[sources] def recordedSchemaOf(meta: Map[String, String])
+      : Option[org.apache.spark.sql.types.StructType] = recordedSchema(meta)
+
   /** A RETIRED physical column name left behind by [[renameColumn]]:
     * files written before the rename carry `old` (at `tpe`, the
     * column's recorded type AT rename time — a later [[promoteColumn]]
@@ -888,7 +894,7 @@ object Snapshot {
       widenSchema: Option[(org.apache.spark.sql.types.StructType, String)] = None,
       replacedParts: Set[String] = Set.empty,
       dvRefs: Set[String] = Set.empty,
-      evolve: Option[SchemaChange] = None): Long = {
+      evolve: Seq[SchemaChange] = Nil): Long = {
     meta.foreach { case (k, v) =>
       require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
         !v.contains("\n"), s"invalid manifest metadata pair: '$k'='$v'")
@@ -1049,10 +1055,17 @@ object Snapshot {
           widenRecordedSchema(recordedSchema(latestMeta), batchSchema, pcol,
             bootstrap = latest.isEmpty, aliases = aliasesOf(latestMeta))
       }
-      // declared evolution (rename / promotion), recomputed per attempt
-      // so a rebase validates against the concurrent winner's schema
-      val evolveMeta = evolve.fold(Map.empty[String, String])(ch =>
-        evolveRecordedMeta(root, latestMeta, ch))
+      // declared evolution (rename / promotion / add), recomputed per
+      // attempt so a rebase validates against the concurrent winner's
+      // schema. A LIST folds sequentially into ONE commit — the whole
+      // statement lands or none of it does, even under concurrent
+      // committers (any change refused on any attempt aborts the
+      // attempt, and the retry re-validates the full list).
+      val evolveMeta = evolve.foldLeft(
+        (latestMeta, Map.empty[String, String])) { case ((m, acc), ch) =>
+          val d = evolveRecordedMeta(root, m, ch)
+          (m ++ d, acc ++ d)
+        }._2
       // commit timestamp, STRICTLY monotonic across versions even when
       // two commits land within one clock tick — the readAsOf(ts)
       // resolution and age-based retention both lean on it. A caller-
@@ -1737,7 +1750,13 @@ object Snapshot {
       s"lineage-enabled $path lacks a recorded schema — corrupted manifest?"))
     requireLineageEntries(lines, path)
     val fileLines = lines.filterNot(isDeleteEntry)
-    require(fileLines.nonEmpty, s"snapshot v=$v of $path is empty")
+    // a created-but-empty lineage table serves the declared schema +
+    // the id column with zero rows (readDataAt's empty rule, lineage-
+    // shaped)
+    if (fileLines.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        lineageReadSchema(recorded))
     val withIds = attachRowIdsKeyed(spark,
       lineageKeyedScan(spark, qualified, meta, fileLines.map(pathOf)),
       basesOf(lines))
@@ -2380,25 +2399,33 @@ object Snapshot {
     }
   }
 
-  /** DRY-RUN an evolution list against the CURRENT version's metadata:
-    * every change is validated and folded in declaration order through
-    * the same [[evolveRecordedMeta]] the commits use, but NOTHING
-    * commits — the SQL catalog pre-validates a multi-change `ALTER
-    * TABLE` with this so one refused change aborts the whole statement
-    * BEFORE any earlier change lands (atomic DDL; without it `ADD
-    * COLUMNS (a INT, b INT)` with a refused `b` would durably commit
-    * `a`). Sequential folding matters: a list may legally reference
-    * its own earlier changes (rename `x`→`y`, then add a new `x` is
-    * still refused — `x` is retired — but promote-after-rename of the
-    * NEW name validates against the renamed schema). */
-  private[sources] def validateEvolution(spark: SparkSession, path: String,
-      changes: Seq[SchemaChange]): Unit = {
+  /** Apply a LIST of schema evolutions as ONE atomic metadata commit —
+    * all changes land or none do, even under CONCURRENT committers:
+    * the whole list validates and folds inside the commit retry loop
+    * ([[commit]]'s `evolve` param), so a rebase re-validates every
+    * change against the concurrent winner's schema and a refusal of
+    * ANY change aborts the whole statement with nothing durably
+    * committed. The SQL catalog's multi-change `ALTER TABLE` commits
+    * through this (atomic DDL — without it `ADD COLUMNS (a INT,
+    * b INT)` with a refused `b` would durably commit `a`). Sequential
+    * folding matters: a list may legally reference its own earlier
+    * changes (promote-after-rename of the NEW name validates against
+    * the renamed schema; re-adding a just-retired name still refuses).
+    *
+    * The combined op is NOT change-feed-crossable (conservative:
+    * single renames/promotes committed via their own methods keep
+    * their crossable op labels; a multi-change statement forces the
+    * consumer diff path once). */
+  private[graft] def evolveSchema(spark: SparkSession, path: String,
+      changes: Seq[SchemaChange]): Long = {
+    require(changes.nonEmpty, "evolveSchema with no changes")
     val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $path"))
-    changes.foldLeft(metaOf(spark, path, v)) { (meta, c) =>
-      meta ++ evolveRecordedMeta(root, meta, c)
-    }: Unit
+    commit(fs, root, Some(v), Set.empty, Seq.empty,
+      Map("op" -> "evolve-schema", "changes" -> changes.size.toString),
+      evolve = changes)
   }
 
   /** RENAME a column — ALTER TABLE RENAME COLUMN as ONE metadata-only
@@ -2416,7 +2443,7 @@ object Snapshot {
       throw new IllegalStateException(s"no committed snapshot under $path"))
     commit(fs, root, Some(v), Set.empty, Seq.empty,
       Map("op" -> "rename-column", "rename_from" -> from, "rename_to" -> to),
-      evolve = Some(RenameCol(from, to)))
+      evolve = Seq(RenameCol(from, to)))
   }
 
   /** PROMOTE a column's type along the safe lattice (int→long,
@@ -2434,7 +2461,7 @@ object Snapshot {
     commit(fs, root, Some(v), Set.empty, Seq.empty,
       Map("op" -> "promote-column", "promote_col" -> name,
         "promote_to" -> to.typeName),
-      evolve = Some(PromoteCol(name, to)))
+      evolve = Seq(PromoteCol(name, to)))
   }
 
   /** ADD a nullable column — ALTER TABLE ADD COLUMN as ONE
@@ -2452,7 +2479,7 @@ object Snapshot {
     commit(fs, root, Some(v), Set.empty, Seq.empty,
       Map("op" -> "add-column", "add_col" -> name,
         "add_type" -> tpe.typeName),
-      evolve = Some(AddCol(name, tpe)))
+      evolve = Seq(AddCol(name, tpe)))
   }
 
   // ----- PARTITION-SPEC EVOLUTION --------------------------------------

@@ -179,11 +179,14 @@ object GraftDml {
 
 /** UPDATE executed through [[Snapshot.updateWhere]] — one atomic
   * commit: a deletion vector hides the matched rows' old images, their
-  * re-imaged rows land as fresh files. */
+  * re-imaged rows land as fresh files. An all-identity statement
+  * (`SET a = a` — every assignment filtered by the alignment check)
+  * is a legal SQL no-op: nothing to set, nothing committed. */
 case class GraftUpdateCommand(path: String, pcol: String, cond: Column,
     set: Map[String, Column]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    Snapshot.updateWhere(session, path, pcol, cond, set): Unit
+    if (set.nonEmpty)
+      Snapshot.updateWhere(session, path, pcol, cond, set): Unit
     Seq.empty
   }
 }

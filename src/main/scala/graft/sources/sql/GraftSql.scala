@@ -543,11 +543,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fieldNames(0)
     }
     // translate EVERY change first (unsupported shapes refuse before
-    // anything happens), then dry-run the whole list against current
-    // metadata so one refused change aborts the WHOLE statement — a
-    // multi-change ALTER is atomic: all commits or none (r18 ADVICE:
-    // the per-change loop used to durably commit the earlier changes
-    // of a statement whose later change was refused)
+    // anything happens); a multi-change statement then commits as ONE
+    // atomic evolve — all changes or none, even under concurrent
+    // committers (r18 ADVICE: the per-change loop used to durably
+    // commit the earlier changes of a statement whose later change was
+    // refused). Single changes keep their own op labels (rename /
+    // promote stay change-feed-crossable).
     val evolutions: Seq[Snapshot.SchemaChange] = changes.map {
       case r: TableChange.RenameColumn =>
         Snapshot.RenameCol(top(r.fieldNames(), "RENAME COLUMN"), r.newName())
@@ -571,14 +572,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "ALTER COLUMN TYPE (int→long, float→double), ADD COLUMN " +
         "(nullable, top-level, no position/comment)")
     }.toSeq
-    Snapshot.validateEvolution(spark, p, evolutions)
-    evolutions.foreach {
-      case Snapshot.RenameCol(from, to) =>
+    evolutions match {
+      case Seq(Snapshot.RenameCol(from, to)) =>
         Snapshot.renameColumn(spark, p, from, to): Unit
-      case Snapshot.PromoteCol(name, to) =>
+      case Seq(Snapshot.PromoteCol(name, to)) =>
         Snapshot.promoteColumn(spark, p, name, to): Unit
-      case Snapshot.AddCol(name, tpe) =>
+      case Seq(Snapshot.AddCol(name, tpe)) =>
         Snapshot.addColumn(spark, p, name, tpe): Unit
+      case many =>
+        Snapshot.evolveSchema(spark, p, many): Unit
     }
     loadTable(ident)
   }

@@ -60,7 +60,7 @@ class GraftChangeFeedProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftChangeFeedSource(ctx.sparkSession, pathOf(parameters),
-      parameters.get("startingVersion"))
+      parameters.get("startingVersion"), Some(metadataPath))
 }
 
 object GraftChangeFeedSource {
@@ -87,11 +87,20 @@ object GraftChangeFeedSource {
   *   version on (no initial snapshot; refuses when its base expired;
   *   a number at or below the earliest retained version degrades to
   *   the bootstrap, which IS "every change from the beginning");
-  *   `latest` → only changes committed after the source was created.
-  *   Ignored once the checkpoint holds an offset (restart resumes
-  *   from the checkpoint, the standard streaming rule). */
+  *   `latest` → only changes committed after the STREAM first
+  *   started. Ignored once the checkpoint holds an offset (restart
+  *   resumes from the checkpoint, the standard streaming rule).
+  * @param metadataPath the engine-provided per-source checkpoint dir:
+  *   the RESOLVED start base persists there (write-if-absent), so a
+  *   recovery that replays a logged-but-uncommitted first batch
+  *   rebuilds it from the SAME base — `latest` resolved at first
+  *   start, not at whatever version the table reached by restart
+  *   time (re-resolving would silently drop the gap's changes, or
+  *   crash on fromV > toV). None (library/unit use) keeps the
+  *   construction-time resolution. */
 class GraftChangeFeedSource(spark: SparkSession, path: String,
-    startingVersion: Option[String] = None) extends Source {
+    startingVersion: Option[String] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   /** Offsets serialize as the bare version number — `json` is the one
     * representation Spark round-trips through the checkpoint, so a
@@ -107,27 +116,58 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
   override def getOffset: Option[Offset] =
     Snapshot.currentVersion(spark, path).map(VersionOffset(_))
 
-  /** The version a FRESH checkpoint's first batch diffs from, resolved
-    * once at source construction: `latest` pins the version current
-    * RIGHT NOW (later commits stream, the existing content does not);
-    * a number `sv` pins `sv - 1` ("from sv on", inclusive); None when
-    * the first batch is the full bootstrap instead of a diff. */
-  private val startBase: Option[Long] = startingVersion.map {
-    case "latest" =>
-      Snapshot.currentVersion(spark, path).getOrElse(
-        throw new IllegalStateException(
-          s"no committed snapshot under $path — nothing to stream"))
-    case n => n.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"startingVersion must be a version number or 'latest', got '$n'"))
-  }.flatMap { base0 =>
-    val base = if (startingVersion.contains("latest")) base0 else base0 - 1
-    // at or below the earliest retained version: "every change from
-    // the beginning" IS the bootstrap — serve it as one (base - 1
-    // having expired is NOT an error there; anywhere else it is, and
-    // changeFrame refuses it loudly at first-batch time)
-    if (base < Snapshot.versions(spark, path).headOption.getOrElse(1L))
-      None
-    else Some(base)
+  /** The version a FRESH checkpoint's first batch diffs from: `latest`
+    * pins the version current when the STREAM FIRST STARTED, a number
+    * `sv` pins `sv - 1` ("from sv on", inclusive); None when the first
+    * batch is the full bootstrap instead of a diff. The resolved value
+    * PERSISTS under the source's checkpoint metadata dir
+    * (write-if-absent — of two racing resolutions exactly one wins and
+    * both read it back), so recovery replays a logged first batch from
+    * the same base it was planned against. */
+  private val startBase: Option[Long] = {
+    def resolve(): Option[Long] = startingVersion.map {
+      case "latest" =>
+        Snapshot.currentVersion(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"no committed snapshot under $path — nothing to stream"))
+      case n => n.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"startingVersion must be a version number or 'latest', got '$n'"))
+    }.flatMap { base0 =>
+      val base = if (startingVersion.contains("latest")) base0 else base0 - 1
+      // at or below the earliest retained version: "every change from
+      // the beginning" IS the bootstrap — serve it as one (base - 1
+      // having expired is NOT an error there; anywhere else it is, and
+      // changeFrame refuses it loudly at first-batch time)
+      if (base < Snapshot.versions(spark, path).headOption.getOrElse(1L))
+        None
+      else Some(base)
+    }
+    metadataPath match {
+      case None => resolve()
+      case Some(mp) =>
+        val marker = new org.apache.hadoop.fs.Path(mp, "graft-start-base")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def read(): Option[Long] = {
+          val in = fs.open(marker)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          if (s == "bootstrap") None else Some(s.toLong)
+        }
+        if (fs.exists(marker)) read()
+        else {
+          val r = resolve()
+          fs.mkdirs(marker.getParent)
+          try {
+            val out = fs.create(marker, false)
+            try out.write(r.map(_.toString).getOrElse("bootstrap")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            r
+          } catch { // a racing twin published first — adopt its base
+            case _: java.io.IOException => read()
+          }
+        }
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

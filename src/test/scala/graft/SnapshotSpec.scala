@@ -52,6 +52,38 @@ class SnapshotSpec extends AnyFunSuite {
     assert(snap.select("event_date").distinct().count() == 3)
   }
 
+  test("create commits an empty declared-schema v1; reads serve zero typed rows; the first append fills it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val path = s"${tmp("graft-create")}/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("day", StringType)))
+    assert(Snapshot.create(spark, path, schema, "day") == 1L)
+    // declared schema, zero rows — through the plain, the pinned, and
+    // the lineage-shaped read alike
+    val empty = Snapshot.readSnapshot(spark, path)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "v", "day"))
+    assert(empty.count() == 0L)
+    assert(Snapshot.readVersion(spark, path, 1L).count() == 0L)
+    // a created lineage table serves the id column empty too
+    val lpath = s"${tmp("graft-create")}/lt"
+    Snapshot.create(spark, lpath, schema, "day",
+      meta = Map("rowids" -> "on")): Unit
+    val lempty = Snapshot.readSnapshotLineage(spark, lpath)
+    assert(lempty.columns.contains("_row_id") && lempty.count() == 0L)
+    // refusals: duplicate create; partition column outside the schema
+    intercept[IllegalArgumentException](
+      Snapshot.create(spark, path, schema, "day"))
+    intercept[IllegalArgumentException](
+      Snapshot.create(spark, s"${tmp("graft-create")}/t2", schema, "nope"))
+    // first data = a normal append, rebase-committed on the create
+    Snapshot.append(spark, path, "day",
+      Seq((1L, 1.5, "d1"), (2L, 2.5, "d2")).toDF("id", "v", "day")): Unit
+    assert(ids(Snapshot.readSnapshot(spark, path)
+      .withColumnRenamed("id", "event_id")) == Set(1L, 2L))
+  }
+
   test("a concurrent reader NEVER sees a gap or an error across delete + compact commits") {
     val path = buildLayout()
     Snapshot.init(spark, path, "event_date")

@@ -1124,5 +1124,39 @@ class StreamingSpec extends AnyFunSuite {
       }.start()
     try q3.processAllAvailable() finally q3.stop()
     assert(out3.forall(_ == 0L), s"latest must stream nothing old: $out3")
+
+    // recovery determinism: 'latest' resolves ONCE and persists under
+    // the source's checkpoint metadata dir, so a recovered source
+    // replaying a logged-but-uncommitted first batch diffs from the
+    // SAME base — not from whatever version the table reached by
+    // restart time (which would silently drop the gap's changes)
+    val md = s"$base/md-pin"
+    val vAtStart = Snapshot.currentVersion(spark, path).get
+    val src1 = new graft.streaming.GraftChangeFeedSource(
+      spark, path, Some("latest"), Some(md))
+    Snapshot.append(spark, path, "day", rows(61L to 70L, "2024-01-02"))
+    val vNow = Snapshot.currentVersion(spark, path).get
+    def endAt(v: Long) = new org.apache.spark.sql.execution.streaming.Offset {
+      override def json: String = v.toString
+    }
+    // a FRESH instance over the same metadata dir (the restart) must
+    // diff from the ORIGINAL base: the marker pins it, both instances
+    // build the first batch against it (streaming-tagged frames can't
+    // execute as batch, so row counts assert through the very
+    // changeFrame the source wraps), and the frame's plan builds
+    val marker = new org.apache.hadoop.fs.Path(md, "graft-start-base")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.exists(marker), "the resolved start base must persist")
+    val in = mfs.open(marker)
+    val persisted = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim finally in.close()
+    assert(persisted == vAtStart.toString,
+      s"persisted base $persisted != first-start version $vAtStart")
+    val src2 = new graft.streaming.GraftChangeFeedSource(
+      spark, path, Some("latest"), Some(md))
+    assert(src2.getBatch(None, endAt(vNow)).isStreaming)
+    assert(src1.getBatch(None, endAt(vNow)).isStreaming)
+    assert(Snapshot.changeFrame(spark, path, vAtStart, vNow).count() == 10L,
+      "the persisted-base first batch carries exactly the gap's inserts")
   }
 }

@@ -3684,9 +3684,15 @@ object Snapshot {
   // Consumers therefore take the diff/resync path across a migration:
   // the diff emits the backfill as update pairs (typed consumers apply
   // O(table-sized-backfill) once, exactly what happened).
+  // add-column and the combined evolve-schema commit are crossable for
+  // the same reason rename/promote are: metadata-only, zero data
+  // files, no visible row changes — existing rows read NULL in an
+  // added column exactly as they do across a schema-WIDENING append,
+  // which the feed already crosses (gap adds read under toV's recorded
+  // schema). The r19 review flagged the original asymmetry.
   private val RowPreservingOps =
     Set("compact", "materialize", "evolve-spec", "eq-convert",
-      "rename-column", "promote-column")
+      "rename-column", "promote-column", "add-column", "evolve-schema")
 
   /** The files appended in `(fromV, toV]` when the gap is ATTRIBUTABLE —
     * every commit is an append or row-preserving, and no gap-appended

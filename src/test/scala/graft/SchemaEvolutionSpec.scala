@@ -270,6 +270,29 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(got == Set((2L, "b")))
   }
 
+  test("the append feed crosses add-column and multi-change evolve commits (metadata-only, row-preserving)") {
+    val path = s"${tmp("graft-evo-cross")}/t"
+    import spark.implicits._
+    Snapshot.append(spark, path, "day",
+      Seq((1, "d1"), (2, "d1")).toDF("qty", "day")): Unit
+    val v1 = Snapshot.currentVersion(spark, path).get
+    Snapshot.addColumn(spark, path, "note",
+      org.apache.spark.sql.types.StringType): Unit
+    Snapshot.evolveSchema(spark, path, Seq(
+      Snapshot.RenameCol("qty", "quantity"),
+      Snapshot.AddCol("tag", org.apache.spark.sql.types.StringType))): Unit
+    Snapshot.append(spark, path, "day",
+      Seq((3, "n", "t", "d2")).toDF("quantity", "note", "tag", "day")): Unit
+    val vNow = Snapshot.currentVersion(spark, path).get
+    // the gap holds add-column + evolve-schema + one append — the
+    // append feed attributes it (no resync), under the FINAL names,
+    // old rows absent (they did not change)
+    val feed = Snapshot.changes(spark, path, v1, vNow)
+    assert(feed.columns.contains("quantity") && feed.columns.contains("tag"))
+    assert(feed.select("quantity").collect().map(_.getInt(0)).toSeq ==
+      Seq(3))
+  }
+
   test("lineage change feed crosses a rename: a pre-rename version diffs to the post-rename one under the NEW names") {
     val path = s"${tmp("graft-evo-feed")}/t"
     import spark.implicits._

@@ -56,9 +56,26 @@ object GraftDml {
     throw new UnsupportedOperationException(what)
 
   /** Resolved attributes → bare names, so the expression re-resolves
-    * against the executing primitive's own scan of the table. */
-  private def unresolve(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    * against the executing primitive's own scan of the table.
+    * Subqueries refuse LOUDLY first: their inner plans carry resolved
+    * attributes of OTHER relations that the re-resolution seam cannot
+    * carry across — letting one through could re-bind a name to the
+    * wrong relation silently, the exact class of bug a loud boundary
+    * exists to prevent. (DELETE keeps Spark's native path, which
+    * already refuses untranslatable conditions.) */
+  private def unresolve(e: Expression): Expression = {
+    e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        unsupported(
+          s"subqueries are not supported in graft UPDATE/MERGE " +
+          s"expressions (got '${s.sql}') — rewrite as a MERGE against " +
+          "the subquery's result, or apply the predicate through the " +
+          "library API")
+      case _ => ()
+    }
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
   }
 
   private def columnOf(e: Expression): Column = GraftShim.column(unresolve(e))

@@ -309,6 +309,10 @@ class GraftSqlSpec extends AnyFunSuite {
       """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET value = s.value + 1
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    // a subquery condition cannot cross the re-resolution seam — loud
+    intercept[UnsupportedOperationException](spark.sql(
+      """UPDATE gdml.t SET value = 0
+        |WHERE id IN (SELECT id FROM dml_src)""".stripMargin))
     ()
   }
 

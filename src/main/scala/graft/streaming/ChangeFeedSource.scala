@@ -60,7 +60,14 @@ class GraftChangeFeedProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftChangeFeedSource(ctx.sparkSession, pathOf(parameters),
-      parameters.get("startingVersion"), Some(metadataPath))
+      parameters.get("startingVersion"), Some(metadataPath),
+      parameters.get("maxVersionsPerTrigger").map { v =>
+        val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"maxVersionsPerTrigger must be a positive number, got '$v'"))
+        require(n > 0,
+          s"maxVersionsPerTrigger must be positive, got $n")
+        n
+      })
 }
 
 object GraftChangeFeedSource {
@@ -97,10 +104,21 @@ object GraftChangeFeedSource {
   *   start, not at whatever version the table reached by restart
   *   time (re-resolving would silently drop the gap's changes, or
   *   crash on fromV > toV). None (library/unit use) keeps the
-  *   construction-time resolution. */
+  *   construction-time resolution.
+  * @param maxVersionsPerTrigger ADMISSION CONTROL (the Delta
+  *   `maxFilesPerTrigger` analogue at this source's version grain):
+  *   caps how far `getOffset` advances past the last batch boundary
+  *   this source has seen, so a stream recovering from a long
+  *   down-time gap drains it as BOUNDED micro-batches instead of one
+  *   storm-sized batch (at 100 TB a week's gap in one trigger is an
+  *   executor-memory incident, not a batch). The bootstrap batch is
+  *   never split (a snapshot is one consistent read), and correctness
+  *   is unaffected either way — version gaps compose (the q65
+  *   contract), only batch SIZING changes. */
 class GraftChangeFeedSource(spark: SparkSession, path: String,
     startingVersion: Option[String] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   /** Offsets serialize as the bare version number — `json` is the one
     * representation Spark round-trips through the checkpoint, so a
@@ -113,8 +131,20 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
   override val schema: StructType =
     GraftChangeFeedSource.schemaOf(spark, path)
 
+  /** The newest batch boundary this source has handed out or replayed
+    * — the floor `maxVersionsPerTrigger` caps from. Seeded lazily by
+    * the first getBatch (recovery replays tell us where the
+    * checkpoint stands; a fresh stream starts from the start base). */
+  @volatile private var highWater: Option[Long] = None
+
   override def getOffset: Option[Offset] =
-    Snapshot.currentVersion(spark, path).map(VersionOffset(_))
+    Snapshot.currentVersion(spark, path).map { cur =>
+      val capped = (maxVersionsPerTrigger, highWater.orElse(startBase)) match {
+        case (Some(n), Some(hw)) => math.min(cur, hw + n)
+        case _ => cur // unbounded, or nothing to cap from (bootstrap)
+      }
+      VersionOffset(capped)
+    }
 
   /** The version a FRESH checkpoint's first batch diffs from: `latest`
     * pins the version current when the STREAM FIRST STARTED, a number
@@ -172,6 +202,7 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = versionOf(end)
+    highWater = Some(highWater.fold(toV)(math.max(_, toV)))
     val frame = start.map(versionOf).orElse(startBase) match {
       case None =>
         // bootstrap: the full snapshot at toV, typed insert
@@ -190,7 +221,12 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
         .map(org.apache.spark.sql.functions.col): _*))
   }
 
-  override def commit(end: Offset): Unit = () // the checkpoint owns positions
+  // the checkpoint owns positions; the committed boundary just feeds
+  // the admission-control floor
+  override def commit(end: Offset): Unit = {
+    val v = versionOf(end)
+    highWater = Some(highWater.fold(v)(math.max(_, v)))
+  }
   override def stop(): Unit = ()
   override def toString: String = s"GraftChangeFeed[$path]"
 }

@@ -1158,5 +1158,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(src1.getBatch(None, endAt(vNow)).isStreaming)
     assert(Snapshot.changeFrame(spark, path, vAtStart, vNow).count() == 10L,
       "the persisted-base first batch carries exactly the gap's inserts")
+
+    // maxVersionsPerTrigger: a multi-version down-time gap drains as
+    // BOUNDED micro-batches (admission control), never one storm batch
+    Snapshot.append(spark, path, "day", rows(71L to 75L, "2024-01-01"))
+    Snapshot.append(spark, path, "day", rows(76L to 80L, "2024-01-02"))
+    val cur = Snapshot.currentVersion(spark, path).get
+    val capped = new graft.streaming.GraftChangeFeedSource(
+      spark, path, Some(vNow.toString), None, maxVersionsPerTrigger = Some(1L))
+    def offV = capped.getOffset.map(_.json.toLong)
+    // startingVersion=vNow pins base vNow-1; the cap admits ONE version
+    // per trigger even though the table is several ahead
+    assert(offV.contains(vNow), s"first capped offset: $offV")
+    capped.commit(endAt(vNow))
+    assert(offV.contains(vNow + 1), s"second capped offset: $offV")
+    capped.commit(endAt(vNow + 1))
+    capped.commit(endAt(vNow + 2))
+    // caught up: the cap never holds the offset below the table head
+    assert(offV.contains(cur), s"caught-up capped offset: $offV")
   }
 }

@@ -2412,10 +2412,11 @@ object Snapshot {
     * changes (promote-after-rename of the NEW name validates against
     * the renamed schema; re-adding a just-retired name still refuses).
     *
-    * The combined op is NOT change-feed-crossable (conservative:
-    * single renames/promotes committed via their own methods keep
-    * their crossable op labels; a multi-change statement forces the
-    * consumer diff path once). */
+    * The combined `evolve-schema` commit is change-feed-CROSSABLE
+    * (listed in `RowPreservingOps` since the r19 add-column fix): it is
+    * metadata-only — zero data files, no visible row change — so a feed
+    * crossing it loses nothing, exactly like the single rename/promote/
+    * add-column ops committed via their own methods. */
   private[graft] def evolveSchema(spark: SparkSession, path: String,
       changes: Seq[SchemaChange]): Long = {
     require(changes.nonEmpty, "evolveSchema with no changes")

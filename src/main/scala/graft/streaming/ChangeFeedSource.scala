@@ -131,11 +131,23 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
   override val schema: StructType =
     GraftChangeFeedSource.schemaOf(spark, path)
 
-  /** The newest batch boundary this source has handed out or replayed
-    * — the floor `maxVersionsPerTrigger` caps from. Seeded lazily by
-    * the first getBatch (recovery replays tell us where the
-    * checkpoint stands; a fresh stream starts from the start base). */
-  @volatile private var highWater: Option[Long] = None
+  /** The newest batch boundary this source has handed out, replayed,
+    * or committed — the floor `maxVersionsPerTrigger` caps from, and
+    * the boundary `getOffset` must never regress below. Seeded at
+    * construction from the persisted committed marker (see [[commit]]),
+    * then advanced by every getBatch/commit. Persisting matters (r19
+    * ADVICE, high): a RESTARTED source whose last batch was committed
+    * gets `getOffset` before any getBatch seeds state — without the
+    * marker, a `startingVersion` floor would cap the offset BELOW the
+    * checkpoint's committed boundary (a regressed offset Spark logs
+    * and then replays as a crashing `getBatch(committed, regressed)`
+    * forever), and an absent floor would admit the unbounded storm
+    * batch the option exists to prevent. */
+  @volatile private var highWater: Option[Long] = readCommittedMarker()
+
+  private def raise(to: Long): Unit = synchronized {
+    highWater = Some(highWater.fold(to)(math.max(_, to)))
+  }
 
   override def getOffset: Option[Offset] =
     Snapshot.currentVersion(spark, path).map { cur =>
@@ -143,7 +155,9 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
         case (Some(n), Some(hw)) => math.min(cur, hw + n)
         case _ => cur // unbounded, or nothing to cap from (bootstrap)
       }
-      VersionOffset(capped)
+      // never below a boundary already shown to the engine: an offset
+      // regression would wedge the checkpoint (see highWater's doc)
+      VersionOffset(math.max(capped, highWater.getOrElse(Long.MinValue)))
     }
 
   /** The version a FRESH checkpoint's first batch diffs from: `latest`
@@ -163,6 +177,20 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
       case n => n.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"startingVersion must be a version number or 'latest', got '$n'"))
     }.flatMap { base0 =>
+      // a FUTURE version refuses at resolve time with a clear message
+      // (r19 ADVICE): letting it through would pass the earliest-
+      // retained check and crash the first batch with changeFrame's
+      // opaque fromV <= toV require. currentVersion + 1 stays legal —
+      // "from the next commit on" is a valid subscription.
+      if (!startingVersion.contains("latest")) {
+        val cur = Snapshot.currentVersion(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"no committed snapshot under $path — nothing to stream"))
+        if (base0 > cur + 1) throw new IllegalArgumentException(
+          s"startingVersion $base0 is beyond the table's current " +
+          s"version $cur (+1 for 'next commit on') — a version that " +
+          "does not exist yet cannot anchor a change feed")
+      }
       val base = if (startingVersion.contains("latest")) base0 else base0 - 1
       // at or below the earliest retained version: "every change from
       // the beginning" IS the bootstrap — serve it as one (base - 1
@@ -202,8 +230,18 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = versionOf(end)
-    highWater = Some(highWater.fold(toV)(math.max(_, toV)))
-    val frame = start.map(versionOf).orElse(startBase) match {
+    // every boundary the engine shows us raises the floor — recovery
+    // replays hand the checkpoint's committed position as `start`
+    start.map(versionOf).foreach(raise)
+    raise(toV)
+    val from = start.map(versionOf).orElse(startBase)
+    val frame = from match {
+      // a regressed offset already in the checkpoint's log (written by
+      // a pre-fix run) replays as an EMPTY batch instead of wedging the
+      // stream on changeFrame's fromV <= toV require forever
+      case Some(fromV) if fromV >= toV =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case None =>
         // bootstrap: the full snapshot at toV, typed insert
         val lineage = Snapshot.metaOf(spark, path, toV)
@@ -221,11 +259,51 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
         .map(org.apache.spark.sql.functions.col): _*))
   }
 
-  // the checkpoint owns positions; the committed boundary just feeds
-  // the admission-control floor
+  /** The committed boundary marker under the source's checkpoint
+    * metadata dir: one small file, rewritten per commit (tmp + rename,
+    * so a torn write never parses), read back at construction. This is
+    * what makes the admission-control floor RESTART-SAFE — Spark's own
+    * offset log is not readable from here, and a fresh instance's
+    * first getOffset fires before any getBatch could seed state. */
+  private def markerPath: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.map(mp => new org.apache.hadoop.fs.Path(mp, "graft-high-water"))
+
+  private def readCommittedMarker(): Option[Long] = markerPath.flatMap { p =>
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      s.toLongOption // a torn/garbled marker degrades to unseeded
+    }
+  }
+
+  private def writeCommittedMarker(v: Long): Unit = markerPath.foreach { p =>
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(v.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) =>
+      // best-effort durability: a lost marker costs one over-sized (or
+      // floor-regressed-but-now-tolerated) batch, never correctness
+    }
+  }
+
+  // the checkpoint owns positions; the committed boundary feeds the
+  // admission-control floor — in-memory for this instance, persisted
+  // for the next one (restart-safety, see markerPath)
   override def commit(end: Offset): Unit = {
     val v = versionOf(end)
-    highWater = Some(highWater.fold(v)(math.max(_, v)))
+    raise(v)
+    if (!highWater.exists(_ > v)) writeCommittedMarker(v)
   }
   override def stop(): Unit = ()
   override def toString: String = s"GraftChangeFeed[$path]"

@@ -1177,4 +1177,78 @@ class StreamingSpec extends AnyFunSuite {
     // caught up: the cap never holds the offset below the table head
     assert(offV.contains(cur), s"caught-up capped offset: $offV")
   }
+
+  test("change-feed source restart: the admission floor survives via the committed marker, offsets never regress, a logged regressed offset replays empty") {
+    import graft.sources.Snapshot
+    val base = Files.createTempDirectory("graft-cdfrestart")
+      .toFile.getAbsolutePath
+    val path = s"$base/t"
+    import spark.implicits._
+    def rows(ids: Seq[Long], day: String) =
+      ids.map(i => (i, i * 1.0, day)).toDF("id", "value", "day")
+    def endAt(v: Long) = new org.apache.spark.sql.execution.streaming.Offset {
+      override def json: String = v.toString
+    }
+    (1 to 3).foreach(i => // versions 1..3
+      Snapshot.append(spark, path, "day", rows(Seq(i.toLong), "2024-01-01")))
+
+    // lifecycle A: startingVersion=2 + cap 1, committed through v3
+    val md = s"$base/md"
+    val a = new graft.streaming.GraftChangeFeedSource(
+      spark, path, Some("2"), Some(md), maxVersionsPerTrigger = Some(1L))
+    assert(a.getOffset.map(_.json.toLong).contains(2L))
+    a.getBatch(None, endAt(2L)); a.commit(endAt(2L))
+    assert(a.getOffset.map(_.json.toLong).contains(3L))
+    a.getBatch(Some(endAt(2L)), endAt(3L)); a.commit(endAt(3L))
+
+    // the table advances while the stream is down
+    (4 to 6).foreach(i =>
+      Snapshot.append(spark, path, "day", rows(Seq(i.toLong), "2024-01-01")))
+
+    // lifecycle B over the SAME metadata dir: the first call is
+    // getOffset (the committed-restart order) — pre-fix the floor fell
+    // back to startBase and returned min(cur, 1+1)=2, BELOW the
+    // committed 3 (a regression Spark logs and then replays as a
+    // crashing getBatch(3, 2) forever). The persisted marker seeds the
+    // floor at 3, so the next offset is 4: bounded AND monotonic.
+    val b = new graft.streaming.GraftChangeFeedSource(
+      spark, path, Some("2"), Some(md), maxVersionsPerTrigger = Some(1L))
+    assert(b.getOffset.map(_.json.toLong).contains(4L),
+      s"restarted capped offset: ${b.getOffset}")
+
+    // a regressed offset ALREADY in a pre-fix checkpoint's log replays
+    // as an empty typed batch instead of wedging on fromV <= toV
+    val wedged = b.getBatch(Some(endAt(3L)), endAt(2L))
+    assert(wedged.isStreaming && wedged.schema == b.schema)
+    // ... and replaying it must not drag the floor backward
+    assert(b.getOffset.map(_.json.toLong).contains(4L))
+
+    // bootstrap lifecycle (no startingVersion) + cap: post-restart
+    // catch-up batches are BOUNDED too — pre-fix the floor was None and
+    // the first post-restart batch drained the whole gap at once
+    val md2 = s"$base/md2"
+    val c = new graft.streaming.GraftChangeFeedSource(
+      spark, path, None, Some(md2), maxVersionsPerTrigger = Some(1L))
+    val boot = c.getOffset.map(_.json.toLong).get // bootstrap: uncapped
+    c.getBatch(None, endAt(boot)); c.commit(endAt(boot))
+    (7 to 8).foreach(i =>
+      Snapshot.append(spark, path, "day", rows(Seq(i.toLong), "2024-01-01")))
+    val d = new graft.streaming.GraftChangeFeedSource(
+      spark, path, None, Some(md2), maxVersionsPerTrigger = Some(1L))
+    assert(d.getOffset.map(_.json.toLong).contains(boot + 1),
+      s"post-restart bootstrap catch-up must be capped: ${d.getOffset}")
+
+    // a future startingVersion refuses at resolve time with a clear
+    // message (not changeFrame's opaque require at first-batch time);
+    // current+1 — "from the next commit on" — stays legal
+    val cur = Snapshot.currentVersion(spark, path).get
+    val ex = intercept[IllegalArgumentException] {
+      new graft.streaming.GraftChangeFeedSource(
+        spark, path, Some((cur + 2).toString), None)
+    }
+    assert(ex.getMessage.contains("beyond the table's current version"))
+    val next = new graft.streaming.GraftChangeFeedSource(
+      spark, path, Some((cur + 1).toString), None)
+    assert(next.getOffset.map(_.json.toLong).contains(cur))
+  }
 }

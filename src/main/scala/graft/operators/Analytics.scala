@@ -3797,6 +3797,96 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q96 — GENERAL SQL MERGE graded through the hash gate (the r19 ask
+  // #2): the three shapes every Delta/Iceberg MERGE user types and the
+  // r18 upsert-only surface refused — a CONDITIONAL DELETE clause
+  // (`WHEN MATCHED AND t.event_type = 'click' THEN DELETE`), a PARTIAL
+  // update whose value mixes target and source columns (`SET value =
+  // t.value + u.uval`; every other column keeps the target's image),
+  // and a CONDITIONAL PARTIAL INSERT (`WHEN NOT MATCHED AND … THEN
+  // INSERT (cols…)`, unassigned columns landing NULL) — in ONE
+  // statement, committing as ONE atomic version (pinned in-query).
+  // Lowered by GraftMergeIntoCommand: matched pairs read ONLY the
+  // key-index-located candidate files, the clause chain evaluates
+  // first-match per pair, and images + deleted keys commit together
+  // through mergeAnywhere's delete-key seam — O(touched partitions).
+  // The oracle simulates the same MERGE in plain SQL (left joins +
+  // first-match CASE), so one misplaced clause, a wrong NULL fill, or
+  // a lost unassigned column cannot hash-match.
+  // ---------------------------------------------------------------------
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val (path, table) = sqlDmlFixture(s, dir, "sqlgmrg")
+    if (Snapshot.versions(s, path).size == 1) {
+      val ev = Tables.load(s, dir, "events")
+      // corrections for existing keys + brand-new keys (ids shifted
+      // beyond the corpus), both scattered across every partition
+      ev.where(pmod(col("event_id"), lit(37)) === 5)
+        .select(col("event_id"), to_date(col("ts")).as("event_date"),
+          (col("value") * 2).as("uval"))
+        .unionByName(
+          ev.where(pmod(col("event_id"), lit(61)) === 3)
+            .select((col("event_id") + lit(100000000L)).as("event_id"),
+              to_date(col("ts")).as("event_date"),
+              (col("value") + 1).as("uval")))
+        .createOrReplaceTempView("q96_src")
+      s.sql(
+        s"""MERGE INTO $table AS t
+           |USING q96_src AS u
+           |ON t.event_id = u.event_id
+           |WHEN MATCHED AND t.event_type = 'click' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = t.value + u.uval
+           |WHEN NOT MATCHED AND u.event_id % 2 = 0
+           |  THEN INSERT (event_id, event_type, value, event_date)
+           |  VALUES (u.event_id, 'merged', u.uval, u.event_date)
+           |""".stripMargin)
+      require(Snapshot.versions(s, path).size == 2,
+        "general MERGE (deletes + updates + inserts) must land as ONE " +
+        "atomic commit")
+    }
+    s.sql(
+      s"""SELECT event_type,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS total_value,
+         |  min(event_id) AS min_event,
+         |  max(event_id) AS max_event
+         |FROM $table
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+  private val q96Sql =
+    """WITH t0 AS (
+      |  SELECT event_id, user_id, event_type, value FROM events
+      |), u AS (
+      |  SELECT event_id, value * 2 AS uval
+      |  FROM events WHERE event_id % 37 = 5
+      |  UNION ALL
+      |  SELECT event_id + 100000000, value + 1
+      |  FROM events WHERE event_id % 61 = 3
+      |), merged AS (
+      |  SELECT t0.event_id, t0.user_id, t0.event_type,
+      |    CASE WHEN u.event_id IS NOT NULL AND t0.event_type <> 'click'
+      |         THEN t0.value + u.uval ELSE t0.value END AS value
+      |  FROM t0 LEFT JOIN u ON t0.event_id = u.event_id
+      |  WHERE u.event_id IS NULL OR t0.event_type <> 'click'
+      |  UNION ALL
+      |  SELECT u.event_id, NULL, 'merged', u.uval
+      |  FROM u LEFT JOIN t0 ON t0.event_id = u.event_id
+      |  WHERE t0.event_id IS NULL AND u.event_id % 2 = 0
+      |)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_event,
+      |  max(event_id) AS max_event
+      |FROM merged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -3872,5 +3962,6 @@ object Analytics {
     QueryDef("q91_sql_delete", q91, Some(q91Sql), headline = true),
     QueryDef("q92_sql_update", q92, Some(q92Sql), headline = true),
     QueryDef("q93_sql_merge", q93, Some(q93Sql), headline = true),
-    QueryDef("q95_sql_create_insert", q95, Some(q95Sql), headline = true))
+    QueryDef("q95_sql_create_insert", q95, Some(q95Sql), headline = true),
+    QueryDef("q96_sql_merge_general", q96, Some(q96Sql), headline = true))
 }

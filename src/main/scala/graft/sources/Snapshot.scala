@@ -3624,21 +3624,35 @@ object Snapshot {
     * key's old image can never hide in an unindexed file. Typed
     * partition values for the old locations are read from the touched
     * partitions themselves — no string-to-type dir rendering, and the
-    * isin restriction stays a planning-time partition filter. */
+    * isin restriction stays a planning-time partition filter.
+    *
+    * `deleteKeys` (the general-MERGE seam): keys whose CURRENT rows
+    * are removed in the SAME atomic commit — located through the same
+    * index probe, dropped by the same survivor anti-join, with nothing
+    * re-added. What `MERGE … WHEN MATCHED THEN DELETE` lowers onto;
+    * the cost shape is unchanged (a deleted key touches exactly the
+    * partitions that held it). A delete-only call (empty `updates`) is
+    * legal as long as some delete key exists in the table. */
   def mergeAnywhere(spark: SparkSession, path: String, partitionCol: String,
       updates: DataFrame, keyCols: Seq[String], idxPath: String,
       sortCols: Seq[String] = Nil,
       meta: Map[String, String] = Map.empty,
-      indexBuckets: Int = 32): Long = {
+      indexBuckets: Int = 32,
+      deleteKeys: Option[DataFrame] = None): Long = {
     require(keyCols.nonEmpty, "mergeAnywhere needs at least one key column")
     require(updates.columns.contains(partitionCol),
       s"mergeAnywhere updates lack partition column '$partitionCol'")
     keyCols.foreach(c => require(updates.columns.contains(c),
       s"mergeAnywhere updates lack key column '$c'"))
+    deleteKeys.foreach(dk => keyCols.foreach(c =>
+      require(dk.columns.contains(c),
+        s"mergeAnywhere deleteKeys lack key column '$c'")))
     KeyIndex.refresh(spark, path, keyCols, idxPath, indexBuckets): Unit
     val mergeBase = currentFiles(spark, path)
     requireNoDeletes(spark, path, mergeBase._1, "mergeAnywhere")
-    val keyFrame = updates.select(keyCols.map(col): _*).distinct()
+    val keyFrame = deleteKeys.map(_.select(keyCols.map(col): _*))
+      .foldLeft(updates.select(keyCols.map(col): _*))(_ unionByName _)
+      .distinct()
     val oldFiles = KeyIndex.filesForKeys(spark, idxPath, keyFrame)
     val oldParts = oldFiles.map(_.split("/")(0)).toSet
     val oldPartFiles = mergeBase._2.filter(f => oldParts(f.split("/")(0)))
@@ -3650,7 +3664,9 @@ object Snapshot {
     val newVals: Seq[Any] = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
     val touched = (oldVals ++ newVals).distinct
-    require(touched.nonEmpty, "mergeAnywhere with an empty updates batch")
+    require(touched.nonEmpty,
+      "mergeAnywhere touches nothing: no update rows and no delete key " +
+      "present in the table")
     val lineage = rowIdsOn(metaOf(spark, path, mergeBase._1))
     val cur = (if (lineage) readVersionLineage(spark, path, mergeBase._1)
                else readVersion(spark, path, mergeBase._1))

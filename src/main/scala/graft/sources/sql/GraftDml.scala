@@ -1,7 +1,7 @@
 package graft.sources.sql
 
 import graft.sources.Snapshot
-import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -80,6 +80,37 @@ object GraftDml {
 
   private def columnOf(e: Expression): Column = GraftShim.column(unresolve(e))
 
+  /** [[unresolve]] for the general-merge seam: target attributes
+    * re-resolve as `_graft_t_<name>`, source attributes as
+    * `_graft_s_<name>` — matching the PREFIXED join frame
+    * [[GraftMergeIntoCommand]] builds, so a condition or assignment
+    * referencing `t.value` and `u.value` stays unambiguous after both
+    * sides land in one joined frame. Subqueries refuse exactly as in
+    * [[unresolve]]. */
+  private def unresolvePrefixed(e: Expression,
+      tOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      sOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Expression = {
+    e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        unsupported(
+          s"subqueries are not supported in graft UPDATE/MERGE " +
+          s"expressions (got '${s.sql}') — rewrite as a MERGE against " +
+          "the subquery's result, or apply the predicate through the " +
+          "library API")
+      case _ => ()
+    }
+    e.transform {
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute.quoted(GraftMergeIntoCommand.TP + a.name)
+      case a: AttributeReference if sOut.contains(a) =>
+        UnresolvedAttribute.quoted(GraftMergeIntoCommand.SP + a.name)
+      case a: AttributeReference => unsupported(
+        s"MERGE expression references '${a.name}', which is neither a " +
+        "target nor a source column")
+    }
+  }
+
   /** Alignment wrappers around an assignment side: the analyzer casts
     * value types and aliases star-expanded columns. */
   @annotation.tailrec
@@ -128,12 +159,35 @@ object GraftDml {
     }
 
   /** Rewrite an analyzed MERGE on a graft table; None = not ours.
-    * Accepts exactly the upsert shape the library merge implements. */
-  private[sql] def mergeCommand(m: MergeIntoTable): Option[GraftMergeCommand] =
+    *
+    * Two lowerings, picked by shape:
+    *
+    *  - the EXACT UPSERT (`WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    *    MATCHED THEN INSERT *`, no clause conditions, identical
+    *    complete images of plain source columns) keeps its blind
+    *    replace-or-insert path ([[GraftMergeCommand]]) — it never
+    *    reads the matched rows' images, the cheapest possible shape;
+    *  - everything else (clause conditions, `WHEN MATCHED THEN
+    *    DELETE`, partial/expression images, diverging update vs
+    *    insert images, insert-only merges) lowers through
+    *    [[GraftMergeIntoCommand]], which reads ONLY the index-located
+    *    candidate rows, evaluates the clause chain per matched pair
+    *    (first matching clause wins, SQL MERGE semantics), and commits
+    *    the new images + deleted keys ATOMICALLY via
+    *    [[Snapshot.mergeAnywhere]]'s update/delete-key seam.
+    *
+    * Still refused, loudly: `WHEN NOT MATCHED BY SOURCE` (conditions
+    * on ABSENCE from the source — needs a full table scan, O(table)),
+    * rekeying an ON column inside UPDATE (a rekey is a delete plus an
+    * insert), inserts that leave the partition column or an ON key
+    * unassigned, and subqueries in any merge expression. */
+  private[sql] def mergeCommand(m: MergeIntoTable): Option[LeafRunnableCommand] =
     relationOf(m.targetTable).map { case (t, rel) =>
       if (m.notMatchedBySourceActions.nonEmpty) unsupported(
         "MERGE on graft tables does not support WHEN NOT MATCHED BY " +
-        "SOURCE — the library merge is replace-or-insert by key")
+        "SOURCE — it conditions on ABSENCE from the source, which needs " +
+        "a full table scan (O(table)); run the equivalent DELETE/UPDATE " +
+        "with an anti-join-shaped predicate instead")
       val tOut = rel.outputSet
       val sOut = m.sourceTable.outputSet
       val keyCols = conjuncts(m.mergeCondition).map {
@@ -149,48 +203,128 @@ object GraftDml {
           s"MERGE ON must be a conjunction of t.k = s.k equalities, " +
           s"got '${other.sql}'")
       }
-      // target column ← source column, from one action's assignments
-      def imageOf(assigns: Seq[Assignment], clause: String): Map[String, String] =
-        assigns.map { a =>
-          val k = strip(a.key) match {
+      val tCols = rel.output.map(_.name)
+      val sNames = m.sourceTable.output.map(_.name).toSet
+      def starMissing(clause: String): Unit = {
+        val missing = tCols.filterNot(sNames)
+        if (missing.nonEmpty) unsupported(
+          s"MERGE $clause * needs the source to carry every table " +
+          s"column — missing ${missing.mkString(", ")}")
+      }
+
+      // ---- fast path: the exact upsert (None = shape doesn't fit) --
+      def plainImage(assigns: Seq[Assignment]): Option[Map[String, String]] = {
+        val pairs = assigns.map { a =>
+          (strip(a.key), strip(a.value)) match {
+            case (k: AttributeReference, v: AttributeReference)
+                if sOut.contains(v) => Some(k.name -> v.name)
+            case _ => None
+          }
+        }
+        if (pairs.forall(_.isDefined)) Some(pairs.flatten.toMap) else None
+      }
+      def starImage: Option[Map[String, String]] = {
+        starMissing("SET/INSERT"); Some(tCols.map(c => c -> c).toMap)
+      }
+      val fast: Option[GraftMergeCommand] =
+        (m.matchedActions, m.notMatchedActions) match {
+          case (Seq(mu), Seq(ni)) =>
+            val updImg = mu match {
+              case UpdateAction(None, assigns, _) => plainImage(assigns)
+              case UpdateStarAction(None) => starImage
+              case _ => None
+            }
+            val insImg = ni match {
+              case InsertAction(None, assigns) => plainImage(assigns)
+              case InsertStarAction(None) => starImage
+              case _ => None
+            }
+            for {
+              u <- updImg; i <- insImg
+              if u == i && tCols.forall(u.contains)
+            } yield GraftMergeCommand(t.dmlPath("MERGE"),
+              t.dmlPartitionCol("MERGE"), m.sourceTable, u, keyCols)
+          case _ => None
+        }
+
+      fast.getOrElse {
+        // ---- general lowering -----------------------------------------
+        val pcol = t.dmlPartitionCol("MERGE")
+        def prefixed(e: Expression): Column =
+          GraftShim.column(unresolvePrefixed(e, tOut, sOut))
+        def assignKey(a: Assignment, clause: String): String =
+          strip(a.key) match {
             case ar: AttributeReference => ar.name
             case other => unsupported(
               s"MERGE $clause assigns top-level columns only, got " +
               s"'${other.sql}'")
           }
-          val v = strip(a.value) match {
-            case ar: AttributeReference if sOut.contains(ar) => ar.name
+        def updateSet(assigns: Seq[Assignment]): Map[String, Column] =
+          assigns.flatMap { a =>
+            val k = assignKey(a, "UPDATE")
+            strip(a.value) match {
+              // aligned identity (t.k = t.k) — not an update
+              case v: AttributeReference
+                  if tOut.contains(v) && v.name == k => None
+              case v =>
+                if (keyCols.contains(k)) v match {
+                  // t.k = s.k is identity under the ON equality
+                  case ar: AttributeReference if ar.name == k => ()
+                  case other => unsupported(
+                    s"MERGE UPDATE rekeys ON column '$k' (= " +
+                    s"'${other.sql}') — a rekey is a DELETE plus an " +
+                    "INSERT, not an update in place")
+                }
+                Some(k -> prefixed(a.value))
+            }
+          }.toMap
+        def starUpdateSet: Map[String, Column] = {
+          starMissing("UPDATE SET")
+          tCols.map(c => c ->
+            GraftShim.column(UnresolvedAttribute.quoted(
+              GraftMergeIntoCommand.SP + c))).toMap
+        }
+        def insertSet(assigns: Seq[Assignment]): Map[String, Column] =
+          assigns.map { a =>
+            val k = assignKey(a, "INSERT")
+            k -> prefixed(a.value)
+          }.toMap
+        def starInsertSet: Map[String, Column] = {
+          starMissing("INSERT")
+          tCols.map(c => c ->
+            GraftShim.column(UnresolvedAttribute.quoted(
+              GraftMergeIntoCommand.SP + c))).toMap
+        }
+        val matched: Seq[(Option[Column], Option[Map[String, Column]])] =
+          m.matchedActions.map {
+            case UpdateAction(c, assigns, _) =>
+              (c.map(prefixed), Some(updateSet(assigns)))
+            case UpdateStarAction(c) => (c.map(prefixed), Some(starUpdateSet))
+            case DeleteAction(c) => (c.map(prefixed), None)
             case other => unsupported(
-              s"MERGE $clause sets $k = '${other.sql}' — only plain " +
-              "source columns are supported (the UPDATE SET * / " +
-              "INSERT * upsert shape)")
+              s"unsupported MERGE matched action '$other'")
           }
-          k -> v
-        }.toMap
-      val tCols = rel.output.map(_.name)
-      val updImg = m.matchedActions match {
-        case Seq(UpdateAction(None, assigns, _)) => imageOf(assigns, "UPDATE")
-        case Seq(UpdateStarAction(None)) => tCols.map(c => c -> c).toMap
-        case _ => unsupported(
-          "MERGE on graft tables takes exactly WHEN MATCHED THEN UPDATE " +
-          "SET * (no clause condition, no DELETE action)")
+        val notMatched: Seq[(Option[Column], Map[String, Column])] =
+          m.notMatchedActions.map {
+            case InsertAction(c, assigns) =>
+              (c.map(prefixed), insertSet(assigns))
+            case InsertStarAction(c) => (c.map(prefixed), starInsertSet)
+            case other => unsupported(
+              s"unsupported MERGE not-matched action '$other'")
+          }
+        notMatched.foreach { case (_, set) =>
+          val need = (pcol +: keyCols).distinct.filterNot(set.contains)
+          if (need.nonEmpty) unsupported(
+            s"MERGE INSERT must assign the partition column and every " +
+            s"ON key column — missing ${need.mkString(", ")} (unassigned " +
+            "OTHER columns insert as NULL)")
+        }
+        val tSchema = org.apache.spark.sql.types.StructType(rel.output.map(
+          a => org.apache.spark.sql.types.StructField(
+            a.name, a.dataType, a.nullable)))
+        GraftMergeIntoCommand(t.dmlPath("MERGE"), pcol, m.sourceTable,
+          keyCols, tSchema, matched, notMatched)
       }
-      val insImg = m.notMatchedActions match {
-        case Seq(InsertAction(None, assigns)) => imageOf(assigns, "INSERT")
-        case Seq(InsertStarAction(None)) => tCols.map(c => c -> c).toMap
-        case _ => unsupported(
-          "MERGE on graft tables takes exactly WHEN NOT MATCHED THEN " +
-          "INSERT * (no clause condition)")
-      }
-      if (updImg != insImg) unsupported(
-        "MERGE update and insert images differ — the library merge " +
-        "commits ONE replace-or-insert image per key (upsert)")
-      val missing = tCols.filterNot(updImg.contains)
-      if (missing.nonEmpty) unsupported(
-        s"MERGE image misses table columns ${missing.mkString(", ")} — " +
-        "the library merge replaces whole rows (INSERT * shape)")
-      GraftMergeCommand(t.dmlPath("MERGE"), t.dmlPartitionCol("MERGE"),
-        m.sourceTable, updImg, keyCols)
     }
 }
 
@@ -221,6 +355,143 @@ case class GraftMergeCommand(path: String, pcol: String,
     Snapshot.mergeAnywhere(session, path, pcol, img, keyCols,
       idxPath = s"${path}_dml_idx_${keyCols.mkString("_")}"): Unit
     Seq.empty
+  }
+}
+
+object GraftMergeIntoCommand {
+  /** Column prefixes for the two sides of the matched-pair frame. The
+    * prefixes differ before any user-controlled text, so no target
+    * name can collide with a prefixed source name (or vice versa). */
+  private[sql] val TP = "_graft_t_"
+  private[sql] val SP = "_graft_s_"
+}
+
+/** GENERAL MERGE (clause conditions, WHEN MATCHED DELETE, partial or
+  * expression images, insert-only) lowered onto the snapshot store's
+  * one cross-partition merge primitive:
+  *
+  *  1. candidate target rows = the files that can hold a source key,
+  *     located through the secondary key index (never a table scan);
+  *  2. matched pairs = candidates ⋈ source on the ON keys, both sides
+  *     PREFIXED (`_graft_t_*` / `_graft_s_*`) so same-named columns
+  *     stay addressable from clause conditions and assignment values;
+  *  3. per pair, the FIRST matched clause whose condition holds wins
+  *     (SQL MERGE clause order); its UPDATE builds a full-row image —
+  *     unassigned columns keep the target's value — or its DELETE
+  *     contributes the pair's key; pairs matching no clause stay
+  *     untouched. More than one source row acting on one target row
+  *     refuses (the Delta cardinality rule) before anything commits;
+  *  4. unmatched source rows walk the NOT MATCHED chain the same way;
+  *     an insert image fills unassigned columns with NULL;
+  *  5. images + deleted keys commit as ONE atomic
+  *     [[Snapshot.mergeAnywhere]] (its `deleteKeys` seam) —
+  *     O(touched partitions), same as the upsert fast path.
+  *
+  * At 100 TB: the source is read twice (matched join + unmatched
+  * anti-join) and the table contributes only index-located candidate
+  * files; the matched-pair frame persists across the clause
+  * evaluations so the join runs once. */
+case class GraftMergeIntoCommand(path: String, pcol: String,
+    source: LogicalPlan, keyCols: Seq[String],
+    tSchema: org.apache.spark.sql.types.StructType,
+    matched: Seq[(Option[Column], Option[Map[String, Column]])],
+    notMatched: Seq[(Option[Column], Map[String, Column])])
+    extends LeafRunnableCommand {
+  import GraftMergeIntoCommand.{SP, TP}
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.when
+    val tCols = tSchema.fieldNames.toSeq
+    val idxPath = s"${path}_dml_idx_${keyCols.mkString("_")}"
+    val v = graft.sources.Snapshot.currentVersion(session, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val src = GraftShim.ofRows(session, source)
+    if (src.isEmpty) return Seq.empty // a legal no-op
+    val sPref = src.columns.toSeq.foldLeft(src)((d, c) =>
+      d.withColumnRenamed(c, SP + c))
+
+    // candidate target rows: only files that can hold a source key
+    graft.sources.KeyIndex.refresh(session, path, keyCols, idxPath, 32): Unit
+    val candFiles = graft.sources.KeyIndex.filesForKeys(session, idxPath,
+      src.select(keyCols.map(col): _*).distinct())
+    val target =
+      if (candFiles.isEmpty)
+        session.createDataFrame(
+          session.sparkContext.emptyRDD[Row], tSchema)
+      else Snapshot.readVersionFiles(session, path, v, candFiles)
+        .select(tCols.map(col): _*)
+    val tPref = target.select(tCols.map(c => col(c).as(TP + c)): _*)
+    val joinCond = keyCols.map(k => col(TP + k) === col(SP + k))
+      .reduce(_ && _)
+
+    val act = "_graft_action"
+    def chain(conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldLeft(Option.empty[Column]) {
+        case (acc, (cond, i)) =>
+          val c = cond.getOrElse(lit(true))
+          Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
+      }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
+
+    val pairs = tPref.join(sPref, joinCond, "inner")
+      .withColumn(act, chain(matched.map(_._1)))
+      .where(col(act) >= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (matched.nonEmpty) {
+        val dup = pairs.groupBy(keyCols.map(k => col(TP + k)): _*)
+          .count().where(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new UnsupportedOperationException(
+          "MERGE cardinality violation: more than one source row " +
+          "matched and acted on the same target row — dedup the source " +
+          "on the ON keys first")
+      }
+      val updIdx = matched.zipWithIndex.collect { case ((_, Some(_)), i) => i }
+      val delIdx = matched.zipWithIndex.collect { case ((_, None), i) => i }
+      // one select: per target column, the acting clause's value (the
+      // action index already encodes first-match), cast to the
+      // recorded type; unassigned columns keep the target's value
+      val updRows: Option[DataFrame] =
+        if (updIdx.isEmpty) None
+        else Some(pairs.where(col(act).isin(updIdx: _*))
+          .select(tSchema.fields.toSeq.map { f =>
+            updIdx.foldLeft(Option.empty[Column]) { (acc, i) =>
+              val value = matched(i)._2.get
+                .getOrElse(f.name, col(TP + f.name))
+              Some(acc.fold(when(col(act) === i, value))(
+                _.when(col(act) === i, value)))
+            }.get.cast(f.dataType).as(f.name)
+          }: _*))
+      val delKeys: Option[DataFrame] =
+        if (delIdx.isEmpty) None
+        else Some(pairs.where(col(act).isin(delIdx: _*))
+          .select(keyCols.map(k => col(TP + k).as(k)): _*))
+
+      val insRows: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else Some(sPref
+          .join(tPref.select(keyCols.map(k => col(TP + k)): _*),
+            joinCond, "left_anti")
+          .withColumn(act, chain(notMatched.map(_._1)))
+          .where(col(act) >= 0)
+          .select(tSchema.fields.toSeq.map { f =>
+            notMatched.indices.foldLeft(Option.empty[Column]) { (acc, i) =>
+              val value = notMatched(i)._2.getOrElse(f.name, lit(null))
+              Some(acc.fold(when(col(act) === i, value))(
+                _.when(col(act) === i, value)))
+            }.get.cast(f.dataType).as(f.name)
+          }: _*))
+
+      val updates = Seq(updRows, insRows).flatten
+        .reduceOption(_ unionByName _)
+        .getOrElse(session.createDataFrame(
+          session.sparkContext.emptyRDD[Row], tSchema))
+      val del = delKeys.filterNot(_.isEmpty)
+      // matched nothing, inserted nothing, deleted nothing: legal no-op
+      if (del.nonEmpty || !updates.isEmpty)
+        Snapshot.mergeAnywhere(session, path, pcol, updates, keyCols,
+          idxPath, deleteKeys = del): Unit
+      Seq.empty
+    } finally pairs.unpersist()
   }
 }
 

@@ -294,25 +294,116 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 11L)
 
     // refusals: the library contracts surface through SQL unchanged
-    // (partition column is not updatable; non-upsert MERGE shapes and
-    // diverging images refuse loudly)
+    // (partition column is not updatable; non-equi ON and rekeying
+    // refuse loudly — clause conditions / DELETE actions / partial
+    // images are the GENERAL merge path, tested separately)
     intercept[Exception](
       spark.sql("UPDATE gdml.t SET day = '2024-01-03' WHERE id = 50"))
-    intercept[UnsupportedOperationException](spark.sql(
-      """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id = s.id
-        |WHEN MATCHED THEN DELETE""".stripMargin))
     intercept[UnsupportedOperationException](spark.sql(
       """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id < s.id
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
     intercept[UnsupportedOperationException](spark.sql(
       """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET value = s.value + 1
+        |WHEN MATCHED THEN UPDATE SET id = s.id + 1, value = s.value
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
     // a subquery condition cannot cross the re-resolution seam — loud
     intercept[UnsupportedOperationException](spark.sql(
       """UPDATE gdml.t SET value = 0
         |WHERE id IN (SELECT id FROM dml_src)""".stripMargin))
+    ()
+  }
+
+  test("general SQL MERGE: clause conditions, WHEN MATCHED DELETE, partial/diverging images, insert-only — one atomic commit each") {
+    val wh = tmp("graft-gmergewh")
+    val path = s"$wh/t"
+    Snapshot.append(spark, path, "day",
+      rows(1L to 100L).repartition(2, col("id")))
+    registerCatalog("ggm", wh)
+    import spark.implicits._
+    // ids 1,2,3 exist (values 10,20,30); 501,502 are new
+    Seq((1L, 5.0, "2024-01-01"), (2L, 7.0, "2024-01-02"),
+        (3L, 100.0, "2024-01-01"), (501L, 1.0, "2024-01-01"),
+        (502L, 2.0, "2024-01-02"))
+      .toDF("id", "value", "day").createOrReplaceTempView("gm_src")
+    val vBefore = Snapshot.versions(spark, path).size
+    spark.sql(
+      """MERGE INTO ggm.t AS t USING gm_src AS s ON t.id = s.id
+        |WHEN MATCHED AND s.value < 10
+        |  THEN UPDATE SET value = t.value + s.value
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.id % 2 = 1
+        |  THEN INSERT (id, value, day) VALUES (s.id, s.value * 10, s.day)
+        |""".stripMargin)
+    // updates + deletes + inserts landed as ONE commit
+    assert(Snapshot.versions(spark, path).size == vBefore + 1,
+      "general MERGE must commit atomically")
+    // id=1: first clause (5 < 10) → partial update, day kept;
+    // id=2: first clause (7 < 10) → 20 + 7; id=3: second clause →
+    // DELETED; 501: unmatched odd → inserted ×10; 502: unmatched even
+    // → no clause applies, dropped
+    val got = spark.sql(
+      "SELECT id, value, day FROM ggm.t WHERE id IN (1,2,3,501,502) " +
+      "ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq((1L, 15.0, "2024-01-01"), (2L, 27.0, "2024-01-02"),
+      (501L, 10.0, "2024-01-01")), s"general MERGE state: $got")
+    assert(spark.sql("SELECT count(*) AS n FROM ggm.t")
+      .collect().head.getLong(0) == 100L) // -1 deleted, +1 inserted
+    // an untouched row is byte-identical
+    assert(spark.sql("SELECT value FROM ggm.t WHERE id = 50")
+      .collect().head.getDouble(0) == 500.0)
+
+    // INSERT-ONLY merge (no matched clause): deleted id=3 re-inserts,
+    // 502 inserts, matched ids stay untouched
+    spark.sql(
+      """MERGE INTO ggm.t AS t USING gm_src AS s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, value, day)
+        |  VALUES (s.id, s.value, s.day)""".stripMargin)
+    val back = spark.sql(
+      "SELECT id, value FROM ggm.t WHERE id IN (1, 3, 502) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(back == Seq((1L, 15.0), (3L, 100.0), (502L, 2.0)),
+      s"insert-only MERGE state: $back")
+    assert(spark.sql("SELECT count(*) AS n FROM ggm.t")
+      .collect().head.getLong(0) == 102L)
+
+    // a caught-up re-run of the insert-only merge is a legal NO-OP:
+    // nothing matches any clause, no commit
+    val vNoop = Snapshot.versions(spark, path).size
+    spark.sql(
+      """MERGE INTO ggm.t AS t USING gm_src AS s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, value, day)
+        |  VALUES (s.id, s.value, s.day)""".stripMargin)
+    assert(Snapshot.versions(spark, path).size == vNoop,
+      "an all-matched insert-only MERGE must not commit")
+
+    // Delta's cardinality rule: two source rows acting on one target
+    // row refuse BEFORE anything commits
+    Seq((1L, 1.0, "2024-01-01"), (1L, 2.0, "2024-01-01"))
+      .toDF("id", "value", "day").createOrReplaceTempView("gm_dup")
+    val vDup = Snapshot.versions(spark, path).size
+    val ex = intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO ggm.t AS t USING gm_dup AS s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(ex.getMessage.contains("cardinality"))
+    assert(Snapshot.versions(spark, path).size == vDup,
+      "a refused MERGE must leave no commit behind")
+
+    // refusal shapes that stay refused in the general path
+    intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO ggm.t AS t USING gm_src AS s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+    // INSERT leaving the partition column unassigned
+    intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO ggm.t AS t USING gm_src AS s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, value)
+        |  VALUES (s.id, s.value)""".stripMargin))
+    // rekeying the ON column inside UPDATE
+    intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO ggm.t AS t USING gm_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET id = s.id + 1""".stripMargin))
     ()
   }
 

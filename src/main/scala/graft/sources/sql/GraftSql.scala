@@ -504,22 +504,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"identity column — got [${other.mkString(", ")}]; " +
         "PARTITIONED BY (col) is the supported shape")
     }
-    // properties Spark itself injects are fine; anything else would be
-    // silently dropped (the manifest records none) — refuse loudly
+    // properties Spark itself injects are fine; the manifest-backed
+    // ones (`rowids`, `stats` — r19 ask #3: lineage was unreachable
+    // from SQL, so a SQL-created table could never serve typed update
+    // pairs and a graft-cdf stream over it refused its first UPDATE)
+    // map onto the create commit; anything else would be silently
+    // dropped — refuse loudly
     val ignorable = Set("provider", "owner",
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION)
-    val unknown = properties.asScala.keySet.filterNot(ignorable)
+    val known = Set("rowids", "stats")
+    val unknown = properties.asScala.keySet
+      .filterNot(k => ignorable(k) || known(k))
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
-      s"unsupported table properties ${unknown.mkString(", ")} — the " +
-      "manifest records none; accepting them would silently drop them")
+      s"unsupported table properties ${unknown.mkString(", ")} — " +
+      "supported: 'rowids'='on' (row lineage from birth), " +
+      "'stats'='c1,c2' (min/max file-skipping columns); accepting " +
+      "others would silently drop them")
     if (properties.asScala.contains(TableCatalog.PROP_LOCATION) ||
         properties.asScala.contains(TableCatalog.PROP_EXTERNAL))
       throw new UnsupportedOperationException(
         "external LOCATION is not supported — a catalog table lives " +
         "under its warehouse directory (the identifier IS the location)")
-    Snapshot.create(spark, p, schema, pcol): Unit
+    val lineageMeta = properties.asScala.get("rowids") match {
+      case None => Map.empty[String, String]
+      case Some("on") => Map("rowids" -> "on")
+      case Some(other) => throw new UnsupportedOperationException(
+        s"TBLPROPERTIES rowids must be 'on', got '$other' — omit the " +
+        "property for a table without row lineage (it cannot be " +
+        "turned on later: ids exist from birth or not at all)")
+    }
+    val statsCols = properties.asScala.get("stats")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    Snapshot.create(spark, p, schema, pcol, meta = lineageMeta,
+      statsCols = statsCols): Unit
     loadTable(ident)
   }
   /** SCHEMA EVOLUTION through SQL DDL — each supported change maps to

@@ -407,6 +407,65 @@ class GraftSqlSpec extends AnyFunSuite {
     ()
   }
 
+  test("TBLPROPERTIES: CREATE(rowids=on, stats) makes lineage SQL-reachable — INSERT, UPDATE, then graft-cdf crosses the update as typed pairs") {
+    val wh = tmp("graft-linwh")
+    val path = s"$wh/t"
+    registerCatalog("glin", wh)
+    spark.sql(
+      """CREATE TABLE glin.t (id BIGINT, value DOUBLE, day STRING)
+        |USING graft PARTITIONED BY (day)
+        |TBLPROPERTIES ('rowids'='on', 'stats'='id')""".stripMargin)
+    val meta = Snapshot.currentMeta(spark, path).get
+    assert(meta.get("rowids").contains("on") &&
+      meta.get("stats").contains("id"),
+      s"create must record the declared properties: $meta")
+
+    rows(1L to 20L).createOrReplaceTempView("lin_src")
+    spark.sql("INSERT INTO glin.t SELECT * FROM lin_src")
+    // the SQL-created, SQL-filled table serves durable row ids
+    val withIds = Snapshot.readSnapshotLineage(spark, path)
+    assert(withIds.columns.contains("_row_id") &&
+      withIds.select("_row_id").distinct().count() == 20L)
+    val idOf7 = withIds.where(col("id") === 7)
+      .select("_row_id").collect().head.getLong(0)
+
+    spark.sql("UPDATE glin.t SET value = value + 1000 WHERE id = 7")
+    val vNow = Snapshot.currentVersion(spark, path).get
+
+    // the change feed CROSSES the SQL UPDATE as a typed pre/post pair
+    // sharing the row's durable id — before the r20 property seam, a
+    // SQL-created table had no lineage, so this stream REFUSED here
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, Double)]
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", path).option("startingVersion", vNow.toString)
+      .load()
+      .writeStream.option("checkpointLocation", s"$wh/ckpt")
+      .foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          out ++= df.select("_row_id", "_change_type", "value").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(out.toSet == Set(
+      (idOf7, "update_preimage", 70.0),
+      (idOf7, "update_postimage", 1070.0)),
+      s"typed update crossing: $out")
+
+    // a malformed rowids value refuses at CREATE time
+    intercept[UnsupportedOperationException](spark.sql(
+      """CREATE TABLE glin.t2 (id BIGINT, day STRING)
+        |USING graft PARTITIONED BY (day)
+        |TBLPROPERTIES ('rowids'='maybe')""".stripMargin))
+    // an unknown property still refuses loudly
+    intercept[UnsupportedOperationException](spark.sql(
+      """CREATE TABLE glin.t3 (id BIGINT, day STRING)
+        |USING graft PARTITIONED BY (day)
+        |TBLPROPERTIES ('delta.appendOnly'='true')""".stripMargin))
+    ()
+  }
+
   test("CREATE TABLE commits an empty declared-schema v1; INSERT fills it; DDL evolves it; refusal shapes") {
     val wh = tmp("graft-createwh")
     registerCatalog("gcr", wh)

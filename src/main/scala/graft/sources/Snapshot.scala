@@ -1739,7 +1739,7 @@ object Snapshot {
     * (entry base + row position, zero stored bytes) and physical on
     * rewritten ones; this read coalesces the two transparently. */
   def readVersionLineage(spark: SparkSession, path: String,
-      v: Long): DataFrame = {
+      v: Long, onlyFiles: Option[Seq[String]] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val qualified = fsOf(spark, root).makeQualified(root).toString
     val (meta, lines) = stateOf(spark, path, v)
@@ -1749,7 +1749,18 @@ object Snapshot {
     val recorded = recordedSchema(meta).getOrElse(throw new IllegalStateException(
       s"lineage-enabled $path lacks a recorded schema — corrupted manifest?"))
     requireLineageEntries(lines, path)
+    // optional file-subset restriction (the split-bootstrap seam): ids
+    // are per-file (entry base + position), so a subset read assigns
+    // every served row the SAME id a full read would
     val fileLines = lines.filterNot(isDeleteEntry)
+      .filter(l => onlyFiles.forall(_.contains(pathOf(l))))
+    onlyFiles.foreach { fs =>
+      val known = lines.filterNot(isDeleteEntry).map(pathOf).toSet
+      val unknown = fs.filterNot(known)
+      require(unknown.isEmpty,
+        s"readVersionLineage: ${unknown.take(3).mkString(", ")} not in " +
+        s"version $v of $path")
+    }
     // a created-but-empty lineage table serves the declared schema +
     // the id column with zero rows (readDataAt's empty rule, lineage-
     // shaped)

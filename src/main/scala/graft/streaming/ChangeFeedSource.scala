@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * appended rows (O(batch), straight off the gap's manifest entries),
   * row-changing gaps as the change diff (O(changed rows), typed
   * update pairs with `_row_id` on lineage tables). The first batch is
-  * the full snapshot as inserts (the bootstrap contract). Commit
+  * the full snapshot as inserts (the bootstrap contract) — or, with
+  * `maxFilesPerTrigger`, a SEQUENCE of bounded insert batches slicing
+  * one pinned version's file list. Commit
   * timestamps are strictly monotonic and versions never reorder, so
   * recovery replays the same gap to the same frame (at-least-once
   * delivery; exactly-once downstream state via foreachBatch keyed by
@@ -56,21 +58,45 @@ class GraftChangeFeedProvider extends StreamSourceProvider
       ctx.sparkSession, pathOf(parameters)))
   }
 
+  private def positiveLong(params: Map[String, String],
+      name: String): Option[Long] =
+    params.get(name).map { v =>
+      val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$name must be a positive number, got '$v'"))
+      require(n > 0, s"$name must be positive, got $n")
+      n
+    }
+
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftChangeFeedSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("startingVersion"), Some(metadataPath),
-      parameters.get("maxVersionsPerTrigger").map { v =>
-        val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
-          s"maxVersionsPerTrigger must be a positive number, got '$v'"))
-        require(n > 0,
-          s"maxVersionsPerTrigger must be positive, got $n")
-        n
-      })
+      positiveLong(parameters, "maxVersionsPerTrigger"),
+      positiveLong(parameters, "maxFilesPerTrigger"))
 }
 
 object GraftChangeFeedSource {
+  /** A stream position: either a committed VERSION boundary (steady
+    * state) or bootstrap progress (pinned version + files served so
+    * far). A version position ranks above every bootstrap position of
+    * the same version — the bootstrap completes before the version
+    * grain takes over. */
+  private[streaming] sealed trait Pos {
+    def v: Long
+    def rank: (Long, Long)
+  }
+  private[streaming] case class BootPos(v: Long, k: Long) extends Pos {
+    def rank: (Long, Long) = (v, k)
+  }
+  private[streaming] case class VerPos(v: Long) extends Pos {
+    def rank: (Long, Long) = (v, Long.MaxValue)
+  }
+  private[streaming] def maxPos(a: Pos, b: Pos): Pos = {
+    import scala.math.Ordering.Implicits._
+    if (a.rank >= b.rank) a else b
+  }
+
   /** Recorded schema (+ `_row_id` on lineage tables) + `_change_type`
     * — exactly the frames [[Snapshot.changeFrame]] emits. */
   private[streaming] def schemaOf(spark: SparkSession,
@@ -105,28 +131,50 @@ object GraftChangeFeedSource {
   *   time (re-resolving would silently drop the gap's changes, or
   *   crash on fromV > toV). None (library/unit use) keeps the
   *   construction-time resolution.
-  * @param maxVersionsPerTrigger ADMISSION CONTROL (the Delta
-  *   `maxFilesPerTrigger` analogue at this source's version grain):
-  *   caps how far `getOffset` advances past the last batch boundary
-  *   this source has seen, so a stream recovering from a long
+  * @param maxVersionsPerTrigger ADMISSION CONTROL at the VERSION
+  *   grain: caps how far `getOffset` advances past the last batch
+  *   boundary this source has seen, so a stream recovering from a long
   *   down-time gap drains it as BOUNDED micro-batches instead of one
   *   storm-sized batch (at 100 TB a week's gap in one trigger is an
-  *   executor-memory incident, not a batch). The bootstrap batch is
-  *   never split (a snapshot is one consistent read), and correctness
-  *   is unaffected either way — version gaps compose (the q65
-  *   contract), only batch SIZING changes. */
+  *   executor-memory incident, not a batch). Correctness is unaffected
+  *   either way — version gaps compose (the q65 contract), only batch
+  *   SIZING changes.
+  * @param maxFilesPerTrigger ADMISSION CONTROL for the BOOTSTRAP (the
+  *   Delta option, r19 ask #4): without it the first batch is the
+  *   WHOLE table — at 100 TB exactly the storm `maxVersionsPerTrigger`
+  *   exists to prevent. With it, the bootstrap pins ONE version at
+  *   first trigger and serves its manifest file list as bounded
+  *   insert batches (offsets `boot:<v>:<k>` = k files served), each a
+  *   consistent subset of that pinned version — split-bootstrap ≡
+  *   one-shot bootstrap row-for-row, including deletion-vector
+  *   subtraction and `_row_id` on lineage tables (ids are per-file).
+  *   Steady-state batches stay version-grain. Ignored when
+  *   `startingVersion` skips the bootstrap. */
 class GraftChangeFeedSource(spark: SparkSession, path: String,
     startingVersion: Option[String] = None,
     metadataPath: Option[String] = None,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None) extends Source {
+  import GraftChangeFeedSource.{BootPos, Pos, VerPos}
 
-  /** Offsets serialize as the bare version number — `json` is the one
-    * representation Spark round-trips through the checkpoint, so a
-    * recovered offset (a `SerializedOffset`) parses back identically. */
-  private case class VersionOffset(v: Long) extends Offset {
-    override def json: String = v.toString
+  /** Offsets serialize as the bare version number (steady state) or
+    * `boot:<version>:<filesServed>` (mid-bootstrap) — `json` is the
+    * one representation Spark round-trips through the checkpoint, so a
+    * recovered offset (a `SerializedOffset`) parses back identically,
+    * and pre-existing checkpoints (bare numbers) keep parsing. */
+  private case class PosOffset(p: Pos) extends Offset {
+    override def json: String = p match {
+      case BootPos(v, k) => s"boot:$v:$k"
+      case VerPos(v) => v.toString
+    }
   }
-  private def versionOf(o: Offset): Long = o.json.trim.toLong
+  private def posOf(o: Offset): Pos = {
+    val s = o.json.trim
+    if (s.startsWith("boot:")) {
+      val parts = s.split(":")
+      BootPos(parts(1).toLong, parts(2).toLong)
+    } else VerPos(s.toLong)
+  }
 
   override val schema: StructType =
     GraftChangeFeedSource.schemaOf(spark, path)
@@ -143,21 +191,49 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
     * and then replays as a crashing `getBatch(committed, regressed)`
     * forever), and an absent floor would admit the unbounded storm
     * batch the option exists to prevent. */
-  @volatile private var highWater: Option[Long] = readCommittedMarker()
+  @volatile private var highWater: Option[Pos] = readCommittedMarker()
 
-  private def raise(to: Long): Unit = synchronized {
-    highWater = Some(highWater.fold(to)(math.max(_, to)))
+  private def raise(to: Pos): Unit = synchronized {
+    highWater = Some(highWater.fold(to)(GraftChangeFeedSource.maxPos(_, to)))
   }
+
+  /** The pinned bootstrap version's manifest file list, sorted — the
+    * deterministic order split-bootstrap offsets index into. Cached
+    * per version (the manifest is immutable once committed). */
+  private val bootFilesCache =
+    scala.collection.concurrent.TrieMap.empty[Long, IndexedSeq[String]]
+  private def bootFiles(v: Long): IndexedSeq[String] =
+    bootFilesCache.getOrElseUpdate(v,
+      Snapshot.filesOf(spark, path, v).sorted.toIndexedSeq)
 
   override def getOffset: Option[Offset] =
     Snapshot.currentVersion(spark, path).map { cur =>
-      val capped = (maxVersionsPerTrigger, highWater.orElse(startBase)) match {
-        case (Some(n), Some(hw)) => math.min(cur, hw + n)
-        case _ => cur // unbounded, or nothing to cap from (bootstrap)
+      def verAdvance(from: Long): Pos =
+        VerPos(maxVersionsPerTrigger.fold(cur)(n => math.min(cur, from + n)))
+      val next: Pos = highWater match {
+        case Some(BootPos(v, k)) =>
+          val n = bootFiles(v).size.toLong
+          if (k < n) // drain the pinned bootstrap, maxFiles at a time
+            BootPos(v, math.min(n, k + maxFilesPerTrigger.getOrElse(n)))
+          else if (cur == v) BootPos(v, k) // bootstrap done, caught up
+          else verAdvance(v)
+        case Some(VerPos(v)) => verAdvance(v)
+        case None => (maxFilesPerTrigger, startBase) match {
+          case (Some(mf), None) =>
+            // split bootstrap: pin THIS version, serve its file list
+            // as bounded insert batches (the pinned version rides in
+            // the offset itself, so recovery replays the same subset)
+            val n = bootFiles(cur).size.toLong
+            if (n == 0) VerPos(cur) else BootPos(cur, math.min(n, mf))
+          case _ => startBase match {
+            case Some(b) => verAdvance(b)
+            case None => VerPos(cur) // one-shot bootstrap: uncapped
+          }
+        }
       }
       // never below a boundary already shown to the engine: an offset
       // regression would wedge the checkpoint (see highWater's doc)
-      VersionOffset(math.max(capped, highWater.getOrElse(Long.MinValue)))
+      PosOffset(highWater.fold(next)(GraftChangeFeedSource.maxPos(next, _)))
     }
 
   /** The version a FRESH checkpoint's first batch diffs from: `latest`
@@ -228,29 +304,59 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
     }
   }
 
+  /** A consistent slice of pinned version `v` served as typed inserts
+    * — deletion vectors subtract and `_row_id` attaches (per-file ids)
+    * exactly as in the full read, so slices compose to the one-shot
+    * bootstrap row-for-row. */
+  private def insertSlice(v: Long, files: Seq[String]): DataFrame = {
+    val lineage = Snapshot.metaOf(spark, path, v)
+      .get("rowids").contains("on")
+    (if (lineage) Snapshot.readVersionLineage(spark, path, v, Some(files))
+     else Snapshot.readVersionFiles(spark, path, v, files))
+      .withColumn("_change_type", lit("insert"))
+  }
+
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val toV = versionOf(end)
+    val endP = posOf(end)
     // every boundary the engine shows us raises the floor — recovery
     // replays hand the checkpoint's committed position as `start`
-    start.map(versionOf).foreach(raise)
-    raise(toV)
-    val from = start.map(versionOf).orElse(startBase)
-    val frame = from match {
-      // a regressed offset already in the checkpoint's log (written by
-      // a pre-fix run) replays as an EMPTY batch instead of wedging the
-      // stream on changeFrame's fromV <= toV require forever
-      case Some(fromV) if fromV >= toV =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case None =>
-        // bootstrap: the full snapshot at toV, typed insert
+    start.map(posOf).foreach(raise)
+    raise(endP)
+    val from: Option[Pos] = start.map(posOf).orElse(startBase.map(VerPos))
+    val frame = (from, endP) match {
+      // ---- split bootstrap: a file-range slice of the pinned version
+      case (None, BootPos(v, k2)) =>
+        insertSlice(v, bootFiles(v).slice(0, k2.toInt))
+      case (Some(BootPos(v1, k1)), BootPos(v2, k2)) =>
+        if (v1 != v2 || k1 >= k2) emptyBatch // regressed/foreign log entry
+        else insertSlice(v2, bootFiles(v2).slice(k1.toInt, k2.toInt))
+      case (Some(VerPos(_)), BootPos(_, _)) =>
+        emptyBatch // only a regressed log could order these — tolerate
+      // ---- steady state: version-grain change frames
+      case (Some(BootPos(v, k)), VerPos(w)) =>
+        val n = bootFiles(v).size.toLong
+        if (k < n) throw new IllegalStateException(
+          s"change-feed offset log advanced to version $w past an " +
+          s"incomplete bootstrap of version $v ($k/$n files) — the " +
+          "checkpoint is corrupt; restart with a fresh one")
+        if (v >= w) emptyBatch else Snapshot.changeFrame(spark, path, v, w)
+      case (Some(VerPos(fromV)), VerPos(toV)) =>
+        // a regressed offset already in the checkpoint's log (written
+        // by a pre-fix run) replays as an EMPTY batch instead of
+        // wedging the stream on changeFrame's fromV <= toV require
+        if (fromV >= toV) emptyBatch
+        else Snapshot.changeFrame(spark, path, fromV, toV)
+      case (None, VerPos(toV)) =>
+        // one-shot bootstrap: the full snapshot at toV, typed insert
         val lineage = Snapshot.metaOf(spark, path, toV)
           .get("rowids").contains("on")
         (if (lineage) Snapshot.readVersionLineage(spark, path, toV)
          else Snapshot.readVersion(spark, path, toV))
           .withColumn("_change_type", lit("insert"))
-      case Some(fromV) =>
-        Snapshot.changeFrame(spark, path, fromV, toV)
     }
     // column order pinned to the declared source schema, and the frame
     // re-tagged streaming (the V1 getBatch contract)
@@ -268,25 +374,32 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
   private def markerPath: Option[org.apache.hadoop.fs.Path] =
     metadataPath.map(mp => new org.apache.hadoop.fs.Path(mp, "graft-high-water"))
 
-  private def readCommittedMarker(): Option[Long] = markerPath.flatMap { p =>
+  private def readCommittedMarker(): Option[Pos] = markerPath.flatMap { p =>
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim finally in.close()
-      s.toLongOption // a torn/garbled marker degrades to unseeded
+      // a torn/garbled marker degrades to unseeded
+      if (s.startsWith("boot:")) {
+        val parts = s.split(":")
+        if (parts.length == 3)
+          for (v <- parts(1).toLongOption; k <- parts(2).toLongOption)
+            yield BootPos(v, k)
+        else None
+      } else s.toLongOption.map(VerPos.apply)
     }
   }
 
-  private def writeCommittedMarker(v: Long): Unit = markerPath.foreach { p =>
+  private def writeCommittedMarker(pos: Pos): Unit = markerPath.foreach { p =>
     try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
         s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
       fs.mkdirs(p.getParent)
       val out = fs.create(tmp, true)
-      try out.write(v.toString
+      try out.write(PosOffset(pos).json
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (fs.exists(p)) fs.delete(p, false)
@@ -301,9 +414,9 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
   // admission-control floor — in-memory for this instance, persisted
   // for the next one (restart-safety, see markerPath)
   override def commit(end: Offset): Unit = {
-    val v = versionOf(end)
-    raise(v)
-    if (!highWater.exists(_ > v)) writeCommittedMarker(v)
+    val p = posOf(end)
+    raise(p)
+    if (highWater.contains(p) || highWater.isEmpty) writeCommittedMarker(p)
   }
   override def stop(): Unit = ()
   override def toString: String = s"GraftChangeFeed[$path]"

@@ -1251,4 +1251,72 @@ class StreamingSpec extends AnyFunSuite {
       spark, path, Some((cur + 1).toString), None)
     assert(next.getOffset.map(_.json.toLong).contains(cur))
   }
+
+  test("maxFilesPerTrigger splits the bootstrap into bounded consistent slices ≡ the one-shot bootstrap, then hands over to version-grain batches") {
+    import graft.sources.Snapshot
+    import org.apache.spark.sql.DataFrame
+    val base = Files.createTempDirectory("graft-cdfboot")
+      .toFile.getAbsolutePath
+    val path = s"$base/t"
+    import spark.implicits._
+    def rows(ids: Seq[Long], day: String) =
+      ids.map(i => (i, i * 1.0, day)).toDF("id", "value", "day")
+    // several files per partition + a deletion vector at the bootstrap
+    // version: slices must subtract hidden rows exactly like the full
+    // read. Lineage on, so _row_id must survive slicing too.
+    Snapshot.append(spark, path, "day",
+      rows(1L to 30L, "2024-01-01").repartition(3),
+      meta = Map("rowids" -> "on"))
+    Snapshot.append(spark, path, "day",
+      rows(31L to 60L, "2024-01-02").repartition(3))
+    Snapshot.deleteWhereMoR(spark, path, "day", col("id") % 10 === 0)
+    val bootV = Snapshot.currentVersion(spark, path).get
+    val nFiles = Snapshot.filesOf(spark, path, bootV).size
+
+    val batches = scala.collection.mutable
+      .ArrayBuffer.empty[Seq[(Long, Long, Double, String)]]
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", path).option("maxFilesPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          batches += df
+            .where(col("_change_type") === "insert")
+            .select(col("id"), col("_row_id"), col("value"), col("day"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+              r.getString(3))).toSeq
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runStream()
+    // bounded batches: ceil(nFiles / 2) of them, never one storm batch
+    val expected = (nFiles + 1) / 2
+    assert(batches.size == expected,
+      s"bootstrap of $nFiles files at 2/trigger: ${batches.size} " +
+      s"batches, expected $expected")
+    // split-bootstrap ≡ one-shot: same rows, same ids, DV-subtracted
+    val streamed = batches.flatten.toSet
+    val oneShot = Snapshot.readSnapshotLineage(spark, path)
+      .select(col("id"), col("_row_id"), col("value"), col("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(streamed == oneShot,
+      s"split bootstrap diverged: ${streamed.size} streamed rows vs " +
+      s"${oneShot.size} one-shot rows")
+    // slices never overlap (each file served exactly once)
+    assert(batches.flatten.size == streamed.size,
+      "a bootstrap slice re-served a row")
+
+    // handover: the next lifecycle serves the gap as a version-grain
+    // change frame, not more bootstrap slices
+    batches.clear()
+    Snapshot.append(spark, path, "day", rows(61L to 70L, "2024-01-02"))
+    runStream()
+    assert(batches.size == 1 &&
+      batches.head.map(_._1).toSet == (61L to 70L).toSet,
+      s"post-bootstrap gap must arrive as one diff batch: $batches")
+  }
 }

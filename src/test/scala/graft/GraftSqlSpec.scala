@@ -466,6 +466,44 @@ class GraftSqlSpec extends AnyFunSuite {
     ()
   }
 
+  test("CALL maintain drives the maintenance ladder from SQL and converges; unknown procedures refuse") {
+    val wh = tmp("graft-callwh")
+    val path = s"$wh/t"
+    // dirty state on all three axes: equality sidecars (streaming
+    // upserts), vectors-to-be (the conversion), small files, history
+    Snapshot.append(spark, path, "day", rows(1L to 60L).repartition(3),
+      meta = Map("eqdel" -> "on"))
+    (1 to 3).foreach { n =>
+      Snapshot.upsertByKeys(spark, path, "day",
+        rows(1L to 10L).withColumn("value", col("value") + n)
+          .repartition(col("day")),
+        Seq("id")): Unit
+    }
+    registerCatalog("gcall", wh)
+    val call = "CALL gcall.maintain('t', max_eq_sidecars => 0, " +
+      "max_files_per_partition => 2, keep_versions => 2)"
+    val out = spark.sql(call).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(out.map(_._2) ==
+      Seq("eq_deletes", "deletion_vectors", "small_files",
+        "expired_versions"), s"ladder rows: $out")
+    assert(out.forall(_._3), s"every tier had debt, every tier fires: $out")
+    // convergence: the second CALL fires nothing (the q89 pin, via SQL)
+    val again = spark.sql(call).collect().map(_.getBoolean(2)).toSeq
+    assert(again.forall(_ == false), s"second CALL must converge: $again")
+    // the data survived the ladder: 60 rows, upserted values current
+    assert(spark.sql("SELECT count(*) AS n FROM gcall.t")
+      .collect().head.getLong(0) == 60L)
+    assert(spark.sql("SELECT value FROM gcall.t WHERE id = 5")
+      .collect().head.getDouble(0) == 53.0) // 5*10 + last upsert's +3
+    // an unknown procedure refuses (Spark wraps the catalog's listing
+    // message as FAILED_TO_LOAD_ROUTINE naming the routine)
+    val ex = intercept[Exception](
+      spark.sql("CALL gcall.optimize('t')"))
+    assert(ex.getMessage.contains("optimize"), ex.getMessage)
+    ()
+  }
+
   test("CREATE TABLE commits an empty declared-schema v1; INSERT fills it; DDL evolves it; refusal shapes") {
     val wh = tmp("graft-createwh")
     registerCatalog("gcr", wh)

@@ -428,17 +428,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace().toSeq, ident.name()) match {
       case (Seq() | Seq("system"), "maintain") =>
         new GraftMaintainProcedure(this)
+      case (Seq() | Seq("system"), "purge_dropped") =>
+        new GraftPurgeDroppedProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"catalog '$catalogName' has no procedure " +
         s"'${(ident.namespace() :+ ident.name()).mkString(".")}' — " +
         "available: maintain(table, max_eq_sidecars, max_vectors, " +
         "max_referenced_share, max_files_per_partition, " +
-        "compact_target_bytes, keep_versions)")
+        "compact_target_bytes, keep_versions); purge_dropped(grace_ms)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(namespace, "maintain"))
+      Array(Identifier.of(namespace, "maintain"),
+        Identifier.of(namespace, "purge_dropped"))
     else Array.empty
+
+  /** The warehouse's `.dropped/` trash entries: (path, dropMillis). */
+  private[sql] def droppedLayouts()
+      : Seq[(org.apache.hadoop.fs.Path, Long)] = {
+    val trash = new org.apache.hadoop.fs.Path(warehouse, ".dropped")
+    val fs = trash.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(trash)) Seq.empty
+    else fs.listStatus(trash).toSeq.filter(_.isDirectory).map { s =>
+      // name = <table>-<dropMillis>-<uuid8>; a foreign dir (unparsable
+      // stamp) reports age 0 so a sweep never deletes it
+      val parts = s.getPath.getName.split("-")
+      val ts = if (parts.length >= 2)
+        parts(parts.length - 2).toLongOption.getOrElse(Long.MaxValue)
+      else Long.MaxValue
+      (s.getPath, ts)
+    }
+  }
+  private[sql] def deleteDropped(p: org.apache.hadoop.fs.Path): Boolean = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only ever delete inside this warehouse's `.dropped/` trash
+    require(p.getParent != null && p.getParent.getName == ".dropped",
+      s"refusing to delete outside the trash: $p")
+    fs.delete(p, true)
+  }
 
   /** The layout root a procedure's `table` argument names — same
     * identifier rules as table resolution. */
@@ -459,7 +486,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def pathOf(ident: Identifier): String = {
     val parts = ident.namespace().toSeq :+ ident.name()
-    parts.foreach(p => require(!p.contains("/") && p != ".." && p != ".",
+    parts.foreach(p => require(
+      !p.contains("/") && p != ".." && !p.startsWith("."),
       s"illegal table identifier part '$p'"))
     (warehouse +: parts).mkString("/")
   }
@@ -518,9 +546,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * boundaries: exactly ONE top-level identity partition column
     * (the store's layout contract — bucket/temporal transforms are a
     * different physical design), no external location, no unsupported
-    * properties silently dropped. DROP TABLE stays refused — retiring
-    * a layout is [[Snapshot.expire]]'s destructive job, not a SQL
-    * statement's. */
+    * properties silently dropped. DROP TABLE retires the layout into
+    * the warehouse trash (see [[dropTable]]); deletion happens only
+    * through the grace-ruled `purge_dropped` procedure. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -638,9 +666,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE is not supported — retire layouts via Snapshot.expire")
+  /** DROP TABLE as POINTER RETIREMENT (r19 ask #6): the layout
+    * directory — manifests, data, sidecars, everything — moves
+    * ATOMICALLY (one rename) into the warehouse's `.dropped/` trash,
+    * stamped with the drop time. Nothing is deleted at drop time: the
+    * destructive half is the GRACE-RULE sweep (`CALL <catalog>.
+    * purge_dropped(grace_ms => …)`), mirroring how [[Snapshot.expire]]
+    * separates retirement from deletion. Recreating the name gets a
+    * FRESH directory — no debris resurrection is possible because the
+    * old layout is no longer under the table's path at all. `.`-prefixed
+    * identifier parts are refused everywhere, so trash is unreachable
+    * through the catalog. Also what Spark's non-staging CREATE OR
+    * REPLACE lowers onto (drop + create). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pathOf(ident))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (Snapshot.currentVersion(spark, pathOf(ident)).isEmpty) false
+    else {
+      val trash = new org.apache.hadoop.fs.Path(warehouse,
+        s".dropped/${(ident.namespace() :+ ident.name()).mkString("_")}" +
+        s"-${System.currentTimeMillis()}-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      fs.mkdirs(trash.getParent)
+      if (!fs.rename(p, trash)) throw new IllegalStateException(
+        s"could not retire $p — concurrent drop?")
+      true
+    }
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
 
@@ -651,6 +703,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") && // `.dropped/` trash etc.
         !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_manifests")))
       .map(s => Array(s.getPath.getName)).toArray
   }
@@ -751,6 +804,58 @@ class GraftMaintainProcedure(catalog: GraftCatalog)
               a.step, org.apache.spark.unsafe.types.UTF8String
                 .fromString(a.signal), a.fired, a.rowsAffected)
           }.toArray
+        val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = outSchema
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            report
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.purge_dropped(grace_ms => …)` — the destructive
+  * half of DROP TABLE: permanently deletes `.dropped/` trash entries
+  * whose drop time is at least `grace_ms` old (default 7 days — the
+  * same separation of retirement from deletion [[Snapshot.expire]]
+  * applies to versions). Returns one row per trash entry: (retired,
+  * age_ms, purged). Unparsable trash names never purge. */
+class GraftPurgeDroppedProcedure(catalog: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "purge_dropped"
+  override def description(): String =
+    "Delete dropped-table trash older than grace_ms (default 7 days)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "purge_dropped"
+      override def description(): String =
+        GraftPurgeDroppedProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("grace_ms", LongType)
+          .defaultValue((7L * 24 * 3600 * 1000).toString).build())
+      private val outSchema = StructType(Seq(
+        StructField("retired", StringType, nullable = false),
+        StructField("age_ms", LongType, nullable = false),
+        StructField("purged", BooleanType, nullable = false)))
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[Scan] = {
+        val grace = input.getLong(0)
+        require(grace >= 0, s"grace_ms must be >= 0, got $grace")
+        val now = System.currentTimeMillis()
+        val report = catalog.droppedLayouts().map { case (p, ts) =>
+          val age = math.max(0L, now - ts)
+          val purge = ts != Long.MaxValue && age >= grace
+          val done = purge && catalog.deleteDropped(p)
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(p.getName),
+            age, done)
+        }.toArray
         val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
           override def readSchema(): StructType = outSchema
           override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =

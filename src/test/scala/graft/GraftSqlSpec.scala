@@ -504,6 +504,68 @@ class GraftSqlSpec extends AnyFunSuite {
     ()
   }
 
+  test("DROP TABLE retires the layout to trash; recreate resurrects no debris; purge_dropped sweeps under the grace rule; CREATE OR REPLACE works") {
+    val wh = tmp("graft-dropwh")
+    val path = s"$wh/t"
+    registerCatalog("gdrop", wh)
+    spark.sql(
+      """CREATE TABLE gdrop.t (id BIGINT, value DOUBLE, day STRING)
+        |USING graft PARTITIONED BY (day)""".stripMargin)
+    rows(1L to 30L).createOrReplaceTempView("drop_src")
+    spark.sql("INSERT INTO gdrop.t SELECT * FROM drop_src")
+    assert(spark.sql("SELECT count(*) AS n FROM gdrop.t")
+      .collect().head.getLong(0) == 30L)
+
+    spark.sql("DROP TABLE gdrop.t")
+    // gone from the catalog, layout retired (not deleted)
+    assert(!spark.catalog.tableExists("gdrop.t"))
+    intercept[Exception](spark.sql("SELECT * FROM gdrop.t").collect())
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+      "the dropped layout must leave the table path entirely")
+    val trash = new org.apache.hadoop.fs.Path(wh, ".dropped")
+    assert(fs.exists(trash) && fs.listStatus(trash).nonEmpty,
+      "the dropped layout must land in the warehouse trash")
+
+    // recreate under the SAME name: fresh empty table, zero debris
+    spark.sql(
+      """CREATE TABLE gdrop.t (id BIGINT, value DOUBLE, day STRING)
+        |USING graft PARTITIONED BY (day)""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM gdrop.t")
+      .collect().head.getLong(0) == 0L,
+      "a recreated table must not resurrect dropped rows")
+
+    // the grace rule: a young trash entry survives a guarded sweep...
+    val kept = spark.sql(
+      "CALL gdrop.purge_dropped(grace_ms => 3600000)").collect()
+    assert(kept.length == 1 && !kept.head.getBoolean(2),
+      s"trash younger than grace must survive: ${kept.toSeq}")
+    assert(fs.listStatus(trash).nonEmpty)
+    // ... and a grace-0 sweep deletes it permanently
+    val swept = spark.sql(
+      "CALL gdrop.purge_dropped(grace_ms => 0)").collect()
+    assert(swept.length == 1 && swept.head.getBoolean(2),
+      s"grace-0 sweep must purge: ${swept.toSeq}")
+    assert(fs.listStatus(trash).isEmpty,
+      "purge_dropped must delete the trash entry's files")
+
+    // CREATE OR REPLACE = drop + create through the same seam
+    spark.sql("INSERT INTO gdrop.t SELECT * FROM drop_src")
+    spark.sql(
+      """CREATE OR REPLACE TABLE gdrop.t (id BIGINT, day STRING)
+        |USING graft PARTITIONED BY (day)""".stripMargin)
+    val replaced = spark.sql("SELECT * FROM gdrop.t")
+    assert(replaced.columns.toSeq == Seq("id", "day") &&
+      replaced.count() == 0L,
+      "CREATE OR REPLACE must serve the NEW schema with zero rows")
+
+    // trash is unreachable through the catalog (dot-part refusal)
+    intercept[Exception](
+      spark.sql("SELECT * FROM gdrop.`.dropped`.whatever").collect())
+    ()
+  }
+
   test("CREATE TABLE commits an empty declared-schema v1; INSERT fills it; DDL evolves it; refusal shapes") {
     val wh = tmp("graft-createwh")
     registerCatalog("gcr", wh)

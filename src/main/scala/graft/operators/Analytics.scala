@@ -3895,6 +3895,62 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q97 — UPDATE with SUBQUERIES graded through the hash gate (the r19
+  // ask #7): a SCALAR subquery in SET (pre-materialized: executed once
+  // at run time, spliced back as a literal) and an IN-subquery in
+  // WHERE (lowered onto the general-merge semi-join: the subquery's
+  // DISTINCT user cohort becomes the merge source keyed on user_id —
+  // a DISTRIBUTED join through the key index, never a collected value
+  // list, so a 100 TB cohort costs what a merge costs). Both
+  // subqueries read the graft table itself, which also pins
+  // pre-update consistency: they evaluate against the version the
+  // update replaces. Committed atomically (pinned in-query). The
+  // oracle simulates the same update with a CASE over the same cohort.
+  // ---------------------------------------------------------------------
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val (path, table) = sqlDmlFixture(s, dir, "sqlsubq")
+    if (Snapshot.versions(s, path).size == 1) {
+      s.sql(
+        s"""UPDATE $table
+           |SET value = value * 2 +
+           |  (SELECT min(value) FROM $table WHERE event_type = 'view')
+           |WHERE user_id IN (SELECT user_id FROM $table
+           |  WHERE event_type = 'error' AND event_id % 11 = 3)""".stripMargin)
+      require(Snapshot.versions(s, path).size == 2,
+        "subquery UPDATE must land as ONE atomic commit")
+    }
+    s.sql(
+      s"""SELECT event_type,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS total_value
+         |FROM $table
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+  private val q97Sql =
+    """WITH t0 AS (
+      |  SELECT event_id, user_id, event_type, value FROM events
+      |), m AS (
+      |  SELECT min(value) AS mv FROM t0 WHERE event_type = 'view'
+      |), cohort AS (
+      |  SELECT DISTINCT user_id FROM t0
+      |  WHERE event_type = 'error' AND event_id % 11 = 3
+      |)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(
+      |    CASE WHEN user_id IN (SELECT user_id FROM cohort)
+      |         THEN value * 2 + (SELECT mv FROM m) ELSE value END
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM t0
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_grouping_sets", q33, Some(q33Sql)),
     QueryDef("q40_salted_skew_join", q40, Some(q40Sql)),
@@ -3971,5 +4027,6 @@ object Analytics {
     QueryDef("q92_sql_update", q92, Some(q92Sql), headline = true),
     QueryDef("q93_sql_merge", q93, Some(q93Sql), headline = true),
     QueryDef("q95_sql_create_insert", q95, Some(q95Sql), headline = true),
-    QueryDef("q96_sql_merge_general", q96, Some(q96Sql), headline = true))
+    QueryDef("q96_sql_merge_general", q96, Some(q96Sql), headline = true),
+    QueryDef("q97_sql_update_subquery", q97, Some(q97Sql), headline = true))
 }

@@ -138,10 +138,20 @@ object GraftDml {
     case other => Seq(other)
   }
 
-  /** Rewrite an analyzed UPDATE on a graft table; None = not ours. */
-  private[sql] def updateCommand(u: UpdateTable): Option[GraftUpdateCommand] =
-    relationOf(u.table).map { case (t, _) =>
-      val sets = u.assignments.flatMap { a =>
+  /** Rewrite an analyzed UPDATE on a graft table; None = not ours.
+    *
+    * Subqueries (r19 ask #7) PRE-MATERIALIZE instead of refusing:
+    * an UNCORRELATED scalar subquery anywhere in SET/WHERE executes
+    * once at run time and splices back as a literal, and ONE
+    * uncorrelated `IN (subquery)` as a top-level WHERE conjunct on a
+    * plain column lowers onto the general-merge machinery (the
+    * subquery's distinct result becomes the merge source, the residual
+    * predicate the clause condition) — a real distributed semi-join,
+    * never a collected value list. Correlated subqueries, EXISTS,
+    * NOT IN, and multiple IN conjuncts keep refusing loudly. */
+  private[sql] def updateCommand(u: UpdateTable): Option[LeafRunnableCommand] =
+    relationOf(u.table).map { case (t, rel) =>
+      val rawSets: Seq[(String, Expression)] = u.assignments.flatMap { a =>
         val key = strip(a.key) match {
           case ar: AttributeReference => ar
           case other => unsupported(
@@ -151,11 +161,73 @@ object GraftDml {
         strip(a.value) match {
           // aligned identity assignment (col = col) — not an update
           case v: AttributeReference if v.exprId == key.exprId => None
-          case _ => Some(key.name -> columnOf(a.value))
+          case _ => Some(key.name -> a.value)
         }
       }
-      GraftUpdateCommand(t.dmlPath("UPDATE"), t.dmlPartitionCol("UPDATE"),
-        u.condition.map(columnOf).getOrElse(lit(true)), sets.toMap)
+      val hasSub = (rawSets.map(_._2) ++ u.condition).exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .SubqueryExpression]))
+      if (!hasSub)
+        GraftUpdateCommand(t.dmlPath("UPDATE"), t.dmlPartitionCol("UPDATE"),
+          u.condition.map(columnOf).getOrElse(lit(true)),
+          rawSets.map { case (k, v) => k -> columnOf(v) }.toMap)
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{InSubquery, ScalarSubquery, SubqueryExpression}
+        val pcol = t.dmlPartitionCol("UPDATE")
+        val conj = u.condition.map(conjuncts).getOrElse(Seq.empty)
+        val (inConj, residual) = conj.partition(_.isInstanceOf[InSubquery])
+        def scalarOnly(e: Expression, where: String): Unit = e.foreach {
+          case s: ScalarSubquery =>
+            if (s.outerAttrs.nonEmpty) unsupported(
+              s"correlated subquery in UPDATE $where ('${s.sql}') — " +
+              "only uncorrelated subqueries pre-materialize")
+          case s: SubqueryExpression => unsupported(
+            s"unsupported subquery shape in UPDATE $where " +
+            s"('${s.sql}') — supported: an uncorrelated SCALAR " +
+            "subquery anywhere, and ONE uncorrelated IN-subquery as a " +
+            "top-level WHERE conjunct on a plain column (NOT IN / " +
+            "EXISTS keep refusing)")
+          case _ => ()
+        }
+        rawSets.foreach { case (k, v) => scalarOnly(v, s"SET $k") }
+        residual.foreach(scalarOnly(_, "WHERE"))
+        val keyed: Option[(String, LogicalPlan)] = inConj match {
+          case Seq() => None
+          case Seq(in: InSubquery) =>
+            val keyName = in.values match {
+              case Seq(a: AttributeReference) => a.name
+              case other => unsupported(
+                s"UPDATE ... WHERE ... IN keys on " +
+                s"'${other.map(_.sql).mkString(", ")}' — a single plain " +
+                "column is the supported shape")
+            }
+            if (in.query.outerAttrs.nonEmpty) unsupported(
+              "correlated IN-subquery in UPDATE WHERE — only " +
+              "uncorrelated subqueries pre-materialize")
+            val out = in.query.plan.output
+            if (out.size != 1) unsupported(
+              s"IN-subquery must select exactly one column, got ${out.size}")
+            Some(keyName ->
+              Distinct(Project(Seq(Alias(out.head, keyName)()), in.query.plan)))
+          case _ => unsupported(
+            "UPDATE supports at most ONE IN-subquery WHERE conjunct")
+        }
+        keyed.foreach { case (keyName, _) =>
+          rawSets.foreach { case (k, _) =>
+            if (k == pcol) unsupported(
+              s"UPDATE cannot SET partition column '$pcol' — a row " +
+              "changing partitions is a delete plus an append")
+            if (k == keyName) unsupported(
+              s"UPDATE cannot SET '$k', the IN-subquery key column — " +
+              "re-keying the matched rows is a MERGE, not an update")
+          }
+        }
+        val tSchema = org.apache.spark.sql.types.StructType(rel.output.map(
+          a => org.apache.spark.sql.types.StructField(
+            a.name, a.dataType, a.nullable)))
+        GraftUpdateSubqueryCommand(t.dmlPath("UPDATE"), pcol, tSchema,
+          keyed, residual, rawSets)
+      }
     }
 
   /** Rewrite an analyzed MERGE on a graft table; None = not ours.
@@ -358,6 +430,63 @@ case class GraftMergeCommand(path: String, pcol: String,
   }
 }
 
+/** UPDATE whose SET/WHERE carried SUBQUERIES, executed by
+  * PRE-MATERIALIZATION at run time:
+  *
+  *  - every uncorrelated SCALAR subquery runs once on the driver (its
+  *    plan is already resolved — one collect of one row) and splices
+  *    back as a literal;
+  *  - a `WHERE k IN (subquery)` conjunct lowers onto
+  *    [[GraftMergeIntoCommand]]: the subquery's DISTINCT result is the
+  *    merge source keyed on `k`, the residual WHERE conjuncts become
+  *    the matched clause's condition, and the SET pairs its partial
+  *    update image — a distributed semi-join through the key index,
+  *    never a collected value list (the IN set may be data-sized).
+  *
+  * Duplicate target keys are legal here (every row of a matched key
+  * updates — IN semantics), which is why the merge cardinality rule
+  * counts SOURCE duplicates, and the source is made DISTINCT. */
+case class GraftUpdateSubqueryCommand(path: String, pcol: String,
+    tSchema: org.apache.spark.sql.types.StructType,
+    keyed: Option[(String, LogicalPlan)],
+    residual: Seq[Expression],
+    sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    if (sets.isEmpty) return Seq.empty // all-identity SET: legal no-op
+    def mat(e: Expression): Expression = e.transform {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        val rows = GraftShim.ofRows(session, s.plan).limit(2).collect()
+        if (rows.length > 1) throw new IllegalStateException(
+          s"scalar subquery in UPDATE returned more than one row: ${s.sql}")
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          if (rows.isEmpty) null else rows.head.get(0), s.dataType)
+    }
+    val sets2 = sets.map { case (k, v) => k -> mat(v) }
+    val resid2 = residual.map(mat)
+    keyed match {
+      case None =>
+        def bare(e: Expression): Column = GraftShim.column(e.transform {
+          case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        })
+        val cond = resid2.map(bare).reduceOption(_ && _).getOrElse(lit(true))
+        Snapshot.updateWhere(session, path, pcol, cond,
+          sets2.map { case (k, v) => k -> bare(v) }.toMap): Unit
+      case Some((keyName, values)) =>
+        def pref(e: Expression): Column = GraftShim.column(e.transform {
+          case a: AttributeReference =>
+            UnresolvedAttribute.quoted(GraftMergeIntoCommand.TP + a.name)
+        })
+        val cond = resid2.map(pref).reduceOption(_ && _)
+        GraftMergeIntoCommand(path, pcol, values, Seq(keyName), tSchema,
+          matched = Seq((cond,
+            Some(sets2.map { case (k, v) => k -> pref(v) }.toMap))),
+          notMatched = Nil).run(session): Unit
+    }
+    Seq.empty
+  }
+}
+
 object GraftMergeIntoCommand {
   /** Column prefixes for the two sides of the matched-pair frame. The
     * prefixes differ before any user-controlled text, so no target
@@ -438,8 +567,17 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (matched.nonEmpty) {
-        val dup = pairs.groupBy(keyCols.map(k => col(TP + k)): _*)
-          .count().where(col("count") > 1).limit(1).count()
+        // the Delta cardinality rule: >1 SOURCE rows matching the same
+        // target row is ambiguous. Detected as source-side duplicate
+        // keys among the ACTED keys — a target-side duplicate key is
+        // legal (replace every row of the key, the q97 IN-update shape)
+        val dupSrcKeys = sPref
+          .groupBy(keyCols.map(k => col(SP + k)): _*).count()
+          .where(col("count") > 1)
+        val dup = pairs
+          .select(keyCols.map(k => col(TP + k).as(SP + k)): _*).distinct()
+          .join(dupSrcKeys, keyCols.map(SP + _))
+          .limit(1).count()
         if (dup > 0) throw new UnsupportedOperationException(
           "MERGE cardinality violation: more than one source row " +
           "matched and acted on the same target row — dedup the source " +

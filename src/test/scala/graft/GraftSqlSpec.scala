@@ -307,10 +307,63 @@ class GraftSqlSpec extends AnyFunSuite {
       """MERGE INTO gdml.t AS t USING dml_src AS s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET id = s.id + 1, value = s.value
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    // a subquery condition cannot cross the re-resolution seam — loud
+    // an EXISTS subquery cannot cross the re-resolution seam — loud
+    // (scalar and IN subqueries pre-materialize; see the subquery test)
     intercept[UnsupportedOperationException](spark.sql(
       """UPDATE gdml.t SET value = 0
-        |WHERE id IN (SELECT id FROM dml_src)""".stripMargin))
+        |WHERE EXISTS (SELECT 1 FROM dml_src)""".stripMargin))
+    ()
+  }
+
+  test("UPDATE with subqueries: scalar pre-materializes, IN lowers onto the merge semi-join, unsupported shapes refuse") {
+    val wh = tmp("graft-subqwh")
+    val path = s"$wh/t"
+    Snapshot.append(spark, path, "day",
+      rows(1L to 100L).repartition(2, col("id")))
+    registerCatalog("gsub", wh)
+
+    // IN-subquery (self-referential, uncorrelated): a distributed
+    // semi-join through the merge machinery, atomic single commit
+    val v0 = Snapshot.versions(spark, path).size
+    spark.sql(
+      """UPDATE gsub.t SET value = 0
+        |WHERE id IN (SELECT id + 1 FROM gsub.t WHERE id >= 95)""".stripMargin)
+    assert(Snapshot.versions(spark, path).size == v0 + 1)
+    val zeroed = spark.sql(
+      "SELECT id FROM gsub.t WHERE value = 0 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(zeroed == (96L to 100L), s"IN-update matched: $zeroed")
+
+    // IN + residual conjunct: the residual rides as the clause condition
+    spark.sql(
+      """UPDATE gsub.t SET value = -1
+        |WHERE id IN (SELECT id FROM gsub.t WHERE id <= 10)
+        |  AND day = '2024-01-01'""".stripMargin)
+    val neg = spark.sql("SELECT id FROM gsub.t WHERE value = -1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(neg == Seq(1L, 3L, 5L, 7L, 9L), s"IN+residual matched: $neg")
+
+    // scalar subqueries in SET and WHERE pre-materialize to literals
+    spark.sql(
+      """UPDATE gsub.t
+        |SET value = value + (SELECT max(id) FROM gsub.t)
+        |WHERE id <= (SELECT min(id) + 1 FROM gsub.t)""".stripMargin)
+    val got = spark.sql(
+      "SELECT id, value FROM gsub.t WHERE id <= 3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 99.0), (2L, 120.0), (3L, -1.0)),
+      s"scalar-subquery update state: $got")
+
+    // refusal shapes stay loud
+    intercept[UnsupportedOperationException](spark.sql(
+      """UPDATE gsub.t SET value = 0
+        |WHERE id NOT IN (SELECT id FROM gsub.t WHERE id = 1)""".stripMargin))
+    intercept[UnsupportedOperationException](spark.sql(
+      """UPDATE gsub.t SET id = 0
+        |WHERE id IN (SELECT id FROM gsub.t WHERE id = 1)""".stripMargin))
+    intercept[UnsupportedOperationException](spark.sql(
+      """UPDATE gsub.t SET day = '2024-01-03'
+        |WHERE id IN (SELECT id FROM gsub.t WHERE id = 1)""".stripMargin))
     ()
   }
 

@@ -561,10 +561,10 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
           Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
       }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
 
-    val pairs = tPref.join(sPref, joinCond, "inner")
+    val pairsAll = tPref.join(sPref, joinCond, "inner")
       .withColumn(act, chain(matched.map(_._1)))
-      .where(col(act) >= 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairsAll.where(col(act) >= 0)
     try {
       if (matched.nonEmpty) {
         // the Delta cardinality rule: >1 SOURCE rows matching the same
@@ -604,6 +604,26 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
         else Some(pairs.where(col(act).isin(delIdx: _*))
           .select(keyCols.map(k => col(TP + k).as(k)): _*))
 
+      // DUPLICATE TARGET KEYS: the commit replaces rows at KEY grain
+      // (anti-join + re-add), so an UNACTED row sharing a key with an
+      // acting pair would silently vanish. Those rows re-image as
+      // IDENTITY — exactly one image per row, because the cardinality
+      // rule guarantees an acted key has ONE source row, so every
+      // target row of the key appears in exactly one pair. Keys with
+      // no acting pair never enter the key frame and survive untouched.
+      val identityExtras: Option[DataFrame] =
+        if (matched.isEmpty) None
+        else {
+          val actedKeys = pairs
+            .select(keyCols.map(k => col(TP + k).as(k)): _*).distinct()
+          Some(pairsAll.where(col(act) === -1)
+            .join(actedKeys,
+              keyCols.map(k => col(TP + k) === col(k)).reduce(_ && _),
+              "left_semi")
+            .select(tSchema.fields.toSeq.map(f =>
+              col(TP + f.name).cast(f.dataType).as(f.name)): _*))
+        }
+
       val insRows: Option[DataFrame] =
         if (notMatched.isEmpty) None
         else Some(sPref
@@ -619,7 +639,7 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
             }.get.cast(f.dataType).as(f.name)
           }: _*))
 
-      val updates = Seq(updRows, insRows).flatten
+      val updates = Seq(updRows, identityExtras, insRows).flatten
         .reduceOption(_ unionByName _)
         .getOrElse(session.createDataFrame(
           session.sparkContext.emptyRDD[Row], tSchema))
@@ -629,7 +649,7 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
         Snapshot.mergeAnywhere(session, path, pcol, updates, keyCols,
           idxPath, deleteKeys = del): Unit
       Seq.empty
-    } finally pairs.unpersist()
+    } finally pairsAll.unpersist()
   }
 }
 

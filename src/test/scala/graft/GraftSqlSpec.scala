@@ -444,6 +444,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(Snapshot.versions(spark, path).size == vDup,
       "a refused MERGE must leave no commit behind")
 
+    // DUPLICATE TARGET KEYS + clause condition: the unacted twin of an
+    // acted key must SURVIVE (as an identity re-image) — the key-grain
+    // replace would otherwise silently drop it
+    val wh2 = tmp("graft-dupkeywh")
+    import spark.implicits._
+    Snapshot.append(spark, s"$wh2/t", "day",
+      Seq((1L, 1.0, "2024-01-01"), (1L, 99.0, "2024-01-01"),
+          (2L, 5.0, "2024-01-02")).toDF("id", "value", "day"))
+    registerCatalog("gdup", wh2)
+    Seq((1L, 7.0), (2L, 7.0)).toDF("id", "delta")
+      .createOrReplaceTempView("gm_twin")
+    spark.sql(
+      """MERGE INTO gdup.t AS t USING gm_twin AS s ON t.id = s.id
+        |WHEN MATCHED AND t.value < 50
+        |  THEN UPDATE SET value = t.value + s.delta""".stripMargin)
+    val dupState = spark.sql("SELECT id, value FROM gdup.t ORDER BY id, value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dupState == Seq((1L, 8.0), (1L, 99.0), (2L, 12.0)),
+      s"duplicate-key clause merge state: $dupState")
+
     // refusal shapes that stay refused in the general path
     intercept[UnsupportedOperationException](spark.sql(
       """MERGE INTO ggm.t AS t USING gm_src AS s ON t.id = s.id

@@ -230,6 +230,65 @@ object GraftDml {
       }
     }
 
+  /** Rewrite an analyzed DELETE on a graft table whose condition holds
+    * SUBQUERIES; None = not ours OR no subquery (the subquery-free
+    * DELETE keeps Spark's native `SupportsDelete` path →
+    * [[Snapshot.deleteWhereMoR]], which the V2 filter translation
+    * cannot carry subqueries into). Same pre-materialization contract
+    * as [[updateCommand]]: uncorrelated scalars execute once at run
+    * time; one uncorrelated `IN (subquery)` top-level conjunct lowers
+    * onto the general-merge DELETE action (distributed semi-join,
+    * the GDPR forget-me shape `DELETE … WHERE user_id IN (SELECT …)`);
+    * correlated / EXISTS / NOT IN refuse loudly. */
+  private[sql] def deleteCommand(d: DeleteFromTable): Option[LeafRunnableCommand] = {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ScalarSubquery, SubqueryExpression}
+    if (!d.condition.exists(_.isInstanceOf[SubqueryExpression])) None
+    else relationOf(d.table).map { case (t, rel) =>
+      val pcol = t.dmlPartitionCol("DELETE FROM")
+      val conj = conjuncts(d.condition)
+      val (inConj, residual) = conj.partition(_.isInstanceOf[InSubquery])
+      def scalarOnly(e: Expression): Unit = e.foreach {
+        case s: ScalarSubquery =>
+          if (s.outerAttrs.nonEmpty) unsupported(
+            s"correlated subquery in DELETE WHERE ('${s.sql}') — " +
+            "only uncorrelated subqueries pre-materialize")
+        case s: SubqueryExpression => unsupported(
+          s"unsupported subquery shape in DELETE WHERE ('${s.sql}') — " +
+          "supported: an uncorrelated SCALAR subquery anywhere, and " +
+          "ONE uncorrelated IN-subquery as a top-level conjunct on a " +
+          "plain column (NOT IN / EXISTS keep refusing)")
+        case _ => ()
+      }
+      residual.foreach(scalarOnly)
+      val keyed: Option[(String, LogicalPlan)] = inConj match {
+        case Seq() => None
+        case Seq(in: InSubquery) =>
+          val keyName = in.values match {
+            case Seq(a: AttributeReference) => a.name
+            case other => unsupported(
+              s"DELETE ... WHERE ... IN keys on " +
+              s"'${other.map(_.sql).mkString(", ")}' — a single plain " +
+              "column is the supported shape")
+          }
+          if (in.query.outerAttrs.nonEmpty) unsupported(
+            "correlated IN-subquery in DELETE WHERE — only " +
+            "uncorrelated subqueries pre-materialize")
+          val out = in.query.plan.output
+          if (out.size != 1) unsupported(
+            s"IN-subquery must select exactly one column, got ${out.size}")
+          Some(keyName ->
+            Distinct(Project(Seq(Alias(out.head, keyName)()), in.query.plan)))
+        case _ => unsupported(
+          "DELETE supports at most ONE IN-subquery WHERE conjunct")
+      }
+      val tSchema = org.apache.spark.sql.types.StructType(rel.output.map(
+        a => org.apache.spark.sql.types.StructField(
+          a.name, a.dataType, a.nullable)))
+      GraftDeleteSubqueryCommand(t.dmlPath("DELETE FROM"), pcol, tSchema,
+        keyed, residual)
+    }
+  }
+
   /** Rewrite an analyzed MERGE on a graft table; None = not ours.
     *
     * Two lowerings, picked by shape:
@@ -487,6 +546,48 @@ case class GraftUpdateSubqueryCommand(path: String, pcol: String,
   }
 }
 
+/** DELETE whose WHERE carried SUBQUERIES — [[GraftUpdateSubqueryCommand]]'s
+  * contract without images: scalars pre-materialize, then either a
+  * plain [[Snapshot.deleteWhereMoR]] (vector-only commit, O(matched))
+  * or, with an IN-subquery, the general-merge DELETE action (the
+  * subquery's distinct result is the source, the residual the clause
+  * condition, unacted duplicate-key twins survive as identity
+  * re-images). */
+case class GraftDeleteSubqueryCommand(path: String, pcol: String,
+    tSchema: org.apache.spark.sql.types.StructType,
+    keyed: Option[(String, LogicalPlan)],
+    residual: Seq[Expression]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    def mat(e: Expression): Expression = e.transform {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        val rows = GraftShim.ofRows(session, s.plan).limit(2).collect()
+        if (rows.length > 1) throw new IllegalStateException(
+          s"scalar subquery in DELETE returned more than one row: ${s.sql}")
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          if (rows.isEmpty) null else rows.head.get(0), s.dataType)
+    }
+    val resid2 = residual.map(mat)
+    keyed match {
+      case None =>
+        def bare(e: Expression): Column = GraftShim.column(e.transform {
+          case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        })
+        val cond = resid2.map(bare).reduceOption(_ && _).getOrElse(lit(true))
+        Snapshot.deleteWhereMoR(session, path, pcol, cond): Unit
+      case Some((keyName, values)) =>
+        def pref(e: Expression): Column = GraftShim.column(e.transform {
+          case a: AttributeReference =>
+            UnresolvedAttribute.quoted(GraftMergeIntoCommand.TP + a.name)
+        })
+        val cond = resid2.map(pref).reduceOption(_ && _)
+        GraftMergeIntoCommand(path, pcol, values, Seq(keyName), tSchema,
+          matched = Seq((cond, None)), notMatched = Nil).run(session): Unit
+    }
+    Seq.empty
+  }
+}
+
 object GraftMergeIntoCommand {
   /** Column prefixes for the two sides of the matched-pair frame. The
     * prefixes differ before any user-controlled text, so no target
@@ -664,6 +765,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       GraftDml.updateCommand(u).getOrElse(u)
     case m: MergeIntoTable if m.resolved =>
       GraftDml.mergeCommand(m).getOrElse(m)
+    // only DELETEs whose condition holds a subquery reroute — the
+    // plain shape keeps Spark's native SupportsDelete path
+    case d: DeleteFromTable if d.resolved =>
+      GraftDml.deleteCommand(d).getOrElse(d)
     case _ => plan
   }
 }

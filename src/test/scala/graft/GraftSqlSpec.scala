@@ -539,6 +539,47 @@ class GraftSqlSpec extends AnyFunSuite {
     ()
   }
 
+  test("DELETE with subqueries: IN lowers onto the merge delete action, scalar pre-materializes into the vector path") {
+    val wh = tmp("graft-delsubwh")
+    val path = s"$wh/t"
+    Snapshot.append(spark, path, "day",
+      rows(1L to 50L).repartition(2, col("id")))
+    registerCatalog("gdel", wh)
+
+    // IN-subquery + residual conjunct: the GDPR forget-me shape as a
+    // distributed merge DELETE, one atomic commit
+    val v0 = Snapshot.versions(spark, path).size
+    spark.sql(
+      """DELETE FROM gdel.t
+        |WHERE id IN (SELECT id FROM gdel.t WHERE id >= 40)
+        |  AND day = '2024-01-01'""".stripMargin)
+    assert(Snapshot.versions(spark, path).size == v0 + 1)
+    assert(spark.sql("SELECT count(*) AS n FROM gdel.t")
+      .collect().head.getLong(0) == 45L) // odd 41..49 gone
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gdel.t WHERE id >= 40 AND day = '2024-01-01'")
+      .collect().head.getLong(0) == 0L)
+
+    // scalar subquery: pre-materialized, then the native vector path —
+    // every data file survives the commit
+    val before = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).toSet
+    spark.sql(
+      "DELETE FROM gdel.t WHERE id > (SELECT max(id) - 5 FROM gdel.t)")
+    val after = Snapshot.filesOf(spark, path,
+      Snapshot.currentVersion(spark, path).get).toSet
+    assert(before.subsetOf(after),
+      "scalar-subquery DELETE must commit vector-only")
+    assert(spark.sql("SELECT count(*) AS n FROM gdel.t")
+      .collect().head.getLong(0) == 42L) // 46,48,50 hidden
+
+    // NOT IN keeps refusing (null semantics are not an anti-join)
+    intercept[UnsupportedOperationException](spark.sql(
+      """DELETE FROM gdel.t
+        |WHERE id NOT IN (SELECT id FROM gdel.t WHERE id = 1)""".stripMargin))
+    ()
+  }
+
   test("CALL maintain drives the maintenance ladder from SQL and converges; unknown procedures refuse") {
     val wh = tmp("graft-callwh")
     val path = s"$wh/t"

@@ -61,16 +61,17 @@ object GraftDml {
     * attributes of OTHER relations that the re-resolution seam cannot
     * carry across — letting one through could re-bind a name to the
     * wrong relation silently, the exact class of bug a loud boundary
-    * exists to prevent. (DELETE keeps Spark's native path, which
-    * already refuses untranslatable conditions.) */
+    * exists to prevent. (UPDATE/DELETE statements with subqueries
+    * never reach this seam — they route through the pre-materializing
+    * commands; this backstop fires only for MERGE expressions.) */
   private def unresolve(e: Expression): Expression = {
     e.foreach {
       case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
         unsupported(
-          s"subqueries are not supported in graft UPDATE/MERGE " +
-          s"expressions (got '${s.sql}') — rewrite as a MERGE against " +
-          "the subquery's result, or apply the predicate through the " +
-          "library API")
+          s"subqueries are not supported in graft MERGE expressions " +
+          s"(got '${s.sql}') — pre-compute the value into the USING " +
+          "source (UPDATE and DELETE pre-materialize scalar and IN " +
+          "subqueries automatically)")
       case _ => ()
     }
     e.transform {
@@ -94,10 +95,10 @@ object GraftDml {
     e.foreach {
       case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
         unsupported(
-          s"subqueries are not supported in graft UPDATE/MERGE " +
-          s"expressions (got '${s.sql}') — rewrite as a MERGE against " +
-          "the subquery's result, or apply the predicate through the " +
-          "library API")
+          s"subqueries are not supported in graft MERGE expressions " +
+          s"(got '${s.sql}') — pre-compute the value into the USING " +
+          "source (UPDATE and DELETE pre-materialize scalar and IN " +
+          "subqueries automatically)")
       case _ => ()
     }
     e.transform {

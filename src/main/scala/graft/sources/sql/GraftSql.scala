@@ -693,8 +693,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       true
     }
   }
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** RENAME TABLE as one atomic directory rename — the same pointer
+    * mechanics as [[dropTable]], but to a live name instead of trash.
+    * The table's secondary DML key indexes (sibling `<path>_dml_idx_*`
+    * layouts) stay behind under the old name and lazily rebuild at the
+    * renamed table's next MERGE — index state is derived, never
+    * authoritative, so orphaning it costs one rebuild, not
+    * correctness. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new org.apache.hadoop.fs.Path(pathOf(oldIdent))
+    val to = new org.apache.hadoop.fs.Path(pathOf(newIdent))
+    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (Snapshot.currentVersion(spark, pathOf(oldIdent)).isEmpty)
+      throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent.toString)
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to)) throw new IllegalStateException(
+      s"could not rename $from to $to — concurrent DDL?")
+  }
 
   // ----- SupportsNamespaces (directory-grain, read-only) -----------------
   override def listNamespaces(): Array[Array[String]] = {

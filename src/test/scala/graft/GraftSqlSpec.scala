@@ -677,6 +677,19 @@ class GraftSqlSpec extends AnyFunSuite {
     // trash is unreachable through the catalog (dot-part refusal)
     intercept[Exception](
       spark.sql("SELECT * FROM gdrop.`.dropped`.whatever").collect())
+
+    // RENAME TABLE: one atomic directory rename — data rides along,
+    // the old name frees up, renaming onto a live name refuses
+    spark.sql("INSERT INTO gdrop.t SELECT id, day FROM drop_src")
+    spark.sql("ALTER TABLE gdrop.t RENAME TO t_renamed")
+    assert(spark.sql("SELECT count(*) AS n FROM gdrop.t_renamed")
+      .collect().head.getLong(0) == 30L)
+    assert(!spark.catalog.tableExists("gdrop.t"))
+    spark.sql(
+      """CREATE TABLE gdrop.t (id BIGINT, day STRING)
+        |USING graft PARTITIONED BY (day)""".stripMargin)
+    intercept[Exception](
+      spark.sql("ALTER TABLE gdrop.t RENAME TO t_renamed"))
     ()
   }
 

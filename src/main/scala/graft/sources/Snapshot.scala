@@ -1752,11 +1752,14 @@ object Snapshot {
     // optional file-subset restriction (the split-bootstrap seam): ids
     // are per-file (entry base + position), so a subset read assigns
     // every served row the SAME id a full read would
-    val fileLines = lines.filterNot(isDeleteEntry)
-      .filter(l => onlyFiles.forall(_.contains(pathOf(l))))
-    onlyFiles.foreach { fs =>
-      val known = lines.filterNot(isDeleteEntry).map(pathOf).toSet
-      val unknown = fs.filterNot(known)
+    val wanted = onlyFiles.map(_.toSet)
+    val allFileLines = lines.filterNot(isDeleteEntry)
+    val fileLines = wanted match {
+      case None => allFileLines
+      case Some(w) => allFileLines.filter(l => w(pathOf(l)))
+    }
+    wanted.foreach { w =>
+      val unknown = w -- allFileLines.map(pathOf).toSet
       require(unknown.isEmpty,
         s"readVersionLineage: ${unknown.take(3).mkString(", ")} not in " +
         s"version $v of $path")
@@ -3683,8 +3686,13 @@ object Snapshot {
                else readVersion(spark, path, mergeBase._1))
       .where(col(partitionCol).isin(touched: _*))
     val survivors = cur.join(keyFrame, keyCols, "left_anti")
+    // lineage: a batch that DECLARES row ids (the SQL general-merge
+    // seam — matched updates keep their identity, inserts carry NULL
+    // for fresh mint) passes them through; a plain batch takes fresh
+    // ids, the replace-or-insert contract
     val updates2 =
       if (!lineage) updates
+      else if (updates.columns.contains(RowIdCol)) updates
       else updates.withColumn(RowIdCol, lit(null).cast(LongType))
     val replacement = survivors
       .unionByName(updates2.select(cur.columns.map(col): _*))

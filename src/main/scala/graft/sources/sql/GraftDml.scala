@@ -621,7 +621,14 @@ object GraftMergeIntoCommand {
   * At 100 TB: the source is read twice (matched join + unmatched
   * anti-join) and the table contributes only index-located candidate
   * files; the matched-pair frame persists across the clause
-  * evaluations so the join runs once. */
+  * evaluations so the join runs once.
+  *
+  * LINEAGE tables (`rowids=on`): matched update images and identity
+  * re-images CARRY the target row's `_row_id` (read via the lineage
+  * file-subset scan), so a SQL UPDATE/MERGE-update keeps the row's
+  * durable identity exactly like [[Snapshot.updateWhere]] — typed
+  * change-feed consumers keep pairing pre/post by id. Inserted rows
+  * take fresh ids at commit (NULL image), the library rule. */
 case class GraftMergeIntoCommand(path: String, pcol: String,
     source: LogicalPlan, keyCols: Seq[String],
     tSchema: org.apache.spark.sql.types.StructType,
@@ -631,8 +638,7 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
   import GraftMergeIntoCommand.{SP, TP}
 
   override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.when
-    val tCols = tSchema.fieldNames.toSeq
+    import org.apache.spark.sql.functions.{first, max, monotonically_increasing_id, when}
     val idxPath = s"${path}_dml_idx_${keyCols.mkString("_")}"
     val v = graft.sources.Snapshot.currentVersion(session, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $path"))
@@ -641,6 +647,17 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
     val sPref = src.columns.toSeq.foldLeft(src)((d, c) =>
       d.withColumnRenamed(c, SP + c))
 
+    val lineage = Snapshot.metaOf(session, path, v)
+      .get("rowids").contains("on")
+    val RowId = "_row_id"
+    // image columns = recorded schema (+ the id on lineage tables, so
+    // updated rows KEEP their identity through the key-grain replace)
+    val outSchema =
+      if (lineage) tSchema.add(RowId,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      else tSchema
+    val readCols = outSchema.fieldNames.toSeq
+
     // candidate target rows: only files that can hold a source key
     graft.sources.KeyIndex.refresh(session, path, keyCols, idxPath, 32): Unit
     val candFiles = graft.sources.KeyIndex.filesForKeys(session, idxPath,
@@ -648,10 +665,18 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
     val target =
       if (candFiles.isEmpty)
         session.createDataFrame(
-          session.sparkContext.emptyRDD[Row], tSchema)
-      else Snapshot.readVersionFiles(session, path, v, candFiles)
-        .select(tCols.map(col): _*)
-    val tPref = target.select(tCols.map(c => col(c).as(TP + c)): _*)
+          session.sparkContext.emptyRDD[Row], outSchema)
+      else (if (lineage)
+        Snapshot.readVersionLineage(session, path, v, Some(candFiles))
+      else Snapshot.readVersionFiles(session, path, v, candFiles))
+        .select(readCols.map(col): _*)
+    // a synthetic per-target-row id: cardinality and identity-re-image
+    // decisions are per ROW (SQL MERGE semantics), and neither the key
+    // (may be duplicated) nor the column tuple (rows may be identical
+    // twins) identifies one
+    val tid = "_graft_tid"
+    val tPref = target.select(readCols.map(c => col(c).as(TP + c)): _*)
+      .withColumn(tid, monotonically_increasing_id())
     val joinCond = keyCols.map(k => col(TP + k) === col(SP + k))
       .reduce(_ && _)
 
@@ -669,17 +694,13 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
     val pairs = pairsAll.where(col(act) >= 0)
     try {
       if (matched.nonEmpty) {
-        // the Delta cardinality rule: >1 SOURCE rows matching the same
-        // target row is ambiguous. Detected as source-side duplicate
-        // keys among the ACTED keys — a target-side duplicate key is
-        // legal (replace every row of the key, the q97 IN-update shape)
-        val dupSrcKeys = sPref
-          .groupBy(keyCols.map(k => col(SP + k)): _*).count()
-          .where(col("count") > 1)
-        val dup = pairs
-          .select(keyCols.map(k => col(TP + k).as(SP + k)): _*).distinct()
-          .join(dupSrcKeys, keyCols.map(SP + _))
-          .limit(1).count()
+        // the Delta cardinality rule, at ROW grain: >1 source rows
+        // ACTING on the same target row is ambiguous — a duplicated
+        // source key whose other rows act on nothing is legal (the CDC
+        // is_latest shape), as is a duplicated TARGET key (every row
+        // of the key acts once, the q97 IN-update shape)
+        val dup = pairs.groupBy(col(tid)).count()
+          .where(col("count") > 1).limit(1).count()
         if (dup > 0) throw new UnsupportedOperationException(
           "MERGE cardinality violation: more than one source row " +
           "matched and acted on the same target row — dedup the source " +
@@ -687,19 +708,23 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
       }
       val updIdx = matched.zipWithIndex.collect { case ((_, Some(_)), i) => i }
       val delIdx = matched.zipWithIndex.collect { case ((_, None), i) => i }
-      // one select: per target column, the acting clause's value (the
-      // action index already encodes first-match), cast to the
-      // recorded type; unassigned columns keep the target's value
+      // update-image value for column f: the acting clause's expression
+      // (the action index already encodes first-match), cast to the
+      // recorded type; unassigned columns — and the id — keep the
+      // target's value
+      def updValue(f: org.apache.spark.sql.types.StructField): Column =
+        updIdx.foldLeft(Option.empty[Column]) { (acc, i) =>
+          val value = matched(i)._2.get.getOrElse(f.name, col(TP + f.name))
+          Some(acc.fold(when(col(act) === i, value))(
+            _.when(col(act) === i, value)))
+        }.get.cast(f.dataType).as(f.name)
       val updRows: Option[DataFrame] =
         if (updIdx.isEmpty) None
         else Some(pairs.where(col(act).isin(updIdx: _*))
-          .select(tSchema.fields.toSeq.map { f =>
-            updIdx.foldLeft(Option.empty[Column]) { (acc, i) =>
-              val value = matched(i)._2.get
-                .getOrElse(f.name, col(TP + f.name))
-              Some(acc.fold(when(col(act) === i, value))(
-                _.when(col(act) === i, value)))
-            }.get.cast(f.dataType).as(f.name)
+          .select(outSchema.fields.toSeq.map { f =>
+            if (f.name == RowId && lineage)
+              col(TP + RowId).cast(f.dataType).as(f.name)
+            else updValue(f)
           }: _*))
       val delKeys: Option[DataFrame] =
         if (delIdx.isEmpty) None
@@ -707,22 +732,24 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
           .select(keyCols.map(k => col(TP + k).as(k)): _*))
 
       // DUPLICATE TARGET KEYS: the commit replaces rows at KEY grain
-      // (anti-join + re-add), so an UNACTED row sharing a key with an
-      // acting pair would silently vanish. Those rows re-image as
-      // IDENTITY — exactly one image per row, because the cardinality
-      // rule guarantees an acted key has ONE source row, so every
-      // target row of the key appears in exactly one pair. Keys with
-      // no acting pair never enter the key frame and survive untouched.
+      // (anti-join + re-add), so a row with NO acting pair that shares
+      // a key with an acting pair would silently vanish. Those rows
+      // re-image as IDENTITY — one image per row, via the per-row
+      // max(action) over the synthetic tid (a row acted on by one pair
+      // and missed by another is NOT an identity row).
       val identityExtras: Option[DataFrame] =
         if (matched.isEmpty) None
         else {
           val actedKeys = pairs
             .select(keyCols.map(k => col(TP + k).as(k)): _*).distinct()
-          Some(pairsAll.where(col(act) === -1)
+          val perRow = pairsAll.groupBy(col(tid)).agg(
+            max(col(act)).as("_graft_maxact"),
+            readCols.map(c => first(col(TP + c)).as(TP + c)): _*)
+          Some(perRow.where(col("_graft_maxact") === -1)
             .join(actedKeys,
               keyCols.map(k => col(TP + k) === col(k)).reduce(_ && _),
               "left_semi")
-            .select(tSchema.fields.toSeq.map(f =>
+            .select(outSchema.fields.toSeq.map(f =>
               col(TP + f.name).cast(f.dataType).as(f.name)): _*))
         }
 
@@ -733,8 +760,11 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
             joinCond, "left_anti")
           .withColumn(act, chain(notMatched.map(_._1)))
           .where(col(act) >= 0)
-          .select(tSchema.fields.toSeq.map { f =>
-            notMatched.indices.foldLeft(Option.empty[Column]) { (acc, i) =>
+          .select(outSchema.fields.toSeq.map { f =>
+            if (f.name == RowId && lineage)
+              // inserted rows take FRESH ids at commit (the library rule)
+              lit(null).cast(f.dataType).as(f.name)
+            else notMatched.indices.foldLeft(Option.empty[Column]) { (acc, i) =>
               val value = notMatched(i)._2.getOrElse(f.name, lit(null))
               Some(acc.fold(when(col(act) === i, value))(
                 _.when(col(act) === i, value)))
@@ -744,7 +774,7 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
       val updates = Seq(updRows, identityExtras, insRows).flatten
         .reduceOption(_ unionByName _)
         .getOrElse(session.createDataFrame(
-          session.sparkContext.emptyRDD[Row], tSchema))
+          session.sparkContext.emptyRDD[Row], outSchema))
       val del = delKeys.filterNot(_.isEmpty)
       // matched nothing, inserted nothing, deleted nothing: legal no-op
       if (del.nonEmpty || !updates.isEmpty)

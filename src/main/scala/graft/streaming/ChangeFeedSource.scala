@@ -206,6 +206,49 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
     bootFilesCache.getOrElseUpdate(v,
       Snapshot.filesOf(spark, path, v).sorted.toIndexedSeq)
 
+  /** The split-bootstrap's PINNED version: resolved once and persisted
+    * write-if-absent under the checkpoint metadata dir (the start-base
+    * discipline), so a restart that lost the best-effort committed
+    * marker re-pins the SAME version — re-pinning whatever version the
+    * table reached by restart time would silently skip the unserved
+    * tail of the old file list (cross-version boot offsets do not
+    * compose). The write is NOT best-effort: a pin that cannot persist
+    * refuses rather than risking a divergent re-pin. */
+  @volatile private var bootPin: Option[Long] = None
+  /** True when THIS instance adopted a pin some EARLIER instance
+    * persisted — the restart-recovery signal getOffset uses when the
+    * committed marker is also gone (see its bootstrap branch). */
+  @volatile private var bootPinAdopted: Boolean = false
+  private def pinnedBootVersion(cur: Long): Long =
+    bootPin.getOrElse {
+      val v = metadataPath match {
+        case None => cur // library/unit use: in-memory pin only
+        case Some(mp) =>
+          val marker = new org.apache.hadoop.fs.Path(mp, "graft-boot-version")
+          val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def read(): Long = {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim.toLong finally in.close()
+          }
+          if (fs.exists(marker)) { bootPinAdopted = true; read() }
+          else {
+            fs.mkdirs(marker.getParent)
+            try {
+              val out = fs.create(marker, false)
+              try out.write(cur.toString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              cur
+            } catch { // a racing twin published first — adopt its pin
+              case _: java.io.IOException => bootPinAdopted = true; read()
+            }
+          }
+      }
+      bootPin = Some(v)
+      v
+    }
+
   override def getOffset: Option[Offset] =
     Snapshot.currentVersion(spark, path).map { cur =>
       def verAdvance(from: Long): Pos =
@@ -220,11 +263,22 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
         case Some(VerPos(v)) => verAdvance(v)
         case None => (maxFilesPerTrigger, startBase) match {
           case (Some(mf), None) =>
-            // split bootstrap: pin THIS version, serve its file list
-            // as bounded insert batches (the pinned version rides in
-            // the offset itself, so recovery replays the same subset)
-            val n = bootFiles(cur).size.toLong
-            if (n == 0) VerPos(cur) else BootPos(cur, math.min(n, mf))
+            // split bootstrap: pin ONE version (persisted — see
+            // pinnedBootVersion) and serve its file list as bounded
+            // insert batches; the pinned version also rides in every
+            // boot offset, so recovery replays the same subsets
+            val bootV = pinnedBootVersion(cur)
+            val n = bootFiles(bootV).size.toLong
+            if (n == 0) VerPos(bootV)
+            // an ADOPTED pin with NO committed-marker floor = a
+            // recovery whose progress is unknown (the best-effort
+            // marker was lost): offer the whole remainder — Spark's
+            // committed start bounds the actually-served slice, so
+            // this trades one possibly-large batch for liveness
+            // (a capped offset at-or-below the committed one would
+            // stall the stream forever), never correctness
+            else if (bootPinAdopted) BootPos(bootV, n)
+            else BootPos(bootV, math.min(n, mf))
           case _ => startBase match {
             case Some(b) => verAdvance(b)
             case None => VerPos(cur) // one-shot bootstrap: uncapped
@@ -332,7 +386,11 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
       case (None, BootPos(v, k2)) =>
         insertSlice(v, bootFiles(v).slice(0, k2.toInt))
       case (Some(BootPos(v1, k1)), BootPos(v2, k2)) =>
-        if (v1 != v2 || k1 >= k2) emptyBatch // regressed/foreign log entry
+        if (v1 != v2) throw new IllegalStateException(
+          s"bootstrap offsets pin different versions ($v1 vs $v2) — " +
+          "the checkpoint is corrupt (the pin marker makes this " +
+          "unreachable in normal operation); restart with a fresh one")
+        else if (k1 >= k2) emptyBatch // regressed log entry — tolerate
         else insertSlice(v2, bootFiles(v2).slice(k1.toInt, k2.toInt))
       case (Some(VerPos(_)), BootPos(_, _)) =>
         emptyBatch // only a regressed log could order these — tolerate

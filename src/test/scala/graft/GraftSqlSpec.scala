@@ -354,6 +354,30 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == Seq((1L, 99.0), (2L, 120.0), (3L, -1.0)),
       s"scalar-subquery update state: $got")
 
+    // LINEAGE: the IN-update keeps every updated row's durable id —
+    // the merge lowering must not re-mint identities (updateWhere's
+    // documented contract, and what lets typed feeds pair pre/post)
+    val whL = tmp("graft-subqlinwh")
+    val pathL = s"$whL/t"
+    Snapshot.append(spark, pathL, "day", rows(1L to 20L),
+      meta = Map("rowids" -> "on"))
+    registerCatalog("gsublin", whL)
+    val idsBefore = Snapshot.readSnapshotLineage(spark, pathL)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.sql(
+      """UPDATE gsublin.t SET value = value + 1
+        |WHERE id IN (SELECT id FROM gsublin.t WHERE id <= 5)""".stripMargin)
+    val after = Snapshot.readSnapshotLineage(spark, pathL)
+      .select(col("id"), col("_row_id"), col("value")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    (1L to 5L).foreach { i =>
+      assert(after(i)._1 == idsBefore(i),
+        s"IN-update re-minted row $i's id: ${after(i)._1} != ${idsBefore(i)}")
+      assert(after(i)._2 == i * 10.0 + 1)
+    }
+    (6L to 20L).foreach(i => assert(after(i)._1 == idsBefore(i)))
+
     // refusal shapes stay loud
     intercept[UnsupportedOperationException](spark.sql(
       """UPDATE gsub.t SET value = 0
@@ -443,6 +467,18 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cardinality"))
     assert(Snapshot.versions(spark, path).size == vDup,
       "a refused MERGE must leave no commit behind")
+
+    // ... but the rule is at ROW grain: a duplicated source key whose
+    // OTHER rows act on nothing is legal (the CDC is_latest shape)
+    Seq((2L, 1000.0, false), (2L, 2000.0, true))
+      .toDF("id", "newv", "is_latest").createOrReplaceTempView("gm_cdc")
+    spark.sql(
+      """MERGE INTO ggm.t AS t USING gm_cdc AS s ON t.id = s.id
+        |WHEN MATCHED AND s.is_latest THEN UPDATE SET value = s.newv
+        |""".stripMargin)
+    assert(spark.sql("SELECT value FROM ggm.t WHERE id = 2")
+      .collect().head.getDouble(0) == 2000.0,
+      "one acting row among duplicate source keys is a legal merge")
 
     // DUPLICATE TARGET KEYS + clause condition: the unacted twin of an
     // acted key must SURVIVE (as an identity re-image) — the key-grain
@@ -673,6 +709,43 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(replaced.columns.toSeq == Seq("id", "day") &&
       replaced.count() == 0L,
       "CREATE OR REPLACE must serve the NEW schema with zero rows")
+
+    // DROP retires the table's DML key indexes too: recreating the
+    // name and merging again must NOT serve the old index's pointers
+    // (version numbers alias across incarnations — a stale index would
+    // treat existing keys as unmatched and duplicate them)
+    import spark.implicits._
+    Seq((5L, 555.0, "2024-01-01"), (3001L, 1.0, "2024-01-01"))
+      .toDF("id", "value", "day").createOrReplaceTempView("drop_m1")
+    spark.sql(
+      """CREATE TABLE gdrop.m (id BIGINT, value DOUBLE, day STRING)
+        |USING graft PARTITIONED BY (day)""".stripMargin)
+    rows(1L to 10L).createOrReplaceTempView("drop_src10")
+    spark.sql("INSERT INTO gdrop.m SELECT * FROM drop_src10")
+    spark.sql( // builds <wh>/m_dml_idx_id
+      """MERGE INTO gdrop.m AS t USING drop_m1 AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wh/m_dml_idx_id")),
+      "the MERGE must have built the sibling key index")
+    spark.sql("DROP TABLE gdrop.m")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/m_dml_idx_id")),
+      "DROP must retire the sibling key index with the table")
+    spark.sql(
+      """CREATE TABLE gdrop.m (id BIGINT, value DOUBLE, day STRING)
+        |USING graft PARTITIONED BY (day)""".stripMargin)
+    spark.sql("INSERT INTO gdrop.m SELECT * FROM drop_src10")
+    spark.sql(
+      """MERGE INTO gdrop.m AS t USING drop_m1 AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val merged = spark.sql(
+      "SELECT id, value FROM gdrop.m WHERE id IN (5, 3001) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(merged == Seq((5L, 555.0), (3001L, 1.0)) &&
+      spark.sql("SELECT count(*) AS n FROM gdrop.m")
+        .collect().head.getLong(0) == 11L,
+      s"post-recreate MERGE must match on the REBUILT index: $merged")
 
     // trash is unreachable through the catalog (dot-part refusal)
     intercept[Exception](

@@ -1318,5 +1318,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.size == 1 &&
       batches.head.map(_._1).toSet == (61L to 70L).toSet,
       s"post-bootstrap gap must arrive as one diff batch: $batches")
+
+    // marker-loss recovery: the bootstrap VERSION pin persists
+    // separately (write-if-absent), so losing the best-effort
+    // committed marker mid-bootstrap neither re-pins a newer version
+    // (which would skip the old list's unserved tail — row loss) nor
+    // stalls below the committed slice: the recovered offset is the
+    // SAME version's full remainder, and Spark's committed start
+    // bounds what actually serves
+    def endAt(o: String) = new org.apache.spark.sql.execution.streaming.Offset {
+      override def json: String = o
+    }
+    val md3 = s"$base/md3"
+    val e = new graft.streaming.GraftChangeFeedSource(
+      spark, path, None, Some(md3), None, maxFilesPerTrigger = Some(2L))
+    val o1 = e.getOffset.get.json // boot:<v>:2
+    assert(o1.startsWith("boot:"), o1)
+    val pinnedV = o1.split(":")(1)
+    e.getBatch(None, endAt(o1)); e.commit(endAt(o1))
+    Snapshot.append(spark, path, "day", rows(71L to 72L, "2024-01-01"))
+    val mfs = new org.apache.hadoop.fs.Path(md3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mfs.delete(new org.apache.hadoop.fs.Path(md3, "graft-high-water"), false)
+    val f = new graft.streaming.GraftChangeFeedSource(
+      spark, path, None, Some(md3), None, maxFilesPerTrigger = Some(2L))
+    val o2 = f.getOffset.get.json
+    val parts = o2.split(":")
+    assert(parts(0) == "boot" && parts(1) == pinnedV,
+      s"recovery must keep the pinned bootstrap version: $o2 vs $o1")
+    val nPinned = Snapshot.filesOf(spark, path, pinnedV.toLong).size.toLong
+    assert(parts(2).toLong == nPinned,
+      s"unknown-progress recovery offers the full remainder: $o2")
+    // the served slice is bounded by the committed start regardless
+    assert(f.getBatch(Some(endAt(o1)), endAt(o2)).isStreaming)
   }
 }

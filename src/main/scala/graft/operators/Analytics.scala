@@ -3274,6 +3274,24 @@ object Analytics {
     }
     KeyIndex.refresh(s, path, Seq("event_type", "user_id"), idx,
       buckets = 16): Unit
+    // backfill guard (ADVICE r20): the probe artifact is written inside
+    // the build-once branch; artifactRoot is per-process today, but if
+    // the root ever outlives a pre-probe build (shared tmp, copied
+    // store), reading it blind would crash the slot — re-derive instead.
+    if (!new org.apache.hadoop.fs.Path(s"$base/probe").getFileSystem(
+        s.sparkContext.hadoopConfiguration).exists(
+        new org.apache.hadoop.fs.Path(s"$base/probe"))) {
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n"), col("user_id"))
+      Snapshot.readSnapshot(s, path)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(rankW))
+        .where(col("rk") <= 2)
+        .select(col("event_type"), col("user_id"), col("n"))
+        .coalesce(1).write.parquet(s"$base/probe")
+    }
     val probeN = s.read.parquet(s"$base/probe")
       .select(col("event_type"), col("user_id"), col("n")).collect()
     val probe = s.createDataFrame(
@@ -3834,13 +3852,20 @@ object Analytics {
     if (Snapshot.versions(s, path).size == 1) {
       val ev = Tables.load(s, dir, "events")
       // corrections for existing keys + brand-new keys (ids shifted
-      // beyond the corpus), both scattered across every partition
+      // beyond the corpus), both scattered across every partition.
+      // The shift is the repo-standard 1e9 with asserted headroom
+      // (ADVICE r20): a 1e8 shift collides with live ids as soon as a
+      // scale factor pushes event_ids into [1e8, 1e9) — duplicate
+      // source keys would trip the MERGE cardinality refusal.
+      require(ev.agg(max(col("event_id"))).collect().head.getLong(0)
+          < 1000000000L,
+        "q96 new-key shift needs headroom: event_ids reach 1e9")
       ev.where(pmod(col("event_id"), lit(37)) === 5)
         .select(col("event_id"), to_date(col("ts")).as("event_date"),
           (col("value") * 2).as("uval"))
         .unionByName(
           ev.where(pmod(col("event_id"), lit(61)) === 3)
-            .select((col("event_id") + lit(100000000L)).as("event_id"),
+            .select((col("event_id") + lit(1000000000L)).as("event_id"),
               to_date(col("ts")).as("event_date"),
               (col("value") + 1).as("uval")))
         .createOrReplaceTempView("q96_src")
@@ -3877,7 +3902,7 @@ object Analytics {
       |  SELECT event_id, value * 2 AS uval
       |  FROM events WHERE event_id % 37 = 5
       |  UNION ALL
-      |  SELECT event_id + 100000000, value + 1
+      |  SELECT event_id + 1000000000, value + 1
       |  FROM events WHERE event_id % 61 = 3
       |), merged AS (
       |  SELECT t0.event_id, t0.user_id, t0.event_type,

@@ -2135,8 +2135,10 @@ object Snapshot {
     val dvs = deletesOf(spark, path, v)
     require(dvs.isEmpty,
       s"$op on $path with ${dvs.size} outstanding deletion vector(s) — " +
-      "run materializeDeletes first: a partition rewrite would resurrect " +
-      "merge-on-read deleted rows and orphan the vectors' positions")
+      "run materializeDeletes first (SQL surface: CALL <catalog>." +
+      "maintain(table => '<table>')): a partition rewrite would " +
+      "resurrect merge-on-read deleted rows and orphan the vectors' " +
+      "positions")
   }
 
   /** The layout's FIRST declared file-statistics column, if any — an

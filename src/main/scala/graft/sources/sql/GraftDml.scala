@@ -642,7 +642,14 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
     val idxPath = s"${path}_dml_idx_${keyCols.mkString("_")}"
     val v = graft.sources.Snapshot.currentVersion(session, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $path"))
+    // The source plan is consumed up to four times (key-distinct for
+    // the index probe, the matched join, the not-matched anti-join, the
+    // empty-updates guard) — persist it once so an expensive MERGE
+    // source (itself a query) executes once, not per consumer
+    // (VERDICT r20). Unpersisted in the finally below.
     val src = GraftShim.ofRows(session, source)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     if (src.isEmpty) return Seq.empty // a legal no-op
     val sPref = src.columns.toSeq.foldLeft(src)((d, c) =>
       d.withColumnRenamed(c, SP + c))
@@ -673,7 +680,14 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
     // a synthetic per-target-row id: cardinality and identity-re-image
     // decisions are per ROW (SQL MERGE semantics), and neither the key
     // (may be duplicated) nor the column tuple (rows may be identical
-    // twins) identifies one
+    // twins) identifies one.
+    // tid determinism (VERDICT r20): monotonically_increasing_id is
+    // positional per scan partition, and the candidate-file scan's
+    // partitioning and row order are deterministic (explicit file list,
+    // fixed split packing), so a cache-evicted recompute of pairsAll
+    // reassigns the SAME tids. This holds exactly as long as the
+    // withColumn stays directly above the scan — moving it above a
+    // shuffle would make tids depend on reduce-side fetch order.
     val tid = "_graft_tid"
     val tPref = target.select(readCols.map(c => col(c).as(TP + c)): _*)
       .withColumn(tid, monotonically_increasing_id())
@@ -782,6 +796,7 @@ case class GraftMergeIntoCommand(path: String, pcol: String,
           idxPath, deleteKeys = del): Unit
       Seq.empty
     } finally pairsAll.unpersist()
+    } finally src.unpersist()
   }
 }
 

@@ -450,11 +450,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val fs = trash.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(trash)) Seq.empty
     else fs.listStatus(trash).toSeq.filter(_.isDirectory).map { s =>
-      // name = <table>-<dropMillis>-<uuid8>; a foreign dir (unparsable
-      // stamp) reports age 0 so a sweep never deletes it
+      // name = <table>-<dropMillis>-<uuid8>. Only entries matching the
+      // FULL shape graft's own DDL writes are purgeable: the last token
+      // must be the 8-hex uuid prefix and the stamp a plausible
+      // epoch-millis (2000..3000 CE) — a foreign dir parked in the
+      // trash (e.g. 'backup-123') previously parsed ts=123, reported a
+      // huge age, and was deleted at ANY grace (ADVICE r20). Anything
+      // unparsable reports age 0 so a sweep never deletes it.
       val parts = s.getPath.getName.split("-")
-      val ts = if (parts.length >= 2)
-        parts(parts.length - 2).toLongOption.getOrElse(Long.MaxValue)
+      val graftShape = parts.length >= 3 &&
+        parts.last.length == 8 &&
+        parts.last.forall(c => c.isDigit || ('a' <= c && c <= 'f'))
+      val ts = if (graftShape)
+        parts(parts.length - 2).toLongOption
+          .filter(t => t >= 946684800000L && t < 32503680000000L)
+          .getOrElse(Long.MaxValue)
       else Long.MaxValue
       (s.getPath, ts)
     }
@@ -489,6 +499,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     parts.foreach(p => require(
       !p.contains("/") && p != ".." && !p.startsWith("."),
       s"illegal table identifier part '$p'"))
+    // '_dml_idx_' is the reserved sibling-layout infix for secondary key
+    // indexes: a real table named 't_dml_idx_x' would be silently
+    // trashed by retireSiblingIndexes when 't' is dropped or renamed
+    // (ADVICE r20) — refuse the collision at the door instead
+    parts.foreach(p => require(!p.contains("_dml_idx_"),
+      s"identifier part '$p' uses the reserved key-index infix " +
+      "'_dml_idx_'"))
     (warehouse +: parts).mkString("/")
   }
 

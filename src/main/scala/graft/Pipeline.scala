@@ -99,10 +99,8 @@ object Pipeline {
         col("o_orderpriority") === col("order_priority"), "left")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        date_format(col("o_orderdate"), "yyyyMMdd").cast(IntegerType)
-          .as("order_date_key"),
-        date_format(col("l_shipdate"), "yyyyMMdd").cast(IntegerType)
-          .as("ship_date_key"),
+        operators.DateKeys.dateKeyInt(col("o_orderdate")).as("order_date_key"),
+        operators.DateKeys.dateKeyInt(col("l_shipdate")).as("ship_date_key"),
         col("customer_sk"), col("part_sk"), col("junk_sk"),
         col("l_quantity").as("quantity"),
         (col("l_extendedprice").cast(DecimalType(18, 4))

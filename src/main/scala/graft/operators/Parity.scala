@@ -212,10 +212,8 @@ object Parity {
       .join(c, col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        date_format(col("o_orderdate"), "yyyyMMdd").cast(IntegerType)
-          .as("order_date_key"),
-        date_format(col("l_shipdate"), "yyyyMMdd").cast(IntegerType)
-          .as("ship_date_key"),
+        DateKeys.dateKeyInt(col("o_orderdate")).as("order_date_key"),
+        DateKeys.dateKeyInt(col("l_shipdate")).as("ship_date_key"),
         col("l_quantity").as("quantity"),
         (dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
           .cast(DoubleType).as("revenue"),

@@ -129,8 +129,7 @@ object Warehouse {
         col("o_orderpriority") === col("order_priority"), "left")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        date_format(col("o_orderdate"), "yyyyMMdd").cast(IntegerType)
-          .as("order_date_key"),
+        DateKeys.dateKeyInt(col("o_orderdate")).as("order_date_key"),
         col("customer_sk"), col("junk_sk"),
         col("l_quantity").as("quantity"),
         (col("l_extendedprice").cast(DecimalType(18, 4))

@@ -35,7 +35,33 @@ object Tables {
     // post-hoc rule (GraftDml scaladoc) — session-static, so it rides
     // the same builder path as every other entry-point config. DELETE
     // and SELECT/INSERT/DDL need no extension (native DataSourceV2).
-    "spark.sql.extensions" -> "graft.sources.sql.GraftSparkSessionExtension")
+    "spark.sql.extensions" -> "graft.sources.sql.GraftSparkSessionExtension",
+    // Split-packing open-cost charge (r21, guide §6/§2.2): the 4 MiB
+    // default models high-latency object-store opens and FLOORS
+    // maxSplitBytes at 4 MiB, so a small-file corpus scans with a
+    // handful of tasks no matter how many cores exist (q05/q20 ran
+    // their whole scan→join→project pipeline — twice, sampling + map
+    // of the final range sort — in 3 tasks on 32 cores). On local
+    // NVMe/page-cache an open costs ~0.1 ms, and at 100 TB the files
+    // are 128 MB-1 GB so the charge is negligible either way; 256 KiB
+    // keeps split sizing input-size-derived (totalBytes/minPartitionNum)
+    // instead of constant-floored. Parameterized for deployments whose
+    // storage really does pay per-open.
+    "spark.sql.files.openCostInBytes" ->
+      sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "262144"),
+    // File-status discovery for manifest-known file lists (r21, guide
+    // §7.3 "listing" / §6): every snapshot-store read passes an EXPLICIT
+    // file list from the manifest, yet InMemoryFileIndex still stats the
+    // paths, and above this threshold (default 32) it does so by
+    // launching a whole Spark LISTING JOB — q92's serving run spent
+    // ~1.6 s in three "Listing leaf files for 107 paths" jobs, pure
+    // overhead on a local filesystem where a stat is ~30 µs. Driver-side
+    // listing up to 4096 paths is microseconds-per-path on NVMe (and
+    // still bounded); beyond it the distributed listing kicks in exactly
+    // as before — a 100 TB table's million-file list still distributes.
+    // Parameterized for deployments on high-latency stores.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" ->
+      sys.env.getOrElse("SPARK_GRAFT_LIST_JOB_THRESHOLD", "4096"))
 
   /** `mergeSchema = true` is the long-lived-table discipline: a 100 TB
     * table accumulates snapshot files across schema generations (a
@@ -48,6 +74,21 @@ object Tables {
     * proves all three). Off by default: the graded corpora are
     * single-generation and the union costs a footer pass per file. */
   def load(spark: SparkSession, dir: String, name: String,
+           mergeSchema: Boolean = false): DataFrame = {
+    val df = loadRaw(spark, dir, name, mergeSchema)
+    // facts and corpora get the starvation guard (never the dims —
+    // broadcast-bound, nothing downstream is per-row heavy)
+    if (HeavyTables(name)) rebalanceStarved(df) else df
+  }
+
+  /** Tables whose downstream operators do per-row-heavy work (joins +
+    * projection over the fact; tokenize/explode/hash over the corpora;
+    * vector arithmetic over the embeddings) — the ones whose scans get
+    * [[rebalanceStarved]]'s adaptive floor. */
+  private val HeavyTables =
+    Set("lineitem", "documents", "events", "embeddings")
+
+  private def loadRaw(spark: SparkSession, dir: String, name: String,
            mergeSchema: Boolean = false): DataFrame =
     if (name == "events") {
       // Defensive idempotent set for sessions not built through our entry
@@ -87,6 +128,64 @@ object Tables {
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // (path, length, mtime) → row-group count; corpora are immutable
+  // within a process, so footers are read once per file, not per query
+  // construction. Metadata-only — never row data.
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
+
+  /** Scale-adaptive scan rebalance (r21, guide §2.5 "input skew: one
+    * huge unsplittable file → repartition immediately after the read").
+    * Parquet scan parallelism is bounded by ROW GROUPS, not splits, and
+    * the graded corpora ship as one row group per table — so a
+    * scan-rooted pipeline (decode → derive → explode → partial agg)
+    * runs in ONE task however many cores the session has, and a global
+    * sort above it re-runs that one task for the range sampler too.
+    * When (and only when) the scan's effective parallelism is below
+    * half the session's cores, insert one round-robin rebalance above
+    * the scan so the per-row work downstream uses the machine.
+    *
+    * Cost ladder keeps the production path free: (1) file count ≥
+    * cores → return unchanged, zero extra IO — every real-scale table
+    * exits here; (2) otherwise read the ≤cores footers (metadata-only,
+    * cached per (path, len, mtime)) and only rebalance when the summed
+    * row-group count is under half the cores. The trigger follows the
+    * session's core count — the driver's low-core bench run rebalances
+    * to ITS width, so core-scaling stays measurable instead of being
+    * flattened by the one-row-group ceiling.
+    *
+    * Only for scans whose downstream is per-row heavy (facts, document
+    * corpora): a broadcast-bound dim gains nothing and would pay one
+    * extra stage. Correctness is partitioning-independent by the oracle
+    * gate's own construction (Verify runs at 4 cores, Bench at 32, same
+    * hashes), and the round-robin writer's sort-before-repartition
+    * keeps task retries deterministic (SPARK-23207). */
+  def rebalanceStarved(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length * 2 >= cores) return df
+    val conf = spark.sparkContext.hadoopConfiguration
+    val groups = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      rowGroupCache.computeIfAbsent(
+        (f, st.getLen, st.getModificationTime),
+        _ => {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        })
+    }.sum
+    if (groups * 2 < cores) df.repartition(cores) else df
+  }
+
+  /** [[load]] + [[rebalanceStarved]] — the entry point for scans whose
+    * downstream work is per-row heavy. */
+  def loadHeavy(spark: SparkSession, dir: String, name: String): DataFrame =
+    rebalanceStarved(load(spark, dir, name))
 
   /** Date-partitioned serving copy of the events table (Hive layout,
     * `event_date=YYYY-MM-DD/` dirs), published once per corpus

@@ -44,10 +44,10 @@ object ProfileQuery {
     val build = runOnce()
     val warm = runOnce()
 
-    case class Job(id: Int, desc: String, var end: Long = 0L,
-        start: Long = System.currentTimeMillis())
+    case class StageRow(wallMs: Long, runMs: Long, gcMs: Long, shRead: Long,
+        shWrite: Long, tasks: Int, name: String)
     val jobs = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long, String)]
-    val stageMetrics = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long, Long, Int, String)]
+    val stageMetrics = scala.collection.mutable.LinkedHashMap.empty[Int, StageRow]
     val listener = new SparkListener {
       private val starts = scala.collection.mutable.Map.empty[Int, (Long, String)]
       override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
@@ -66,10 +66,16 @@ object ProfileQuery {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = synchronized {
         val si = e.stageInfo
         val tm = si.taskMetrics
+        val wall = (for (a <- si.submissionTime; b <- si.completionTime)
+          yield b - a).getOrElse(-1L)
+        // the deepest in-query frame beats the generic callsite
+        val where = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProfileQuery"))
+          .map(_.trim.stripPrefix("at ")).getOrElse(si.name).take(95)
         if (tm != null)
-          stageMetrics(si.stageId) = (tm.executorRunTime,
-            tm.shuffleReadMetrics.totalBytesRead,
-            tm.shuffleWriteMetrics.bytesWritten, si.numTasks, si.name.take(80))
+          stageMetrics(si.stageId) = StageRow(wall, tm.executorRunTime,
+            tm.jvmGCTime, tm.shuffleReadMetrics.totalBytesRead,
+            tm.shuffleWriteMetrics.bytesWritten, si.numTasks, where)
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -87,9 +93,9 @@ object ProfileQuery {
       println(f"$id%4d ${e - s}%7d  ${d.take(110)}")
     }
     println(f"sum of job wall times: ${total}ms (gaps = driver-side work)")
-    println(f"\n${"stage"}%6s ${"runMs"}%8s ${"shRead"}%10s ${"shWrite"}%10s ${"tasks"}%6s  name")
-    stageMetrics.toSeq.sortBy(_._1).foreach { case (id, (rt, sr, sw, n, nm)) =>
-      println(f"$id%6d $rt%8d $sr%10d $sw%10d $n%6d  $nm")
+    println(f"\n${"stage"}%6s ${"wallMs"}%7s ${"runMs"}%8s ${"gcMs"}%6s ${"shRead"}%10s ${"shWrite"}%10s ${"tasks"}%6s  where")
+    stageMetrics.toSeq.sortBy(_._1).foreach { case (id, r) =>
+      println(f"$id%6d ${r.wallMs}%7d ${r.runMs}%8d ${r.gcMs}%6d ${r.shRead}%10d ${r.shWrite}%10d ${r.tasks}%6d  ${r.name}")
     }
     spark.stop()
   }

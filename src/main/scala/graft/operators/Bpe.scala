@@ -334,7 +334,10 @@ object Bpe {
     * encoded) — shared by d28 (per-doc report) and d30 (per-source
     * fertility census). */
   private def encodeDocs(s: SparkSession, dir: String): DataFrame =
-    encodeWith(Tables.load(s, dir, "documents"), trainedMerges(s, dir))
+    // loadHeavy: the 10-deep replace chain over wrapped char streams is
+    // the corpus's most CPU-intensive single pass (measured 1.8 → 0.7 s
+    // at sf0.1 when a one-row-group scan stops pinning it to one task)
+    encodeWith(Tables.loadHeavy(s, dir, "documents"), trainedMerges(s, dir))
 
   /** The replace-chain encode against an EXPLICIT merge table — the
     * seam d34 uses to run a FROZEN (base-trained) tokenizer over the

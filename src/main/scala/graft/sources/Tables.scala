@@ -81,12 +81,17 @@ object Tables {
     if (HeavyTables(name)) rebalanceStarved(df) else df
   }
 
-  /** Tables whose downstream operators do per-row-heavy work (joins +
-    * projection over the fact; tokenize/explode/hash over the corpora;
-    * vector arithmetic over the embeddings) — the ones whose scans get
-    * [[rebalanceStarved]]'s adaptive floor. */
-  private val HeavyTables =
-    Set("lineitem", "documents", "events", "embeddings")
+  /** Tables whose scans get [[rebalanceStarved]]'s adaptive floor by
+    * default. Measured per table (bench A/B, both run orders): the
+    * fact (lineitem) wins big — its downstream is 4 joins + wide
+    * projection + a global sort whose range sampler re-runs the scan
+    * stage; events and most documents slots LOSE ~0.3-0.7 s each (their
+    * scan-stage work is one moderate pass and the extra exchange +
+    * stage boundary costs more than the parallelism buys), so they stay
+    * unrebalanced and CPU-monstrous document consumers opt in at their
+    * own call sites ([[loadHeavy]] — e.g. the BPE replace-chain encode,
+    * measured 1.8 → 0.7 s). */
+  private val HeavyTables = Set("lineitem")
 
   private def loadRaw(spark: SparkSession, dir: String, name: String,
            mergeSchema: Boolean = false): DataFrame =
@@ -162,6 +167,8 @@ object Tables {
     * hashes), and the round-robin writer's sort-before-repartition
     * keeps task retries deterministic (SPARK-23207). */
   def rebalanceStarved(df: DataFrame): DataFrame = {
+    // operational off-switch (also the A/B seam for measuring it)
+    if (sys.env.get("SPARK_GRAFT_REBALANCE").contains("off")) return df
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val files = df.inputFiles

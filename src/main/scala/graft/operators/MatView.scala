@@ -1196,18 +1196,25 @@ object MatView {
     }
     val phases = Catalog.seqs(s, cat).map { k =>
       val served = Catalog.readTableAt(s, cat, "rollup", k)
-        .localCheckpoint()
       // the PAIRING audit: the rollup served at txn k must equal a
       // recompute from the fact AT txn k — catalog readers can never
       // observe new-fact/stale-rollup
       val factAt = Catalog.stateAt(s, cat, k)("fact")
-      val recomputed = rollupOf(factAt._2).localCheckpoint()
-      // SYMMETRIC set equality: same cardinality AND their union adds
-      // nothing — a one-sided subset check would certify a served
-      // rollup carrying stale extra rows
-      require(recomputed.count() == served.count() &&
-          served.unionByName(recomputed).distinct().count() ==
-            served.count(),
+      val recomputed = rollupOf(factAt._2)
+      // SYMMETRIC multiset equality in ONE action (r21: the previous
+      // shape — two localCheckpoints + three counts per phase — cost
+      // five driver-synchronized jobs per transaction for the same
+      // accept set; rollups are duplicate-free by construction, so
+      // signed-count equality ⇔ the old counts + union-adds-nothing
+      // check): tag each side ±1, group on the full row, and any
+      // non-zero signed count is an inconsistency.
+      val side = "_graft_side"
+      val mismatch = served.withColumn(side, lit(1))
+        .unionByName(recomputed.withColumn(side, lit(-1)))
+        .groupBy(served.columns.map(col).toIndexedSeq: _*)
+        .agg(sum(col(side)).as(side))
+        .where(col(side) =!= 0)
+      require(mismatch.isEmpty,
         s"catalog txn c-$k serves a rollup inconsistent with its fact")
       served.withColumn("phase", lit(s"t$k"))
     }

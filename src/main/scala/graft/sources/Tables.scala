@@ -61,7 +61,22 @@ object Tables {
     // as before — a 100 TB table's million-file list still distributes.
     // Parameterized for deployments on high-latency stores.
     "spark.sql.sources.parallelPartitionDiscovery.threshold" ->
-      sys.env.getOrElse("SPARK_GRAFT_LIST_JOB_THRESHOLD", "4096"))
+      sys.env.getOrElse("SPARK_GRAFT_LIST_JOB_THRESHOLD", "4096"),
+    // Shuffle/blockmgr scratch on the fastest local storage (r21, guide
+    // §2.1: "local disk bandwidth for shuffle files can be the tighter
+    // limit"). Thread dumps of agg/join map stages showed task threads
+    // dominated by FileOutputStream.open0/map0/write0 — this box's
+    // java.io.tmpdir sits on a virtual disk measuring 1.2 MB/s at 4k
+    // sync writes (~3 ms per shuffle-file create), while /dev/shm is a
+    // 126 GiB tmpfs at 1.6 GB/s. Spark's standing advice is to point
+    // local.dir at fast local scratch (on real clusters, the NVMe
+    // array); here that is the RAM disk. Measured: a scan→agg action
+    // loop dropped 0.70 → 0.36 s/iter. Env-overridable; falls back to
+    // the JVM default when /dev/shm is absent. Spark still creates
+    // uuid'd blockmgr-* subdirs and removes them on session stop.
+    "spark.local.dir" -> sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+      else System.getProperty("java.io.tmpdir")))
 
   /** `mergeSchema = true` is the long-lived-table discipline: a 100 TB
     * table accumulates snapshot files across schema generations (a

@@ -42,6 +42,28 @@ object Sink {
     root
   }
 
+  /** Recursive file listing WITHOUT the per-file permission fork (r21):
+    * `fs.listFiles(p, recursive)` materializes `LocatedFileStatus`es,
+    * whose constructor eagerly resolves permissions — and with the
+    * native Hadoop library absent, `RawLocalFileSystem` loads them by
+    * FORKING `ls -ld` per file (driver thread dumps showed
+    * `Shell.runCommand` under `loadPermissionInfoByNonNativeIO`
+    * dominating q55's 1.2 s frame construction: ~100 process forks per
+    * store walk). A plain `listStatus` walk keeps permissions LAZY —
+    * none of our callers reads them; path/length/mtime are all free. */
+  private[sources] def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    def go(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { s =>
+        if (s.isDirectory) go(s.getPath) else out += s
+      }
+    go(root)
+    out.toSeq
+  }
+
   /** Atomic overwrite (reference: TRUNCATE + append, non-atomic). */
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
@@ -76,13 +98,10 @@ object Sink {
         val p = new org.apache.hadoop.fs.Path(corpusPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val base = fs.makeQualified(p).toString
-        val it = fs.listFiles(p, true)
-        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val f = it.next()
-          val name = f.getPath.getName
-          if (!name.startsWith("_") && !name.startsWith("."))
-            entries += s"${f.getPath.toString.stripPrefix(base)}|${f.getLen}|${f.getModificationTime}"
+        val entries = walkFiles(fs, p).collect {
+          case f if !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".") =>
+            s"${f.getPath.toString.stripPrefix(base)}|${f.getLen}|${f.getModificationTime}"
         }
         entries.sorted.foreach(e =>
           md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
@@ -261,11 +280,9 @@ object Sink {
       root: org.apache.hadoop.fs.Path, partitionCol: String)
       : Seq[(org.apache.hadoop.fs.Path, Seq[org.apache.hadoop.fs.FileStatus])] = {
     val qualified = fs.makeQualified(root)
-    val it = fs.listFiles(qualified, true)
     val byPart = scala.collection.mutable.LinkedHashMap
       .empty[org.apache.hadoop.fs.Path, scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]]
-    while (it.hasNext) {
-      val f = it.next()
+    walkFiles(fs, qualified).foreach { f =>
       val name = f.getPath.getName
       val parent = f.getPath.getParent
       if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&

@@ -1262,24 +1262,22 @@ object Snapshot {
     * expiry listing (manifest readers never call this). */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, partitionCol: String)
-      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val qualified = fs.makeQualified(root)
-    val it = fs.listFiles(qualified, true)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.hadoop.fs.LocatedFileStatus]
-    while (it.hasNext) {
-      val f = it.next()
+    // Sink.walkFiles, not fs.listFiles: the recursive lister's
+    // LocatedFileStatus resolves permissions EAGERLY, which without the
+    // native Hadoop library forks `ls -ld` once per file (r21 thread
+    // dumps: ~100 process forks per maintenance probe)
+    Sink.walkFiles(fs, qualified).filter { f =>
       val name = f.getPath.getName
       val parent = f.getPath.getParent
       // ANY `key=` dir, not just the active spec's: a mid-evolution
       // layout (evolvePartitionSpec) holds both generations, and the
       // expiry sweep must see every generation's files
-      if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          parent != null && parent.getParent == qualified &&
-          parent.getName.contains("="))
-        out += f
+      f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+        parent != null && parent.getParent == qualified &&
+        parent.getName.contains("=")
     }
-    out.toSeq
   }
 
   /** The current snapshot as a DataFrame: the manifest's files read with

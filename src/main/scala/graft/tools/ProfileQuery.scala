@@ -33,10 +33,17 @@ object ProfileQuery {
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name"))
 
+    var lastBuild = 0.0
+    var lastExec = 0.0
     def runOnce(): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      finally spark.catalog.clearCache()
+      try {
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        lastBuild = (t1 - t0) / 1e9
+        df.write.format("noop").mode("overwrite").save()
+        lastExec = (System.nanoTime() - t1) / 1e9
+      } finally spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -85,7 +92,7 @@ object ProfileQuery {
     Thread.sleep(500) // let listener events drain
     spark.sparkContext.removeSparkListener(listener)
 
-    println(f"\n=== $name  build=$build%.2f warm=$warm%.2f profiled=$timed%.2f (wall $wall%.2f) sf=$sfDir cpus=$cpus ===")
+    println(f"\n=== $name  build=$build%.2f warm=$warm%.2f profiled=$timed%.2f (wall $wall%.2f, frameBuild=$lastBuild%.2f exec=$lastExec%.2f) sf=$sfDir cpus=$cpus ===")
     println(f"${"job"}%4s ${"ms"}%7s  description")
     var total = 0L
     jobs.toSeq.sortBy(_._1).foreach { case (id, (s, e, d)) =>

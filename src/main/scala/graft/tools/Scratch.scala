@@ -20,28 +20,15 @@ object Scratch {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.sources.Tables
 
-    val base = s"/tmp/scratch82-${sys.props("user.name")}"
-    if (!new java.io.File(base).exists()) {
-      Tables.load(spark, sfDir, "events")
-        .withColumn("event_date", to_date(col("ts")))
-        .repartition(col("event_date"))
-        .sortWithinPartitions(col("event_date"), col("ts"))
-        .write.partitionBy("event_date").parquet(base)
-    }
-    def aggOf(df: org.apache.spark.sql.DataFrame) =
-      df.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          count_distinct(col("user_id")).as("n_users"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("tv"))
+    val fn = graft.SparkEntry.queries("q55_snapshot_forget_user")
+    // warm: build fixture
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
     println("LOOP START")
     val t0 = System.nanoTime()
-    (1 to 400).foreach { _ =>
-      aggOf(spark.read.parquet(base))
-        .write.format("noop").mode("overwrite").save()
-    }
-    println(f"LOOP DONE avg=${(System.nanoTime() - t0) / 400e9}%.3f s/iter")
+    (1 to 60).foreach { _ => fn(spark, sfDir); spark.catalog.clearCache() }
+    println(f"construction avg=${(System.nanoTime() - t0) / 60e9}%.3f s/iter")
     spark.stop()
   }
 }
